@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Dev-only harness mimicking the driver's correctness gate:
+run graft.Verify at a given SF, then replay each oracle_sql.json query in
+DuckDB over the same parquet tables and compare values.
+
+Usage: python3 scripts/check_oracle.py [sfdir] [outdir]
+(Not part of the shipped library — driver-side tooling only.)
+"""
+import json
+import sys
+import glob
+
+import duckdb
+import pandas as pd
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+fail = 0
+for name in sorted(oracle):
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        print(f"[MISS] {name}: no spark output")
+        fail += 1
+        continue
+    spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+    try:
+        duck_df = con.execute(oracle[name]).df()
+    except Exception as e:
+        print(f"[ERR ] {name}: duckdb failed: {e}")
+        fail += 1
+        continue
+    sc, dc = sorted(spark_df.columns), sorted(duck_df.columns)
+    if sc != dc:
+        print(f"[COLS] {name}: spark={sc} duck={dc}")
+        fail += 1
+        continue
+    if len(spark_df) != len(duck_df):
+        print(f"[ROWS] {name}: spark={len(spark_df)} duck={len(duck_df)}")
+        fail += 1
+        continue
+    a, b = canon(spark_df), canon(duck_df)
+    # normalize dtypes for compare
+    for c in a.columns:
+        if a[c].dtype != b[c].dtype:
+            try:
+                b[c] = b[c].astype(a[c].dtype)
+            except Exception:
+                a[c] = a[c].astype(str)
+                b[c] = b[c].astype(str)
+    eq = a.equals(b)
+    if not eq:
+        diff_mask = ~(a.eq(b) | (a.isna() & b.isna()))
+        ndiff = diff_mask.any(axis=1).sum()
+        print(f"[DIFF] {name}: {ndiff}/{len(a)} rows differ")
+        bad = diff_mask.any(axis=1)
+        print("  spark:", a[bad].head(3).to_dict("records"))
+        print("  duck :", b[bad].head(3).to_dict("records"))
+        fail += 1
+    else:
+        print(f"[ OK ] {name}: {len(a)} rows")
+
+nosql = set(f.split("/")[-1] for f in glob.glob(f"{outdir}/*") if "." not in f.split("/")[-1]) - set(oracle)
+for name in sorted(nosql):
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    n = sum(len(pd.read_parquet(f)) for f in files) if files else -1
+    print(f"[rows] {name}: {n} (no oracle)")
+
+print(f"\n{'FAIL' if fail else 'PASS'}: {fail} mismatches")
+sys.exit(1 if fail else 0)

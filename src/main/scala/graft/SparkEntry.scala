@@ -1,13 +1,440 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{CompareMode, Validator}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY §2 (plus the pipeline extensions) is exposed
+  * as a named query over the driver's parquet test tables, with — where the
+  * semantics are ANSI-SQL-expressible — an equivalent DuckDB oracle query
+  * in [[oracleSql]]. Query results are deterministically ordered and use
+  * exact integer aggregates (cent-scaled) so Spark and DuckDB hash-match
+  * bit-for-bit.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The two sides of the validation workload, derived deterministically
+    * from `orders` (the reference compares two live databases; here the
+    * "second database" is a filtered + perturbed view so both engines can
+    * reconstruct it): db1 drops keys %97==0, db2 drops %89==0 and perturbs
+    * value/date/priority columns on other residue classes, including NULL
+    * injections to exercise the one-null/both-null truth tables (SURVEY
+    * §2.4 V2/V3/F1). */
+  private def ordersPair(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val o = t(s, dir, "orders")
+    val db1 = o.filter("o_orderkey % 97 != 0").selectExpr(
+      "CAST(o_orderkey AS STRING) AS id",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val db2 = o.filter("o_orderkey % 89 != 0").selectExpr(
+      "CAST(o_orderkey AS STRING) AS id",
+      "CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 1.0 " +
+        "WHEN o_orderkey % 41 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice",
+      "CASE WHEN o_orderkey % 37 = 0 THEN o_orderdate + INTERVAL 1 DAY " +
+        "WHEN o_orderkey % 43 = 0 THEN NULL ELSE o_orderdate END AS o_orderdate",
+      "CASE WHEN o_orderkey % 29 = 0 THEN CONCAT(o_orderpriority, 'X') " +
+        "WHEN o_orderkey % 47 = 0 THEN NULL ELSE o_orderpriority END AS o_orderpriority")
+    (db1, db2)
+  }
+
+  private val pairCte =
+    """WITH db1 AS (
+      |  SELECT CAST(o_orderkey AS VARCHAR) AS id,
+      |         o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |), db2 AS (
+      |  SELECT CAST(o_orderkey AS VARCHAR) AS id,
+      |    CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 1.0
+      |         WHEN o_orderkey % 41 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice,
+      |    CASE WHEN o_orderkey % 37 = 0 THEN o_orderdate + INTERVAL 1 DAY
+      |         WHEN o_orderkey % 43 = 0 THEN NULL ELSE o_orderdate END AS o_orderdate,
+      |    CASE WHEN o_orderkey % 29 = 0 THEN o_orderpriority || 'X'
+      |         WHEN o_orderkey % 47 = 0 THEN NULL ELSE o_orderpriority END AS o_orderpriority
+      |  FROM orders WHERE o_orderkey % 89 <> 0
+      |)""".stripMargin
+
+  private def keyedPair(s: SparkSession, dir: String, check: String) = {
+    val (db1, db2) = ordersPair(s, dir)
+    (db1.select(col("id"), col(check).as("check")),
+      db2.select(col(check).as("check"), col("id")))
+  }
+
+  /** Augmented documents corpus for near-dup demos: originals plus a
+    * perturbed copy of doc_id < 20 (every 7th word dropped, id + 100000)
+    * so the LSH operators have true near-duplicates to find. */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val perturbed = d.filter(col("doc_id") < 20).select(
+      (col("doc_id") + 100000).as("doc_id"),
+      array_join(
+        filter(split(col("text"), " "),
+          (w, i) => i % 7 =!= 3),
+        " ").as("text"))
+    d.unionByName(perturbed)
+  }
+
+  /** Flagship: full validation pipeline (anti-joins + typed diff + summary)
+    * on sf=0.001; driver smoke-checks rows>0 (summary always has 1 row). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val (f, sec) = keyedPair(spark, dir, "o_totalprice")
+    val out = Validator.validate(f, sec, CompareMode.Numeric)
+    Validator.summary(f, sec, out)
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 + extensions. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- validation core (reference parity; SURVEY §2.3-2.4) ------------
+    "v_missing_first" -> ((s, dir) => {
+      val (f, sec) = keyedPair(s, dir, "o_totalprice")
+      Validator.validate(f, sec, CompareMode.Numeric).missingInFirst.orderBy("id")
+    }),
+    "v_missing_second" -> ((s, dir) => {
+      val (f, sec) = keyedPair(s, dir, "o_totalprice")
+      Validator.validate(f, sec, CompareMode.Numeric).missingInSecond.orderBy("id")
+    }),
+    "v_diff_numeric" -> ((s, dir) => {
+      val (f, sec) = keyedPair(s, dir, "o_totalprice")
+      Validator.validate(f, sec, CompareMode.Numeric).differing.orderBy("id")
+    }),
+    "v_diff_numeric_coerce" -> ((s, dir) => {
+      // string-typed inputs with unparseable garbage: pandas to_numeric
+      // errors='coerce' parity via try_cast (SURVEY §2.4 V2)
+      val o = t(s, dir, "orders")
+      val mk = (filterMod: Int, perturb: Boolean) => {
+        val base = o.filter(s"o_orderkey % $filterMod != 0")
+        val v =
+          if (!perturb)
+            "CASE WHEN o_orderkey % 53 = 0 THEN 'oops' " +
+              "ELSE CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) AS STRING) END AS check"
+          else
+            "CASE WHEN o_orderkey % 53 = 0 THEN 'oops' " +
+              "WHEN o_orderkey % 41 = 0 THEN NULL " +
+              "WHEN o_orderkey % 31 = 0 THEN CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) + 100 AS STRING) " +
+              "ELSE CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) AS STRING) END AS check"
+        base.selectExpr("CAST(o_orderkey AS STRING) AS id", v)
+      }
+      Validator.validate(mk(97, false), mk(89, true), CompareMode.Numeric).differing.orderBy("id")
+    }),
+    "v_diff_date" -> ((s, dir) => {
+      val (f, sec) = keyedPair(s, dir, "o_orderdate")
+      Validator.validate(f, sec, CompareMode.Date).differing
+        .select(col("id"),
+          date_format(col("check_first"), "yyyy-MM-dd HH:mm:ss").as("check_first"),
+          date_format(col("check_second"), "yyyy-MM-dd HH:mm:ss").as("check_second"))
+        .orderBy("id")
+    }),
+    "v_diff_string_exact" -> ((s, dir) => {
+      val (f, sec) = keyedPair(s, dir, "o_orderpriority")
+      Validator.validate(f, sec, CompareMode.Fuzzy(1.0)).differing.orderBy("id")
+    }),
+    "v_diff_string_fuzzy" -> ((s, dir) => {
+      // threshold 0.9: appended-char perturbations score ~0.94 and pass;
+      // only the one-null rows are flagged (difflib ratio, SURVEY §2.4 F1)
+      val (f, sec) = keyedPair(s, dir, "o_orderpriority")
+      Validator.validate(f, sec, CompareMode.Fuzzy(0.9)).differing.orderBy("id")
+    }),
+    "v_summary" -> ((s, dir) => {
+      val (f, sec) = keyedPair(s, dir, "o_totalprice")
+      Validator.summary(f, sec, Validator.validate(f, sec, CompareMode.Numeric))
+    }),
+    "v_composite_key" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.select(graft.functions.compositeKeyCols(Seq(
+          when(col("o_custkey") % 53 === 0, lit(null)).otherwise(col("o_custkey")),
+          col("o_orderstatus"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("n"))
+        .orderBy("id")
+    }),
+
+    // --- analytics surface (aggregates / joins / windows / set ops) -----
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").cast("long").as("sum_qty"),
+          sum(expr("CAST(ROUND(l_extendedprice*100) AS BIGINT)")).as("sum_base_cents"),
+          sum(expr("CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)")).as("sum_disc_cents"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q3_top10" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(sum(expr("CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)")).as("revenue_cents"))
+        .orderBy(desc("revenue_cents"), col("o_orderkey"))
+        .limit(10)
+    }),
+    "q5_join" -> ((s, dir) => {
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      broadcast(r).join(n, col("n_regionkey") === col("r_regionkey"))
+        .join(c, col("c_nationkey") === col("n_nationkey"))
+        .join(o, col("o_custkey") === col("c_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(su, col("s_suppkey") === col("l_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(expr("CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)")).as("revenue_cents"))
+        .orderBy(desc("revenue_cents"), col("n_name"))
+    }),
+    "q_window_top3" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }),
+    "q_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+    }),
+    "q_except" -> ((s, dir) => {
+      // customers with no orders: EXCEPT over key sets (≙ the reference's
+      // bidirectional anti-join semantics, SURVEY §2.6)
+      t(s, dir, "customer").select(col("c_custkey").as("key"))
+        .except(t(s, dir, "orders").select(col("o_custkey").as("key")))
+        .orderBy("key")
+    }),
+
+    // --- training-data pipeline extensions ------------------------------
+    "t_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", Seq("text"))
+        .select(md5(col("text").cast("binary")).as("text_hash"),
+          col("keep_id"), col("n_copies"))
+        .orderBy("keep_id")
+    }),
+    "t_text_stats" -> ((s, dir) => {
+      TextAnalysis.stats(t(s, dir, "documents")).orderBy("doc_id")
+    }),
+    "t_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.tokenEstimate(col("text")).as("token_estimate"),
+          TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"))
+        .orderBy("doc_id")
+    }),
+    "t_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+    "t_fingerprint" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp_md5"),
+          TextAnalysis.rollingHash64(TextAnalysis.normalized(col("text"))).as("fp_roll"))
+        .orderBy("doc_id")
+    }),
+    "t_minhash_pairs" -> ((s, dir) => {
+      val docs = docsWithNearDups(s, dir)
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      val cands = Dedup.minhashCandidates(sigs)
+      cands
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Dedup.sigJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+    "t_simhash_pairs" -> ((s, dir) => {
+      val docs = docsWithNearDups(s, dir)
+      Dedup.simhashCandidates(Dedup.simhashes(docs, "doc_id", "text"))
+        .orderBy("id_a", "id_b")
+    }),
+    "t_ngram_jaccard" -> ((s, dir) => {
+      // exact n-gram Jaccard verification over LSH candidates
+      val docs = docsWithNearDups(s, dir)
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      Dedup.minhashCandidates(sigs)
+        .join(docs.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+        .join(docs.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Dedup.ngramJaccardUdf(col("text_a"), col("text_b"), lit(3)).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+    "t_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "t_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5, bits = 8)
+        .orderBy("query_id", "rank")
+    }),
+    "t_vector_stats" -> ((s, dir) => {
+      Similarity.vectorStats(t(s, dir, "embeddings"))
+        .select(col("vec_id"), col("dim"), col("sq_sum"))
+        .orderBy("vec_id")
+    }),
+    "t_media_features" -> ((s, dir) => {
+      val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "image")
+      Multimodal.extractFeatures(media).toDF().orderBy("media_id")
+    }),
+    "t_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "video")
+      Multimodal.sampleFrames(media).toDF()
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames"),
+          sum(col("frame_checksum")).as("checksum_sum"))
+        .orderBy("media_id")
+    })
+  )
+
+  /** DuckDB-runnable ANSI equivalents (driver's correctness oracle).
+    * Omitted for ops whose semantics aren't SQL-expressible (difflib ratio,
+    * LSH, UDF hashes) — the driver records a weaker rows-only check there. */
+  def oracleSql: Map[String, String] = Map(
+    "v_missing_first" ->
+      s"""$pairCte
+         |SELECT db2.id FROM db2
+         |WHERE NOT EXISTS (SELECT 1 FROM db1 WHERE db1.id = db2.id)
+         |ORDER BY id""".stripMargin,
+    "v_missing_second" ->
+      s"""$pairCte
+         |SELECT db1.id FROM db1
+         |WHERE NOT EXISTS (SELECT 1 FROM db2 WHERE db2.id = db1.id)
+         |ORDER BY id""".stripMargin,
+    "v_diff_numeric" ->
+      s"""$pairCte
+         |SELECT db1.id, db1.o_totalprice AS check_first, db2.o_totalprice AS check_second
+         |FROM db1 JOIN db2 ON db1.id = db2.id
+         |WHERE db1.o_totalprice IS DISTINCT FROM db2.o_totalprice
+         |ORDER BY 1""".stripMargin,
+    "v_diff_numeric_coerce" ->
+      """WITH s1 AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |    CASE WHEN o_orderkey % 53 = 0 THEN 'oops'
+        |         ELSE CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) AS VARCHAR) END AS v
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |), s2 AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |    CASE WHEN o_orderkey % 53 = 0 THEN 'oops'
+        |         WHEN o_orderkey % 41 = 0 THEN NULL
+        |         WHEN o_orderkey % 31 = 0 THEN CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) + 100 AS VARCHAR)
+        |         ELSE CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) AS VARCHAR) END AS v
+        |  FROM orders WHERE o_orderkey % 89 <> 0
+        |)
+        |SELECT s1.id, s1.v AS check_first, s2.v AS check_second
+        |FROM s1 JOIN s2 ON s1.id = s2.id
+        |WHERE TRY_CAST(s1.v AS DOUBLE) IS DISTINCT FROM TRY_CAST(s2.v AS DOUBLE)
+        |ORDER BY 1""".stripMargin,
+    "v_diff_date" ->
+      s"""$pairCte
+         |SELECT db1.id,
+         |  strftime(db1.o_orderdate, '%Y-%m-%d %H:%M:%S') AS check_first,
+         |  strftime(db2.o_orderdate, '%Y-%m-%d %H:%M:%S') AS check_second
+         |FROM db1 JOIN db2 ON db1.id = db2.id
+         |WHERE db1.o_orderdate IS DISTINCT FROM db2.o_orderdate
+         |ORDER BY 1""".stripMargin,
+    "v_diff_string_exact" ->
+      s"""$pairCte
+         |SELECT db1.id, db1.o_orderpriority AS check_first, db2.o_orderpriority AS check_second
+         |FROM db1 JOIN db2 ON db1.id = db2.id
+         |WHERE db1.o_orderpriority IS DISTINCT FROM db2.o_orderpriority
+         |ORDER BY 1""".stripMargin,
+    "v_summary" ->
+      s"""$pairCte
+         |SELECT
+         |  (SELECT COUNT(*) FROM db1) AS n_first,
+         |  (SELECT COUNT(*) FROM db2) AS n_second,
+         |  (SELECT COUNT(*) FROM db2 WHERE NOT EXISTS
+         |     (SELECT 1 FROM db1 WHERE db1.id = db2.id)) AS missing_in_first,
+         |  (SELECT COUNT(*) FROM db1 WHERE NOT EXISTS
+         |     (SELECT 1 FROM db2 WHERE db2.id = db1.id)) AS missing_in_second,
+         |  (SELECT COUNT(*) FROM db1 JOIN db2 ON db1.id = db2.id
+         |     WHERE db1.o_totalprice IS DISTINCT FROM db2.o_totalprice) AS n_differing,
+         |  (SELECT COUNT(*) FROM db2 WHERE EXISTS
+         |     (SELECT 1 FROM db1 WHERE db1.id = db2.id)) AS n_matched""".stripMargin,
+    "v_composite_key" ->
+      """SELECT concat_ws('_',
+        |    coalesce(CAST(CASE WHEN o_custkey % 53 = 0 THEN NULL ELSE o_custkey END AS VARCHAR), '0'),
+        |    coalesce(CAST(o_orderstatus AS VARCHAR), '0')) AS id,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top10" ->
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue_cents DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_join" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue_cents DESC, n_name""".stripMargin,
+    "q_window_top3" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q_distinct" ->
+      """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+    "q_except" ->
+      """SELECT c_custkey AS key FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS key FROM orders
+        |ORDER BY key""".stripMargin,
+    "t_dedup_exact" ->
+      """SELECT md5(text) AS text_hash,
+        |  CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "t_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(LENGTH(text) AS BIGINT) AS n_chars,
+        |  CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |  CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+        |  CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS n_punct,
+        |  md5(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,40 @@
+package graft.config
+
+/** Describes one side of a validation: any `spark.read` source.
+  *
+  * Generalizes the reference's four hard-coded connectors
+  * (postgres/oracle/aws/ali, `running_validation.py:30-212`) to arbitrary
+  * Spark sources: `format` + `options` is the whole contract
+  * (`jdbc`, `parquet`, `csv`, ...). For `jdbc`, `options` carries
+  * url/dbtable/user/password/fetchsize and — for scale — the partitioned-read
+  * quartet (partitionColumn/lowerBound/upperBound/numPartitions), replacing
+  * the reference's serial `fetchmany` loop.
+  *
+  * `query` is the escape hatch restoring the reference's legacy
+  * manual-query mode (`config.yaml:9,44-49`): when set on a jdbc source it
+  * is passed as the `query` option so the SQL runs remotely verbatim.
+  */
+final case class SourceSpec(
+    format: String,
+    options: Map[String, String] = Map.empty,
+    path: Option[String] = None,
+    query: Option[String] = None)
+
+/** Typed equivalent of the reference's `config.yaml` surface
+  * (SURVEY §1.5). Exactly two sources per job, as the reference enforces
+  * (`running_validation.py:614-615`).
+  */
+final case class ValidationConfig(
+    first: SourceSpec,
+    second: SourceSpec,
+    firstName: String,
+    secondName: String,
+    compositeIdColumns: Seq[String],   // config.yaml:19
+    checkColumn: String,               // config.yaml:21
+    dataType: String,                  // integer | string | date (config.yaml:8)
+    threshold: Double = 1.0,           // config.yaml:11 (fuzzy similarity)
+    startDate: Option[String] = None,  // config.yaml:16
+    endDate: Option[String] = None,    // config.yaml:17
+    dateColumnFirst: Option[String] = None,  // {db}_database_date_column
+    dateColumnSecond: Option[String] = None,
+    outputDirectory: String = "./output")

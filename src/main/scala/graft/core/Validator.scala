@@ -1,0 +1,121 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType, TimestampType}
+
+import graft.functions.{compositeKey, fuzzyRatioNullSafe}
+
+/** Comparison mode — reference `data_type: integer | string | date`
+  * (`config.yaml:8`, `running_validation.py:643-650`). */
+sealed trait CompareMode
+object CompareMode {
+  /** pandas `to_numeric(errors='coerce')` parity: values coerced to double,
+    * unparseable -> null (reference V2, `running_validation.py:242-249`). */
+  case object Numeric extends CompareMode
+  /** pandas `to_datetime(errors='coerce')` parity (reference V3,
+    * `running_validation.py:412-415`). */
+  case object Date extends CompareMode
+  /** difflib fuzzy ratio >= threshold (reference F1,
+    * `running_validation.py:306-316`); threshold >= 1 degenerates to exact
+    * null-safe equality (ratio == 1.0 iff strings equal). */
+  final case class Fuzzy(threshold: Double) extends CompareMode
+}
+
+/** The three independent result sets of one validation run — reference
+  * emits them padded side-by-side into one CSV (V5,
+  * `running_validation.py:262-275`); we keep them tidy. */
+final case class ValidationOutput(
+    missingInFirst: DataFrame,   // ids present in second, absent in first
+    missingInSecond: DataFrame,  // ids present in first, absent in second
+    differing: DataFrame)        // inner-joined rows whose check values differ
+
+/** Spark-native core of the table-diff engine.
+  *
+  * Scale notes (100 TB):
+  *  - both anti-joins and the inner join shuffle on `id` once each; Catalyst
+  *    reuses the exchange where plans align, and AQE converts to broadcast
+  *    when one side is small (the reference's recorded workload was 2 rows
+  *    vs 1.94 M — a textbook broadcast case).
+  *  - the diff predicates are pure expressions (`<=>` under whole-stage
+  *    codegen); the fuzzy UDF only runs when threshold < 1, post-join.
+  *  - duplicate ids produce many-to-many join multiplicity — intended
+  *    reference behavior (pandas merge semantics, SURVEY §2.3 J3).
+  */
+object Validator {
+
+  /** Project a source down to `(id, check)` — composite key construction +
+    * column pruning, the reference's synthesized SELECT
+    * (`running_validation.py:489-504`). Catalyst pushes the pruning into
+    * the scan. */
+  def keyed(df: DataFrame, keyCols: Seq[String], checkCol: String): DataFrame =
+    df.select(compositeKey(keyCols).as("id"), col(checkCol).as("check"))
+
+  /** Optional date-range filter — exclusive on both ends, matching the
+    * reference (`running_validation.py:495-496`: `> start AND < end`). */
+  def dateFiltered(df: DataFrame, dateCol: String, start: String, end: String): DataFrame =
+    df.filter(col(dateCol) > to_timestamp(lit(start)) && col(dateCol) < to_timestamp(lit(end)))
+
+  /** Coercion used by Numeric mode. `try_cast` ≙ pandas errors='coerce'
+    * (works under ANSI mode too). */
+  def toNumeric(c: Column): Column = c.cast(StringType).try_cast(DoubleType)
+
+  /** Coercion used by Date mode. */
+  def toTs(c: Column): Column = c.try_cast(TimestampType)
+
+  /** The per-mode "values differ" predicate over two check columns.
+    * Truth tables (reference V2/V3/F1): both-null -> equal; one-null ->
+    * differ; otherwise typed comparison. `<=>` (null-safe equal) negated
+    * encodes the whole table in one codegen'd expression. */
+  def differs(a: Column, b: Column, mode: CompareMode): Column = mode match {
+    case CompareMode.Numeric => !(toNumeric(a) <=> toNumeric(b))
+    case CompareMode.Date    => !(toTs(a) <=> toTs(b))
+    case CompareMode.Fuzzy(t) if t >= 1.0 => !(a.cast(StringType) <=> b.cast(StringType))
+    case CompareMode.Fuzzy(t) =>
+      fuzzyRatioNullSafe(a.cast(StringType), b.cast(StringType)) < lit(t)
+  }
+
+  /** Full validation of two keyed frames (each `(id, check)`).
+    *
+    * @param firstName/secondName suffix the check columns in the differing
+    *        output, matching the reference's `suffixes=(f'_{db1}', f'_{db2}')`
+    *        (`running_validation.py:233-239`).
+    */
+  def validate(
+      first: DataFrame,
+      second: DataFrame,
+      mode: CompareMode,
+      firstName: String = "first",
+      secondName: String = "second",
+      checkName: String = "check"): ValidationOutput = {
+    val f = first.select(col("id").cast(StringType).as("id"), col("check"))
+    val s = second.select(col("id").cast(StringType).as("id"), col("check"))
+
+    val missingInFirst  = s.select("id").join(f.select("id"), Seq("id"), "left_anti")
+    val missingInSecond = f.select("id").join(s.select("id"), Seq("id"), "left_anti")
+
+    val ca = s"${checkName}_$firstName"
+    val cb = s"${checkName}_$secondName"
+    val joined = f.select(col("id"), col("check").as(ca))
+      .join(s.select(col("id"), col("check").as(cb)), Seq("id"), "inner")
+    val differing = joined.filter(differs(col(ca), col(cb), mode))
+
+    ValidationOutput(missingInFirst, missingInSecond, differing)
+  }
+
+  /** One-row metrics summary of a validation run (counts + match rate) —
+    * the aggregate surface the reference lacked but a report needs. */
+  def summary(first: DataFrame, second: DataFrame, out: ValidationOutput): DataFrame = {
+    val nF = first.count()
+    val nS = second.count()
+    val m1 = out.missingInFirst.count()
+    val m2 = out.missingInSecond.count()
+    val nd = out.differing.count()
+    val matched = nS - m1 // keys of second found in first (with multiplicity)
+    val spark = first.sparkSession
+    import spark.implicits._
+    Seq((nF, nS, m1, m2, nd, matched))
+      .toDF("n_first", "n_second", "missing_in_first", "missing_in_second",
+        "n_differing", "n_matched")
+  }
+}

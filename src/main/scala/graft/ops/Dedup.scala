@@ -1,0 +1,242 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis.normalized
+
+/** Deduplication operators for corpus curation at scale.
+  *
+  * Exact dedup is a hash-groupBy (one shuffle on the group key, with
+  * map-side partial aggregation). Near-dup variants (MinHash+LSH, SimHash)
+  * follow the standard shingle -> signature -> band -> bucket-join shape:
+  * the only shuffle is the groupBy on (band, bandHash), and candidate-pair
+  * generation happens within buckets — never a global cross join. Bucket
+  * sizes are capped so the within-bucket pair expansion stays bounded under
+  * skew (10^6 identical boilerplate docs would otherwise make one bucket
+  * quadratic); capped buckets emit a linear "star" against the min id,
+  * which still links the whole group into one connected component for
+  * downstream grouping.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by a set of columns: one representative
+    * (min id) + multiplicity per distinct value combination. */
+  def exactGroups(df: DataFrame, idCol: String, byCols: Seq[String]): DataFrame =
+    df.groupBy(byCols.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup: keep the min-id row per distinct key (deterministic,
+    * unlike dropDuplicates which keeps an arbitrary row). */
+  def exact(df: DataFrame, idCol: String, byCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(byCols.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // --- MinHash --------------------------------------------------------------
+
+  /** Deterministic 64-bit string hash (FNV-1a). */
+  private[graft] def fnv1a(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Word n-gram shingle hashes of a normalized text. */
+  private[graft] def shingleHashes(text: String, n: Int): Array[Long] = {
+    val toks = text.split(" ")
+    if (toks.length < n) {
+      if (text.isEmpty) Array.empty[Long] else Array(fnv1a(text))
+    } else {
+      val out = new Array[Long](toks.length - n + 1)
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new StringBuilder
+        var j = i
+        while (j < i + n) { sb.append(toks(j)); sb.append(' '); j += 1 }
+        out(i) = fnv1a(sb.toString)
+        i += 1
+      }
+      out
+    }
+  }
+
+  private val mersennePrime = (1L << 61) - 1
+
+  /** Deterministic per-hash-function (a, b) parameters via splitmix64 of
+    * the function index — no RNG, reproducible across runs and partitions. */
+  private def mixParams(i: Int): (Long, Long) = {
+    def splitmix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    val a = (splitmix(i.toLong * 2 + 1) & (mersennePrime - 2)) + 1
+    val b = splitmix(i.toLong * 2 + 2) & (mersennePrime - 1)
+    (a, b)
+  }
+
+  /** MinHash signature: min over shingles of (a*x+b mod p) per hash fn. */
+  private[graft] def minhashSignature(shingles: Array[Long], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var h = 0
+    while (h < numHashes) {
+      val (a, b) = mixParams(h)
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < shingles.length) {
+        val x = shingles(i) & Long.MaxValue
+        val v = (a * (x % mersennePrime) + b) % mersennePrime
+        if (v < mn) mn = v
+        i += 1
+      }
+      sig(h) = mn
+      h += 1
+    }
+    sig
+  }
+
+  private def minhashUdf(n: Int, numHashes: Int) = udf { (text: String) =>
+    if (text == null) Array.fill(numHashes)(Long.MaxValue)
+    else minhashSignature(shingleHashes(text, n), numHashes)
+  }
+
+  /** docs -> (id, sig): `numHashes`-long minhash signature over word
+    * `shingleLen`-grams of normalized text. One narrow pass, no shuffle. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numHashes: Int = 64): DataFrame =
+    docs.select(col(idCol).as("id"),
+      minhashUdf(shingleLen, numHashes)(normalized(col(textCol))).as("sig"))
+
+  /** LSH candidate pairs from signatures: band the signature into `bands`
+    * contiguous chunks of `numHashes/bands`; docs agreeing on any full
+    * band share a bucket; emit pairs within buckets only (capped). */
+  def minhashCandidates(sigs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = 64): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val bandArr = array((0 until bands).map(b =>
+      xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)
+    val banded = sigs.select(col("id"), posexplode(bandArr))
+      .select(col("id"), col("pos").as("band"), col("col").as("band_hash"))
+    val buckets = banded.groupBy("band", "band_hash")
+      .agg(sort_array(collect_set("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairUdf = udf { (ids: Seq[Long], cap: Int) =>
+      val arr = ids.toArray
+      if (arr.length <= cap) {
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        var i = 0
+        while (i < arr.length) {
+          var j = i + 1
+          while (j < arr.length) { out += ((arr(i), arr(j))); j += 1 }
+          i += 1
+        }
+        out.toSeq
+      } else {
+        val m = arr.min
+        arr.iterator.filter(_ != m).map(x => (m, x)).toSeq
+      }
+    }
+    buckets.select(explode(pairUdf(col("ids"), lit(maxBucket))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+  }
+
+  /** Estimated Jaccard from two minhash signatures (fraction of agreeing
+    * components). */
+  val sigJaccard = udf { (a: Seq[Long], b: Seq[Long]) =>
+    if (a == null || b == null || a.isEmpty || a.length != b.length) 0.0
+    else {
+      var eq = 0; var i = 0
+      while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+      eq.toDouble / a.length
+    }
+  }
+
+  /** Exact word n-gram Jaccard of two texts (verification stage after LSH). */
+  def ngramJaccard(a: String, b: String, n: Int = 3): Double = {
+    val sa = shingleHashes(a, n).toSet
+    val sb = shingleHashes(b, n).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else {
+      val inter = sa.intersect(sb).size
+      val union = sa.size + sb.size - inter
+      if (union == 0) 1.0 else inter.toDouble / union
+    }
+  }
+  val ngramJaccardUdf = udf { (a: String, b: String, n: Int) => ngramJaccard(a, b, n) }
+
+  // --- SimHash --------------------------------------------------------------
+
+  /** 64-bit SimHash over word unigrams of normalized text: per-bit vote
+    * weighted by term frequency; near-dups differ in few bits. */
+  private[graft] def simhash64(text: String): Long = {
+    val weights = new Array[Int](64)
+    val toks = text.split(" ")
+    var t = 0
+    while (t < toks.length) {
+      val h = fnv1a(toks(t))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) weights(b) += 1 else weights(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (weights(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  val simhashUdf = udf { (text: String) => if (text == null) 0L else simhash64(text) }
+
+  /** docs -> (id, simhash). */
+  def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), simhashUdf(normalized(col(textCol))).as("simhash"))
+
+  /** SimHash near-dup pairs at Hamming distance <= `maxHamming` via the
+    * standard block trick: split the 64-bit hash into 4 16-bit blocks; any
+    * pair within distance 3 agrees exactly on at least one block -> bucket
+    * by (blockIdx, blockValue), pair within buckets, verify true distance.
+    * Members are carried as [id, simhash] 2-arrays to keep the bucket
+    * payload a single column. */
+  def simhashCandidates(sims: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 256): DataFrame = {
+    val blockArr = array((0 until 4).map(b =>
+      shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val blocks = sims.select(col("id"), col("simhash"), posexplode(blockArr))
+      .select(array(col("id"), col("simhash")).as("member"),
+        col("pos").as("block"), col("col").as("block_val"))
+    val buckets = blocks.groupBy("block", "block_val")
+      .agg(sort_array(collect_set("member")).as("members"))
+      .filter(size(col("members")) > 1)
+    val pairUdf = udf { (members: Seq[Seq[Long]], maxH: Int, cap: Int) =>
+      val arr = members.toArray
+      val lim = math.min(arr.length, cap)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+      var i = 0
+      while (i < lim) {
+        var j = i + 1
+        while (j < lim) {
+          val d = java.lang.Long.bitCount(arr(i)(1) ^ arr(j)(1))
+          if (d <= maxH) {
+            val (x, y) = if (arr(i)(0) < arr(j)(0)) (arr(i)(0), arr(j)(0))
+                         else (arr(j)(0), arr(i)(0))
+            out += ((x, y, d))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    }
+    buckets.select(explode(pairUdf(col("members"), lit(maxHamming), lit(maxBucket))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("hamming"))
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+  }
+}

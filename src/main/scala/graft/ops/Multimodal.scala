@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media (image/audio/video) carried as opaque
+  * `binary` columns with typed metadata, processed per-partition in batches.
+  *
+  * The Spark-side contract is real and tested — schema, partitioning,
+  * batch iteration — while the actual codec step is a clearly-marked STUB
+  * (the container has no image/audio libraries): `decodeStub` derives
+  * deterministic fake features from the bytes so the pipeline shape is
+  * exercised end to end.
+  *
+  * Scale notes: media blobs dominate row size, so `repartitionForMedia`
+  * targets a byte budget per partition (not a row count); feature
+  * extraction is `mapPartitions` (one JVM-side batch per partition, the
+  * Scala analogue of `mapInPandas` batching); no shuffle is introduced by
+  * decode/extract — only by any downstream aggregation.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + the typed metadata a catalog would hold. */
+  final case class MediaRow(
+      media_id: Long,
+      kind: String,          // image | audio | video
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      duration_ms: Long)
+
+  /** Extracted features per media item (fixed-width, columnar-friendly). */
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      checksum: Long,
+      brightness: Double,    // STUB: deterministic from bytes
+      sharpness: Double)     // STUB: deterministic from bytes
+
+  /** One sampled frame of a video payload. */
+  final case class FrameSample(media_id: Long, frame_idx: Int, offset_bytes: Long,
+      frame_checksum: Long)
+
+  /** Derive a deterministic pseudo-media table from any binary payloads.
+    * Used by tests and the driver queries: documents' text bytes stand in
+    * for image payloads. */
+  def asMedia(df: DataFrame, idCol: String, binCol: String, kind: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit(kind).as("kind"),
+      col(binCol).cast("binary").as("payload"),
+      (pmod(xxhash64(col(binCol)), lit(1920L)) + 1).cast("int").as("width"),
+      (pmod(xxhash64(col(binCol), lit(1)), lit(1080L)) + 1).cast("int").as("height"),
+      (pmod(xxhash64(col(binCol), lit(2)), lit(600000L))).as("duration_ms"))
+
+  /** Repartition a media table by a per-partition byte budget — blobs, not
+    * row counts, bound executor memory. */
+  def repartitionForMedia(df: DataFrame, totalBytes: Long,
+      targetPartitionBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    val parts = math.max(1, (totalBytes / targetPartitionBytes).toInt)
+    df.repartition(parts)
+  }
+
+  /** ??? in spirit: the real decoder would go here (JPEG/PNG/WAV/MP4).
+    * STUB — deterministic features from the raw bytes so the distributed
+    * plumbing is testable without codecs. */
+  private def decodeStub(payload: Array[Byte]): (Double, Double) = {
+    if (payload == null || payload.isEmpty) return (0.0, 0.0)
+    var sum = 0L
+    var diff = 0L
+    var i = 0
+    while (i < payload.length) {
+      sum += (payload(i) & 0xFF)
+      if (i > 0) diff += math.abs((payload(i) & 0xFF) - (payload(i - 1) & 0xFF))
+      i += 1
+    }
+    val brightness = sum.toDouble / payload.length / 255.0
+    val sharpness = if (payload.length > 1) diff.toDouble / (payload.length - 1) / 255.0 else 0.0
+    (brightness, sharpness)
+  }
+
+  private def checksum64(payload: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < payload.length) { h ^= (payload(i) & 0xFF); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Batched feature extraction: one pass per partition, rows streamed —
+    * the `mapPartitions` shape that a real codec (native lib handle per
+    * partition, reused across rows) requires. */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload").as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, payload) =>
+          val (bright, sharp) = decodeStub(payload)
+          MediaFeatures(id, kind,
+            if (payload == null) 0L else payload.length.toLong,
+            if (payload == null) 0L else checksum64(payload),
+            bright, sharp)
+        }
+      }
+  }
+
+  /** Frame sampling for "video" payloads: every `strideBytes` emit a frame
+    * record (flatMap — output cardinality is data-dependent, like real
+    * frame extraction). */
+  def sampleFrames(media: DataFrame, strideBytes: Int = 64,
+      maxFrames: Int = 16): Dataset[FrameSample] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        if (payload == null || payload.isEmpty) Iterator.empty
+        else {
+          val n = math.min(maxFrames, 1 + (payload.length - 1) / strideBytes)
+          (0 until n).iterator.map { f =>
+            val off = f.toLong * strideBytes
+            val end = math.min(payload.length, off + strideBytes).toInt
+            val slice = java.util.Arrays.copyOfRange(payload, off.toInt, end)
+            FrameSample(id, f, off, checksum64(slice))
+          }
+        }
+      }
+  }
+}

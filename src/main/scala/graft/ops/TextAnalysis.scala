@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis operators for a training-data pipeline over a `documents`
+  * table (`doc_id, text, lang, source, n_chars`).
+  *
+  * Everything except language-ID is a pure Catalyst expression — codegen'd,
+  * no UDF in the hot path, so a 100 TB scan stays in whole-stage codegen
+  * with the projection pushed to parquet.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count; empty/blank -> 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast(LongType))
+
+  /** BPE-ish token estimate without a vocab: count word-ish units
+    * (letter runs, digit runs, single punctuation), the shape a GPT-style
+    * pre-tokenizer produces; a cheap, deterministic stand-in for real BPE. */
+  def tokenEstimate(text: Column): Column =
+    size(regexp_extract_all(text, lit("[\\p{L}]+|[\\p{N}]+|[^\\s\\p{L}\\p{N}]"), lit(0)))
+      .cast(LongType)
+
+  /** Character-class counts used by the quality score. */
+  def digitCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[0-9]", ""))
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+  def upperCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[A-Z]", ""))
+
+  private val stopwordsEn = Seq("the", "a", "an", "of", "to", "in", "and",
+    "is", "it", "that", "for", "on", "with", "as", "was", "at", "by")
+
+  /** Fraction of whitespace tokens that are English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val stops = filter(toks, t => t.isInCollection(stopwordsEn))
+    when(size(toks) > 0, size(stops).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Heuristic document quality score in [0,1]: penalizes extreme length,
+    * high punctuation/digit density, and missing stopwords — the standard
+    * cheap pre-filter shape for LLM corpus curation (C4/Gopher-style rules,
+    * expressed as one codegen'd column). */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast("double")
+    val toks = tokenCount(text).cast("double")
+    val avgTokLen = when(toks > 0, n / toks).otherwise(lit(0.0))
+    val lenScore = when(n >= 50 && n <= 20000, 1.0)
+      .when(n > 0, 0.5).otherwise(0.0)
+    val tokLenScore = when(avgTokLen >= 2.5 && avgTokLen <= 12.0, 1.0).otherwise(0.3)
+    val punctScore = when(punctCount(text).cast("double") / greatest(n, lit(1.0)) < 0.2, 1.0)
+      .otherwise(0.2)
+    val digitScore = when(digitCount(text).cast("double") / greatest(n, lit(1.0)) < 0.3, 1.0)
+      .otherwise(0.3)
+    val stopScore = when(stopwordRatio(text) > 0.01, 1.0).otherwise(0.6)
+    (lenScore * 0.3 + tokLenScore * 0.2 + punctScore * 0.2 +
+      digitScore * 0.15 + stopScore * 0.15)
+  }
+
+  /** Canonical text normalization for fingerprinting: lowercase, collapse
+    * whitespace runs to single spaces, trim. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Exact document fingerprint: md5 of normalized text. */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** 64-bit rolling (polynomial / Karp–Rabin) hash over normalized text —
+    * an order-sensitive fingerprint cheap to compute incrementally. */
+  val rollingHash64 = udf { (s: String) =>
+    if (s == null) null.asInstanceOf[java.lang.Long]
+    else {
+      var h = 1125899906842597L // prime seed
+      var i = 0
+      while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+      java.lang.Long.valueOf(h)
+    }
+  }
+
+  // --- language identification -------------------------------------------
+
+  /** Tiny per-language stopword profiles (top function words). Public
+    * knowledge; enough for a character/stopword-frequency heuristic. */
+  private val profiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "it", "that", "for", "was", "with", "on", "as", "are", "this"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "los", "del", "se", "las", "por", "un", "una", "con", "para"),
+    "de" -> Set("der", "die", "und", "das", "nicht", "von", "sie", "ist", "des", "sich", "mit", "dem", "ein", "eine", "zu"),
+    "fr" -> Set("le", "la", "les", "de", "des", "et", "est", "un", "une", "du", "que", "pour", "dans", "qui", "sur"),
+    "it" -> Set("il", "di", "che", "la", "e", "per", "un", "del", "con", "non", "una", "sono", "della", "le", "si"),
+    "pt" -> Set("de", "que", "e", "do", "da", "em", "um", "para", "com", "uma", "os", "no", "na", "por", "mais"))
+
+  /** Heuristic language ID: CJK/Cyrillic/Arabic script detection by
+    * codepoint range first, then stopword-profile voting for Latin-script
+    * languages; "und" when nothing matches. A UDF by necessity (per-token
+    * set membership over several profiles); applied once per document, not
+    * per comparison, so the cost is a single scan. */
+  val langId = udf { (text: String) =>
+    if (text == null || text.trim.isEmpty) "und"
+    else {
+      var cjk = 0; var cyr = 0; var ar = 0; var letters = 0
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (Character.isLetter(c)) {
+          letters += 1
+          val b = Character.UnicodeBlock.of(c)
+          if (b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS ||
+              b == Character.UnicodeBlock.HIRAGANA ||
+              b == Character.UnicodeBlock.KATAKANA ||
+              b == Character.UnicodeBlock.HANGUL_SYLLABLES) cjk += 1
+          else if (b == Character.UnicodeBlock.CYRILLIC) cyr += 1
+          else if (b == Character.UnicodeBlock.ARABIC) ar += 1
+        }
+        i += 1
+      }
+      if (letters > 0 && cjk.toDouble / letters > 0.3) "zh"
+      else if (letters > 0 && cyr.toDouble / letters > 0.3) "ru"
+      else if (letters > 0 && ar.toDouble / letters > 0.3) "ar"
+      else {
+        val toks = text.toLowerCase.split("\\s+")
+        var best = "und"; var bestScore = 0
+        for ((lang, stops) <- profiles) {
+          var s = 0
+          var j = 0
+          while (j < toks.length) { if (stops.contains(toks(j))) s += 1; j += 1 }
+          if (s > bestScore) { best = lang; bestScore = s }
+        }
+        best
+      }
+    }
+  }
+
+  /** Full per-document stats frame (expression-only columns). */
+  def stats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      length(t).cast(LongType).as("n_chars"),
+      tokenCount(t).as("n_tokens"),
+      digitCount(t).cast(LongType).as("n_digits"),
+      punctCount(t).cast(LongType).as("n_punct"),
+      fingerprint(t).as("fingerprint"))
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class OpsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog again and again today"), // near dup of 1
+    (4L, "completely different content about spark catalyst optimizer rules engine"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups") {
+    val g = Dedup.exactGroups(docs, "doc_id", Seq("text"))
+    val dup = g.filter(col("n_copies") > 1).collect()
+    assert(dup.length == 1)
+    assert(dup(0).getAs[Long]("keep_id") == 1L)
+    assert(dup(0).getAs[Long]("n_copies") == 2L)
+    assert(Dedup.exact(docs, "doc_id", Seq("text")).count() == 4)
+  }
+
+  test("minhash: identical docs have identical signatures; near dups collide") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val byId = sigs.collect().map(r => r.getAs[Long]("id") -> r.getSeq[Long](1)).toMap
+    assert(byId(1L) == byId(2L))
+    val cands = Dedup.minhashCandidates(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(cands.contains((1L, 3L)) || cands.contains((2L, 3L)))
+    assert(!cands.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard: exact dup 1.0, near dup high, disjoint 0.0") {
+    val t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val t3 = "the quick brown fox leaps over the lazy dog again and again today"
+    assert(Dedup.ngramJaccard(t1, t1) == 1.0)
+    val nd = Dedup.ngramJaccard(t1, t3)
+    assert(nd > 0.4 && nd < 1.0)
+    assert(Dedup.ngramJaccard(t1, "x y z w v u t s r q") == 0.0)
+  }
+
+  test("simhash: dups distance 0, near dups small distance, candidates found") {
+    val a = Dedup.simhash64("the quick brown fox jumps over the lazy dog again and again today")
+    val b = Dedup.simhash64("the quick brown fox leaps over the lazy dog again and again today")
+    val far = Dedup.simhash64("completely different content about spark catalyst optimizer rules engine")
+    assert(java.lang.Long.bitCount(a ^ b) < java.lang.Long.bitCount(a ^ far))
+    val pairs = Dedup.simhashCandidates(Dedup.simhashes(docs, "doc_id", "text"), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("brute-force ANN top-k: nearest neighbor of a vector is its duplicate") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.001f, 0.0f)), // near-dup of 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), k = 2)
+      .orderBy("rank").collect()
+    assert(top(0).getAs[Long]("corpus_id") == 1L)
+    assert(top(0).getAs[Double]("cosine") > 0.999)
+    assert(top.length == 2)
+  }
+
+  test("LSH bucketing: identical vectors share a bucket; topk finds them") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.2f, -0.3f, 0.5f)),
+      (1L, Array(1.0f, 0.2f, -0.3f, 0.5f)),
+      (2L, Array(-1.0f, -0.2f, 0.3f, -0.5f))
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0), k = 1, bits = 8)
+      .collect()
+    assert(res.length == 1 && res(0).getAs[Long]("corpus_id") == 1L)
+  }
+
+  test("text analysis: token counts, quality, langid, fingerprints") {
+    val stats = TextAnalysis.stats(docs).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(stats(5L).getAs[Long]("n_tokens") == 0L)
+    assert(stats(1L).getAs[Long]("n_tokens") == 13L)
+    assert(stats(1L).getAs[String]("fingerprint") == stats(2L).getAs[String]("fingerprint"))
+    assert(stats(1L).getAs[String]("fingerprint") != stats(3L).getAs[String]("fingerprint"))
+
+    val lang = docs.select(TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(_.getString(0))
+    assert(lang.count(_ == "en") >= 3) // stopword-rich english docs
+
+    val es = Seq((1L, "el perro y el gato que corren por la casa con los ninos")).toDF("doc_id", "text")
+    assert(es.select(TextAnalysis.langId(col("text"))).collect()(0).getString(0) == "es")
+    val zh = Seq((1L, "中文文本处理引擎测试")).toDF("doc_id", "text")
+    assert(zh.select(TextAnalysis.langId(col("text"))).collect()(0).getString(0) == "zh")
+  }
+
+  test("quality score in [0,1], higher for clean prose than empty/junk") {
+    val q = docs.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    q.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    assert(q(1L) > q(5L))
+  }
+
+  test("multimodal plumbing: features + frame samples are deterministic") {
+    val media = Multimodal.asMedia(docs.filter(col("doc_id") =!= 5L), "doc_id", "text", "image")
+    val feats = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(feats.size == 4)
+    assert(feats(1L).checksum == feats(2L).checksum) // same payload
+    assert(feats(1L).brightness > 0 && feats(1L).brightness <= 1.0)
+    val frames = Multimodal.sampleFrames(media, strideBytes = 16).collect()
+    assert(frames.nonEmpty)
+    val again = Multimodal.sampleFrames(media, strideBytes = 16).collect()
+    assert(frames.map(_.frame_checksum).sorted.toSeq == again.map(_.frame_checksum).sorted.toSeq)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{CompareMode, Validator}
+import graft.functions.compositeKey
+
+/** Truth-table and invariant tests for the core diff kernels
+  * (SURVEY §2.4 V2/V3/F1, §2.3 J1-J3). */
+class ValidatorSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def keyed(rows: Seq[(String, String)]) =
+    rows.toDF("id", "check")
+
+  test("anti-joins partition the key universe") {
+    val f = keyed(Seq("1" -> "a", "2" -> "b", "3" -> "c"))
+    val s = keyed(Seq("2" -> "b", "3" -> "x", "4" -> "d"))
+    val out = Validator.validate(f, s, CompareMode.Fuzzy(1.0))
+    assert(out.missingInFirst.as[String].collect().sorted.toSeq == Seq("4"))
+    assert(out.missingInSecond.as[String].collect().sorted.toSeq == Seq("1"))
+    assert(out.differing.select("id").as[String].collect().toSeq == Seq("3"))
+  }
+
+  test("numeric truth table: both-null equal, one-null differs, 13 == 13.0, garbage coerces to null") {
+    val f = keyed(Seq("1" -> "13", "2" -> null, "3" -> null, "4" -> "7", "5" -> "xx", "6" -> "1e3"))
+    val s = keyed(Seq("1" -> "13.0", "2" -> null, "3" -> "9", "4" -> "8", "5" -> "yy", "6" -> "1000"))
+    val out = Validator.validate(f, s, CompareMode.Numeric)
+    // 1: 13 == 13.0; 2: both null equal; 3: one-null differs; 4: differs;
+    // 5: both coerce to null -> equal; 6: 1e3 == 1000
+    assert(out.differing.select("id").as[String].collect().sorted.toSeq == Seq("3", "4"))
+  }
+
+  test("date truth table") {
+    val f = keyed(Seq("1" -> "2024-01-01 00:00:00", "2" -> null, "3" -> "2024-01-01 00:00:00", "4" -> "bogus"))
+    val s = keyed(Seq("1" -> "2024-01-01 00:00:00", "2" -> null, "3" -> "2024-01-02 00:00:00", "4" -> "bogus"))
+    val out = Validator.validate(f, s, CompareMode.Date)
+    assert(out.differing.select("id").as[String].collect().sorted.toSeq == Seq("3"))
+  }
+
+  test("fuzzy threshold < 1 uses difflib ratio with null semantics") {
+    val f = keyed(Seq("1" -> "CTS-VS", "2" -> "Ssierraa", "3" -> null, "4" -> null, "5" -> "same"))
+    val s = keyed(Seq("1" -> "CTS-V", "2" -> "Sierra", "3" -> "x", "4" -> null, "5" -> "same"))
+    // ratios: 0.909, 0.857; threshold 0.9 keeps only pairs below it + one-null
+    val out = Validator.validate(f, s, CompareMode.Fuzzy(0.9))
+    assert(out.differing.select("id").as[String].collect().sorted.toSeq == Seq("2", "3"))
+    // threshold 1.0 = exact equality fast path: golden artifact rows differ
+    val exact = Validator.validate(f, s, CompareMode.Fuzzy(1.0))
+    assert(exact.differing.select("id").as[String].collect().sorted.toSeq == Seq("1", "2", "3"))
+  }
+
+  test("duplicate ids keep many-to-many join multiplicity (pandas merge parity)") {
+    val f = keyed(Seq("1" -> "a", "1" -> "b"))
+    val s = keyed(Seq("1" -> "c", "1" -> "d"))
+    val out = Validator.validate(f, s, CompareMode.Fuzzy(1.0))
+    assert(out.differing.count() == 4) // 2x2 cartesian per key
+  }
+
+  test("composite key: null -> '0', joined with underscore") {
+    val df = Seq((Some(1), "A"), (None, "B")).toDF("k1", "k2")
+    val keys = df.select(compositeKey(Seq("k1", "k2")).as("id"))
+      .as[String].collect().sorted.toSeq
+    assert(keys == Seq("0_B", "1_A"))
+  }
+
+  test("summary counts are consistent") {
+    val f = keyed(Seq("1" -> "a", "2" -> "b", "3" -> "c"))
+    val s = keyed(Seq("2" -> "b", "3" -> "x", "4" -> "d"))
+    val out = Validator.validate(f, s, CompareMode.Fuzzy(1.0))
+    val row: Row = Validator.summary(f, s, out).collect()(0)
+    assert(row.getAs[Long]("n_first") == 3)
+    assert(row.getAs[Long]("n_second") == 3)
+    assert(row.getAs[Long]("missing_in_first") == 1)
+    assert(row.getAs[Long]("missing_in_second") == 1)
+    assert(row.getAs[Long]("n_differing") == 1)
+    assert(row.getAs[Long]("n_matched") == 2)
+  }
+}
