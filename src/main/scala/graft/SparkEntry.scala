@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{CompareMode, Validator}
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,8 +18,10 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") StreamingOps.normalizeEventTs(df) else df
+  }
 
   /** The two sides of the validation workload, derived deterministically
     * from `orders` (the reference compares two live databases; here the
@@ -144,6 +147,21 @@ object SparkEntry {
       val (f, sec) = keyedPair(s, dir, "o_totalprice")
       Validator.summary(f, sec, Validator.validate(f, sec, CompareMode.Numeric))
     }),
+    "v_date_filter" -> ((s, dir) => {
+      // P3: date-range predicate, exclusive on BOTH ends (reference
+      // `running_validation.py:495-496`); pushed to the parquet scan
+      val o = t(s, dir, "orders")
+      Validator.dateFiltered(o, "o_orderdate", "1996-01-01 00:00:00", "1996-03-01 00:00:00")
+        .select(col("o_orderkey").as("id"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("order_date"))
+        .orderBy("id")
+    }),
+    "v_sorted_ids" -> ((s, dir) => {
+      // O1: global string sort of VARCHAR ids ("10" < "2") — reference
+      // sorts both frames this way before validating
+      t(s, dir, "orders").select(col("o_orderkey").cast("string").as("id"))
+        .orderBy("id")
+    }),
     "v_composite_key" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       o.select(graft.functions.compositeKeyCols(Seq(
@@ -215,6 +233,43 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    "q_events_hourly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(ROUND(value*100) AS BIGINT)")).as("value_cents"))
+        .orderBy("hour", "event_type")
+    }),
+    "q_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    }),
+
+    // --- Structured Streaming (batch-equivalent oracles) ----------------
+    "s_windowed_counts" -> ((s, dir) => {
+      // real streaming execution: readStream -> watermark -> tumbling
+      // window agg -> memory sink, run to completion on available data
+      val stream = StreamingOps.readEvents(s, s"$dir/events.parquet")
+      val agg = StreamingOps.windowedCounts(stream, "1 hour", "10 minutes")
+      StreamingOps.runToMemory(agg, s"win_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("value_cents"))
+        .orderBy("window_start", "event_type")
+    }),
+    "s_user_sessions" -> ((s, dir) => {
+      val stream = StreamingOps.readEvents(s, s"$dir/events.parquet")
+      val sessions = StreamingOps.userSessions(stream)
+      StreamingOps.runToMemory(sessions.toDF(), s"sess_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .select(col("user_id"), col("n_events"), col("total_cents"),
+          date_format(col("first_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"),
+          date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"))
+        .orderBy("user_id")
+    }),
+
     // --- training-data pipeline extensions ------------------------------
     "t_dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", Seq("text"))
@@ -247,7 +302,9 @@ object SparkEntry {
     }),
     "t_minhash_pairs" -> ((s, dir) => {
       val docs = docsWithNearDups(s, dir)
-      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      // signatures are reused by banding + both pair-joins: persist once
+      // (at scale: write to a signatures table instead)
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text").persist()
       val cands = Dedup.minhashCandidates(sigs)
       cands
         .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
@@ -264,8 +321,8 @@ object SparkEntry {
     }),
     "t_ngram_jaccard" -> ((s, dir) => {
       // exact n-gram Jaccard verification over LSH candidates
-      val docs = docsWithNearDups(s, dir)
-      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      val docs = docsWithNearDups(s, dir).persist()
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text").persist()
       Dedup.minhashCandidates(sigs)
         .join(docs.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
         .join(docs.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
@@ -367,6 +424,15 @@ object SparkEntry {
          |     WHERE db1.o_totalprice IS DISTINCT FROM db2.o_totalprice) AS n_differing,
          |  (SELECT COUNT(*) FROM db2 WHERE EXISTS
          |     (SELECT 1 FROM db1 WHERE db1.id = db2.id)) AS n_matched""".stripMargin,
+    "v_date_filter" ->
+      """SELECT o_orderkey AS id,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date
+        |FROM orders
+        |WHERE o_orderdate > TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-03-01 00:00:00'
+        |ORDER BY id""".stripMargin,
+    "v_sorted_ids" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS id FROM orders ORDER BY id""",
     "v_composite_key" ->
       """SELECT concat_ws('_',
         |    coalesce(CAST(CASE WHEN o_custkey % 53 = 0 THEN NULL ELSE o_custkey END AS VARCHAR), '0'),
@@ -422,6 +488,27 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_custkey AS key FROM orders
         |ORDER BY key""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s_windowed_counts" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s_user_sessions" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "t_dedup_exact" ->
       """SELECT md5(text) AS text_hash,
         |  CAST(MIN(doc_id) AS BIGINT) AS keep_id,

@@ -13,6 +13,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // pandas to_numeric(errors='coerce') parity: cast failure -> null
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StringType, TimestampType}
 
-import graft.functions.{compositeKey, fuzzyRatioNullSafe}
+import graft.functions.{compositeKey, seqRatio}
 
 /** Comparison mode — reference `data_type: integer | string | date`
   * (`config.yaml:8`, `running_validation.py:643-650`). */
@@ -72,7 +72,7 @@ object Validator {
     case CompareMode.Date    => !(toTs(a) <=> toTs(b))
     case CompareMode.Fuzzy(t) if t >= 1.0 => !(a.cast(StringType) <=> b.cast(StringType))
     case CompareMode.Fuzzy(t) =>
-      fuzzyRatioNullSafe(a.cast(StringType), b.cast(StringType)) < lit(t)
+      seqRatio(a.cast(StringType), b.cast(StringType)) < lit(t)
   }
 
   /** Full validation of two keyed frames (each `(id, check)`).

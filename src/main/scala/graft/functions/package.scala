@@ -36,6 +36,17 @@ package object functions {
     * one-null -> -1.0 (fails every threshold). */
   val fuzzyRatioNullSafe = udf((a: String, b: String) => DifflibRatio.ratioNullSafe(a, b))
 
+  /** Bridge: Catalyst Expression <-> Column (Spark 4 classic API). */
+  def exprColumn(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(e)
+  def columnExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graft.ColumnBridge.expression(c)
+
+  /** difflib ratio as a native codegen expression (preferred over the UDF
+    * on hot paths); reference null semantics baked in. */
+  def seqRatio(a: Column, b: Column): Column =
+    exprColumn(SequenceMatcherRatio(columnExpr(a), columnExpr(b)))
+
   /** Dot product of two equal-length numeric arrays, as a pure expression
     * (zip_with + aggregate -> codegen, no UDF). Arrays cast to double. */
   def dotProduct(a: Column, b: Column): Column =

@@ -118,9 +118,22 @@ object Dedup {
       maxBucket: Int = 64): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val bandArr = array((0 until bands).map(b =>
-      xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)
-    val banded = sigs.select(col("id"), posexplode(bandArr))
+    // one small UDF per row beats 16 hash-of-slice expression trees: the
+    // generated code for those dominated cold-start JIT in benchmarks
+    val bandHashUdf = udf { (sig: Seq[Long]) =>
+      Array.tabulate(bands) { b =>
+        var h = 0xcbf29ce484222325L ^ b
+        var i = b * rows
+        while (i < (b + 1) * rows) {
+          var x = sig(i)
+          var k = 0
+          while (k < 8) { h ^= (x & 0xFF); h *= 0x100000001b3L; x >>>= 8; k += 1 }
+          i += 1
+        }
+        h
+      }
+    }
+    val banded = sigs.select(col("id"), posexplode(bandHashUdf(col("sig"))))
       .select(col("id"), col("pos").as("band"), col("col").as("band_hash"))
     val buckets = banded.groupBy("band", "band_hash")
       .agg(sort_array(collect_set("id")).as("ids"))

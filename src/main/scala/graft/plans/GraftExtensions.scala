@@ -1,0 +1,43 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, Expression, ExpressionInfo, GreaterThanOrEqual, LessThan, Literal, Not}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.SequenceMatcherRatio
+
+/** Rewrites threshold-1 fuzzy comparisons to null-safe equality
+  * (SURVEY §4 custom-work item 2): `seq_ratio(a,b) >= 1.0` is true iff the
+  * strings are equal (or both null — ratio 1.0 by reference semantics), so
+  * the quadratic ratio computation can be replaced by `a <=> b`. The
+  * shipped reference config uses exactly `threshold: 1`
+  * (`config.yaml:11`), making this the common case.
+  */
+object SimilarityThresholdRewrite extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case GreaterThanOrEqual(SequenceMatcherRatio(a, b), Literal(d: Double, DoubleType))
+        if d == 1.0 =>
+      EqualNullSafe(a, b)
+    case LessThan(SequenceMatcherRatio(a, b), Literal(d: Double, DoubleType))
+        if d == 1.0 =>
+      Not(EqualNullSafe(a, b))
+  }
+}
+
+/** Session extensions: `seq_ratio` available from SQL + the threshold-1
+  * optimizer rule. Install via
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or config
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("seq_ratio"),
+      new ExpressionInfo(classOf[SequenceMatcherRatio].getName, "seq_ratio"),
+      (args: Seq[Expression]) => SequenceMatcherRatio(args(0), args(1))))
+    e.injectOptimizerRule(_ => SimilarityThresholdRewrite)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface of the engine — continuous validation over
+  * an event stream (`events`: event_id, ts, user_id, event_type, value,
+  * props). The reference is strictly batch (SURVEY §2.8); this is the §7
+  * extension phase: the same diff semantics applied continuously.
+  *
+  * Scale notes: all aggregations are keyed (event_type / user_id) so state
+  * is partitioned across executors; watermarks bound state size; the
+  * static reference side of [[streamingValidate]] is broadcast when small.
+  */
+object StreamingOps {
+
+  /** The driver's events table carries TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects; sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and this converts the
+    * nano-long back to a (micro) timestamp. No-op when ts is already a
+    * timestamp. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    if (df.schema.exists(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType))
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+
+  /** Streaming reader over a parquet directory (or single parquet file —
+    * FileStreamSource wants a directory, so a file gets its parent as
+    * basePath) with the schema inferred from a batch sample (streams need
+    * an explicit schema). */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val f = new java.io.File(path)
+    val streamDir =
+      if (f.isFile) {
+        // FileStreamSource requires a directory: expose the file through a
+        // symlink in a temp dir (no data copy)
+        val d = java.nio.file.Files.createTempDirectory("graft_stream_")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve(f.getName), f.toPath.toAbsolutePath)
+        d.toString
+      } else path
+    normalizeEventTs(spark.readStream.schema(schema).parquet(streamDir))
+  }
+
+  /** Windowed per-type metrics with a watermark: tumbling windows of
+    * `windowDur`, late data beyond `watermark` dropped. */
+  def windowedCounts(events: DataFrame, windowDur: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(ROUND(value*100) AS BIGINT)")).as("value_cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("value_cents"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * the streaming form of Dedup.exact. */
+  def dedupedEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** Continuous validation of a stream against a static reference table:
+    * each event's `value` compared to the reference value for its key;
+    * mismatches (null-safe) are emitted as they arrive. The static side
+    * joins map-side when small (broadcast) — the streaming analogue of the
+    * reference's recorded 2-row-vs-1.94M workload. */
+  def streamingValidate(events: DataFrame, reference: DataFrame,
+      keyCol: String = "event_id", checkCol: String = "value"): DataFrame = {
+    val ref = reference.select(col(keyCol).as("id"),
+      col(checkCol).as("check_expected"))
+    events.select(col(keyCol).as("id"), col(checkCol).as("check_observed"))
+      .join(ref, Seq("id"), "left_outer")
+      .filter(!(col("check_observed") <=> col("check_expected")))
+  }
+
+  /** total_cents (cent-rounded per event, summed exactly as Long) keeps the
+    * result order-independent — a Double running sum would differ from the
+    * oracle by float association. */
+  final case class UserSession(user_id: Long, n_events: Long, total_cents: Long,
+      first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
+  final case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** Custom per-key state: running per-user session stats via
+    * `mapGroupsWithState` (the KeyValueGroupedDataset stateful surface).
+    * Emits the updated session row on every trigger for every active user. */
+  def userSessions(events: DataFrame): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.as[EventRow]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserSession, UserSession](GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[UserSession]) =>
+          val prev = state.getOption.getOrElse(
+            UserSession(uid, 0L, 0L, null, null))
+          var n = prev.n_events
+          var tot = prev.total_cents
+          var first = prev.first_ts
+          var last = prev.last_ts
+          rows.foreach { r =>
+            n += 1
+            tot += math.round(r.value * 100)
+            if (first == null || r.ts.before(first)) first = r.ts
+            if (last == null || r.ts.after(last)) last = r.ts
+          }
+          val next = UserSession(uid, n, tot, first, last)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Run a streaming frame to completion against currently-available data
+    * (test/driver harness: memory sink, processAllAvailable). */
+  def runToMemory(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Append()): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

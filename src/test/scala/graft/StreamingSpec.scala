@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOps
+
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+
+  private val eventsPath = "/root/testdata/sf0.001/events.parquet"
+
+  test("windowed counts match the batch equivalent") {
+    val stream = StreamingOps.readEvents(spark, eventsPath)
+    val got = StreamingOps.runToMemory(
+      StreamingOps.windowedCounts(stream, "1 hour", "10 minutes"),
+      "win_test", OutputMode.Complete())
+    val batch = StreamingOps.normalizeEventTs(spark.read.parquet(eventsPath))
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(ROUND(value*100) AS BIGINT)")).as("value_cents"))
+    val g = got.orderBy("window_start", "event_type").collect().toSeq
+    val b = batch.orderBy("window_start", "event_type").collect().toSeq
+    assert(g.nonEmpty && g == b)
+  }
+
+  test("streaming dedup removes duplicate event ids") {
+    val raw = StreamingOps.normalizeEventTs(spark.read.parquet(eventsPath)).limit(100)
+    val dupDir = java.nio.file.Files.createTempDirectory("dups").toString
+    raw.union(raw).coalesce(1).write.mode("overwrite").parquet(dupDir)
+    val stream = StreamingOps.readEvents(spark, dupDir)
+    val got = StreamingOps.runToMemory(
+      StreamingOps.dedupedEvents(stream), "dedup_test", OutputMode.Append())
+    assert(got.count() == 100)
+  }
+
+  test("streaming validate flags mismatches against a static reference") {
+    val events = StreamingOps.normalizeEventTs(spark.read.parquet(eventsPath)).limit(50)
+    val dir = java.nio.file.Files.createTempDirectory("sv").toString
+    events.write.mode("overwrite").parquet(dir)
+    // reference: same rows but value+1 on even event_ids
+    val ref = events.select(col("event_id"),
+      when(col("event_id") % 2 === 0, col("value") + 1).otherwise(col("value")).as("value"))
+    val stream = StreamingOps.readEvents(spark, dir)
+    val got = StreamingOps.runToMemory(
+      StreamingOps.streamingValidate(stream, ref), "sval_test", OutputMode.Append())
+    val expected = events.filter(col("event_id") % 2 === 0).count()
+    assert(got.count() == expected)
+  }
+
+  test("stateful user sessions equal batch per-user aggregates") {
+    val stream = StreamingOps.readEvents(spark, eventsPath)
+    val got = StreamingOps.runToMemory(
+      StreamingOps.userSessions(stream).toDF(), "sess_test", OutputMode.Update())
+    val batch = StreamingOps.normalizeEventTs(spark.read.parquet(eventsPath)).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(ROUND(value*100) AS BIGINT)")).as("total_cents"),
+        min("ts").as("first_ts"), max("ts").as("last_ts"))
+    val g = got.orderBy("user_id").collect().toSeq
+    val b = batch.orderBy("user_id").collect().toSeq
+    assert(g.size == b.size && g == b)
+  }
+}
