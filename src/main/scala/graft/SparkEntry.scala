@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{CompareMode, Validator}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -245,6 +245,23 @@ object SparkEntry {
         .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy("k").agg(count(lit(1)).as("n"))
         .orderBy("k")
+    }),
+
+    "q_asof" -> ((s, dir) => {
+      // as-of join: each purchase enriched with the user's most recent
+      // prior view (union+window, single shuffle — see ops/AsOf.scala)
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOf.joinBackward(purchases, views, Seq("user_id"), "ts", "ts",
+          Seq("ts" -> "view_ts", "value" -> "view_value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("view_ts"),
+          expr("CAST(ROUND(view_value*100) AS BIGINT)").as("view_value_cents"))
+        .orderBy("event_id")
     }),
 
     // --- Structured Streaming (batch-equivalent oracles) ----------------
@@ -497,6 +514,15 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_asof" ->
+      """SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+        |  CAST(ROUND(v.value*100) AS BIGINT) AS view_value_cents
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
     "s_windowed_counts" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, COUNT(*) AS n,

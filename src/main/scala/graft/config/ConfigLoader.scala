@@ -1,0 +1,118 @@
+package graft.config
+
+import java.io.{File, FileInputStream}
+import java.util.{List => JList, Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.yaml.snakeyaml.Yaml
+
+/** Loads the reference's YAML config surface (SURVEY §1.5) into a typed
+  * [[ValidationConfig]].
+  *
+  * Accepted keys mirror `config.yaml` of the reference: `databases`
+  * (exactly two names), `data_type`, `threshold`, `composite_id_columns`,
+  * `check_column`, `{db}_table_name`, `{db}_database_date_column`,
+  * `start_date`/`end_date`, `output_directory` — plus a generalization the
+  * reference lacked: an optional `sources:` map describing each database
+  * as an arbitrary Spark source (`format`/`path`/`options`/`query`), which
+  * is how non-JDBC backends (parquet, csv, delta) plug in. Credentials are
+  * merged per the reference's scheme: one JSON file per source under
+  * `credentials_dir`, keyed by filename (`config.py:29-54`).
+  */
+object ConfigLoader {
+
+  def fromYamlFile(path: String): ValidationConfig =
+    fromMap(new Yaml().load[JMap[String, Object]](new FileInputStream(path)).asScala.toMap)
+
+  def fromYamlString(yaml: String): ValidationConfig =
+    fromMap(new Yaml().load[JMap[String, Object]](yaml).asScala.toMap)
+
+  private def str(m: Map[String, Object], k: String): Option[String] =
+    m.get(k).map {
+      // snakeyaml parses unquoted `2024-01-05` as java.util.Date, whose
+      // toString is useless — normalize back to ISO
+      case d: java.util.Date =>
+        new java.text.SimpleDateFormat("yyyy-MM-dd").format(d)
+      case v => v.toString
+    }
+
+  def fromMap(m: Map[String, Object]): ValidationConfig = {
+    val dbs = m.get("databases") match {
+      case Some(l: JList[_]) => l.asScala.map(_.toString).toSeq
+      case _ => throw new IllegalArgumentException("config needs `databases: [a, b]`")
+    }
+    require(dbs.size == 2,
+      s"exactly two databases required, got ${dbs.size}") // running_validation.py:614-615
+
+    val sources = m.get("sources") match {
+      case Some(s: JMap[_, _]) =>
+        s.asScala.map { case (k, v) =>
+          k.toString -> sourceSpec(v.asInstanceOf[JMap[String, Object]].asScala.toMap,
+            m, k.toString)
+        }.toMap
+      case _ => Map.empty[String, SourceSpec]
+    }
+
+    def specFor(name: String): SourceSpec =
+      sources.getOrElse(name, jdbcSpec(m, name))
+
+    ValidationConfig(
+      first = specFor(dbs.head),
+      second = specFor(dbs(1)),
+      firstName = dbs.head,
+      secondName = dbs(1),
+      compositeIdColumns = m.get("composite_id_columns") match {
+        case Some(l: JList[_]) => l.asScala.map(_.toString).toSeq
+        case _ => Seq.empty
+      },
+      checkColumn = str(m, "check_column").getOrElse(
+        throw new IllegalArgumentException("config needs `check_column`")),
+      dataType = str(m, "data_type").getOrElse("string"),
+      threshold = str(m, "threshold").map(_.toDouble).getOrElse(1.0),
+      startDate = str(m, "start_date"),
+      endDate = str(m, "end_date"),
+      dateColumnFirst = str(m, s"${dbs.head}_database_date_column"),
+      dateColumnSecond = str(m, s"${dbs(1)}_database_date_column"),
+      outputDirectory = str(m, "output_directory").getOrElse("./output"))
+  }
+
+  private def sourceSpec(s: Map[String, Object], root: Map[String, Object],
+      name: String): SourceSpec = {
+    val opts = s.get("options") match {
+      case Some(o: JMap[_, _]) => o.asScala.map { case (k, v) => k.toString -> v.toString }.toMap
+      case _ => Map.empty[String, String]
+    }
+    SourceSpec(
+      format = s.get("format").map(_.toString).getOrElse("parquet"),
+      options = opts ++ credentialOptions(root, name),
+      path = s.get("path").map(_.toString)
+        .orElse(str(root, s"${name}_table_name").filter(_ => s.get("format").forall(_.toString != "jdbc"))),
+      query = s.get("query").map(_.toString))
+  }
+
+  /** Reference-style JDBC source: table name from `{db}_table_name`,
+    * connection options from `credentials_dir/{db}.json`. */
+  private def jdbcSpec(root: Map[String, Object], name: String): SourceSpec =
+    SourceSpec(
+      format = "jdbc",
+      options = credentialOptions(root, name) ++
+        str(root, s"${name}_table_name").map("dbtable" -> _).toMap ++
+        str(root, "batch_size").map("fetchsize" -> _).toMap,
+      path = None,
+      query = None)
+
+  /** `creds/{name}.json` -> flat option map (url/user/password/...), the
+    * reference's per-source credential files (`config.py:29-54`). Parsed
+    * with Spark's bundled Jackson. */
+  private def credentialOptions(root: Map[String, Object], name: String): Map[String, String] = {
+    val dir = str(root, "credentials_dir").getOrElse("creds")
+    val f = new File(dir, s"$name.json")
+    if (!f.isFile) Map.empty
+    else {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.readTree(f)
+      node.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }
+  }
+}

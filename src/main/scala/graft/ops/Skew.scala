@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for joins and aggregations.
+  *
+  * AQE's skew-join handling (`spark.sql.adaptive.skewJoin.enabled`) covers
+  * sort-merge joins at runtime; these helpers cover the cases AQE does not:
+  * broadcast-impossible dimension replication and skewed aggregations.
+  */
+object Skew {
+
+  /** Deterministic salt in [0, factor) derived from the whole row — no
+    * RNG, so retried tasks produce identical output. */
+  private def salt(df: DataFrame, factor: Int): Column =
+    pmod(xxhash64(struct(df.columns.map(col): _*)), lit(factor))
+
+  /** Salted inner equi-join: the big (skewed) side gets a deterministic
+    * salt; the small side is replicated `factor` times with every salt
+    * value; the join key becomes (key, salt), splitting each hot key's
+    * rows across `factor` reducers. Inner-join semantics are preserved
+    * exactly (each big row joins its one salt replica of the small side).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      factor: Int = 16): DataFrame = {
+    val b = big.withColumn("__salt", salt(big, factor))
+    val s = small.withColumn("__salt",
+      explode(array((0 until factor).map(lit): _*)))
+    b.join(s, Seq(key, "__salt"), "inner").drop("__salt")
+  }
+
+  /** Two-phase (salted) aggregation for skewed group keys: partial
+    * count/sum per (key, salt) then final combine per key. Spark's hash
+    * aggregate already does map-side partials; this additionally splits a
+    * single hot key across reducers in the FIRST shuffle, bounding any one
+    * task's input. */
+  def saltedCountSum(df: DataFrame, key: String, valueCol: String,
+      factor: Int = 16): DataFrame = {
+    val partial = df
+      .withColumn("__salt", salt(df, factor))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"))
+    partial.groupBy(col(key))
+      .agg(sum("__n").as("n"), sum("__s").as(s"sum_$valueCol"))
+  }
+}

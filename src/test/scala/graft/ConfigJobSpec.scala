@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.ConfigLoader
+import graft.core.{CompareMode, ValidationJob}
+import graft.sources.SourceReader
+
+/** Config surface -> full job lifecycle (reference `config.py` +
+  * `running_validation.main` equivalent), on generic Spark sources. */
+class ConfigJobSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def writeSides(): (String, String) = {
+    val d = Files.createTempDirectory("cfgjob")
+    val a = Seq((1, "x", "2024-01-05"), (2, "y", "2024-01-06"), (3, "z", "2024-01-07"))
+      .toDF("pk", "val", "d")
+      .selectExpr("pk", "val", "CAST(d AS TIMESTAMP) AS d")
+    val b = Seq((2, "y", "2024-01-06"), (3, "zz", "2024-01-07"), (4, "w", "2024-01-08"))
+      .toDF("pk", "val", "d")
+      .selectExpr("pk", "val", "CAST(d AS TIMESTAMP) AS d")
+    a.write.parquet(s"$d/a")
+    b.write.parquet(s"$d/b")
+    (s"$d/a", s"$d/b")
+  }
+
+  test("yaml config drives a full validation job over parquet sources") {
+    val (pa, pb) = writeSides()
+    val outDir = Files.createTempDirectory("cfgout").toString
+    val yaml =
+      s"""databases: [left, right]
+         |data_type: string
+         |threshold: 1
+         |composite_id_columns: [pk]
+         |check_column: val
+         |output_directory: $outDir
+         |sources:
+         |  left:
+         |    format: parquet
+         |    path: $pa
+         |  right:
+         |    format: parquet
+         |    path: $pb
+         |""".stripMargin
+    val cfg = ConfigLoader.fromYamlString(yaml)
+    assert(cfg.firstName == "left" && cfg.secondName == "right")
+    assert(ValidationJob.compareMode(cfg) == CompareMode.Fuzzy(1.0))
+    val (out, summary) = ValidationJob.run(spark, cfg)
+    assert(out.missingInFirst.as[String].collect().toSeq == Seq("4"))
+    assert(out.missingInSecond.as[String].collect().toSeq == Seq("1"))
+    assert(out.differing.select("id").as[String].collect().toSeq == Seq("3"))
+    assert(out.differing.columns.toSeq == Seq("id", "val_left", "val_right"))
+    val s0 = summary.collect()(0)
+    assert(s0.getAs[Long]("n_differing") == 1)
+    // reports written with reference naming
+    assert(new java.io.File(s"$outDir/result/output_left_right_val_result.csv").isDirectory)
+    assert(new java.io.File(s"$outDir/tidy/differing_values").isDirectory)
+  }
+
+  test("date-range filter is applied exclusively on both ends") {
+    val (pa, pb) = writeSides()
+    val yaml =
+      s"""databases: [left, right]
+         |data_type: string
+         |composite_id_columns: [pk]
+         |check_column: val
+         |start_date: 2024-01-05
+         |end_date: 2024-01-07
+         |left_database_date_column: d
+         |right_database_date_column: d
+         |sources:
+         |  left: { format: parquet, path: $pa }
+         |  right: { format: parquet, path: $pb }
+         |""".stripMargin
+    val cfg = ConfigLoader.fromYamlString(yaml)
+    val (out, summary) = ValidationJob.run(spark, cfg, writeReports = false)
+    // window (2024-01-05 00:00, 2024-01-07 00:00) exclusive: left keeps
+    // pk=2 only (d=01-06; 01-05 and 01-07 excluded); right keeps pk=2
+    val s0 = summary.collect()(0)
+    assert(s0.getAs[Long]("n_first") == 1 && s0.getAs[Long]("n_second") == 1)
+    assert(out.differing.count() == 0)
+  }
+
+  test("unknown data_type raises; two databases enforced") {
+    intercept[IllegalArgumentException] {
+      ConfigLoader.fromYamlString("databases: [a]\ncheck_column: c")
+    }
+    val cfg = ConfigLoader.fromYamlString(
+      "databases: [a, b]\ncheck_column: c\ndata_type: blob")
+    intercept[IllegalArgumentException] { ValidationJob.compareMode(cfg) }
+  }
+
+  test("SourceReader reads csv with options") {
+    val d = Files.createTempDirectory("csv")
+    Seq((1, "a"), (2, "b")).toDF("k", "v").write
+      .option("header", "true").csv(s"$d/t")
+    val spec = graft.config.SourceSpec("csv",
+      Map("header" -> "true", "inferSchema" -> "true"), Some(s"$d/t"))
+    val df = SourceReader.read(spark, spec)
+    assert(df.count() == 2 && df.columns.toSeq == Seq("k", "v"))
+  }
+}
