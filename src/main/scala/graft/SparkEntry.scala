@@ -331,6 +331,18 @@ object SparkEntry {
         .filter(col("est_jaccard") >= 0.5)
         .orderBy("id_a", "id_b")
     }),
+    "t_minhash_group_sig" -> ((s, dir) => {
+      // distributive MinHashAgg: per-source corpus signature from exploded
+      // shingles (map-side partial agg; shuffle carries 64 longs per group)
+      val shingleUdf = udf { (text: String) => Dedup.shingleHashes(text, 3) }
+      t(s, dir, "documents")
+        .select(col("source"),
+          explode(shingleUdf(TextAnalysis.normalized(col("text")))).as("sh"))
+        .groupBy("source")
+        .agg(graft.functions.MinHashAgg.minhashAgg(col("sh")).as("sig"))
+        .select(col("source"), xxhash64(col("sig")).as("sig_hash"))
+        .orderBy("source")
+    }),
     "t_simhash_pairs" -> ((s, dir) => {
       val docs = docsWithNearDups(s, dir)
       Dedup.simhashCandidates(Dedup.simhashes(docs, "doc_id", "text"))

@@ -67,7 +67,7 @@ object Dedup {
 
   /** Deterministic per-hash-function (a, b) parameters via splitmix64 of
     * the function index — no RNG, reproducible across runs and partitions. */
-  private def mixParams(i: Int): (Long, Long) = {
+  private[graft] def mixParams(i: Int): (Long, Long) = {
     def splitmix(x0: Long): Long = {
       var x = x0 + 0x9e3779b97f4a7c15L
       x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L

@@ -48,6 +48,28 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.count() == expected)
   }
 
+  test("stateful sessions accumulate across multiple micro-batches") {
+    // split events into 4 files, force one file per trigger: state must
+    // carry across batches for totals to match the batch aggregate
+    val e = StreamingOps.normalizeEventTs(spark.read.parquet(eventsPath))
+    val dir = java.nio.file.Files.createTempDirectory("multibatch").toString
+    e.repartition(4).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val sessions = StreamingOps.userSessions(StreamingOps.normalizeEventTs(stream))
+    val q = sessions.toDF().writeStream.format("memory")
+      .queryName("multibatch_sess").outputMode(OutputMode.Update()).start()
+    q.processAllAvailable()
+    q.stop()
+    // Update mode emits one row per user per batch; keep the final state:
+    // max n_events per user equals the batch count
+    val got = spark.table("multibatch_sess")
+      .groupBy("user_id").agg(max("n_events").as("n_events"))
+    val batch = e.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    assert(got.except(batch).count() == 0 && batch.except(got).count() == 0)
+  }
+
   test("stateful user sessions equal batch per-user aggregates") {
     val stream = StreamingOps.readEvents(spark, eventsPath)
     val got = StreamingOps.runToMemory(
