@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{CompareMode, Validator}
@@ -247,6 +248,25 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    "q_sessions" -> ((s, dir) => {
+      // gaps-and-islands sessionization: new session when gap > 30 min;
+      // two windows (lag, running sum) + one aggregation
+      val e = t(s, dir, "events")
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts")
+      val sess = e
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum("new_sess").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(ROUND(value*100) AS BIGINT)")).as("value_cents"))
+        .orderBy("user_id", "session_id")
+    }),
     "q_asof" -> ((s, dir) => {
       // as-of join: each purchase enriched with the user's most recent
       // prior view (union+window, single shuffle — see ops/AsOf.scala)
@@ -369,6 +389,26 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5, bits = 8)
         .orderBy("query_id", "rank")
+    }),
+    "t_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5,
+          nCentroids = 16, nprobe = 3)
+        .orderBy("query_id", "rank")
+    }),
+    "t_embed_neardup" -> ((s, dir) => {
+      // synthetic embeddings have no natural near-dups (max pairwise
+      // cosine ~0.51) — inject perturbed copies of vec_id < 10 (first
+      // component scaled 1.05, id + 100000) so the operator has true
+      // positives to find
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val perturbed = e.filter(col("vec_id") < 10).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x * 1.05f).otherwise(x)).as("embedding"))
+      Similarity.embeddingNearDups(e.unionByName(perturbed),
+          threshold = 0.95, bits = 8)
+        .orderBy("id_a", "id_b")
     }),
     "t_vector_stats" -> ((s, dir) => {
       Similarity.vectorStats(t(s, dir, "embeddings"))
@@ -526,6 +566,22 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sessions" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |), s2 AS (
+        |  SELECT user_id, value,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM s
+        |)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM s2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_asof" ->
       """SELECT p.event_id, p.user_id,
         |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,

@@ -63,17 +63,102 @@ object Similarity {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
-  /** LSH-bucketed approximate top-k: both sides keyed by hyperplane
-    * signature; the join is an equi-join on the bucket (shuffle or
-    * broadcast — AQE decides), so each query scores only its bucket. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 16,
+  /** Signatures for `tables` independent hash tables (plane indices offset
+    * per table), as an array column; exploded into (table, bucket) keys. */
+  private def multiSigUdf(bits: Int, tables: Int) = udf { (v: Seq[Float]) =>
+    if (v == null) Array.fill(tables)(0)
+    else Array.tabulate(tables) { t =>
+      var sig = 0
+      var p = 0
+      while (p < bits) {
+        var dot = 0.0
+        var i = 0
+        while (i < v.length) { dot += v(i) * planeSign(t * bits + p, i); i += 1 }
+        if (dot >= 0) sig |= (1 << p)
+        p += 1
+      }
+      sig
+    }
+  }
+
+  /** LSH-bucketed approximate top-k with `tables` independent hash tables:
+    * a candidate is scored if it shares a bucket with the query in ANY
+    * table (the standard recall amplifier — P(miss) decays exponentially
+    * in the table count). The join is an equi-join on (table, bucket);
+    * candidates deduped before scoring, so each pair is scored once. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
+      tables: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val sig = hyperplaneSigUdf(bits)
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
-      sig(col(vecCol)).as("bucket"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      sig(col(vecCol)).as("bucket"))
-    val scored = q.join(c, Seq("bucket"))
+    val sig = multiSigUdf(bits, tables)
+    def keyed(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+          posexplode(sig(col(vecCol))))
+        .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    val c = keyed(corpus, "corpus_id", "cvec")
+    val q = keyed(queries, "query_id", "qvec")
+    val candidates = q.join(c, Seq("table", "bucket"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select("query_id", "qvec", "corpus_id", "cvec")
+      .dropDuplicates("query_id", "corpus_id")
+    val scored = candidates
+      .withColumn("cosine", cosineSimilarity(col("qvec"), col("cvec")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
+  /** IVF-style approximate top-k: the corpus is partitioned into
+    * `nCentroids` Voronoi cells (centroids = deterministic sample of the
+    * corpus itself — an IVF-FLAT without Lloyd refinement); each query
+    * probes only its `nprobe` nearest cells.
+    *
+    * Scale: centroid assignment is a broadcast of nCentroids vectors +
+    * one corpus scan; the search join is an equi-join on cell id, so each
+    * query scores |corpus|/nCentroids * nprobe candidates instead of the
+    * whole corpus. Recall depends on the data being clusterable; tested
+    * against brute force on the labeled embeddings table.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val seeds = corpus.filter(pmod(col(idCol), lit(7)) === 0) // deterministic sample
+      .orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cvec_c"))
+
+    // one Lloyd refinement: assign all vectors to their seed cell, replace
+    // each centroid with the cell mean (posexplode -> per-dim avg -> re-pack)
+    val assigned = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .join(broadcast(seeds))
+      .withColumn("cdist", cosineSimilarity(col("v"), col("cvec_c")))
+    val wAssign = Window.partitionBy("vid").orderBy(desc("cdist"), col("cent_id"))
+    val cells = assigned.withColumn("r", row_number().over(wAssign))
+      .filter(col("r") === 1).select("cent_id", "v")
+    val refined = cells.select(col("cent_id"), posexplode(col("v")))
+      .groupBy("cent_id", "pos").agg(avg("col").as("m"))
+      .groupBy("cent_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cent_id"),
+        transform(col("pm"), x => x.getField("m").cast("float")).as("cvec_c"))
+    val bCents = broadcast(refined)
+
+    def nearestCells(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
+      val scored = df.join(bCents)
+        .withColumn("cdist", cosineSimilarity(col(vec), col("cvec_c")))
+      val w = Window.partitionBy(id).orderBy(desc("cdist"), col("cent_id"))
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= n)
+        .drop("cvec_c", "cdist", "crank")
+    }
+
+    val cellCorpus = nearestCells(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec")),
+      "corpus_id", "cvec", 1)
+    val cellQueries = nearestCells(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")),
+      "query_id", "qvec", nprobe)
+
+    val scored = cellQueries.join(cellCorpus, Seq("cent_id"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine", cosineSimilarity(col("qvec"), col("cvec")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("corpus_id"))

@@ -25,7 +25,7 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       assert(n >= 0)
       // results the driver hashes must be non-degenerate for most queries
       val expectedNonEmpty = !Set("q_except", "t_minhash_pairs",
-        "t_simhash_pairs", "t_ngram_jaccard").contains(name)
+        "t_simhash_pairs", "t_ngram_jaccard", "t_embed_neardup").contains(name)
       if (expectedNonEmpty) assert(n > 0, s"$name returned no rows")
       assert(df.columns.nonEmpty && df.columns.distinct.length == df.columns.length)
     }
