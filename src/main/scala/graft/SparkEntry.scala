@@ -226,6 +226,37 @@ object SparkEntry {
         countDistinct(col("l_suppkey")).as("n_supps"),
         count(lit(1)).as("n_rows"))
     }),
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").cast("long").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+    "q_semi" -> ((s, dir) => {
+      // left-semi join (EXISTS): customers with at least one open order
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+    "q_percentiles" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"), expr("CAST(ROUND(value*100) AS BIGINT)").as("cents"))
+        .groupBy("event_type")
+        .agg(expr("percentile(cents, 0.5)").as("p50"),
+          expr("percentile(cents, 0.9)").as("p90"))
+        .orderBy("event_type")
+    }),
+    "t_token_hist" -> ((s, dir) => {
+      // corpus token histogram: explode + count (the wordcount shape)
+      t(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("token"))
+        .limit(50)
+    }),
     "q_except" -> ((s, dir) => {
       // customers with no orders: EXCEPT over key sets (≙ the reference's
       // bidirectional anti-join semantics, SURVEY §2.6)
@@ -552,6 +583,27 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
         |  COUNT(*) AS n_rows
         |FROM lineitem""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type,
+        |  quantile_cont(CAST(ROUND(value*100) AS BIGINT), 0.5) AS p50,
+        |  quantile_cont(CAST(ROUND(value*100) AS BIGINT), 0.9) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "t_token_hist" ->
+      """SELECT t AS token, COUNT(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS t
+        |  FROM documents) u
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
     "q_except" ->
       """SELECT c_custkey AS key FROM customer
         |EXCEPT

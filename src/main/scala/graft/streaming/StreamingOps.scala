@@ -113,6 +113,71 @@ object StreamingOps {
       }
   }
 
+  final case class SessionWindow(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_cents: Long)
+  /** public: the state encoder's generated code must construct it.
+    * start/end are epoch MICROseconds — Timestamp.getTime alone drops the
+    * sub-millisecond part the event timestamps carry. */
+  final case class SessionState(start: Long, end: Long, n: Long, cents: Long)
+
+  private def tsToMicros(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+  private def microsToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000)
+    t.setNanos(((us % 1000000L) * 1000).toInt)
+    t
+  }
+
+  /** Streaming session windows via `flatMapGroupsWithState` with an
+    * event-time timeout: a user's session closes after `gapMinutes` of
+    * inactivity past the watermark, emitting one row per closed session.
+    * State per key is one small SessionState — bounded by active users,
+    * evicted on timeout. */
+  def sessionWindows(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "10 minutes"): Dataset[SessionWindow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000
+    events.withWatermark("ts", watermark)
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionWindow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionWindow(uid,
+              microsToTs(s.start), microsToTs(s.end), s.n, s.cents))
+          } else {
+            val sorted = rows.toSeq.sortBy(r => tsToMicros(r.ts))
+            var closed = List.empty[SessionWindow]
+            var cur = state.getOption
+            sorted.foreach { r =>
+              val t = tsToMicros(r.ts)
+              val cents = math.round(r.value * 100)
+              cur match {
+                case Some(s) if t - s.end <= gapUs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.cents + cents))
+                case Some(s) =>
+                  closed ::= SessionWindow(uid, microsToTs(s.start),
+                    microsToTs(s.end), s.n, s.cents)
+                  cur = Some(SessionState(t, t, 1, cents))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, cents))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // timeout is in millis; round up so it fires strictly after
+              // end + gap in event time
+              state.setTimeoutTimestamp((s.end + gapUs) / 1000 + 1)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Run a streaming frame to completion against currently-available data
     * (test/driver harness: memory sink, processAllAvailable). */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Append()): DataFrame = {

@@ -70,6 +70,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.except(batch).count() == 0 && batch.except(got).count() == 0)
   }
 
+  test("session windows with event-time timeout match batch gaps-and-islands") {
+    val stream = StreamingOps.readEvents(spark, eventsPath)
+    val got = StreamingOps.runToMemory(
+      StreamingOps.sessionWindows(stream, gapMinutes = 30).toDF(),
+      "sesswin_test", OutputMode.Append())
+
+    // batch oracle: gaps-and-islands with the same 30-min gap
+    val e = StreamingOps.normalizeEventTs(spark.read.parquet(eventsPath))
+    val byUser = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts")
+    val batch = e
+      .withColumn("prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess", when(col("prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev")) > 30L * 60 * 1000000, 1L).otherwise(0L))
+      .withColumn("sid", sum("new_sess").over(byUser.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(expr("CAST(ROUND(value*100) AS BIGINT)")).as("total_cents"))
+      .drop("sid")
+
+    val gotRows = got.select("user_id", "session_start", "session_end", "n_events", "total_cents")
+    // streaming emits only sessions whose timeout passed the final
+    // watermark; every emitted session must match a batch session exactly,
+    // and most sessions should have been emitted
+    assert(gotRows.except(batch).count() == 0, "streaming emitted a session batch doesn't have")
+    val nb = batch.count()
+    val ng = gotRows.count()
+    assert(ng > 0.5 * nb, s"too few sessions closed: $ng of $nb")
+  }
+
   test("stateful user sessions equal batch per-user aggregates") {
     val stream = StreamingOps.readEvents(spark, eventsPath)
     val got = StreamingOps.runToMemory(
