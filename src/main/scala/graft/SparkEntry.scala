@@ -172,6 +172,13 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "v_profile" -> ((s, dir) => {
+      // column profiling: the cheap pre-diff validation step
+      graft.core.Profiler.profile(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+        .orderBy("column_name")
+    }),
+
     // --- analytics surface (aggregates / joins / windows / set ops) -----
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -539,6 +546,29 @@ object SparkEntry {
         |    coalesce(CAST(o_orderstatus AS VARCHAR), '0')) AS id,
         |  COUNT(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "v_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |    CAST(MIN(o_orderkey) AS VARCHAR) AS min_val, CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', COUNT(*),
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+        |    CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(*),
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+        |    CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', COUNT(*),
+        |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+        |    CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR) FROM orders
+        |) p ORDER BY column_name""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
