@@ -172,6 +172,14 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "v_bucket_diff" -> ((s, dir) => {
+      // merkle-style pre-filter: find WHICH buckets differ before any
+      // row-level shuffle (cross-engine bucket fn: key mod 64)
+      val (f, sec) = keyedPair(s, dir, "o_totalprice")
+      Validator.differingBuckets(f, sec,
+          pmod(col("id").cast("long"), lit(64L)))
+        .orderBy("bucket")
+    }),
     "v_profile" -> ((s, dir) => {
       // column profiling: the cheap pre-diff validation step
       graft.core.Profiler.profile(t(s, dir, "orders"),
@@ -546,6 +554,22 @@ object SparkEntry {
         |    coalesce(CAST(o_orderstatus AS VARCHAR), '0')) AS id,
         |  COUNT(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "v_bucket_diff" ->
+      s"""$pairCte, ca AS (
+         |  SELECT CAST(id AS BIGINT) % 64 AS bucket, COUNT(*) AS n_first,
+         |    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents_first
+         |  FROM db1 GROUP BY 1
+         |), cb AS (
+         |  SELECT CAST(id AS BIGINT) % 64 AS bucket, COUNT(*) AS n_second,
+         |    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents_second
+         |  FROM db2 GROUP BY 1
+         |)
+         |SELECT COALESCE(ca.bucket, cb.bucket) AS bucket,
+         |  n_first, cents_first, n_second, cents_second
+         |FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket
+         |WHERE n_first IS DISTINCT FROM n_second
+         |   OR cents_first IS DISTINCT FROM cents_second
+         |ORDER BY bucket""".stripMargin,
     "v_profile" ->
       """SELECT * FROM (
         |  SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,

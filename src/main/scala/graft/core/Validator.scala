@@ -103,6 +103,38 @@ object Validator {
     ValidationOutput(missingInFirst, missingInSecond, differing)
   }
 
+  /** Bucket-level checksums for incremental/merkle-style validation: rows
+    * are hashed into `nBuckets` by key; each bucket carries (row count,
+    * exact cent-sum of the numeric check column). Comparing the two
+    * tables' bucket vectors finds WHERE they differ for the cost of two
+    * scans + a tiny aggregate — at 100 TB you run this first and row-diff
+    * only the differing buckets (each a 1/nBuckets slice), instead of
+    * shuffling both full tables on id.
+    */
+  /** Default bucketing: hash of the key (xxhash64). Pass a custom
+    * `bucketExpr` (e.g. `pmod(id.cast(long), n)`) when cross-engine
+    * reproducibility of bucket ids matters. */
+  def defaultBucket(nBuckets: Int): Column =
+    pmod(xxhash64(col("id")), lit(nBuckets.toLong))
+
+  def bucketChecksums(keyed: DataFrame, bucketExpr: Column): DataFrame =
+    keyed.groupBy(bucketExpr.as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(ROUND(CAST(check AS DOUBLE) * 100) AS BIGINT)")).as("check_cents"))
+
+  /** Buckets whose (count, checksum) differ between the two sides —
+    * null-safe full-outer compare so one-sided buckets surface too. */
+  def differingBuckets(first: DataFrame, second: DataFrame,
+      bucketExpr: Column): DataFrame = {
+    val a = bucketChecksums(first, bucketExpr)
+      .select(col("bucket"), col("n_rows").as("n_first"), col("check_cents").as("cents_first"))
+    val b = bucketChecksums(second, bucketExpr)
+      .select(col("bucket"), col("n_rows").as("n_second"), col("check_cents").as("cents_second"))
+    a.join(b, Seq("bucket"), "full_outer")
+      .filter(!(col("n_first") <=> col("n_second")) ||
+        !(col("cents_first") <=> col("cents_second")))
+  }
+
   /** One-row metrics summary of a validation run (counts + match rate) —
     * the aggregate surface the reference lacked but a report needs. */
   def summary(first: DataFrame, second: DataFrame, out: ValidationOutput): DataFrame = {

@@ -64,6 +64,18 @@ class ValidatorSpec extends AnyFunSuite with SparkSpec {
     assert(keys == Seq("0_B", "1_A"))
   }
 
+  test("bucket checksums localize differences to the right buckets") {
+    import org.apache.spark.sql.functions._
+    val f = (1 to 1000).map(i => (i.toString, i.toDouble)).toDF("id", "check")
+    // second side: value changed for id=7, row missing for id=900
+    val s = (1 to 1000).filter(_ != 900)
+      .map(i => (i.toString, if (i == 7) i + 0.5 else i.toDouble)).toDF("id", "check")
+    val bucket = pmod(col("id").cast("long"), lit(10L))
+    val bad = Validator.differingBuckets(f, s, bucket)
+      .select("bucket").as[Long].collect().toSet
+    assert(bad == Set(7L % 10, 900L % 10))
+  }
+
   test("summary counts are consistent") {
     val f = keyed(Seq("1" -> "a", "2" -> "b", "3" -> "c"))
     val s = keyed(Seq("2" -> "b", "3" -> "x", "4" -> "d"))
