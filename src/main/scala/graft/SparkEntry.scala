@@ -345,8 +345,13 @@ object SparkEntry {
     "s_user_sessions" -> ((s, dir) => {
       val stream = StreamingOps.readEvents(s, s"$dir/events.parquet")
       val sessions = StreamingOps.userSessions(stream)
+      // Update mode emits one row per user per micro-batch; reduce to the
+      // final (monotone) state so multi-batch runs match the oracle too
       StreamingOps.runToMemory(sessions.toDF(), s"sess_${System.nanoTime()}",
           org.apache.spark.sql.streaming.OutputMode.Update())
+        .groupBy("user_id")
+        .agg(max("n_events").as("n_events"), max("total_cents").as("total_cents"),
+          min("first_ts").as("first_ts"), max("last_ts").as("last_ts"))
         .select(col("user_id"), col("n_events"), col("total_cents"),
           date_format(col("first_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"),
           date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"))

@@ -33,7 +33,11 @@ object ConfigLoader {
       // snakeyaml parses unquoted `2024-01-05` as java.util.Date, whose
       // toString is useless — normalize back to ISO
       case d: java.util.Date =>
-        new java.text.SimpleDateFormat("yyyy-MM-dd").format(d)
+        val f = new java.text.SimpleDateFormat("yyyy-MM-dd")
+        // snakeyaml materializes the date at UTC midnight; format in UTC
+        // too or any JVM west of UTC shifts the date back a day
+        f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+        f.format(d)
       case v => v.toString
     }
 
@@ -83,11 +87,18 @@ object ConfigLoader {
       case Some(o: JMap[_, _]) => o.asScala.map { case (k, v) => k.toString -> v.toString }.toMap
       case _ => Map.empty[String, String]
     }
+    val format = s.get("format").map(_.toString).getOrElse("parquet")
+    val tableName = str(root, s"${name}_table_name")
+    // jdbc sources address tables via the dbtable option, not a load path
+    val jdbcTableOpt =
+      if (format == "jdbc" && !opts.contains("dbtable") && !s.contains("query"))
+        tableName.map("dbtable" -> _).toMap
+      else Map.empty[String, String]
     SourceSpec(
-      format = s.get("format").map(_.toString).getOrElse("parquet"),
-      options = opts ++ credentialOptions(root, name),
+      format = format,
+      options = opts ++ credentialOptions(root, name) ++ jdbcTableOpt,
       path = s.get("path").map(_.toString)
-        .orElse(str(root, s"${name}_table_name").filter(_ => s.get("format").forall(_.toString != "jdbc"))),
+        .orElse(tableName.filter(_ => format != "jdbc")),
       query = s.get("query").map(_.toString))
   }
 

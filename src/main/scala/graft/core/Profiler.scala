@@ -18,18 +18,17 @@ object Profiler {
   /** One row per profiled column: (column, n_rows, n_null, n_distinct,
     * min_val, max_val) with values rendered as strings. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap { c =>
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
       Seq(
-        count(lit(1)).as(s"__n_$c"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
         countDistinct(col(c)).as(s"__dist_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    // unpivot via stack: one output row per column
+    // unpivot via stack: one output row per column (row count shared)
     val stackArgs = cols.map { c =>
-      s"'$c', `__n_$c`, `__null_$c`, `__dist_$c`, `__min_$c`, `__max_$c`"
+      s"'$c', `__n`, `__null_$c`, `__dist_$c`, `__min_$c`, `__max_$c`"
     }.mkString(", ")
     one.selectExpr(
       s"stack(${cols.size}, $stackArgs) AS (column_name, n_rows, n_null, n_distinct, min_val, max_val)")

@@ -33,7 +33,6 @@ case class MinHashAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
-  private val mersennePrime = (1L << 61) - 1
   // (a, b) per hash function, identical to Dedup.minhashSignature
   @transient private lazy val params: Array[(Long, Long)] =
     Array.tabulate(numHashes)(Dedup.mixParams)
@@ -44,11 +43,11 @@ case class MinHashAgg(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val x = v.asInstanceOf[Long] & Long.MaxValue
+      val x = v.asInstanceOf[Long]
       var h = 0
       while (h < numHashes) {
         val (a, b) = params(h)
-        val p = (a * (x % mersennePrime) + b) % mersennePrime
+        val p = Dedup.permute(x, a, b)
         if (p < buf(h)) buf(h) = p
         h += 1
       }

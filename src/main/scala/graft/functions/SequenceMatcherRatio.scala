@@ -20,6 +20,16 @@ import org.apache.spark.unsafe.types.UTF8String
 case class SequenceMatcherRatio(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val ok = Seq(left, right).forall(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.StringType])
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "seq_ratio requires (string, string), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = false
   override def prettyName: String = "seq_ratio"

@@ -32,25 +32,33 @@ object AsOf {
     def rightType(c: String) = rightSchema(c).dataType
     def leftType(c: String) = leftSchema(c).dataType
 
-    // union schema: leftCols ++ rightOutCols ++ (__t, __tag)
+    // union schema: leftCols ++ __payload struct ++ (__t, __tag).
+    // The right payload travels as ONE struct (null for left rows,
+    // non-null for every right row even when its fields are null) so the
+    // window fill below can never stitch fields from different right rows
+    // — per-column last(ignoreNulls) would resurrect stale values over a
+    // genuine null in the as-of row.
     val fromLeft = left.select(
       leftOut.map(col) ++
-        rightCols.map { case (src, out) => lit(null).cast(rightType(src)).as(out) } ++
-        Seq(col(leftTime).as("__t"), lit(1).as("__tag")): _*)
+        Seq(lit(null).cast(org.apache.spark.sql.types.StructType(
+            rightCols.map { case (src, out) =>
+              org.apache.spark.sql.types.StructField(out, rightType(src)) })).as("__payload"),
+          col(leftTime).as("__t"), lit(1).as("__tag")): _*)
     val fromRight = right.select(
       leftOut.map(c =>
         if (keys.contains(c)) col(c) else lit(null).cast(leftType(c)).as(c)) ++
-        rightCols.map { case (src, out) => col(src).as(out) } ++
-        Seq(col(rightTime).as("__t"), lit(0).as("__tag")): _*)
+        Seq(struct(rightCols.map { case (src, out) => col(src).as(out) }: _*).as("__payload"),
+          col(rightTime).as("__t"), lit(0).as("__tag")): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = rightCols.foldLeft(fromLeft.unionByName(fromRight)) {
-      case (df, (_, out)) =>
-        df.withColumn(out, last(col(out), ignoreNulls = true).over(w))
+    val filled = fromLeft.unionByName(fromRight)
+      .withColumn("__payload", last(col("__payload"), ignoreNulls = true).over(w))
+    val withCols = rightCols.foldLeft(filled) { case (df, (_, out)) =>
+      df.withColumn(out, col("__payload").getField(out))
     }
-    filled.filter(col("__tag") === 1).drop("__t", "__tag")
+    withCols.filter(col("__tag") === 1).drop("__payload", "__t", "__tag")
   }
 }

@@ -79,7 +79,18 @@ object Dedup {
     (a, b)
   }
 
-  /** MinHash signature: min over shingles of (a*x+b mod p) per hash fn. */
+  /** Per-hash-function permutation: a splitmix64-style bijective 64-bit
+    * mixer keyed by (a, b). Bijectivity on the full 64-bit space gives the
+    * min-wise property directly — unlike (a*x+b) mod p arithmetic, which
+    * silently overflows 64-bit multiplication. */
+  private[graft] def permute(x0: Long, a: Long, b: Long): Long = {
+    var x = (x0 ^ a) + b
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    (x ^ (x >>> 31)) & Long.MaxValue
+  }
+
+  /** MinHash signature: min over shingles of permute(x) per hash fn. */
   private[graft] def minhashSignature(shingles: Array[Long], numHashes: Int): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var h = 0
@@ -88,8 +99,7 @@ object Dedup {
       var mn = Long.MaxValue
       var i = 0
       while (i < shingles.length) {
-        val x = shingles(i) & Long.MaxValue
-        val v = (a * (x % mersennePrime) + b) % mersennePrime
+        val v = permute(shingles(i), a, b)
         if (v < mn) mn = v
         i += 1
       }
@@ -105,7 +115,10 @@ object Dedup {
   }
 
   /** docs -> (id, sig): `numHashes`-long minhash signature over word
-    * `shingleLen`-grams of normalized text. One narrow pass, no shuffle. */
+    * `shingleLen`-grams of normalized text. One narrow pass, no shuffle.
+    * NOTE: `idCol` must be integral (bigint) — the candidate-pair stages
+    * type ids as Long; hash non-integral ids to 64 bits first
+    * (e.g. `xxhash64`). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numHashes: Int = 64): DataFrame =
     docs.select(col(idCol).as("id"),
@@ -230,21 +243,27 @@ object Dedup {
       .filter(size(col("members")) > 1)
     val pairUdf = udf { (members: Seq[Seq[Long]], maxH: Int, cap: Int) =>
       val arr = members.toArray
-      val lim = math.min(arr.length, cap)
       val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
-      var i = 0
-      while (i < lim) {
-        var j = i + 1
-        while (j < lim) {
-          val d = java.lang.Long.bitCount(arr(i)(1) ^ arr(j)(1))
-          if (d <= maxH) {
-            val (x, y) = if (arr(i)(0) < arr(j)(0)) (arr(i)(0), arr(j)(0))
-                         else (arr(j)(0), arr(i)(0))
-            out += ((x, y, d))
-          }
-          j += 1
+      def emit(a: Seq[Long], b: Seq[Long]): Unit = {
+        val d = java.lang.Long.bitCount(a(1) ^ b(1))
+        if (d <= maxH) {
+          val (x, y) = if (a(0) < b(0)) (a(0), b(0)) else (b(0), a(0))
+          out += ((x, y, d))
         }
-        i += 1
+      }
+      if (arr.length <= cap) {
+        var i = 0
+        while (i < arr.length) {
+          var j = i + 1
+          while (j < arr.length) { emit(arr(i), arr(j)); j += 1 }
+          i += 1
+        }
+      } else {
+        // skewed bucket: linear star against the min-id member (the skew
+        // case is near-identical boilerplate, so hamming-to-center still
+        // links the whole group) — same strategy as minhashCandidates
+        val m = arr.minBy(_.apply(0))
+        arr.foreach { x => if (x(0) != m(0)) emit(m, x) }
       }
       out.toSeq
     }

@@ -37,7 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("seq_ratio"),
       new ExpressionInfo(classOf[SequenceMatcherRatio].getName, "seq_ratio"),
-      (args: Seq[Expression]) => SequenceMatcherRatio(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"seq_ratio expects 2 arguments, got ${args.length}")
+        SequenceMatcherRatio(args(0), args(1))
+      }))
     e.injectOptimizerRule(_ => SimilarityThresholdRewrite)
   }
 }

@@ -32,6 +32,21 @@ class AsOfSkewSpec extends AnyFunSuite with SparkSpec {
     assert(got(0).getAs[Timestamp]("quote_t") == ts("2024-01-01 10:00:03"))
   }
 
+  test("as-of join keeps payload fields atomic when right values are null") {
+    // the as-of row carries a NULL payload value: output must show that
+    // null, not a resurrected value from an older right row
+    val l = Seq((1L, "A", ts("2024-01-01 10:00:10"))).toDF("id", "sym", "t")
+    val r = Seq(
+      ("A", ts("2024-01-01 10:00:00"), Some(5.0)),
+      ("A", ts("2024-01-01 10:00:05"), None) // latest prior row, null px
+    ).toDF("sym", "t", "px")
+    val got = AsOf.joinBackward(l, r, Seq("sym"), "t", "t",
+        Seq("t" -> "r_t", "px" -> "r_px")).collect()(0)
+    assert(got.getAs[Timestamp]("r_t") == ts("2024-01-01 10:00:05"))
+    assert(got.isNullAt(got.fieldIndex("r_px")),
+      s"stale px resurrected: ${got.getAs[Any]("r_px")}")
+  }
+
   test("as-of join matches a naive range-join computation on real events") {
     val e = graft.streaming.StreamingOps.normalizeEventTs(
       spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
