@@ -172,6 +172,21 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "v_lineitem_validate" -> ((s, dir) => {
+      // full validation at lineitem scale with a true composite key
+      // (l_orderkey, l_linenumber) — the throughput-bearing workload
+      val l = t(s, dir, "lineitem")
+      val mkKeyed = (df: DataFrame) => df.select(
+        graft.functions.compositeKey(Seq("l_orderkey", "l_linenumber")).as("id"),
+        col("l_extendedprice").as("check"))
+      val db1 = mkKeyed(l.filter("l_orderkey % 97 != 0"))
+      val db2 = mkKeyed(l.filter("l_orderkey % 89 != 0")
+        .withColumn("l_extendedprice",
+          expr("CASE WHEN l_orderkey % 31 = 0 THEN l_extendedprice + 1.0 " +
+            "WHEN l_orderkey % 41 = 0 THEN NULL ELSE l_extendedprice END")))
+      val out = Validator.validate(db1, db2, CompareMode.Numeric)
+      Validator.summary(db1, db2, out)
+    }),
     "v_bucket_diff" -> ((s, dir) => {
       // merkle-style pre-filter: find WHICH buckets differ before any
       // row-level shuffle (cross-engine bucket fn: key mod 64)
@@ -470,6 +485,13 @@ object SparkEntry {
       val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "image")
       Multimodal.extractFeatures(media).toDF().orderBy("media_id")
     }),
+    "t_media_resize" -> ((s, dir) => {
+      // resize (stubbed resample, real metadata/batching) -> re-extract
+      val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "image")
+      Multimodal.extractFeatures(Multimodal.resize(media, 64, 64).toDF()).toDF()
+        .select("media_id", "n_bytes", "checksum")
+        .orderBy("media_id")
+    }),
     "t_frame_sample" -> ((s, dir) => {
       val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "video")
       Multimodal.sampleFrames(media).toDF()
@@ -559,6 +581,30 @@ object SparkEntry {
         |    coalesce(CAST(o_orderstatus AS VARCHAR), '0')) AS id,
         |  COUNT(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "v_lineitem_validate" ->
+      """WITH k1 AS (
+        |  SELECT concat_ws('_', coalesce(CAST(l_orderkey AS VARCHAR),'0'),
+        |      coalesce(CAST(l_linenumber AS VARCHAR),'0')) AS id,
+        |    l_extendedprice AS v
+        |  FROM lineitem WHERE l_orderkey % 97 <> 0
+        |), k2 AS (
+        |  SELECT concat_ws('_', coalesce(CAST(l_orderkey AS VARCHAR),'0'),
+        |      coalesce(CAST(l_linenumber AS VARCHAR),'0')) AS id,
+        |    CASE WHEN l_orderkey % 31 = 0 THEN l_extendedprice + 1.0
+        |         WHEN l_orderkey % 41 = 0 THEN NULL ELSE l_extendedprice END AS v
+        |  FROM lineitem WHERE l_orderkey % 89 <> 0
+        |)
+        |SELECT
+        |  (SELECT COUNT(*) FROM k1) AS n_first,
+        |  (SELECT COUNT(*) FROM k2) AS n_second,
+        |  (SELECT COUNT(*) FROM k2 WHERE NOT EXISTS
+        |     (SELECT 1 FROM k1 WHERE k1.id = k2.id)) AS missing_in_first,
+        |  (SELECT COUNT(*) FROM k1 WHERE NOT EXISTS
+        |     (SELECT 1 FROM k2 WHERE k2.id = k1.id)) AS missing_in_second,
+        |  (SELECT COUNT(*) FROM k1 JOIN k2 ON k1.id = k2.id
+        |     WHERE k1.v IS DISTINCT FROM k2.v) AS n_differing,
+        |  (SELECT COUNT(*) FROM k2 WHERE EXISTS
+        |     (SELECT 1 FROM k1 WHERE k1.id = k2.id)) AS n_matched""".stripMargin,
     "v_bucket_diff" ->
       s"""$pairCte, ca AS (
          |  SELECT CAST(id AS BIGINT) % 64 AS bucket, COUNT(*) AS n_first,

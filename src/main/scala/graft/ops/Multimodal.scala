@@ -105,6 +105,31 @@ object Multimodal {
       }
   }
 
+  /** "Resize" for image payloads: the metadata transform (target width/
+    * height, recomputed byte budget) is real; the pixel resample is the
+    * STUB step — deterministic payload downsampling (every k-th byte)
+    * standing in for a real scaler. Shape-preserving: one row in, one row
+    * out, no shuffle. */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload", "width", "height", "duration_ms")
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.map { m =>
+          val srcPixels = math.max(1L, m.width.toLong * m.height)
+          val dstPixels = targetW.toLong * targetH
+          val ratio = math.max(1L, srcPixels / math.max(1L, dstPixels))
+          val p = m.payload
+          val resampled =
+            if (p == null || p.isEmpty || ratio <= 1) p
+            else Array.tabulate(math.max(1, (p.length / ratio).toInt))(i =>
+              p((i * ratio).toInt.min(p.length - 1)))
+          m.copy(payload = resampled, width = targetW, height = targetH)
+        }
+      }
+  }
+
   /** Frame sampling for "video" payloads: every `strideBytes` emit a frame
     * record (flatMap — output cardinality is data-dependent, like real
     * frame extraction). */

@@ -104,6 +104,18 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(q(1L) > q(5L))
   }
 
+  test("multimodal resize: metadata transformed, payload shrunk deterministically") {
+    val media = Multimodal.asMedia(docs.filter(col("doc_id") =!= 5L), "doc_id", "text", "image")
+    val resized = Multimodal.resize(media, 32, 32).collect()
+    assert(resized.forall(m => m.width == 32 && m.height == 32))
+    val orig = media.collect().map(r => r.getAs[Long]("media_id") ->
+      r.getAs[Array[Byte]]("payload").length).toMap
+    resized.foreach(m => assert(m.payload.length <= orig(m.media_id)))
+    val again = Multimodal.resize(media, 32, 32).collect()
+    assert(resized.map(m => (m.media_id, m.payload.toSeq)).sortBy(_._1).toSeq ==
+      again.map(m => (m.media_id, m.payload.toSeq)).sortBy(_._1).toSeq)
+  }
+
   test("multimodal plumbing: features + frame samples are deterministic") {
     val media = Multimodal.asMedia(docs.filter(col("doc_id") =!= 5L), "doc_id", "text", "image")
     val feats = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
