@@ -145,8 +145,10 @@ object SparkEntry {
       Validator.validate(f, sec, CompareMode.Fuzzy(0.9)).differing.orderBy("id")
     }),
     "v_summary" -> ((s, dir) => {
+      // single-pass summary (one job) — semantics pinned equal to the
+      // multi-action summary() by ValidatorSpec
       val (f, sec) = keyedPair(s, dir, "o_totalprice")
-      Validator.summary(f, sec, Validator.validate(f, sec, CompareMode.Numeric))
+      Validator.summaryFast(f, sec, CompareMode.Numeric)
     }),
     "v_date_filter" -> ((s, dir) => {
       // P3: date-range predicate, exclusive on BOTH ends (reference
@@ -184,8 +186,7 @@ object SparkEntry {
         .withColumn("l_extendedprice",
           expr("CASE WHEN l_orderkey % 31 = 0 THEN l_extendedprice + 1.0 " +
             "WHEN l_orderkey % 41 = 0 THEN NULL ELSE l_extendedprice END")))
-      val out = Validator.validate(db1, db2, CompareMode.Numeric)
-      Validator.summary(db1, db2, out)
+      Validator.summaryFast(db1, db2, CompareMode.Numeric)
     }),
     "v_bucket_diff" -> ((s, dir) => {
       // merkle-style pre-filter: find WHICH buckets differ before any

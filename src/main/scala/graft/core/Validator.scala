@@ -136,7 +136,10 @@ object Validator {
   }
 
   /** One-row metrics summary of a validation run (counts + match rate) —
-    * the aggregate surface the reference lacked but a report needs. */
+    * the aggregate surface the reference lacked but a report needs.
+    * Multi-action: counts each result set separately (6 jobs, repeated
+    * scans). Kept as the reference implementation; [[summaryFast]] is the
+    * production path for equality-based modes. */
   def summary(first: DataFrame, second: DataFrame, out: ValidationOutput): DataFrame = {
     val nF = first.count()
     val nS = second.count()
@@ -149,5 +152,51 @@ object Validator {
     Seq((nF, nS, m1, m2, nd, matched))
       .toDF("n_first", "n_second", "missing_in_first", "missing_in_second",
         "n_differing", "n_matched")
+  }
+
+  /** Single-pass summary for equality-based modes (Numeric, Date,
+    * Fuzzy(threshold >= 1)) — identical numbers to [[summary]] but ONE
+    * Spark job with no repeated scans:
+    *
+    * each side is reduced to per-(id, coercedValue) counts, joined
+    * null-safe; per-id pair algebra then yields every metric, including
+    * the m-by-n duplicate-key multiplicity of the inner-join diff
+    * (differing pairs per id = tot1*tot2 - sum_v c1(v)*c2(v)). At 100 TB
+    * this replaces six scan+join jobs with two aggregations and two
+    * id-keyed joins inside one job. Fuzzy(<1) has no grouping form —
+    * callers fall back to [[summary]].
+    */
+  def summaryFast(first: DataFrame, second: DataFrame, mode: CompareMode): DataFrame = {
+    val coerce: Column => Column = mode match {
+      case CompareMode.Numeric => toNumeric
+      case CompareMode.Date    => toTs
+      case CompareMode.Fuzzy(t) if t >= 1.0 => c => c.cast(StringType)
+      case _ => throw new IllegalArgumentException(
+        "summaryFast requires an equality-based mode; use summary() for fuzzy thresholds < 1")
+    }
+    def grouped(df: DataFrame) = df
+      .select(col("id").cast(StringType).as("id"), coerce(col("check")).as("v"))
+      .groupBy("id", "v").agg(count(lit(1)).as("c"))
+    val g1 = grouped(first)
+    val g2 = grouped(second)
+    val t1 = g1.groupBy("id").agg(sum("c").as("tot1"))
+    val t2 = g2.groupBy("id").agg(sum("c").as("tot2"))
+    // equal (null-safe) value pairs per id
+    val eq = g1.as("a").join(g2.as("b"),
+        col("a.id") === col("b.id") && (col("a.v") <=> col("b.v")))
+      .groupBy(col("a.id").as("id"))
+      .agg(sum(col("a.c") * col("b.c")).as("eq_pairs"))
+    t1.join(t2, Seq("id"), "full_outer")
+      .join(eq, Seq("id"), "left_outer")
+      .agg(
+        sum(coalesce(col("tot1"), lit(0L))).as("n_first"),
+        sum(coalesce(col("tot2"), lit(0L))).as("n_second"),
+        sum(when(col("tot1").isNull, col("tot2")).otherwise(0L)).as("missing_in_first"),
+        sum(when(col("tot2").isNull, col("tot1")).otherwise(0L)).as("missing_in_second"),
+        sum(when(col("tot1").isNotNull && col("tot2").isNotNull,
+          col("tot1") * col("tot2") - coalesce(col("eq_pairs"), lit(0L)))
+          .otherwise(0L)).as("n_differing"),
+        sum(when(col("tot1").isNotNull, col("tot2")).otherwise(0L)).as("n_matched"))
+      .na.fill(0L) // empty inputs: global agg yields nulls, report zeros
   }
 }

@@ -64,6 +64,23 @@ class ValidatorSpec extends AnyFunSuite with SparkSpec {
     assert(keys == Seq("0_B", "1_A"))
   }
 
+  test("summaryFast equals multi-action summary incl. duplicate keys and nulls") {
+    val f = keyed(Seq("1" -> "10", "1" -> "20", "2" -> null, "3" -> "30", "5" -> "x"))
+    val s = keyed(Seq("1" -> "10", "1" -> "99", "2" -> null, "4" -> "40", "5" -> "y"))
+    for (mode <- Seq[CompareMode](CompareMode.Numeric, CompareMode.Fuzzy(1.0))) {
+      val slow = Validator.summary(f, s, Validator.validate(f, s, mode)).collect()(0)
+      val fast = Validator.summaryFast(f, s, mode).collect()(0)
+      for (c <- Seq("n_first", "n_second", "missing_in_first", "missing_in_second",
+          "n_differing", "n_matched"))
+        assert(fast.getAs[Long](c) == slow.getAs[Long](c),
+          s"$mode/$c: fast=${fast.getAs[Long](c)} slow=${slow.getAs[Long](c)}")
+    }
+    // empty input edge
+    val empty = keyed(Seq.empty[(String, String)])
+    val z = Validator.summaryFast(empty, empty, CompareMode.Numeric).collect()(0)
+    assert((0 until 6).forall(i => z.getLong(i) == 0L))
+  }
+
   test("bucket checksums localize differences to the right buckets") {
     import org.apache.spark.sql.functions._
     val f = (1 to 1000).map(i => (i.toString, i.toDouble)).toDF("id", "check")
