@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the scale properties the engine relies on
+  * must be visible in the physical plan, not assumed. */
+class PlanGuardSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString()
+
+  test("date-range filter is pushed to the parquet scan") {
+    val p = plan("v_date_filter")
+    assert(p.contains("PushedFilters") &&
+      (p.contains("GreaterThan(o_orderdate") || p.contains("GreaterThan(O_ORDERDATE")),
+      s"date predicate not pushed:\n$p")
+  }
+
+  test("validation reads only key + check columns (column pruning)") {
+    val p = plan("v_diff_numeric")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      s"scan not pruned to 2 columns:\n$p")
+    assert(!p.toLowerCase.contains("o_orderpriority"), "unused column read")
+  }
+
+  test("q1 aggregation is map-side partial (two HashAggregate stages)") {
+    val p = plan("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("dimension joins in q5 broadcast rather than shuffle both sides") {
+    val p = plan("q5_join")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("ANN top-k uses rank pushdown (WindowGroupLimit)") {
+    val p = plan("t_ann_topk")
+    assert(p.contains("WindowGroupLimit"), s"top-k not pushed into window:\n$p")
+  }
+}
