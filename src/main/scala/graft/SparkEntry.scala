@@ -374,6 +374,23 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "s_interval_join" -> ((s, dir) => {
+      // stream-stream interval join (watermarked state on both sides)
+      val stream = StreamingOps.readEvents(s, s"$dir/events.parquet")
+      val joined = StreamingOps.streamStreamIntervalJoin(
+        stream.filter(col("event_type") === "purchase"),
+        stream.filter(col("event_type") === "view"),
+        "user_id", "1 hour")
+      StreamingOps.runToMemory(joined, s"ssj_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .select(col("user_id"), col("l_event_id"),
+          date_format(col("l_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("l_ts"),
+          col("r_event_id"),
+          date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("r_ts"),
+          expr("CAST(ROUND(r_value*100) AS BIGINT)").as("r_value_cents"))
+        .orderBy("l_event_id", "r_event_id")
+    }),
+
     // --- training-data pipeline extensions ------------------------------
     "t_dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", Seq("text"))
@@ -761,6 +778,17 @@ object SparkEntry {
         |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
         |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "s_interval_join" ->
+      """SELECT p.user_id, p.event_id AS l_event_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS l_ts,
+        |  v.event_id AS r_event_id,
+        |  strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS r_ts,
+        |  CAST(ROUND(v.value*100) AS BIGINT) AS r_value_cents
+        |FROM events p JOIN events v
+        |  ON p.user_id = v.user_id
+        | AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY l_event_id, r_event_id""".stripMargin,
     "t_dedup_exact" ->
       """SELECT md5(text) AS text_hash,
         |  CAST(MIN(doc_id) AS BIGINT) AS keep_id,

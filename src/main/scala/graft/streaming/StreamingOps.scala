@@ -178,6 +178,29 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream interval join: each left event joined to right events
+    * of the same key within `[left.ts - lookback, left.ts]` — the
+    * streaming form of a bounded as-of/attribution join. Both sides carry
+    * watermarks so Spark can evict join state; state size is bounded by
+    * (lookback + watermark) per key. */
+  def streamStreamIntervalJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, lookback: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(keyCol).as("k"), col("ts").as("l_ts"),
+        col("event_id").as("l_event_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(keyCol).as("rk"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"), col("value").as("r_value"))
+    l.join(r,
+      col("k") === col("rk") &&
+        col("r_ts") <= col("l_ts") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $lookback"),
+      "inner")
+      .select(col("k").as(keyCol), col("l_event_id"), col("l_ts"),
+        col("r_event_id"), col("r_ts"), col("r_value"))
+  }
+
   /** Run a streaming frame to completion against currently-available data
     * (test/driver harness: memory sink, processAllAvailable). */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Append()): DataFrame = {

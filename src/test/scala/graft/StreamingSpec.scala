@@ -101,6 +101,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(ng > 0.5 * nb, s"too few sessions closed: $ng of $nb")
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val stream = StreamingOps.readEvents(spark, eventsPath)
+    val purchases = stream.filter(col("event_type") === "purchase")
+    val views = stream.filter(col("event_type") === "view")
+    val got = StreamingOps.runToMemory(
+      StreamingOps.streamStreamIntervalJoin(purchases, views, "user_id", "1 hour"),
+      "ssj_test", OutputMode.Append())
+
+    val e = StreamingOps.normalizeEventTs(spark.read.parquet(eventsPath))
+    val bp = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("k"), col("ts").as("l_ts"), col("event_id").as("l_event_id"))
+    val bv = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("rk"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"), col("value").as("r_value"))
+    val batch = bp.join(bv,
+        col("k") === col("rk") && col("r_ts") <= col("l_ts") &&
+          col("r_ts") >= col("l_ts") - expr("INTERVAL 1 hour"))
+      .select(col("k").as("user_id"), col("l_event_id"), col("l_ts"),
+        col("r_event_id"), col("r_ts"), col("r_value"))
+    assert(got.count() > 0)
+    assert(got.except(batch).count() == 0 && batch.except(got).count() == 0)
+  }
+
   test("stateful user sessions equal batch per-user aggregates") {
     val stream = StreamingOps.readEvents(spark, eventsPath)
     val got = StreamingOps.runToMemory(
