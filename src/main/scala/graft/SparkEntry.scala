@@ -83,14 +83,11 @@ object SparkEntry {
     d.unionByName(perturbed)
   }
 
-  /** Flagship: full validation pipeline (anti-joins + typed diff + summary)
-    * on sf=0.001; driver smoke-checks rows>0 (summary always has 1 row). */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    val (f, sec) = keyedPair(spark, dir, "o_totalprice")
-    val out = Validator.validate(f, sec, CompareMode.Numeric)
-    Validator.summary(f, sec, out)
-  }
+  /** Flagship: the single-pass validation summary (same workload as the
+    * `v_summary` query, to which this delegates) on sf=0.001; driver
+    * smoke-checks rows>0 (the summary always has exactly 1 row). */
+  def entry(spark: SparkSession): DataFrame =
+    queries("v_summary")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
