@@ -285,6 +285,21 @@ object SparkEntry {
         .orderBy(desc("n"), col("token"))
         .limit(50)
     }),
+    "q_pivot" -> ((s, dir) => {
+      // pivot: per-cohort event counts, one column per event type
+      t(s, dir, "events")
+        .withColumn("cohort", col("user_id") % 10)
+        .groupBy("cohort")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("cohort")
+    }),
+    "q_intersect" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_custkey").as("key"))
+        .intersect(t(s, dir, "customer").select(col("c_custkey").as("key")))
+        .orderBy("key")
+    }),
     "q_except" -> ((s, dir) => {
       // customers with no orders: EXCEPT over key sets (≙ the reference's
       // bidirectional anti-join semantics, SURVEY §2.6)
@@ -349,8 +364,10 @@ object SparkEntry {
       // window agg -> memory sink, run to completion on available data
       val stream = StreamingOps.readEvents(s, s"$dir/events.parquet")
       val agg = StreamingOps.windowedCounts(stream, "1 hour", "10 minutes")
-      StreamingOps.runToMemory(agg, s"win_${System.nanoTime()}",
+      StreamingOps.withShufflePartitions(s, 8) {
+        StreamingOps.runToMemory(agg, s"win_${System.nanoTime()}",
           org.apache.spark.sql.streaming.OutputMode.Complete())
+      }
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n"), col("value_cents"))
         .orderBy("window_start", "event_type")
@@ -360,8 +377,10 @@ object SparkEntry {
       val sessions = StreamingOps.userSessions(stream)
       // Update mode emits one row per user per micro-batch; reduce to the
       // final (monotone) state so multi-batch runs match the oracle too
-      StreamingOps.runToMemory(sessions.toDF(), s"sess_${System.nanoTime()}",
+      StreamingOps.withShufflePartitions(s, 8) {
+        StreamingOps.runToMemory(sessions.toDF(), s"sess_${System.nanoTime()}",
           org.apache.spark.sql.streaming.OutputMode.Update())
+      }
         .groupBy("user_id")
         .agg(max("n_events").as("n_events"), max("total_cents").as("total_cents"),
           min("first_ts").as("first_ts"), max("last_ts").as("last_ts"))
@@ -372,14 +391,17 @@ object SparkEntry {
     }),
 
     "s_interval_join" -> ((s, dir) => {
-      // stream-stream interval join (watermarked state on both sides)
+      // stream-stream interval join (watermarked state on both sides);
+      // small stream -> few state partitions
       val stream = StreamingOps.readEvents(s, s"$dir/events.parquet")
       val joined = StreamingOps.streamStreamIntervalJoin(
         stream.filter(col("event_type") === "purchase"),
         stream.filter(col("event_type") === "view"),
         "user_id", "1 hour")
-      StreamingOps.runToMemory(joined, s"ssj_${System.nanoTime()}",
+      StreamingOps.withShufflePartitions(s, 8) {
+        StreamingOps.runToMemory(joined, s"ssj_${System.nanoTime()}",
           org.apache.spark.sql.streaming.OutputMode.Append())
+      }
         .select(col("user_id"), col("l_event_id"),
           date_format(col("l_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("l_ts"),
           col("r_event_id"),
@@ -724,6 +746,19 @@ object SparkEntry {
         |  SELECT unnest(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS t
         |  FROM documents) u
         |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id % 10 AS cohort,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_intersect" ->
+      """SELECT o_custkey AS key FROM orders
+        |INTERSECT
+        |SELECT c_custkey AS key FROM customer
+        |ORDER BY key""".stripMargin,
     "q_except" ->
       """SELECT c_custkey AS key FROM customer
         |EXCEPT

@@ -58,9 +58,9 @@ package object functions {
   /** L2 norm of a numeric array column. */
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 
-  /** Cosine similarity of two numeric array columns; null/zero-norm -> null. */
-  def cosineSimilarity(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
-    when(denom > 0.0, dotProduct(a, b) / denom)
-  }
+  /** Cosine similarity of two numeric array columns; null/zero-norm ->
+    * null. Fused single-pass native expression (see [[CosineSim]]) —
+    * markedly faster than the compositional zip_with/aggregate form. */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    exprColumn(CosineSim(columnExpr(a), columnExpr(b)))
 }

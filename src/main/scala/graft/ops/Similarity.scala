@@ -140,7 +140,13 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cent_id"),
         transform(col("pm"), x => x.getField("m").cast("float")).as("cvec_c"))
-    val bCents = broadcast(refined)
+    // materialize the (tiny) trained centroid set once — the classic
+    // fit-then-broadcast shape; without this both the corpus and the query
+    // assignment recompute the whole Lloyd subtree
+    val spark = corpus.sparkSession
+    val centRows = refined.collect().toSeq
+    val bCents = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(centRows, 1), refined.schema))
 
     def nearestCells(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
       val scored = df.join(bCents)

@@ -210,4 +210,15 @@ object StreamingOps {
     q.stop()
     df.sparkSession.table(name)
   }
+
+  /** Stateful streaming cost scales with the number of state-store
+    * partitions, fixed from `spark.sql.shuffle.partitions` at query start.
+    * Scope a small-stream query to fewer partitions without disturbing the
+    * session (restored afterwards). */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
 }
