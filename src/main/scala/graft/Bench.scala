@@ -31,8 +31,20 @@ object Bench {
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // noop sink materializes EVERY column — count() would let Catalyst
+      // prune the projected expressions/UDFs and drop sorts, timing only
+      // the scan for projection-shaped queries
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case _: Throwable => }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // isolate queries from each other: drop memory-sink temp views and
+      // cached blocks a query left behind so later timings aren't skewed
+      try {
+        spark.catalog.listTables().collect()
+          .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
+        spark.catalog.clearCache()
+      } catch { case _: Throwable => }
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -382,8 +382,10 @@ object SparkEntry {
           org.apache.spark.sql.streaming.OutputMode.Update())
       }
         .groupBy("user_id")
-        .agg(max("n_events").as("n_events"), max("total_cents").as("total_cents"),
-          min("first_ts").as("first_ts"), max("last_ts").as("last_ts"))
+        .agg(max("n_events").as("n_events"),
+          expr("max_by(total_cents, n_events)").as("total_cents"),
+          min("first_ts").as("first_ts"),
+          expr("max_by(last_ts, n_events)").as("last_ts"))
         .select(col("user_id"), col("n_events"), col("total_cents"),
           date_format(col("first_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"),
           date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"))
@@ -442,9 +444,10 @@ object SparkEntry {
     }),
     "t_minhash_pairs" -> ((s, dir) => {
       val docs = docsWithNearDups(s, dir)
-      // signatures are reused by banding + both pair-joins: persist once
-      // (at scale: write to a signatures table instead)
-      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text").persist()
+      // signatures are reused by banding + both pair-joins; recompute is
+      // acceptable at this size (at scale: write signatures to a table) —
+      // persist() here would leak cache across the driver's query sweep
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
       val cands = Dedup.minhashCandidates(sigs)
       cands
         .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
@@ -473,8 +476,8 @@ object SparkEntry {
     }),
     "t_ngram_jaccard" -> ((s, dir) => {
       // exact n-gram Jaccard verification over LSH candidates
-      val docs = docsWithNearDups(s, dir).persist()
-      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text").persist()
+      val docs = docsWithNearDups(s, dir)
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
       Dedup.minhashCandidates(sigs)
         .join(docs.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
         .join(docs.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))

@@ -22,8 +22,11 @@ import org.yaml.snakeyaml.Yaml
   */
 object ConfigLoader {
 
-  def fromYamlFile(path: String): ValidationConfig =
-    fromMap(new Yaml().load[JMap[String, Object]](new FileInputStream(path)).asScala.toMap)
+  def fromYamlFile(path: String): ValidationConfig = {
+    val in = new FileInputStream(path)
+    try fromMap(new Yaml().load[JMap[String, Object]](in).asScala.toMap)
+    finally in.close()
+  }
 
   def fromYamlString(yaml: String): ValidationConfig =
     fromMap(new Yaml().load[JMap[String, Object]](yaml).asScala.toMap)
@@ -94,9 +97,13 @@ object ConfigLoader {
       if (format == "jdbc" && !opts.contains("dbtable") && !s.contains("query"))
         tableName.map("dbtable" -> _).toMap
       else Map.empty[String, String]
+    val jdbcFetchOpt =
+      if (format == "jdbc" && !opts.contains("fetchsize"))
+        str(root, "batch_size").map("fetchsize" -> _).toMap
+      else Map.empty[String, String]
     SourceSpec(
       format = format,
-      options = opts ++ credentialOptions(root, name) ++ jdbcTableOpt,
+      options = opts ++ credentialOptions(root, name) ++ jdbcTableOpt ++ jdbcFetchOpt,
       path = s.get("path").map(_.toString)
         .orElse(tableName.filter(_ => format != "jdbc")),
       query = s.get("query").map(_.toString))

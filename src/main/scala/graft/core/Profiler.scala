@@ -18,17 +18,21 @@ object Profiler {
   /** One row per profiled column: (column, n_rows, n_null, n_distinct,
     * min_val, max_val) with values rendered as strings. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+    // index-based aliases: column names never enter generated SQL text,
+    // so quotes/backticks/dots in names can't break the stack() expression
+    val aggs = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
-        countDistinct(col(c)).as(s"__dist_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$i"),
+        countDistinct(col(c)).as(s"__dist_$i"),
+        min(col(c)).cast("string").as(s"__min_$i"),
+        max(col(c)).cast("string").as(s"__max_$i"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    // unpivot via stack: one output row per column (row count shared)
-    val stackArgs = cols.map { c =>
-      s"'$c', `__n`, `__null_$c`, `__dist_$c`, `__min_$c`, `__max_$c`"
+    // unpivot via stack: one output row per column (row count shared);
+    // the name literal is single-quote-escaped
+    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
+      val lit = c.replace("\\", "\\\\").replace("'", "\\'")
+      s"'$lit', `__n`, `__null_$i`, `__dist_$i`, `__min_$i`, `__max_$i`"
     }.mkString(", ")
     one.selectExpr(
       s"stack(${cols.size}, $stackArgs) AS (column_name, n_rows, n_null, n_distinct, min_val, max_val)")

@@ -51,6 +51,10 @@ object ValidationJob {
       ReportWriter.writeCompat(out, s"${cfg.outputDirectory}/result",
         cfg.firstName, cfg.secondName, cfg.checkColumn)
     }
-    (out, Validator.summary(first, second, out))
+    val summary = compareMode(cfg) match {
+      case CompareMode.Fuzzy(t) if t < 1.0 => Validator.summary(first, second, out)
+      case m => Validator.summaryFast(first, second, m) // single job
+    }
+    (out, summary)
   }
 }

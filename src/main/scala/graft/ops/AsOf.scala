@@ -50,8 +50,11 @@ object AsOf {
         Seq(struct(rightCols.map { case (src, out) => col(src).as(out) }: _*).as("__payload"),
           col(rightTime).as("__t"), lit(0).as("__tag")): _*)
 
+    // __payload as the final sort key: ties on (key, time) between right
+    // rows resolve deterministically (last = max payload) instead of by
+    // partition order
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__tag"))
+      .orderBy(col("__t"), col("__tag"), col("__payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = fromLeft.unionByName(fromRight)

@@ -103,7 +103,7 @@ object StreamingOps {
           var last = prev.last_ts
           rows.foreach { r =>
             n += 1
-            tot += math.round(r.value * 100)
+            tot += sqlRoundCents(r.value)
             if (first == null || r.ts.before(first)) first = r.ts
             if (last == null || r.ts.after(last)) last = r.ts
           }
@@ -122,6 +122,13 @@ object StreamingOps {
 
   private def tsToMicros(t: java.sql.Timestamp): Long =
     (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+
+  /** SQL ROUND semantics (half away from zero) at cent scale — Scala's
+    * math.round is floor(x+0.5), which disagrees on negative halves. */
+  private def sqlRoundCents(v: Double): Long = {
+    val x = v * 100
+    if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+  }
   private def microsToTs(us: Long): java.sql.Timestamp = {
     val t = new java.sql.Timestamp(us / 1000)
     t.setNanos(((us % 1000000L) * 1000).toInt)
@@ -155,7 +162,7 @@ object StreamingOps {
             var cur = state.getOption
             sorted.foreach { r =>
               val t = tsToMicros(r.ts)
-              val cents = math.round(r.value * 100)
+              val cents = sqlRoundCents(r.value)
               cur match {
                 case Some(s) if t - s.end <= gapUs =>
                   cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.cents + cents))
@@ -206,8 +213,8 @@ object StreamingOps {
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Append()): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(outputMode).start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally q.stop() // never leave a zombie stream holding state
     df.sparkSession.table(name)
   }
 
