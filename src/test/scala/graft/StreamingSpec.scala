@@ -124,6 +124,32 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.except(batch).count() == 0 && batch.except(got).count() == 0)
   }
 
+  test("windowed counts run on the RocksDB state store (large-state path)") {
+    // heap state stores bound streaming state by executor memory; RocksDB
+    // is the 100 TB configuration — verify the pipeline runs on it
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = StreamingOps.readEvents(spark, eventsPath)
+      val got = StreamingOps.runToMemory(
+        StreamingOps.windowedCounts(stream, "1 hour", "10 minutes"),
+        "rocks_test", OutputMode.Complete())
+      val batch = StreamingOps.normalizeEventTs(spark.read.parquet(eventsPath))
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(ROUND(value*100) AS BIGINT)")).as("value_cents"))
+      assert(got.orderBy("window_start", "event_type").collect().toSeq ==
+        batch.orderBy("window_start", "event_type").collect().toSeq)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stateful user sessions equal batch per-user aggregates") {
     val stream = StreamingOps.readEvents(spark, eventsPath)
     val got = StreamingOps.runToMemory(
