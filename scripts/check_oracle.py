@@ -26,9 +26,15 @@ for t in TABLES:
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
+STRICT_ORDER = "--strict-order" in sys.argv  # don't re-sort rows: the
+# engines' own ORDER BY must agree (mimics an order-sensitive driver hash)
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    if not STRICT_ORDER:
+        df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    else:
+        df = df.reset_index(drop=True)
     return df
 
 fail = 0

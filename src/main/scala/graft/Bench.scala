@@ -15,19 +15,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // steady-state measurement (the reference baseline is its warm run):
-    // touch each table and exercise the common operator shapes once so
-    // JIT/codegen and parquet footer caches are warm before timing
+    // run every query once at the smallest SF so codegen/JIT for each
+    // plan shape is compiled before timing at the target SF, then touch
+    // the target tables to warm parquet footers
     try {
-      import org.apache.spark.sql.functions._
+      val warmDir = "/root/testdata/sf0.001"
+      if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+        SparkEntry.queries.foreach { case (_, fn) =>
+          try {
+            fn(spark, warmDir).write.mode("overwrite").format("noop").save()
+            spark.catalog.listTables().collect()
+              .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
+            spark.catalog.clearCache()
+          } catch { case _: Throwable => }
+        }
       for (tbl <- Seq("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")) {
         try spark.read.parquet(s"$sfDir/$tbl.parquet").count()
         catch { case _: Throwable => }
       }
-      val o = spark.read.parquet(s"$sfDir/orders.parquet").limit(1000)
-      o.groupBy("o_orderstatus").count().count()
-      o.join(o.select(col("o_orderkey").as("k")),
-        col("o_orderkey") === col("k")).count()
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
