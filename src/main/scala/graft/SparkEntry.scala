@@ -285,6 +285,13 @@ object SparkEntry {
         .orderBy(desc("n"), col("token"))
         .limit(50)
     }),
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(ROUND(o_totalprice*100) AS BIGINT)")).as("total_cents"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    }),
     "q_pivot" -> ((s, dir) => {
       // pivot: per-cohort event counts, one column per event type
       t(s, dir, "events")
@@ -749,6 +756,12 @@ object SparkEntry {
         |  SELECT unnest(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS t
         |  FROM documents) u
         |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q_pivot" ->
       """SELECT user_id % 10 AS cohort,
         |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
