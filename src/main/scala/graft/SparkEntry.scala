@@ -399,6 +399,26 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "s_validate" -> ((s, dir) => {
+      // continuous validation: the stream checked against a static
+      // expected-values table (deterministically perturbed), mismatches
+      // emitted as they arrive — the reference's diff as a streaming op
+      val staticEvents = StreamingOps.normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+      val ref = staticEvents.select(col("event_id"),
+        when(col("event_id") % 5 === 0, col("value") + 1.0)
+          .otherwise(col("value")).as("value"))
+      val stream = StreamingOps.readEvents(s, s"$dir/events.parquet")
+      StreamingOps.withShufflePartitions(s, 8) {
+        StreamingOps.runToMemory(
+          StreamingOps.streamingValidate(stream, ref),
+          s"sval_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      }
+        .select(col("id"),
+          expr("CAST(ROUND(check_observed*100) AS BIGINT)").as("observed_cents"),
+          expr("CAST(ROUND(check_expected*100) AS BIGINT)").as("expected_cents"))
+        .orderBy("id")
+    }),
     "s_interval_join" -> ((s, dir) => {
       // stream-stream interval join (watermarked state on both sides);
       // small stream -> few state partitions
@@ -475,6 +495,15 @@ object SparkEntry {
         .agg(graft.functions.MinHashAgg.minhashAgg(col("sh")).as("sig"))
         .select(col("source"), xxhash64(col("sig")).as("sig_hash"))
         .orderBy("source")
+    }),
+    "t_dedup_groups" -> ((s, dir) => {
+      // full near-dup pipeline finisher: LSH candidates -> connected
+      // components -> one keep-representative per duplicate group
+      val docs = docsWithNearDups(s, dir)
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      Dedup.connectedComponents(Dedup.minhashCandidates(sigs))
+        .groupBy("component").agg(count(lit(1)).as("group_size"))
+        .orderBy("component")
     }),
     "t_simhash_pairs" -> ((s, dir) => {
       val docs = docsWithNearDups(s, dir)
@@ -826,6 +855,12 @@ object SparkEntry {
         |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
         |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "s_validate" ->
+      """SELECT event_id AS id,
+        |  CAST(ROUND(value*100) AS BIGINT) AS observed_cents,
+        |  CAST(ROUND((value+1)*100) AS BIGINT) AS expected_cents
+        |FROM events WHERE event_id % 5 = 0
+        |ORDER BY id""".stripMargin,
     "s_interval_join" ->
       """SELECT p.user_id, p.event_id AS l_event_id,
         |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS l_ts,

@@ -196,6 +196,44 @@ object Dedup {
   }
   val ngramJaccardUdf = udf { (a: String, b: String, n: Int) => ngramJaccard(a, b, n) }
 
+  /** Connected components over candidate pairs (id_a, id_b) via label
+    * propagation: each node's label starts as itself and iteratively takes
+    * the min label among itself and its neighbors until fixpoint (or
+    * `maxIter`). Returns (id, component) where component = min id of the
+    * node's component — the canonical "keep one representative per
+    * near-dup group" finisher after LSH + verification.
+    *
+    * Scale: each iteration is one join + one aggregate on the edge list
+    * (both keyed shuffles); iterations needed = graph diameter, which for
+    * near-dup clusters (dense, star-linked by the capped-bucket strategy)
+    * is small. The fixpoint check costs one extra aggregate per round. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var converged = false
+    var i = 0
+    while (i < maxIter && !converged) {
+      // neighbor labels: for each edge (src,dst), dst's current label
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("component"))
+      val next = labels.union(neighborLabels)
+        .groupBy("id").agg(min("component").as("component"))
+      val changed = next.as("n")
+        .join(labels.as("o"), Seq("id"))
+        .filter(col("n.component") =!= col("o.component"))
+        .limit(1).count() > 0
+      labels = next.persist()
+      labels.count() // materialize to truncate lineage growth per round
+      converged = !changed
+      i += 1
+    }
+    labels
+  }
+
   // --- SimHash --------------------------------------------------------------
 
   /** 64-bit SimHash over word unigrams of normalized text: per-bit vote

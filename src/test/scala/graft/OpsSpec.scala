@@ -45,6 +45,17 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.ngramJaccard(t1, "x y z w v u t s r q") == 0.0)
   }
 
+  test("connected components group near-dup chains into one component") {
+    // chain 1-2-3 + pair 10-11 + chain 20-21-22-23 (path, diameter 3)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L)).toDF("id_a", "id_b")
+    val comp = graft.ops.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).map(comp) == Seq(1L, 1L, 1L))
+    assert(Seq(10L, 11L).map(comp) == Seq(10L, 10L))
+    assert(Seq(20L, 21L, 22L, 23L).map(comp).forall(_ == 20L))
+  }
+
   test("simhash: dups distance 0, near dups small distance, candidates found") {
     val a = Dedup.simhash64("the quick brown fox jumps over the lazy dog again and again today")
     val b = Dedup.simhash64("the quick brown fox leaps over the lazy dog again and again today")
