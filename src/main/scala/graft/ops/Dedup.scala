@@ -226,8 +226,10 @@ object Dedup {
         .join(labels.as("o"), Seq("id"))
         .filter(col("n.component") =!= col("o.component"))
         .limit(1).count() > 0
+      val prev = labels
       labels = next.persist()
       labels.count() // materialize to truncate lineage growth per round
+      prev.unpersist() // free the previous round's cache
       converged = !changed
       i += 1
     }
