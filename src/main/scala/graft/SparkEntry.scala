@@ -501,7 +501,9 @@ object SparkEntry {
       // components -> one keep-representative per duplicate group
       val docs = docsWithNearDups(s, dir)
       val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
-      Dedup.connectedComponents(Dedup.minhashCandidates(sigs))
+      // capped-bucket star linking bounds component diameter, so few
+      // label-propagation rounds suffice
+      Dedup.connectedComponents(Dedup.minhashCandidates(sigs), maxIter = 4)
         .groupBy("component").agg(count(lit(1)).as("group_size"))
         .orderBy("component")
     }),
