@@ -50,13 +50,18 @@ object DifflibRatio extends Serializable {
       b2j.getOrElseUpdate(b.charAt(i), new mutable.ArrayBuffer[Int]()) += i
       i += 1
     }
-    // autojunk: popular elements removed from b2j but remembered as junk
-    val bjunk = new mutable.HashSet[Char]()
+    // autojunk: popular elements are removed from b2j (they can't ANCHOR a
+    // match) but are NOT junk — CPython's isbjunk tests self.bjunk, which
+    // stays empty without an isjunk function, so the primary extension
+    // phase extends straight through popular characters. (Treating popular
+    // as junk reorders the extension phases and changes ratios; caught by
+    // the 2000-pair CPython fuzz fixture.)
     if (lb >= 200) {
       val ntest = lb / 100 + 1
-      for ((ch, idxs) <- b2j if idxs.length > ntest) bjunk += ch
-      bjunk.foreach(b2j.remove)
+      val popular = b2j.collect { case (ch, idxs) if idxs.length > ntest => ch }
+      popular.foreach(b2j.remove)
     }
+    val bjunk = new mutable.HashSet[Char]() // would hold isjunk() chars; none here
 
     var total = 0
     val queue = new mutable.ArrayDeque[(Int, Int, Int, Int)]()
