@@ -185,6 +185,12 @@ object SparkEntry {
             "WHEN l_orderkey % 41 = 0 THEN NULL ELSE l_extendedprice END")))
       Validator.summaryFast(db1, db2, CompareMode.Numeric)
     }),
+    "v_reconcile" -> ((s, dir) => {
+      // diff -> corrected table: prefer first's value on conflict, keep
+      // and label one-sided rows
+      val (f, sec) = keyedPair(s, dir, "o_orderpriority")
+      Validator.reconcile(f, sec).orderBy("id")
+    }),
     "v_bucket_diff" -> ((s, dir) => {
       // merkle-style pre-filter: find WHICH buckets differ before any
       // row-level shuffle (cross-engine bucket fn: key mod 64)
@@ -683,6 +689,18 @@ object SparkEntry {
         |     WHERE k1.v IS DISTINCT FROM k2.v) AS n_differing,
         |  (SELECT COUNT(*) FROM k2 WHERE EXISTS
         |     (SELECT 1 FROM k1 WHERE k1.id = k2.id)) AS n_matched""".stripMargin,
+    "v_reconcile" ->
+      s"""$pairCte
+         |SELECT COALESCE(db1.id, db2.id) AS id,
+         |  CASE WHEN db1.id IS NULL THEN db2.o_orderpriority
+         |       WHEN db2.id IS NULL THEN db1.o_orderpriority
+         |       ELSE db1.o_orderpriority END AS "check",
+         |  CASE WHEN db1.id IS NULL THEN 'only_second'
+         |       WHEN db2.id IS NULL THEN 'only_first'
+         |       WHEN db1.o_orderpriority IS NOT DISTINCT FROM db2.o_orderpriority THEN 'match'
+         |       ELSE 'conflict' END AS status
+         |FROM db1 FULL OUTER JOIN db2 ON db1.id = db2.id
+         |ORDER BY 1""".stripMargin,
     "v_bucket_diff" ->
       s"""$pairCte, ca AS (
          |  SELECT CAST(id AS BIGINT) % 64 AS bucket, COUNT(*) AS n_first,

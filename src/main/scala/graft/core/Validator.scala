@@ -111,6 +111,46 @@ object Validator {
     * only the differing buckets (each a 1/nBuckets slice), instead of
     * shuffling both full tables on id.
     */
+  /** Conflict-resolution strategy for [[reconcile]]. */
+  sealed trait Resolution
+  object Resolution {
+    case object PreferFirst extends Resolution
+    case object PreferSecond extends Resolution
+    case object NullOnConflict extends Resolution
+  }
+
+  /** Reconciliation: merge the two keyed tables into one corrected
+    * `(id, check, status)` table — the natural downstream of a diff
+    * report. Equal (null-safe) values pass through; conflicts resolve per
+    * strategy; one-sided keys are kept and labeled. One full-outer join,
+    * one shuffle.
+    *
+    * status ∈ {match, conflict, only_first, only_second}. */
+  def reconcile(first: DataFrame, second: DataFrame,
+      resolution: Resolution = Resolution.PreferFirst): DataFrame = {
+    val f = first.select(col("id").cast(StringType).as("id"),
+      col("check").as("check_first")).withColumn("in_first", lit(true))
+    val s = second.select(col("id").cast(StringType).as("id"),
+      col("check").as("check_second")).withColumn("in_second", lit(true))
+    val j = f.join(s, Seq("id"), "full_outer")
+    val equal = col("check_first") <=> col("check_second")
+    val conflictValue = resolution match {
+      case Resolution.PreferFirst    => col("check_first")
+      case Resolution.PreferSecond   => col("check_second")
+      case Resolution.NullOnConflict => lit(null)
+    }
+    j.select(
+      col("id"),
+      when(col("in_first").isNull, col("check_second"))
+        .when(col("in_second").isNull, col("check_first"))
+        .when(equal, col("check_first"))
+        .otherwise(conflictValue).as("check"),
+      when(col("in_first").isNull, "only_second")
+        .when(col("in_second").isNull, "only_first")
+        .when(equal, "match")
+        .otherwise("conflict").as("status"))
+  }
+
   /** Default bucketing: hash of the key (xxhash64). Pass a custom
     * `bucketExpr` (e.g. `pmod(id.cast(long), n)`) when cross-engine
     * reproducibility of bucket ids matters. */

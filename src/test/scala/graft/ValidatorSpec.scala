@@ -64,6 +64,24 @@ class ValidatorSpec extends AnyFunSuite with SparkSpec {
     assert(keys == Seq("0_B", "1_A"))
   }
 
+  test("reconcile merges with status labels and resolution strategies") {
+    import graft.core.Validator.Resolution
+    val f = keyed(Seq("1" -> "a", "2" -> "b", "3" -> null))
+    val s = keyed(Seq("2" -> "x", "3" -> null, "4" -> "d"))
+    val rows = Validator.reconcile(f, s).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows("1") == (("a", "only_first")))
+    assert(rows("2") == (("b", "conflict"))) // prefer first
+    assert(rows("3") == ((null, "match")))   // both-null is a match
+    assert(rows("4") == (("d", "only_second")))
+    val second = Validator.reconcile(f, s, Resolution.PreferSecond).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(second("2") == "x")
+    val nulls = Validator.reconcile(f, s, Resolution.NullOnConflict).collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(nulls("2").isEmpty)
+  }
+
   test("summaryFast equals multi-action summary incl. duplicate keys and nulls") {
     val f = keyed(Seq("1" -> "10", "1" -> "20", "2" -> null, "3" -> "30", "5" -> "x"))
     val s = keyed(Seq("1" -> "10", "1" -> "99", "2" -> null, "4" -> "40", "5" -> "y"))
