@@ -507,9 +507,10 @@ object SparkEntry {
       // components -> one keep-representative per duplicate group
       val docs = docsWithNearDups(s, dir)
       val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
-      // capped-bucket star linking bounds component diameter, so few
-      // label-propagation rounds suffice
-      Dedup.connectedComponents(Dedup.minhashCandidates(sigs), maxIter = 4)
+      // capped-bucket star linking bounds component diameter, so a fixed
+      // small round count suffices (no convergence-check jobs)
+      Dedup.connectedComponents(Dedup.minhashCandidates(sigs),
+          maxIter = 3, checkConvergence = false)
         .groupBy("component").agg(count(lit(1)).as("group_size"))
         .orderBy("component")
     }),

@@ -207,7 +207,12 @@ object Dedup {
     * (both keyed shuffles); iterations needed = graph diameter, which for
     * near-dup clusters (dense, star-linked by the capped-bucket strategy)
     * is small. The fixpoint check costs one extra aggregate per round. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  /** @param checkConvergence when false, runs exactly `maxIter` rounds
+    *        without the per-round changed-label join — half the jobs when
+    *        the component diameter is known small (e.g. star-linked LSH
+    *        buckets). Correct as long as maxIter >= diameter. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+      checkConvergence: Boolean = true): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
@@ -222,15 +227,15 @@ object Dedup {
         .select(col("src").as("id"), col("component"))
       val next = labels.union(neighborLabels)
         .groupBy("id").agg(min("component").as("component"))
-      val changed = next.as("n")
+      val changed = checkConvergence && (next.as("n")
         .join(labels.as("o"), Seq("id"))
         .filter(col("n.component") =!= col("o.component"))
-        .limit(1).count() > 0
+        .limit(1).count() > 0)
       val prev = labels
       labels = next.persist()
       labels.count() // materialize to truncate lineage growth per round
       prev.unpersist() // free the previous round's cache
-      converged = !changed
+      converged = checkConvergence && !changed
       i += 1
     }
     labels
