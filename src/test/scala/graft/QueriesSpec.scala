@@ -13,6 +13,14 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("entry also works under ANSI mode (driver smoke may use defaults)") {
+    val key = "spark.sql.ansi.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    try assert(SparkEntry.entry(spark).count() > 0)
+    finally spark.conf.set(key, prev)
+  }
+
   test("every oracleSql key has a matching query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracleSql without query: $missing")
