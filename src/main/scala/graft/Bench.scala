@@ -35,13 +35,21 @@ object Bench {
         catch { case _: Throwable => }
       }
     } catch { case _: Throwable => }
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes EVERY column — count() would let Catalyst
       // prune the projected expressions/UDFs and drop sorts, timing only
       // the scan for projection-shaped queries
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case _: Throwable => }
+      catch {
+        // a crashed query must NOT be silently timed as a fast success:
+        // record it in the errors map so a regression reads as a failure,
+        // never as a speedup
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("""[\\"\n\r\t]""", " ").take(200)
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // isolate queries from each other: drop memory-sink temp views and
       // cached blocks a query left behind so later timings aren't skewed
@@ -54,8 +62,22 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","error_count":${errors.size},"errors":$errs}"""
+    // the driver greps for the JSON line; sbt prefixes stdout with [info],
+    // so also write an unprefixed copy to a file and to stderr
+    println(json)
+    System.err.println(json)
+    try {
+      val w = new java.io.PrintWriter("/tmp/bench.json")
+      try w.println(json) finally w.close()
+    } catch { case _: Throwable => }
+    if (errors.nonEmpty) {
+      System.err.println(s"BENCH ERRORS (${errors.size}): " + errors.keys.mkString(", "))
+    }
     spark.stop()
   }
 }

@@ -200,9 +200,13 @@ object SparkEntry {
         .orderBy("bucket")
     }),
     "v_profile" -> ((s, dir) => {
-      // column profiling: the cheap pre-diff validation step
+      // column profiling: the cheap pre-diff validation step. exact=true
+      // takes the two-level pre-agg distinct path (no countDistinct
+      // Expand — see Profiler scaladoc) and matches the DuckDB oracle's
+      // exact COUNT(DISTINCT)
       graft.core.Profiler.profile(t(s, dir, "orders"),
-          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+          exact = true)
         .orderBy("column_name")
     }),
 
@@ -507,10 +511,12 @@ object SparkEntry {
       // components -> one keep-representative per duplicate group
       val docs = docsWithNearDups(s, dir)
       val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
-      // capped-bucket star linking bounds component diameter, so a fixed
-      // small round count suffices (no convergence-check jobs)
+      // convergence-checked: star linking bounds diameter within ONE bucket,
+      // but chains of buckets across bands (A~B band1, B~C band2, ...) can
+      // exceed any fixed round count — run to fixpoint, stop early when no
+      // label changes
       Dedup.connectedComponents(Dedup.minhashCandidates(sigs),
-          maxIter = 3, checkConvergence = false)
+          maxIter = 10, checkConvergence = true)
         .groupBy("component").agg(count(lit(1)).as("group_size"))
         .orderBy("component")
     }),

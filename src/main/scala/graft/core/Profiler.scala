@@ -7,23 +7,35 @@ import org.apache.spark.sql.functions._
   * column, row/null/distinct counts and min/max. The natural first step
   * of a validation job (compare profiles cheaply before row-level diff).
   *
-  * Single pass: all per-column aggregates are computed in ONE aggregation
-  * (no shuffle beyond the final single-row reduce; count_distinct adds its
-  * expand but stays one job), then unpivoted driver-side into the tidy
-  * (column, metric...) shape. At 100 TB this is a full scan but no
-  * row-level shuffle.
+  * Distinct-count strategy (the scale-critical choice):
+  *   - `exact = false` (default): `approx_count_distinct` (HLL++) keeps the
+  *     whole profile ONE single-pass aggregation with full map-side partial
+  *     aggregation and no row multiplication — the only sane default at
+  *     100 TB.
+  *   - `exact = true`: exact counts WITHOUT Spark's multi-countDistinct
+  *     Expand (which replays every row N+1 times through the first
+  *     aggregate — a 5× scan multiplier for 4 columns). Instead: a second
+  *     pass unpivots to (column_idx, value) pairs and two-level aggregates
+  *     — level 1 reduces to distinct (idx, value) pairs with map-side
+  *     combine, level 2 counts them. Each row is shuffled at most once per
+  *     profiled column AFTER local dedup, so heavy-duplicate columns
+  *     (flags, statuses) shuffle only their distinct values.
+  * Both shapes survive a 100× scale-up; the Expand shape does not.
   */
 object Profiler {
 
   /** One row per profiled column: (column, n_rows, n_null, n_distinct,
     * min_val, max_val) with values rendered as strings. */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame = {
     // index-based aliases: column names never enter generated SQL text,
     // so quotes/backticks/dots in names can't break the stack() expression
     val aggs = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap { case (c, i) =>
+      val dist =
+        if (exact) lit(0L).as(s"__dist_$i") // filled from the pair pass below
+        else approx_count_distinct(col(c)).as(s"__dist_$i")
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$i"),
-        countDistinct(col(c)).as(s"__dist_$i"),
+        dist,
         min(col(c)).cast("string").as(s"__min_$i"),
         max(col(c)).cast("string").as(s"__max_$i"))
     }
@@ -34,7 +46,26 @@ object Profiler {
       val lit = c.replace("\\", "\\\\").replace("'", "\\'")
       s"'$lit', `__n`, `__null_$i`, `__dist_$i`, `__min_$i`, `__max_$i`"
     }.mkString(", ")
-    one.selectExpr(
+    val base = one.selectExpr(
       s"stack(${cols.size}, $stackArgs) AS (column_name, n_rows, n_null, n_distinct, min_val, max_val)")
+    if (!exact) base
+    else {
+      // exact pass: unpivot to (idx, value-as-string) and count distinct
+      // pairs in two levels. The string cast is per-column injective for
+      // the profiled types, so |distinct strings| = |distinct values|.
+      val pairs = df.select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+        struct(typedLit(i).as("idx"), col(c).cast("string").as("v"))
+      }: _*)).as("p")).select(col("p.idx"), col("p.v")).where(col("v").isNotNull)
+      val distinctCounts = pairs
+        .distinct() // level 1: map-side combine, shuffle only distinct (idx, value)
+        .groupBy("idx").agg(count(lit(1)).as("__exact_dist")) // level 2: tiny
+      val names = cols.zipWithIndex.map { case (c, i) => (i, c) }
+      val nameDf = df.sparkSession.createDataFrame(names).toDF("idx", "column_name")
+      base.drop("n_distinct")
+        .join(broadcast(distinctCounts.join(nameDf, "idx").drop("idx")), Seq("column_name"), "left")
+        .select(col("column_name"), col("n_rows"), col("n_null"),
+          coalesce(col("__exact_dist"), lit(0L)).as("n_distinct"),
+          col("min_val"), col("max_val"))
+    }
   }
 }

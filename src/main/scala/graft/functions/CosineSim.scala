@@ -17,7 +17,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * On 64-dim float embeddings this is the difference between the ANN
   * operators being compute-bound and lambda-dispatch-bound.
   *
-  * Null/empty/zero-norm/length-mismatch -> null.
+  * Null/empty/zero-norm/length-mismatch -> null; a null ELEMENT also
+  * yields null (never silently read as 0.0 from the unsafe buffer).
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -66,6 +67,7 @@ object CosineSim {
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y

@@ -233,12 +233,20 @@ object Dedup {
         .limit(1).count() > 0)
       val prev = labels
       labels = next.persist()
-      labels.count() // materialize to truncate lineage growth per round
+      labels.count() // materialize so later rounds read the cache, not lineage
       prev.unpersist() // free the previous round's cache
       converged = checkConvergence && !changed
       i += 1
     }
-    labels
+    // hand the caller a lineage-truncated, cache-free result: localCheckpoint
+    // materializes the final labels into managed blocks (freed automatically
+    // when the DataFrame is garbage-collected), so the loop's cache entry can
+    // be released here instead of leaking until someone calls unpersist().
+    // On a real cluster with executor churn, prefer reliable checkpointing
+    // (spark.sparkContext.setCheckpointDir + .checkpoint()) for this step.
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   // --- SimHash --------------------------------------------------------------

@@ -30,6 +30,12 @@ object StreamingOps {
     * FileStreamSource wants a directory, so a file gets its parent as
     * basePath) with the schema inferred from a batch sample (streams need
     * an explicit schema). */
+  // one symlink dir per resolved file path, reused across calls (repeated
+  // invocations — e.g. bench warmup + timed run — must not accumulate temp
+  // dirs); deleteOnExit in reverse creation order (file before dir)
+  private val symlinkDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     val schema = spark.read.parquet(path).schema
     val f = new java.io.File(path)
@@ -37,10 +43,14 @@ object StreamingOps {
       if (f.isFile) {
         // FileStreamSource requires a directory: expose the file through a
         // symlink in a temp dir (no data copy)
-        val d = java.nio.file.Files.createTempDirectory("graft_stream_")
-        java.nio.file.Files.createSymbolicLink(
-          d.resolve(f.getName), f.toPath.toAbsolutePath)
-        d.toString
+        symlinkDirs.computeIfAbsent(f.getCanonicalPath, { _ =>
+          val d = java.nio.file.Files.createTempDirectory("graft_stream_")
+          d.toFile.deleteOnExit() // registered first => deleted last (reverse order)
+          val link = java.nio.file.Files.createSymbolicLink(
+            d.resolve(f.getName), f.toPath.toAbsolutePath)
+          link.toFile.deleteOnExit()
+          d.toString
+        })
       } else path
     normalizeEventTs(spark.readStream.schema(schema).parquet(streamDir))
   }
