@@ -460,11 +460,14 @@ object SparkEntry {
       TextAnalysis.stats(t(s, dir, "documents")).orderBy("doc_id")
     }),
     "t_quality" -> ((s, dir) => {
+      // scores emitted integer-scaled (basis points / ppm) so the DuckDB
+      // oracle — which replays the identical double arithmetic — hashes
+      // bit-for-bit
       val d = t(s, dir, "documents")
       d.select(col("doc_id"),
-          TextAnalysis.qualityScore(col("text")).as("quality"),
+          round(TextAnalysis.qualityScore(col("text")) * 10000).cast("long").as("quality_bp"),
           TextAnalysis.tokenEstimate(col("text")).as("token_estimate"),
-          TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"))
+          round(TextAnalysis.stopwordRatio(col("text")) * 1000000).cast("long").as("stopword_ppm"))
         .orderBy("doc_id")
     }),
     "t_lang_id" -> ((s, dir) => {
@@ -538,8 +541,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "t_ann_topk" -> ((s, dir) => {
+      // ranks computed on full-precision cosine; the emitted score is
+      // ppm-scaled for cross-engine hash parity with the brute-force
+      // DuckDB oracle (ranking is deterministic: ties broken by corpus_id)
       val e = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cosine") * 1000000).cast("long").as("cosine_ppm"),
+          col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
     "t_ann_lsh" -> ((s, dir) => {
@@ -569,7 +578,9 @@ object SparkEntry {
     }),
     "t_vector_stats" -> ((s, dir) => {
       Similarity.vectorStats(t(s, dir, "embeddings"))
-        .select(col("vec_id"), col("dim"), col("sq_sum"))
+        .select(col("vec_id"), col("dim"),
+          round(col("sq_sum") * 1000000).cast("long").as("sq_sum_ppm"),
+          round(col("l2_norm") * 1000000).cast("long").as("l2_ppm"))
         .orderBy("vec_id")
     }),
     "t_media_features" -> ((s, dir) => {
@@ -912,6 +923,149 @@ object SparkEntry {
         |  CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
         |  CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS n_punct,
         |  md5(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))) AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // independent DuckDB reimplementation of the double arithmetic in
+    // TextAnalysis.qualityScore/tokenEstimate/stopwordRatio; all literals
+    // cast to DOUBLE (DuckDB parses bare 0.3 as DECIMAL) and the expression
+    // tree shaped identically so the IEEE results agree bit-for-bit before
+    // integer scaling
+    "t_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(LENGTH(text) AS DOUBLE) AS n,
+        |    CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS DOUBLE) AS toks,
+        |    CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits,
+        |    CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS puncts,
+        |    CAST(len(list_filter(regexp_split_to_array(LOWER(TRIM(text)), '\s+'),
+        |      t -> t IN ('the','a','an','of','to','in','and','is','it','that','for','on','with','as','was','at','by'))) AS DOUBLE) AS stops,
+        |    CAST(len(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS DOUBLE) AS lowtoks,
+        |    CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]', 0)) AS BIGINT) AS token_estimate
+        |  FROM documents
+        |), sc AS (
+        |  SELECT doc_id, token_estimate,
+        |    CASE WHEN n >= CAST(50 AS DOUBLE) AND n <= CAST(20000 AS DOUBLE) THEN CAST(1.0 AS DOUBLE)
+        |         WHEN n > 0 THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS len_score,
+        |    CASE WHEN (CASE WHEN toks > 0 THEN n / toks ELSE CAST(0.0 AS DOUBLE) END) >= CAST(2.5 AS DOUBLE)
+        |          AND (CASE WHEN toks > 0 THEN n / toks ELSE CAST(0.0 AS DOUBLE) END) <= CAST(12.0 AS DOUBLE)
+        |         THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.3 AS DOUBLE) END AS tok_len_score,
+        |    CASE WHEN puncts / greatest(n, CAST(1.0 AS DOUBLE)) < CAST(0.2 AS DOUBLE)
+        |         THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.2 AS DOUBLE) END AS punct_score,
+        |    CASE WHEN digits / greatest(n, CAST(1.0 AS DOUBLE)) < CAST(0.3 AS DOUBLE)
+        |         THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.3 AS DOUBLE) END AS digit_score,
+        |    CASE WHEN (CASE WHEN lowtoks > 0 THEN stops / lowtoks ELSE CAST(0.0 AS DOUBLE) END) > CAST(0.01 AS DOUBLE)
+        |         THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.6 AS DOUBLE) END AS stop_score,
+        |    CASE WHEN lowtoks > 0 THEN stops / lowtoks ELSE CAST(0.0 AS DOUBLE) END AS stop_ratio
+        |  FROM q
+        |)
+        |SELECT doc_id,
+        |  CAST(ROUND((len_score * CAST(0.3 AS DOUBLE) + tok_len_score * CAST(0.2 AS DOUBLE)
+        |    + punct_score * CAST(0.2 AS DOUBLE) + digit_score * CAST(0.15 AS DOUBLE)
+        |    + stop_score * CAST(0.15 AS DOUBLE)) * 10000) AS BIGINT) AS quality_bp,
+        |  token_estimate,
+        |  CAST(ROUND(stop_ratio * 1000000) AS BIGINT) AS stopword_ppm
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    // rolling Karp-Rabin hash replayed in DuckDB: HUGEINT (int128)
+    // arithmetic mod 2^64 == Java Long wraparound (unicode(c) == charAt
+    // for BMP text; the corpus is ASCII), then mapped back to signed
+    "t_fingerprint" ->
+      """WITH norm AS (
+        |  SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS s
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, s,
+        |    CASE WHEN s = '' THEN CAST(1125899906842597 AS HUGEINT)
+        |      ELSE list_reduce(
+        |        list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |          list_transform(string_split(s, ''), c -> CAST(unicode(c) AS HUGEINT))),
+        |        (acc, c) -> (31 * acc + c) % CAST(18446744073709551616 AS HUGEINT)) END AS hu
+        |  FROM norm
+        |)
+        |SELECT doc_id, md5(s) AS fp_md5,
+        |  CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+        |       THEN hu - CAST(18446744073709551616 AS HUGEINT) ELSE hu END AS BIGINT) AS fp_roll
+        |FROM h ORDER BY doc_id""".stripMargin,
+    // language-ID heuristic replayed in SQL: script detection by codepoint
+    // ranges (Java Character.UnicodeBlock equivalents), then stopword-
+    // profile voting with alphabetical tie-break (matches the sorted
+    // iteration in TextAnalysis.langId)
+    "t_lang_id" ->
+      """WITH b AS (
+        |  SELECT doc_id, TRIM(text) = '' OR text IS NULL AS blank,
+        |    length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS letters,
+        |    length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}\x{3040}-\x{309F}\x{30A0}-\x{30FF}\x{AC00}-\x{D7A3}]', '', 'g')) AS cjk,
+        |    length(regexp_replace(text, '[^\x{0400}-\x{04FF}]', '', 'g')) AS cyr,
+        |    length(regexp_replace(text, '[^\x{0600}-\x{06FF}]', '', 'g')) AS ar,
+        |    regexp_split_to_array(LOWER(text), '\s+') AS toks
+        |  FROM documents
+        |), v AS (
+        |  SELECT doc_id, blank, letters, cjk, cyr, ar,
+        |    len(list_filter(toks, t -> t IN ('der','die','und','das','nicht','von','sie','ist','des','sich','mit','dem','ein','eine','zu'))) AS s_de,
+        |    len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','it','that','for','was','with','on','as','are','this'))) AS s_en,
+        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','los','del','se','las','por','un','una','con','para'))) AS s_es,
+        |    len(list_filter(toks, t -> t IN ('le','la','les','de','des','et','est','un','une','du','que','pour','dans','qui','sur'))) AS s_fr,
+        |    len(list_filter(toks, t -> t IN ('il','di','che','la','e','per','un','del','con','non','una','sono','della','le','si'))) AS s_it,
+        |    len(list_filter(toks, t -> t IN ('de','que','e','do','da','em','um','para','com','uma','os','no','na','por','mais'))) AS s_pt
+        |  FROM b
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN blank THEN 'und'
+        |       WHEN letters > 0 AND CAST(cjk AS DOUBLE) / letters > CAST(0.3 AS DOUBLE) THEN 'zh'
+        |       WHEN letters > 0 AND CAST(cyr AS DOUBLE) / letters > CAST(0.3 AS DOUBLE) THEN 'ru'
+        |       WHEN letters > 0 AND CAST(ar AS DOUBLE) / letters > CAST(0.3 AS DOUBLE) THEN 'ar'
+        |       WHEN greatest(s_de, s_en, s_es, s_fr, s_it, s_pt) = 0 THEN 'und'
+        |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_it, s_pt) THEN 'de'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_it, s_pt) THEN 'en'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_it, s_pt) THEN 'es'
+        |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_it, s_pt) THEN 'fr'
+        |       WHEN s_it = greatest(s_de, s_en, s_es, s_fr, s_it, s_pt) THEN 'it'
+        |       ELSE 'pt' END AS lang_pred
+        |FROM v ORDER BY doc_id""".stripMargin,
+    "t_vector_stats" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |  CAST(ROUND(list_aggregate(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') * 1000000) AS BIGINT) AS sq_sum_ppm,
+        |  CAST(ROUND(sqrt(list_aggregate(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * 1000000) AS BIGINT) AS l2_ppm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // exact brute-force oracle for the brute-force ANN query: same cosine
+    // formula as CosineSim (dot / (sqrt(na)*sqrt(nb)) over doubles), same
+    // deterministic tie-break (corpus_id)
+    "t_ann_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 10
+        |), c AS (
+        |  SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        |), s AS (
+        |  SELECT query_id, corpus_id,
+        |    list_dot_product(qv, cv) /
+        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+        |  FROM q CROSS JOIN c WHERE corpus_id <> query_id
+        |), r AS (
+        |  SELECT query_id, corpus_id, cosine,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, corpus_id) AS BIGINT) AS rank
+        |  FROM s
+        |)
+        |SELECT query_id, corpus_id,
+        |  CAST(ROUND(cosine * 1000000) AS BIGINT) AS cosine_ppm, rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // difflib ratio is not SQL-expressible, but the comparison IS oracle-
+    // checkable through a precomputed CPython-difflib fixture keyed by the
+    // (categorical) value pair — valid at any SF because the priority
+    // domain is fixed. Null semantics per the reference: both-null match,
+    // one-null differs (ratio -1).
+    "v_diff_string_fuzzy" ->
+      s"""$pairCte
+         |SELECT db1.id, db1.o_orderpriority AS check_first, db2.o_orderpriority AS check_second
+         |FROM db1 JOIN db2 ON db1.id = db2.id
+         |LEFT JOIN read_parquet('/root/repo/src/test/resources/difflib_ratios.parquet') r
+         |  ON db1.o_orderpriority = r.a AND db2.o_orderpriority = r.b
+         |WHERE CASE
+         |  WHEN db1.o_orderpriority IS NULL AND db2.o_orderpriority IS NULL THEN FALSE
+         |  WHEN db1.o_orderpriority IS NULL OR db2.o_orderpriority IS NULL THEN TRUE
+         |  ELSE r.ratio < CAST(0.9 AS DOUBLE) END
+         |ORDER BY 1""".stripMargin
   )
 }

@@ -126,7 +126,9 @@ object TextAnalysis {
       else {
         val toks = text.toLowerCase.split("\\s+")
         var best = "und"; var bestScore = 0
-        for ((lang, stops) <- profiles) {
+        // sorted iteration => deterministic alphabetical tie-break (Map
+        // iteration order is unspecified; an oracle needs a total order)
+        for ((lang, stops) <- profiles.toSeq.sortBy(_._1)) {
           var s = 0
           var j = 0
           while (j < toks.length) { if (stops.contains(toks(j))) s += 1; j += 1 }
