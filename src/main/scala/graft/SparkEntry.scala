@@ -584,8 +584,16 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
     "t_media_features" -> ((s, dir) => {
-      val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "image")
-      Multimodal.extractFeatures(media).toDF().orderBy("media_id")
+      // REAL image pipeline: deterministic 8x8 grayscale BMP per document
+      // -> javax.imageio decode -> true pixel brightness/sharpness. The
+      // oracle recomputes both from the text's char codes (the closed form
+      // of the generated pixels; BMP is lossless)
+      val media = Multimodal.asMediaImages(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("decoded_w"), col("decoded_h"),
+          round(col("brightness") * 1000000).cast("long").as("brightness_ppm"),
+          round(col("sharpness") * 1000000).cast("long").as("sharpness_ppm"))
+        .orderBy("media_id")
     }),
     "t_media_resize" -> ((s, dir) => {
       // resize (stubbed resample, real metadata/batching) -> re-extract
@@ -1051,6 +1059,31 @@ object SparkEntry {
         |SELECT query_id, corpus_id,
         |  CAST(ROUND(cosine * 1000000) AS BIGINT) AS cosine_ppm, rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the decoded-pixel oracle: the 8x8 BMP pixels are charAt(i % len)&0xFF
+    // by construction, so brightness (mean/255) and sharpness (mean
+    // |horizontal gradient|/255) have closed forms over the text — if the
+    // ImageIO encode+decode round-trip did anything lossy this mismatches
+    "t_media_features" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(text) = 0
+        |         THEN list_transform(range(0, 64), i -> 0)
+        |         ELSE [unicode(substring(text, CAST(i % length(text) AS INTEGER) + 1, 1)) % 256
+        |               FOR i IN range(0, 64)]
+        |    END AS p
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |    CAST(list_aggregate(p, 'sum') AS DOUBLE) AS gray_sum,
+        |    CAST(list_aggregate([abs(p[i] - p[i-1]) FOR i IN range(2, 65) IF (i - 1) % 8 != 0],
+        |      'sum') AS DOUBLE) AS diff_sum
+        |  FROM px
+        |)
+        |SELECT doc_id AS media_id,
+        |  CAST(8 AS INTEGER) AS decoded_w, CAST(8 AS INTEGER) AS decoded_h,
+        |  CAST(ROUND(gray_sum / 64 / CAST(255.0 AS DOUBLE) * 1000000) AS BIGINT) AS brightness_ppm,
+        |  CAST(ROUND(diff_sum / 56 / CAST(255.0 AS DOUBLE) * 1000000) AS BIGINT) AS sharpness_ppm
+        |FROM f ORDER BY media_id""".stripMargin,
     // difflib ratio is not SQL-expressible, but the comparison IS oracle-
     // checkable through a precomputed CPython-difflib fixture keyed by the
     // (categorical) value pair — valid at any SF because the priority

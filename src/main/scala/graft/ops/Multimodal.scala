@@ -6,19 +6,25 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media (image/audio/video) carried as opaque
   * `binary` columns with typed metadata, processed per-partition in batches.
   *
-  * The Spark-side contract is real and tested — schema, partitioning,
-  * batch iteration — while the actual codec step is a clearly-marked STUB
-  * (the container has no image/audio libraries): `decodeStub` derives
-  * deterministic fake features from the bytes so the pipeline shape is
-  * exercised end to end.
+  * IMAGE decode is REAL: payloads that are valid images (BMP/PNG/JPEG —
+  * anything the JDK's `javax.imageio.ImageIO` reads) are decoded to pixels
+  * and brightness/sharpness are computed from actual luminance. Audio/video
+  * codecs remain clearly-marked STUBs (the container has no AV libraries):
+  * `decodeStub` derives deterministic fake features from the bytes so the
+  * pipeline shape is exercised end to end.
   *
   * Scale notes: media blobs dominate row size, so `repartitionForMedia`
   * targets a byte budget per partition (not a row count); feature
   * extraction is `mapPartitions` (one JVM-side batch per partition, the
-  * Scala analogue of `mapInPandas` batching); no shuffle is introduced by
+  * Scala analogue of `mapInPandas` batching — and the shape a native codec
+  * handle-per-partition requires); no shuffle is introduced by
   * decode/extract — only by any downstream aggregation.
   */
 object Multimodal {
+
+  // ImageIO's default temp-file disk cache would add a file create/delete
+  // per decode on every executor thread — in-memory streams only
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** A media row: opaque payload + the typed metadata a catalog would hold. */
   final case class MediaRow(
@@ -29,14 +35,19 @@ object Multimodal {
       height: Int,
       duration_ms: Long)
 
-  /** Extracted features per media item (fixed-width, columnar-friendly). */
+  /** Extracted features per media item (fixed-width, columnar-friendly).
+    * For decodable images, `decoded_w/h` are the real pixel dimensions and
+    * brightness/sharpness come from real luminance; for audio/video (and
+    * undecodable payloads) they are 0 and the deterministic byte-stub. */
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
       n_bytes: Long,
       checksum: Long,
-      brightness: Double,    // STUB: deterministic from bytes
-      sharpness: Double)     // STUB: deterministic from bytes
+      decoded_w: Int,        // 0 when not decoded
+      decoded_h: Int,
+      brightness: Double,    // image: mean luminance/255; else byte stub
+      sharpness: Double)     // image: mean |horiz gradient|/255; else stub
 
   /** One sampled frame of a video payload. */
   final case class FrameSample(media_id: Long, frame_idx: Int, offset_bytes: Long,
@@ -62,9 +73,78 @@ object Multimodal {
     df.repartition(parts)
   }
 
-  /** ??? in spirit: the real decoder would go here (JPEG/PNG/WAV/MP4).
-    * STUB — deterministic features from the raw bytes so the distributed
-    * plumbing is testable without codecs. */
+  /** Deterministic 8x8 grayscale BMP derived from a string: pixel i
+    * (row-major) = `charAt(i % len) & 0xFF` replicated to r=g=b, written
+    * through the JDK BMP encoder. Gives tests and the driver queries REAL
+    * decodable image payloads whose pixel values have a closed form an
+    * external oracle can recompute from the source text (BMP is lossless).
+    * ASCII/BMP-plane text assumed (charAt == codepoint). */
+  def encodeGrayBmp(text: String, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val len = if (text == null) 0 else text.length
+    var i = 0
+    while (i < w * h) {
+      val v = if (len == 0) 0 else text.charAt(i % len) & 0xFF
+      img.setRGB(i % w, i / w, (v << 16) | (v << 8) | v)
+      i += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", baos)
+    baos.toByteArray
+  }
+
+  private val grayBmpUdf = udf { (t: String) => encodeGrayBmp(t) }
+
+  /** Like [[asMedia]] but with a REAL image payload: each row carries an
+    * 8x8 grayscale BMP deterministically derived from the text column. */
+  def asMediaImages(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit("image").as("kind"),
+      grayBmpUdf(col(textCol)).as("payload"),
+      lit(8).as("width"),
+      lit(8).as("height"),
+      lit(0L).as("duration_ms"))
+
+  /** REAL image decode via the JDK's ImageIO (BMP/PNG/JPEG/GIF); null when
+    * the payload is not a decodable image. */
+  private def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage =
+    if (payload == null || payload.isEmpty) null
+    else
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+
+  /** True pixel features from a decoded image: brightness = mean luminance
+    * ((r+g+b)/3) / 255; sharpness = mean |horizontal luminance gradient|
+    * / 255 (0 for 1-pixel-wide images). */
+  private def imageFeatures(img: java.awt.image.BufferedImage): (Double, Double) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var graySum = 0.0
+    var diffSum = 0.0
+    var r = 0
+    while (r < h) {
+      var prev = 0.0
+      var c = 0
+      while (c < w) {
+        val rgb = img.getRGB(c, r)
+        val gray = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
+        graySum += gray
+        if (c > 0) diffSum += math.abs(gray - prev)
+        prev = gray
+        c += 1
+      }
+      r += 1
+    }
+    val brightness = graySum / (w * h) / 255.0
+    val sharpness = if (w > 1) diffSum / (h * (w - 1)) / 255.0 else 0.0
+    (brightness, sharpness)
+  }
+
+  /** STUB for audio/video (and undecodable payloads): the real codec would
+    * go here (WAV/MP4) — deterministic features from the raw bytes so the
+    * distributed plumbing is testable without codecs. */
   private def decodeStub(payload: Array[Byte]): (Double, Double) = {
     if (payload == null || payload.isEmpty) return (0.0, 0.0)
     var sum = 0L
@@ -96,11 +176,21 @@ object Multimodal {
     media.select("media_id", "kind", "payload").as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, kind, payload) =>
-          val (bright, sharp) = decodeStub(payload)
+          // image: REAL decode (ImageIO) with stub fallback for payloads
+          // that aren't actually images; audio/video: stub
+          val img = if (kind == "image") decodeImage(payload) else null
+          val (w, h, bright, sharp) =
+            if (img != null) {
+              val (b, s) = imageFeatures(img)
+              (img.getWidth, img.getHeight, b, s)
+            } else {
+              val (b, s) = decodeStub(payload)
+              (0, 0, b, s)
+            }
           MediaFeatures(id, kind,
             if (payload == null) 0L else payload.length.toLong,
             if (payload == null) 0L else checksum64(payload),
-            bright, sharp)
+            w, h, bright, sharp)
         }
       }
   }
