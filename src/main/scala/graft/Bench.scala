@@ -45,10 +45,11 @@ object Bench {
       catch {
         // a crashed query must NOT be silently timed as a fast success:
         // record it in the errors map so a regression reads as a failure,
-        // never as a speedup
+        // never as a speedup. Sanitize the WHOLE C0 control range (a raw
+        // U+0000-U+001F inside a JSON string is invalid JSON)
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("""[\\"\n\r\t]""", " ").take(200)
+            .replaceAll("[\\\\\"\\x00-\\x1F]", " ").take(200)
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // isolate queries from each other: drop memory-sink temp views and
@@ -64,7 +65,12 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // total = successful queries only: a crashed query's partial runtime in
+    // the headline total would let a crash read as a speedup (or slowdown)
+    // instead of the separate failure it is
+    val total = results.collect {
+      case (name, dt) if !errors.contains(name) => dt
+    }.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","error_count":${errors.size},"errors":$errs}"""
     // the driver greps for the JSON line; sbt prefixes stdout with [info],

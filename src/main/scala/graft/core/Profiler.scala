@@ -41,28 +41,42 @@ object Profiler {
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     // unpivot via stack: one output row per column (row count shared);
-    // the name literal is single-quote-escaped
+    // the name literal is single-quote-escaped. idx rides along so the
+    // exact-pass join below keys on position, not name — profiling the
+    // same column twice must not fan the join out
     val stackArgs = cols.zipWithIndex.map { case (c, i) =>
       val lit = c.replace("\\", "\\\\").replace("'", "\\'")
-      s"'$lit', `__n`, `__null_$i`, `__dist_$i`, `__min_$i`, `__max_$i`"
+      s"$i, '$lit', `__n`, `__null_$i`, `__dist_$i`, `__min_$i`, `__max_$i`"
     }.mkString(", ")
     val base = one.selectExpr(
-      s"stack(${cols.size}, $stackArgs) AS (column_name, n_rows, n_null, n_distinct, min_val, max_val)")
-    if (!exact) base
+      s"stack(${cols.size}, $stackArgs) AS (idx, column_name, n_rows, n_null, n_distinct, min_val, max_val)")
+    if (!exact) base.drop("idx")
     else {
       // exact pass: unpivot to (idx, value-as-string) and count distinct
-      // pairs in two levels. The string cast is per-column injective for
-      // the profiled types, so |distinct strings| = |distinct values|.
+      // pairs in two levels. The cast must be injective per column:
+      //  - float/double: normalize -0.0 to 0.0 first — every SQL engine's
+      //    COUNT(DISTINCT) treats them as one value, but their string
+      //    images "-0.0"/"0.0" differ
+      //  - binary: hex() — a UTF-8 string cast mangles invalid sequences,
+      //    collapsing distinct byte strings
+      //  - everything else: plain string cast
+      def injective(c: String): org.apache.spark.sql.Column = {
+        import org.apache.spark.sql.types._
+        df.schema.find(_.name == c).map(_.dataType) match {
+          case Some(FloatType) | Some(DoubleType) =>
+            when(col(c) === 0, lit(0.0)).otherwise(col(c)).cast("string")
+          case Some(BinaryType) => hex(col(c))
+          case _ => col(c).cast("string")
+        }
+      }
       val pairs = df.select(explode(array(cols.zipWithIndex.map { case (c, i) =>
-        struct(typedLit(i).as("idx"), col(c).cast("string").as("v"))
+        struct(typedLit(i).as("idx"), injective(c).as("v"))
       }: _*)).as("p")).select(col("p.idx"), col("p.v")).where(col("v").isNotNull)
       val distinctCounts = pairs
         .distinct() // level 1: map-side combine, shuffle only distinct (idx, value)
         .groupBy("idx").agg(count(lit(1)).as("__exact_dist")) // level 2: tiny
-      val names = cols.zipWithIndex.map { case (c, i) => (i, c) }
-      val nameDf = df.sparkSession.createDataFrame(names).toDF("idx", "column_name")
       base.drop("n_distinct")
-        .join(broadcast(distinctCounts.join(nameDf, "idx").drop("idx")), Seq("column_name"), "left")
+        .join(broadcast(distinctCounts), Seq("idx"), "left")
         .select(col("column_name"), col("n_rows"), col("n_null"),
           coalesce(col("__exact_dist"), lit(0L)).as("n_distinct"),
           col("min_val"), col("max_val"))

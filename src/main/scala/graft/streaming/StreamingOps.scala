@@ -42,14 +42,22 @@ object StreamingOps {
     val streamDir =
       if (f.isFile) {
         // FileStreamSource requires a directory: expose the file through a
-        // symlink in a temp dir (no data copy)
-        symlinkDirs.computeIfAbsent(f.getCanonicalPath, { _ =>
-          val d = java.nio.file.Files.createTempDirectory("graft_stream_")
-          d.toFile.deleteOnExit() // registered first => deleted last (reverse order)
-          val link = java.nio.file.Files.createSymbolicLink(
-            d.resolve(f.getName), f.toPath.toAbsolutePath)
-          link.toFile.deleteOnExit()
-          d.toString
+        // symlink in a temp dir (no data copy). compute() (not
+        // computeIfAbsent) revalidates a cached entry: a tmp-cleaner (or
+        // test teardown) may have removed the dir mid-session, and handing
+        // the reader a stale path would fail every later stream
+        symlinkDirs.compute(f.getCanonicalPath, { (_, cached) =>
+          if (cached != null &&
+              java.nio.file.Files.exists(java.nio.file.Paths.get(cached, f.getName)))
+            cached
+          else {
+            val d = java.nio.file.Files.createTempDirectory("graft_stream_")
+            d.toFile.deleteOnExit() // registered first => deleted last (reverse order)
+            val link = java.nio.file.Files.createSymbolicLink(
+              d.resolve(f.getName), f.toPath.toAbsolutePath)
+            link.toFile.deleteOnExit()
+            d.toString
+          }
         })
       } else path
     normalizeEventTs(spark.readStream.schema(schema).parquet(streamDir))

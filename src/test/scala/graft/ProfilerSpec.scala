@@ -51,6 +51,29 @@ class ProfilerSpec extends AnyFunSuite with SparkSpec {
     assert(got("o_orderstatus") == 3) // tiny cardinality is exact under HLL
   }
 
+  test("exact distinct treats -0.0 and 0.0 as one value and binary by bytes") {
+    // -0.0 vs 0.0: COUNT(DISTINCT) semantics (SQL engines, including the
+    // DuckDB oracle) treat them as equal; the string images differ, so the
+    // exact pass must normalize before casting
+    val d = Seq(-0.0, 0.0, 1.5, Double.NaN).toDF("x")
+    val gotD = Profiler.profile(d, Seq("x"), exact = true).collect().head
+    assert(gotD.getAs[Long]("n_distinct") == 3L, "-0.0 and 0.0 must collapse; NaN counts once")
+    // binary: a UTF-8 string cast collapses distinct invalid byte
+    // sequences; hex() must keep them apart
+    val b = Seq(Array[Byte](-1, -2), Array[Byte](-3, -4), Array[Byte](-1, -2))
+      .toDF("bin")
+    val gotB = Profiler.profile(b, Seq("bin"), exact = true).collect().head
+    assert(gotB.getAs[Long]("n_distinct") == 2L, "distinct byte strings must stay distinct")
+  }
+
+  test("profiling the same column twice does not fan out the exact join") {
+    val got = Profiler.profile(orders, Seq("o_orderkey", "o_orderkey"), exact = true)
+      .collect()
+    assert(got.length == 2, s"one output row per requested column, got ${got.length}")
+    val exactK = orders.select("o_orderkey").distinct().count()
+    assert(got.forall(_.getAs[Long]("n_distinct") == exactK))
+  }
+
   test("cosine_sim returns null on null array element instead of reading 0.0") {
     val df = Seq(
       (Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](1.0, 2.0)),

@@ -123,4 +123,33 @@ class ValidatorSpec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[Long]("n_differing") == 1)
     assert(row.getAs[Long]("n_matched") == 2)
   }
+  test("V1 key divergence pinned: null component -> \"0\", wholly-null key stays null (vs pandas \"nan\")") {
+    // The reference stringifies keys with pandas astype(str)
+    // (running_validation.py:219-220), which renders missing values as the
+    // LITERAL string "nan" — so two rows with missing keys JOIN each other.
+    // Our engine diverges deliberately (documented in README):
+    //  - a null COMPONENT of a composite key becomes "0" (the reference's
+    //    own SQL-side COALESCE(...,'0'), running_validation.py:471-476)
+    //  - a WHOLLY-null key stays SQL null: it never equals another null in
+    //    a join, so such rows surface in the anti-joins ("missing"), never
+    //    in the inner-join diff.
+    import org.apache.spark.sql.functions.col
+    val comp = Seq((Option(1L), Option("A")), (None: Option[Long], Option("B")),
+        (None: Option[Long], None: Option[String]))
+      .toDF("k1", "k2")
+      .select(compositeKey(Seq("k1", "k2")).as("id")).as[String].collect().toSeq
+    assert(comp == Seq("1_A", "0_B", "0_0"),
+      "null components must render as \"0\", never as \"nan\"")
+
+    // wholly-null id on BOTH sides with equal check values: pandas would
+    // match them ("nan" == "nan"); we emit each as missing on its side
+    val f = Seq((null: String, "same"), ("1", "a")).toDF("id", "check")
+    val s = Seq((null: String, "same"), ("1", "a")).toDF("id", "check")
+    val out = Validator.validate(f, s, CompareMode.Fuzzy(1.0))
+    assert(out.differing.count() == 0)
+    assert(out.missingInFirst.filter(col("id").isNull).count() == 1,
+      "null-key row of second must surface as missing_in_first, not join")
+    assert(out.missingInSecond.filter(col("id").isNull).count() == 1,
+      "null-key row of first must surface as missing_in_second, not join")
+  }
 }
