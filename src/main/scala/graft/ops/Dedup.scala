@@ -227,15 +227,22 @@ object Dedup {
         .select(col("src").as("id"), col("component"))
       val next = labels.union(neighborLabels)
         .groupBy("id").agg(min("component").as("component"))
-      val changed = checkConvergence && (next.as("n")
-        .join(labels.as("o"), Seq("id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .limit(1).count() > 0)
       val prev = labels
       labels = next.persist()
-      labels.count() // materialize so later rounds read the cache, not lineage
+      // ONE job per round: the aggregate below materializes `next` into the
+      // cache AND counts changed labels in the same pass (joining against
+      // the previous round's cached labels is a cheap cache-side probe) —
+      // previously the changed-check was a second full job per round
+      val changed =
+        if (checkConvergence)
+          labels.as("n")
+            .join(prev.as("o").withColumnRenamed("component", "__old"), Seq("id"))
+            .agg(coalesce(sum(when(!(col("component") <=> col("__old")), 1L)
+              .otherwise(0L)), lit(0L))) // empty graph: sum yields null
+            .head.getLong(0)
+        else { labels.count(); 1L } // materialize only; run all rounds
       prev.unpersist() // free the previous round's cache
-      converged = checkConvergence && !changed
+      converged = checkConvergence && changed == 0L
       i += 1
     }
     // hand the caller a lineage-truncated, cache-free result: localCheckpoint

@@ -59,6 +59,33 @@ class ConfigJobSpec extends AnyFunSuite with SparkSpec {
     assert(new java.io.File(s"$outDir/tidy/differing_values").isDirectory)
   }
 
+  test("graft.Main runs the whole lifecycle from a config file path") {
+    // the CLI entry point end to end: yaml on disk -> sources -> validate
+    // -> reports on disk -> printed summary row
+    val (pa, pb) = writeSides()
+    val outDir = Files.createTempDirectory("mainout").toString
+    val cfgFile = Files.createTempFile("main", ".yaml")
+    Files.writeString(cfgFile,
+      s"""databases: [left, right]
+         |data_type: string
+         |threshold: 1
+         |composite_id_columns: [pk]
+         |check_column: val
+         |output_directory: $outDir
+         |sources:
+         |  left: { format: parquet, path: $pa }
+         |  right: { format: parquet, path: $pb }
+         |""".stripMargin)
+    val row = Main.run(spark, cfgFile.toString)
+    assert(row.getAs[Long]("n_first") == 3)
+    assert(row.getAs[Long]("n_second") == 3)
+    assert(row.getAs[Long]("missing_in_first") == 1)
+    assert(row.getAs[Long]("missing_in_second") == 1)
+    assert(row.getAs[Long]("n_differing") == 1)
+    assert(new java.io.File(s"$outDir/result/output_left_right_val_result.csv").isDirectory)
+    assert(new java.io.File(s"$outDir/tidy/differing_values").isDirectory)
+  }
+
   test("date-range filter is applied exclusively on both ends") {
     val (pa, pb) = writeSides()
     val yaml =
