@@ -499,15 +499,17 @@ object SparkEntry {
     }),
     "t_minhash_group_sig" -> ((s, dir) => {
       // distributive MinHashAgg: per-source corpus signature from exploded
-      // shingles (map-side partial agg; shuffle carries 64 longs per group)
+      // shingles (map-side partial agg; shuffle carries 64 longs per
+      // group). Emitted component-wise (source, hash_idx, sig_value) so
+      // the DuckDB oracle can replay every signature component exactly
       val shingleUdf = udf { (text: String) => Dedup.shingleHashes(text, 3) }
       t(s, dir, "documents")
         .select(col("source"),
           explode(shingleUdf(TextAnalysis.normalized(col("text")))).as("sh"))
         .groupBy("source")
         .agg(graft.functions.MinHashAgg.minhashAgg(col("sh")).as("sig"))
-        .select(col("source"), xxhash64(col("sig")).as("sig_hash"))
-        .orderBy("source")
+        .select(col("source"), posexplode(col("sig")).as(Seq("hash_idx", "sig_value")))
+        .orderBy("source", "hash_idx")
     }),
     "t_dedup_groups" -> ((s, dir) => {
       // full near-dup pipeline finisher: LSH candidates -> connected
@@ -610,6 +612,117 @@ object SparkEntry {
         .orderBy("media_id")
     })
   )
+
+  // ===== HUGEINT-replay builders for the LSH-family oracles ================
+  //
+  // The minhash / simhash / ngram / connected-components / frame-sample
+  // oracles below replay the engine's 64-bit hash pipelines in DuckDB
+  // int128 ("HUGEINT") arithmetic mod 2^64 — the technique the
+  // t_fingerprint oracle established. One caveat int128 adds: a product of
+  // two ~2^64 factors overflows int128, so the splitmix finalizer
+  // multiplications are decomposed into 32-bit halves (every intermediate
+  // stays < 2^65); the FNV prime (~2^40) is safe to multiply directly.
+  private val P64 = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
+  private val P63 = "CAST(9223372036854775808 AS HUGEINT)"  // 2^63
+  private val LMAX = "CAST(9223372036854775807 AS HUGEINT)" // Long.MaxValue
+  private val FNV_OFF = "CAST(14695981039346656037 AS HUGEINT)" // 0xcbf29ce484222325
+  private val WS = "\\s+"
+
+  /** FNV-1a over the characters of a string expression, unsigned mod 2^64
+    * — replays Dedup.fnv1a (`unicode(c) == charAt` for the ASCII corpus). */
+  private def fnvSql(expr: String): String =
+    s"list_reduce(list_prepend($FNV_OFF, " +
+      s"list_transform(string_split($expr, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
+      s"(acc, c) -> (xor(acc, c) * 1099511628211) % $P64)"
+
+  /** (x * const) mod 2^64 via 32-bit halves of the constant. */
+  private def mulModSql(x: String, hi: Long, lo: Long): String =
+    s"((((($x) % 4294967296) * $hi + (($x) // 4294967296) * $lo) % 4294967296)" +
+      s" * 4294967296 + (($x) % 4294967296) * $lo) % " + P64
+
+  /** Signed-64 view of an unsigned HUGEINT value (two's complement). */
+  private def signedSql(u: String): String =
+    s"CAST(CASE WHEN ($u) >= $P63 THEN ($u) - $P64 ELSE ($u) END AS BIGINT)"
+
+  /** The 64 deterministic (a, b) permutation parameters — the same
+    * splitmix-derived constants as Dedup.mixParams / MinHashAgg. */
+  private lazy val paramsValues: String =
+    (0 until 64).map { i =>
+      val (a, b) = Dedup.mixParams(i)
+      s"($i, CAST($a AS HUGEINT), CAST($b AS HUGEINT))"
+    }.mkString(",\n    ")
+
+  /** The docsWithNearDups corpus, replayed: originals plus perturbed
+    * copies of doc_id < 20 (every 7th word dropped, id + 100000).
+    * DuckDB list lambdas index 1-based where Spark's filter is 0-based. */
+  private val corpusCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |    array_to_string(list_filter(string_split(text, ' '), (w, i) -> (i-1) % 7 <> 3), ' ') AS text
+      |  FROM documents WHERE doc_id < 20
+      |)""".stripMargin
+
+  /** Shingle -> FNV hash -> splitmix permutation pipeline keyed by `key`:
+    * CTEs norm/tok/shingle_str/shingle/params/perm, replaying
+    * Dedup.shingleHashes (word 3-grams of normalized text, each shingle
+    * with a trailing space; <3 tokens degenerates to the whole text) and
+    * Dedup.permute ((x^a)+b then the splitmix64 finalizer, & Long.Max). */
+  private def shinglePermCtes(key: String, from: String): String =
+    s"""norm AS (
+       |  SELECT $key, TRIM(REGEXP_REPLACE(LOWER(text), '$WS', ' ', 'g')) AS s FROM $from
+       |), tok AS (
+       |  SELECT $key, s, string_split(s, ' ') AS toks FROM norm
+       |), shingle_str AS (
+       |  SELECT $key, unnest(CASE
+       |    WHEN s = '' THEN CAST([] AS VARCHAR[])
+       |    WHEN len(toks) < 3 THEN [s]
+       |    ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' FOR i IN range(1, len(toks) - 1)]
+       |  END) AS sh FROM tok
+       |), shingle AS (
+       |  SELECT $key, ${fnvSql("sh")} AS h FROM shingle_str
+       |), params(i, a, b) AS (VALUES
+       |    $paramsValues
+       |), perm AS (
+       |  SELECT $key, i, xor(t3, t3 // 2147483648) % $P63 AS p
+       |  FROM (SELECT $key, i, ${mulModSql("xor(t2, t2 // 134217728)", 2496678331L, 321982955L)} AS t3
+       |    FROM (SELECT $key, i, ${mulModSql("xor(t1, t1 // 1073741824)", 3210233709L, 484763065L)} AS t2
+       |      FROM (SELECT s.$key, p.i, (xor(s.h, p.a) + p.b) % $P64 AS t1
+       |            FROM shingle s CROSS JOIN params p) q1) q2) q3
+       |)""".stripMargin
+
+  /** Full minhash LSH replay up to candidate pairs: signatures (empty docs
+    * get all-Long.Max), 16 bands x 4 rows FNV band hashes over the 8
+    * little-endian bytes of each component, size-capped buckets with the
+    * star fallback (Dedup.minhashCandidates). */
+  private lazy val minhashCtes: String =
+    s"""$corpusCte, ${shinglePermCtes("doc_id", "corpus")}, sigc AS (
+       |  SELECT doc_id, i, MIN(p) AS c FROM perm GROUP BY doc_id, i
+       |), sig AS (
+       |  SELECT n.doc_id, list(coalesce(sc.c, $LMAX) ORDER BY p.i) AS arr
+       |  FROM norm n CROSS JOIN params p
+       |  LEFT JOIN sigc sc ON sc.doc_id = n.doc_id AND sc.i = p.i
+       |  GROUP BY n.doc_id
+       |), band AS (
+       |  SELECT doc_id, b,
+       |    list_reduce(list_prepend(xor($FNV_OFF, CAST(b AS HUGEINT)),
+       |      flatten([[ (arr[CAST(4*b + j + 1 AS INTEGER)] // (CAST(1 AS HUGEINT) << CAST(8*k AS INTEGER))) % 256
+       |                 FOR k IN range(0, 8)] FOR j IN range(0, 4)])),
+       |      (acc, v) -> (xor(acc, CAST(v AS HUGEINT)) * 1099511628211) % $P64) AS bh
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bs
+       |), bucketed AS (
+       |  SELECT b, bh, doc_id AS id,
+       |    COUNT(*) OVER (PARTITION BY b, bh) AS bsz,
+       |    MIN(doc_id) OVER (PARTITION BY b, bh) AS bmin
+       |  FROM band
+       |), cand AS (
+       |  SELECT x.id AS id_a, y.id AS id_b
+       |  FROM bucketed x JOIN bucketed y ON x.b = y.b AND x.bh = y.bh AND x.id < y.id
+       |  WHERE x.bsz <= 64
+       |  UNION
+       |  SELECT bmin AS id_a, id AS id_b FROM bucketed WHERE bsz > 64 AND id <> bmin
+       |)""".stripMargin
 
   /** DuckDB-runnable ANSI equivalents (driver's correctness oracle).
     * Omitted for ops whose semantics aren't SQL-expressible (difflib ratio,
@@ -1099,6 +1212,130 @@ object SparkEntry {
          |  WHEN db1.o_orderpriority IS NULL AND db2.o_orderpriority IS NULL THEN FALSE
          |  WHEN db1.o_orderpriority IS NULL OR db2.o_orderpriority IS NULL THEN TRUE
          |  ELSE r.ratio < CAST(0.9 AS DOUBLE) END
-         |ORDER BY 1""".stripMargin
+         |ORDER BY 1""".stripMargin,
+
+    // full LSH replay: signatures, banding, capped buckets, candidate
+    // pairs, then estimated jaccard = agreeing components / 64
+    "t_minhash_pairs" ->
+      s"""WITH $minhashCtes
+         |SELECT id_a, id_b, est_jaccard FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(len(list_filter(range(1, 65), i -> sa.arr[CAST(i AS INTEGER)] = sb.arr[CAST(i AS INTEGER)])) AS DOUBLE) / 64 AS est_jaccard
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.id_a
+         |  JOIN sig sb ON sb.doc_id = c.id_b) j
+         |WHERE est_jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact word-3-gram jaccard over the LSH candidates: shingle-hash SETS
+    // of the RAW text (Dedup.ngramJaccard shingles unnormalized input;
+    // rtrim emulates Java split(" ") dropping trailing empties)
+    "t_ngram_jaccard" ->
+      s"""WITH $minhashCtes, rtok AS (
+         |  SELECT doc_id, text, string_split(rtrim(text, ' '), ' ') AS toks FROM corpus
+         |), rshingle_str AS (
+         |  SELECT doc_id, unnest(CASE
+         |    WHEN len(toks) < 3 THEN (CASE WHEN text = '' THEN CAST([] AS VARCHAR[]) ELSE [text] END)
+         |    ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' FOR i IN range(1, len(toks) - 1)]
+         |  END) AS sh FROM rtok
+         |), rsets AS (
+         |  SELECT doc_id, list_distinct(list(${fnvSql("sh")})) AS hs FROM rshingle_str GROUP BY doc_id
+         |), rsets_full AS (
+         |  SELECT n.doc_id, coalesce(r.hs, CAST([] AS HUGEINT[])) AS hs
+         |  FROM norm n LEFT JOIN rsets r ON r.doc_id = n.doc_id
+         |)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    CASE WHEN len(a.hs) = 0 AND len(b.hs) = 0 THEN CAST(1.0 AS DOUBLE)
+         |         WHEN len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) = 0 THEN CAST(1.0 AS DOUBLE)
+         |         ELSE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+         |              / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) END AS jaccard
+         |  FROM cand c JOIN rsets_full a ON a.doc_id = c.id_a JOIN rsets_full b ON b.doc_id = c.id_b) j
+         |WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // connected components over the LSH candidate pairs as a recursive
+    // transitive closure: each node labeled with the min reachable id —
+    // exactly Dedup.connectedComponents' fixpoint
+    "t_dedup_groups" ->
+      s"""WITH RECURSIVE $minhashCtes, nodes AS (
+         |  SELECT DISTINCT id FROM (SELECT id_a AS id FROM cand UNION ALL SELECT id_b FROM cand) u
+         |), cedges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM cand UNION SELECT id_b, id_a FROM cand
+         |), reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.r FROM reach r JOIN cedges e ON e.src = r.id
+         |), comp AS (
+         |  SELECT id, MIN(r) AS component FROM reach GROUP BY id
+         |)
+         |SELECT component, COUNT(*) AS group_size FROM comp
+         |GROUP BY component ORDER BY component""".stripMargin,
+
+    // per-source MinHashAgg signature, component-wise: min over every
+    // permuted shingle hash of the source's documents
+    "t_minhash_group_sig" ->
+      s"""WITH ${shinglePermCtes("source", "documents")}
+         |SELECT source, CAST(i AS INTEGER) AS hash_idx, CAST(MIN(p) AS BIGINT) AS sig_value
+         |FROM perm GROUP BY source, i ORDER BY source, hash_idx""".stripMargin,
+
+    // simhash replay: per-token FNV, 64 weighted bit votes, 4x16-bit block
+    // buckets (capped w/ star fallback), hamming via bit_count over the
+    // signed two's-complement views
+    "t_simhash_pairs" ->
+      s"""WITH $corpusCte, norm AS (
+         |  SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), '$WS', ' ', 'g')) AS s FROM corpus
+         |), stok AS (
+         |  SELECT doc_id, unnest(string_split(s, ' ')) AS tok FROM norm
+         |), tokh AS (
+         |  SELECT doc_id, ${fnvSql("tok")} AS h FROM stok
+         |), bitw AS (
+         |  SELECT doc_id, b,
+         |    SUM(CASE WHEN (h // (CAST(1 AS HUGEINT) << CAST(b AS INTEGER))) % 2 = 1 THEN 1 ELSE -1 END) AS w
+         |  FROM tokh CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bs
+         |  GROUP BY doc_id, b
+         |), sim AS (
+         |  SELECT doc_id,
+         |    SUM(CASE WHEN w > 0 THEN (CAST(1 AS HUGEINT) << CAST(b AS INTEGER)) ELSE CAST(0 AS HUGEINT) END) AS sim_u
+         |  FROM bitw GROUP BY doc_id
+         |), sblock AS (
+         |  SELECT doc_id, sim_u, bi, (sim_u // (CAST(1 AS HUGEINT) << CAST(16*bi AS INTEGER))) % 65536 AS bval
+         |  FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS bi) bs
+         |), sbucketed AS (
+         |  SELECT bi, bval, doc_id AS id, sim_u,
+         |    COUNT(*) OVER (PARTITION BY bi, bval) AS bsz,
+         |    MIN(doc_id) OVER (PARTITION BY bi, bval) AS bmin
+         |  FROM sblock
+         |), spairs AS (
+         |  SELECT x.id AS id_a, y.id AS id_b, x.sim_u AS ua, y.sim_u AS ub
+         |  FROM sbucketed x JOIN sbucketed y ON x.bi = y.bi AND x.bval = y.bval AND x.id < y.id
+         |  WHERE x.bsz <= 256
+         |  UNION
+         |  SELECT m.id, o.id, m.sim_u, o.sim_u
+         |  FROM sbucketed o JOIN sbucketed m ON m.bi = o.bi AND m.bval = o.bval AND m.id = o.bmin
+         |  WHERE o.bsz > 256 AND o.id <> o.bmin
+         |)
+         |SELECT id_a, id_b, CAST(MIN(hamming) AS INTEGER) AS hamming FROM (
+         |  SELECT id_a, id_b, bit_count(xor(${signedSql("ua")}, ${signedSql("ub")})) AS hamming
+         |  FROM spairs) p
+         |WHERE hamming <= 3
+         |GROUP BY id_a, id_b
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // frame sampling replay: stride-64 byte windows of the (ASCII) text
+    // payload, FNV checksum per frame, Long-wrapping sum per media item
+    "t_frame_sample" ->
+      s"""WITH fdocs AS (
+         |  SELECT doc_id, text, least(16, 1 + (length(text) - 1) // 64) AS nf
+         |  FROM documents WHERE length(text) > 0
+         |), frames AS (
+         |  SELECT doc_id, text, nf, unnest(range(0, nf)) AS f FROM fdocs
+         |), fck AS (
+         |  SELECT doc_id, nf, ${fnvSql("substring(text, CAST(f*64 + 1 AS INTEGER), 64)")} AS ck_u
+         |  FROM frames
+         |)
+         |SELECT doc_id AS media_id, CAST(nf AS BIGINT) AS n_frames,
+         |  CAST((((SUM(CAST(${signedSql("ck_u")} AS HUGEINT)) % $P64) + $P64 + $P63) % $P64) - $P63 AS BIGINT) AS checksum_sum
+         |FROM fck GROUP BY doc_id, nf ORDER BY media_id""".stripMargin
   )
 }
