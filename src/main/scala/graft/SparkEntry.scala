@@ -598,10 +598,14 @@ object SparkEntry {
         .orderBy("media_id")
     }),
     "t_media_resize" -> ((s, dir) => {
-      // resize (stubbed resample, real metadata/batching) -> re-extract
-      val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "image")
-      Multimodal.extractFeatures(Multimodal.resize(media, 64, 64).toDF()).toDF()
-        .select("media_id", "n_bytes", "checksum")
+      // REAL resize: 8x8 BMP decode -> box-average 4x4 resample -> BMP
+      // re-encode -> re-decode -> true pixel features; the oracle
+      // recomputes the downsampled pixels in closed form from the text
+      val media = Multimodal.asMediaImages(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(Multimodal.resize(media, 4, 4).toDF()).toDF()
+        .select(col("media_id"), col("decoded_w"), col("decoded_h"),
+          round(col("brightness") * 1000000).cast("long").as("brightness_ppm"),
+          round(col("sharpness") * 1000000).cast("long").as("sharpness_ppm"))
         .orderBy("media_id")
     }),
     "t_frame_sample" -> ((s, dir) => {
@@ -1321,6 +1325,40 @@ object SparkEntry {
          |WHERE hamming <= 3
          |GROUP BY id_a, id_b
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // resized-pixel oracle: source pixels are charAt(i % len)&0xFF (see
+    // t_media_features); the 4x4 result is the closed-form 2x2 box average
+    // (integer floor, per Multimodal.boxResample), then the same
+    // brightness/sharpness forms over 16 pixels / 12 horizontal gradients
+    "t_media_resize" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(text) = 0
+        |         THEN list_transform(range(0, 64), i -> 0)
+        |         ELSE [unicode(substring(text, CAST(i % length(text) AS INTEGER) + 1, 1)) % 256
+        |               FOR i IN range(0, 64)]
+        |    END AS p
+        |  FROM documents
+        |), rp AS (
+        |  SELECT doc_id,
+        |    [ (p[CAST(8*((i//4)*2) + ((i%4)*2) + 1 AS INTEGER)]
+        |     + p[CAST(8*((i//4)*2) + ((i%4)*2) + 2 AS INTEGER)]
+        |     + p[CAST(8*((i//4)*2+1) + ((i%4)*2) + 1 AS INTEGER)]
+        |     + p[CAST(8*((i//4)*2+1) + ((i%4)*2) + 2 AS INTEGER)]) // 4
+        |      FOR i IN range(0, 16)] AS v
+        |  FROM px
+        |), f AS (
+        |  SELECT doc_id,
+        |    CAST(list_aggregate(v, 'sum') AS DOUBLE) AS gray_sum,
+        |    CAST(list_aggregate([abs(v[i] - v[i-1]) FOR i IN range(2, 17) IF (i - 1) % 4 != 0],
+        |      'sum') AS DOUBLE) AS diff_sum
+        |  FROM rp
+        |)
+        |SELECT doc_id AS media_id,
+        |  CAST(4 AS INTEGER) AS decoded_w, CAST(4 AS INTEGER) AS decoded_h,
+        |  CAST(ROUND(gray_sum / 16 / CAST(255.0 AS DOUBLE) * 1000000) AS BIGINT) AS brightness_ppm,
+        |  CAST(ROUND(diff_sum / 12 / CAST(255.0 AS DOUBLE) * 1000000) AS BIGINT) AS sharpness_ppm
+        |FROM f ORDER BY media_id""".stripMargin,
 
     // frame sampling replay: stride-64 byte windows of the (ASCII) text
     // payload, FNV checksum per frame, Long-wrapping sum per media item

@@ -195,11 +195,51 @@ object Multimodal {
       }
   }
 
-  /** "Resize" for image payloads: the metadata transform (target width/
-    * height, recomputed byte budget) is real; the pixel resample is the
-    * STUB step — deterministic payload downsampling (every k-th byte)
-    * standing in for a real scaler. Shape-preserving: one row in, one row
-    * out, no shuffle. */
+  /** REAL pixel resample: box average. Each destination pixel averages its
+    * source box ([c*sw/tw, (c+1)*sw/tw) x [r*sh/th, (r+1)*sh/th), floor
+    * boundaries, at least one source pixel) per channel with integer floor
+    * division — deterministic and platform-independent, unlike
+    * Graphics2D's rendering-hint-dependent scalers, so an external oracle
+    * can recompute the result pixels in closed form. */
+  private[graft] def boxResample(img: java.awt.image.BufferedImage,
+      tw: Int, th: Int): java.awt.image.BufferedImage = {
+    val sw = img.getWidth
+    val sh = img.getHeight
+    val out = new java.awt.image.BufferedImage(tw, th,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var r = 0
+    while (r < th) {
+      val y0 = r * sh / th
+      val y1 = math.max(y0 + 1, (r + 1) * sh / th)
+      var c = 0
+      while (c < tw) {
+        val x0 = c * sw / tw
+        val x1 = math.max(x0 + 1, (c + 1) * sw / tw)
+        var sr = 0; var sg = 0; var sb = 0; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        out.setRGB(c, r, ((sr / n) << 16) | ((sg / n) << 8) | (sb / n))
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Resize: image payloads get a REAL decode -> box-average resample ->
+    * lossless BMP re-encode; non-image kinds (and undecodable payloads)
+    * keep the deterministic byte-stub downsample (audio/video codecs are
+    * sanctioned stubs — no AV libs in the container). Shape-preserving:
+    * one row in, one row out, no shuffle. */
   def resize(media: DataFrame, targetW: Int, targetH: Int): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -207,15 +247,23 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { it =>
         it.map { m =>
-          val srcPixels = math.max(1L, m.width.toLong * m.height)
-          val dstPixels = targetW.toLong * targetH
-          val ratio = math.max(1L, srcPixels / math.max(1L, dstPixels))
-          val p = m.payload
-          val resampled =
-            if (p == null || p.isEmpty || ratio <= 1) p
-            else Array.tabulate(math.max(1, (p.length / ratio).toInt))(i =>
-              p((i * ratio).toInt.min(p.length - 1)))
-          m.copy(payload = resampled, width = targetW, height = targetH)
+          val img = if (m.kind == "image") decodeImage(m.payload) else null
+          if (img != null) {
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(boxResample(img, targetW, targetH), "bmp", baos)
+            m.copy(payload = baos.toByteArray, width = targetW, height = targetH)
+          } else {
+            // STUB resample for payloads without a real decoder
+            val srcPixels = math.max(1L, m.width.toLong * m.height)
+            val dstPixels = targetW.toLong * targetH
+            val ratio = math.max(1L, srcPixels / math.max(1L, dstPixels))
+            val p = m.payload
+            val resampled =
+              if (p == null || p.isEmpty || ratio <= 1) p
+              else Array.tabulate(math.max(1, (p.length / ratio).toInt))(i =>
+                p((i * ratio).toInt.min(p.length - 1)))
+            m.copy(payload = resampled, width = targetW, height = targetH)
+          }
         }
       }
   }

@@ -127,6 +127,27 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       again.map(m => (m.media_id, m.payload.toSeq)).sortBy(_._1).toSeq)
   }
 
+  test("real image resize: 4x4 result is the exact 2x2 floor box average") {
+    // known text -> known 8x8 pixels p(i) = charAt(i % len) & 0xFF
+    val text = "The quick brown fox jumps over the lazy dog 0123456789"
+    val media = Multimodal.asMediaImages(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text")
+    val out = Multimodal.extractFeatures(Multimodal.resize(media, 4, 4).toDF())
+      .collect().head
+    assert(out.decoded_w == 4 && out.decoded_h == 4, "resized image must re-decode at 4x4")
+    val p = Array.tabulate(64)(i => text.charAt(i % text.length).toInt & 0xFF)
+    val v = Array.tabulate(16) { i =>
+      val r = i / 4; val c = i % 4
+      (p(8 * (2 * r) + 2 * c) + p(8 * (2 * r) + 2 * c + 1) +
+        p(8 * (2 * r + 1) + 2 * c) + p(8 * (2 * r + 1) + 2 * c + 1)) / 4
+    }
+    val expBright = v.sum.toDouble / 16 / 255.0
+    val expSharp = (for (r <- 0 until 4; c <- 1 until 4)
+      yield math.abs(v(4 * r + c) - v(4 * r + c - 1))).sum.toDouble / 12 / 255.0
+    assert(out.brightness == expBright, s"brightness ${out.brightness} != $expBright")
+    assert(out.sharpness == expSharp, s"sharpness ${out.sharpness} != $expSharp")
+  }
+
   test("multimodal plumbing: features + frame samples are deterministic") {
     val media = Multimodal.asMedia(docs.filter(col("doc_id") =!= 5L), "doc_id", "text", "image")
     val feats = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
