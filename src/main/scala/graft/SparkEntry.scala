@@ -69,6 +69,18 @@ object SparkEntry {
       db2.select(col(check).as("check"), col("id")))
   }
 
+  /** Skew-demo inputs: a fact table with a deliberately hot key (~90% of
+    * lineitem maps to k=0) and a dim with 64 variants per key, so the hot
+    * key's join output fans out 64x — heavy enough that one naive reducer
+    * task visibly dominates the wall clock at sf0.1. */
+  private def skewSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val fact = t(s, dir, "lineitem").selectExpr(
+      "CASE WHEN l_orderkey % 10 < 9 THEN CAST(0 AS BIGINT) ELSE l_suppkey % 100 END AS k",
+      "CAST(ROUND(l_extendedprice*100) AS BIGINT) AS cents")
+    val dim = s.range(6400).selectExpr("id % 100 AS k", "id DIV 100 AS variant")
+    (fact, dim)
+  }
+
   /** Augmented documents corpus for near-dup demos: originals plus a
     * perturbed copy of doc_id < 20 (every 7th word dropped, id + 100000)
     * so the LSH operators have true near-duplicates to find. */
@@ -450,6 +462,28 @@ object SparkEntry {
     }),
 
     // --- training-data pipeline extensions ------------------------------
+    // --- skew mitigation demo (same semantics, two physical shapes) -----
+    // fact side: half of lineitem lands on hot key 0; dim: 8 rows per key
+    // so the hot key's join output fans out 8x. Both variants force a
+    // sort-merge join (the "dim too big to broadcast" regime where skew
+    // actually bites — a broadcast join has no skew problem by
+    // construction); the salted variant splits hot-key rows across 16
+    // reducers via Skew.saltedJoin. Identical results, one oracle.
+    "q_skew_naive" -> ((s, dir) => {
+      val (fact, dim) = skewSides(s, dir)
+      fact.join(dim.hint("merge"), Seq("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"),
+          sum(col("cents") * (col("variant") + 1)).as("weighted_cents"))
+        .orderBy("k")
+    }),
+    "q_skew_salted" -> ((s, dir) => {
+      val (fact, dim) = skewSides(s, dir)
+      graft.ops.Skew.saltedJoin(fact, dim.hint("merge"), "k", factor = 16)
+        .groupBy("k").agg(count(lit(1)).as("n"),
+          sum(col("cents") * (col("variant") + 1)).as("weighted_cents"))
+        .orderBy("k")
+    }),
+
     "t_dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", Seq("text"))
         .select(md5(col("text").cast("binary")).as("text_hash"),
@@ -727,6 +761,21 @@ object SparkEntry {
        |  UNION
        |  SELECT bmin AS id_a, id AS id_b FROM bucketed WHERE bsz > 64 AND id <> bmin
        |)""".stripMargin
+
+  /** One oracle, two physical variants: the salted join must be
+    * result-identical to the naive plan. */
+  private val skewOracle =
+    """WITH fact AS (
+      |  SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0 ELSE l_suppkey % 100 END AS k,
+      |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem
+      |), dim AS (
+      |  SELECT id % 100 AS k, id // 100 AS variant FROM range(0, 6400) t(id)
+      |)
+      |SELECT f.k, COUNT(*) AS n,
+      |  CAST(SUM(f.cents * (d.variant + 1)) AS BIGINT) AS weighted_cents
+      |FROM fact f JOIN dim d ON f.k = d.k
+      |GROUP BY f.k ORDER BY f.k""".stripMargin
 
   /** DuckDB-runnable ANSI equivalents (driver's correctness oracle).
     * Omitted for ops whose semantics aren't SQL-expressible (difflib ratio,
@@ -1217,6 +1266,9 @@ object SparkEntry {
          |  WHEN db1.o_orderpriority IS NULL OR db2.o_orderpriority IS NULL THEN TRUE
          |  ELSE r.ratio < CAST(0.9 AS DOUBLE) END
          |ORDER BY 1""".stripMargin,
+
+    "q_skew_naive" -> skewOracle,
+    "q_skew_salted" -> skewOracle,
 
     // full LSH replay: signatures, banding, capped buckets, candidate
     // pairs, then estimated jaccard = agreeing components / 64

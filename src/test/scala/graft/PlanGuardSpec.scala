@@ -39,4 +39,19 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     val p = plan("t_ann_topk")
     assert(p.contains("WindowGroupLimit"), s"top-k not pushed into window:\n$p")
   }
+
+  test("skew demo: both variants sort-merge; salted joins on (k, salt)") {
+    // the regime where skew bites is a non-broadcastable dim: both plans
+    // must be SortMergeJoin (no BroadcastHashJoin smuggling the problem
+    // away), and the salted plan's join keys must include the salt column
+    // so the hot key is split across reducers
+    val naive = plan("q_skew_naive")
+    assert(naive.contains("SortMergeJoin") && !naive.contains("BroadcastHashJoin"),
+      s"naive variant must stay sort-merge:\n$naive")
+    val salted = plan("q_skew_salted")
+    assert(salted.contains("SortMergeJoin") && !salted.contains("BroadcastHashJoin"),
+      s"salted variant must stay sort-merge:\n$salted")
+    assert(salted.contains("__salt"),
+      s"salted join keys must include the salt:\n$salted")
+  }
 }
