@@ -588,8 +588,13 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
     "t_ann_lsh" -> ((s, dir) => {
+      // ranks on full-precision cosine; emitted ppm-scaled for cross-engine
+      // hash parity (the oracle replays the hyperplane signatures exactly)
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5, bits = 8)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cosine") * 1000000).cast("long").as("cosine_ppm"),
+          col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
     "t_ann_ivf" -> ((s, dir) => {
@@ -610,6 +615,8 @@ object SparkEntry {
           (x, i) => when(i === 0, x * 1.05f).otherwise(x)).as("embedding"))
       Similarity.embeddingNearDups(e.unionByName(perturbed),
           threshold = 0.95, bits = 8)
+        .select(col("id_a"), col("id_b"),
+          round(col("cosine") * 1000000).cast("long").as("cosine_ppm"))
         .orderBy("id_a", "id_b")
     }),
     "t_vector_stats" -> ((s, dir) => {
@@ -761,6 +768,38 @@ object SparkEntry {
        |  UNION
        |  SELECT bmin AS id_a, id AS id_b FROM bucketed WHERE bsz > 64 AND id <> bmin
        |)""".stripMargin
+
+  /** Replays Similarity.planeSign for planes [0, nplanes) x dims [0, 64):
+    * x0 = p*1000003 + d + 0x9e3779b97f4a7c15, splitmix finalizer, parity
+    * of bit 0 -> +-1.0; collected into one ordered sign list per plane. */
+  private def signsCtes(nplanes: Int): String =
+    s"""signs AS (
+       |  SELECT p, d,
+       |    CASE WHEN xor(t3, t3 // 2147483648) % 2 = 0 THEN CAST(1.0 AS DOUBLE)
+       |         ELSE CAST(-1.0 AS DOUBLE) END AS sgn
+       |  FROM (SELECT p, d, ${mulModSql("xor(t2, t2 // 134217728)", 2496678331L, 321982955L)} AS t3
+       |    FROM (SELECT p, d, ${mulModSql("xor(t1, t1 // 1073741824)", 3210233709L, 484763065L)} AS t2
+       |      FROM (SELECT p, d,
+       |              (CAST(11400714819323198485 AS HUGEINT) + p*1000003 + d) % $P64 AS t1
+       |            FROM (SELECT unnest(range(0, $nplanes)) AS p) ps
+       |            CROSS JOIN (SELECT unnest(range(0, 64)) AS d) ds) q1) q2) q3
+       |), signlists AS (
+       |  SELECT p, list(sgn ORDER BY d) AS sl FROM signs GROUP BY p
+       |)""".stripMargin
+
+  /** Hyperplane dot replayed with Scala's exact accumulation order:
+    * sequential double sum seeded at 0.0 (list_reduce is ordered; a SUM()
+    * aggregate would not be). The +-1.0 products are exact sign flips. */
+  private def sigDotSql(vec: String, sl: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"[CAST(($vec)[i] AS DOUBLE) * ($sl)[i] FOR i IN range(1, len($vec) + 1)]), " +
+      "(acc, x) -> acc + x)"
+
+  /** CosineSim replay over two double-cast embedding columns. */
+  private def cosineSql(a: String, b: String): String =
+    s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))" +
+      s" / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))" +
+      s" * sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))"
 
   /** One oracle, two physical variants: the salted join must be
     * result-identical to the naive plan. */
@@ -1376,6 +1415,64 @@ object SparkEntry {
          |  FROM spairs) p
          |WHERE hamming <= 3
          |GROUP BY id_a, id_b
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // hyperplane-LSH ANN replay: 4 tables x 8 bits of splitmix plane signs,
+    // bucket = bit-packed dot signs, candidates = any shared (table,
+    // bucket), exact cosine + deterministic rank over the candidate set
+    "t_ann_lsh" ->
+      s"""WITH ${signsCtes(32)}, dots AS (
+         |  SELECT e.vec_id, sp.p, ${sigDotSql("e.embedding", "sp.sl")} AS dot
+         |  FROM embeddings e CROSS JOIN signlists sp
+         |), sigs AS (
+         |  SELECT vec_id, p // 8 AS tb,
+         |    CAST(SUM(CASE WHEN dot >= 0 THEN (1 << (p % 8)) ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM dots GROUP BY vec_id, p // 8
+         |), cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+         |  FROM sigs q JOIN sigs c ON q.tb = c.tb AND q.bucket = c.bucket
+         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |), scored AS (
+         |  SELECT cd.query_id, cd.corpus_id,
+         |    ${cosineSql("qe.embedding", "ce.embedding")} AS cosine
+         |  FROM cand cd
+         |  JOIN embeddings qe ON qe.vec_id = cd.query_id
+         |  JOIN embeddings ce ON ce.vec_id = cd.corpus_id
+         |), ranked AS (
+         |  SELECT query_id, corpus_id, cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS BIGINT) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, corpus_id, CAST(ROUND(cosine * 1000000) AS BIGINT) AS cosine_ppm, rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // embedding near-dup replay: 8-bit hyperplane bucket collision, exact
+    // cosine within buckets; the perturbed copies' float multiply is
+    // bit-identical in DuckDB (exact 48-bit product rounds the same way)
+    "t_embed_neardup" ->
+      s"""WITH ${signsCtes(8)}, corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000,
+         |    list_transform(embedding, (x, i) -> CASE WHEN i = 1 THEN CAST(x * CAST(1.05 AS REAL) AS REAL) ELSE x END)
+         |  FROM embeddings WHERE vec_id < 10
+         |), dots AS (
+         |  SELECT e.vec_id, sp.p, ${sigDotSql("e.embedding", "sp.sl")} AS dot
+         |  FROM corpus e CROSS JOIN signlists sp
+         |), sigs AS (
+         |  SELECT vec_id, CAST(SUM(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM dots GROUP BY vec_id
+         |), pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |), scored AS (
+         |  SELECT p.id_a, p.id_b, ${cosineSql("ea.embedding", "eb.embedding")} AS cosine
+         |  FROM pairs p
+         |  JOIN corpus ea ON ea.vec_id = p.id_a
+         |  JOIN corpus eb ON eb.vec_id = p.id_b
+         |)
+         |SELECT id_a, id_b, CAST(ROUND(cosine * 1000000) AS BIGINT) AS cosine_ppm
+         |FROM scored WHERE cosine > CAST(0.95 AS DOUBLE)
          |ORDER BY id_a, id_b""".stripMargin,
 
     // resized-pixel oracle: source pixels are charAt(i % len)&0xFF (see
