@@ -649,6 +649,18 @@ object SparkEntry {
           round(col("sharpness") * 1000000).cast("long").as("sharpness_ppm"))
         .orderBy("media_id")
     }),
+    "t_audio_features" -> ((s, dir) => {
+      // REAL audio pipeline: deterministic unsigned-8-bit PCM WAV per
+      // document -> javax.sound.sampled decode -> true RMS + zero
+      // crossings. The oracle recomputes both from the text's char codes
+      // (the closed form of the generated samples; WAV PCM is lossless)
+      val media = Multimodal.asMediaAudio(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractAudioFeatures(media).toDF()
+        .select(col("media_id"), col("n_samples"),
+          round(col("rms") * 1000000).cast("long").as("rms_ppm"),
+          col("zero_crossings"))
+        .orderBy("media_id")
+    }),
     "t_frame_sample" -> ((s, dir) => {
       val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "video")
       Multimodal.sampleFrames(media).toDF()
@@ -1507,6 +1519,29 @@ object SparkEntry {
         |  CAST(4 AS INTEGER) AS decoded_w, CAST(4 AS INTEGER) AS decoded_h,
         |  CAST(ROUND(gray_sum / 16 / CAST(255.0 AS DOUBLE) * 1000000) AS BIGINT) AS brightness_ppm,
         |  CAST(ROUND(diff_sum / 12 / CAST(255.0 AS DOUBLE) * 1000000) AS BIGINT) AS sharpness_ppm
+        |FROM f ORDER BY media_id""".stripMargin,
+
+    // decoded-PCM oracle: the 256 WAV samples are charAt(i % len)&0xFF by
+    // construction (empty text -> 0, i.e. centered value -128); RMS and
+    // zero crossings have closed integer forms until the final sqrt
+    "t_audio_features" ->
+      """WITH sam AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(text) = 0
+        |         THEN list_transform(range(0, 256), i -> -128)
+        |         ELSE [unicode(substring(text, CAST(i % length(text) AS INTEGER) + 1, 1)) % 256 - 128
+        |               FOR i IN range(0, 256)]
+        |    END AS k
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |    list_aggregate(list_transform(k, x -> x * x), 'sum') AS sum_sq,
+        |    len(list_filter(range(2, 257), i -> k[CAST(i AS INTEGER)] * k[CAST(i-1 AS INTEGER)] < 0)) AS crossings
+        |  FROM sam
+        |)
+        |SELECT doc_id AS media_id, CAST(256 AS BIGINT) AS n_samples,
+        |  CAST(ROUND(sqrt(CAST(sum_sq AS DOUBLE) / CAST(16384.0 AS DOUBLE) / CAST(256.0 AS DOUBLE)) * 1000000) AS BIGINT) AS rms_ppm,
+        |  CAST(crossings AS BIGINT) AS zero_crossings
         |FROM f ORDER BY media_id""".stripMargin,
 
     // frame sampling replay: stride-64 byte windows of the (ASCII) text

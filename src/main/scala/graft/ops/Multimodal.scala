@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: payloads that are valid images (BMP/PNG/JPEG —
   * anything the JDK's `javax.imageio.ImageIO` reads) are decoded to pixels
-  * and brightness/sharpness are computed from actual luminance. Audio/video
-  * codecs remain clearly-marked STUBs (the container has no AV libraries):
-  * `decodeStub` derives deterministic fake features from the bytes so the
-  * pipeline shape is exercised end to end.
+  * and brightness/sharpness are computed from actual luminance. AUDIO
+  * decode is REAL too: WAV payloads go through the JDK's
+  * `javax.sound.sampled.AudioSystem` and RMS/zero-crossing features come
+  * from actual PCM samples. VIDEO remains a clearly-marked STUB (the
+  * container has no video codec, in the JDK or otherwise): `decodeStub`
+  * derives deterministic fake features from the bytes so the pipeline
+  * shape is exercised end to end.
   *
   * Scale notes: media blobs dominate row size, so `repartitionForMedia`
   * targets a byte budget per partition (not a row count); feature
@@ -263,6 +266,88 @@ object Multimodal {
               else Array.tabulate(math.max(1, (p.length / ratio).toInt))(i =>
                 p((i * ratio).toInt.min(p.length - 1)))
             m.copy(payload = resampled, width = targetW, height = targetH)
+          }
+        }
+      }
+  }
+
+  // --- audio (REAL decode: javax.sound.sampled is JDK-only) ----------------
+
+  /** One row of real audio features: RMS amplitude and zero crossings over
+    * the decoded PCM samples; 0/0 when the payload is not decodable. */
+  final case class AudioFeatures(
+      media_id: Long,
+      n_samples: Long,
+      rms: Double,            // sqrt(mean((sample-128)^2 / 128^2)), 8-bit unsigned PCM
+      zero_crossings: Long)   // sign changes of (sample - 128)
+
+  /** Deterministic unsigned-8-bit mono PCM WAV from a string: sample i =
+    * charAt(i % len) & 0xFF (0 for empty text), `n` samples — the audio
+    * analogue of [[encodeGrayBmp]]: a REAL decodable payload whose sample
+    * values have a closed form an external oracle can recompute. */
+  def encodePcmWav(text: String, n: Int = 256, sampleRate: Float = 8000f): Array[Byte] = {
+    val len = if (text == null) 0 else text.length
+    val data = Array.tabulate(n)(i =>
+      (if (len == 0) 0 else text.charAt(i % len) & 0xFF).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 8, 1,
+      /*signed=*/ false, /*bigEndian=*/ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  private val pcmWavUdf = udf { (t: String) => encodePcmWav(t) }
+
+  /** Like [[asMedia]] but with a REAL audio payload per row. */
+  def asMediaAudio(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit("audio").as("kind"),
+      pcmWavUdf(col(textCol)).as("payload"),
+      lit(0).as("width"),
+      lit(0).as("height"),
+      lit(32L).as("duration_ms")) // 256 samples @ 8 kHz
+
+  /** REAL WAV decode via the JDK's AudioSystem; null when not decodable.
+    * Returns the raw unsigned-8-bit sample bytes. */
+  private def decodeWav(payload: Array[Byte]): Array[Byte] =
+    if (payload == null || payload.isEmpty) null
+    else
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try ais.readAllBytes() finally ais.close()
+      } catch { case _: Exception => null }
+
+  /** Batched REAL audio feature extraction (`mapPartitions`, no shuffle):
+    * integer sum-of-squares and crossing counts keep the arithmetic exact
+    * until the final double division, so the features have a closed form
+    * over the source text. */
+  def extractAudioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val s = decodeWav(payload)
+          if (s == null || s.isEmpty) AudioFeatures(id, 0L, 0.0, 0L)
+          else {
+            var sumSq = 0L
+            var crossings = 0L
+            var prev = 0
+            var i = 0
+            while (i < s.length) {
+              val k = (s(i) & 0xFF) - 128
+              sumSq += k.toLong * k
+              if (i > 0 && k * prev < 0) crossings += 1
+              prev = k
+              i += 1
+            }
+            AudioFeatures(id, s.length.toLong,
+              math.sqrt(sumSq.toDouble / (128.0 * 128.0) / s.length), crossings)
           }
         }
       }

@@ -148,6 +148,23 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.sharpness == expSharp, s"sharpness ${out.sharpness} != $expSharp")
   }
 
+  test("real audio decode: WAV roundtrip yields exact closed-form features") {
+    val text = "Hello audio world 42"
+    val media = Multimodal.asMediaAudio(
+      Seq((1L, text), (2L, "")).toDF("doc_id", "text"), "doc_id", "text")
+    val out = Multimodal.extractAudioFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    // closed form: sample i = charAt(i % len) & 0xFF, centered at 128
+    val k = Array.tabulate(256)(i => (text.charAt(i % text.length).toInt & 0xFF) - 128)
+    val expRms = math.sqrt(k.map(x => x.toLong * x).sum.toDouble / (128.0 * 128.0) / 256)
+    val expCross = (1 until 256).count(i => k(i) * k(i - 1) < 0).toLong
+    assert(out(1L).n_samples == 256L, "WAV must decode back to all 256 samples")
+    assert(out(1L).rms == expRms, s"rms ${out(1L).rms} != $expRms")
+    assert(out(1L).zero_crossings == expCross)
+    // empty text: all samples 0 -> centered -128 -> rms exactly 1, no crossings
+    assert(out(2L).rms == 1.0 && out(2L).zero_crossings == 0L)
+  }
+
   test("multimodal plumbing: features + frame samples are deterministic") {
     val media = Multimodal.asMedia(docs.filter(col("doc_id") =!= 5L), "doc_id", "text", "image")
     val feats = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
