@@ -598,9 +598,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
     "t_ann_ivf" -> ((s, dir) => {
+      // ranks on full-precision cosine; ppm-scaled output. The trained
+      // centroids use an order-deterministic mean (see Similarity.ivfTopK)
+      // so the oracle can replay the whole index exactly
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5,
           nCentroids = 16, nprobe = 3)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cosine") * 1000000).cast("long").as("cosine_ppm"),
+          col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
     "t_embed_neardup" -> ((s, dir) => {
@@ -1453,6 +1459,68 @@ object SparkEntry {
          |), ranked AS (
          |  SELECT query_id, corpus_id, cosine,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS BIGINT) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, corpus_id, CAST(ROUND(cosine * 1000000) AS BIGINT) AS cosine_ppm, rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // IVF replay — the full trained index: deterministic seed sample,
+    // cosine Voronoi assignment, the ORDER-DETERMINISTIC Lloyd mean
+    // (members sorted by id, sequential double fold — the reason
+    // ivfTopK's refinement avoids avg()), float-cast centroids, then
+    // nprobe=3 probing and exact cosine top-5
+    "t_ann_ivf" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS cent_id, embedding AS cvec_c
+         |  FROM embeddings WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT 16
+         |), assigned AS (
+         |  SELECT e.vec_id AS vid, e.embedding AS v, s.cent_id,
+         |    ${cosineSql("e.embedding", "s.cvec_c")} AS cdist
+         |  FROM embeddings e CROSS JOIN seeds s
+         |), cells AS (
+         |  SELECT cent_id, vid, v FROM (
+         |    SELECT cent_id, vid, v,
+         |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cdist DESC, cent_id) AS r
+         |    FROM assigned) a
+         |  WHERE r = 1
+         |), dimvals AS (
+         |  SELECT cent_id, pos, list(val ORDER BY vid) AS vals FROM (
+         |    SELECT cent_id, vid, unnest(v) AS val,
+         |           generate_subscripts(v, 1) - 1 AS pos
+         |    FROM cells) u
+         |  GROUP BY cent_id, pos
+         |), dimmeans AS (
+         |  SELECT cent_id, pos,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(vals, x -> CAST(x AS DOUBLE))), (acc, x) -> acc + x)
+         |      / len(vals) AS m
+         |  FROM dimvals
+         |), cents AS (
+         |  SELECT cent_id, list_transform(list(m ORDER BY pos), x -> CAST(x AS REAL)) AS cvec_c
+         |  FROM dimmeans GROUP BY cent_id
+         |), cell_corpus AS (
+         |  SELECT cent_id, corpus_id, cvec FROM (
+         |    SELECT c.cent_id, e.vec_id AS corpus_id, e.embedding AS cvec,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosineSql("e.embedding", "c.cvec_c")} DESC, c.cent_id) AS r
+         |    FROM embeddings e CROSS JOIN cents c) a
+         |  WHERE r = 1
+         |), cell_queries AS (
+         |  SELECT cent_id, query_id, qvec FROM (
+         |    SELECT c.cent_id, e.vec_id AS query_id, e.embedding AS qvec,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosineSql("e.embedding", "c.cvec_c")} DESC, c.cent_id) AS r
+         |    FROM embeddings e CROSS JOIN cents c
+         |    WHERE e.vec_id < 10) a
+         |  WHERE r <= 3
+         |), scored AS (
+         |  SELECT q.query_id, c.corpus_id, ${cosineSql("q.qvec", "c.cvec")} AS cosine
+         |  FROM cell_queries q JOIN cell_corpus c ON q.cent_id = c.cent_id
+         |  WHERE c.corpus_id <> q.query_id
+         |), ranked AS (
+         |  SELECT query_id, corpus_id, cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, corpus_id) AS BIGINT) AS rank
          |  FROM scored
          |)
          |SELECT query_id, corpus_id, CAST(ROUND(cosine * 1000000) AS BIGINT) AS cosine_ppm, rank

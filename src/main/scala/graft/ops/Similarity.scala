@@ -127,15 +127,26 @@ object Similarity {
       .select(col(idCol).as("cent_id"), col(vecCol).as("cvec_c"))
 
     // one Lloyd refinement: assign all vectors to their seed cell, replace
-    // each centroid with the cell mean (posexplode -> per-dim avg -> re-pack)
+    // each centroid with the cell mean. The mean is a DETERMINISTICALLY
+    // ordered fold (cell members sorted by id, sequential double sum)
+    // rather than avg(): avg's partial-aggregation summation order is
+    // partitioning-dependent, which would make the trained centroids — and
+    // therefore the whole index — impossible for an external oracle to
+    // replay bit-for-bit. The fit stage is small (it's the 16-row
+    // centroid collect below), so the per-cell collect_list is bounded by
+    // cell size; at 100 TB the fit runs on a sample anyway.
     val assigned = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
       .join(broadcast(seeds))
       .withColumn("cdist", cosineSimilarity(col("v"), col("cvec_c")))
     val wAssign = Window.partitionBy("vid").orderBy(desc("cdist"), col("cent_id"))
     val cells = assigned.withColumn("r", row_number().over(wAssign))
-      .filter(col("r") === 1).select("cent_id", "v")
-    val refined = cells.select(col("cent_id"), posexplode(col("v")))
-      .groupBy("cent_id", "pos").agg(avg("col").as("m"))
+      .filter(col("r") === 1).select("cent_id", "vid", "v")
+    val refined = cells.select(col("cent_id"), col("vid"), posexplode(col("v")))
+      .groupBy("cent_id", "pos")
+      .agg(sort_array(collect_list(struct(col("vid"), col("col")))).as("vals"))
+      .withColumn("m",
+        aggregate(col("vals"), lit(0.0),
+          (acc, x) => acc + x.getField("col").cast("double")) / size(col("vals")))
       .groupBy("cent_id")
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cent_id"),
