@@ -213,9 +213,15 @@ object Dedup {
     *        buckets). Correct as long as maxIter >= diameter. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
       checkConvergence: Boolean = true): DataFrame = {
+    // persist the edge list up front: every iteration joins against it, and
+    // without the cache each round would re-execute the ENTIRE upstream
+    // pipeline that produced the pairs (for LSH dedup that is the full
+    // shingle -> signature -> banding candidate generation — by far the
+    // dominant cost at any scale)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+      .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
     var converged = false
@@ -253,6 +259,7 @@ object Dedup {
     // (spark.sparkContext.setCheckpointDir + .checkpoint()) for this step.
     val out = labels.localCheckpoint(true)
     labels.unpersist()
+    edges.unpersist()
     out
   }
 
