@@ -518,10 +518,11 @@ object SparkEntry {
     }),
     "t_minhash_pairs" -> ((s, dir) => {
       val docs = docsWithNearDups(s, dir)
-      // signatures are reused by banding + both pair-joins; recompute is
-      // acceptable at this size (at scale: write signatures to a table) —
-      // persist() here would leak cache across the driver's query sweep
-      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      // signatures are consumed THREE times (banding + both pair-joins):
+      // eagerly materialize once via localCheckpoint — unlike persist()
+      // the blocks are managed (freed on GC), so nothing leaks across the
+      // driver's query sweep; at cluster scale: write signatures to a table
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text").localCheckpoint(true)
       val cands = Dedup.minhashCandidates(sigs)
       cands
         .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
