@@ -656,6 +656,26 @@ object SparkEntry {
           round(col("sharpness") * 1000000).cast("long").as("sharpness_ppm"))
         .orderBy("media_id")
     }),
+    "t_chunks" -> ((s, dir) => {
+      // corpus chunking for training: 256-char chunks, 32-char overlap
+      // (stride 224); md5 per chunk so the oracle checks the exact bytes
+      graft.ops.Chunking.chunkChars(t(s, dir, "documents"), "doc_id", "text",
+          size = 256, overlap = 32)
+        .select(col("id"), col("chunk_idx"),
+          length(col("chunk_text")).cast("long").as("n_chars"),
+          md5(col("chunk_text").cast("binary")).as("chunk_md5"))
+        .orderBy("id", "chunk_idx")
+    }),
+    "t_pack" -> ((s, dir) => {
+      // greedy contiguous sequence packing into 2048-token bins, keyed by
+      // source (the partitioned-window shape that scales; a global pack
+      // would serialize on one task)
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.ops.Chunking.packBins(d, "source", "doc_id", "n_tokens", capacity = 2048L)
+        .orderBy("source", "doc_id")
+    }),
     "t_audio_features" -> ((s, dir) => {
       // REAL audio pipeline: deterministic unsigned-8-bit PCM WAV per
       // document -> javax.sound.sampled decode -> true RMS + zero
@@ -1589,6 +1609,37 @@ object SparkEntry {
         |  CAST(ROUND(gray_sum / 16 / CAST(255.0 AS DOUBLE) * 1000000) AS BIGINT) AS brightness_ppm,
         |  CAST(ROUND(diff_sum / 12 / CAST(255.0 AS DOUBLE) * 1000000) AS BIGINT) AS sharpness_ppm
         |FROM f ORDER BY media_id""".stripMargin,
+
+    // chunking replay: chunk k covers [k*224, k*224 + 256); the md5 pins
+    // the exact chunk bytes, not just the boundaries
+    "t_chunks" ->
+      """WITH c AS (
+        |  SELECT doc_id AS id, unnest(range(0, 1 + (length(text) - 1) // 224)) AS chunk_idx, text
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        |)
+        |SELECT id, chunk_idx,
+        |  CAST(length(substring(text, CAST(chunk_idx * 224 + 1 AS INTEGER), 256)) AS BIGINT) AS n_chars,
+        |  md5(substring(text, CAST(chunk_idx * 224 + 1 AS INTEGER), 256)) AS chunk_md5
+        |FROM c ORDER BY id, chunk_idx""".stripMargin,
+
+    // packing replay: per-source running token sum, bin = prev_cumsum DIV
+    // capacity — exact integer arithmetic end to end
+    "t_pack" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS prev
+        |  FROM d
+        |)
+        |SELECT source, doc_id, n_tokens,
+        |  CAST(prev // 2048 AS BIGINT) AS bin_id,
+        |  CAST(prev AS BIGINT) AS bin_offset_tokens
+        |FROM c ORDER BY source, doc_id""".stripMargin,
 
     // decoded-PCM oracle: the 256 WAV samples are charAt(i % len)&0xFF by
     // construction (empty text -> 0, i.e. centered value -128); RMS and

@@ -148,6 +148,41 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.sharpness == expSharp, s"sharpness ${out.sharpness} != $expSharp")
   }
 
+  test("chunking: boundaries, overlap, short tail, empty text") {
+    import graft.ops.Chunking
+    val docs = Seq((1L, "a" * 500), (2L, "xy"), (3L, ""), (4L, null: String))
+      .toDF("doc_id", "text")
+    val chunks = Chunking.chunkChars(docs, "doc_id", "text", size = 256, overlap = 32)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[String]("chunk_text"))).sortBy(c => (c._1, c._2))
+    // doc 1: 500 chars, stride 224 -> chunks at 0, 224, 448 (tail 52 chars)
+    val d1 = chunks.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(d1(0)._3.length == 256 && d1(1)._3.length == 256 && d1(2)._3.length == 52)
+    // overlap property: chunk k+1 starts 224 chars after chunk k
+    assert(d1(0)._3.substring(224) == d1(1)._3.substring(0, 32))
+    // doc 2: shorter than size -> one short chunk; empty/null -> none
+    assert(chunks.filter(_._1 == 2L).map(_._3).toSeq == Seq("xy"))
+    assert(!chunks.exists(c => c._1 == 3L || c._1 == 4L))
+  }
+
+  test("packing: per-key running-sum bins respect capacity boundaries") {
+    import graft.ops.Chunking
+    val d = Seq(("s1", 1L, 1000L), ("s1", 2L, 1000L), ("s1", 3L, 100L),
+      ("s1", 4L, 3000L), ("s1", 5L, 10L), ("s2", 1L, 5L))
+      .toDF("source", "doc_id", "n_tokens")
+    val packed = Chunking.packBins(d, "source", "doc_id", "n_tokens", capacity = 2048L)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("bin_id"), r.getAs[Long]("bin_offset_tokens"))).toMap
+    // cumsums in s1: 1000, 2000, 2100, 5100, 5110 -> prev: 0, 1000, 2000, 2100, 5100
+    assert(packed(("s1", 1L)) == (0L, 0L))
+    assert(packed(("s1", 2L)) == (0L, 1000L))    // straddles: stays in bin 0
+    assert(packed(("s1", 3L)) == (0L, 2000L))    // prev 2000 < 2048: still bin 0
+    assert(packed(("s1", 4L)) == (1L, 2100L))    // prev 2100 -> bin 1
+    assert(packed(("s1", 5L)) == (2L, 5100L))    // prev 5100 -> bin 2
+    assert(packed(("s2", 1L)) == (0L, 0L))       // independent key
+  }
+
   test("real audio decode: WAV roundtrip yields exact closed-form features") {
     val text = "Hello audio world 42"
     val media = Multimodal.asMediaAudio(
