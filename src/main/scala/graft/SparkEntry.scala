@@ -656,6 +656,15 @@ object SparkEntry {
           round(col("sharpness") * 1000000).cast("long").as("sharpness_ppm"))
         .orderBy("media_id")
     }),
+    "t_split" -> ((s, dir) => {
+      // deterministic train/val/test assignment (90/5/5) by hashed doc id;
+      // the oracle replays Spark's xxhash64 (XXH64 of the 8-byte long,
+      // seed 42) exactly in HUGEINT arithmetic
+      graft.ops.Sampling.assignSplit(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 9000, "val" -> 500, "test" -> 500))
+        .select(col("doc_id"), col("split_bucket"), col("split"))
+        .orderBy("doc_id")
+    }),
     "t_chunks" -> ((s, dir) => {
       // corpus chunking for training: 256-char chunks, 32-char overlap
       // (stride 224); md5 per chunk so the oracle checks the exact bytes
@@ -839,6 +848,30 @@ object SparkEntry {
     s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))" +
       s" / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))" +
       s" * sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))"
+
+  /** rotl64 replayed in HUGEINT: the shifted-out high bits land in the low
+    * bits; the two parts are disjoint so OR == ADD. */
+  private def rotlSql(x: String, r: Int): String = {
+    val loMod = BigInt(1) << (64 - r)
+    val mul = BigInt(1) << r
+    s"((($x) % $loMod) * $mul + ($x) // $loMod)"
+  }
+
+  /** Spark `xxhash64` of a BIGINT column (XXH64.hashLong, seed 42),
+    * replayed stage by stage over CTEs; `in` names the id column. P1/P2/P4
+    * multiplies use 32-bit-half decomposition (both factors ~2^64); the
+    * P3 multiply fits int128 directly (P3 < 2^61). */
+  private def xxhash64Ctes(in: String, from: String): String =
+    s"""x1 AS (SELECT $in, ${mulModSql(s"CAST($in AS HUGEINT)", 3266489917L, 668265295L)} AS k1a FROM $from),
+       |x2 AS (SELECT $in, ${rotlSql("k1a", 31)} AS k1b FROM x1),
+       |x3 AS (SELECT $in, ${mulModSql("k1b", 2654435761L, 2246822535L)} AS k1c FROM x2),
+       |x4 AS (SELECT $in, xor(CAST(2870177450012600311 AS HUGEINT), k1c) AS h1 FROM x3),
+       |x5 AS (SELECT $in, (${mulModSql(rotlSql("h1", 27), 2654435761L, 2246822535L)} + 9650029242287828579) % $P64 AS h2 FROM x4),
+       |x6 AS (SELECT $in, xor(h2, h2 // 8589934592) AS f1 FROM x5),
+       |x7 AS (SELECT $in, ${mulModSql("f1", 3266489917L, 668265295L)} AS f2 FROM x6),
+       |x8 AS (SELECT $in, xor(f2, f2 // 536870912) AS f3 FROM x7),
+       |x9 AS (SELECT $in, (f3 * 1609587929392839161) % $P64 AS f4 FROM x8),
+       |xxh AS (SELECT $in, ${signedSql("xor(f4, f4 // 4294967296)")} AS h FROM x9)""".stripMargin
 
   /** One oracle, two physical variants: the salted join must be
     * result-identical to the naive plan. */
@@ -1609,6 +1642,18 @@ object SparkEntry {
         |  CAST(ROUND(gray_sum / 16 / CAST(255.0 AS DOUBLE) * 1000000) AS BIGINT) AS brightness_ppm,
         |  CAST(ROUND(diff_sum / 12 / CAST(255.0 AS DOUBLE) * 1000000) AS BIGINT) AS sharpness_ppm
         |FROM f ORDER BY media_id""".stripMargin,
+
+    // split replay: Spark xxhash64 (XXH64 of the 8-byte long, seed 42)
+    // recomputed stage by stage, then pmod 10000 against the cumulative
+    // basis-point thresholds
+    "t_split" ->
+      s"""WITH ${xxhash64Ctes("doc_id", "documents")},
+         |b AS (SELECT doc_id, ((h % 10000) + 10000) % 10000 AS split_bucket FROM xxh)
+         |SELECT doc_id, CAST(split_bucket AS BIGINT) AS split_bucket,
+         |  CASE WHEN split_bucket < 9000 THEN 'train'
+         |       WHEN split_bucket < 9500 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     // chunking replay: chunk k covers [k*224, k*224 + 256); the md5 pins
     // the exact chunk bytes, not just the boundaries

@@ -183,6 +183,28 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(packed(("s2", 1L)) == (0L, 0L))       // independent key
   }
 
+  test("split assignment is deterministic, stateless, and roughly proportional") {
+    import graft.ops.Sampling
+    val ids = spark.range(0, 10000).toDF("id")
+    val splits = Seq("train" -> 9000, "val" -> 500, "test" -> 500)
+    val a = Sampling.assignSplit(ids, "id", splits).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    val b = Sampling.assignSplit(ids, "id", splits).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    assert(a == b, "same ids must always land in the same split")
+    // statelessness: a subset's assignments are unchanged by the rest of
+    // the data (the add-data-later-never-reassigns property)
+    val sub = Sampling.assignSplit(ids.filter(col("id") < 100), "id", splits)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    assert(sub.forall { case (k, v) => a(k) == v })
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 9000) < 300, s"train ~90%: $counts")
+    assert(math.abs(counts("val") - 500) < 150 && math.abs(counts("test") - 500) < 150, s"$counts")
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(ids, "id", Seq("a" -> 5000, "b" -> 4000))
+    }
+  }
+
   test("real audio decode: WAV roundtrip yields exact closed-form features") {
     val text = "Hello audio world 42"
     val media = Multimodal.asMediaAudio(

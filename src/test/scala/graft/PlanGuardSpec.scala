@@ -40,6 +40,25 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"top-k not pushed into window:\n$p")
   }
 
+  test("chunking is shuffle-free; packing shuffles exactly once on the key") {
+    // pin the OPERATORS (the queries add a final orderBy exchange for
+    // deterministic oracle output — that one is presentation, not shape)
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val chunk = graft.ops.Chunking.chunkChars(docs, "doc_id", "text", 256, 32)
+      .queryExecution.executedPlan.toString
+    assert(!chunk.contains("Exchange"),
+      s"chunking must not shuffle (per-row explode):\n$chunk")
+    val keyed = docs.select(col("source"), col("doc_id"),
+      graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val pack = graft.ops.Chunking.packBins(keyed, "source", "doc_id", "n_tokens", 2048L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(pack).size == 1,
+      s"packing must shuffle exactly once (keyed window):\n$pack")
+    assert(pack.contains("hashpartitioning(source"),
+      s"packing shuffle must be on the pack key:\n$pack")
+  }
+
   test("skew demo: both variants sort-merge; salted joins on (k, salt)") {
     // the regime where skew bites is a non-broadcastable dim: both plans
     // must be SortMergeJoin (no BroadcastHashJoin smuggling the problem
