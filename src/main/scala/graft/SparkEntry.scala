@@ -697,6 +697,17 @@ object SparkEntry {
           col("zero_crossings"))
         .orderBy("media_id")
     }),
+    "t_audio_frames" -> ((s, dir) => {
+      // windowed audio analysis over REAL decoded PCM: 64-sample frames
+      // (4 per 256-sample doc), per-frame RMS + zero crossings
+      val media = Multimodal.asMediaAudio(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.audioFrames(media, frameSize = 64, hop = 64).toDF()
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("n_samples").cast("long").as("n_samples"),
+          round(col("rms") * 1000000).cast("long").as("rms_ppm"),
+          col("zero_crossings"))
+        .orderBy("media_id", "frame_idx")
+    }),
     "t_frame_sample" -> ((s, dir) => {
       val media = Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text", "video")
       Multimodal.sampleFrames(media).toDF()
@@ -1708,6 +1719,33 @@ object SparkEntry {
         |  CAST(ROUND(sqrt(CAST(sum_sq AS DOUBLE) / CAST(16384.0 AS DOUBLE) / CAST(256.0 AS DOUBLE)) * 1000000) AS BIGINT) AS rms_ppm,
         |  CAST(crossings AS BIGINT) AS zero_crossings
         |FROM f ORDER BY media_id""".stripMargin,
+
+    // framed-PCM oracle: per 64-sample frame, the same closed integer
+    // forms as t_audio_features scoped to the frame's slice
+    "t_audio_frames" ->
+      """WITH sam AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(text) = 0
+        |         THEN list_transform(range(0, 256), i -> -128)
+        |         ELSE [unicode(substring(text, CAST(i % length(text) AS INTEGER) + 1, 1)) % 256 - 128
+        |               FOR i IN range(0, 256)]
+        |    END AS k
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, k, unnest(range(0, 4)) AS f FROM sam
+        |), g AS (
+        |  SELECT doc_id, f,
+        |    list_aggregate([k[CAST(f*64 + j AS INTEGER)] * k[CAST(f*64 + j AS INTEGER)]
+        |                    FOR j IN range(1, 65)], 'sum') AS sum_sq,
+        |    len(list_filter(range(2, 65),
+        |      j -> k[CAST(f*64 + j AS INTEGER)] * k[CAST(f*64 + j - 1 AS INTEGER)] < 0)) AS crossings
+        |  FROM fr
+        |)
+        |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(64 AS BIGINT) AS n_samples,
+        |  CAST(ROUND(sqrt(CAST(sum_sq AS DOUBLE) / CAST(16384.0 AS DOUBLE) / CAST(64.0 AS DOUBLE)) * 1000000) AS BIGINT) AS rms_ppm,
+        |  CAST(crossings AS BIGINT) AS zero_crossings
+        |FROM g ORDER BY media_id, frame_idx""".stripMargin,
 
     // frame sampling replay: stride-64 byte windows of the (ASCII) text
     // payload, FNV checksum per frame, Long-wrapping sum per media item

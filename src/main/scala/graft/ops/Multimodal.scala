@@ -353,6 +353,47 @@ object Multimodal {
       }
   }
 
+  /** One analysis frame of a decoded audio payload. */
+  final case class AudioFrame(media_id: Long, frame_idx: Int, n_samples: Int,
+      rms: Double, zero_crossings: Long)
+
+  /** Framed audio analysis over REAL decoded PCM — the windowed-RMS shape
+    * every spectrogram/VAD pipeline starts from: frames of `frameSize`
+    * samples every `hop`, per-frame RMS + zero crossings (integer-exact
+    * until the final sqrt, same arithmetic as [[extractAudioFeatures]]).
+    * flatMap: output cardinality is data-dependent; no shuffle. */
+  def audioFrames(media: DataFrame, frameSize: Int = 64,
+      hop: Int = 64): Dataset[AudioFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val s = decodeWav(payload)
+        if (s == null || s.isEmpty) Iterator.empty
+        else {
+          val nFrames = 1 + (s.length - 1) / hop
+          (0 until nFrames).iterator.map { f =>
+            val start = f * hop
+            val end = math.min(s.length, start + frameSize)
+            var sumSq = 0L
+            var crossings = 0L
+            var prev = 0
+            var i = start
+            while (i < end) {
+              val k = (s(i) & 0xFF) - 128
+              sumSq += k.toLong * k
+              if (i > start && k * prev < 0) crossings += 1
+              prev = k
+              i += 1
+            }
+            val n = end - start
+            AudioFrame(id, f, n,
+              math.sqrt(sumSq.toDouble / (128.0 * 128.0) / n), crossings)
+          }
+        }
+      }
+  }
+
   /** Frame sampling for "video" payloads: every `strideBytes` emit a frame
     * record (flatMap — output cardinality is data-dependent, like real
     * frame extraction). */

@@ -222,6 +222,23 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L).rms == 1.0 && out(2L).zero_crossings == 0L)
   }
 
+  test("framed audio: per-frame closed forms over the decoded PCM slices") {
+    val text = "frame analysis check: " * 20 // > 256 chars, wraps naturally
+    val media = Multimodal.asMediaAudio(
+      Seq((7L, text)).toDF("doc_id", "text"), "doc_id", "text")
+    val frames = Multimodal.audioFrames(media, frameSize = 64, hop = 64)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length == 4 && frames.forall(_.n_samples == 64))
+    val k = Array.tabulate(256)(i => (text.charAt(i % text.length).toInt & 0xFF) - 128)
+    for (f <- 0 until 4) {
+      val slice = k.slice(f * 64, f * 64 + 64)
+      val expRms = math.sqrt(slice.map(x => x.toLong * x).sum.toDouble / (128.0 * 128.0) / 64)
+      val expCross = (1 until 64).count(j => slice(j) * slice(j - 1) < 0).toLong
+      assert(frames(f).rms == expRms, s"frame $f rms")
+      assert(frames(f).zero_crossings == expCross, s"frame $f crossings")
+    }
+  }
+
   test("multimodal plumbing: features + frame samples are deterministic") {
     val media = Multimodal.asMedia(docs.filter(col("doc_id") =!= 5L), "doc_id", "text", "image")
     val feats = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
