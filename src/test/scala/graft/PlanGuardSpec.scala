@@ -59,6 +59,28 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"packing shuffle must be on the pack key:\n$pack")
   }
 
+  test("partition pruning: a filter on the partition column prunes files") {
+    // at 100 TB the first line of defense is never opening the file: a
+    // hive-partitioned layout + partition-column predicate must show up
+    // as PartitionFilters (metadata-only), not as a data filter
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("ppwrite").toString
+    spark.read.parquet(s"$dir/documents.parquet")
+      .write.partitionBy("lang").mode("overwrite").parquet(base)
+    val q = spark.read.parquet(base).filter(col("lang") === "en")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("lang"),
+      s"partition predicate must prune at metadata level:\n$p")
+    val scanned = q.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .mkString
+    assert(!scanned.contains("lang=es") || scanned.contains("..."),
+      "non-matching partitions should not be listed in the scan")
+    // and the pruned read returns exactly the partition's rows
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("lang") === "en").count()
+    assert(q.count() == expected)
+  }
+
   test("skew demo: both variants sort-merge; salted joins on (k, salt)") {
     // the regime where skew bites is a non-broadcastable dim: both plans
     // must be SortMergeJoin (no BroadcastHashJoin smuggling the problem
