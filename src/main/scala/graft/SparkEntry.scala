@@ -324,6 +324,31 @@ object SparkEntry {
         .na.fill(0L)
         .orderBy("cohort")
     }),
+    "q_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS (the general form of rollup/cube): one agg
+      // pass producing per-status totals, per-priority totals, and the
+      // grand total
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+              |  SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS total_cents
+              |FROM orders_gs
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    }),
+    "q_window_range" -> ((s, dir) => {
+      // time-RANGE window: per event, the exact cent-sum of same-type
+      // events in the preceding hour (micros-precision range frame)
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"),
+          expr("CAST(ROUND(value*100) AS BIGINT)").as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("tus")
+        .rangeBetween(-3600000000L, 0L)
+      e.select(col("event_id"), col("event_type"),
+          sum("cents").over(w).as("hour_cents"))
+        .orderBy("event_id")
+    }),
     "q_intersect" -> ((s, dir) => {
       t(s, dir, "orders").select(col("o_custkey").as("key"))
         .intersect(t(s, dir, "customer").select(col("c_custkey").as("key")))
@@ -1133,6 +1158,18 @@ object SparkEntry {
         |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_window_range" ->
+      """SELECT event_id, event_type,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+        |    PARTITION BY event_type ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS hour_cents
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_intersect" ->
       """SELECT o_custkey AS key FROM orders
         |INTERSECT
