@@ -681,6 +681,29 @@ object SparkEntry {
           round(col("sharpness") * 1000000).cast("long").as("sharpness_ppm"))
         .orderBy("media_id")
     }),
+    "t_contamination" -> ((s, dir) => {
+      // benchmark decontamination: distinct word-8-gram overlap of every
+      // document against the "benchmark" set (doc_id < 5), benchmark
+      // shingles broadcast — the corpus scans once, no content shuffle
+      val d = t(s, dir, "documents")
+      graft.ops.Curation.contamination(d, d.filter(col("doc_id") < 5),
+          "doc_id", "text", n = 8)
+        .orderBy("id")
+    }),
+    "t_redact" -> ((s, dir) => {
+      // PII redaction: deterministic emails/IPs injected into every 7th
+      // doc so the masking has real work; md5 pins the redacted bytes
+      val d = t(s, dir, "documents").withColumn("text2",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact: user"),
+            col("doc_id").cast("string"), lit("@example.com or 10.0."),
+            (col("doc_id") % 256).cast("string"), lit(".1")))
+          .otherwise(col("text")))
+      graft.ops.Curation.redactPii(d, "text2")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"),
+          md5(col("redacted").cast("binary")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
     "t_split" -> ((s, dir) => {
       // deterministic train/val/test assignment (90/5/5) by hashed doc id;
       // the oracle replays Spark's xxhash64 (XXH64 of the 8-byte long,
@@ -1690,6 +1713,50 @@ object SparkEntry {
         |  CAST(ROUND(gray_sum / 16 / CAST(255.0 AS DOUBLE) * 1000000) AS BIGINT) AS brightness_ppm,
         |  CAST(ROUND(diff_sum / 12 / CAST(255.0 AS DOUBLE) * 1000000) AS BIGINT) AS sharpness_ppm
         |FROM f ORDER BY media_id""".stripMargin,
+
+    // decontamination replay: distinct 8-gram FNV shingle sets, benchmark
+    // set = union of doc_id < 5 shingles, per-doc overlap counts
+    "t_contamination" ->
+      s"""WITH cnorm AS (
+         |  SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), '$WS', ' ', 'g')) AS s FROM documents
+         |), ctok AS (
+         |  SELECT doc_id, s, string_split(s, ' ') AS toks FROM cnorm
+         |), sh8 AS (
+         |  SELECT doc_id, unnest(CASE
+         |    WHEN s = '' THEN CAST([] AS VARCHAR[])
+         |    WHEN len(toks) < 8 THEN [s]
+         |    ELSE [toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7]||' '
+         |          FOR i IN range(1, len(toks) - 6)]
+         |  END) AS shs FROM ctok
+         |), dsh AS (
+         |  SELECT DISTINCT doc_id, ${fnvSql("shs")} AS h FROM sh8
+         |), bench AS (
+         |  SELECT DISTINCT h FROM dsh WHERE doc_id < 5
+         |)
+         |SELECT d.doc_id AS id, COUNT(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  CAST(CASE WHEN SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) > 0
+         |       THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+         |FROM dsh d LEFT JOIN bench b ON d.h = b.h
+         |GROUP BY d.doc_id ORDER BY id""".stripMargin,
+
+    // redaction replay: same RE2-compatible patterns, same injected PII,
+    // md5 over the byte-identical redacted text
+    "t_redact" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN text || ' contact: user' || CAST(doc_id AS VARCHAR)
+         |           || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+         |      ELSE text END AS t
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${graft.ops.Curation.EmailRe}', 0)) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '${graft.ops.Curation.Ipv4Re}', 0)) AS BIGINT) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(t, '${graft.ops.Curation.EmailRe}', '<EMAIL>', 'g'),
+         |      '${graft.ops.Curation.Ipv4Re}', '<IP>', 'g')) AS redacted_md5
+         |FROM aug ORDER BY doc_id""".stripMargin,
 
     // split replay: Spark xxhash64 (XXH64 of the 8-byte long, seed 42)
     // recomputed stage by stage, then pmod 10000 against the cumulative

@@ -183,6 +183,36 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(packed(("s2", 1L)) == (0L, 0L))       // independent key
   }
 
+  test("contamination flags docs sharing benchmark n-grams; clean docs pass") {
+    import graft.ops.Curation
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      // contains the benchmark's first 8-gram verbatim inside other text
+      (1L, "prefix words alpha beta gamma delta epsilon zeta eta theta suffix tail"),
+      (2L, "completely different content with no overlap at all here okay"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = Curation.contamination(docs, bench, "doc_id", "text", n = 8)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_shared"), r.getAs[Long]("contaminated"))).toMap
+    assert(out(1L)._1 >= 1 && out(1L)._2 == 1L, s"doc 1 must be flagged: $out")
+    assert(out(2L) == (0L, 0L), s"clean doc must pass: $out")
+    assert(!out.contains(3L), "empty doc has no shingles, no row")
+  }
+
+  test("PII redaction masks emails and IPs and counts them") {
+    import graft.ops.Curation
+    val d = Seq((1L, "reach me at jane.doe+x@corp.example.org or 192.168.0.17 thanks"),
+      (2L, "no pii here just 3.14 and words")).toDF("doc_id", "text")
+    val out = Curation.redactPii(d, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_emails"), r.getAs[Long]("n_ips"), r.getAs[String]("redacted"))).toMap
+    assert(out(1L)._1 == 1 && out(1L)._2 == 1)
+    assert(out(1L)._3 == "reach me at <EMAIL> or <IP> thanks")
+    assert(out(2L) == (0L, 0L, "no pii here just 3.14 and words"),
+      "a bare decimal must not be mistaken for an IP")
+  }
+
   test("split assignment is deterministic, stateless, and roughly proportional") {
     import graft.ops.Sampling
     val ids = spark.range(0, 10000).toDF("id")
