@@ -183,6 +183,18 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "v_schema_diff" -> ((s, dir) => {
+      // schema drift detection: second side drops a column, adds one, and
+      // retypes another — caught from metadata alone, before any shuffle
+      val o = t(s, dir, "orders")
+      val db1 = o.selectExpr("CAST(o_orderkey AS STRING) AS id",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val db2 = o.selectExpr("CAST(o_orderkey AS STRING) AS id",
+        "CAST(o_totalprice AS STRING) AS o_totalprice", // retyped
+        "o_orderdate", "o_custkey")          // priority dropped, custkey added
+      Validator.schemaDiff(db1, db2).orderBy("column_name")
+    }),
+
     "v_lineitem_validate" -> ((s, dir) => {
       // full validation at lineitem scale with a true composite key
       // (l_orderkey, l_linenumber) — the throughput-bearing workload
@@ -1051,6 +1063,34 @@ object SparkEntry {
         |     WHERE k1.v IS DISTINCT FROM k2.v) AS n_differing,
         |  (SELECT COUNT(*) FROM k2 WHERE EXISTS
         |     (SELECT 1 FROM k1 WHERE k1.id = k2.id)) AS n_matched""".stripMargin,
+    // schema-drift oracle: DESCRIBE both constructed sides, normalize
+    // DuckDB type names to Spark simpleString, full-outer join on column
+    "v_schema_diff" ->
+      """WITH d1 AS (
+        |  SELECT column_name, CASE column_type
+        |      WHEN 'BIGINT' THEN 'bigint' WHEN 'VARCHAR' THEN 'string'
+        |      WHEN 'DOUBLE' THEN 'double' WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+        |      ELSE lower(column_type) END AS t
+        |  FROM (DESCRIBE SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |        o_totalprice, o_orderdate, o_orderpriority FROM orders)
+        |), d2 AS (
+        |  SELECT column_name, CASE column_type
+        |      WHEN 'BIGINT' THEN 'bigint' WHEN 'VARCHAR' THEN 'string'
+        |      WHEN 'DOUBLE' THEN 'double' WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+        |      ELSE lower(column_type) END AS t
+        |  FROM (DESCRIBE SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |        CAST(o_totalprice AS VARCHAR) AS o_totalprice,
+        |        o_orderdate, o_custkey FROM orders)
+        |)
+        |SELECT COALESCE(d1.column_name, d2.column_name) AS column_name,
+        |  d1.t AS type_first, d2.t AS type_second,
+        |  CASE WHEN d1.t IS NOT NULL AND d2.t IS NOT NULL AND d1.t = d2.t THEN 'match'
+        |       WHEN d1.t IS NOT NULL AND d2.t IS NOT NULL THEN 'type_mismatch'
+        |       WHEN d1.t IS NOT NULL THEN 'only_first'
+        |       ELSE 'only_second' END AS status
+        |FROM d1 FULL OUTER JOIN d2 ON d1.column_name = d2.column_name
+        |ORDER BY column_name""".stripMargin,
+
     "v_reconcile" ->
       s"""$pairCte
          |SELECT COALESCE(db1.id, db2.id) AS id,

@@ -175,6 +175,29 @@ object Validator {
         !(col("cents_first") <=> col("cents_second")))
   }
 
+  /** Schema drift between the two sides — the metadata pre-check a
+    * validation run should do before shuffling a single row: per column
+    * (union of both sides), the Spark type on each side and a status in
+    * {match, type_mismatch, only_first, only_second}. Pure driver-side
+    * metadata (no job); the result is a tiny local DataFrame. */
+  def schemaDiff(first: DataFrame, second: DataFrame): DataFrame = {
+    val f = first.schema.map(sf => sf.name -> sf.dataType.simpleString).toMap
+    val s = second.schema.map(sf => sf.name -> sf.dataType.simpleString).toMap
+    val rows = (f.keySet ++ s.keySet).toSeq.sorted.map { c =>
+      val status = (f.get(c), s.get(c)) match {
+        case (Some(a), Some(b)) if a == b => "match"
+        case (Some(_), Some(_))           => "type_mismatch"
+        case (Some(_), None)              => "only_first"
+        case (None, Some(_))              => "only_second"
+        case (None, None)                 => "unreachable"
+      }
+      (c, f.get(c).orNull, s.get(c).orNull, status)
+    }
+    val spark = first.sparkSession
+    import spark.implicits._
+    rows.toDF("column_name", "type_first", "type_second", "status")
+  }
+
   /** One-row metrics summary of a validation run (counts + match rate) —
     * the aggregate surface the reference lacked but a report needs.
     * Multi-action: counts each result set separately (6 jobs, repeated

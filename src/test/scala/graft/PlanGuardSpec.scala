@@ -81,6 +81,12 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     assert(q.count() == expected)
   }
 
+  test("contamination joins the benchmark set via broadcast") {
+    val p = plan("t_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark shingle set must broadcast, not shuffle the corpus:\n$p")
+  }
+
   test("skew demo: both variants sort-merge; salted joins on (k, salt)") {
     // the regime where skew bites is a non-broadcastable dim: both plans
     // must be SortMergeJoin (no BroadcastHashJoin smuggling the problem

@@ -152,4 +152,15 @@ class ValidatorSpec extends AnyFunSuite with SparkSpec {
     assert(out.missingInSecond.filter(col("id").isNull).count() == 1,
       "null-key row of first must surface as missing_in_second, not join")
   }
+  test("schemaDiff catches retyped, dropped, and added columns from metadata") {
+    val a = Seq((1L, 1.5, "x")).toDF("id", "price", "only_a")
+    val b = Seq(("1", 2.5, true)).toDF("id", "price", "only_b")
+      .selectExpr("id", "CAST(price AS STRING) AS price", "only_b")
+    val got = Validator.schemaDiff(a, b).collect()
+      .map(r => r.getAs[String]("column_name") -> r.getAs[String]("status")).toMap
+    assert(got == Map("id" -> "type_mismatch", "price" -> "type_mismatch",
+      "only_a" -> "only_first", "only_b" -> "only_second"))
+    val same = Validator.schemaDiff(a, a).collect()
+    assert(same.forall(_.getAs[String]("status") == "match"))
+  }
 }
