@@ -745,6 +745,24 @@ object SparkEntry {
       graft.ops.Chunking.packBins(d, "source", "doc_id", "n_tokens", capacity = 2048L)
         .orderBy("source", "doc_id")
     }),
+    "t_repetition" -> ((s, dir) => {
+      // Gopher-style repetition signals, word-n-gram adapted; all-integer
+      // ppm arithmetic so DuckDB replays every value exactly. Every 11th
+      // doc gets a deterministic repeated phrase appended so the dup-5/8/
+      // 10-gram detectors have real positives in this synthetic corpus
+      val d = t(s, dir, "documents").withColumn("text2",
+        when(col("doc_id") % 11 === 0,
+          concat(col("text"), expr("repeat(' badger mushroom snake', 8)")))
+          .otherwise(col("text")))
+      TextAnalysis.repetition(d, textCol = "text2").orderBy("doc_id")
+    }),
+    "t_keyterms" -> ((s, dir) => {
+      // BM25 top-3 terms per doc with a rational (log-free) idf: pure
+      // IEEE +,-,*,/ replays bit-for-bit in any engine; term dictionary
+      // broadcast, both windows share the doc_id partitioning
+      TextAnalysis.bm25KeyTerms(t(s, dir, "documents"), topK = 3)
+        .orderBy("doc_id", "rank")
+    }),
     "t_audio_features" -> ((s, dir) => {
       // REAL audio pipeline: deterministic unsigned-8-bit PCM WAV per
       // document -> javax.sound.sampled decode -> true RMS + zero
@@ -1840,6 +1858,92 @@ object SparkEntry {
         |  CAST(prev // 2048 AS BIGINT) AS bin_id,
         |  CAST(prev AS BIGINT) AS bin_offset_tokens
         |FROM c ORDER BY source, doc_id""".stripMargin,
+
+    // repetition replay: n-grams via 1-based list slices, counts grouped,
+    // top-1 by (count desc, gram asc), dup = sum of chars in grams seen
+    // >= 2x; all-integer ppm (floor division) — exact on both engines.
+    // Same every-11th-doc phrase injection as the Spark side.
+    "t_repetition" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 11 = 0
+        |      THEN text || repeat(' badger mushroom snake', 8) ELSE text END AS text
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS tc,
+        |         string_split(text, ' ') AS w
+        |  FROM docs2
+        |), grams AS (
+        |  SELECT doc_id, tc, n, unnest(gs) AS g
+        |  FROM (
+        |    SELECT doc_id, tc, n.n AS n,
+        |      [array_to_string(w[i:i+n.n-1], ' ') for i in range(1, len(w)-n.n+2)] AS gs
+        |    FROM toks, (SELECT unnest([2,3,4,5,8,10]) AS n) n
+        |    WHERE len(w) >= n.n
+        |  )
+        |), cnts AS (
+        |  SELECT doc_id, tc, n, g, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM grams GROUP BY doc_id, tc, n, g
+        |), top AS (
+        |  SELECT doc_id, n,
+        |    CAST((1000000 * c * LENGTH(g)) // tc AS BIGINT) AS ppm
+        |  FROM (SELECT *, row_number() OVER
+        |          (PARTITION BY doc_id, n ORDER BY c DESC, g ASC) AS rn
+        |        FROM cnts WHERE tc > 0)
+        |  WHERE rn = 1 AND n IN (2,3,4)
+        |), dup AS (
+        |  SELECT doc_id, n,
+        |    CAST((1000000 * COALESCE(SUM(c * LENGTH(g)) FILTER (c >= 2), 0)) // tc AS BIGINT) AS ppm
+        |  FROM cnts WHERE tc > 0 AND n IN (5,8,10)
+        |  GROUP BY doc_id, n, tc
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(t2.ppm, 0) AS top2_ppm, COALESCE(t3.ppm, 0) AS top3_ppm,
+        |  COALESCE(t4.ppm, 0) AS top4_ppm, COALESCE(d5.ppm, 0) AS dup5_ppm,
+        |  COALESCE(d8.ppm, 0) AS dup8_ppm, COALESCE(d10.ppm, 0) AS dup10_ppm
+        |FROM docs2 d
+        |LEFT JOIN top t2 ON t2.doc_id = d.doc_id AND t2.n = 2
+        |LEFT JOIN top t3 ON t3.doc_id = d.doc_id AND t3.n = 3
+        |LEFT JOIN top t4 ON t4.doc_id = d.doc_id AND t4.n = 4
+        |LEFT JOIN dup d5 ON d5.doc_id = d.doc_id AND d5.n = 5
+        |LEFT JOIN dup d8 ON d8.doc_id = d.doc_id AND d8.n = 8
+        |LEFT JOIN dup d10 ON d10.doc_id = d.doc_id AND d10.n = 10
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // BM25 replay: rational idf (no ln), expression tree parenthesized
+    // identically to TextAnalysis.bm25KeyTerms — every op is a correctly-
+    // rounded IEEE double +,-,*,/ so the floors agree bit-for-bit
+    "t_keyterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), corpus AS (
+        |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS total_len
+        |), wd AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfq.df, n_docs, total_len,
+        |         CAST(SUM(tf.tf) OVER (PARTITION BY tf.doc_id) AS BIGINT) AS dl
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN corpus
+        |), scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |    CAST(FLOOR(
+        |      ((((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + CAST(0.5 AS DOUBLE))
+        |         / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+        |       * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+        |          / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |             (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+        |              (CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))
+        |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS score_ppm
+        |  FROM wd
+        |)
+        |SELECT doc_id, CAST(rn AS BIGINT) AS rank, term, tf, df, score_ppm
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY doc_id ORDER BY score_ppm DESC, term ASC) AS rn
+        |      FROM scored)
+        |WHERE rn <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
 
     // decoded-PCM oracle: the 256 WAV samples are charAt(i % len)&0xFF by
     // construction (empty text -> 0, i.e. centered value -128); RMS and

@@ -84,6 +84,74 @@ object TextAnalysis {
     }
   }
 
+  // --- repetition metrics (Gopher-style) ---------------------------------
+
+  /** Gopher/MassiveText-style repetition quality signals per document
+    * (Rae et al. 2021, table A1 — public knowledge), adapted to word
+    * n-grams since this corpus has no line structure:
+    *
+    *  - `top{2,3,4}_ppm`: characters covered by all occurrences of the
+    *    MOST frequent word n-gram, as ppm of total characters. Tie on
+    *    count broken by lexicographically smallest n-gram so an external
+    *    engine can replay it.
+    *  - `dup{5,8,10}_ppm`: characters covered by occurrences of n-grams
+    *    appearing more than once, ppm of total characters. Overlapping
+    *    occurrences are counted per occurrence (may exceed 1e6 on highly
+    *    repetitive text) — documented, deterministic.
+    *
+    * All arithmetic is integer (`1000000 * chars / totalChars`, floor
+    * division), so a DuckDB oracle replays it exactly. A UDF by necessity
+    * (per-row hash-map counting); once per document, single scan, no
+    * shuffle — the same posture as [[langId]].
+    */
+  val repetitionMetrics = udf { (text: String) =>
+    if (text == null || text.isEmpty) (0L, 0L, 0L, 0L, 0L, 0L)
+    else {
+      val toks = text.split(" ", -1)
+      val total = text.length.toLong
+      def counts(n: Int): scala.collection.mutable.HashMap[String, Long] = {
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        var i = 0
+        while (i + n <= toks.length) {
+          val g = toks.slice(i, i + n).mkString(" ")
+          m.update(g, m.getOrElse(g, 0L) + 1L)
+          i += 1
+        }
+        m
+      }
+      def topPpm(n: Int): Long = {
+        val m = counts(n)
+        if (m.isEmpty) 0L
+        else {
+          // max count, tie -> lexicographically smallest n-gram
+          var bestG: String = null; var bestC = -1L
+          for ((g, c) <- m)
+            if (c > bestC || (c == bestC && (bestG == null || g < bestG))) {
+              bestG = g; bestC = c
+            }
+          1000000L * bestC * bestG.length / total
+        }
+      }
+      def dupPpm(n: Int): Long = {
+        val m = counts(n)
+        var chars = 0L
+        for ((g, c) <- m) if (c >= 2L) chars += c * g.length
+        1000000L * chars / total
+      }
+      (topPpm(2), topPpm(3), topPpm(4), dupPpm(5), dupPpm(8), dupPpm(10))
+    }
+  }
+
+  /** Repetition frame: doc_id + the six ppm-scaled repetition signals. */
+  def repetition(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    docs.select(col(idCol), repetitionMetrics(col(textCol)).as("r"))
+      .select(col(idCol),
+        col("r._1").as("top2_ppm"), col("r._2").as("top3_ppm"),
+        col("r._3").as("top4_ppm"), col("r._4").as("dup5_ppm"),
+        col("r._5").as("dup8_ppm"), col("r._6").as("dup10_ppm"))
+  }
+
   // --- language identification -------------------------------------------
 
   /** Tiny per-language stopword profiles (top function words). Public
@@ -137,6 +205,52 @@ object TextAnalysis {
         best
       }
     }
+  }
+
+  // --- BM25 key terms ----------------------------------------------------
+
+  /** Top-k characteristic terms per document by BM25 (Robertson/Spärck
+    * Jones, public), with the log-free rational idf `(N - df + 0.5) /
+    * (df + 0.5)` so every operation is IEEE +,-,*,/ (each correctly
+    * rounded) — an external engine replaying the identical expression
+    * tree reproduces the score bit-for-bit; no libm dependence.
+    *
+    * Shuffle budget at scale: one shuffle to aggregate `(doc, term)` term
+    * frequencies (map-side partial), one repartition by `doc` that BOTH
+    * windows (doc length, rank) reuse, and a broadcast of the term
+    * dictionary (vocabulary ≪ corpus) plus a 1-row corpus-stats
+    * broadcast — beyond the tiny df aggregate itself, the corpus is never
+    * shuffled on `term`.
+    */
+  def bm25KeyTerms(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ", -1)).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val corpus = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(toks.agg(count(lit(1)).as("total_len")))
+    val byDoc = Window.partitionBy("doc_id")
+    val D = "double"
+    val scored = tf
+      .join(broadcast(dfTab), Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("dl", sum("tf").over(byDoc))
+    val tfD = col("tf").cast(D); val dfD = col("df").cast(D)
+    val dlD = col("dl").cast(D); val nD = col("n_docs").cast(D)
+    val tlD = col("total_len").cast(D)
+    val idf = ((nD - dfD) + lit(0.5)) / (dfD + lit(0.5))
+    val avgdl = tlD / nD
+    val denom = tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (dlD / avgdl))
+    val score = idf * ((tfD * lit(2.2)) / denom)
+    scored
+      .withColumn("score_ppm", floor(score * lit(1000000.0)).cast(LongType))
+      .withColumn("rank", row_number().over(
+        byDoc.orderBy(col("score_ppm").desc, col("term").asc)))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank").cast(LongType).as("rank"),
+        col("term"), col("tf"), col("df"), col("score_ppm"))
   }
 
   /** Full per-document stats frame (expression-only columns). */

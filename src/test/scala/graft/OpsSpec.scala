@@ -280,4 +280,58 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     val again = Multimodal.sampleFrames(media, strideBytes = 16).collect()
     assert(frames.map(_.frame_checksum).sorted.toSeq == again.map(_.frame_checksum).sorted.toSeq)
   }
+
+  test("repetition metrics: hand-computed ppm on a repetitive doc; clean doc low") {
+    // "ab cd ab cd ab cd" (17 chars): 2-gram counts -> "ab cd":3, "cd ab":2
+    // top2 = 1e6*3*5/17 = 882352; dup5: 5-grams "ab cd ab cd ab":2? no —
+    // 5-grams: [ab cd ab cd ab](1), [cd ab cd ab cd](1) ... wait 6 tokens
+    // -> two 5-grams, distinct -> dup5 = 0. Use an 8-token doc instead.
+    val d = Seq(
+      (1L, "ab cd ab cd ab cd ab cd"),             // 23 chars, 8 tokens
+      (2L, "one two three four five six seven eight"), // all distinct
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetition(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: top 2-gram "ab cd" count 4, len 5 -> 1e6*4*5/23 = 869565
+    assert(m(1L).getAs[Long]("top2_ppm") == 1000000L * 4 * 5 / 23)
+    // 5-grams of doc 1: "ab cd ab cd ab" x2, "cd ab cd ab cd" x2 ->
+    // dup chars = 2*14 + 2*14 = 56 -> 1e6*56/23
+    assert(m(1L).getAs[Long]("dup5_ppm") == 1000000L * 56 / 23)
+    // clean doc: every 2-gram unique -> top2 covers exactly one occurrence
+    val top2 = m(2L).getAs[Long]("top2_ppm")
+    assert(top2 > 0 && top2 < 300000, s"unique-2gram doc should be low: $top2")
+    assert(m(2L).getAs[Long]("dup5_ppm") == 0L)
+    assert(m(3L).getAs[Long]("top2_ppm") == 0L) // empty text -> all zero
+  }
+
+  test("repetition tie-break: equal-count top n-gram resolves lexicographically") {
+    // "zz yy zz yy" : "zz yy":2? no — 2-grams: [zz yy],[yy zz],[zz yy] ->
+    // "zz yy":2 beats "yy zz":1. Build a genuine tie instead:
+    // "b a b c b a b c" has "b a":2, "a b":2, "b c":2, "c b":1 — tie on 2
+    // between "a b", "b a", "b c" -> lexicographically smallest "a b" wins
+    val d = Seq((1L, "b a b c b a b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(d).collect()(0)
+    // "a b" count 2, len 3, total 15 -> 1e6*2*3/15 = 400000
+    assert(r.getAs[Long]("top2_ppm") == 400000L)
+  }
+
+  test("bm25 key terms: distinctive rare term outranks common term") {
+    val d = Seq(
+      (1L, "spark spark catalyst common common common"),
+      (2L, "common words appear here common"),
+      (3L, "other doc with common words")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25KeyTerms(d, topK = 2).collect()
+    val doc1 = out.filter(_.getAs[Long]("doc_id") == 1L).sortBy(_.getAs[Long]("rank"))
+    // "spark" (tf 2, df 1) must beat "common" (tf 3, df 3): idf dominates
+    assert(doc1.head.getAs[String]("term") == "spark", doc1.mkString(","))
+    assert(doc1.head.getAs[Long]("df") == 1L)
+    assert(doc1.head.getAs[Long]("tf") == 2L)
+    // deterministic: rerun yields identical rows
+    val again = TextAnalysis.bm25KeyTerms(d, topK = 2).collect()
+    assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+    // every doc produces exactly topK rows (>= topK distinct terms each)
+    assert(out.groupBy(_.getAs[Long]("doc_id")).forall(_._2.length == 2))
+  }
 }

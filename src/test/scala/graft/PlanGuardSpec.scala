@@ -81,6 +81,18 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     assert(q.count() == expected)
   }
 
+  test("bm25: term dictionary broadcasts; both windows share one doc_id exchange") {
+    val p = plan("t_keyterms")
+    assert(p.contains("BroadcastHashJoin"),
+      s"df dictionary must broadcast, not shuffle the corpus on term:\n$p")
+    // exactly one exchange partitions by doc_id alone — the dl-sum window
+    // and the rank window must reuse it rather than shuffle twice
+    val docIdExchanges = "hashpartitioning\\(doc_id#\\d+L?, \\d+\\)"
+      .r.findAllIn(p).size
+    assert(docIdExchanges == 1,
+      s"expected one doc_id-only exchange shared by both windows, got $docIdExchanges:\n$p")
+  }
+
   test("contamination joins the benchmark set via broadcast") {
     val p = plan("t_contamination")
     assert(p.contains("BroadcastHashJoin"),
