@@ -263,6 +263,73 @@ object Dedup {
     out
   }
 
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond" — public). Each round rewrites the EDGE set toward stars
+    * rooted at component minima; converges in O(log^2 n) rounds on any
+    * graph vs label propagation's O(diameter) — the variant to prefer
+    * when candidate chains can get long (bucket-linked LSH graphs whose
+    * diameter grows with band count).
+    *
+    * Per round: large-star (groupBy + co-partitioned join on the node)
+    * then small-star (same shape on the big->small orientation); change
+    * detection rides the materializing aggregate (count + xor of edge
+    * hashes — no extra job). Returns (id, component) with component =
+    * min id, identical to [[connectedComponents]]. */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("src"), col("dst"))
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      sym.join(mins, Seq("src"))
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val mins = dir.groupBy("src").agg(min("dst").as("m"))
+      dir.join(mins, Seq("src"))
+        .where(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(mins.select(col("src"), col("m").as("dst")))
+        .distinct()
+    }
+    // localCheckpoint (eager) each round: the star rewrite references the
+    // edge set three times per round, so without truncation the logical
+    // plan DOUBLES every iteration — lineage must be cut, not just cached
+    var edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    // (count, xor-of-hashes) signature: order-independent change probe
+    // over the just-materialized blocks (cache-side scan, no recompute)
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(edges)
+    var converged = false
+    var i = 0
+    while (i < maxIter && !converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = signature(next)
+      edges.unpersist()
+      edges = next
+      converged = nextSig == sig
+      sig = nextSig
+      i += 1
+    }
+    // at fixpoint every edge is (member, root): labels fall out directly
+    val out = edges.select(col("src").as("id"), col("dst").as("component"))
+      .union(edges.select(col("dst").as("id"), col("dst").as("component")))
+      .distinct()
+      .localCheckpoint(true)
+    edges.unpersist()
+    out
+  }
+
   // --- SimHash --------------------------------------------------------------
 
   /** 64-bit SimHash over word unigrams of normalized text: per-bit vote

@@ -281,6 +281,29 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(frames.map(_.frame_checksum).sorted.toSeq == again.map(_.frame_checksum).sorted.toSeq)
   }
 
+  test("large-star/small-star CC: chain, forest, and random graph match label propagation") {
+    import graft.ops.Dedup.{connectedComponents, connectedComponentsStar}
+    def labels(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // chain 1-2-...-12: diameter 11 stresses round count; all -> 1
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainGot = labels(connectedComponentsStar(chain))
+    assert(chainGot == (1L to 12L).map(i => (i, 1L)).toSet)
+    // two components + a pair
+    val forest = Seq((10L, 20L), (20L, 30L), (50L, 40L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    assert(labels(connectedComponentsStar(forest)) ==
+      labels(connectedComponents(forest, maxIter = 20)))
+    // deterministic pseudo-random graph: 300 edges over 100 nodes (LCG)
+    var seed = 123456789L
+    def nxt(): Long = { seed = (seed * 6364136223846793005L + 1442695040888963407L); math.abs(seed) }
+    val rand = (1 to 300).map { _ => (nxt() % 100, nxt() % 100) }
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    assert(labels(connectedComponentsStar(rand)) ==
+      labels(connectedComponents(rand, maxIter = 30)))
+  }
+
   test("repetition metrics: hand-computed ppm on a repetitive doc; clean doc low") {
     // "ab cd ab cd ab cd" (17 chars): 2-gram counts -> "ab cd":3, "cd ab":2
     // top2 = 1e6*3*5/17 = 882352; dup5: 5-grams "ab cd ab cd ab":2? no —
