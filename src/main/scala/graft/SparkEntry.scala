@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{CompareMode, Validator}
-import graft.ops.{AsOf, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Dedup, Multimodal, Similarity, Temporal, TextAnalysis}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -407,6 +407,33 @@ object SparkEntry {
           sum(expr("CAST(ROUND(value*100) AS BIGINT)")).as("value_cents"))
         .orderBy("user_id", "session_id")
     }),
+    "q_interval_join" -> ((s, dir) => {
+      // validity-interval join via bucket expansion (ops/Temporal.scala):
+      // every customer carries quarterly tier intervals over 1992-1998;
+      // each order joins the interval containing its order date through a
+      // plain equi-join on (custkey, 30-day bucket) — never a
+      // BroadcastNestedLoopJoin (plan pinned)
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey").as("custkey"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01"))).as("day"))
+      val intervals = t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        .withColumn("q_start", explode(expr(
+          "sequence(to_date('1992-01-01'), to_date('1998-10-01'), interval 3 months)")))
+        .select(col("custkey"), col("q_start"),
+          ((year(col("q_start")) - 1992) * 4 +
+            expr("(month(q_start) - 1) div 3")).as("q_idx"),
+          datediff(col("q_start"), to_date(lit("1970-01-01"))).as("start_day"),
+          datediff(add_months(col("q_start"), 3), to_date(lit("1970-01-01"))).as("end_day"))
+        .withColumn("tier",
+          concat(lit("tier_"), ((col("custkey") + col("q_idx")) % 5).cast("string")))
+      Temporal.intervalJoin(o, intervals, Seq("custkey"),
+          posCol = "day", startCol = "start_day", endCol = "end_day",
+          bucketSize = 30L, payload = Seq("q_start" -> "q_start", "tier" -> "tier"))
+        .select(col("o_orderkey"), col("custkey"), col("day"),
+          date_format(col("q_start"), "yyyy-MM-dd").as("quarter_start"), col("tier"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_asof" -> ((s, dir) => {
       // as-of join: each purchase enriched with the user's most recent
       // prior view (union+window, single shuffle — see ops/AsOf.scala)
@@ -496,6 +523,25 @@ object SparkEntry {
           date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("r_ts"),
           expr("CAST(ROUND(r_value*100) AS BIGINT)").as("r_value_cents"))
         .orderBy("l_event_id", "r_event_id")
+    }),
+
+    "s_dedup" -> ((s, dir) => {
+      // streaming exact dedup: every 10th event is injected into the
+      // stream TWICE; dropDuplicatesWithinWatermark collapses the copies,
+      // so the result equals the distinct source — which is the oracle.
+      // State is keyed by event_id and evicted at the watermark horizon
+      val stream = StreamingOps.readEvents(s, s"$dir/events.parquet")
+      val withDups = stream.withColumn("copy",
+          explode(when(col("event_id") % 10 === 0, array(lit(1), lit(2)))
+            .otherwise(array(lit(1)))))
+        .drop("copy")
+      val deduped = StreamingOps.dedupedEvents(withDups, "10 minutes")
+      StreamingOps.withShufflePartitions(s, 8) {
+        StreamingOps.runToMemory(deduped, s"sdd_${System.nanoTime()}")
+      }
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("CAST(ROUND(value*100) AS BIGINT)").as("value_cents"))
+        .orderBy("event_id")
     }),
 
     // --- training-data pipeline extensions ------------------------------
@@ -742,6 +788,13 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).as("n_tokens"))
       graft.ops.Chunking.packBins(d, "source", "doc_id", "n_tokens", capacity = 2048L)
         .orderBy("source", "doc_id")
+    }),
+    "t_rownum" -> ((s, dir) => {
+      // gap-free global row numbers with NO single-partition stage (plan
+      // pinned): range partition + monotonic id + broadcast prefix offsets
+      graft.ops.Indexing.globalRowNumber(
+          t(s, dir, "documents").select("doc_id", "source"), Seq("doc_id"))
+        .orderBy("doc_id")
     }),
     "t_repetition" -> ((s, dir) => {
       // Gopher-style repetition signals, word-n-gram adapted; all-integer
@@ -1284,6 +1337,33 @@ object SparkEntry {
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM s2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // interval-join oracle: the brute-force BETWEEN join DuckDB is happy
+    // to run at this scale — exactly what the bucket expansion avoids
+    "q_interval_join" ->
+      """WITH q AS (
+        |  SELECT CAST(unnest(generate_series(DATE '1992-01-01', DATE '1998-10-01',
+        |         INTERVAL 3 MONTH)) AS DATE) AS q_start
+        |), qi AS (
+        |  SELECT q_start,
+        |    (year(q_start) - 1992) * 4 + (month(q_start) - 1) // 3 AS q_idx,
+        |    datediff('day', DATE '1970-01-01', q_start) AS start_day,
+        |    datediff('day', DATE '1970-01-01', CAST(q_start + INTERVAL 3 MONTH AS DATE)) AS end_day
+        |  FROM q
+        |), iv AS (
+        |  SELECT c_custkey AS custkey, q_start, start_day, end_day,
+        |    'tier_' || CAST((c_custkey + q_idx) % 5 AS VARCHAR) AS tier
+        |  FROM customer, qi
+        |), f AS (
+        |  SELECT o_orderkey, o_custkey AS custkey,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+        |  FROM orders
+        |)
+        |SELECT f.o_orderkey, f.custkey, CAST(f.day AS INTEGER) AS day,
+        |  strftime(iv.q_start, '%Y-%m-%d') AS quarter_start, iv.tier
+        |FROM f JOIN iv ON iv.custkey = f.custkey
+        |  AND f.day >= iv.start_day AND f.day < iv.end_day
+        |ORDER BY f.o_orderkey""".stripMargin,
+
     "q_asof" ->
       """SELECT p.event_id, p.user_id,
         |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
@@ -1322,6 +1402,12 @@ object SparkEntry {
         | AND p.event_type = 'purchase' AND v.event_type = 'view'
         | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
         |ORDER BY l_event_id, r_event_id""".stripMargin,
+    // dedup collapses the injected duplicate copies exactly -> the
+    // distinct source (event_id is unique in the generated table)
+    "s_dedup" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(ROUND(value*100) AS BIGINT) AS value_cents
+        |FROM events ORDER BY event_id""".stripMargin,
     "t_dedup_exact" ->
       """SELECT md5(text) AS text_hash,
         |  CAST(MIN(doc_id) AS BIGINT) AS keep_id,
@@ -1856,6 +1942,11 @@ object SparkEntry {
         |  CAST(prev // 2048 AS BIGINT) AS bin_id,
         |  CAST(prev AS BIGINT) AS bin_offset_tokens
         |FROM c ORDER BY source, doc_id""".stripMargin,
+
+    "t_rownum" ->
+      """SELECT doc_id, source,
+        |  CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // repetition replay: n-grams via 1-based list slices, counts grouped,
     // top-1 by (count desc, gram asc), dup = sum of chars in grams seen

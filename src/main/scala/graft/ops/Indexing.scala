@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scalable global row numbering.
+  *
+  * `row_number() OVER (ORDER BY ...)` with no PARTITION BY funnels every
+  * row through ONE task (Exchange SinglePartition) — the classic scale
+  * cliff: fine at 60k rows, dead at 100 TB. This produces the identical
+  * gap-free 1..N numbering with no single-partition stage:
+  *
+  *  1. range-repartition + sort within partitions on the order key
+  *     (range partitions are ordered: partition i's keys all precede
+  *     partition i+1's) and eagerly materialize via localCheckpoint —
+  *     both downstream jobs MUST see the same physical partitioning,
+  *     and range sampling is re-run per job without it;
+  *  2. `monotonically_increasing_id` over the sorted partitions encodes
+  *     (partitionId, intra-partition position) — pure projection, no
+  *     extra shuffle, no window;
+  *  3. one tiny aggregate collects per-partition counts (#partitions
+  *     rows) to the driver, prefix-summed into offsets, broadcast back;
+  *  4. rn = offset(pid) + intra + 1.
+  *
+  * Total cost: one range shuffle + one lightweight count job. On a real
+  * cluster prefer `.checkpoint()` over `.localCheckpoint()` for step 1
+  * if executors can be lost mid-query.
+  */
+object Indexing {
+
+  /** @param orderCols must form a total order (e.g. include a unique id):
+    *        ties straddle range-partition boundaries nondeterministically */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[String],
+      outCol: String = "rn", numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val n = numPartitions.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val parted = df
+      .repartitionByRange(n, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .localCheckpoint(true)
+    val withMid = parted.withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
+      .withColumn("__intra", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+    // per-partition counts: <= n rows, safe to collect (this is metadata
+    // about the partitioning, not data)
+    val counts = withMid.groupBy("__pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) =>
+      val off = acc; acc += c; (pid, off)
+    }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    withMid.join(broadcast(offDf), Seq("__pid"))
+      .withColumn(outCol, (col("__off") + col("__intra") + 1L).cast("long"))
+      .drop("__mid", "__pid", "__intra", "__off")
+  }
+}

@@ -281,6 +281,39 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(frames.map(_.frame_checksum).sorted.toSeq == again.map(_.frame_checksum).sorted.toSeq)
   }
 
+  test("global row number equals the single-partition window, deterministically") {
+    import graft.ops.Indexing
+    // deliberately unsorted, >1 value per partition, duplicate-free key
+    val df = spark.range(0, 1000).select(
+      ((col("id") * 7919) % 1000).as("k"), col("id").as("v"))
+    val got = Indexing.globalRowNumber(df, Seq("k"), numPartitions = Some(7))
+      .orderBy("k").collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("rn")))
+    assert(got.map(_._1).toSeq == (0L until 1000L).toSeq) // k is a permutation
+    assert(got.map(_._2).toSeq == (1L to 1000L).toSeq, "gap-free 1..N by k order")
+    val again = Indexing.globalRowNumber(df, Seq("k"), numPartitions = Some(7))
+      .orderBy("k").collect().map(r => r.getAs[Long]("rn"))
+    assert(again.toSeq == (1L to 1000L).toSeq)
+  }
+
+  test("interval join: inclusive start, exclusive end, multi-bucket spans, negatives") {
+    import graft.ops.Temporal
+    val facts = Seq((1L, 0L), (2L, 10L), (3L, 99L), (4L, 100L), (5L, -15L),
+      (6L, 500L)).toDF("k", "pos").withColumn("g", lit("a"))
+    val intervals = Seq(
+      ("a", 0L, 100L, "first"),    // spans buckets 0..3 at bucketSize 30
+      ("a", 100L, 200L, "second"),
+      ("a", -30L, 0L, "neg"),      // negative-position interval
+      ("a", 300L, 300L, "empty")   // empty: matches nothing
+    ).toDF("g", "lo", "hi", "label")
+    val out = Temporal.intervalJoin(facts, intervals, Seq("g"),
+        "pos", "lo", "hi", bucketSize = 30L,
+        payload = Seq("label" -> "label"))
+      .select(col("k"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "first", 2L -> "first", 3L -> "first",
+      4L -> "second", 5L -> "neg")) // 6 (pos 500) matches nothing
+  }
+
   test("large-star/small-star CC: chain, forest, and random graph match label propagation") {
     import graft.ops.Dedup.{connectedComponents, connectedComponentsStar}
     def labels(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =

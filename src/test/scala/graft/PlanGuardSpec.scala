@@ -93,6 +93,21 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"expected one doc_id-only exchange shared by both windows, got $docIdExchanges:\n$p")
   }
 
+  test("global row numbering has no single-partition stage") {
+    val p = plan("t_rownum")
+    assert(!p.contains("SinglePartition"),
+      s"row numbering must not funnel rows through one task:\n$p")
+    assert(!p.contains("Window "), s"no global window expected:\n$p")
+  }
+
+  test("interval join is an equi-join, never nested-loop or cartesian") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bucket expansion must produce an equi-join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), s"no hash/merge equi-join found:\n$p")
+  }
+
   test("contamination joins the benchmark set via broadcast") {
     val p = plan("t_contamination")
     assert(p.contains("BroadcastHashJoin"),
