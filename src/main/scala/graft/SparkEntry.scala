@@ -273,6 +273,23 @@ object SparkEntry {
         .agg(sum(expr("CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)")).as("revenue_cents"))
         .orderBy(desc("revenue_cents"), col("n_name"))
     }),
+    "q_analytics" -> ((s, dir) => {
+      // full analytic-function surface over one keyed window: lag/lead,
+      // ntile, percent_rank, cume_dist. percent_rank and cume_dist are
+      // rational (rank arithmetic / one double division) so ppm-floors
+      // replay exactly in any engine
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("CAST(ROUND(o_totalprice*100) AS BIGINT)").as("cents"))
+        .select(col("o_orderkey"), col("o_custkey"), col("cents"),
+          lag("cents", 1).over(w).as("prev_cents"),
+          lead("cents", 1).over(w).as("next_cents"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          floor(percent_rank().over(w) * 1000000).cast("long").as("pct_rank_ppm"),
+          floor(cume_dist().over(w) * 1000000).cast("long").as("cume_ppm"))
+        .orderBy("o_orderkey")
+    }),
     "q_window_top3" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
@@ -1242,6 +1259,20 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name
         |ORDER BY revenue_cents DESC, n_name""".stripMargin,
+    // percent_rank = (rank-1)/(count-1), cume_dist = peers/count — both a
+    // single IEEE double division of exact integers in both engines, so
+    // the ppm floor is bit-for-bit
+    "q_analytics" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents,
+        |  lag(CAST(ROUND(o_totalprice*100) AS BIGINT), 1) OVER w AS prev_cents,
+        |  lead(CAST(ROUND(o_totalprice*100) AS BIGINT), 1) OVER w AS next_cents,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(FLOOR(percent_rank() OVER w * 1000000) AS BIGINT) AS pct_rank_ppm,
+        |  CAST(FLOOR(cume_dist() OVER w * 1000000) AS BIGINT) AS cume_ppm
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_window_top3" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

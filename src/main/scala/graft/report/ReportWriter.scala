@@ -29,6 +29,35 @@ object ReportWriter {
     w(out.differing, "differing_values")
   }
 
+  /** Partition-aware sink for large datasets — the write path a 100 TB
+    * output actually needs, making the two small/huge-file failure modes
+    * impossible by construction:
+    *
+    *  - without the `repartition`, EVERY task holding a sliver of a
+    *    partition writes its own file into that partition's directory:
+    *    tasks x partitions tiny files, the classic small-files problem;
+    *  - with one task per partition but no `maxRecordsPerFile`, a hot
+    *    partition becomes one monolithic file.
+    *
+    * Here each output directory is written by `tasksPerPartition` tasks
+    * (deterministic salt from the row content — no RNG), each rolling to
+    * a new file every `maxRecordsPerFile` rows.
+    */
+  def writePartitioned(df: DataFrame, dir: String, partitionCols: Seq[String],
+      maxRecordsPerFile: Long = 5000000L, tasksPerPartition: Int = 1,
+      format: String = "parquet"): Unit = {
+    require(tasksPerPartition >= 1)
+    val keyed =
+      if (tasksPerPartition == 1) df.repartition(partitionCols.map(col): _*)
+      else df.repartition(
+        partitionCols.map(col) :+
+          pmod(xxhash64(df.columns.map(col): _*), lit(tasksPerPartition)): _*)
+    keyed.write.mode(SaveMode.Overwrite).format(format)
+      .partitionBy(partitionCols: _*)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .save(dir)
+  }
+
   /** Reference-compatible padded summary frame: the three result sets
     * ranked independently and full-outer-joined on rank — positionally
     * zipped columns, null-padded to the longest, exactly the shape of the

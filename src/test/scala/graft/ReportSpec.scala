@@ -74,4 +74,31 @@ class ReportSpec extends AnyFunSuite with SparkSpec {
     for (n <- Seq("missing_in_first", "missing_in_second", "differing_values"))
       assert(spark.read.parquet(s"$dir/$n").count() >= 0)
   }
+
+  test("partitioned writer: one dir per key, bounded file sizes, lossless") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 600)
+      .select(col("id"), (col("id") % 3).cast("string").as("part"))
+    val dir = Files.createTempDirectory("pwrite").toString
+    ReportWriter.writePartitioned(df, dir, Seq("part"), maxRecordsPerFile = 50L)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.sorted.toSeq == Seq("part=0", "part=1", "part=2"))
+    for (d <- dirs) {
+      val files = new java.io.File(s"$dir/$d").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      // 200 rows per partition at <=50 rows/file -> at least 4 files,
+      // none above the cap
+      assert(files.length >= 4, s"$d: ${files.length} files")
+      for (f <- files)
+        assert(spark.read.parquet(f.getAbsolutePath).count() <= 50L)
+    }
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 600)
+    assert(back.select(sum("id")).head.getLong(0) == (0L until 600L).sum)
+    // salted variant: the hot partition is written by multiple tasks
+    val dir2 = Files.createTempDirectory("pwrite2").toString
+    ReportWriter.writePartitioned(df, dir2, Seq("part"),
+      maxRecordsPerFile = 1000L, tasksPerPartition = 3)
+    assert(spark.read.parquet(dir2).count() == 600)
+  }
 }
