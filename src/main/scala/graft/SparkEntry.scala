@@ -806,6 +806,21 @@ object SparkEntry {
       graft.ops.Chunking.packBins(d, "source", "doc_id", "n_tokens", capacity = 2048L)
         .orderBy("source", "doc_id")
     }),
+    "t_quantiles" -> ((s, dir) => {
+      // HDR-style quantile sketch (ops/Quantile.scala): exact bit-math
+      // buckets (no libm), distributive groupBy sketch, integer rank
+      // selection — every value replays exactly in DuckDB. m=7 -> the
+      // reported bound is within 2^-7 (0.8%) of the true quantile
+      val cents = t(s, dir, "events")
+        .select(col("event_type"), expr("CAST(ROUND(value*100) AS BIGINT)").as("cents"))
+      val sk = graft.ops.Quantile.sketch(cents, Seq("event_type"), "cents", m = 7)
+      graft.ops.Quantile.quantiles(sk, Seq("event_type"),
+          Seq("p50" -> 500000L, "p90" -> 900000L, "p99" -> 990000L,
+            "p999" -> 999000L), m = 7)
+        .select(col("event_type"), col("q_label"), col("rank"),
+          col("bucket"), col("q_value"))
+        .orderBy("event_type", "q_label")
+    }),
     "t_rownum" -> ((s, dir) => {
       // gap-free global row numbers with NO single-partition stage (plan
       // pinned): range partition + monotonic id + broadcast prefix offsets
@@ -1974,6 +1989,44 @@ object SparkEntry {
         |  CAST(prev AS BIGINT) AS bin_offset_tokens
         |FROM c ORDER BY source, doc_id""".stripMargin,
 
+    // quantile-sketch replay: bin() string length = exact floor(log2)+1
+    // in both engines; every other op is integer shift/div/mod
+    "t_quantiles" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS cents FROM events
+        |), b AS (
+        |  SELECT event_type,
+        |    CASE WHEN cents <= 0 THEN 0
+        |         WHEN length(bin(cents)) - 1 < 7 THEN cents
+        |         ELSE (length(bin(cents)) - 1 - 7 + 1) * 128
+        |              + ((cents >> (length(bin(cents)) - 1 - 7)) - 128)
+        |    END AS bucket
+        |  FROM v
+        |), sk AS (
+        |  SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2
+        |), c AS (
+        |  SELECT event_type, bucket, cnt,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY event_type) AS total
+        |  FROM sk
+        |), q AS (
+        |  SELECT * FROM (VALUES ('p50', 500000), ('p90', 900000), ('p99', 990000),
+        |    ('p999', 999000)) t(q_label, q_ppm)
+        |), hit AS (
+        |  SELECT c.event_type, q.q_label,
+        |    MIN(c.bucket) AS bucket,
+        |    MIN((q.q_ppm * c.total + 999999) // 1000000) AS rank
+        |  FROM c CROSS JOIN q
+        |  WHERE c.cum >= (q.q_ppm * c.total + 999999) // 1000000
+        |  GROUP BY 1, 2
+        |)
+        |SELECT event_type, q_label, CAST(rank AS BIGINT) AS rank,
+        |  CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(CASE WHEN bucket < 128 THEN bucket
+        |       ELSE ((bucket % 128) + 128) << ((bucket // 128) - 1)
+        |       END AS BIGINT) AS q_value
+        |FROM hit ORDER BY event_type, q_label""".stripMargin,
     "t_rownum" ->
       """SELECT doc_id, source,
         |  CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn
