@@ -1778,9 +1778,9 @@ object SparkEntry {
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // IVF replay — the full trained index: deterministic seed sample,
-    // cosine Voronoi assignment, the ORDER-DETERMINISTIC Lloyd mean
-    // (members sorted by id, sequential double fold — the reason
-    // ivfTopK's refinement avoids avg()), float-cast centroids, then
+    // cosine Voronoi assignment, the DISTRIBUTIVE quantized Lloyd mean
+    // (round(x*2^24) summed as exact BIGINTs — order-independent, the
+    // reason ivfFit needs no collect_list), float-cast centroids, then
     // nprobe=3 probing and exact cosine top-5
     "t_ann_ivf" ->
       s"""WITH seeds AS (
@@ -1796,18 +1796,19 @@ object SparkEntry {
          |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cdist DESC, cent_id) AS r
          |    FROM assigned) a
          |  WHERE r = 1
-         |), dimvals AS (
-         |  SELECT cent_id, pos, list(val ORDER BY vid) AS vals FROM (
-         |    SELECT cent_id, vid, unnest(v) AS val,
+         |), dimsums AS (
+         |  SELECT cent_id, pos,
+         |    SUM(CAST(ROUND(CAST(val AS DOUBLE) * 16777216.0) AS BIGINT)) AS ssum,
+         |    COUNT(*) AS n
+         |  FROM (
+         |    SELECT cent_id, unnest(v) AS val,
          |           generate_subscripts(v, 1) - 1 AS pos
          |    FROM cells) u
          |  GROUP BY cent_id, pos
          |), dimmeans AS (
          |  SELECT cent_id, pos,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(vals, x -> CAST(x AS DOUBLE))), (acc, x) -> acc + x)
-         |      / len(vals) AS m
-         |  FROM dimvals
+         |    CAST(ssum AS DOUBLE) / 16777216.0 / CAST(n AS DOUBLE) AS m
+         |  FROM dimsums
          |), cents AS (
          |  SELECT cent_id, list_transform(list(m ORDER BY pos), x -> CAST(x AS REAL)) AS cvec_c
          |  FROM dimmeans GROUP BY cent_id
@@ -1841,7 +1842,9 @@ object SparkEntry {
 
     // embedding near-dup replay: 8-bit hyperplane bucket collision, exact
     // cosine within buckets; the perturbed copies' float multiply is
-    // bit-identical in DuckDB (exact 48-bit product rounds the same way)
+    // bit-identical in DuckDB (exact 48-bit product rounds the same way).
+    // Buckets over 64 members replay the min-id star fallback (the
+    // embeddingNearDups skew guard), mirroring the t_simhash_pairs oracle
     "t_embed_neardup" ->
       s"""WITH ${signsCtes(8)}, corpus AS (
          |  SELECT vec_id, embedding FROM embeddings
@@ -1855,9 +1858,21 @@ object SparkEntry {
          |), sigs AS (
          |  SELECT vec_id, CAST(SUM(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS INTEGER) AS bucket
          |  FROM dots GROUP BY vec_id
+         |), bucketed AS (
+         |  SELECT vec_id, bucket,
+         |    COUNT(*) OVER (PARTITION BY bucket) AS bsz,
+         |    MIN(vec_id) OVER (PARTITION BY bucket) AS bmin
+         |  FROM sigs
          |), pairs AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE a.bsz <= 64
+         |  UNION ALL
+         |  SELECT m.vec_id, o.vec_id
+         |  FROM bucketed o JOIN bucketed m
+         |    ON m.bucket = o.bucket AND m.vec_id = o.bmin
+         |  WHERE o.bsz > 64 AND o.vec_id <> o.bmin
          |), scored AS (
          |  SELECT p.id_a, p.id_b, ${cosineSql("ea.embedding", "eb.embedding")} AS cosine
          |  FROM pairs p

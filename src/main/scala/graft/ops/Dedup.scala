@@ -151,25 +151,33 @@ object Dedup {
     val buckets = banded.groupBy("band", "band_hash")
       .agg(sort_array(collect_set("id")).as("ids"))
       .filter(size(col("ids")) > 1)
-    val pairUdf = udf { (ids: Seq[Long], cap: Int) =>
-      val arr = ids.toArray
-      if (arr.length <= cap) {
-        val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-        var i = 0
-        while (i < arr.length) {
-          var j = i + 1
-          while (j < arr.length) { out += ((arr(i), arr(j))); j += 1 }
-          i += 1
-        }
-        out.toSeq
-      } else {
-        val m = arr.min
-        arr.iterator.filter(_ != m).map(x => (m, x)).toSeq
-      }
-    }
-    buckets.select(explode(pairUdf(col("ids"), lit(maxBucket))).as("p"))
+    buckets.select(explode(cappedPairsUdf(col("ids"), lit(maxBucket))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .distinct()
+  }
+
+  /** Within-bucket pair generation with the skew guard shared by every
+    * bucket-join operator ([[minhashCandidates]], `Similarity
+    * .embeddingNearDups`): buckets up to `cap` emit all C(n,2) pairs;
+    * larger (boilerplate-skewed) buckets emit a linear star against the
+    * min id, which still links the whole bucket into one connected
+    * component downstream — pair output is O(n) per bucket either way
+    * instead of O(n^2). */
+  private[ops] val cappedPairsUdf = udf { (ids: Seq[Long], cap: Int) =>
+    val arr = ids.toArray
+    if (arr.length <= cap) {
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var i = 0
+      while (i < arr.length) {
+        var j = i + 1
+        while (j < arr.length) { out += ((arr(i), arr(j))); j += 1 }
+        i += 1
+      }
+      out.toSeq
+    } else {
+      val m = arr.min
+      arr.iterator.filter(_ != m).map(x => (m, x)).toSeq
+    }
   }
 
   /** Estimated Jaccard from two minhash signatures (fraction of agreeing

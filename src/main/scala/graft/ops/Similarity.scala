@@ -109,9 +109,9 @@ object Similarity {
   }
 
   /** IVF-style approximate top-k: the corpus is partitioned into
-    * `nCentroids` Voronoi cells (centroids = deterministic sample of the
-    * corpus itself — an IVF-FLAT without Lloyd refinement); each query
-    * probes only its `nprobe` nearest cells.
+    * `nCentroids` Voronoi cells (seed centroids = deterministic sample of
+    * the corpus, one Lloyd refinement via [[ivfFit]]); each query probes
+    * only its `nprobe` nearest cells.
     *
     * Scale: centroid assignment is a broadcast of nCentroids vectors +
     * one corpus scan; the search join is an equi-join on cell id, so each
@@ -119,38 +119,48 @@ object Similarity {
     * whole corpus. Recall depends on the data being clusterable; tested
     * against brute force on the labeled embeddings table.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCentroids: Int = 16, nprobe: Int = 2,
+  /** Fit stage of [[ivfTopK]] — one Lloyd refinement producing the trained
+    * `(cent_id, cvec_c)` centroids. Exposed separately so the plan shape
+    * can be pinned in tests.
+    *
+    * The cell mean is DISTRIBUTIVE: each component is quantized to the
+    * 1/2^24 grid (`round(x * 2^24)` as BIGINT — float components convert
+    * to double exactly, and the scaled sum is exact integer arithmetic),
+    * summed with an ordinary `sum()` (associative/commutative => partial
+    * aggregation is order-independent), and divided out at the end. Per-
+    * group aggregation state is one (Long, Long) regardless of cell size —
+    * no per-cell `collect_list` — so a 100x corpus scale-up changes
+    * nothing about the fit's memory shape, while the quantized mean stays
+    * bit-for-bit replayable by an external oracle. (avg() over raw
+    * doubles would NOT be: its summation order is partition-dependent.)
+    * The final per-centroid assembly `collect_list(struct(pos, m))` is
+    * bounded by the embedding dimension, not the cell size. */
+  def ivfFit(corpus: DataFrame, nCentroids: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val seeds = corpus.filter(pmod(col(idCol), lit(7)) === 0) // deterministic sample
       .orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cvec_c"))
-
-    // one Lloyd refinement: assign all vectors to their seed cell, replace
-    // each centroid with the cell mean. The mean is a DETERMINISTICALLY
-    // ordered fold (cell members sorted by id, sequential double sum)
-    // rather than avg(): avg's partial-aggregation summation order is
-    // partitioning-dependent, which would make the trained centroids — and
-    // therefore the whole index — impossible for an external oracle to
-    // replay bit-for-bit. The fit stage is small (it's the 16-row
-    // centroid collect below), so the per-cell collect_list is bounded by
-    // cell size; at 100 TB the fit runs on a sample anyway.
     val assigned = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
       .join(broadcast(seeds))
       .withColumn("cdist", cosineSimilarity(col("v"), col("cvec_c")))
     val wAssign = Window.partitionBy("vid").orderBy(desc("cdist"), col("cent_id"))
     val cells = assigned.withColumn("r", row_number().over(wAssign))
-      .filter(col("r") === 1).select("cent_id", "vid", "v")
-    val refined = cells.select(col("cent_id"), col("vid"), posexplode(col("v")))
+      .filter(col("r") === 1).select("cent_id", "v")
+    cells.select(col("cent_id"), posexplode(col("v")))
       .groupBy("cent_id", "pos")
-      .agg(sort_array(collect_list(struct(col("vid"), col("col")))).as("vals"))
-      .withColumn("m",
-        aggregate(col("vals"), lit(0.0),
-          (acc, x) => acc + x.getField("col").cast("double")) / size(col("vals")))
+      .agg(sum(round(col("col").cast("double") * lit(16777216.0)).cast("long")).as("ssum"),
+        count(lit(1)).as("n"))
+      .withColumn("m", col("ssum").cast("double") / lit(16777216.0) / col("n"))
       .groupBy("cent_id")
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cent_id"),
         transform(col("pm"), x => x.getField("m").cast("float")).as("cvec_c"))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val refined = ivfFit(corpus, nCentroids, idCol, vecCol)
     // materialize the (tiny) trained centroid set once — the classic
     // fit-then-broadcast shape; without this both the corpus and the query
     // assignment recompute the whole Lloyd subtree
@@ -185,16 +195,35 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: cosine above `threshold` among
-    * LSH-bucket colliders (approximate; exact within buckets). */
+    * LSH-bucket colliders (approximate; exact within buckets).
+    *
+    * Skew guard: bucket occupancy is capped at `maxBucket` via the same
+    * min-id star fallback as `Dedup.minhashCandidates` — a bucket holding
+    * a boilerplate-duplicate cluster emits O(n) star pairs against its min
+    * id instead of O(n^2) all-pairs, so candidate volume stays linear in
+    * corpus size at any scale. Star pairs of such a cluster still link it
+    * into one connected component for downstream grouping (run
+    * `Dedup.connectedComponents` over the output); pairs both far from the
+    * bucket minimum are not scored in that regime — the price of
+    * boundedness, same contract as the MinHash path. */
   def embeddingNearDups(vectors: DataFrame, threshold: Double, bits: Int = 12,
+      maxBucket: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val sig = hyperplaneSigUdf(bits)
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
       sig(col(vecCol)).as("bucket"))
-    val a = v.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = v.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+    // ids only through the bucket stage (8 bytes/member); vectors rejoin
+    // by id AFTER pair generation, so the shuffled bucket payload and the
+    // pair expansion are both bounded
+    val buckets = v.groupBy("bucket")
+      .agg(sort_array(collect_set("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairs = buckets
+      .select(explode(Dedup.cappedPairsUdf(col("ids"), lit(maxBucket))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+    pairs
+      .join(v.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .withColumn("cosine", cosineSimilarity(col("vec_a"), col("vec_b")))
       .filter(col("cosine") > threshold)
       .select("id_a", "id_b", "cosine")

@@ -105,29 +105,61 @@ object StreamingOps {
 
   /** Custom per-key state: running per-user session stats via
     * `mapGroupsWithState` (the KeyValueGroupedDataset stateful surface).
-    * Emits the updated session row on every trigger for every active user. */
-  def userSessions(events: DataFrame): Dataset[UserSession] = {
+    * Emits the updated session row on every trigger for every active user.
+    *
+    * State is BOUNDED: with `idleMinutes` set (the default), a user idle
+    * for that long past the event-time watermark has their final row
+    * re-emitted and their state EVICTED — over an unbounded user universe
+    * the store holds only recently-active users, mirroring
+    * [[sessionWindows]]. The re-emission is idempotent for downstream
+    * consumers that reduce updates per user (max_by on n_events — the
+    * monotone counter). Pass `idleMinutes = None` for the unbounded
+    * accumulate-forever variant (bounded-key demos only).
+    */
+  def userSessions(events: DataFrame, watermark: String = "10 minutes",
+      idleMinutes: Option[Int] = Some(60)): Dataset[UserSession] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.as[EventRow]
+    val src = idleMinutes match {
+      case Some(_) => events.withWatermark("ts", watermark)
+      case None    => events
+    }
+    val timeoutConf = idleMinutes match {
+      case Some(_) => GroupStateTimeout.EventTimeTimeout()
+      case None    => GroupStateTimeout.NoTimeout()
+    }
+    src.as[EventRow]
       .groupByKey(_.user_id)
-      .mapGroupsWithState[UserSession, UserSession](GroupStateTimeout.NoTimeout()) {
+      .mapGroupsWithState[UserSession, UserSession](timeoutConf) {
         (uid: Long, rows: Iterator[EventRow], state: GroupState[UserSession]) =>
-          val prev = state.getOption.getOrElse(
-            UserSession(uid, 0L, 0L, null, null))
-          var n = prev.n_events
-          var tot = prev.total_cents
-          var first = prev.first_ts
-          var last = prev.last_ts
-          rows.foreach { r =>
-            n += 1
-            tot += sqlRoundCents(r.value)
-            if (first == null || r.ts.before(first)) first = r.ts
-            if (last == null || r.ts.after(last)) last = r.ts
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove() // evict: final row re-emitted, store entry freed
+            last
+          } else {
+            val prev = state.getOption.getOrElse(
+              UserSession(uid, 0L, 0L, null, null))
+            var n = prev.n_events
+            var tot = prev.total_cents
+            var first = prev.first_ts
+            var last = prev.last_ts
+            rows.foreach { r =>
+              n += 1
+              tot += sqlRoundCents(r.value)
+              if (first == null || r.ts.before(first)) first = r.ts
+              if (last == null || r.ts.after(last)) last = r.ts
+            }
+            val next = UserSession(uid, n, tot, first, last)
+            state.update(next)
+            idleMinutes.foreach { idle =>
+              // event-time eviction point; must sit past the current
+              // watermark or Spark rejects it
+              state.setTimeoutTimestamp(math.max(
+                last.getTime + idle * 60000L,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            next
           }
-          val next = UserSession(uid, n, tot, first, last)
-          state.update(next)
-          next
       }
   }
 

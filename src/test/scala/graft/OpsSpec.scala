@@ -91,6 +91,24 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(res.length == 1 && res(0).getAs[Long]("corpus_id") == 1L)
   }
 
+  test("embedding near-dups: saturated bucket degrades to a linear min-id star") {
+    // 10 identical vectors all land in one hyperplane bucket; with the
+    // bucket cap below the occupancy the pair output must be the LINEAR
+    // star against the min id (9 pairs), never the quadratic 45 all-pairs
+    val dup = (0L until 10L).map(i => (i, Array(1.0f, 0.2f, -0.3f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val star = Similarity.embeddingNearDups(dup, threshold = 0.9, bits = 8,
+      maxBucket = 4).collect()
+    assert(star.length == 9, s"expected linear star, got ${star.length} pairs")
+    assert(star.forall(_.getAs[Long]("id_a") == 0L),
+      "star pairs must anchor at the bucket's min id")
+    assert(star.forall(_.getAs[Double]("cosine") > 0.999))
+    // same input under the cap: full all-pairs within the bucket
+    val full = Similarity.embeddingNearDups(dup, threshold = 0.9, bits = 8,
+      maxBucket = 64).collect()
+    assert(full.length == 45)
+  }
+
   test("text analysis: token counts, quality, langid, fingerprints") {
     val stats = TextAnalysis.stats(docs).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(stats(5L).getAs[Long]("n_tokens") == 0L)

@@ -114,6 +114,27 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"benchmark shingle set must broadcast, not shuffle the corpus:\n$p")
   }
 
+  test("IVF fit is distributive: no member-sized collect_list, partial sums") {
+    // the fit's per-(cell, dim) mean must aggregate with sum/count (bounded
+    // per-group state), never sort_array(collect_list(<members>)) — the
+    // shape that OOMs when a cell is corpus/nCentroids at 100 TB. The only
+    // remaining collect_list is the per-centroid vector assembly, bounded
+    // by the embedding DIMENSION, not the cell size.
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = graft.ops.Similarity.ivfFit(e).queryExecution.executedPlan.toString
+    assert(!p.contains("sort_array(collect_list"),
+      s"fit must not materialize cell members per (cell, dim):\n$p")
+    assert(p.contains("sum("), s"fit mean must be a distributive sum:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"fit sum must have a map-side partial stage:\n$p")
+  }
+
+  test("embedding near-dups: pair generation joins vectors back by id (equi-join)") {
+    val p = plan("t_embed_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bucketed near-dup must stay an equi-join:\n$p")
+  }
+
   test("skew demo: both variants sort-merge; salted joins on (k, salt)") {
     // the regime where skew bites is a non-broadcastable dim: both plans
     // must be SortMergeJoin (no BroadcastHashJoin smuggling the problem

@@ -57,7 +57,10 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
-    val sessions = StreamingOps.userSessions(StreamingOps.normalizeEventTs(stream))
+    // idleMinutes = None: the accumulate-forever variant — this test pins
+    // exact cross-batch accumulation, which an eviction mid-run would reset
+    val sessions = StreamingOps.userSessions(
+      StreamingOps.normalizeEventTs(stream), idleMinutes = None)
     val q = sessions.toDF().writeStream.format("memory")
       .queryName("multibatch_sess").outputMode(OutputMode.Update()).start()
     q.processAllAvailable()
@@ -152,8 +155,16 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
 
   test("stateful user sessions equal batch per-user aggregates") {
     val stream = StreamingOps.readEvents(spark, eventsPath)
-    val got = StreamingOps.runToMemory(
+    val updates = StreamingOps.runToMemory(
       StreamingOps.userSessions(stream).toDF(), "sess_test", OutputMode.Update())
+    // Update mode emits one row per user per batch, plus an idempotent
+    // final re-emission when idle timeout evicts the state — reduce to the
+    // final (monotone-in-n_events) row per user
+    val got = updates.groupBy("user_id")
+      .agg(max("n_events").as("n_events"),
+        expr("max_by(total_cents, n_events)").as("total_cents"),
+        min("first_ts").as("first_ts"),
+        expr("max_by(last_ts, n_events)").as("last_ts"))
     val batch = StreamingOps.normalizeEventTs(spark.read.parquet(eventsPath)).groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
         sum(expr("CAST(ROUND(value*100) AS BIGINT)")).as("total_cents"),
@@ -161,5 +172,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val g = got.orderBy("user_id").collect().toSeq
     val b = batch.orderBy("user_id").collect().toSeq
     assert(g.size == b.size && g == b)
+  }
+
+  test("user sessions state is evicted after the idle timeout passes the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(minute: Long) = new java.sql.Timestamp(minute * 60000L)
+    val src = MemoryStream[StreamingOps.EventRow]
+    val sessions = StreamingOps.userSessions(
+      src.toDF(), watermark = "10 minutes", idleMinutes = Some(60))
+    val q = sessions.toDF().writeStream.format("memory")
+      .queryName("evict_test").outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: two user-1 events (offset from the epoch — a ts equal to
+      // the initial watermark value 0 is filtered as late data)
+      src.addData(StreamingOps.EventRow(1L, ts(100), 1L, "view", 1.0, "{}"),
+        StreamingOps.EventRow(2L, ts(105), 1L, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      // batch 2: a far-future user-2 event pushes the watermark past
+      // user 1's idle horizon (105 + 60 min) -> user 1's state must time
+      // out (final row re-emitted) and be REMOVED from the store
+      src.addData(StreamingOps.EventRow(3L, ts(600), 2L, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      // batch 3: user 1 returns; with state evicted the count restarts at 1
+      src.addData(StreamingOps.EventRow(4L, ts(601), 1L, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      val u1 = spark.table("evict_test").filter(col("user_id") === 1L)
+        .select("n_events").as[Long].collect().toSeq
+      assert(u1.contains(2L), s"pre-eviction updates missing: $u1")
+      assert(u1.count(_ == 2L) == 2,
+        s"timeout must re-emit the final row exactly once: $u1")
+      assert(u1.last == 1L,
+        s"post-eviction event must start a FRESH session (state removed): $u1")
+    } finally q.stop()
   }
 }
