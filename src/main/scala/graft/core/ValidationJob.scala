@@ -51,10 +51,7 @@ object ValidationJob {
       ReportWriter.writeCompat(out, s"${cfg.outputDirectory}/result",
         cfg.firstName, cfg.secondName, cfg.checkColumn)
     }
-    val summary = compareMode(cfg) match {
-      case CompareMode.Fuzzy(t) if t < 1.0 => Validator.summary(first, second, out)
-      case m => Validator.summaryFast(first, second, m) // single job
-    }
+    val summary = Validator.summaryFast(first, second, compareMode(cfg)) // single job, all modes
     (out, summary)
   }
 }

@@ -201,8 +201,8 @@ object Validator {
   /** One-row metrics summary of a validation run (counts + match rate) —
     * the aggregate surface the reference lacked but a report needs.
     * Multi-action: counts each result set separately (6 jobs, repeated
-    * scans). Kept as the reference implementation; [[summaryFast]] is the
-    * production path for equality-based modes. */
+    * scans). Kept as the reference implementation that [[summaryFast]] —
+    * the single-job production path for every mode — is tested against. */
   def summary(first: DataFrame, second: DataFrame, out: ValidationOutput): DataFrame = {
     val nF = first.count()
     val nS = second.count()
@@ -217,25 +217,27 @@ object Validator {
         "n_differing", "n_matched")
   }
 
-  /** Single-pass summary for equality-based modes (Numeric, Date,
-    * Fuzzy(threshold >= 1)) — identical numbers to [[summary]] but ONE
-    * Spark job with no repeated scans:
+  /** Single-pass summary — identical numbers to [[summary]] but ONE Spark
+    * job with no repeated scans:
     *
-    * each side is reduced to per-(id, coercedValue) counts, joined
-    * null-safe; per-id pair algebra then yields every metric, including
-    * the m-by-n duplicate-key multiplicity of the inner-join diff
-    * (differing pairs per id = tot1*tot2 - sum_v c1(v)*c2(v)). At 100 TB
-    * this replaces six scan+join jobs with two aggregations and two
-    * id-keyed joins inside one job. Fuzzy(<1) has no grouping form —
-    * callers fall back to [[summary]].
-    */
+    * each side is reduced to per-(id, coercedValue) counts; per-id pair
+    * algebra then yields every metric, including the m-by-n duplicate-key
+    * multiplicity of the inner-join diff (differing pairs per id =
+    * tot1*tot2 - equal pairs). At 100 TB this replaces six scan+join jobs
+    * with two aggregations and two id-keyed joins inside one job.
+    *
+    * Equality-based modes (Numeric, Date, Fuzzy(>=1)) count equal pairs
+    * with a null-safe equi-join on (id, value) — the cheapest shape.
+    * Fuzzy(t<1) is not an equivalence relation, so its equal pairs come
+    * from joining the per-id DISTINCT value sets and scoring `seq_ratio`
+    * once per distinct (v1, v2) pair weighted by c1*c2 — the same pairs
+    * [[validate]]'s inner join scores row-by-row, but deduplicated, so the
+    * quadratic ratio kernel runs at most once per distinct value pair. */
   def summaryFast(first: DataFrame, second: DataFrame, mode: CompareMode): DataFrame = {
     val coerce: Column => Column = mode match {
-      case CompareMode.Numeric => toNumeric
-      case CompareMode.Date    => toTs
-      case CompareMode.Fuzzy(t) if t >= 1.0 => c => c.cast(StringType)
-      case _ => throw new IllegalArgumentException(
-        "summaryFast requires an equality-based mode; use summary() for fuzzy thresholds < 1")
+      case CompareMode.Numeric  => toNumeric
+      case CompareMode.Date     => toTs
+      case CompareMode.Fuzzy(_) => c => c.cast(StringType)
     }
     def grouped(df: DataFrame) = df
       .select(col("id").cast(StringType).as("id"), coerce(col("check")).as("v"))
@@ -244,11 +246,19 @@ object Validator {
     val g2 = grouped(second)
     val t1 = g1.groupBy("id").agg(sum("c").as("tot1"))
     val t2 = g2.groupBy("id").agg(sum("c").as("tot2"))
-    // equal (null-safe) value pairs per id
-    val eq = g1.as("a").join(g2.as("b"),
-        col("a.id") === col("b.id") && (col("a.v") <=> col("b.v")))
-      .groupBy(col("a.id").as("id"))
-      .agg(sum(col("a.c") * col("b.c")).as("eq_pairs"))
+    // equal (per the mode's truth table) value pairs per id
+    val eq = mode match {
+      case CompareMode.Fuzzy(t) if t < 1.0 =>
+        g1.as("a").join(g2.as("b"), col("a.id") === col("b.id"))
+          .groupBy(col("a.id").as("id"))
+          .agg(sum(when(differs(col("a.v"), col("b.v"), mode), lit(0L))
+            .otherwise(col("a.c") * col("b.c"))).as("eq_pairs"))
+      case _ =>
+        g1.as("a").join(g2.as("b"),
+            col("a.id") === col("b.id") && (col("a.v") <=> col("b.v")))
+          .groupBy(col("a.id").as("id"))
+          .agg(sum(col("a.c") * col("b.c")).as("eq_pairs"))
+    }
     t1.join(t2, Seq("id"), "full_outer")
       .join(eq, Seq("id"), "left_outer")
       .agg(

@@ -27,8 +27,60 @@ object DifflibRatio extends Serializable {
     val la = a.length
     val lb = b.length
     if (la == 0 && lb == 0) return 1.0
+    if (a == b) return 1.0 // exact: identical strings match in full, 2n/2n
     val matches = totalMatches(a, b)
     2.0 * matches / (la + lb)
+  }
+
+  /** Port of difflib `real_quick_ratio`: upper bound on [[ratio]] from
+    * lengths alone (matched blocks can't exceed the shorter string). O(1). */
+  def realQuickRatio(a: String, b: String): Double = {
+    val la = a.length
+    val lb = b.length
+    if (la == 0 && lb == 0) 1.0
+    else 2.0 * math.min(la, lb) / (la + lb)
+  }
+
+  /** Port of difflib `quick_ratio`: upper bound on [[ratio]] from the
+    * character-multiset intersection (matched blocks consume one occurrence
+    * of each character from both sides). O(la + lb). */
+  def quickRatio(a: String, b: String): Double = {
+    val la = a.length
+    val lb = b.length
+    if (la == 0 && lb == 0) return 1.0
+    val full = new mutable.HashMap[Char, Int]()
+    var i = 0
+    while (i < lb) {
+      val ch = b.charAt(i)
+      full(ch) = full.getOrElse(ch, 0) + 1
+      i += 1
+    }
+    val avail = new mutable.HashMap[Char, Int]()
+    var matches = 0
+    i = 0
+    while (i < la) {
+      val ch = a.charAt(i)
+      val numb = avail.getOrElse(ch, full.getOrElse(ch, 0))
+      avail(ch) = numb - 1
+      if (numb > 0) matches += 1
+      i += 1
+    }
+    2.0 * matches / (la + lb)
+  }
+
+  /** `ratioNullSafe(a, b) >= threshold`, but with difflib's cheap upper
+    * bounds tried first — the guard that keeps adversarially long strings
+    * from stalling a task on the O(n^2) matcher: O(1) length bound, then
+    * the O(n) multiset bound, and only when both clear the threshold the
+    * full [[ratio]]. The bounds are proven >= ratio (difflib contract;
+    * property-tested), so the answer is EXACTLY the unguarded comparison. */
+  def ratioGteNullSafe(a: String, b: String, threshold: Double): Boolean = {
+    if (a == null && b == null) return 1.0 >= threshold
+    if (a == null || b == null) return -1.0 >= threshold
+    if (a == b) return 1.0 >= threshold
+    if (realQuickRatio(a, b) < threshold) return false
+    if (quickRatio(a, b) < threshold) return false
+    ratio(a, b) >= threshold
   }
 
   /** Null-semantics wrapper matching the reference's fuzzy_match

@@ -99,6 +99,45 @@ class ValidatorSpec extends AnyFunSuite with SparkSpec {
     assert((0 until 6).forall(i => z.getLong(i) == 0L))
   }
 
+  test("fuzzy summaryFast equals multi-action summary and runs as ONE action") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    // duplicate keys (m-by-n multiplicity), one-null / both-null values,
+    // ratios straddling the 0.9 threshold (CTS-VS vs CTS-V = 10/11 ≈ .909
+    // passes; Ssierraa vs Sierra ≈ .857 fails)
+    val f = keyed(Seq("1" -> "CTS-VS", "1" -> "Ssierraa", "2" -> null,
+      "3" -> null, "4" -> "only_f", "5" -> "same", "5" -> "same"))
+    val s = keyed(Seq("1" -> "CTS-V", "2" -> null, "3" -> "x",
+      "5" -> "same", "5" -> "samey", "6" -> "only_s"))
+    val mode = CompareMode.Fuzzy(0.9)
+
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new QueryExecutionListener {
+      override def onSuccess(fn: String, qe: QueryExecution, ns: Long): Unit =
+        if (qe.analyzed.schema.fieldNames.contains("n_differing"))
+          actions.incrementAndGet()
+      override def onFailure(fn: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val fast = try {
+      val row = Validator.summaryFast(f, s, mode).collect()(0)
+      // the execution listener is async; wait for the event, then linger
+      // long enough to catch a hypothetical second action
+      var tries = 0
+      while (actions.get() < 1 && tries < 100) { Thread.sleep(50); tries += 1 }
+      Thread.sleep(300)
+      assert(actions.get() == 1,
+        s"single-pass fuzzy summary must run as ONE action, saw ${actions.get()}")
+      row
+    } finally spark.listenerManager.unregister(listener)
+
+    val slow = Validator.summary(f, s, Validator.validate(f, s, mode)).collect()(0)
+    for (c <- Seq("n_first", "n_second", "missing_in_first",
+        "missing_in_second", "n_differing", "n_matched"))
+      assert(fast.getAs[Long](c) == slow.getAs[Long](c),
+        s"$c: fast=${fast.getAs[Long](c)} slow=${slow.getAs[Long](c)}")
+  }
+
   test("bucket checksums localize differences to the right buckets") {
     import org.apache.spark.sql.functions._
     val f = (1 to 1000).map(i => (i.toString, i.toDouble)).toDF("id", "check")
