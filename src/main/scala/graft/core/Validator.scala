@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StringType, TimestampType}
 
-import graft.functions.{compositeKey, seqRatio}
+import graft.functions.{compositeKey, seqRatioGte}
 
 /** Comparison mode — reference `data_type: integer | string | date`
   * (`config.yaml:8`, `running_validation.py:643-650`). */
@@ -72,7 +72,9 @@ object Validator {
     case CompareMode.Date    => !(toTs(a) <=> toTs(b))
     case CompareMode.Fuzzy(t) if t >= 1.0 => !(a.cast(StringType) <=> b.cast(StringType))
     case CompareMode.Fuzzy(t) =>
-      seqRatio(a.cast(StringType), b.cast(StringType)) < lit(t)
+      // guarded form: difflib's O(1)/O(n) upper bounds short-circuit the
+      // O(n^2) matcher on pairs that can't reach the threshold
+      !seqRatioGte(a.cast(StringType), b.cast(StringType), t)
   }
 
   /** Full validation of two keyed frames (each `(id, check)`).

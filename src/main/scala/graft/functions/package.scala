@@ -47,6 +47,13 @@ package object functions {
   def seqRatio(a: Column, b: Column): Column =
     exprColumn(SequenceMatcherRatio(columnExpr(a), columnExpr(b)))
 
+  /** `seqRatio(a, b) >= threshold`, guarded by difflib's cheap upper
+    * bounds (length, then character multiset) so the O(n^2) matcher only
+    * runs on pairs that could still clear the threshold — the production
+    * form of the fuzzy threshold predicate. */
+  def seqRatioGte(a: Column, b: Column, threshold: Double): Column =
+    exprColumn(SequenceMatcherGte(columnExpr(a), columnExpr(b), threshold))
+
   /** Dot product of two equal-length numeric arrays, as a pure expression
     * (zip_with + aggregate -> codegen, no UDF). Arrays cast to double. */
   def dotProduct(a: Column, b: Column): Column =

@@ -38,4 +38,24 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(q2.count() == 2)
     assert(!q2.queryExecution.optimizedPlan.toString().contains("seq_ratio"))
   }
+
+  test("sub-1 threshold comparisons are rewritten to the guarded predicate") {
+    import spark.implicits._
+    // RDD-backed frame: a LocalRelation would be constant-folded by
+    // ConvertToLocalRelation and there'd be no predicate left to inspect
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      ("CTS-VS", "CTS-V"), ("Ssierraa", "Sierra"), (null, "b"),
+      (null: String, null: String)), 2)).toDF("a", "b")
+    // >= 0.9: the guarded form replaces ratio-then-compare...
+    val q = df.filter(seqRatio($"a", $"b") >= lit(0.9))
+    val opt = q.queryExecution.optimizedPlan.toString()
+    assert(opt.contains("seq_ratio_gte"), s"guard rewrite did not fire:\n$opt")
+    assert(!opt.contains("seq_ratio("), s"unguarded ratio survived:\n$opt")
+    // ...with identical semantics (CTS pair .909 passes; both-null passes)
+    assert(q.count() == 2)
+    // < 0.9 is the negated guard — same truth table as ratio < t
+    val q2 = df.filter(seqRatio($"a", $"b") < lit(0.9))
+    assert(q2.queryExecution.optimizedPlan.toString().contains("seq_ratio_gte"))
+    assert(q2.count() == 2) // Ssierraa (.857) + one-null (-1.0)
+  }
 }
