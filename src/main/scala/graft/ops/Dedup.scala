@@ -148,36 +148,59 @@ object Dedup {
     }
     val banded = sigs.select(col("id"), posexplode(bandHashUdf(col("sig"))))
       .select(col("id"), col("pos").as("band"), col("col").as("band_hash"))
-    val buckets = banded.groupBy("band", "band_hash")
-      .agg(sort_array(collect_set("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-    buckets.select(explode(cappedPairsUdf(col("ids"), lit(maxBucket))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+    boundedBucketPairs(banded, Seq("band", "band_hash"), maxBucket)
       .distinct()
   }
 
   /** Within-bucket pair generation with the skew guard shared by every
-    * bucket-join operator ([[minhashCandidates]], `Similarity
-    * .embeddingNearDups`): buckets up to `cap` emit all C(n,2) pairs;
-    * larger (boilerplate-skewed) buckets emit a linear star against the
-    * min id, which still links the whole bucket into one connected
+    * bucket-join operator ([[minhashCandidates]], [[simhashCandidates]],
+    * `Similarity.embeddingNearDups`): buckets up to `cap` emit all C(n,2)
+    * pairs; larger (boilerplate-skewed) buckets emit a linear star against
+    * the min id, which still links the whole bucket into one connected
     * component downstream — pair output is O(n) per bucket either way
-    * instead of O(n^2). */
-  private[ops] val cappedPairsUdf = udf { (ids: Seq[Long], cap: Int) =>
+    * instead of O(n^2).
+    *
+    * BOTH regimes keep per-task AGGREGATION state bounded, not just pair
+    * output: bucket occupancy and min id come from window functions (the
+    * window buffers one bucket at a time and spills — linear streamed
+    * work, never an in-memory aggregation array); only buckets already
+    * known to be <= `cap` are collected for pair expansion (array bounded
+    * by `cap`); over-cap buckets never materialize an id list anywhere —
+    * their star pairs are a pure projection. Both branches sit on the SAME
+    * Exchange+Sort over `members` (identical pruning), so any expensive
+    * upstream signature compute runs once and the second branch reads the
+    * reused exchange.
+    *
+    * `members` must be (bucketKeys..., id) with ids unique per bucket. */
+  private[ops] def boundedBucketPairs(members: DataFrame,
+      bucketKeys: Seq[String], cap: Int): DataFrame = {
+    val keys = bucketKeys.map(col)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+    val m = members
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__min_id", min("id").over(w))
+    val smallPairs = m.filter(col("__cnt") > 1 && col("__cnt") <= cap)
+      .groupBy(keys: _*)
+      .agg(sort_array(collect_list("id")).as("ids")) // bounded by cap
+      .select(explode(allPairsUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+    val starPairs = m.filter(col("__cnt") > cap && col("id") =!= col("__min_id"))
+      .select(col("__min_id").as("id_a"), col("id").as("id_b"))
+    smallPairs.union(starPairs)
+  }
+
+  /** All C(n,2) ordered pairs of a (cap-bounded) sorted id list. */
+  private[ops] val allPairsUdf = udf { (ids: Seq[Long]) =>
     val arr = ids.toArray
-    if (arr.length <= cap) {
-      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-      var i = 0
-      while (i < arr.length) {
-        var j = i + 1
-        while (j < arr.length) { out += ((arr(i), arr(j))); j += 1 }
-        i += 1
-      }
-      out.toSeq
-    } else {
-      val m = arr.min
-      arr.iterator.filter(_ != m).map(x => (m, x)).toSeq
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+      arr.length * (arr.length - 1) / 2)
+    var i = 0
+    while (i < arr.length) {
+      var j = i + 1
+      while (j < arr.length) { out += ((arr(i), arr(j))); j += 1 }
+      i += 1
     }
+    out.toSeq
   }
 
   /** Estimated Jaccard from two minhash signatures (fraction of agreeing
@@ -371,8 +394,14 @@ object Dedup {
     * standard block trick: split the 64-bit hash into 4 16-bit blocks; any
     * pair within distance 3 agrees exactly on at least one block -> bucket
     * by (blockIdx, blockValue), pair within buckets, verify true distance.
-    * Members are carried as [id, simhash] 2-arrays to keep the bucket
-    * payload a single column. */
+    *
+    * Same bounded two-regime shape as [[boundedBucketPairs]] (members here
+    * carry [id, simhash] 2-arrays so the verify stage has both hashes):
+    * small buckets collect at most `maxBucket` members for all-pairs
+    * expansion; over-cap (boilerplate-skewed) buckets emit a linear star
+    * against the min-id member as a pure projection — no per-bucket array
+    * is ever materialized for them. The skew case is near-identical
+    * boilerplate, so hamming-to-center still links the whole group. */
   def simhashCandidates(sims: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 256): DataFrame = {
     val blockArr = array((0 until 4).map(b =>
@@ -380,37 +409,40 @@ object Dedup {
     val blocks = sims.select(col("id"), col("simhash"), posexplode(blockArr))
       .select(array(col("id"), col("simhash")).as("member"),
         col("pos").as("block"), col("col").as("block_val"))
-    val buckets = blocks.groupBy("block", "block_val")
-      .agg(sort_array(collect_set("member")).as("members"))
-      .filter(size(col("members")) > 1)
-    val pairUdf = udf { (members: Seq[Seq[Long]], maxH: Int, cap: Int) =>
+    // arrays order lexicographically and id leads => min(member) = min-id;
+    // window (not groupBy+join) so both regimes share one Exchange over
+    // the blocks — see boundedBucketPairs
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("block", "block_val")
+    val m = blocks
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__min_member", min("member").over(w))
+    val pairUdf = udf { (members: Seq[Seq[Long]], maxH: Int) =>
       val arr = members.toArray
       val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
-      def emit(a: Seq[Long], b: Seq[Long]): Unit = {
-        val d = java.lang.Long.bitCount(a(1) ^ b(1))
-        if (d <= maxH) {
-          val (x, y) = if (a(0) < b(0)) (a(0), b(0)) else (b(0), a(0))
-          out += ((x, y, d))
+      var i = 0
+      while (i < arr.length) {
+        var j = i + 1
+        while (j < arr.length) {
+          val d = java.lang.Long.bitCount(arr(i)(1) ^ arr(j)(1))
+          if (d <= maxH) out += ((arr(i)(0), arr(j)(0), d)) // sorted: i<j => id asc
+          j += 1
         }
-      }
-      if (arr.length <= cap) {
-        var i = 0
-        while (i < arr.length) {
-          var j = i + 1
-          while (j < arr.length) { emit(arr(i), arr(j)); j += 1 }
-          i += 1
-        }
-      } else {
-        // skewed bucket: linear star against the min-id member (the skew
-        // case is near-identical boilerplate, so hamming-to-center still
-        // links the whole group) — same strategy as minhashCandidates
-        val m = arr.minBy(_.apply(0))
-        arr.foreach { x => if (x(0) != m(0)) emit(m, x) }
+        i += 1
       }
       out.toSeq
     }
-    buckets.select(explode(pairUdf(col("members"), lit(maxHamming), lit(maxBucket))).as("p"))
+    val smallPairs = m.filter(col("__cnt") > 1 && col("__cnt") <= maxBucket)
+      .groupBy("block", "block_val")
+      .agg(sort_array(collect_list("member")).as("members")) // bounded by cap
+      .select(explode(pairUdf(col("members"), lit(maxHamming))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("hamming"))
+    val starPairs = m
+      .filter(col("__cnt") > maxBucket &&
+        col("member")(0) =!= col("__min_member")(0))
+      .select(col("__min_member")(0).as("id_a"), col("member")(0).as("id_b"),
+        expr("CAST(bit_count(member[1] ^ __min_member[1]) AS INT)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    smallPairs.union(starPairs)
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
 }

@@ -197,14 +197,16 @@ object Similarity {
   /** Embedding near-duplicate pairs: cosine above `threshold` among
     * LSH-bucket colliders (approximate; exact within buckets).
     *
-    * Skew guard: bucket occupancy is capped at `maxBucket` via the same
-    * min-id star fallback as `Dedup.minhashCandidates` — a bucket holding
-    * a boilerplate-duplicate cluster emits O(n) star pairs against its min
-    * id instead of O(n^2) all-pairs, so candidate volume stays linear in
-    * corpus size at any scale. Star pairs of such a cluster still link it
-    * into one connected component for downstream grouping (run
-    * `Dedup.connectedComponents` over the output); pairs both far from the
-    * bucket minimum are not scored in that regime — the price of
+    * Skew guard: bucket occupancy is capped at `maxBucket` via the shared
+    * `Dedup.boundedBucketPairs` two-regime shape — a bucket holding a
+    * boilerplate-duplicate cluster emits O(n) star pairs against its min
+    * id instead of O(n^2) all-pairs (and, since the star regime is a pure
+    * projection over stats-joined rows, never materializes the bucket's
+    * id list in any task), so candidate volume AND per-task state stay
+    * linear in corpus size at any scale. Star pairs of such a cluster
+    * still link it into one connected component for downstream grouping
+    * (run `Dedup.connectedComponents` over the output); pairs both far
+    * from the bucket minimum are not scored in that regime — the price of
     * boundedness, same contract as the MinHash path. */
   def embeddingNearDups(vectors: DataFrame, threshold: Double, bits: Int = 12,
       maxBucket: Int = 64,
@@ -215,12 +217,8 @@ object Similarity {
     // ids only through the bucket stage (8 bytes/member); vectors rejoin
     // by id AFTER pair generation, so the shuffled bucket payload and the
     // pair expansion are both bounded
-    val buckets = v.groupBy("bucket")
-      .agg(sort_array(collect_set("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val pairs = buckets
-      .select(explode(Dedup.cappedPairsUdf(col("ids"), lit(maxBucket))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+    val pairs = Dedup.boundedBucketPairs(
+      v.select("bucket", "id"), Seq("bucket"), maxBucket)
     pairs
       .join(v.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
       .join(v.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))

@@ -135,6 +135,27 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"bucketed near-dup must stay an equi-join:\n$p")
   }
 
+  test("bucket-pair generation: no unbounded membership collect; shared exchange") {
+    // the two-regime shape (small buckets collected bounded-by-cap,
+    // over-cap buckets projected as star pairs) must (a) never aggregate a
+    // bucket's full membership — no collect_set — and (b) read the
+    // banded/bucketed members from ONE exchange (the expensive signature
+    // compute sits below it), visible as a ReusedExchange in the final
+    // adaptive plan of the second regime's branch
+    import spark.implicits._
+    val docs = (1L to 300L)
+      .map(i => (i, s"shared boilerplate prefix tokens ${i % 7} tail " * 4))
+      .toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.minhashCandidates(
+      graft.ops.Dedup.minhashSignatures(docs, "doc_id", "text"), maxBucket = 8)
+    pairs.collect() // finalize the adaptive plan
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(!p.contains("collect_set"),
+      s"bucket membership must never be collected into agg state:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"small-pair and star branches must share the members exchange:\n$p")
+  }
+
   test("skew demo: both variants sort-merge; salted joins on (k, salt)") {
     // the regime where skew bites is a non-broadcastable dim: both plans
     // must be SortMergeJoin (no BroadcastHashJoin smuggling the problem
