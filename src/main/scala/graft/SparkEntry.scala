@@ -486,16 +486,23 @@ object SparkEntry {
       val stream = StreamingOps.readEvents(s, s"$dir/events.parquet")
       val sessions = StreamingOps.userSessions(stream)
       // Update mode emits one row per user per micro-batch; reduce to the
-      // final (monotone) state so multi-batch runs match the oracle too
+      // final state per FRAGMENT (n_events is monotone within a fragment,
+      // epoch_us identifies it), then sum fragments — exact for any number
+      // of micro-batches, including users returning after idle eviction
       StreamingOps.withShufflePartitions(s, 8) {
         StreamingOps.runToMemory(sessions.toDF(), s"sess_${System.nanoTime()}",
           org.apache.spark.sql.streaming.OutputMode.Update())
       }
-        .groupBy("user_id")
+        .groupBy("user_id", "epoch_us")
         .agg(max("n_events").as("n_events"),
           expr("max_by(total_cents, n_events)").as("total_cents"),
           min("first_ts").as("first_ts"),
           expr("max_by(last_ts, n_events)").as("last_ts"))
+        .groupBy("user_id")
+        .agg(sum("n_events").as("n_events"),
+          sum("total_cents").as("total_cents"),
+          min("first_ts").as("first_ts"),
+          max("last_ts").as("last_ts"))
         .select(col("user_id"), col("n_events"), col("total_cents"),
           date_format(col("first_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"),
           date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"))

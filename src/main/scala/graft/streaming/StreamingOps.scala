@@ -97,9 +97,20 @@ object StreamingOps {
 
   /** total_cents (cent-rounded per event, summed exactly as Long) keeps the
     * result order-independent — a Double running sum would differ from the
-    * oracle by float association. */
-  final case class UserSession(user_id: Long, n_events: Long, total_cents: Long,
-      first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
+    * oracle by float association.
+    *
+    * `epoch_us` identifies the state FRAGMENT the row belongs to: it is
+    * fixed when the user's state is (re)created — micros of the first
+    * event seen for the fragment — and never changes until eviction. A
+    * user who returns after an idle eviction starts a NEW fragment with a
+    * strictly larger epoch (post-eviction events sit above the watermark
+    * that fired the timeout), so downstream consumers reduce exactly:
+    * max_by(n_events) within (user_id, epoch_us) — the counter is monotone
+    * within a fragment — then SUM fragments per user. Without the epoch, a
+    * returning user's restarted counter made a global per-user max keep
+    * only the largest fragment. */
+  final case class UserSession(user_id: Long, epoch_us: Long, n_events: Long,
+      total_cents: Long, first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
 
@@ -111,10 +122,12 @@ object StreamingOps {
     * for that long past the event-time watermark has their final row
     * re-emitted and their state EVICTED — over an unbounded user universe
     * the store holds only recently-active users, mirroring
-    * [[sessionWindows]]. The re-emission is idempotent for downstream
-    * consumers that reduce updates per user (max_by on n_events — the
-    * monotone counter). Pass `idleMinutes = None` for the unbounded
-    * accumulate-forever variant (bounded-key demos only).
+    * [[sessionWindows]]. Downstream consumers reconstruct exact per-user
+    * totals across evictions via the fragment key: max_by(n_events) per
+    * (user_id, epoch_us), then sum fragments per user (see
+    * [[UserSession]]) — valid for any number of micro-batches and
+    * return-after-eviction patterns. Pass `idleMinutes = None` for the
+    * unbounded accumulate-forever variant (bounded-key demos only).
     */
   def userSessions(events: DataFrame, watermark: String = "10 minutes",
       idleMinutes: Option[Int] = Some(60)): Dataset[UserSession] = {
@@ -138,7 +151,7 @@ object StreamingOps {
             last
           } else {
             val prev = state.getOption.getOrElse(
-              UserSession(uid, 0L, 0L, null, null))
+              UserSession(uid, -1L, 0L, 0L, null, null))
             var n = prev.n_events
             var tot = prev.total_cents
             var first = prev.first_ts
@@ -149,7 +162,11 @@ object StreamingOps {
               if (first == null || r.ts.before(first)) first = r.ts
               if (last == null || r.ts.after(last)) last = r.ts
             }
-            val next = UserSession(uid, n, tot, first, last)
+            // fragment epoch: fixed at state creation, stable until
+            // eviction (a late-but-in-watermark event may move first_ts
+            // backward, so first_ts itself is NOT a safe fragment key)
+            val epoch = if (prev.epoch_us >= 0) prev.epoch_us else tsToMicros(first)
+            val next = UserSession(uid, epoch, n, tot, first, last)
             state.update(next)
             idleMinutes.foreach { idle =>
               // event-time eviction point; must sit past the current

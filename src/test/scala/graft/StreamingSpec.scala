@@ -159,12 +159,16 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       StreamingOps.userSessions(stream).toDF(), "sess_test", OutputMode.Update())
     // Update mode emits one row per user per batch, plus an idempotent
     // final re-emission when idle timeout evicts the state — reduce to the
-    // final (monotone-in-n_events) row per user
-    val got = updates.groupBy("user_id")
+    // final row per FRAGMENT (epoch_us), then sum fragments per user; this
+    // is the documented exact reconstruction for any batch/eviction pattern
+    val got = updates.groupBy("user_id", "epoch_us")
       .agg(max("n_events").as("n_events"),
         expr("max_by(total_cents, n_events)").as("total_cents"),
         min("first_ts").as("first_ts"),
         expr("max_by(last_ts, n_events)").as("last_ts"))
+      .groupBy("user_id")
+      .agg(sum("n_events").as("n_events"), sum("total_cents").as("total_cents"),
+        min("first_ts").as("first_ts"), max("last_ts").as("last_ts"))
     val batch = StreamingOps.normalizeEventTs(spark.read.parquet(eventsPath)).groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
         sum(expr("CAST(ROUND(value*100) AS BIGINT)")).as("total_cents"),
@@ -205,6 +209,17 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         s"timeout must re-emit the final row exactly once: $u1")
       assert(u1.last == 1L,
         s"post-eviction event must start a FRESH session (state removed): $u1")
+      // the fragment contract: the two user-1 state generations carry
+      // DISTINCT epochs, and the documented max_by-per-epoch-then-sum
+      // reduction reconstructs the exact batch totals across the eviction
+      val u1Rows = spark.table("evict_test").filter(col("user_id") === 1L)
+      assert(u1Rows.select("epoch_us").distinct().count() == 2,
+        "return after eviction must open a new fragment epoch")
+      val rebuilt = u1Rows.groupBy("epoch_us")
+        .agg(max("n_events").as("n"), expr("max_by(total_cents, n_events)").as("c"))
+        .agg(sum("n"), sum("c")).collect()(0)
+      assert(rebuilt.getLong(0) == 3L && rebuilt.getLong(1) == 300L,
+        s"fragment sum must equal batch totals, got $rebuilt")
     } finally q.stop()
   }
 }

@@ -121,11 +121,11 @@ class ValidatorSpec extends AnyFunSuite with SparkSpec {
     spark.listenerManager.register(listener)
     val fast = try {
       val row = Validator.summaryFast(f, s, mode).collect()(0)
-      // the execution listener is async; wait for the event, then linger
-      // long enough to catch a hypothetical second action
-      var tries = 0
-      while (actions.get() < 1 && tries < 100) { Thread.sleep(50); tries += 1 }
-      Thread.sleep(300)
+      // any action summaryFast ran has posted its (async) execution event
+      // by the time collect() returned; draining the listener bus makes
+      // the count deterministic — no lingers, no late-event races
+      org.apache.spark.graft.SparkTestAccess
+        .waitUntilListenerBusEmpty(spark.sparkContext)
       assert(actions.get() == 1,
         s"single-pass fuzzy summary must run as ONE action, saw ${actions.get()}")
       row
