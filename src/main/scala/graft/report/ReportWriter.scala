@@ -94,7 +94,11 @@ object ReportWriter {
     val base = s"$dir/output_${db1}_${db2}_${check}_result.csv"
     paddedSummary(out).coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(base)
-    out.differing.coalesce(1).write.mode(SaveMode.Overwrite)
+    // single partition sorted within => deterministic in-file row order
+    // (by id) — byte-reproducible output, matching the reference's golden
+    // differing-values artifact byte for byte (pinned in ReportSpec)
+    out.differing.coalesce(1).sortWithinPartitions("id")
+      .write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(s"${base}_differing_values.csv")
   }
 }

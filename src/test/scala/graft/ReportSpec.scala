@@ -66,6 +66,28 @@ class ReportSpec extends AnyFunSuite with SparkSpec {
     assert(lines.tail.toSet == Set("84,CTS-VS,CTS-V", "94,Ssierraa,Sierra"))
   }
 
+  test("differing-values CSV matches the reference golden artifact byte for byte") {
+    // the reference's ONLY recorded output artifact, reproduced from the
+    // synthesized 2-row input: header, naming, row order, line endings,
+    // trailing newline — the whole file, not just the parsed content
+    val golden = java.nio.file.Paths.get("/root/reference/output/result",
+      "output_oracle_postgres_MODEL_result.csv_differing_values.csv")
+    assume(Files.exists(golden), "reference golden artifact not present")
+    val (ora, pg) = goldenFrames
+    val out = Validator.validate(ora, pg, CompareMode.Fuzzy(1.0),
+      firstName = "oracle", secondName = "postgres", checkName = "MODEL")
+    val dir = Files.createTempDirectory("golden").toString
+    ReportWriter.writeCompat(out, dir, "oracle", "postgres", "MODEL")
+    val produced = new java.io.File(
+      s"$dir/output_oracle_postgres_MODEL_result.csv_differing_values.csv")
+      .listFiles().filter(_.getName.endsWith(".csv")).head
+    val gotBytes = Files.readAllBytes(produced.toPath)
+    val wantBytes = Files.readAllBytes(golden)
+    assert(java.util.Arrays.equals(gotBytes, wantBytes),
+      s"byte mismatch:\n--- got ---\n${new String(gotBytes)}" +
+        s"--- want ---\n${new String(wantBytes)}")
+  }
+
   test("tidy writer emits three datasets") {
     val (ora, pg) = goldenFrames
     val out = Validator.validate(ora, pg, CompareMode.Fuzzy(1.0))
