@@ -5,9 +5,23 @@ import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities for joins and aggregations.
   *
-  * AQE's skew-join handling (`spark.sql.adaptive.skewJoin.enabled`) covers
-  * sort-merge joins at runtime; these helpers cover the cases AQE does not:
-  * broadcast-impossible dimension replication and skewed aggregations.
+  * Decision rule (pinned by `PlanGuardSpec`'s "AQE skew-join" test):
+  *
+  *   1. Dim broadcastable → broadcast join; skew can't exist by
+  *      construction. Always prefer this.
+  *   2. Non-broadcastable dim, join output consumed WITHOUT reusing the
+  *      key distribution (write, rebalance, different-key downstream) →
+  *      AQE's skew-join (`spark.sql.adaptive.skewJoin.enabled`) splits the
+  *      hot reduce partition at runtime, zero code. Note AQE splits at
+  *      mapper-block granularity — it needs many mappers to bite.
+  *   3. Join feeding an agg/window ON THE JOIN KEY → AQE declines (the
+  *      split would break the hash distribution the downstream operator
+  *      reuses; `forceOptimizeSkewedJoin` overrides but pays an extra
+  *      shuffle of the post-fanout join OUTPUT — the largest
+  *      intermediate). [[saltedJoin]] wins here: the salt splits the hot
+  *      key in the FIRST shuffle and only reduced partials re-shuffle.
+  *   4. Skewed aggregation with no join at all → AQE has nothing to
+  *      split; [[saltedCountSum]]'s two-phase salt is the fix.
   */
 object Skew {
 

@@ -170,4 +170,80 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     assert(salted.contains("__salt"),
       s"salted join keys must include the salt:\n$salted")
   }
+
+  /** Set confs for the duration of `body`, restoring prior values after. */
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE skew-join: rescues the bare join, declines when the agg reuses " +
+      "the join partitioning (the regime manual salting covers)") {
+    import org.apache.spark.sql.functions._
+    // same shape as the q_skew_* demo: 90% of the fact lands on key 0, the
+    // dim is merge-hinted (the non-broadcastable regime where skew bites)
+    // .repartition(8): AQE splits a skewed reduce partition at MAPPER-BLOCK
+    // granularity — the sf0.001 file scans as a single mapper, whose one
+    // block is unsplittable. Real-scale inputs have thousands of mappers;
+    // 8 stands in for that here.
+    val fact = spark.read.parquet(s"$dir/lineitem.parquet").selectExpr(
+      "CASE WHEN l_orderkey % 10 < 9 THEN CAST(0 AS BIGINT) ELSE l_suppkey % 100 END AS k",
+      "CAST(ROUND(l_extendedprice*100) AS BIGINT) AS cents").repartition(8)
+    val dim = spark.range(6400).selectExpr("id % 100 AS k", "id DIV 100 AS variant")
+    // thresholds scaled down to the sf0.001 fixture so the hot partition
+    // (~5.4k of 6k rows) registers as skewed under AQE's exact
+    // MapOutputStatistics — deterministic, not a timing heuristic
+    val aqeConfs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8k",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+    withConf(aqeConfs: _*) {
+      // regime 1: join output consumed as-is — AQE splits the skewed
+      // partition at runtime (SortMergeJoin(skew=true)); no salting needed
+      val bare = fact.join(dim.hint("merge"), Seq("k"))
+      bare.collect()
+      val bp = bare.queryExecution.executedPlan.toString
+      assert(bp.contains("skew=true"),
+        s"AQE should split the skewed partition of a bare SMJ:\n$bp")
+
+      // regime 2: the join feeds an aggregation on the join key, which
+      // reuses the join's hash partitioning — splitting the skewed
+      // partition would break that guarantee and cost an extra shuffle,
+      // so AQE declines. THIS is the regime Skew.saltedJoin exists for:
+      // the salt splits the hot key in the first shuffle and only the
+      // already-reduced partials are re-shuffled on k.
+      // sum(cents), not count(1): column pruning would otherwise drop the
+      // payload and the all-equal hot-key column compresses below the
+      // skew threshold — detection, not the decline, would be what's
+      // exercised
+      val agged = fact.join(dim.hint("merge"), Seq("k"))
+        .groupBy("k").agg(sum(col("cents")).as("s"))
+      agged.collect()
+      val ap = agged.queryExecution.executedPlan.toString
+      assert(ap.contains("SortMergeJoin") && !ap.contains("skew=true"),
+        s"AQE must decline the split when the agg reuses join partitioning:\n$ap")
+    }
+
+    // regime 3: forceOptimizeSkewedJoin overrides the decline, at the cost
+    // of the extra shuffle — of the post-fanout join OUTPUT, the largest
+    // intermediate, which is exactly what salting avoids
+    withConf(aqeConfs :+
+        ("spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true"): _*) {
+      val forced = fact.join(dim.hint("merge"), Seq("k"))
+        .groupBy("k").agg(sum(col("cents")).as("s"))
+      forced.collect()
+      val fp = forced.queryExecution.executedPlan.toString
+      assert(fp.contains("skew=true"),
+        s"forceOptimizeSkewedJoin should split despite the downstream agg:\n$fp")
+    }
+  }
 }
