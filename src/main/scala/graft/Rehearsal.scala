@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity}
+
+/** Scale rehearsal: run the dedup / near-dup / ANN pipelines on a corpus
+  * replicated N× from sf0.1, with a deliberately skewed boilerplate
+  * cluster, and record candidate-pair counts + wall time per stage.
+  *
+  * This is the empirical check behind the "candidate volume stays linear"
+  * claims in [[graft.ops.Dedup]] and [[graft.ops.Similarity]]: a quadratic
+  * candidate generator would show ~N² pair growth between scale=1 and
+  * scale=N; the capped-bucket two-regime generators should show ~N growth.
+  * The boilerplate cluster (1,000 identical docs / near-identical vectors)
+  * is the 100 TB failure mode in miniature — one hot bucket that must go
+  * through the linear star regime, never C(n,2) expansion.
+  *
+  * Corpus construction (deterministic, no RNG):
+  *  - documents ×N: replica r offsets doc_id by r·10⁷; docs with
+  *    doc_id%3==0 get a replica-unique token appended (near-dups of the
+  *    base doc), the rest are byte-identical copies (exact-dup clusters of
+  *    size N — the common web-crawl case);
+  *  - +1,000 boilerplate docs sharing one text (star-regime stress);
+  *  - embeddings ×N: replica 1 is a mild perturbation of the base vector
+  *    (a true near-dup at cosine ≥ 0.95); replicas ≥ 2 sign-flip
+  *    alternating components (decorrelated — NOT near-dups), so true-pair
+  *    count grows linearly in N while bucket occupancy grows with the
+  *    corpus — exactly what separates candidate growth from result growth;
+  *  - +1,000 near-identical boilerplate vectors (one hot hyperplane
+  *    bucket).
+  *
+  * Usage: runMain graft.Rehearsal [scale ...] (default: 1 10).
+  * Emits one JSON line per (scale, stage) and a trailing summary line;
+  * also written to /tmp/rehearsal.json.
+  */
+object Rehearsal {
+
+  private val Off = 10000000L // replica id offset: keeps ids disjoint
+
+  private def scaledDocs(spark: SparkSession, dir: String, n: Int): DataFrame = {
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val replicas = (0 until n).map { r =>
+      if (r == 0) base
+      else base.select(
+        (col("doc_id") + lit(r * Off)).as("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(s" replica token r$r")))
+          .otherwise(col("text")).as("text"))
+    }
+    val boiler = spark.range(1000).select(
+      (col("id") + lit(900000000L)).as("doc_id"),
+      lit("standard header terms of service apply all rights reserved " +
+        "contact support for details this page is intentionally generic")
+        .as("text"))
+    replicas.reduce(_ unionByName _).unionByName(boiler)
+  }
+
+  private def scaledEmbeddings(spark: SparkSession, dir: String, n: Int): DataFrame = {
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val replicas = (0 until n).map { r =>
+      if (r == 0) base
+      else if (r == 1) base.select(
+        (col("vec_id") + lit(Off)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x * 1.02f).otherwise(x)).as("embedding"))
+      else base.select(
+        (col("vec_id") + lit(r * Off)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i % (r + 1) === 0, -x).otherwise(x)).as("embedding"))
+    }
+    // boilerplate vectors: 1,000 tiny perturbations of base vector 0 —
+    // mutually near-identical, all in one hyperplane bucket
+    val v0 = base.filter(col("vec_id") === 0).select(col("embedding")).head
+      .getSeq[Float](0)
+    import spark.implicits._
+    val boiler = spark.createDataset(
+      (0 until 1000).map(i => (900000000L + i,
+        v0.zipWithIndex.map { case (x, d) =>
+          if (d == 0) x * (1.0f + i * 1e-5f) else x }))
+    ).toDF("vec_id", "embedding")
+    replicas.reduce(_ unionByName _).unionByName(boiler)
+  }
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val out = new StringBuilder
+    def emit(line: String): Unit = { println(line); out.append(line).append('\n') }
+
+    for (scale <- scales) {
+      val docs = scaledDocs(spark, dir, scale).localCheckpoint(true)
+      val nDocs = docs.count()
+
+      val (sigs, tSig) = timed {
+        Dedup.minhashSignatures(docs, "doc_id", "text").localCheckpoint(true)
+      }
+      val (nCand, tCand) = timed { Dedup.minhashCandidates(sigs).count() }
+      emit(s"""{"scale":$scale,"stage":"minhash_candidates","input_rows":$nDocs,"output_rows":$nCand,"sig_sec":$tSig,"sec":$tCand}""")
+
+      val (nComp, tCc) = timed {
+        Dedup.connectedComponentsStar(Dedup.minhashCandidates(sigs))
+          .select("component").distinct().count()
+      }
+      emit(s"""{"scale":$scale,"stage":"connected_components","input_rows":$nCand,"output_rows":$nComp,"sec":$tCc}""")
+
+      val (nSim, tSim) = timed {
+        Dedup.simhashCandidates(Dedup.simhashes(docs, "doc_id", "text")).count()
+      }
+      emit(s"""{"scale":$scale,"stage":"simhash_pairs","input_rows":$nDocs,"output_rows":$nSim,"sec":$tSim}""")
+
+      val vecs = scaledEmbeddings(spark, dir, scale).localCheckpoint(true)
+      val nVecs = vecs.count()
+
+      val (nNd, tNd) = timed {
+        Similarity.embeddingNearDups(vecs, threshold = 0.95, bits = 8).count()
+      }
+      emit(s"""{"scale":$scale,"stage":"embed_neardup","input_rows":$nVecs,"output_rows":$nNd,"sec":$tNd}""")
+
+      val (nIvf, tIvf) = timed {
+        Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 10), k = 5,
+          nCentroids = 16, nprobe = 3).count()
+      }
+      emit(s"""{"scale":$scale,"stage":"ivf_topk","input_rows":$nVecs,"output_rows":$nIvf,"sec":$tIvf}""")
+
+      docs.unpersist(); sigs.unpersist(); vecs.unpersist()
+    }
+
+    try {
+      val w = new java.io.PrintWriter("/tmp/rehearsal.json")
+      try w.print(out.toString) finally w.close()
+    } catch { case _: Throwable => }
+    spark.stop()
+  }
+}
