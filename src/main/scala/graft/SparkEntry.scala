@@ -793,6 +793,51 @@ object SparkEntry {
         .select(col("doc_id"), col("split_bucket"), col("split"))
         .orderBy("doc_id")
     }),
+    "t_stratified" -> ((s, dir) => {
+      // language rebalancing: keep 20% of the dominant 'en' stratum, 80%
+      // of every other language — same stateless xxhash64 rule (and the
+      // same HUGEINT oracle replay) as t_split
+      graft.ops.Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id",
+          "lang", Seq("en" -> 2000), defaultBp = 8000)
+        .select(col("doc_id"), col("lang"), col("sample_bucket"))
+        .orderBy("doc_id")
+    }),
+    "t_source_cap" -> ((s, dir) => {
+      // per-domain cap: at most 10 docs per source, deterministic by
+      // doc_id; the rank filter compiles to WindowGroupLimit so map tasks
+      // pre-prune before the shuffle (plan pinned)
+      graft.ops.Curation.perDomainCap(t(s, dir, "documents"), "source",
+          "doc_id", cap = 10)
+        .select(col("source"), col("doc_id"),
+          col("domain_rank").cast("long").as("domain_rank"))
+        .orderBy("source", "doc_id")
+    }),
+    "t_incremental_dedup" -> ((s, dir) => {
+      // incremental ingest dedup: corpus = even docs; the new batch = odd
+      // docs + a re-crawl of the corpus (ids offset) that must be dropped.
+      // The bloom pre-filter is exactness-preserving (confirm anti-join),
+      // so the oracle is the plain anti-join — any fpp gives this result
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        md5(col("text").cast("binary")).as("fp"))
+      val corpus = d.filter(col("doc_id") % 2 === 0)
+      val recrawl = corpus.select((col("doc_id") + 100000).as("doc_id"), col("fp"))
+      val batch = d.filter(col("doc_id") % 2 === 1).unionByName(recrawl)
+      graft.ops.Curation.incrementalNew(batch, corpus, "fp",
+          expectedCorpusRows = 10000)
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    }),
+    "t_kmeans" -> ((s, dir) => {
+      // two Lloyd iterations, k=8, over the embeddings corpus; emits the
+      // trained model's integer stats (2^24-quantized component sums +
+      // cluster sizes) so the oracle replays the whole fit exactly —
+      // no float ever reaches the hashed output
+      graft.ops.Similarity.kmeansFitStats(t(s, dir, "embeddings"),
+          k = 8, iters = 2)
+        .select(col("cent_id"), col("pos").cast("long").as("pos"),
+          col("ssum"), col("n"))
+        .orderBy("cent_id", "pos")
+    }),
     "t_chunks" -> ((s, dir) => {
       // corpus chunking for training: 256-char chunks, 32-char overlap
       // (stride 224); md5 per chunk so the oracle checks the exact bytes
@@ -1979,6 +2024,88 @@ object SparkEntry {
          |       WHEN split_bucket < 9500 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    // stratified-sampling replay: same xxhash64 HUGEINT chain as t_split,
+    // joined back for the stratum column; per-stratum rate as a CASE
+    "t_stratified" ->
+      s"""WITH ${xxhash64Ctes("doc_id", "documents")},
+         |b AS (SELECT d.doc_id, d.lang,
+         |        ((h % 10000) + 10000) % 10000 AS sample_bucket
+         |      FROM documents d JOIN xxh USING (doc_id))
+         |SELECT doc_id, lang, CAST(sample_bucket AS BIGINT) AS sample_bucket
+         |FROM b
+         |WHERE sample_bucket < CASE WHEN lang = 'en' THEN 2000 ELSE 8000 END
+         |ORDER BY doc_id""".stripMargin,
+
+    "t_source_cap" ->
+      """SELECT source, doc_id, CAST(domain_rank AS BIGINT) AS domain_rank
+        |FROM (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS domain_rank
+        |  FROM documents) t
+        |WHERE domain_rank <= 10
+        |ORDER BY source, doc_id""".stripMargin,
+
+    // incremental dedup replay: the bloom pre-filter never changes the
+    // result (confirm join), so the oracle is the plain anti-join
+    "t_incremental_dedup" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |corpus AS (SELECT doc_id, fp FROM d WHERE doc_id % 2 = 0),
+        |batch AS (
+        |  SELECT doc_id, fp FROM d WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, fp FROM corpus)
+        |SELECT doc_id, fp FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+        |ORDER BY doc_id""".stripMargin,
+
+    // k-means replay: two unrolled Lloyd iterations — seeds -> assign ->
+    // quantized integer means -> float centroids -> assign -> integer
+    // stats. Same arithmetic as the t_ann_ivf fit (proven bit-exact);
+    // the hashed output is all-integer
+    "t_kmeans" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS cent_id, embedding AS cvec_c
+         |  FROM embeddings WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT 8
+         |), a1 AS (
+         |  SELECT e.vec_id AS vid, e.embedding AS v, s.cent_id,
+         |    ${cosineSql("e.embedding", "s.cvec_c")} AS cdist
+         |  FROM embeddings e CROSS JOIN seeds s
+         |), c1 AS (
+         |  SELECT cent_id, vid, v FROM (
+         |    SELECT cent_id, vid, v,
+         |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cdist DESC, cent_id) AS r
+         |    FROM a1) t WHERE r = 1
+         |), s1 AS (
+         |  SELECT cent_id, pos,
+         |    SUM(CAST(ROUND(CAST(val AS DOUBLE) * 16777216.0) AS BIGINT)) AS ssum,
+         |    COUNT(*) AS n
+         |  FROM (SELECT cent_id, unnest(v) AS val,
+         |          generate_subscripts(v, 1) - 1 AS pos FROM c1) u
+         |  GROUP BY cent_id, pos
+         |), m1 AS (
+         |  SELECT cent_id, pos,
+         |    CAST(ssum AS DOUBLE) / 16777216.0 / CAST(n AS DOUBLE) AS m FROM s1
+         |), cents1 AS (
+         |  SELECT cent_id, list_transform(list(m ORDER BY pos), x -> CAST(x AS REAL)) AS cvec_c
+         |  FROM m1 GROUP BY cent_id
+         |), a2 AS (
+         |  SELECT e.vec_id AS vid, e.embedding AS v, c.cent_id,
+         |    ${cosineSql("e.embedding", "c.cvec_c")} AS cdist
+         |  FROM embeddings e CROSS JOIN cents1 c
+         |), c2 AS (
+         |  SELECT cent_id, vid, v FROM (
+         |    SELECT cent_id, vid, v,
+         |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cdist DESC, cent_id) AS r
+         |    FROM a2) t WHERE r = 1
+         |)
+         |SELECT cent_id, CAST(pos AS BIGINT) AS pos,
+         |  SUM(CAST(ROUND(CAST(val AS DOUBLE) * 16777216.0) AS BIGINT)) AS ssum,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM (SELECT cent_id, unnest(v) AS val,
+         |        generate_subscripts(v, 1) - 1 AS pos FROM c2) u
+         |GROUP BY cent_id, pos
+         |ORDER BY cent_id, pos""".stripMargin,
 
     // chunking replay: chunk k covers [k*224, k*224 + 256); the md5 pins
     // the exact chunk bytes, not just the boundaries

@@ -39,6 +39,55 @@ object Curation {
         when(col("n_shared") > 0, 1L).otherwise(0L))
   }
 
+  /** Per-domain document cap — the "no single domain dominates the
+    * corpus" rebalancing step of web-crawl curation: keep at most `cap`
+    * documents per domain, picking deterministically by `orderCol`
+    * (ascending; unique => stable under reruns). Output adds
+    * `domain_rank` (1-based within the domain).
+    *
+    * Scale: one shuffle on the domain key. The rank filter is rewritten
+    * by Catalyst into a WindowGroupLimit (pinned in PlanGuardSpec), so
+    * each MAP task pre-prunes to its local top-`cap` per domain before
+    * the exchange — a mega-domain with 10^8 pages ships cap rows per
+    * upstream partition, not 10^8 rows, and the post-shuffle sort is
+    * over the pruned stream. */
+  def perDomainCap(docs: DataFrame, domainCol: String, orderCol: String,
+      cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol)).orderBy(col(orderCol))
+    docs.withColumn("domain_rank", row_number().over(w))
+      .filter(col("domain_rank") <= cap)
+  }
+
+  /** Incremental ingest dedup: rows of `batch` whose `fpCol` fingerprint
+    * does not already occur in `corpus`. EXACT — the Bloom filter is a
+    * pre-filter only, never the decision:
+    *
+    *  - rows the filter rules out ("definitely not in corpus" — Bloom
+    *    filters have no false negatives) pass WITHOUT touching the join;
+    *  - only "maybe present" rows (true duplicates + ~fpp false
+    *    positives) go through the exact left-anti join for confirmation.
+    *
+    * Scale: the daily-batch side of the anti-join shrinks from |batch| to
+    * |true dups| + fpp·|batch| — for a typical ingest where most rows are
+    * new, that is the difference between shuffling the whole batch and
+    * shuffling almost nothing. The filter itself is one corpus scan
+    * aggregated to ~1.2 bytes/item at fpp=1% (sized by
+    * `expectedCorpusRows`); at 10^10+ corpus rows, build it over the
+    * recent-partition slice most dups come from (or raise fpp) — the
+    * confirm join keeps the result exact for ANY filter quality, so
+    * sizing is purely a throughput knob. */
+  def incrementalNew(batch: DataFrame, corpus: DataFrame, fpCol: String,
+      expectedCorpusRows: Long, fpp: Double = 0.01): DataFrame = {
+    val bloom = corpus.stat.bloomFilter(fpCol, expectedCorpusRows, fpp)
+    val bc = batch.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf { (s: String) => s != null && bc.value.mightContainString(s) }
+    val definitelyNew = batch.filter(!mightContain(col(fpCol)))
+    val confirmed = batch.filter(mightContain(col(fpCol)))
+      .join(corpus.select(col(fpCol)).distinct(), Seq(fpCol), "left_anti")
+    definitelyNew.unionByName(confirmed)
+  }
+
   /** RE2-compatible patterns (identical semantics in Java regex), so an
     * external engine can replay the redaction byte-for-byte. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -31,4 +31,26 @@ object Sampling {
     }
     df.withColumn("split_bucket", bucket).withColumn("split", cases)
   }
+
+  /** Deterministic stratified sampling — rebalance a corpus by keeping a
+    * per-stratum fraction (basis points of 10000) of rows, e.g. to
+    * downsample a dominant language. Same stateless hashed-id rule as
+    * [[assignSplit]]: a row is kept iff `pmod(xxhash64(id), 10000) <
+    * rateBp(stratum)` — no RNG, no count pass, membership recomputable
+    * from (id, stratum) alone, and adding data never flips existing
+    * rows. Strata not listed use `defaultBp`. Appends `sample_bucket`.
+    *
+    * Scale: a pure filter expression in the scan — one pass, zero
+    * shuffle, and the per-stratum rate lookup is a small CASE expression
+    * (codegen'd), not a join. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      ratesBp: Seq[(String, Int)], defaultBp: Int): DataFrame = {
+    require((defaultBp +: ratesBp.map(_._2)).forall(r => r >= 0 && r <= 10000),
+      "rates are basis points in [0, 10000]")
+    val rate = ratesBp.foldRight(lit(defaultBp): Column) {
+      case ((name, bp), rest) => when(col(strataCol) === name, bp).otherwise(rest)
+    }
+    df.withColumn("sample_bucket", pmod(xxhash64(col(idCol)), lit(10000L)))
+      .filter(col("sample_bucket") < rate)
+  }
 }

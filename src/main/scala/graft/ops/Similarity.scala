@@ -227,6 +227,59 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Multi-iteration Lloyd k-means over an embedding column, returning
+    * the FINAL iteration's per-(centroid, dimension) aggregation stats
+    * `(cent_id, pos, ssum, n)` — `ssum` the 2^24-quantized component sum,
+    * `n` the cluster size. The caller divides out for float centroids
+    * ([[assembleCentroids]]); emitting integers keeps the whole trained
+    * model bit-for-bit replayable by an external oracle (same contract as
+    * [[ivfFit]], which is the iters=1 special case of this shape).
+    *
+    * Scale: per iteration, ONE broadcast of k·dim floats + one corpus
+    * scan + one (cent_id, pos)-keyed aggregation whose per-group state is
+    * a (Long, Long) regardless of cluster size — no per-cluster arrays
+    * anywhere (the collect_list in [[assembleCentroids]] is bounded by
+    * the embedding dimension). Centroids are materialized (collected —
+    * k·dim values, driver metadata) between iterations so iteration i+1
+    * never re-executes iteration i's subtree. Empty clusters drop out,
+    * exactly as in the SQL replay. */
+  def kmeansFitStats(corpus: DataFrame, k: Int = 8, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, "at least one Lloyd iteration")
+    val spark = corpus.sparkSession
+    val v = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    var cents: DataFrame = corpus.filter(pmod(col(idCol), lit(7)) === 0)
+      .orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cvec_c"))
+    var stats: DataFrame = null
+    for (i <- 1 to iters) {
+      val centRows = cents.collect().toSeq // k·dim floats — model metadata
+      val bCents = broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(centRows, 1), cents.schema))
+      val assigned = v.join(bCents)
+        .withColumn("cdist", cosineSimilarity(col("v"), col("cvec_c")))
+      val w = Window.partitionBy("vid").orderBy(desc("cdist"), col("cent_id"))
+      val cells = assigned.withColumn("r", row_number().over(w))
+        .filter(col("r") === 1).select("cent_id", "v")
+      stats = cells.select(col("cent_id"), posexplode(col("v")))
+        .groupBy("cent_id", "pos")
+        .agg(sum(round(col("col").cast("double") * lit(16777216.0)).cast("long")).as("ssum"),
+          count(lit(1)).as("n"))
+      if (i < iters) cents = assembleCentroids(stats)
+    }
+    stats
+  }
+
+  /** (cent_id, pos, ssum, n) stats -> (cent_id, cvec_c float array):
+    * quantized mean per dimension, assembled in dimension order. */
+  def assembleCentroids(stats: DataFrame): DataFrame =
+    stats
+      .withColumn("m", col("ssum").cast("double") / lit(16777216.0) / col("n"))
+      .groupBy("cent_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cent_id"),
+        transform(col("pm"), x => x.getField("m").cast("float")).as("cvec_c"))
+
   /** Per-vector L2 norm + dimension — a cheap embedding sanity profile. */
   def vectorStats(vectors: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =

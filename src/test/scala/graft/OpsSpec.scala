@@ -408,4 +408,48 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     // every doc produces exactly topK rows (>= topK distinct terms each)
     assert(out.groupBy(_.getAs[Long]("doc_id")).forall(_._2.length == 2))
   }
+
+  test("incremental dedup: bloom pre-filter is exactness-preserving vs plain anti-join") {
+    // deliberately undersized, high-fpp filter (expected 10 items for 50
+    // distinct fps at fpp 0.5) so the maybe-branch carries false
+    // positives — the confirm join must still produce the exact result
+    val corpus = (0L until 200L).map(i => (i, s"fp${i % 50}")).toDF("id", "fp")
+    val batch = (0L until 300L).map(i => (1000L + i, s"fp$i")).toDF("id", "fp")
+    val got = graft.ops.Curation
+      .incrementalNew(batch, corpus, "fp", expectedCorpusRows = 10, fpp = 0.5)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = batch.join(corpus.select("fp").distinct(), Seq("fp"), "left_anti")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want)
+    assert(got.size == 250) // fp0..fp49 are known; fp50..fp299 are new
+  }
+
+  test("kmeans stats with iters=1 assemble to exactly the IVF fit centroids") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val viaKmeans = keyed(Similarity.assembleCentroids(
+      Similarity.kmeansFitStats(e, k = 16, iters = 1)))
+    val viaIvf = keyed(Similarity.ivfFit(e, nCentroids = 16))
+    assert(viaKmeans == viaIvf)
+    // a second iteration must keep every quantized stat integral and
+    // cluster sizes summing to the corpus
+    val s2 = Similarity.kmeansFitStats(e, k = 16, iters = 2)
+    val perCent = s2.groupBy("cent_id").agg(max("n").as("n"))
+      .collect().map(_.getAs[Long]("n")).sum
+    assert(perCent == e.count())
+  }
+
+  test("stratified sample membership equals the stateless hash rule") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val kept = graft.ops.Sampling
+      .stratifiedSample(docs, "doc_id", "lang", Seq("en" -> 2000), defaultBp = 8000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = docs.select(col("doc_id"), col("lang"),
+        pmod(xxhash64(col("doc_id")), lit(10000L)).as("b")).collect()
+      .filter(r => r.getLong(2) < (if (r.getString(1) == "en") 2000L else 8000L))
+      .map(_.getLong(0)).toSet
+    assert(kept == want)
+    assert(kept.nonEmpty && kept.size < docs.count())
+  }
 }

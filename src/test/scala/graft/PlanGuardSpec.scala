@@ -246,4 +246,18 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
         s"forceOptimizeSkewedJoin should split despite the downstream agg:\n$fp")
     }
   }
+
+  test("per-domain cap prunes via WindowGroupLimit; stratified sample never shuffles") {
+    val p = plan("t_source_cap")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=cap filter not pushed into the window (map-side prune lost):\n$p")
+    // the sampling OPERATOR is a pure scan-side filter — zero exchanges
+    // (the query's orderBy is presentation for the oracle, pinned apart)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val samp = graft.ops.Sampling.stratifiedSample(docs, "doc_id", "lang",
+        Seq("en" -> 2000), defaultBp = 8000)
+      .queryExecution.executedPlan.toString
+    assert(!samp.contains("Exchange"),
+      s"stratified sample must be shuffle-free:\n$samp")
+  }
 }
