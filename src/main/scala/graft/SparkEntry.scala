@@ -567,6 +567,26 @@ object SparkEntry {
           expr("CAST(ROUND(value*100) AS BIGINT)").as("value_cents"))
         .orderBy("event_id")
     }),
+    "s_incremental_dedup" -> ((s, dir) => {
+      // stream-static anti-join ingest: odd-id events stream in; any
+      // whose content fingerprint (user, type, value-band) already occurs
+      // among the even-id corpus is dropped on arrival. Stateless — no
+      // state store, no watermark (see StreamingOps.streamStaticNew)
+      val fp = md5(concat_ws("|", col("user_id"), col("event_type"),
+        expr("CAST(ROUND(value*100) AS BIGINT) div 1000")).cast("binary"))
+      val statics = StreamingOps.normalizeEventTs(
+        s.read.parquet(s"$dir/events.parquet"))
+      val corpus = statics.filter(col("event_id") % 2 === 0).select(fp.as("fp"))
+      val stream = StreamingOps.readEvents(s, s"$dir/events.parquet")
+        .filter(col("event_id") % 2 === 1).withColumn("fp", fp)
+      StreamingOps.withShufflePartitions(s, 8) {
+        StreamingOps.runToMemory(
+          StreamingOps.streamStaticNew(stream, corpus, "fp"),
+          s"sid_${System.nanoTime()}")
+      }
+        .select(col("event_id"), col("fp"))
+        .orderBy("event_id")
+    }),
 
     // --- training-data pipeline extensions ------------------------------
     // --- skew mitigation demo (same semantics, two physical shapes) -----
@@ -1506,6 +1526,19 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type,
         |  CAST(ROUND(value*100) AS BIGINT) AS value_cents
         |FROM events ORDER BY event_id""".stripMargin,
+    // stream-static ingest dedup replay: the plain anti-join (the
+    // streaming execution is stateless, so batch == stream by design)
+    "s_incremental_dedup" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    md5(user_id || '|' || event_type || '|' ||
+        |        (CAST(ROUND(value*100) AS BIGINT) // 1000)) AS fp
+        |  FROM events),
+        |corpus AS (SELECT DISTINCT fp FROM e WHERE event_id % 2 = 0),
+        |batch AS (SELECT event_id, fp FROM e WHERE event_id % 2 = 1)
+        |SELECT event_id, fp FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+        |ORDER BY event_id""".stripMargin,
     "t_dedup_exact" ->
       """SELECT md5(text) AS text_hash,
         |  CAST(MIN(doc_id) AS BIGINT) AS keep_id,

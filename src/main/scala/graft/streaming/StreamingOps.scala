@@ -275,6 +275,22 @@ object StreamingOps {
         col("r_event_id"), col("r_ts"), col("r_value"))
   }
 
+  /** Stream-static incremental ingest dedup — the streaming twin of
+    * `Curation.incrementalNew`: each micro-batch is anti-joined against a
+    * STATIC corpus fingerprint set; rows whose fingerprint is already
+    * known are dropped as they arrive.
+    *
+    * STATELESS by construction — no watermark, no state store: "seen" is
+    * defined by the existing corpus, not within-stream history, so
+    * nothing accumulates across batches (contrast
+    * [[dedupedEvents]], which keys a state store by id). At scale the
+    * static side broadcasts when small; when not, it shuffles per
+    * micro-batch on the fingerprint — and the batch-side Bloom pre-filter
+    * of `incrementalNew` composes in front of this join unchanged. */
+  def streamStaticNew(stream: DataFrame, corpusFps: DataFrame,
+      fpCol: String): DataFrame =
+    stream.join(corpusFps.select(col(fpCol)).distinct(), Seq(fpCol), "left_anti")
+
   /** Run a streaming frame to completion against currently-available data
     * (test/driver harness: memory sink, processAllAvailable). */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Append()): DataFrame = {

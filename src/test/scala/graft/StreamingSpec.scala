@@ -48,6 +48,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.count() == expected)
   }
 
+  test("stream-static ingest dedup is stateless and equals the batch anti-join") {
+    val statics = StreamingOps.normalizeEventTs(spark.read.parquet(eventsPath))
+    val fp = md5(concat_ws("|", col("user_id"), col("event_type"),
+      expr("CAST(ROUND(value*100) AS BIGINT) div 1000")).cast("binary"))
+    val corpus = statics.filter(col("event_id") % 2 === 0).select(fp.as("fp"))
+    val stream = StreamingOps.readEvents(spark, eventsPath)
+      .filter(col("event_id") % 2 === 1).withColumn("fp", fp)
+    val out = StreamingOps.streamStaticNew(stream, corpus, "fp")
+    val q = out.writeStream.format("memory").queryName("ssn_test")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    // stateless: the completed run reports NO state store operators —
+    // nothing can accumulate across micro-batches
+    assert(q.lastProgress != null && q.lastProgress.stateOperators.isEmpty,
+      s"stream-static anti-join must not create state: ${q.lastProgress}")
+    val got = spark.table("ssn_test").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val want = statics.filter(col("event_id") % 2 === 1).withColumn("fp", fp)
+      .join(corpus.distinct(), Seq("fp"), "left_anti")
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("stateful sessions accumulate across multiple micro-batches") {
     // split events into 4 files, force one file per trigger: state must
     // carry across batches for totals to match the batch aggregate
