@@ -813,6 +813,15 @@ object SparkEntry {
         .select(col("doc_id"), col("split_bucket"), col("split"))
         .orderBy("doc_id")
     }),
+    "t_quality_filter" -> ((s, dir) => {
+      // corpus-relative curation: keep docs at/above the corpus p25 by
+      // length — threshold from the HDR sketch (same deterministic
+      // bucket replay as t_quantiles), broadcast onto a scan-side filter
+      graft.ops.Quantile.filterAtQuantile(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "n_chars", qPpm = 250000L)
+        .orderBy("doc_id")
+    }),
     "t_stratified" -> ((s, dir) => {
       // language rebalancing: keep 20% of the dominant 'en' stratum, 80%
       // of every other language — same stateless xxhash64 rule (and the
@@ -2057,6 +2066,36 @@ object SparkEntry {
          |       WHEN split_bucket < 9500 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    // quantile-filter replay: the t_quantiles bucket math over n_chars,
+    // p25 rank selection, then the plain threshold filter
+    "t_quality_filter" ->
+      """WITH b AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN n_chars <= 0 THEN 0
+        |         WHEN length(bin(n_chars)) - 1 < 7 THEN n_chars
+        |         ELSE (length(bin(n_chars)) - 1 - 7 + 1) * 128
+        |              + ((n_chars >> (length(bin(n_chars)) - 1 - 7)) - 128)
+        |    END AS bucket
+        |  FROM documents
+        |), sk AS (
+        |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1
+        |), c AS (
+        |  SELECT bucket, cnt,
+        |    SUM(cnt) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER () AS total
+        |  FROM sk
+        |), hit AS (
+        |  SELECT MIN(bucket) AS bucket
+        |  FROM c WHERE cum >= (250000 * total + 999999) // 1000000
+        |), thr AS (
+        |  SELECT CAST(CASE WHEN bucket < 128 THEN bucket
+        |       ELSE ((bucket % 128) + 128) << ((bucket // 128) - 1)
+        |       END AS BIGINT) AS v FROM hit
+        |)
+        |SELECT doc_id, n_chars FROM documents, thr
+        |WHERE n_chars >= thr.v ORDER BY doc_id""".stripMargin,
 
     // stratified-sampling replay: same xxhash64 HUGEINT chain as t_split,
     // joined back for the stratum column; per-stratum rate as a CASE

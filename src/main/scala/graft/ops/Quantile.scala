@@ -53,6 +53,25 @@ object Quantile {
     df.groupBy(keys.map(col) :+ bucketIdx(vCol, m).as("bucket"): _*)
       .agg(count(lit(1)).as("cnt"))
 
+  /** Corpus-relative threshold filter — the "drop the bottom quartile"
+    * curation step: keep rows whose non-negative integral `vCol` is at or
+    * above the sketch quantile `qPpm` of the WHOLE input. The threshold
+    * comes from the HDR sketch (deterministic integer bucket math, so an
+    * external engine replays the exact cut), is one row, and broadcasts
+    * onto a scan-side filter.
+    *
+    * Scale: stats pass = the distributive sketch (shuffle carries only
+    * (bucket, count)); filter pass = one scan with a broadcast 1-row
+    * join. Two scans of `df` are inherent to corpus-relative thresholds —
+    * at 100 TB persist the input column or reuse a precomputed sketch
+    * table between the passes. */
+  def filterAtQuantile(df: DataFrame, vCol: String, qPpm: Long,
+      m: Int = 7): DataFrame = {
+    val thr = quantiles(sketch(df, Nil, vCol, m), Nil, Seq(("q", qPpm)), m)
+      .select(col("q_value").as("__thr"))
+    df.crossJoin(broadcast(thr)).filter(col(vCol) >= col("__thr")).drop("__thr")
+  }
+
   /** Quantiles from a sketch. `qs` are (label, ppm) pairs, e.g.
     * ("p50", 500000); rank = ceil(q * N) in pure integer arithmetic, the
     * reported value the lower bound of the first bucket whose cumulative

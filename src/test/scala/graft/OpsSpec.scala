@@ -440,6 +440,17 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(perCent == e.count())
   }
 
+  test("quantile filter cuts at the exact sketch threshold, monotone in q") {
+    val df = (1L to 100L).map(i => (i, i)).toDF("id", "v")
+    // values < 2^7 sit in exact singleton buckets: p25 rank = ceil(.25*100)
+    // = 25 -> threshold 25 -> survivors are exactly 25..100
+    val kept = graft.ops.Quantile.filterAtQuantile(df, "v", 250000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == (25L to 100L).toSet)
+    assert(graft.ops.Quantile.filterAtQuantile(df, "v", 1L).count() == 100)
+    assert(graft.ops.Quantile.filterAtQuantile(df, "v", 900000L).count() == 11)
+  }
+
   test("stratified sample membership equals the stateless hash rule") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val kept = graft.ops.Sampling
