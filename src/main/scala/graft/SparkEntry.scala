@@ -813,6 +813,18 @@ object SparkEntry {
         .select(col("doc_id"), col("split_bucket"), col("split"))
         .orderBy("doc_id")
     }),
+    "t_budget_select" -> ((s, dir) => {
+      // token-budget corpus selection: longest docs first (n_chars desc,
+      // doc_id tiebreak) while the inclusive running token total stays
+      // under budget; the global cumulative sum is the scalable
+      // range-partition + offsets decomposition (no SinglePartition —
+      // plan pinned)
+      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.ops.Curation.selectUnderBudget(d, "doc_id", "n_tokens",
+          "n_chars", budgetTokens = 15000L)
+        .orderBy("doc_id")
+    }),
     "t_quality_filter" -> ((s, dir) => {
       // corpus-relative curation: keep docs at/above the corpus p25 by
       // length — threshold from the HDR sketch (same deterministic
@@ -2066,6 +2078,23 @@ object SparkEntry {
          |       WHEN split_bucket < 9500 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    // budget-selection replay: one global running-sum window (the oracle
+    // can afford the single-partition form the operator avoids)
+    "t_budget_select" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_chars, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM d
+        |)
+        |SELECT doc_id, n_chars, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= 15000 ORDER BY doc_id""".stripMargin,
 
     // quantile-filter replay: the t_quantiles bucket math over n_chars,
     // p25 rank selection, then the plain threshold filter

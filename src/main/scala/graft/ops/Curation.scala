@@ -88,6 +88,19 @@ object Curation {
     definitelyNew.unionByName(confirmed)
   }
 
+  /** Token-budget corpus selection — "take the best documents until the
+    * training budget is spent": rows ranked by (`rankCol` DESC, `idCol`)
+    * are kept while the INCLUSIVE running total of `tokensCol` stays
+    * within `budgetTokens`. Built on
+    * [[Indexing.globalRunningSum]], so the global cumulative sum has no
+    * single-partition stage — the selection scales to any corpus size.
+    * Appends `cum_tokens`. */
+  def selectUnderBudget(docs: DataFrame, idCol: String, tokensCol: String,
+      rankCol: String, budgetTokens: Long): DataFrame =
+    Indexing.globalRunningSum(docs,
+        Seq(col(rankCol).desc, col(idCol).asc), tokensCol, "cum_tokens")
+      .filter(col("cum_tokens") <= budgetTokens)
+
   /** RE2-compatible patterns (identical semantics in Java regex), so an
     * external engine can replay the redaction byte-for-byte. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

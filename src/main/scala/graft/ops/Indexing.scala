@@ -56,4 +56,45 @@ object Indexing {
       .withColumn(outCol, (col("__off") + col("__intra") + 1L).cast("long"))
       .drop("__mid", "__pid", "__intra", "__off")
   }
+
+  /** Scalable global running sum of `valueCol` in `orderCols` order —
+    * `sum(v) OVER (ORDER BY ...)` without the single-partition cliff.
+    * Same decomposition as [[globalRowNumber]]: range-partition on the
+    * order, per-partition VALUE sums (<= #partitions rows) collected and
+    * prefix-summed into offsets, then a per-partition running sum window
+    * keyed by the partition id. Both shuffles (range + pid-hash for the
+    * window) are balanced and linear; the plan never contains
+    * `Exchange SinglePartition` (pinned in PlanGuardSpec).
+    *
+    * `orderCols` accept sort Columns (`desc(...)`) and must form a total
+    * order — ties straddling range boundaries would be nondeterministic.
+    * `outCol` is the INCLUSIVE running total (current row counted). */
+  def globalRunningSum(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column],
+      valueCol: String, outCol: String = "running_total",
+      numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val n = numPartitions.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val parted = df
+      .repartitionByRange(n, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .localCheckpoint(true)
+    val withMid = parted.withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
+      .withColumn("__intra", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+    // per-partition value sums: metadata-sized (<= n rows)
+    val sums = withMid.groupBy("__pid").agg(sum(col(valueCol)).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (pid, s) => val off = acc; acc += s; (pid, off) }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("__intra")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    withMid.join(broadcast(offDf), Seq("__pid"))
+      .withColumn(outCol, (col("__off") + sum(col(valueCol)).over(w)).cast("long"))
+      .drop("__mid", "__pid", "__intra", "__off")
+  }
 }

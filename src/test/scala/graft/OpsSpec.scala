@@ -451,6 +451,26 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(graft.ops.Quantile.filterAtQuantile(df, "v", 900000L).count() == 11)
   }
 
+  test("global running sum equals the single-partition window; budget cut exact") {
+    val df = (1L to 1000L).map(i => (i, (i * 7) % 13 + 1)).toDF("id", "v")
+    val got = graft.ops.Indexing
+      .globalRunningSum(df, Seq(col("id").asc), "v", "cum")
+      .orderBy("id").collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cum")))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+      .rowsBetween(Long.MinValue, 0)
+    val want = df.withColumn("cum", sum("v").over(w))
+      .orderBy("id").collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cum")))
+    assert(got.toSeq == want.toSeq)
+    // budget selection keeps the exact prefix in rank order
+    val sel = graft.ops.Curation.selectUnderBudget(
+      df.withColumnRenamed("v", "n_tokens").withColumn("rank", col("id")),
+      "id", "n_tokens", "rank", budgetTokens = 50L)
+    val kept = sel.orderBy(org.apache.spark.sql.functions.desc("rank"))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cum_tokens")))
+    assert(kept.nonEmpty && kept.last._2 <= 50L &&
+      kept.map(_._1).toSeq == kept.map(_._1).sorted.reverse.toSeq)
+  }
+
   test("stratified sample membership equals the stateless hash rule") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val kept = graft.ops.Sampling

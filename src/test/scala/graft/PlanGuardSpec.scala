@@ -247,6 +247,28 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("budget selection's global running sum has no single-partition stage") {
+    val p = plan("t_budget_select")
+    // strip the presentation orderBy tail: assert on the operator instead
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val op = graft.ops.Curation
+      .selectUnderBudget(docs, "doc_id", "n_tokens", "n_chars", 1000L)
+      .queryExecution.executedPlan.toString
+    assert(!op.contains("Exchange SinglePartition"),
+      s"global running sum must not funnel through one task:\n$op")
+    // the range shuffle lives inside the localCheckpoint; what the final
+    // plan must show is the running-sum window keyed by the partition id
+    // (a keyed hash exchange), never a global (empty-partition) window
+    assert(op.contains("windowspecdefinition(__pid"),
+      s"running-sum window must be keyed by __pid:\n$op")
+    assert(op.contains("Exchange hashpartitioning(__pid"),
+      s"expected the balanced pid-keyed exchange:\n$op")
+    assert(p.nonEmpty) // query itself resolves and plans
+  }
+
   test("per-domain cap prunes via WindowGroupLimit; stratified sample never shuffles") {
     val p = plan("t_source_cap")
     assert(p.contains("WindowGroupLimit"),
