@@ -685,6 +685,18 @@ object SparkEntry {
         .groupBy("component").agg(count(lit(1)).as("group_size"))
         .orderBy("component")
     }),
+    "t_dedup_keep" -> ((s, dir) => {
+      // end-to-end dedup finisher: LSH candidates -> connected components
+      // -> keep the longest doc per duplicate group (ties to min id);
+      // docs in no candidate pair survive as their own singleton group
+      val docs = docsWithNearDups(s, dir)
+        .withColumn("score", length(col("text")).cast("long"))
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      val labels = Dedup.connectedComponentsStar(Dedup.minhashCandidates(sigs))
+      Dedup.keepBest(docs.select("doc_id", "score"), labels, "doc_id", "score")
+        .select(col("component"), col("doc_id").as("keep_id"), col("score"))
+        .orderBy("component")
+    }),
     "t_simhash_pairs" -> ((s, dir) => {
       val docs = docsWithNearDups(s, dir)
       Dedup.simhashCandidates(Dedup.simhashes(docs, "doc_id", "text"))
@@ -1803,6 +1815,31 @@ object SparkEntry {
          |)
          |SELECT component, COUNT(*) AS group_size FROM comp
          |GROUP BY component ORDER BY component""".stripMargin,
+
+    // dedup finisher replay: the t_dedup_groups closure + keep the
+    // highest-score (longest) member per component; unpaired docs are
+    // singleton groups via the left-join coalesce
+    "t_dedup_keep" ->
+      s"""WITH RECURSIVE $minhashCtes, nodes AS (
+         |  SELECT DISTINCT id FROM (SELECT id_a AS id FROM cand UNION ALL SELECT id_b FROM cand) u
+         |), cedges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM cand UNION SELECT id_b, id_a FROM cand
+         |), reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.r FROM reach r JOIN cedges e ON e.src = r.id
+         |), comp AS (
+         |  SELECT id, MIN(r) AS component FROM reach GROUP BY id
+         |), scored AS (
+         |  SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS score FROM corpus
+         |), lab AS (
+         |  SELECT s.doc_id, COALESCE(c.component, s.doc_id) AS component, s.score
+         |  FROM scored s LEFT JOIN comp c ON c.id = s.doc_id
+         |)
+         |SELECT component, doc_id AS keep_id, score FROM (
+         |  SELECT lab.*, ROW_NUMBER() OVER (
+         |    PARTITION BY component ORDER BY score DESC, doc_id) AS r FROM lab) t
+         |WHERE r = 1 ORDER BY component""".stripMargin,
 
     // per-source MinHashAgg signature, component-wise: min over every
     // permuted shingle hash of the source's documents

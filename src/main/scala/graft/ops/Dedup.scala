@@ -361,6 +361,28 @@ object Dedup {
     out
   }
 
+  /** Dedup pipeline finisher: given the corpus and the (id, component)
+    * labels from [[connectedComponents]]/[[connectedComponentsStar]],
+    * keep ONE representative per duplicate group — the highest `scoreCol`
+    * (quality, length, ...), ties to the smallest id — while docs in no
+    * pair survive as their own singleton group (component = own id).
+    *
+    * Scale: one keyed join on the id (labels carry only docs that appear
+    * in some pair — usually a small fraction of the corpus) plus one
+    * window partitioned by component; both shuffles are keyed and
+    * balanced (near-dup groups are bounded by the candidate generators'
+    * bucket caps upstream). */
+  def keepBest(docs: DataFrame, labels: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val lab = labels.select(col("id").as(idCol), col("component"))
+    val joined = docs.join(lab, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy(col(scoreCol).desc, col(idCol))
+    joined.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1).drop("__r")
+  }
+
   // --- SimHash --------------------------------------------------------------
 
   /** 64-bit SimHash over word unigrams of normalized text: per-bit vote

@@ -409,6 +409,18 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.groupBy(_.getAs[Long]("doc_id")).forall(_._2.length == 2))
   }
 
+  test("keepBest: best-scored representative per group, singletons survive") {
+    val corpus = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L))
+      .toDF("doc_id", "score")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "component")
+    val kept = Dedup.keepBest(corpus, labels, "doc_id", "score")
+      .orderBy("component")
+      .collect().map(r => (r.getAs[Long]("component"), r.getAs[Long]("doc_id")))
+    // group {1,2,3}: score tie 30 between 2 and 3 -> min id 2 wins;
+    // doc 4 is unlabeled -> its own singleton group
+    assert(kept.toSeq == Seq((1L, 2L), (4L, 4L)))
+  }
+
   test("incremental dedup: bloom pre-filter is exactness-preserving vs plain anti-join") {
     // deliberately undersized, high-fpp filter (expected 10 items for 50
     // distinct fps at fpp 0.5) so the maybe-branch carries false
