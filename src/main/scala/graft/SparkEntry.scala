@@ -482,6 +482,19 @@ object SparkEntry {
           col("event_type"), col("n"), col("value_cents"))
         .orderBy("window_start", "event_type")
     }),
+    "s_quantile_sketch" -> ((s, dir) => {
+      // streaming HDR sketch: the distributive bucket histogram built
+      // incrementally over the stream equals the batch sketch exactly
+      // (state bounded at ~64*2^m rows per key forever)
+      val stream = StreamingOps.readEvents(s, s"$dir/events.parquet")
+        .select(col("event_type"), expr("CAST(ROUND(value*100) AS BIGINT)").as("cents"))
+      val sk = StreamingOps.streamingSketch(stream, Seq("event_type"), "cents", m = 7)
+      StreamingOps.withShufflePartitions(s, 8) {
+        StreamingOps.runToMemory(sk, s"ssk_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+      }
+        .orderBy("event_type", "bucket")
+    }),
     "s_user_sessions" -> ((s, dir) => {
       val stream = StreamingOps.readEvents(s, s"$dir/events.parquet")
       val sessions = StreamingOps.userSessions(stream)
@@ -823,6 +836,12 @@ object SparkEntry {
       graft.ops.Sampling.assignSplit(t(s, dir, "documents"), "doc_id",
           Seq("train" -> 9000, "val" -> 500, "test" -> 500))
         .select(col("doc_id"), col("split_bucket"), col("split"))
+        .orderBy("doc_id")
+    }),
+    "t_corpus_freq" -> ((s, dir) => {
+      // log-free perplexity proxy: per-doc integer sum of corpus-wide
+      // token occurrence counts — rare-token-heavy (noisy) docs score low
+      TextAnalysis.corpusFreqScore(t(s, dir, "documents"))
         .orderBy("doc_id")
     }),
     "t_budget_select" -> ((s, dir) => {
@@ -1559,6 +1578,24 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type,
         |  CAST(ROUND(value*100) AS BIGINT) AS value_cents
         |FROM events ORDER BY event_id""".stripMargin,
+    // streaming-sketch replay: the batch bucket histogram — streaming
+    // equals batch because the sketch is distributive by construction
+    "s_quantile_sketch" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS cents FROM events
+        |), b AS (
+        |  SELECT event_type,
+        |    CASE WHEN cents <= 0 THEN 0
+        |         WHEN length(bin(cents)) - 1 < 7 THEN cents
+        |         ELSE (length(bin(cents)) - 1 - 7 + 1) * 128
+        |              + ((cents >> (length(bin(cents)) - 1 - 7)) - 128)
+        |    END AS bucket
+        |  FROM v
+        |)
+        |SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM b GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
     // stream-static ingest dedup replay: the plain anti-join (the
     // streaming execution is stateless, so batch == stream by design)
     "s_incremental_dedup" ->
@@ -2115,6 +2152,19 @@ object SparkEntry {
          |       WHEN split_bucket < 9500 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    // corpus-frequency replay: same raw-space tokenization as the Spark
+    // side (split on single space, empty text -> one empty token)
+    "t_corpus_freq" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tc AS (
+        |  SELECT term, COUNT(*) AS c FROM toks GROUP BY 1
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(c) AS BIGINT) AS freq_sum
+        |FROM toks JOIN tc USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // budget-selection replay: one global running-sum window (the oracle
     // can afford the single-partition form the operator avoids)

@@ -253,6 +253,29 @@ object TextAnalysis {
         col("term"), col("tf"), col("df"), col("score_ppm"))
   }
 
+  /** Corpus-frequency familiarity score — a log-free perplexity proxy:
+    * for each document, the token count and the integer SUM of corpus-wide
+    * occurrence counts over its token occurrences. Documents dominated by
+    * rare/garbage tokens score a low `freq_sum / n_tokens`; emitting the
+    * raw integer pair (not the ratio) keeps the output exactly replayable
+    * by any engine.
+    *
+    * Scale: one vocabulary-sized term aggregate, broadcast back onto the
+    * token stream (vocabulary ≪ corpus; if the long tail outgrows the
+    * broadcast budget, pre-filter the dictionary to top-K terms with a
+    * default count for the tail — the tail's counts are ~1 anyway), then
+    * one doc-keyed aggregation. The corpus text is never shuffled on
+    * term. */
+  def corpusFreqScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ", -1)).as("term"))
+    val termCounts = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    toks.join(broadcast(termCounts), Seq("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("c").as("freq_sum"))
+  }
+
   /** Full per-document stats frame (expression-only columns). */
   def stats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -275,6 +275,21 @@ object StreamingOps {
         col("r_event_id"), col("r_ts"), col("r_value"))
   }
 
+  /** Streaming HDR quantile sketch — the incremental form of
+    * `Quantile.sketch`: a running `groupBy(keys, bucket).count()` over the
+    * stream. The sketch is distributive/always-mergeable by construction
+    * (integer bucket of each value + a count), so the streaming state is
+    * EXACTLY the batch sketch at every point in time — bounded at
+    * ~64·2^m rows per key regardless of how much data has streamed
+    * through, which is what makes continuous percentile monitoring viable
+    * at ingest scale. Complete-mode output equals the batch sketch (the
+    * oracle). */
+  def streamingSketch(events: DataFrame, keys: Seq[String], vCol: String,
+      m: Int): DataFrame =
+    events.groupBy(keys.map(col) :+
+        graft.ops.Quantile.bucketIdx(vCol, m).as("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
   /** Stream-static incremental ingest dedup — the streaming twin of
     * `Curation.incrementalNew`: each micro-batch is anti-joined against a
     * STATIC corpus fingerprint set; rows whose fingerprint is already

@@ -409,6 +409,17 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.groupBy(_.getAs[Long]("doc_id")).forall(_._2.length == 2))
   }
 
+  test("corpus frequency score: common-token docs outscore rare-token docs") {
+    val d = Seq((1L, "a a a"), (2L, "a b"), (3L, "z")).toDF("doc_id", "text")
+    // corpus counts: a=4, b=1, z=1
+    val m = TextAnalysis.corpusFreqScore(d).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_tokens"), r.getAs[Long]("freq_sum"))))
+      .toMap
+    assert(m(1L) == ((3L, 12L))) // 3 occurrences of 'a', each c=4
+    assert(m(2L) == ((2L, 5L)))  // 4 + 1
+    assert(m(3L) == ((1L, 1L)))  // the rare-token doc scores lowest
+  }
+
   test("keepBest: best-scored representative per group, singletons survive") {
     val corpus = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L))
       .toDF("doc_id", "score")

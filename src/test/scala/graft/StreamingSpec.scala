@@ -48,6 +48,22 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.count() == expected)
   }
 
+  test("streaming HDR sketch equals the batch sketch exactly") {
+    val cents = expr("CAST(ROUND(value*100) AS BIGINT)")
+    val stream = StreamingOps.readEvents(spark, eventsPath)
+      .select(col("event_type"), cents.as("cents"))
+    val got = StreamingOps.runToMemory(
+        StreamingOps.streamingSketch(stream, Seq("event_type"), "cents", m = 7),
+        "ssk_test", OutputMode.Complete())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val want = graft.ops.Quantile.sketch(
+        StreamingOps.normalizeEventTs(spark.read.parquet(eventsPath))
+          .select(col("event_type"), cents.as("cents")),
+        Seq("event_type"), "cents", m = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("stream-static ingest dedup is stateless and equals the batch anti-join") {
     val statics = StreamingOps.normalizeEventTs(spark.read.parquet(eventsPath))
     val fp = md5(concat_ws("|", col("user_id"), col("event_type"),
