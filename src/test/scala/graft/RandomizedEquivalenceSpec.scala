@@ -58,6 +58,44 @@ class RandomizedEquivalenceSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("globalRunningSum == single-partition window across random shapes") {
+    for (_ <- 1 to 10) {
+      val n = rnd.nextInt(500) + 1
+      val rows = Seq.fill(n)((rnd.nextLong().abs % 100000,
+        (rnd.nextInt(1000) + 1).toLong))
+      // ids may collide: disambiguate into a total order first
+      val df = rows.zipWithIndex
+        .map { case ((id, v), i) => (id * 1000 + i, v) }.toDF("id", "v")
+      val got = graft.ops.Indexing
+        .globalRunningSum(df, Seq(col("id").asc), "v", "cum")
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cum"))).sorted.toSeq
+      val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+        .rowsBetween(Long.MinValue, 0)
+      val want = df.withColumn("cum", sum("v").over(w))
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cum"))).sorted.toSeq
+      assert(got == want, s"n=$n")
+    }
+  }
+
+  test("incrementalNew == plain anti-join across random overlap/fpp regimes") {
+    for (trial <- 1 to 8) {
+      val corpusN = rnd.nextInt(300) + 1
+      val batchN = rnd.nextInt(300) + 1
+      val space = rnd.nextInt(200) + 10
+      val corpus = Seq.fill(corpusN)(("fp" + rnd.nextInt(space)))
+        .zipWithIndex.map { case (fp, i) => (i.toLong, fp) }.toDF("id", "fp")
+      val batch = Seq.fill(batchN)(("fp" + rnd.nextInt(space * 2)))
+        .zipWithIndex.map { case (fp, i) => (1000L + i, fp) }.toDF("id", "fp")
+      val fpp = if (trial % 2 == 0) 0.5 else 0.01
+      val expected = math.max(1L, (trial % 3) * 100L) // includes undersized
+      val got = graft.ops.Curation.incrementalNew(batch, corpus, "fp", expected, fpp)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val want = batch.join(corpus.select("fp").distinct(), Seq("fp"), "left_anti")
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want, s"trial=$trial corpusN=$corpusN batchN=$batchN")
+    }
+  }
+
   test("differingBuckets never misses a bucket containing a difference") {
     for (_ <- 1 to 10) {
       val f = randomKeyed(150, 60, 0.15)
