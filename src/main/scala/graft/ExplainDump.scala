@@ -8,8 +8,10 @@ object ExplainDump {
       .config("spark.sql.legacy.parquet.nanosAsLong","true")
       .config("spark.ui.enabled","false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("v_diff_numeric", "q1_agg", "q5_join", "t_ann_topk", "v_missing_first")) {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val qs = if (args.nonEmpty) args.toSeq
+      else Seq("v_diff_numeric", "q1_agg", "q5_join", "t_ann_topk", "v_missing_first")
+    for (q <- qs) {
       println(s"\n########## $q ##########")
       println(SparkEntry.queries(q)(s, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
