@@ -127,6 +127,17 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("sum("), s"fit mean must be a distributive sum:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"fit sum must have a map-side partial stage:\n$p")
+    // the k-means generalization must keep the same shape in its FINAL
+    // stats stage (the one whose plan is user-visible): integer partial
+    // sums, no member-sized collect — every earlier iteration was already
+    // collapsed to broadcast centroid literals by the fit-then-broadcast
+    // materialization, so nothing upstream can hide an unbounded collect
+    val k = graft.ops.Similarity.kmeansFitStats(e, k = 8, iters = 2)
+      .queryExecution.executedPlan.toString
+    assert(!k.contains("collect_list"),
+      s"kmeans stats must never materialize members:\n$k")
+    assert(k.contains("sum(") && "HashAggregate".r.findAllIn(k).size >= 2,
+      s"kmeans stats must be distributive partial sums:\n$k")
   }
 
   test("embedding near-dups: pair generation joins vectors back by id (equi-join)") {
