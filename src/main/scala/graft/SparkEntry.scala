@@ -776,6 +776,22 @@ object SparkEntry {
           round(col("cosine") * 1000000).cast("long").as("cosine_ppm"))
         .orderBy("id_a", "id_b")
     }),
+    "t_image_neardup" -> ((s, dir) => {
+      // image near-dup: dHash over the REAL decoded 8x8 pixels, bucketed
+      // by the hash-agnostic SimHash block trick. Injected true
+      // positives: byte-identical re-uploads (ids +100000, distance 0)
+      // and one-pixel edits (ids +200000, char 11 replaced -> <= 2 bits
+      // flip, both in block 0, so blocks 1-3 still collide)
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val base = d.filter(col("doc_id") < 10)
+      val copies = base.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val nudged = base.select((col("doc_id") + 200000).as("doc_id"),
+        expr("concat(substring(text, 1, 10), 'Q', substring(text, 12))").as("text"))
+      val media = Multimodal.asMediaImages(
+        d.unionByName(copies).unionByName(nudged), "doc_id", "text")
+      Dedup.simhashCandidates(Multimodal.imageDHash(media), maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
     "t_vector_stats" -> ((s, dir) => {
       Similarity.vectorStats(t(s, dir, "embeddings"))
         .select(col("vec_id"), col("dim"),
@@ -1918,6 +1934,58 @@ object SparkEntry {
          |  WHERE x.bsz <= 256
          |  UNION
          |  SELECT m.id, o.id, m.sim_u, o.sim_u
+         |  FROM sbucketed o JOIN sbucketed m ON m.bi = o.bi AND m.bval = o.bval AND m.id = o.bmin
+         |  WHERE o.bsz > 256 AND o.id <> o.bmin
+         |)
+         |SELECT id_a, id_b, CAST(MIN(hamming) AS INTEGER) AS hamming FROM (
+         |  SELECT id_a, id_b, bit_count(xor(${signedSql("ua")}, ${signedSql("ub")})) AS hamming
+         |  FROM spairs) p
+         |WHERE hamming <= 3
+         |GROUP BY id_a, id_b
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // image near-dup replay: closed-form pixels (BMP is lossless, the
+    // generated grid is char codes mod 256), wrap-around dHash bits in
+    // HUGEINT, then the same block-trick bucketing as t_simhash_pairs
+    "t_image_neardup" ->
+      s"""WITH icorpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10
+         |  UNION ALL
+         |  SELECT doc_id + 200000,
+         |    substring(text, 1, 10) || 'Q' || substring(text, 12)
+         |  FROM documents WHERE doc_id < 10
+         |), px AS (
+         |  SELECT doc_id,
+         |    CASE WHEN text IS NULL OR length(text) = 0
+         |         THEN list_transform(range(0, 64), i -> 0)
+         |         ELSE [unicode(substring(text, CAST(i % length(text) AS INTEGER) + 1, 1)) % 256
+         |               FOR i IN range(0, 64)]
+         |    END AS p
+         |  FROM icorpus
+         |), rc AS (
+         |  SELECT a.r, b.c FROM (SELECT unnest(range(0, 8)) AS r) a
+         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS c) b
+         |), dh AS (
+         |  SELECT doc_id,
+         |    SUM(CASE WHEN p[CAST(r*8+c AS INTEGER) + 1] > p[CAST(r*8+((c+1)%8) AS INTEGER) + 1]
+         |         THEN (CAST(1 AS HUGEINT) << CAST(r*8+c AS INTEGER)) ELSE CAST(0 AS HUGEINT) END) AS dh_u
+         |  FROM px CROSS JOIN rc GROUP BY doc_id
+         |), sblock AS (
+         |  SELECT doc_id, dh_u, bi, (dh_u // (CAST(1 AS HUGEINT) << CAST(16*bi AS INTEGER))) % 65536 AS bval
+         |  FROM dh CROSS JOIN (SELECT unnest(range(0, 4)) AS bi) bs
+         |), sbucketed AS (
+         |  SELECT bi, bval, doc_id AS id, dh_u,
+         |    COUNT(*) OVER (PARTITION BY bi, bval) AS bsz,
+         |    MIN(doc_id) OVER (PARTITION BY bi, bval) AS bmin
+         |  FROM sblock
+         |), spairs AS (
+         |  SELECT x.id AS id_a, y.id AS id_b, x.dh_u AS ua, y.dh_u AS ub
+         |  FROM sbucketed x JOIN sbucketed y ON x.bi = y.bi AND x.bval = y.bval AND x.id < y.id
+         |  WHERE x.bsz <= 256
+         |  UNION
+         |  SELECT m.id, o.id, m.dh_u, o.dh_u
          |  FROM sbucketed o JOIN sbucketed m ON m.bi = o.bi AND m.bval = o.bval AND m.id = o.bmin
          |  WHERE o.bsz > 256 AND o.id <> o.bmin
          |)

@@ -198,6 +198,48 @@ object Multimodal {
       }
   }
 
+  /** 64-bit difference hash (dHash — the public perceptual-hash design)
+    * from the REAL decoded pixels: grayscale, box-resample to 8x8 if
+    * needed, then bit r*8+c = 1 iff gray[r][c] > gray[r][(c+1) mod 8]
+    * (wrap-around column keeps the grid square; classic dHash samples a
+    * 9th column). Near-duplicate images — recompressed, metadata-changed,
+    * slightly edited — differ in few bits, so
+    * [[graft.ops.Dedup.simhashCandidates]]'s block-trick candidate
+    * machinery applies to the output unchanged (it is hash-agnostic).
+    * Undecodable payloads hash to 0. Output: (id, simhash) — named for
+    * direct feeding into the SimHash bucketing. */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload").as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, payload) =>
+          val img = if (kind == "image") decodeImage(payload) else null
+          val bits =
+            if (img == null) 0L
+            else {
+              val g = if (img.getWidth == 8 && img.getHeight == 8) img
+                else boxResample(img, 8, 8)
+              var out = 0L
+              var r = 0
+              while (r < 8) {
+                var c = 0
+                while (c < 8) {
+                  val a = g.getRGB(c, r); val b = g.getRGB((c + 1) % 8, r)
+                  val ga = (((a >> 16) & 0xFF) + ((a >> 8) & 0xFF) + (a & 0xFF)) / 3.0
+                  val gb = (((b >> 16) & 0xFF) + ((b >> 8) & 0xFF) + (b & 0xFF)) / 3.0
+                  if (ga > gb) out |= (1L << (r * 8 + c))
+                  c += 1
+                }
+                r += 1
+              }
+              out
+            }
+          (id, bits)
+        }
+      }.toDF("id", "simhash")
+  }
+
   /** REAL pixel resample: box average. Each destination pixel averages its
     * source box ([c*sw/tw, (c+1)*sw/tw) x [r*sh/th, (r+1)*sh/th), floor
     * boundaries, at least one source pixel) per channel with integer floor

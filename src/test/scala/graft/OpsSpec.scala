@@ -409,6 +409,28 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.groupBy(_.getAs[Long]("doc_id")).forall(_._2.length == 2))
   }
 
+  test("image dHash near-dup: re-uploads at distance 0, one-pixel edits within 2 bits") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps on running far"
+    // pixel 10 drops from 'b' (98) below its left neighbor ' ' (32), so
+    // the p[9] > p[10] comparison — dHash bit 9 — is guaranteed to flip
+    val edited = base.updated(10, '\t').toString
+    val frame = Seq(
+      (1L, base), (2L, base), // byte-identical re-upload
+      (3L, edited),           // one-pixel edit -> 1..2 dHash bits
+      (4L, "zzz completely different pixels come from this other unrelated text")
+    ).toDF("doc_id", "text")
+    val hashes = Multimodal.imageDHash(
+      Multimodal.asMediaImages(frame, "doc_id", "text"))
+    val byId = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(1L) == byId(2L))
+    val d13 = java.lang.Long.bitCount(byId(1L) ^ byId(3L))
+    assert(d13 >= 1 && d13 <= 2, s"edit distance $d13")
+    val pairs = Dedup.simhashCandidates(hashes, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs((1L, 3L)) == d13)
+  }
+
   test("corpus frequency score: common-token docs outscore rare-token docs") {
     val d = Seq((1L, "a a a"), (2L, "a b"), (3L, "z")).toDF("doc_id", "text")
     // corpus counts: a=4, b=1, z=1
