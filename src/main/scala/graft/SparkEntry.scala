@@ -792,6 +792,23 @@ object SparkEntry {
       Dedup.simhashCandidates(Multimodal.imageDHash(media), maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
+    "t_audio_neardup" -> ((s, dir) => {
+      // audio near-dup: energy-contour fingerprint over REAL decoded PCM
+      // (integer frame energies), bucketed by the hash-agnostic SimHash
+      // block trick. Injected true positives: re-encoded copies (ids
+      // +100000, distance 0) and one-sample edits (ids +200000 — only one
+      // frame's energy moves, flipping at most its two adjacent
+      // comparisons)
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val base = d.filter(col("doc_id") < 10)
+      val copies = base.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val nudged = base.select((col("doc_id") + 200000).as("doc_id"),
+        expr("concat(substring(text, 1, 10), 'Q', substring(text, 12))").as("text"))
+      val media = Multimodal.asMediaAudio(
+        d.unionByName(copies).unionByName(nudged), "doc_id", "text")
+      Dedup.simhashCandidates(Multimodal.audioEnergyHash(media), maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
     "t_vector_stats" -> ((s, dir) => {
       Similarity.vectorStats(t(s, dir, "embeddings"))
         .select(col("vec_id"), col("dim"),
@@ -1986,6 +2003,57 @@ object SparkEntry {
          |  WHERE x.bsz <= 256
          |  UNION
          |  SELECT m.id, o.id, m.dh_u, o.dh_u
+         |  FROM sbucketed o JOIN sbucketed m ON m.bi = o.bi AND m.bval = o.bval AND m.id = o.bmin
+         |  WHERE o.bsz > 256 AND o.id <> o.bmin
+         |)
+         |SELECT id_a, id_b, CAST(MIN(hamming) AS INTEGER) AS hamming FROM (
+         |  SELECT id_a, id_b, bit_count(xor(${signedSql("ua")}, ${signedSql("ub")})) AS hamming
+         |  FROM spairs) p
+         |WHERE hamming <= 3
+         |GROUP BY id_a, id_b
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // audio near-dup replay: 256 samples = char codes mod 256 (WAV PCM is
+    // lossless), 64 integer frame energies, wrap-around sign bits, then
+    // the same block-trick bucketing as t_simhash_pairs
+    "t_audio_neardup" ->
+      s"""WITH acorpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10
+         |  UNION ALL
+         |  SELECT doc_id + 200000,
+         |    substring(text, 1, 10) || 'Q' || substring(text, 12)
+         |  FROM documents WHERE doc_id < 10
+         |), samples AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN text IS NULL OR length(text) = 0 THEN -128
+         |         ELSE unicode(substring(text, CAST(i % length(text) AS INTEGER) + 1, 1)) % 256 - 128
+         |    END AS k
+         |  FROM acorpus CROSS JOIN (SELECT unnest(range(0, 256)) AS i) ii
+         |), frames AS (
+         |  SELECT doc_id, i // 4 AS f, SUM(k * k) AS e FROM samples GROUP BY 1, 2
+         |), ah AS (
+         |  SELECT a.doc_id,
+         |    SUM(CASE WHEN a.e > b.e THEN (CAST(1 AS HUGEINT) << CAST(a.f AS INTEGER))
+         |             ELSE CAST(0 AS HUGEINT) END) AS ah_u
+         |  FROM frames a JOIN frames b
+         |    ON a.doc_id = b.doc_id AND b.f = (a.f + 1) % 64
+         |  GROUP BY a.doc_id
+         |), sblock AS (
+         |  SELECT doc_id, ah_u, bi, (ah_u // (CAST(1 AS HUGEINT) << CAST(16*bi AS INTEGER))) % 65536 AS bval
+         |  FROM ah CROSS JOIN (SELECT unnest(range(0, 4)) AS bi) bs
+         |), sbucketed AS (
+         |  SELECT bi, bval, doc_id AS id, ah_u,
+         |    COUNT(*) OVER (PARTITION BY bi, bval) AS bsz,
+         |    MIN(doc_id) OVER (PARTITION BY bi, bval) AS bmin
+         |  FROM sblock
+         |), spairs AS (
+         |  SELECT x.id AS id_a, y.id AS id_b, x.ah_u AS ua, y.ah_u AS ub
+         |  FROM sbucketed x JOIN sbucketed y ON x.bi = y.bi AND x.bval = y.bval AND x.id < y.id
+         |  WHERE x.bsz <= 256
+         |  UNION
+         |  SELECT m.id, o.id, m.ah_u, o.ah_u
          |  FROM sbucketed o JOIN sbucketed m ON m.bi = o.bi AND m.bval = o.bval AND m.id = o.bmin
          |  WHERE o.bsz > 256 AND o.id <> o.bmin
          |)

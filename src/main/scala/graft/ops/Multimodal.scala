@@ -436,6 +436,55 @@ object Multimodal {
       }
   }
 
+  /** 64-bit audio energy-contour fingerprint from REAL decoded PCM — the
+    * sign-of-energy-delta idea behind classic audio fingerprinting
+    * (public design): the unsigned-8-bit samples split into up to 64
+    * frames of `frameSize`; bit i = 1 iff the INTEGER frame energy (sum
+    * of squared centered samples — exact) of frame i exceeds frame
+    * (i+1) mod nFrames. A re-encoded copy hashes identically; a local
+    * edit moves one frame's energy and flips at most its two adjacent
+    * comparisons, so near-identical clips sit within small Hamming
+    * distance and [[graft.ops.Dedup.simhashCandidates]]'s block-trick
+    * bucketing applies unchanged. Undecodable payloads hash to 0.
+    * Output: (id, simhash). */
+  def audioEnergyHash(media: DataFrame, frameSize: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload").as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, payload) =>
+          val s = if (kind == "audio") decodeWav(payload) else null
+          val bits =
+            if (s == null || s.length < frameSize) 0L
+            else {
+              val nF = math.min(64, s.length / frameSize)
+              val e = new Array[Long](nF)
+              var f = 0
+              while (f < nF) {
+                var sum = 0L
+                var i = f * frameSize
+                val end = i + frameSize
+                while (i < end) {
+                  val k = (s(i) & 0xFF) - 128
+                  sum += k.toLong * k
+                  i += 1
+                }
+                e(f) = sum
+                f += 1
+              }
+              var out = 0L
+              var b = 0
+              while (b < nF) {
+                if (e(b) > e((b + 1) % nF)) out |= (1L << b)
+                b += 1
+              }
+              out
+            }
+          (id, bits)
+        }
+      }.toDF("id", "simhash")
+  }
+
   /** Frame sampling for "video" payloads: every `strideBytes` emit a frame
     * record (flatMap — output cardinality is data-dependent, like real
     * frame extraction). */

@@ -431,6 +431,25 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(pairs((1L, 3L)) == d13)
   }
 
+  test("audio energy hash: re-encodes at distance 0, local edits within 2 bits") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps on running far"
+    // sample 10 moves from 'b' (98) to tab (9): only frame 2's integer
+    // energy changes, so at most its two adjacent comparisons flip
+    val edited = base.updated(10, '\t').toString
+    val frame = Seq((1L, base), (2L, base), (3L, edited),
+      (4L, "zzz completely different waveform comes from this other unrelated text")
+    ).toDF("doc_id", "text")
+    val hashes = Multimodal.audioEnergyHash(
+      Multimodal.asMediaAudio(frame, "doc_id", "text"))
+    val byId = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(1L) == byId(2L))
+    assert(java.lang.Long.bitCount(byId(1L) ^ byId(3L)) <= 2)
+    val pairs = Dedup.simhashCandidates(hashes, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.contains((1L, 3L)))
+  }
+
   test("corpus frequency score: common-token docs outscore rare-token docs") {
     val d = Seq((1L, "a a a"), (2L, "a b"), (3L, "z")).toDF("doc_id", "text")
     // corpus counts: a=4, b=1, z=1
