@@ -889,6 +889,21 @@ object SparkEntry {
           "n_chars", budgetTokens = 15000L)
         .orderBy("doc_id")
     }),
+    "t_linkage" -> ((s, dir) => {
+      // record linkage: dirty nation names (underscore stripped) matched
+      // back to the clean table — last-character blocking (keyed
+      // equi-join, never all-pairs), codegen difflib-ratio verify at
+      // 0.85, best match per dirty record (ties to min right id)
+      val clean = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("id"), col("n_name").as("name"))
+      val dirty = clean.select((col("id") + 1000L).as("id"),
+        regexp_replace(col("name"), "_", "").as("name"))
+      graft.ops.Linkage.bestMatch(dirty, clean, "id", "name",
+          n => substring(n, -1, 1), threshold = 0.85)
+        .select(col("left_id"), col("left_name"), col("right_id"), col("right_name"),
+          round(col("ratio") * 1000000).cast("long").as("ratio_ppm"))
+        .orderBy("left_id")
+    }),
     "t_quality_filter" -> ((s, dir) => {
       // corpus-relative curation: keep docs at/above the corpus p25 by
       // length — threshold from the HDR sketch (same deterministic
@@ -2318,6 +2333,30 @@ object SparkEntry {
         |)
         |SELECT doc_id, n_chars, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
         |FROM c WHERE cum_tokens <= 15000 ORDER BY doc_id""".stripMargin,
+
+    // linkage replay: CPython difflib ratios from the committed fixture
+    // (the nation name universe is fixed at every SF), same blocking +
+    // best-match logic
+    "t_linkage" ->
+      """WITH clean AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS right_id, n_name AS right_name FROM nation
+        |), dirty AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) + 1000 AS left_id,
+        |    replace(n_name, '_', '') AS left_name FROM nation
+        |), cand AS (
+        |  SELECT d.left_id, d.left_name, c.right_id, c.right_name, r.ratio
+        |  FROM dirty d
+        |  JOIN clean c ON substring(d.left_name, -1, 1) = substring(c.right_name, -1, 1)
+        |  JOIN read_parquet('/root/repo/src/test/resources/linkage_ratios.parquet') r
+        |    ON d.left_name = r.a AND c.right_name = r.b
+        |  WHERE r.ratio >= CAST(0.85 AS DOUBLE)
+        |)
+        |SELECT left_id, left_name, right_id, right_name,
+        |  CAST(ROUND(ratio * 1000000) AS BIGINT) AS ratio_ppm
+        |FROM (
+        |  SELECT cand.*, ROW_NUMBER() OVER (
+        |    PARTITION BY left_id ORDER BY ratio DESC, right_id) AS rk FROM cand) t
+        |WHERE rk = 1 ORDER BY left_id""".stripMargin,
 
     // quantile-filter replay: the t_quantiles bucket math over n_chars,
     // p25 rank selection, then the plain threshold filter
