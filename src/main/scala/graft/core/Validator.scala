@@ -241,8 +241,16 @@ object Validator {
       case CompareMode.Date     => toTs
       case CompareMode.Fuzzy(_) => c => c.cast(StringType)
     }
+    // ONE exchange per side: hashpartitioning(id) satisfies every
+    // downstream distribution — the (id, v) grouping (id is a subset of
+    // the clustering keys, so same-(id,v) rows are already co-located),
+    // the per-id totals, and the id equi-joins — so the explicit
+    // repartition replaces what would otherwise be three exchanges per
+    // side. Map-side combine is not missed: validation keys are
+    // near-unique, so pre-exchange partials save ~nothing.
     def grouped(df: DataFrame) = df
       .select(col("id").cast(StringType).as("id"), coerce(col("check")).as("v"))
+      .repartition(col("id"))
       .groupBy("id", "v").agg(count(lit(1)).as("c"))
     val g1 = grouped(first)
     val g2 = grouped(second)
@@ -252,17 +260,22 @@ object Validator {
     val eq = mode match {
       case CompareMode.Fuzzy(t) if t < 1.0 =>
         g1.as("a").join(g2.as("b"), col("a.id") === col("b.id"))
-          .groupBy(col("a.id").as("id"))
+          .groupBy(col("a.id"))
           .agg(sum(when(differs(col("a.v"), col("b.v"), mode), lit(0L))
             .otherwise(col("a.c") * col("b.c"))).as("eq_pairs"))
       case _ =>
         g1.as("a").join(g2.as("b"),
             col("a.id") === col("b.id") && (col("a.v") <=> col("b.v")))
-          .groupBy(col("a.id").as("id"))
+          .groupBy(col("a.id"))
           .agg(sum(col("a.c") * col("b.c")).as("eq_pairs"))
     }
-    t1.join(t2, Seq("id"), "full_outer")
-      .join(eq, Seq("id"), "left_outer")
+    // eq attaches to t1 BEFORE the full outer: eq ids are a subset of
+    // t1's (they come from the g1xg2 inner join), and t1/eq are both
+    // id-partitioned, so this left join needs no exchange — whereas
+    // joining eq AFTER the full outer keys on coalesce(id, id), a new
+    // expression that would force one more shuffle of the merged side
+    t1.join(eq, Seq("id"), "left_outer")
+      .join(t2, Seq("id"), "full_outer")
       .agg(
         sum(coalesce(col("tot1"), lit(0L))).as("n_first"),
         sum(coalesce(col("tot2"), lit(0L))).as("n_second"),

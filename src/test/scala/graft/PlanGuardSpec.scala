@@ -258,6 +258,33 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("summaryFast shuffles each side exactly once (id partitioning reused)") {
+    // hashpartitioning(id) satisfies the (id, v) grouping, the per-id
+    // totals AND the id equi-joins, so the whole single-pass summary must
+    // show exactly TWO data exchanges (one per input side); the only
+    // other exchange is the single-row final aggregate's
+    import org.apache.spark.sql.functions.col
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    def keyed(pred: String) = l.filter(pred).select(
+      graft.functions.compositeKey(Seq("l_orderkey", "l_linenumber")).as("id"),
+      col("l_extendedprice").as("check"))
+    val df = graft.core.Validator.summaryFast(
+      keyed("l_orderkey % 97 != 0"), keyed("l_orderkey % 89 != 0"),
+      graft.core.CompareMode.Numeric)
+    df.collect() // AQE: reuse is only visible in the final executed plan
+    // executedPlan.toString appends the pre-AQE "Initial Plan" section —
+    // assert on the final plan only
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val real = p.linesIterator.filter(ln =>
+      ln.contains("Exchange hashpartitioning") && !ln.contains("ReusedExchange")).size
+    assert(real == 2,
+      s"expected exactly 2 physical keyed exchanges (one per side), got $real:\n$p")
+    assert(!p.linesIterator.exists(ln =>
+      ln.contains("Exchange hashpartitioning") && ln.contains("ENSURE_REQUIREMENTS")),
+      s"no mid-plan re-exchange should survive — id partitioning must propagate:\n$p")
+  }
+
   test("budget selection's global running sum has no single-partition stage") {
     val p = plan("t_budget_select")
     // strip the presentation orderBy tail: assert on the operator instead
