@@ -74,7 +74,7 @@ object Rehearsal {
     }
     // boilerplate vectors: 1,000 tiny perturbations of base vector 0 —
     // mutually near-identical, all in one hyperplane bucket
-    val v0 = base.filter(col("vec_id") === 0).select(col("embedding")).head
+    val v0 = base.filter(col("vec_id") === 0).select(col("embedding")).head()
       .getSeq[Float](0)
     import spark.implicits._
     val boiler = spark.createDataset(

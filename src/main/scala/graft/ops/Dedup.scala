@@ -276,7 +276,7 @@ object Dedup {
             .join(prev.as("o").withColumnRenamed("component", "__old"), Seq("id"))
             .agg(coalesce(sum(when(!(col("component") <=> col("__old")), 1L)
               .otherwise(0L)), lit(0L))) // empty graph: sum yields null
-            .head.getLong(0)
+            .head().getLong(0)
         else { labels.count(); 1L } // materialize only; run all rounds
       prev.unpersist() // free the previous round's cache
       converged = checkConvergence && changed == 0L
@@ -337,7 +337,7 @@ object Dedup {
     // over the just-materialized blocks (cache-side scan, no recompute)
     def signature(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
     var sig = signature(edges)

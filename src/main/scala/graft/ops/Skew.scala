@@ -28,7 +28,7 @@ object Skew {
   /** Deterministic salt in [0, factor) derived from the whole row — no
     * RNG, so retried tasks produce identical output. */
   private def salt(df: DataFrame, factor: Int): Column =
-    pmod(xxhash64(struct(df.columns.map(col): _*)), lit(factor))
+    pmod(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)), lit(factor))
 
   /** Salted inner equi-join: the big (skewed) side gets a deterministic
     * salt; the small side is replicated `factor` times with every salt

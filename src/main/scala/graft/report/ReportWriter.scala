@@ -51,7 +51,7 @@ object ReportWriter {
       if (tasksPerPartition == 1) df.repartition(partitionCols.map(col): _*)
       else df.repartition(
         partitionCols.map(col) :+
-          pmod(xxhash64(df.columns.map(col): _*), lit(tasksPerPartition)): _*)
+          pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(tasksPerPartition)): _*)
     keyed.write.mode(SaveMode.Overwrite).format(format)
       .partitionBy(partitionCols: _*)
       .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -75,7 +75,7 @@ object ReportWriter {
     }
     val m1 = ranked(out.missingInFirst, col("id"), "missing_in_first")
     val m2 = ranked(out.missingInSecond, col("id"), "missing_in_second")
-    val dv = ranked(out.differing, to_json(struct(out.differing.columns.map(col): _*)),
+    val dv = ranked(out.differing, to_json(struct(out.differing.columns.toIndexedSeq.map(col): _*)),
       "differing_values")
     m1.join(m2, Seq("rn"), "full_outer")
       .join(dv, Seq("rn"), "full_outer")
