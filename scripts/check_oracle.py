@@ -73,7 +73,8 @@ for name in sorted(oracle):
     if not eq:
         diff_mask = ~(a.eq(b) | (a.isna() & b.isna()))
         ndiff = diff_mask.any(axis=1).sum()
-        print(f"[DIFF] {name}: {ndiff}/{len(a)} rows differ")
+        percol = {c: int(n) for c, n in diff_mask.sum().items() if n}
+        print(f"[DIFF] {name}: {ndiff}/{len(a)} rows differ; by column: {percol}")
         bad = diff_mask.any(axis=1)
         print("  spark:", a[bad].head(3).to_dict("records"))
         print("  duck :", b[bad].head(3).to_dict("records"))

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, Multimodal, Similarity}
 
 /** Scale rehearsal: run the dedup / near-dup / ANN pipelines on a corpus
   * replicated N× from sf0.1, with a deliberately skewed boilerplate
@@ -128,6 +128,24 @@ object Rehearsal {
         Dedup.simhashCandidates(Dedup.simhashes(docs, "doc_id", "text")).count()
       }
       emit(s"""{"scale":$scale,"stage":"simhash_pairs","input_rows":$nDocs,"output_rows":$nSim,"sec":$tSim}""")
+
+      // image/audio near-dup legs: REAL encode+decode per row; the 1,000
+      // boilerplate docs share one payload, so each modality carries the
+      // same hot-bucket star-regime stress as the text legs — the
+      // star-fallback claim is MEASURED per modality, not inherited
+      val (nImg, tImg) = timed {
+        Dedup.simhashCandidates(
+          Multimodal.imageDHash(
+            Multimodal.asMediaImages(docs, "doc_id", "text"))).count()
+      }
+      emit(s"""{"scale":$scale,"stage":"image_dhash_pairs","input_rows":$nDocs,"output_rows":$nImg,"sec":$tImg}""")
+
+      val (nAud, tAud) = timed {
+        Dedup.simhashCandidates(
+          Multimodal.audioEnergyHash(
+            Multimodal.asMediaAudio(docs, "doc_id", "text"))).count()
+      }
+      emit(s"""{"scale":$scale,"stage":"audio_energy_pairs","input_rows":$nDocs,"output_rows":$nAud,"sec":$tAud}""")
 
       val vecs = scaledEmbeddings(spark, dir, scale).localCheckpoint(true)
       val nVecs = vecs.count()

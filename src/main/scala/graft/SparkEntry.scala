@@ -159,6 +159,15 @@ object SparkEntry {
       val (f, sec) = keyedPair(s, dir, "o_totalprice")
       Validator.summaryFast(f, sec, CompareMode.Numeric)
     }),
+    "v_summary_fuzzy" -> ((s, dir) => {
+      // the distinct-pair fuzzy path of summaryFast (threshold < 1 is not
+      // an equivalence relation, so equal pairs are scored by the difflib
+      // ratio once per distinct value pair, weighted by multiplicity) —
+      // oracle replays the row-level semantic definition over the CPython
+      // fixture, which the pair algebra must reproduce exactly
+      val (f, sec) = keyedPair(s, dir, "o_orderpriority")
+      Validator.summaryFast(f, sec, CompareMode.Fuzzy(0.9))
+    }),
     "v_date_filter" -> ((s, dir) => {
       // P3: date-range predicate, exclusive on BOTH ends (reference
       // `running_validation.py:495-496`); pushed to the parquet scan
@@ -241,7 +250,7 @@ object SparkEntry {
         .agg(
           sum("l_quantity").cast("long").as("sum_qty"),
           sum(expr("CAST(ROUND(l_extendedprice*100) AS BIGINT)")).as("sum_base_cents"),
-          sum(expr("CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)")).as("sum_disc_cents"),
+          sum(expr("CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)")).as("sum_disc_cents"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -252,7 +261,7 @@ object SparkEntry {
       c.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderkey")
-        .agg(sum(expr("CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)")).as("revenue_cents"))
+        .agg(sum(expr("CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)")).as("revenue_cents"))
         .orderBy(desc("revenue_cents"), col("o_orderkey"))
         .limit(10)
     }),
@@ -270,7 +279,7 @@ object SparkEntry {
         .join(su, col("s_suppkey") === col("l_suppkey") &&
           col("s_nationkey") === col("c_nationkey"))
         .groupBy("n_name")
-        .agg(sum(expr("CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)")).as("revenue_cents"))
+        .agg(sum(expr("CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)")).as("revenue_cents"))
         .orderBy(desc("revenue_cents"), col("n_name"))
     }),
     "q_analytics" -> ((s, dir) => {
@@ -584,9 +593,18 @@ object SparkEntry {
       // stream-static anti-join ingest: odd-id events stream in; any
       // whose content fingerprint (user, type, value-band) already occurs
       // among the even-id corpus is dropped on arrival. Stateless — no
-      // state store, no watermark (see StreamingOps.streamStaticNew)
-      val fp = md5(concat_ws("|", col("user_id"), col("event_type"),
-        expr("CAST(ROUND(value*100) AS BIGINT) div 1000")).cast("binary"))
+      // state store, no watermark (see StreamingOps.streamStaticNew).
+      // Fingerprint fields are null-coalesced (concat_ws would silently
+      // SKIP a null field, misaligning the separators vs the oracle's
+      // '||', which nullifies) and the band uses FLOOR(x/1000.0) — one
+      // definition in both engines, unlike `div` (truncates toward zero)
+      // vs DuckDB `//` (floors) on negative cents
+      val fp = md5(concat_ws("|",
+        coalesce(col("user_id").cast("string"), lit("")),
+        coalesce(col("event_type").cast("string"), lit("")),
+        coalesce(expr(
+          "CAST(CAST(FLOOR(CAST(ROUND(value*100) AS BIGINT) / 1000.0) AS BIGINT) AS STRING)"),
+          lit(""))).cast("binary"))
       val statics = StreamingOps.normalizeEventTs(
         s.read.parquet(s"$dir/events.parquet"))
       val corpus = statics.filter(col("event_id") % 2 === 0).select(fp.as("fp"))
@@ -639,9 +657,9 @@ object SparkEntry {
       // bit-for-bit
       val d = t(s, dir, "documents")
       d.select(col("doc_id"),
-          round(TextAnalysis.qualityScore(col("text")) * 10000).cast("long").as("quality_bp"),
+          floor(TextAnalysis.qualityScore(col("text")) * 10000 + lit(0.5)).cast("long").as("quality_bp"),
           TextAnalysis.tokenEstimate(col("text")).as("token_estimate"),
-          round(TextAnalysis.stopwordRatio(col("text")) * 1000000).cast("long").as("stopword_ppm"))
+          floor(TextAnalysis.stopwordRatio(col("text")) * 1000000 + lit(0.5)).cast("long").as("stopword_ppm"))
         .orderBy("doc_id")
     }),
     "t_lang_id" -> ((s, dir) => {
@@ -734,7 +752,7 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
         .select(col("query_id"), col("corpus_id"),
-          round(col("cosine") * 1000000).cast("long").as("cosine_ppm"),
+          floor(col("cosine") * 1000000 + lit(0.5)).cast("long").as("cosine_ppm"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
@@ -744,7 +762,7 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5, bits = 8)
         .select(col("query_id"), col("corpus_id"),
-          round(col("cosine") * 1000000).cast("long").as("cosine_ppm"),
+          floor(col("cosine") * 1000000 + lit(0.5)).cast("long").as("cosine_ppm"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
@@ -756,7 +774,7 @@ object SparkEntry {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5,
           nCentroids = 16, nprobe = 3)
         .select(col("query_id"), col("corpus_id"),
-          round(col("cosine") * 1000000).cast("long").as("cosine_ppm"),
+          floor(col("cosine") * 1000000 + lit(0.5)).cast("long").as("cosine_ppm"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
@@ -773,7 +791,7 @@ object SparkEntry {
       Similarity.embeddingNearDups(e.unionByName(perturbed),
           threshold = 0.95, bits = 8)
         .select(col("id_a"), col("id_b"),
-          round(col("cosine") * 1000000).cast("long").as("cosine_ppm"))
+          floor(col("cosine") * 1000000 + lit(0.5)).cast("long").as("cosine_ppm"))
         .orderBy("id_a", "id_b")
     }),
     "t_image_neardup" -> ((s, dir) => {
@@ -812,8 +830,8 @@ object SparkEntry {
     "t_vector_stats" -> ((s, dir) => {
       Similarity.vectorStats(t(s, dir, "embeddings"))
         .select(col("vec_id"), col("dim"),
-          round(col("sq_sum") * 1000000).cast("long").as("sq_sum_ppm"),
-          round(col("l2_norm") * 1000000).cast("long").as("l2_ppm"))
+          floor(col("sq_sum") * 1000000 + lit(0.5)).cast("long").as("sq_sum_ppm"),
+          floor(col("l2_norm") * 1000000 + lit(0.5)).cast("long").as("l2_ppm"))
         .orderBy("vec_id")
     }),
     "t_media_features" -> ((s, dir) => {
@@ -824,8 +842,8 @@ object SparkEntry {
       val media = Multimodal.asMediaImages(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("decoded_w"), col("decoded_h"),
-          round(col("brightness") * 1000000).cast("long").as("brightness_ppm"),
-          round(col("sharpness") * 1000000).cast("long").as("sharpness_ppm"))
+          floor(col("brightness") * 1000000 + lit(0.5)).cast("long").as("brightness_ppm"),
+          floor(col("sharpness") * 1000000 + lit(0.5)).cast("long").as("sharpness_ppm"))
         .orderBy("media_id")
     }),
     "t_media_resize" -> ((s, dir) => {
@@ -835,8 +853,8 @@ object SparkEntry {
       val media = Multimodal.asMediaImages(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.extractFeatures(Multimodal.resize(media, 4, 4).toDF()).toDF()
         .select(col("media_id"), col("decoded_w"), col("decoded_h"),
-          round(col("brightness") * 1000000).cast("long").as("brightness_ppm"),
-          round(col("sharpness") * 1000000).cast("long").as("sharpness_ppm"))
+          floor(col("brightness") * 1000000 + lit(0.5)).cast("long").as("brightness_ppm"),
+          floor(col("sharpness") * 1000000 + lit(0.5)).cast("long").as("sharpness_ppm"))
         .orderBy("media_id")
     }),
     "t_contamination" -> ((s, dir) => {
@@ -901,7 +919,7 @@ object SparkEntry {
       graft.ops.Linkage.bestMatch(dirty, clean, "id", "name",
           n => substring(n, -1, 1), threshold = 0.85)
         .select(col("left_id"), col("left_name"), col("right_id"), col("right_name"),
-          round(col("ratio") * 1000000).cast("long").as("ratio_ppm"))
+          floor(col("ratio") * 1000000 + lit(0.5)).cast("long").as("ratio_ppm"))
         .orderBy("left_id")
     }),
     "t_quality_filter" -> ((s, dir) => {
@@ -1026,7 +1044,7 @@ object SparkEntry {
       val media = Multimodal.asMediaAudio(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.extractAudioFeatures(media).toDF()
         .select(col("media_id"), col("n_samples"),
-          round(col("rms") * 1000000).cast("long").as("rms_ppm"),
+          floor(col("rms") * 1000000 + lit(0.5)).cast("long").as("rms_ppm"),
           col("zero_crossings"))
         .orderBy("media_id")
     }),
@@ -1037,7 +1055,7 @@ object SparkEntry {
       Multimodal.audioFrames(media, frameSize = 64, hop = 64).toDF()
         .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
           col("n_samples").cast("long").as("n_samples"),
-          round(col("rms") * 1000000).cast("long").as("rms_ppm"),
+          floor(col("rms") * 1000000 + lit(0.5)).cast("long").as("rms_ppm"),
           col("zero_crossings"))
         .orderBy("media_id", "frame_idx")
     }),
@@ -1217,6 +1235,21 @@ object SparkEntry {
        |x9 AS (SELECT $in, (f3 * 1609587929392839161) % $P64 AS f4 FROM x8),
        |xxh AS (SELECT $in, ${signedSql("xor(f4, f4 // 4294967296)")} AS h FROM x9)""".stripMargin
 
+  /** Root of this checkout, for the two committed CPython-difflib fixture
+    * parquets referenced by oracle SQL. Resolution order: explicit
+    * `-Dgraft.repo.root=...` / `GRAFT_REPO_ROOT`, then the working
+    * directory if it looks like a checkout (has `src/test/resources`),
+    * then the canonical driver path — so oracle replay works from any
+    * checkout location without breaking the driver's fixed layout. */
+  private lazy val repoRoot: String =
+    sys.props.get("graft.repo.root")
+      .orElse(sys.env.get("GRAFT_REPO_ROOT"))
+      .getOrElse {
+        val cwd = new java.io.File(".").getCanonicalPath
+        if (new java.io.File(cwd, "src/test/resources").isDirectory) cwd
+        else "/root/repo"
+      }
+
   /** One oracle, two physical variants: the salted join must be
     * result-identical to the naive plan. */
   private val skewOracle =
@@ -1295,6 +1328,29 @@ object SparkEntry {
          |     (SELECT 1 FROM db2 WHERE db2.id = db1.id)) AS missing_in_second,
          |  (SELECT COUNT(*) FROM db1 JOIN db2 ON db1.id = db2.id
          |     WHERE db1.o_totalprice IS DISTINCT FROM db2.o_totalprice) AS n_differing,
+         |  (SELECT COUNT(*) FROM db2 WHERE EXISTS
+         |     (SELECT 1 FROM db1 WHERE db1.id = db2.id)) AS n_matched""".stripMargin,
+    // fuzzy-summary oracle: the same six metrics, with "differing" decided
+    // by the CPython-difflib fixture ratio at threshold 0.9 (both-null ->
+    // equal, one-null -> differ — the F1 truth table). This is the
+    // row-level ground truth the distinct-pair algebra inside summaryFast
+    // must reproduce
+    "v_summary_fuzzy" ->
+      s"""$pairCte
+         |SELECT
+         |  (SELECT COUNT(*) FROM db1) AS n_first,
+         |  (SELECT COUNT(*) FROM db2) AS n_second,
+         |  (SELECT COUNT(*) FROM db2 WHERE NOT EXISTS
+         |     (SELECT 1 FROM db1 WHERE db1.id = db2.id)) AS missing_in_first,
+         |  (SELECT COUNT(*) FROM db1 WHERE NOT EXISTS
+         |     (SELECT 1 FROM db2 WHERE db2.id = db1.id)) AS missing_in_second,
+         |  (SELECT COUNT(*) FROM db1 JOIN db2 ON db1.id = db2.id
+         |     LEFT JOIN read_parquet('$repoRoot/src/test/resources/difflib_ratios.parquet') r
+         |       ON db1.o_orderpriority = r.a AND db2.o_orderpriority = r.b
+         |     WHERE CASE
+         |       WHEN db1.o_orderpriority IS NULL AND db2.o_orderpriority IS NULL THEN FALSE
+         |       WHEN db1.o_orderpriority IS NULL OR db2.o_orderpriority IS NULL THEN TRUE
+         |       ELSE r.ratio < CAST(0.9 AS DOUBLE) END) AS n_differing,
          |  (SELECT COUNT(*) FROM db2 WHERE EXISTS
          |     (SELECT 1 FROM db1 WHERE db1.id = db2.id)) AS n_matched""".stripMargin,
     "v_date_filter" ->
@@ -1419,14 +1475,14 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
         |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
-        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_top10" ->
       """SELECT o_orderkey,
-        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -1436,7 +1492,7 @@ object SparkEntry {
         |LIMIT 10""".stripMargin,
     "q5_join" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM region
         |JOIN nation ON n_regionkey = r_regionkey
         |JOIN customer ON c_nationkey = n_nationkey
@@ -1649,8 +1705,10 @@ object SparkEntry {
     "s_incremental_dedup" ->
       """WITH e AS (
         |  SELECT event_id,
-        |    md5(user_id || '|' || event_type || '|' ||
-        |        (CAST(ROUND(value*100) AS BIGINT) // 1000)) AS fp
+        |    md5(coalesce(CAST(user_id AS VARCHAR), '') || '|' ||
+        |        coalesce(event_type, '') || '|' ||
+        |        coalesce(CAST(CAST(FLOOR(CAST(ROUND(value*100) AS BIGINT) / 1000.0)
+        |          AS BIGINT) AS VARCHAR), '')) AS fp
         |  FROM events),
         |corpus AS (SELECT DISTINCT fp FROM e WHERE event_id % 2 = 0),
         |batch AS (SELECT event_id, fp FROM e WHERE event_id % 2 = 1)
@@ -1706,11 +1764,11 @@ object SparkEntry {
         |  FROM q
         |)
         |SELECT doc_id,
-        |  CAST(ROUND((len_score * CAST(0.3 AS DOUBLE) + tok_len_score * CAST(0.2 AS DOUBLE)
+        |  CAST(FLOOR((len_score * CAST(0.3 AS DOUBLE) + tok_len_score * CAST(0.2 AS DOUBLE)
         |    + punct_score * CAST(0.2 AS DOUBLE) + digit_score * CAST(0.15 AS DOUBLE)
-        |    + stop_score * CAST(0.15 AS DOUBLE)) * 10000) AS BIGINT) AS quality_bp,
+        |    + stop_score * CAST(0.15 AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS quality_bp,
         |  token_estimate,
-        |  CAST(ROUND(stop_ratio * 1000000) AS BIGINT) AS stopword_ppm
+        |  CAST(FLOOR(stop_ratio * 1000000 + 0.5) AS BIGINT) AS stopword_ppm
         |FROM sc ORDER BY doc_id""".stripMargin,
     // rolling Karp-Rabin hash replayed in DuckDB: HUGEINT (int128)
     // arithmetic mod 2^64 == Java Long wraparound (unicode(c) == charAt
@@ -1770,10 +1828,10 @@ object SparkEntry {
         |FROM v ORDER BY doc_id""".stripMargin,
     "t_vector_stats" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
-        |  CAST(ROUND(list_aggregate(list_transform(embedding,
-        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') * 1000000) AS BIGINT) AS sq_sum_ppm,
-        |  CAST(ROUND(sqrt(list_aggregate(list_transform(embedding,
-        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * 1000000) AS BIGINT) AS l2_ppm
+        |  CAST(FLOOR(list_aggregate(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') * 1000000 + 0.5) AS BIGINT) AS sq_sum_ppm,
+        |  CAST(FLOOR(sqrt(list_aggregate(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * 1000000 + 0.5) AS BIGINT) AS l2_ppm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     // exact brute-force oracle for the brute-force ANN query: same cosine
     // formula as CosineSim (dot / (sqrt(na)*sqrt(nb)) over doubles), same
@@ -1796,7 +1854,7 @@ object SparkEntry {
         |  FROM s
         |)
         |SELECT query_id, corpus_id,
-        |  CAST(ROUND(cosine * 1000000) AS BIGINT) AS cosine_ppm, rank
+        |  CAST(FLOOR(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_ppm, rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // the decoded-pixel oracle: the 8x8 BMP pixels are charAt(i % len)&0xFF
     // by construction, so brightness (mean/255) and sharpness (mean
@@ -1820,8 +1878,8 @@ object SparkEntry {
         |)
         |SELECT doc_id AS media_id,
         |  CAST(8 AS INTEGER) AS decoded_w, CAST(8 AS INTEGER) AS decoded_h,
-        |  CAST(ROUND(gray_sum / 64 / CAST(255.0 AS DOUBLE) * 1000000) AS BIGINT) AS brightness_ppm,
-        |  CAST(ROUND(diff_sum / 56 / CAST(255.0 AS DOUBLE) * 1000000) AS BIGINT) AS sharpness_ppm
+        |  CAST(FLOOR(gray_sum / 64 / CAST(255.0 AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS brightness_ppm,
+        |  CAST(FLOOR(diff_sum / 56 / CAST(255.0 AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS sharpness_ppm
         |FROM f ORDER BY media_id""".stripMargin,
     // difflib ratio is not SQL-expressible, but the comparison IS oracle-
     // checkable through a precomputed CPython-difflib fixture keyed by the
@@ -1832,7 +1890,7 @@ object SparkEntry {
       s"""$pairCte
          |SELECT db1.id, db1.o_orderpriority AS check_first, db2.o_orderpriority AS check_second
          |FROM db1 JOIN db2 ON db1.id = db2.id
-         |LEFT JOIN read_parquet('/root/repo/src/test/resources/difflib_ratios.parquet') r
+         |LEFT JOIN read_parquet('$repoRoot/src/test/resources/difflib_ratios.parquet') r
          |  ON db1.o_orderpriority = r.a AND db2.o_orderpriority = r.b
          |WHERE CASE
          |  WHEN db1.o_orderpriority IS NULL AND db2.o_orderpriority IS NULL THEN FALSE
@@ -2105,12 +2163,12 @@ object SparkEntry {
          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS BIGINT) AS rank
          |  FROM scored
          |)
-         |SELECT query_id, corpus_id, CAST(ROUND(cosine * 1000000) AS BIGINT) AS cosine_ppm, rank
+         |SELECT query_id, corpus_id, CAST(FLOOR(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_ppm, rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // IVF replay — the full trained index: deterministic seed sample,
     // cosine Voronoi assignment, the DISTRIBUTIVE quantized Lloyd mean
-    // (round(x*2^24) summed as exact BIGINTs — order-independent, the
+    // (floor(x*2^24 + 0.5) summed as exact BIGINTs — order-independent, the
     // reason ivfFit needs no collect_list), float-cast centroids, then
     // nprobe=3 probing and exact cosine top-5
     "t_ann_ivf" ->
@@ -2129,7 +2187,7 @@ object SparkEntry {
          |  WHERE r = 1
          |), dimsums AS (
          |  SELECT cent_id, pos,
-         |    SUM(CAST(ROUND(CAST(val AS DOUBLE) * 16777216.0) AS BIGINT)) AS ssum,
+         |    SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 16777216.0 + 0.5) AS BIGINT)) AS ssum,
          |    COUNT(*) AS n
          |  FROM (
          |    SELECT cent_id, unnest(v) AS val,
@@ -2168,7 +2226,7 @@ object SparkEntry {
          |      ORDER BY cosine DESC, corpus_id) AS BIGINT) AS rank
          |  FROM scored
          |)
-         |SELECT query_id, corpus_id, CAST(ROUND(cosine * 1000000) AS BIGINT) AS cosine_ppm, rank
+         |SELECT query_id, corpus_id, CAST(FLOOR(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_ppm, rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // embedding near-dup replay: 8-bit hyperplane bucket collision, exact
@@ -2210,7 +2268,7 @@ object SparkEntry {
          |  JOIN corpus ea ON ea.vec_id = p.id_a
          |  JOIN corpus eb ON eb.vec_id = p.id_b
          |)
-         |SELECT id_a, id_b, CAST(ROUND(cosine * 1000000) AS BIGINT) AS cosine_ppm
+         |SELECT id_a, id_b, CAST(FLOOR(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_ppm
          |FROM scored WHERE cosine > CAST(0.95 AS DOUBLE)
          |ORDER BY id_a, id_b""".stripMargin,
 
@@ -2244,8 +2302,8 @@ object SparkEntry {
         |)
         |SELECT doc_id AS media_id,
         |  CAST(4 AS INTEGER) AS decoded_w, CAST(4 AS INTEGER) AS decoded_h,
-        |  CAST(ROUND(gray_sum / 16 / CAST(255.0 AS DOUBLE) * 1000000) AS BIGINT) AS brightness_ppm,
-        |  CAST(ROUND(diff_sum / 12 / CAST(255.0 AS DOUBLE) * 1000000) AS BIGINT) AS sharpness_ppm
+        |  CAST(FLOOR(gray_sum / 16 / CAST(255.0 AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS brightness_ppm,
+        |  CAST(FLOOR(diff_sum / 12 / CAST(255.0 AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS sharpness_ppm
         |FROM f ORDER BY media_id""".stripMargin,
 
     // decontamination replay: distinct 8-gram FNV shingle sets, benchmark
@@ -2338,7 +2396,7 @@ object SparkEntry {
     // (the nation name universe is fixed at every SF), same blocking +
     // best-match logic
     "t_linkage" ->
-      """WITH clean AS (
+      s"""WITH clean AS (
         |  SELECT CAST(n_nationkey AS BIGINT) AS right_id, n_name AS right_name FROM nation
         |), dirty AS (
         |  SELECT CAST(n_nationkey AS BIGINT) + 1000 AS left_id,
@@ -2347,12 +2405,12 @@ object SparkEntry {
         |  SELECT d.left_id, d.left_name, c.right_id, c.right_name, r.ratio
         |  FROM dirty d
         |  JOIN clean c ON substring(d.left_name, -1, 1) = substring(c.right_name, -1, 1)
-        |  JOIN read_parquet('/root/repo/src/test/resources/linkage_ratios.parquet') r
+        |  JOIN read_parquet('$repoRoot/src/test/resources/linkage_ratios.parquet') r
         |    ON d.left_name = r.a AND c.right_name = r.b
         |  WHERE r.ratio >= CAST(0.85 AS DOUBLE)
         |)
         |SELECT left_id, left_name, right_id, right_name,
-        |  CAST(ROUND(ratio * 1000000) AS BIGINT) AS ratio_ppm
+        |  CAST(FLOOR(ratio * 1000000 + 0.5) AS BIGINT) AS ratio_ppm
         |FROM (
         |  SELECT cand.*, ROW_NUMBER() OVER (
         |    PARTITION BY left_id ORDER BY ratio DESC, right_id) AS rk FROM cand) t
@@ -2423,9 +2481,10 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     // k-means replay: two unrolled Lloyd iterations — seeds -> assign ->
-    // quantized integer means -> float centroids -> assign -> integer
-    // stats. Same arithmetic as the t_ann_ivf fit (proven bit-exact);
-    // the hashed output is all-integer
+    // quantized integer means (floor(x*2^24 + 0.5): one definition in
+    // every engine version, unlike round()'s half case) -> float
+    // centroids -> assign -> integer stats. Same arithmetic as the
+    // t_ann_ivf fit (proven bit-exact); the hashed output is all-integer
     "t_kmeans" ->
       s"""WITH seeds AS (
          |  SELECT vec_id AS cent_id, embedding AS cvec_c
@@ -2441,7 +2500,7 @@ object SparkEntry {
          |    FROM a1) t WHERE r = 1
          |), s1 AS (
          |  SELECT cent_id, pos,
-         |    SUM(CAST(ROUND(CAST(val AS DOUBLE) * 16777216.0) AS BIGINT)) AS ssum,
+         |    SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 16777216.0 + 0.5) AS BIGINT)) AS ssum,
          |    COUNT(*) AS n
          |  FROM (SELECT cent_id, unnest(v) AS val,
          |          generate_subscripts(v, 1) - 1 AS pos FROM c1) u
@@ -2463,7 +2522,7 @@ object SparkEntry {
          |    FROM a2) t WHERE r = 1
          |)
          |SELECT cent_id, CAST(pos AS BIGINT) AS pos,
-         |  SUM(CAST(ROUND(CAST(val AS DOUBLE) * 16777216.0) AS BIGINT)) AS ssum,
+         |  SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 16777216.0 + 0.5) AS BIGINT)) AS ssum,
          |  CAST(COUNT(*) AS BIGINT) AS n
          |FROM (SELECT cent_id, unnest(v) AS val,
          |        generate_subscripts(v, 1) - 1 AS pos FROM c2) u
@@ -2649,7 +2708,7 @@ object SparkEntry {
         |  FROM sam
         |)
         |SELECT doc_id AS media_id, CAST(256 AS BIGINT) AS n_samples,
-        |  CAST(ROUND(sqrt(CAST(sum_sq AS DOUBLE) / CAST(16384.0 AS DOUBLE) / CAST(256.0 AS DOUBLE)) * 1000000) AS BIGINT) AS rms_ppm,
+        |  CAST(FLOOR(sqrt(CAST(sum_sq AS DOUBLE) / CAST(16384.0 AS DOUBLE) / CAST(256.0 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS rms_ppm,
         |  CAST(crossings AS BIGINT) AS zero_crossings
         |FROM f ORDER BY media_id""".stripMargin,
 
@@ -2676,7 +2735,7 @@ object SparkEntry {
         |)
         |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
         |  CAST(64 AS BIGINT) AS n_samples,
-        |  CAST(ROUND(sqrt(CAST(sum_sq AS DOUBLE) / CAST(16384.0 AS DOUBLE) / CAST(64.0 AS DOUBLE)) * 1000000) AS BIGINT) AS rms_ppm,
+        |  CAST(FLOOR(sqrt(CAST(sum_sq AS DOUBLE) / CAST(16384.0 AS DOUBLE) / CAST(64.0 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS rms_ppm,
         |  CAST(crossings AS BIGINT) AS zero_crossings
         |FROM g ORDER BY media_id, frame_idx""".stripMargin,
 

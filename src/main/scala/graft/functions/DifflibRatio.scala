@@ -80,7 +80,9 @@ object DifflibRatio extends Serializable {
     if (a == b) return 1.0 >= threshold
     if (realQuickRatio(a, b) < threshold) return false
     if (quickRatio(a, b) < threshold) return false
-    ratio(a, b) >= threshold
+    // a != b here, so la+lb > 0 and ratio()'s empty/equal re-checks are
+    // dead — go straight to the matcher
+    2.0 * totalMatches(a, b) / (a.length + b.length) >= threshold
   }
 
   /** Null-semantics wrapper matching the reference's fuzzy_match

@@ -73,19 +73,74 @@ object Curation {
     * new, that is the difference between shuffling the whole batch and
     * shuffling almost nothing. The filter itself is one corpus scan
     * aggregated to ~1.2 bytes/item at fpp=1% (sized by
-    * `expectedCorpusRows`); at 10^10+ corpus rows, build it over the
-    * recent-partition slice most dups come from (or raise fpp) — the
-    * confirm join keeps the result exact for ANY filter quality, so
-    * sizing is purely a throughput knob. */
+    * `expectedCorpusRows`), built executor-side and MERGED ON THE DRIVER
+    * by `stat.bloomFilter` — at 10^10 corpus rows that merged filter is
+    * ~12 GB of driver heap, so above ~10^9 rows use
+    * [[incrementalNewIndexed]] over a bucketed fingerprint index, which
+    * keeps the result exact with nothing corpus-sized on the driver.
+    *
+    * Evaluation contract (caller-visible):
+    *  - the filter build is an EAGER Spark job at call time (not at the
+    *    action), because the filter must exist before the returned plan
+    *    can be constructed;
+    *  - `batch` appears twice in the returned plan (pre-filtered + maybe
+    *    branch). A non-deterministic `batch` source must be cached by the
+    *    caller first or the two branches may disagree;
+    *  - the broadcast filter lives until the returned frame is garbage
+    *    collected; for a long-lived session processing many batches, run
+    *    the action, then drop references so the ContextCleaner reclaims
+    *    it (the handle is deliberately not exposed — destroying it early
+    *    would break re-execution of the returned plan). */
   def incrementalNew(batch: DataFrame, corpus: DataFrame, fpCol: String,
-      expectedCorpusRows: Long, fpp: Double = 0.01): DataFrame = {
-    val bloom = corpus.stat.bloomFilter(fpCol, expectedCorpusRows, fpp)
+      expectedCorpusRows: Long, fpp: Double = 0.01): DataFrame =
+    incrementalNewSliced(batch, corpus, corpus, fpCol, expectedCorpusRows, fpp)
+
+  /** Internal body of [[incrementalNew]]: bloom over `bloomSource`, exact
+    * confirm against `corpus`. Only sound when `bloomSource` covers every
+    * corpus fingerprint (a bloom over a SUBSET cannot certify "not in
+    * corpus" — its fast path would leak old-corpus duplicates), which is
+    * why this is not public with a free `bloomSource`. */
+  private def incrementalNewSliced(batch: DataFrame, corpus: DataFrame,
+      bloomSource: DataFrame, fpCol: String, expectedSliceRows: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val bloom = bloomSource.stat.bloomFilter(fpCol, expectedSliceRows, fpp)
     val bc = batch.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf { (s: String) => s != null && bc.value.mightContainString(s) }
     val definitelyNew = batch.filter(!mightContain(col(fpCol)))
     val confirmed = batch.filter(mightContain(col(fpCol)))
       .join(corpus.select(col(fpCol)).distinct(), Seq(fpCol), "left_anti")
     definitelyNew.unionByName(confirmed)
+  }
+
+  /** One-time build of the static fingerprint index backing
+    * [[incrementalNewIndexed]] — the 10^10-row regime's replacement for
+    * the driver-resident Bloom filter: `corpus`'s distinct fingerprints,
+    * written as a table BUCKETED (and sorted) by fingerprint. The bucket
+    * layout is the point: every later anti-join against it co-locates by
+    * construction, so the 10^10-row side never shuffles again. Append new
+    * fingerprints periodically (same bucket spec) instead of rebuilding. */
+  def writeFingerprintIndex(corpus: DataFrame, fpCol: String,
+      tableName: String, numBuckets: Int = 256): Unit =
+    corpus.select(col(fpCol)).na.drop().distinct()
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, fpCol).sortBy(fpCol)
+      .saveAsTable(tableName)
+
+  /** [[incrementalNew]] for the 10^10-row regime, EXACT with O(1) driver
+    * memory: anti-join the batch against the pre-bucketed fingerprint
+    * index from [[writeFingerprintIndex]]. Because the index side is
+    * already hash-partitioned on the fingerprint, the join plans with an
+    * Exchange on the BATCH side only (pinned in OpsSpec) — per-ingest
+    * cost is O(|batch|) shuffle regardless of corpus size, and nothing
+    * corpus-sized ever visits the driver (the Bloom path materializes
+    * ~1.2 B/corpus-row on the driver: 12 GB at 10^10 rows; this
+    * materializes nothing). Combine with [[incrementalNew]] over the
+    * recent slice only if profiling shows the batch shuffle itself is the
+    * bottleneck. */
+  def incrementalNewIndexed(batch: DataFrame, fpCol: String,
+      indexTable: String): DataFrame = {
+    val idx = batch.sparkSession.table(indexTable)
+    batch.join(idx, Seq(fpCol), "left_anti")
   }
 
   /** Token-budget corpus selection — "take the best documents until the

@@ -68,11 +68,24 @@ object Indexing {
     *
     * `orderCols` accept sort Columns (`desc(...)`) and must form a total
     * order — ties straddling range boundaries would be nondeterministic.
-    * `outCol` is the INCLUSIVE running total (current row counted). */
+    * `outCol` is the INCLUSIVE running total (current row counted).
+    *
+    * `valueCol` must be an INTEGRAL column (long/int/short/byte) —
+    * enforced, because the offset decomposition is only order-independent
+    * under exact arithmetic (double partials would make the total depend
+    * on partition boundaries). Pre-scale floats to integer units (cents,
+    * ppm) first. NULL values count as 0, in both the per-partition
+    * offsets and the intra-partition window. */
   def globalRunningSum(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column],
       valueCol: String, outCol: String = "running_total",
       numPartitions: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
+    require({
+      import org.apache.spark.sql.types._
+      Seq(LongType, IntegerType, ShortType, ByteType)
+        .contains(df.schema(valueCol).dataType)
+    }, s"globalRunningSum needs an integral value column; '$valueCol' is " +
+      s"${df.schema(valueCol).dataType.simpleString} — pre-scale to integer units")
     val n = numPartitions.getOrElse(
       spark.conf.get("spark.sql.shuffle.partitions").toInt)
     val parted = df
@@ -82,8 +95,10 @@ object Indexing {
     val withMid = parted.withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
       .withColumn("__intra", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
-    // per-partition value sums: metadata-sized (<= n rows)
-    val sums = withMid.groupBy("__pid").agg(sum(col(valueCol)).as("s"))
+    // per-partition value sums: metadata-sized (<= n rows). An all-NULL
+    // partition sums to NULL -> 0 (sum-skips-nulls semantics).
+    val sums = withMid.groupBy("__pid")
+      .agg(coalesce(sum(col(valueCol)), lit(0L)).cast("long").as("s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L
     val offsets = sums.map { case (pid, s) => val off = acc; acc += s; (pid, off) }
@@ -94,7 +109,8 @@ object Indexing {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     withMid.join(broadcast(offDf), Seq("__pid"))
-      .withColumn(outCol, (col("__off") + sum(col(valueCol)).over(w)).cast("long"))
+      .withColumn(outCol,
+        (col("__off") + coalesce(sum(col(valueCol)).over(w), lit(0L))).cast("long"))
       .drop("__mid", "__pid", "__intra", "__off")
   }
 }

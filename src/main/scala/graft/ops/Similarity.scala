@@ -20,6 +20,16 @@ import graft.functions.{cosineSimilarity, dotProduct, l2Norm}
   */
 object Similarity {
 
+  /** Single-definition 2^24 quantizer: `floor(x*2^24 + 0.5)` ("round half
+    * toward +infinity") has exactly one meaning in every SQL engine and
+    * engine version, unlike `round()`, whose behavior on an argument that
+    * lands exactly on .5 differs across engines (half-away vs half-even on
+    * doubles). Using the floor form on BOTH the Spark fit and the external
+    * oracle removes the only engine-sensitive operation from the trained
+    * model, keeping it bit-for-bit replayable anywhere. */
+  private[graft] def q24(c: Column): Column =
+    floor(c.cast("double") * lit(16777216.0) + lit(0.5)).cast("long")
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * +-1 from splitmix64 — no RNG state, identical on every executor. */
   private def planeSign(plane: Int, dim: Int): Double = {
@@ -124,8 +134,10 @@ object Similarity {
     * can be pinned in tests.
     *
     * The cell mean is DISTRIBUTIVE: each component is quantized to the
-    * 1/2^24 grid (`round(x * 2^24)` as BIGINT — float components convert
-    * to double exactly, and the scaled sum is exact integer arithmetic),
+    * 1/2^24 grid ([[q24]], `floor(x*2^24 + 0.5)` as BIGINT — float
+    * components convert to double exactly, the scaled sum is exact integer
+    * arithmetic, and the floor form has a single engine-independent
+    * definition for arguments landing exactly on .5),
     * summed with an ordinary `sum()` (associative/commutative => partial
     * aggregation is order-independent), and divided out at the end. Per-
     * group aggregation state is one (Long, Long) regardless of cell size —
@@ -148,7 +160,7 @@ object Similarity {
       .filter(col("r") === 1).select("cent_id", "v")
     cells.select(col("cent_id"), posexplode(col("v")))
       .groupBy("cent_id", "pos")
-      .agg(sum(round(col("col").cast("double") * lit(16777216.0)).cast("long")).as("ssum"),
+      .agg(sum(q24(col("col"))).as("ssum"),
         count(lit(1)).as("n"))
       .withColumn("m", col("ssum").cast("double") / lit(16777216.0) / col("n"))
       .groupBy("cent_id")
@@ -263,7 +275,7 @@ object Similarity {
         .filter(col("r") === 1).select("cent_id", "v")
       stats = cells.select(col("cent_id"), posexplode(col("v")))
         .groupBy("cent_id", "pos")
-        .agg(sum(round(col("col").cast("double") * lit(16777216.0)).cast("long")).as("ssum"),
+        .agg(sum(q24(col("col"))).as("ssum"),
           count(lit(1)).as("n"))
       if (i < iters) cents = assembleCentroids(stats)
     }

@@ -261,19 +261,28 @@ object TextAnalysis {
     * by any engine.
     *
     * Scale: one vocabulary-sized term aggregate, broadcast back onto the
-    * token stream (vocabulary ≪ corpus; if the long tail outgrows the
-    * broadcast budget, pre-filter the dictionary to top-K terms with a
-    * default count for the tail — the tail's counts are ~1 anyway), then
-    * one doc-keyed aggregation. The corpus text is never shuffled on
-    * term. */
+    * token stream (vocabulary ≪ corpus), then one doc-keyed aggregation.
+    * The corpus text is never shuffled on term. When the long tail would
+    * outgrow the broadcast budget, pass `topK`: the dictionary keeps only
+    * the K most frequent terms (map-side TakeOrdered, never a global
+    * sort) and every tail term defaults to count 1 — its true count is
+    * ~1 anyway, so the score is near-exact while the broadcast stays
+    * bounded at K entries regardless of corpus size. `topK = None`
+    * (default) is exact. */
   def corpusFreqScore(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", topK: Option[Int] = None): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ", -1)).as("term"))
-    val termCounts = toks.groupBy("term").agg(count(lit(1)).as("c"))
-    toks.join(broadcast(termCounts), Seq("term"))
+    val allCounts = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val termCounts = topK.fold(allCounts)(k =>
+      allCounts.orderBy(col("c").desc, col("term").asc).limit(k))
+    // left + coalesce(c, 1): identical to the inner join when the
+    // dictionary is complete (every token is its own dictionary entry),
+    // and the documented tail default when it is topK-truncated
+    toks.join(broadcast(termCounts), Seq("term"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("c").as("freq_sum"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("c"), lit(1L))).as("freq_sum"))
   }
 
   /** Full per-document stats frame (expression-only columns). */

@@ -502,6 +502,33 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.size == 250) // fp0..fp49 are known; fp50..fp299 are new
   }
 
+  test("indexed incremental dedup: exact result, index side joins without re-shuffle") {
+    val corpus = (0L until 200L).map(i => (i, s"fp${i % 50}")).toDF("id", "fp")
+    val batch = (0L until 300L).map(i => (1000L + i, s"fp$i")).toDF("id", "fp")
+    graft.ops.Curation.writeFingerprintIndex(corpus, "fp", "fp_index_spec", numBuckets = 4)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val res = graft.ops.Curation.incrementalNewIndexed(batch, "fp", "fp_index_spec")
+      val got = res.collect().map(_.getAs[Long]("id")).sorted.toSeq
+      val want = batch.join(corpus.select("fp").distinct(), Seq("fp"), "left_anti")
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want)
+      // the 10^10-regime contract: the bucketed index satisfies the join's
+      // distribution by layout, so the only Exchange in the final plan is
+      // the batch side (broadcast disabled so the pinned shape is the SMJ
+      // the real scale would use, not a small-data broadcast special case)
+      val plan = res.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val exchanges = plan.linesIterator.count(ln =>
+        ln.contains("Exchange") && !ln.contains("ReusedExchange"))
+      assert(exchanges == 1, s"expected batch-side-only exchange:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS fp_index_spec")
+    }
+  }
+
   test("kmeans stats with iters=1 assemble to exactly the IVF fit centroids") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
