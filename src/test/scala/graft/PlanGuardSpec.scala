@@ -320,4 +320,27 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     assert(!samp.contains("Exchange"),
       s"stratified sample must be shuffle-free:\n$samp")
   }
+
+  test("CosineSim emits its fused loop inside whole-stage codegen (no fallback eval)") {
+    import org.apache.spark.sql.functions._
+    // range -> project is a WholeStageCodegen span; if CosineSim were a
+    // CodegenFallback the generated Java would call the expression's
+    // interpreted eval through `references` instead of inlining the loop
+    val df = spark.range(8).select(
+      graft.functions.cosineSimilarity(
+        array(lit(1.0f), col("id").cast("float")),
+        array(lit(2.0f), lit(1.0f))).as("cos"))
+    val gen = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    assert(gen.contains("Found 1 WholeStageCodegen subtrees"),
+      s"projection not codegen'd:\n$gen")
+    assert(gen.contains(".getFloat(") && gen.contains(".numElements()"),
+      s"fused primitive loop not inlined in generated code:\n$gen")
+    assert(!gen.contains("CodegenFallback"),
+      s"cosine fell back to interpreted eval:\n$gen")
+    // and the generated loop computes the right thing
+    val got = df.collect().map(_.getDouble(0))
+    assert(math.abs(got(1) - (2.0 + 1.0) /
+      (math.sqrt(2.0) * math.sqrt(5.0))) < 1e-12)
+  }
 }
