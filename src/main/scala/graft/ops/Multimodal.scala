@@ -326,19 +326,39 @@ object Multimodal {
   /** Deterministic unsigned-8-bit mono PCM WAV from a string: sample i =
     * charAt(i % len) & 0xFF (0 for empty text), `n` samples — the audio
     * analogue of [[encodeGrayBmp]]: a REAL decodable payload whose sample
-    * values have a closed form an external oracle can recompute. */
+    * values have a closed form an external oracle can recompute.
+    *
+    * The canonical 44-byte RIFF/WAVE container is written with plain byte
+    * math, byte-identical to `AudioSystem.write`'s output for this format
+    * (asserted in OpsSpec) — the JDK writer's per-call SPI lookup + stream
+    * plumbing measured ~140 µs/row, which dominated the audio pipeline's
+    * wall time at rehearsal scale. */
   def encodePcmWav(text: String, n: Int = 256, sampleRate: Float = 8000f): Array[Byte] = {
     val len = if (text == null) 0 else text.length
-    val data = Array.tabulate(n)(i =>
-      (if (len == 0) 0 else text.charAt(i % len) & 0xFF).toByte)
-    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 8, 1,
-      /*signed=*/ false, /*bigEndian=*/ false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
-    baos.toByteArray
+    val sr = sampleRate.toInt
+    val out = new Array[Byte](44 + n)
+    def w32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >>> 8) & 0xFF).toByte
+      out(off + 2) = ((v >>> 16) & 0xFF).toByte; out(off + 3) = ((v >>> 24) & 0xFF).toByte
+    }
+    def w16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >>> 8) & 0xFF).toByte
+    }
+    def tag(off: Int, s: String): Unit = {
+      var i = 0; while (i < 4) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    tag(0, "RIFF"); w32(4, 36 + n); tag(8, "WAVE")
+    tag(12, "fmt "); w32(16, 16)
+    w16(20, 1 /*PCM*/); w16(22, 1 /*mono*/)
+    w32(24, sr); w32(28, sr /*byteRate: 1 ch × 1 B/sample*/)
+    w16(32, 1 /*blockAlign*/); w16(34, 8 /*bits*/)
+    tag(36, "data"); w32(40, n)
+    var i = 0
+    while (i < n) {
+      out(44 + i) = (if (len == 0) 0 else text.charAt(i % len) & 0xFF).toByte
+      i += 1
+    }
+    out
   }
 
   private val pcmWavUdf = udf { (t: String) => encodePcmWav(t) }
@@ -353,16 +373,63 @@ object Multimodal {
       lit(0).as("height"),
       lit(32L).as("duration_ms")) // 256 samples @ 8 kHz
 
-  /** REAL WAV decode via the JDK's AudioSystem; null when not decodable.
-    * Returns the raw unsigned-8-bit sample bytes. */
+  /** REAL WAV decode; null when not decodable. Returns the raw
+    * unsigned-8-bit sample bytes.
+    *
+    * The canonical case (RIFF chunk walk to an 8-bit mono PCM `data`
+    * chunk) is parsed directly — `AudioSystem.getAudioInputStream` probes
+    * every registered provider per call (~150 µs/row measured, the other
+    * half of the audio pipeline's hot-path cost). Anything non-canonical
+    * (compressed, multi-channel, 16-bit, stray container) still goes
+    * through the JDK's general decoder, so accepted inputs are unchanged:
+    * the fast path is an equal-output shortcut, property-tested against
+    * the AudioSystem result in OpsSpec. */
   private def decodeWav(payload: Array[Byte]): Array[Byte] =
     if (payload == null || payload.isEmpty) null
-    else
-      try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(payload))
-        try ais.readAllBytes() finally ais.close()
-      } catch { case _: Exception => null }
+    else {
+      val fast = decodeCanonicalPcmWav(payload)
+      if (fast != null) fast
+      else
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try ais.readAllBytes() finally ais.close()
+        } catch { case _: Exception => null }
+    }
+
+  /** RIFF walk for the canonical container only: PCM (format tag 1),
+    * mono, 8-bit, `fmt ` before `data`, word-aligned chunks. Returns null
+    * for anything else — the caller falls back to the general decoder, so
+    * this can never widen or narrow what decodes, only speed it up. */
+  private[graft] def decodeCanonicalPcmWav(p: Array[Byte]): Array[Byte] = {
+    if (p.length < 44) return null
+    def tag(off: Int, s: String): Boolean =
+      p(off) == s.charAt(0) && p(off + 1) == s.charAt(1) &&
+        p(off + 2) == s.charAt(2) && p(off + 3) == s.charAt(3)
+    def u16(off: Int): Int = (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8)
+    def u32(off: Int): Long =
+      (p(off) & 0xFFL) | ((p(off + 1) & 0xFFL) << 8) |
+        ((p(off + 2) & 0xFFL) << 16) | ((p(off + 3) & 0xFFL) << 24)
+    if (!tag(0, "RIFF") || !tag(8, "WAVE")) return null
+    var off = 12
+    var fmtIsCanonical = false
+    while (off + 8 <= p.length) {
+      val size = u32(off + 4)
+      if (size > Int.MaxValue - 9) return null
+      if (tag(off, "fmt ")) {
+        if (size < 16 || off + 8 + 16 > p.length) return null
+        fmtIsCanonical = u16(off + 8) == 1 && u16(off + 10) == 1 &&
+          u16(off + 22) == 8
+        if (!fmtIsCanonical) return null // non-canonical: general decoder
+      } else if (tag(off, "data")) {
+        if (!fmtIsCanonical) return null // data before fmt: let the JDK judge
+        val n = math.min(size, (p.length - off - 8).toLong).toInt
+        return java.util.Arrays.copyOfRange(p, off + 8, off + 8 + n)
+      }
+      off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    null
+  }
 
   /** Batched REAL audio feature extraction (`mapPartitions`, no shuffle):
     * integer sum-of-squares and crossing counts keep the arithmetic exact

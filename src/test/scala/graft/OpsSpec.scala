@@ -287,6 +287,42 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("fast WAV encode/decode match the JDK codec byte-for-byte") {
+    import javax.sound.sampled._
+    val texts = Seq("", "a", "Hello audio world 42", "x" * 300,
+      "éł mixed £", "frame analysis check: " * 20)
+    for (t <- texts; n <- Seq(1, 64, 256)) {
+      val fast = Multimodal.encodePcmWav(t, n)
+      // reference encoder: the JDK writer over the same samples/format
+      val len = t.length
+      val data = Array.tabulate(n)(i =>
+        (if (len == 0) 0 else t.charAt(i % len) & 0xFF).toByte)
+      val fmt = new AudioFormat(8000f, 8, 1, false, false)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong),
+        AudioFileFormat.Type.WAVE, baos)
+      assert(java.util.Arrays.equals(fast, baos.toByteArray),
+        s"container bytes differ for text='${t.take(20)}' n=$n")
+      // fast RIFF walk == JDK decode of the same container
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(fast))
+      val jdk = try ais.readAllBytes() finally ais.close()
+      assert(java.util.Arrays.equals(
+        Multimodal.decodeCanonicalPcmWav(fast), jdk))
+    }
+    // non-canonical containers are refused by the fast path (the
+    // AudioSystem fallback decides for them, so behavior is unchanged)
+    val fmt16 = new AudioFormat(8000f, 16, 1, true, false)
+    val baos16 = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](64)), fmt16, 32L),
+      AudioFileFormat.Type.WAVE, baos16)
+    assert(Multimodal.decodeCanonicalPcmWav(baos16.toByteArray) == null)
+    assert(Multimodal.decodeCanonicalPcmWav(
+      "not a wav at all, just text....................".getBytes) == null)
+  }
+
   test("multimodal plumbing: features + frame samples are deterministic") {
     val media = Multimodal.asMedia(docs.filter(col("doc_id") =!= 5L), "doc_id", "text", "image")
     val feats = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
