@@ -976,6 +976,37 @@ object SparkEntry {
           col("ssum"), col("n"))
         .orderBy("cent_id", "pos")
     }),
+    "t_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup over the embeddings corpus + injected near-dup twins
+      // (vec_id < 10, component 0 scaled 1.05, id + 100000 — the
+      // t_embed_neardup construction): k-means-cluster with the
+      // replayable Lloyd fit, then the paper's keep-lowest-index rule at
+      // cosine 0.95 within clusters. The twins must drop; the oracle
+      // replays fit, final assignment and the full within-cluster pair
+      // scan exactly (maxCluster above any real cluster size at every
+      // SF, so both sides are in the exact all-pairs regime)
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val perturbed = e.filter(col("vec_id") < 10).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x * 1.05f).otherwise(x)).as("embedding"))
+      graft.ops.Similarity.semanticDedup(e.unionByName(perturbed),
+          threshold = 0.95, k = 8, iters = 2, maxCluster = 4096)
+        .orderBy("vec_id")
+    }),
+    "t_mixture" -> ((s, dir) => {
+      // static mixture re-weighting: per-language sampling rates that hit
+      // a 50/12.5/12.5/12.5/12.5 target without upsampling; the rate is a
+      // computed double ratio, so it ships ppm-floored per ORACLES.md
+      val d = t(s, dir, "documents").select(col("lang"),
+        TextAnalysis.tokenEstimate(col("text")).as("toks"))
+      graft.ops.Curation.mixtureWeights(d, "lang", "toks",
+          Seq("en" -> 0.5, "de" -> 0.125, "es" -> 0.125,
+            "fr" -> 0.125, "zh" -> 0.125))
+        .select(col("domain"), col("domain_tokens"),
+          floor(col("rate") * 1000000 + lit(0.5)).cast("long").as("rate_ppm"))
+        .orderBy("domain")
+    }),
     "t_chunks" -> ((s, dir) => {
       // corpus chunking for training: 256-char chunks, 32-char overlap
       // (stride 224); md5 per chunk so the oracle checks the exact bytes
@@ -2528,6 +2559,107 @@ object SparkEntry {
          |        generate_subscripts(v, 1) - 1 AS pos FROM c2) u
          |GROUP BY cent_id, pos
          |ORDER BY cent_id, pos""".stripMargin,
+
+    // SemDeDup replay: same two-iteration Lloyd fit as t_kmeans over the
+    // twin-injected corpus, one more assignment off the final centroids,
+    // then the keep-lowest-index rule over the full within-cluster pair
+    // scan — the hashed output is the surviving (vec_id, cent_id) set
+    "t_semantic_dedup" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000,
+         |    list_transform(embedding, (x, i) -> CASE WHEN i = 1 THEN CAST(x * CAST(1.05 AS REAL) AS REAL) ELSE x END)
+         |  FROM embeddings WHERE vec_id < 10
+         |), seeds AS (
+         |  SELECT vec_id AS cent_id, embedding AS cvec_c
+         |  FROM corpus WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT 8
+         |), a1 AS (
+         |  SELECT e.vec_id AS vid, e.embedding AS v, s.cent_id,
+         |    ${cosineSql("e.embedding", "s.cvec_c")} AS cdist
+         |  FROM corpus e CROSS JOIN seeds s
+         |), c1 AS (
+         |  SELECT cent_id, vid, v FROM (
+         |    SELECT cent_id, vid, v,
+         |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cdist DESC, cent_id) AS r
+         |    FROM a1) t WHERE r = 1
+         |), s1 AS (
+         |  SELECT cent_id, pos,
+         |    SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 16777216.0 + 0.5) AS BIGINT)) AS ssum,
+         |    COUNT(*) AS n
+         |  FROM (SELECT cent_id, unnest(v) AS val,
+         |          generate_subscripts(v, 1) - 1 AS pos FROM c1) u
+         |  GROUP BY cent_id, pos
+         |), m1 AS (
+         |  SELECT cent_id, pos,
+         |    CAST(ssum AS DOUBLE) / 16777216.0 / CAST(n AS DOUBLE) AS m FROM s1
+         |), cents1 AS (
+         |  SELECT cent_id, list_transform(list(m ORDER BY pos), x -> CAST(x AS REAL)) AS cvec_c
+         |  FROM m1 GROUP BY cent_id
+         |), a2 AS (
+         |  SELECT e.vec_id AS vid, e.embedding AS v, c.cent_id,
+         |    ${cosineSql("e.embedding", "c.cvec_c")} AS cdist
+         |  FROM corpus e CROSS JOIN cents1 c
+         |), c2 AS (
+         |  SELECT cent_id, vid, v FROM (
+         |    SELECT cent_id, vid, v,
+         |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cdist DESC, cent_id) AS r
+         |    FROM a2) t WHERE r = 1
+         |), s2 AS (
+         |  SELECT cent_id, pos,
+         |    SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 16777216.0 + 0.5) AS BIGINT)) AS ssum,
+         |    COUNT(*) AS n
+         |  FROM (SELECT cent_id, unnest(v) AS val,
+         |          generate_subscripts(v, 1) - 1 AS pos FROM c2) u
+         |  GROUP BY cent_id, pos
+         |), m2 AS (
+         |  SELECT cent_id, pos,
+         |    CAST(ssum AS DOUBLE) / 16777216.0 / CAST(n AS DOUBLE) AS m FROM s2
+         |), cents2 AS (
+         |  SELECT cent_id, list_transform(list(m ORDER BY pos), x -> CAST(x AS REAL)) AS cvec_c
+         |  FROM m2 GROUP BY cent_id
+         |), a3 AS (
+         |  SELECT e.vec_id AS vid, e.embedding AS v, c.cent_id,
+         |    ${cosineSql("e.embedding", "c.cvec_c")} AS cdist
+         |  FROM corpus e CROSS JOIN cents2 c
+         |), c3 AS (
+         |  SELECT cent_id, vid, v FROM (
+         |    SELECT cent_id, vid, v,
+         |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cdist DESC, cent_id) AS r
+         |    FROM a3) t WHERE r = 1
+         |), dropped AS (
+         |  SELECT DISTINCT b.vid AS vid
+         |  FROM c3 a JOIN c3 b ON a.cent_id = b.cent_id AND a.vid < b.vid
+         |  WHERE ${cosineSql("a.v", "b.v")} >= CAST(0.95 AS DOUBLE)
+         |)
+         |SELECT c.vid AS vec_id, c.cent_id
+         |FROM c3 c LEFT JOIN dropped d ON c.vid = d.vid
+         |WHERE d.vid IS NULL
+         |ORDER BY vec_id""".stripMargin,
+
+    // mixture replay: domains-sized aggregate, the min-ratio budget, the
+    // identical double arithmetic for the rate, ppm-floored
+    "t_mixture" ->
+      """WITH tok AS (
+        |  SELECT lang AS domain,
+        |    CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]', 0)) AS BIGINT) AS toks
+        |  FROM documents
+        |), shares(domain, share) AS (
+        |  VALUES ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.125 AS DOUBLE)),
+        |         ('es', CAST(0.125 AS DOUBLE)), ('fr', CAST(0.125 AS DOUBLE)),
+        |         ('zh', CAST(0.125 AS DOUBLE))
+        |), agg AS (
+        |  SELECT t.domain, CAST(SUM(t.toks) AS BIGINT) AS domain_tokens,
+        |    ANY_VALUE(s.share) AS share
+        |  FROM tok t JOIN shares s ON t.domain = s.domain
+        |  GROUP BY t.domain
+        |), b AS (
+        |  SELECT MIN(CAST(domain_tokens AS DOUBLE) / share) AS budget FROM agg
+        |)
+        |SELECT domain, domain_tokens,
+        |  CAST(FLOOR(share * budget / CAST(domain_tokens AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS rate_ppm
+        |FROM agg CROSS JOIN b
+        |ORDER BY domain""".stripMargin,
 
     // chunking replay: chunk k covers [k*224, k*224 + 256); the md5 pins
     // the exact chunk bytes, not just the boundaries

@@ -156,6 +156,44 @@ object Curation {
         Seq(col(rankCol).desc, col(idCol).asc), tokensCol, "cum_tokens")
       .filter(col("cum_tokens") <= budgetTokens)
 
+  /** Static corpus mixture re-weighting — "what sampling rate per domain
+    * hits a target mixture": given per-row domain and token count plus
+    * target shares (summing to 1), the largest token budget achievable
+    * WITHOUT upsampling any domain is B = min_d(tokens_d / share_d); each
+    * domain's keep-rate is then share_d · B / tokens_d — exactly 1.0 for
+    * the binding (scarcest-relative-to-target) domain, a downsampling
+    * fraction everywhere else. This is the static reweighting step of
+    * mixture-balanced corpus assembly (the fixed-weights regime of
+    * domain-reweighting schemes à la DoReMi's baseline).
+    *
+    * Output: (domain, domain_tokens, share, rate), one row per TARGET
+    * domain present in the corpus; corpus domains outside the target set
+    * are implicitly rate-0 (no row). Scale: one domains-sized aggregate
+    * (domains ≪ corpus), a broadcast of the share table, and a broadcast
+    * of the ONE-row budget aggregate — nothing here scales with corpus
+    * size, and the corpus is scanned exactly once. */
+  def mixtureWeights(docs: DataFrame, domainCol: String, tokensCol: String,
+      targetShares: Seq[(String, Double)]): DataFrame = {
+    require(targetShares.nonEmpty, "need at least one target share")
+    require(targetShares.forall(_._2 > 0), "shares must be positive")
+    require(math.abs(targetShares.map(_._2).sum - 1.0) < 1e-9,
+      s"shares must sum to 1, got ${targetShares.map(_._2).sum}")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val shares = targetShares.toDF("domain", "share")
+    val perDomain = docs
+      .select(col(domainCol).as("domain"), col(tokensCol).cast("long").as("toks"))
+      .join(broadcast(shares), Seq("domain"))
+      .groupBy("domain")
+      .agg(sum("toks").as("domain_tokens"), first("share").as("share"))
+    val budget = perDomain.agg(
+      min(col("domain_tokens").cast("double") / col("share")).as("budget"))
+    perDomain.crossJoin(broadcast(budget))
+      .select(col("domain"), col("domain_tokens"), col("share"),
+        (col("share") * col("budget") / col("domain_tokens").cast("double"))
+          .as("rate"))
+  }
+
   /** RE2-compatible patterns (identical semantics in Java regex), so an
     * external engine can replay the redaction byte-for-byte. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

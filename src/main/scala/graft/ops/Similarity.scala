@@ -282,6 +282,52 @@ object Similarity {
     stats
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means the embedding space (the
+    * [[kmeansFitStats]] Lloyd fit), assign every vector to its nearest
+    * centroid by cosine, and within each cluster drop every vector that
+    * has a semantic near-duplicate (cosine >= `threshold`) of SMALLER
+    * id — the paper's keep-lowest-index rule: one pass, no connected
+    * components. Returns the survivors as (`idCol`, cent_id).
+    *
+    * Scale: the fit broadcasts k·dim floats per iteration; the final
+    * assignment is the same broadcast argmax (per-vector window, corpus
+    * never shuffled on cluster); within-cluster pair generation flows
+    * through `Dedup.boundedBucketPairs` with the cluster id as the
+    * bucket, so a degenerate mega-cluster emits O(n) star pairs instead
+    * of C(n, 2) — an over-cap cluster is deduped only against its min-id
+    * member (documented approximation, the same two-regime contract as
+    * every other near-dup generator; size `k` so real clusters stay
+    * under `maxCluster` for exact paper semantics). Vectors rejoin by id
+    * AFTER pairing, so the pair stream carries ids only. */
+  def semanticDedup(corpus: DataFrame, threshold: Double, k: Int = 8,
+      iters: Int = 2, maxCluster: Int = 1024,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = assembleCentroids(
+      kmeansFitStats(corpus, k, iters, idCol, vecCol))
+    val centRows = cents.collect().toSeq // k·dim floats — model metadata
+    val bCents = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(centRows, 1), cents.schema))
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val w = Window.partitionBy("id").orderBy(desc("cdist"), col("cent_id"))
+    val cells = v.join(bCents)
+      .withColumn("cdist", cosineSimilarity(col("vec"), col("cvec_c")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("cent_id"), col("id"), col("vec"))
+    val pairs = Dedup.boundedBucketPairs(
+      cells.select(col("cent_id").as("bucket"), col("id")),
+      Seq("bucket"), maxCluster)
+    val dropped = pairs // id_a < id_b by construction in both regimes
+      .join(cells.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(cells.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .filter(cosineSimilarity(col("vec_a"), col("vec_b")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    cells.join(dropped, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cent_id"))
+  }
+
   /** (cent_id, pos, ssum, n) stats -> (cent_id, cvec_c float array):
     * quantized mean per dimension, assembled in dimension order. */
   def assembleCentroids(stats: DataFrame): DataFrame =

@@ -565,6 +565,51 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("semantic dedup: twins drop to their smaller-id base, bases all survive") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val perturbed = e.filter(col("vec_id") < 10).select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x * 1.05f).otherwise(x)).as("embedding"))
+    val corpus = e.unionByName(perturbed)
+    val out = Similarity.semanticDedup(corpus, threshold = 0.95,
+      k = 4, iters = 2, maxCluster = 4096)
+    val kept = out.collect().map(_.getLong(0)).toSet
+    val baseIds = e.collect().map(_.getLong(0)).toSet
+    // base vectors have no natural near-dups (max pairwise cosine ~0.5),
+    // so every base survives; each twin has its base as a smaller-id
+    // near-dup in the same cluster, so every twin drops
+    assert(kept == baseIds, s"kept ${kept.size}, expected ${baseIds.size} bases; " +
+      s"twins kept: ${kept.filter(_ >= 100000)}")
+    // deterministic end to end (fit, assignment, pair scan)
+    val again = Similarity.semanticDedup(corpus, threshold = 0.95,
+      k = 4, iters = 2, maxCluster = 4096).collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+  }
+
+  test("mixture weights: binding domain saturates at 1.0, others hit target shares") {
+    val rows = Seq(("en", 600L), ("en", 600L), ("de", 300L), ("fr", 100L))
+      .toDF("lang", "toks")
+    // totals en=1200, de=300, fr=100; budgets 1200/.5=2400, 300/.25=1200,
+    // 100/.25=400 -> binding budget 400
+    val out = graft.ops.Curation.mixtureWeights(rows, "lang", "toks",
+        Seq("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    assert(out("fr") == (100L, 1.0)) // binding domain: keep everything
+    assert(out("en") == (1200L, 0.5 * 400 / 1200.0))
+    assert(out("de") == (300L, 0.25 * 400 / 300.0))
+    // resulting mixture is exactly on target: share_d*B tokens per domain
+    val mixed = out.map { case (d, (t, r)) => d -> t * r }
+    assert(math.abs(mixed.values.sum - 400.0) < 1e-9)
+    assert(math.abs(mixed("en") / 400.0 - 0.5) < 1e-12)
+    intercept[IllegalArgumentException] {
+      graft.ops.Curation.mixtureWeights(rows, "lang", "toks",
+        Seq("en" -> 0.5, "de" -> 0.25))
+    }
+  }
+
   test("kmeans stats with iters=1 assemble to exactly the IVF fit centroids") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
