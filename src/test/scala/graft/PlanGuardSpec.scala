@@ -321,6 +321,18 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"stratified sample must be shuffle-free:\n$samp")
   }
 
+  test("semantic dedup: centroid assignment broadcasts, no cartesian anywhere") {
+    val p = plan("t_semantic_dedup")
+    // the corpus x centroids argmax is a deliberate k-row broadcast
+    // nested-loop; a CartesianProduct would mean the corpus got crossed
+    // with something non-broadcast (the C(n,2) disaster this operator's
+    // bounded bucketing exists to prevent)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid assignment must broadcast the k centroids:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"semantic dedup must never plan a cartesian:\n$p")
+  }
+
   test("CosineSim emits its fused loop inside whole-stage codegen (no fallback eval)") {
     import org.apache.spark.sql.functions._
     // range -> project is a WholeStageCodegen span; if CosineSim were a
