@@ -126,10 +126,28 @@ object Dedup {
 
   /** LSH candidate pairs from signatures: band the signature into `bands`
     * contiguous chunks of `numHashes/bands`; docs agreeing on any full
-    * band share a bucket; emit pairs within buckets only (capped). */
+    * band share a bucket; emit pairs within buckets only (capped).
+    *
+    * Output CONTRACT (the set the oracle replays): the distinct union of
+    *  - all pairs sharing at least one small bucket (1 < size <= cap), and
+    *  - star pairs (bucket min id, member) from every over-cap bucket.
+    *
+    * Pair generation is FIRST-SMALL-MATCH: a pair is emitted only at the
+    * lowest-index band where it agrees in a small bucket. This produces
+    * exactly the contract set (for any pair in it, that band exists and
+    * is unique) while emitting each pair ONCE instead of once per
+    * agreeing band. The distinction matters at scale: a corpus whose
+    * duplicate clusters agree on all `bands` bands (exact dups always do)
+    * otherwise emits `bands`x the true pair mass into the dedup shuffle —
+    * a 16x shuffle/alloc amplification measured as the dominant cost of
+    * the 50x rehearsal leg. Each member carries its 16 band hashes plus a
+    * bitmask of which of ITS buckets are small (one extra keyed exchange
+    * to gather counts per doc); when two members agree at band b they
+    * share that bucket, so either member's mask bit decides smallness. */
   def minhashCandidates(sigs: DataFrame, numHashes: Int = 64, bands: Int = 16,
       maxBucket: Int = 64): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(bands <= 62, "small-bucket bitmask packs into one long")
     val rows = numHashes / bands
     // one small UDF per row beats 16 hash-of-slice expression trees: the
     // generated code for those dominated cold-start JIT in benchmarks
@@ -146,10 +164,66 @@ object Dedup {
         h
       }
     }
-    val banded = sigs.select(col("id"), posexplode(bandHashUdf(col("sig"))))
+    val withBhs = sigs.select(col("id"), bandHashUdf(col("sig")).as("bhs"))
+    // pass 1 (thin rows): bucket occupancy per (band, hash), then per-doc
+    // small-bucket bitmask (bit b set <=> the doc's band-b bucket <= cap)
+    val banded = withBhs.select(col("id"), posexplode(col("bhs")))
       .select(col("id"), col("pos").as("band"), col("col").as("band_hash"))
-    boundedBucketPairs(banded, Seq("band", "band_hash"), maxBucket)
-      .distinct()
+    val w1 = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")
+    val masks = banded.withColumn("__cnt", count(lit(1)).over(w1))
+      .groupBy("id")
+      .agg(expr(s"sum(CASE WHEN __cnt <= $maxBucket " +
+        "THEN shiftleft(CAST(1 AS BIGINT), CAST(band AS INT)) " +
+        "ELSE CAST(0 AS BIGINT) END)").as("small_mask"))
+    // pass 2 (members carry bhs + mask): bucket again, expand pairs
+    val members = withBhs.join(masks, Seq("id"))
+      .select(col("id"), col("small_mask"), col("bhs"), posexplode(col("bhs")))
+      .select(col("id"), col("small_mask"), col("bhs"),
+        col("pos").as("band"), col("col").as("band_hash"))
+    val w2 = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")
+    val m = members
+      .withColumn("__cnt", count(lit(1)).over(w2))
+      .withColumn("__min_id", min("id").over(w2))
+    val firstMatchPairsUdf = udf { (ms: Seq[org.apache.spark.sql.Row], band: Int) =>
+      val n = ms.length
+      val ids = new Array[Long](n)
+      val mask = new Array[Long](n)
+      val bh = new Array[Array[Long]](n)
+      var i = 0
+      while (i < n) {
+        val r = ms(i)
+        ids(i) = r.getLong(0); mask(i) = r.getLong(1)
+        bh(i) = r.getSeq[Long](2).toArray
+        i += 1
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          // skip iff an earlier band already emitted (or star-links) them
+          var dup = false
+          var b = 0
+          while (b < band && !dup) {
+            if (bh(i)(b) == bh(j)(b) && ((mask(i) >>> b) & 1L) == 1L) dup = true
+            b += 1
+          }
+          if (!dup) out += ((ids(i), ids(j)))
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    }
+    val smallPairs = m.filter(col("__cnt") > 1 && col("__cnt") <= maxBucket)
+      .groupBy("band", "band_hash")
+      .agg(sort_array(collect_list(struct(col("id"), col("small_mask"), col("bhs"))))
+        .as("ms")) // bounded by cap
+      .select(explode(firstMatchPairsUdf(col("ms"), col("band"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+    val starPairs = m.filter(col("__cnt") > maxBucket && col("id") =!= col("__min_id"))
+      .select(col("__min_id").as("id_a"), col("id").as("id_b"))
+    smallPairs.union(starPairs).distinct()
   }
 
   /** Within-bucket pair generation with the skew guard shared by every

@@ -96,6 +96,66 @@ class RandomizedEquivalenceSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("minhashCandidates == definitional bucket contract incl. mixed over-cap regimes") {
+    // the contract: distinct union of (a) all pairs sharing >=1 small
+    // bucket and (b) star pairs of every over-cap bucket. The production
+    // path emits each pair once (first small agreeing band) — verify the
+    // set matches a brute-force evaluation of the definition on crafted
+    // signatures whose buckets mix over-cap and small regimes, including
+    // pairs whose FIRST agreeing band is over-cap but that also meet in a
+    // later small bucket (the case a naive first-agreement rule drops).
+    val bands = 8; val numHashes = 32; val rows = 4; val cap = 4
+    def bandHash(sig: Array[Long], b: Int): Long = {
+      var h = 0xcbf29ce484222325L ^ b
+      var i = b * rows
+      while (i < (b + 1) * rows) {
+        var x = sig(i); var k = 0
+        while (k < 8) { h ^= (x & 0xFF); h *= 0x100000001b3L; x >>>= 8; k += 1 }
+        i += 1
+      }
+      h
+    }
+    var sawMixedRegime = false
+    for (trial <- 1 to 6) {
+      val nDocs = rnd.nextInt(90) + 40
+      // tiny component alphabet => organic bucket collisions at all sizes
+      val sigs = (0 until nDocs).map { id =>
+        (id.toLong, Array.tabulate(numHashes)(i => (i % rows + rnd.nextInt(2)).toLong))
+      }
+      val bh = sigs.map { case (id, s) => id -> Array.tabulate(bands)(bandHash(s, _)) }.toMap
+      val expected = scala.collection.mutable.Set[(Long, Long)]()
+      val smallAgree = scala.collection.mutable.Map[(Long, Long), Int]()
+      for (b <- 0 until bands) {
+        val byBucket = bh.keys.toSeq.groupBy(id => bh(id)(b))
+        for ((_, ids) <- byBucket) {
+          val sorted = ids.sorted
+          if (sorted.length > 1 && sorted.length <= cap) {
+            for (i <- sorted.indices; j <- (i + 1) until sorted.length) {
+              expected += ((sorted(i), sorted(j)))
+              val k = (sorted(i), sorted(j))
+              if (!smallAgree.contains(k)) smallAgree(k) = b
+            }
+          } else if (sorted.length > cap) {
+            val mn = sorted.head
+            for (id <- sorted.tail) expected += ((mn, id))
+          }
+        }
+      }
+      // did this trial exercise the dangerous case? (first AGREEING band
+      // over-cap, first SMALL agreeing band comes later)
+      for (((a, b2), firstSmall) <- smallAgree) {
+        val firstAgree = (0 until bands).find(x => bh(a)(x) == bh(b2)(x)).get
+        if (firstAgree < firstSmall) sawMixedRegime = true
+      }
+      val sigsDF = sigs.toDF("id", "sig")
+      val got = graft.ops.Dedup.minhashCandidates(sigsDF, numHashes, bands, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected.toSet,
+        s"trial $trial: missing=${(expected.toSet -- got).take(5)} extra=${(got -- expected.toSet).take(5)}")
+    }
+    assert(sawMixedRegime, "test data never exercised the over-cap-then-small regime")
+  }
+
   test("differingBuckets never misses a bucket containing a difference") {
     for (_ <- 1 to 10) {
       val f = randomKeyed(150, 60, 0.15)
