@@ -895,6 +895,40 @@ object SparkEntry {
       TextAnalysis.corpusFreqScore(t(s, dir, "documents"))
         .orderBy("doc_id")
     }),
+    "t_line_dedup" -> ((s, dir) => {
+      // CCNet/RefinedWeb-style line-level boilerplate removal. The test
+      // corpus is single-line word soup, so lines are materialized
+      // deterministically as 12-token spans first; any line occurring
+      // >= 2 times corpus-wide (the exact-dup documents' spans) is then
+      // dropped from EVERY document, and documents reassemble in span
+      // order — docs whose every line is boilerplate keep their row with
+      // clean_text = ''
+      val lined = t(s, dir, "documents").selectExpr("doc_id",
+        """array_join(transform(
+          |  sequence(0, (size(split(text, ' ')) + 11) div 12 - 1),
+          |  i -> array_join(slice(split(text, ' '), i * 12 + 1, 12), ' ')),
+          | '\n') AS text""".stripMargin)
+      graft.ops.Curation.lineDedup(lined, "doc_id", "text", minCount = 2)
+        .orderBy("doc_id")
+    }),
+    "t_linear_score" -> ((s, dir) => {
+      // hashing-trick quality-classifier inference (fastText-style):
+      // 4096-bucket integer weight table (deterministic fixture weights
+      // w[j] = (splitmix64(j) & 15) - 8 standing in for trained ones —
+      // power-of-two moduli keep the signed/unsigned replay exact),
+      // logit = sum of token-bucket weights over normalized tokens;
+      // zero-shuffle narrow scoring pass
+      def smix(x0: Long): Long = {
+        var x = x0 + 0x9e3779b97f4a7c15L
+        x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+        x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+        x ^ (x >>> 31)
+      }
+      val weights = Array.tabulate(4096)(j => (smix(j.toLong) & 15L) - 8L)
+      TextAnalysis.applyLinearModel(t(s, dir, "documents"), "doc_id", "text",
+          weights)
+        .orderBy("id")
+    }),
     "t_budget_select" -> ((s, dir) => {
       // token-budget corpus selection: longest docs first (n_chars desc,
       // doc_id tiebreak) while the inclusive running token total stays
@@ -2405,6 +2439,66 @@ object SparkEntry {
         |  CAST(SUM(c) AS BIGINT) AS freq_sum
         |FROM toks JOIN tc USING (term)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // line-dedup replay: the same deterministic 12-token span lining,
+    // corpus-wide span frequency, drop-every-occurrence at minCount 2,
+    // in-order reassembly; all-line-boilerplate docs keep a '' row
+    "t_line_dedup" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    [array_to_string(t[(i*12+1):(i*12+12)], ' ')
+        |     FOR i IN range(0, (len(t) + 11) // 12)] AS ls
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) q
+        |), lines AS (
+        |  SELECT doc_id, unnest(ls) AS line,
+        |    unnest(range(1, len(ls) + 1)) AS pos
+        |  FROM lined
+        |), freq AS (
+        |  SELECT line FROM lines GROUP BY line HAVING COUNT(*) >= 2
+        |), kept AS (
+        |  SELECT doc_id, pos, line FROM lines
+        |  WHERE line NOT IN (SELECT line FROM freq)
+        |), reasm AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS ct,
+        |    COUNT(*) AS nk
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT l.doc_id, coalesce(r.ct, '') AS clean_text,
+        |  CAST(len(l.ls) AS BIGINT) AS n_lines,
+        |  CAST(coalesce(r.nk, 0) AS BIGINT) AS n_lines_kept,
+        |  CAST(len(l.ls) - coalesce(r.nk, 0) AS BIGINT) AS n_lines_dropped
+        |FROM lined l LEFT JOIN reasm r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // linear-score replay: the splitmix64 fixture weight table in HUGEINT
+    // (power-of-two moduli keep signed/unsigned parity exact), fnv1a
+    // token bucketing mod 4096, integer logit sum over token occurrences
+    "t_linear_score" ->
+      s"""WITH normd AS (
+         |  SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), '$WS', ' ', 'g')) AS s
+         |  FROM documents
+         |), toksl AS (
+         |  SELECT doc_id, string_split(s, ' ') AS toks FROM normd
+         |), tok AS (
+         |  SELECT doc_id, unnest(toks) AS w FROM toksl
+         |), wt AS (
+         |  SELECT j, CAST((t4 % 16) - 8 AS BIGINT) AS wv
+         |  FROM (SELECT j, xor(t3, t3 // 2147483648) AS t4
+         |    FROM (SELECT j, ${mulModSql("xor(t2, t2 // 134217728)", 2496678331L, 321982955L)} AS t3
+         |      FROM (SELECT j, ${mulModSql("xor(t1, t1 // 1073741824)", 3210233709L, 484763065L)} AS t2
+         |        FROM (SELECT j, (CAST(11400714819323198485 AS HUGEINT) + j) % $P64 AS t1
+         |              FROM (SELECT unnest(range(0, 4096)) AS j) js) q1) q2) q3) q4
+         |), bucketed AS (
+         |  SELECT doc_id, CAST(${fnvSql("w")} % 4096 AS BIGINT) AS j FROM tok
+         |), scored AS (
+         |  SELECT doc_id, CAST(SUM(wv) AS BIGINT) AS logit
+         |  FROM bucketed JOIN wt USING (j) GROUP BY doc_id
+         |)
+         |SELECT t.doc_id AS id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  s.logit AS logit,
+         |  CAST(CASE WHEN s.logit >= 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+         |FROM toksl t JOIN scored s USING (doc_id)
+         |ORDER BY id""".stripMargin,
 
     // budget-selection replay: one global running-sum window (the oracle
     // can afford the single-partition form the operator avoids)

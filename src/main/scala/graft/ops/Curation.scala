@@ -194,6 +194,55 @@ object Curation {
           .as("rate"))
   }
 
+  /** Line-level boilerplate removal (the CCNet/RefinedWeb line-dedup
+    * step): drop EVERY occurrence of any line whose corpus-wide
+    * occurrence count is >= `minCount` — nav menus, cookie banners, and
+    * licence footers repeat across thousands of pages and survive
+    * document-level dedup, so they are removed at line granularity.
+    * Lines are `sep`-separated spans compared by exact string equality.
+    * Output: one row per input document — (idCol, clean_text,
+    * n_lines, n_lines_kept, n_lines_dropped); a document whose every
+    * line is boilerplate keeps its row with clean_text = ''.
+    *
+    * Scale shape: the line-frequency aggregate map-side combines, so a
+    * line repeated 10^8 times ships one (line, count) partial per task,
+    * not 10^8 rows; the frequent-line table is then BY CONSTRUCTION
+    * small (<= total_lines / minCount entries, in practice the tiny
+    * boilerplate set), so AQE broadcasts the anti-join's build side and
+    * the exploded corpus is never shuffled on line content — the only
+    * corpus-sized exchange is the keyed regroup by document id for
+    * reassembly, with per-group state bounded by the document's own
+    * line count. */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long, sep: String = "\n"): DataFrame = {
+    require(minCount >= 2, "minCount < 2 would drop every line")
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val lines = docs.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), sepRe)))
+      .select(col("__id"), col("pos").as("__pos"), col("col").as("__line"))
+    val frequent = lines.groupBy("__line")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount)
+      .select("__line")
+    val reassembled = lines.join(frequent, Seq("__line"), "left_anti")
+      .groupBy("__id")
+      .agg(
+        array_join(
+          transform(sort_array(collect_list(struct(col("__pos"), col("__line")))),
+            x => x.getField("__line")),
+          sep).as("clean_text"),
+        count(lit(1)).as("n_lines_kept"))
+    docs.select(col(idCol).as("__id"),
+        size(split(col(textCol), sepRe)).cast("long").as("n_lines"))
+      .join(reassembled, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        (col("n_lines") - coalesce(col("n_lines_kept"), lit(0L)))
+          .as("n_lines_dropped"))
+  }
+
   /** RE2-compatible patterns (identical semantics in Java regex), so an
     * external engine can replay the redaction byte-for-byte. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

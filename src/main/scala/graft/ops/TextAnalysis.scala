@@ -285,6 +285,46 @@ object TextAnalysis {
         sum(coalesce(col("c"), lit(1L))).as("freq_sum"))
   }
 
+  /** Hashing-trick linear classifier INFERENCE (the fastText /
+    * Vowpal-Wabbit scoring shape used for model-based quality filtering):
+    * each token indexes a weight via fnv1a(token) mod `dim` (signed
+    * floor-mod, collisions folded by design — that IS the hashing trick),
+    * and the document's logit is the integer sum of its token weights
+    * plus `intercept`. Weights are integer (fixed-point: scale trained
+    * float weights by 2^k before loading) so the score is exactly
+    * replayable by any engine. Output: (id, n_tokens, logit,
+    * label 0/1 = logit >= 0).
+    *
+    * Scale: the weight table is a plain broadcast array (`dim` * 8 B —
+    * 512 KiB at 2^16, 128 MiB at 2^24; pick dim for the executor budget,
+    * collisions degrade gracefully), and scoring is a narrow per-row
+    * kernel: zero shuffles, zero joins, the corpus is scanned once. This
+    * is deliberately inference-only — training happens offline; the
+    * pipeline needs the scoring pass to run at corpus scale. */
+  def applyLinearModel(docs: DataFrame, idCol: String, textCol: String,
+      weights: Array[Long], intercept: Long = 0L): DataFrame = {
+    val dim = weights.length
+    require(dim > 0, "need a non-empty weight table")
+    val bc = docs.sparkSession.sparkContext.broadcast(weights)
+    val scoreUdf = udf { (text: String) =>
+      if (text == null) (0L, intercept)
+      else {
+        val toks = text.split(" ", -1)
+        val w = bc.value
+        var s = intercept
+        var i = 0
+        while (i < toks.length) {
+          s += w(java.lang.Math.floorMod(Dedup.fnv1a(toks(i)), dim.toLong).toInt)
+          i += 1
+        }
+        (toks.length.toLong, s)
+      }
+    }
+    docs.select(col(idCol).as("id"), scoreUdf(normalized(col(textCol))).as("__s"))
+      .select(col("id"), col("__s._1").as("n_tokens"), col("__s._2").as("logit"),
+        when(col("__s._2") >= 0, 1L).otherwise(0L).as("label"))
+  }
+
   /** Full per-document stats frame (expression-only columns). */
   def stats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val t = col(textCol)

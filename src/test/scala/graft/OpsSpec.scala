@@ -657,6 +657,49 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       kept.map(_._1).toSeq == kept.map(_._1).sorted.reverse.toSeq)
   }
 
+  test("lineDedup drops corpus-frequent lines, keeps order, preserves all docs") {
+    import graft.ops.Curation
+    val corpus = Seq(
+      (1L, "cookie banner\nunique alpha\nall rights reserved"),
+      (2L, "cookie banner\nunique beta\nall rights reserved"),
+      (3L, "unique gamma\ncookie banner"),
+      (4L, "cookie banner\nall rights reserved"), // all lines boilerplate
+      (5L, "solo document with one line")
+    ).toDF("doc_id", "text")
+    val out = Curation.lineDedup(corpus, "doc_id", "text", minCount = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_lines_kept"), r.getAs[Long]("n_lines_dropped"))).toMap
+    assert(out.size == 5) // every doc keeps its row
+    assert(out(1L) == (("unique alpha", 3L, 1L, 2L)))
+    assert(out(2L) == (("unique beta", 3L, 1L, 2L)))
+    assert(out(3L) == (("unique gamma", 2L, 1L, 1L)))
+    assert(out(4L) == (("", 2L, 0L, 2L))) // fully-boilerplate doc survives as ''
+    assert(out(5L) == (("solo document with one line", 1L, 1L, 0L)))
+    // order preservation with an interleaved boilerplate line
+    val ord = Curation.lineDedup(Seq(
+      (1L, "a\nx\nb\nx\nc"), (2L, "x")).toDF("doc_id", "text"),
+      "doc_id", "text", minCount = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(ord(1L) == "a\nb\nc")
+    assert(ord(2L) == "")
+  }
+
+  test("applyLinearModel: integer logit replays the hashing-trick sum") {
+    val dim = 64
+    val weights = Array.tabulate(dim)(j => (j % 7).toLong - 3L)
+    val corpus = Seq((1L, "alpha beta alpha"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.applyLinearModel(corpus, "doc_id", "text", weights, intercept = 5L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("logit"), r.getAs[Long]("label"))).toMap
+    def w(tok: String): Long =
+      weights(java.lang.Math.floorMod(Dedup.fnv1a(tok), dim.toLong).toInt)
+    assert(out(1L) == ((3L, 5L + 2 * w("alpha") + w("beta"), if (5L + 2 * w("alpha") + w("beta") >= 0) 1L else 0L)))
+    assert(out(2L) == ((1L, 5L + w(""), if (5L + w("") >= 0) 1L else 0L))) // empty text = one empty token
+    assert(out(3L) == ((0L, 5L, 1L))) // null text: intercept only
+  }
+
   test("stratified sample membership equals the stateless hash rule") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val kept = graft.ops.Sampling
