@@ -321,6 +321,25 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"stratified sample must be shuffle-free:\n$samp")
   }
 
+  test("line dedup: frequent-line probe broadcasts; no cartesian") {
+    // the frequent-line set is small by construction (<= lines/minCount),
+    // so AQE must convert the anti-join to a broadcast probe — the
+    // exploded corpus is never shuffled on line content
+    // crafted corpus with BOTH surviving and dropped lines — an all-
+    // dropped corpus lets AQE collapse the reassembly join to a null
+    // projection and the pin would assert nothing
+    import spark.implicits._
+    val docs = (1 to 200).map(i => (i.toLong, s"unique line $i\ncookie banner"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Curation.lineDedup(docs, "doc_id", "text", minCount = 2)
+    out.collect() // AQE: join strategy is only visible in the final plan
+    val p = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"frequent-line anti-join must broadcast the small build side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no unkeyed join anywhere in line dedup:\n$p")
+  }
+
   test("semantic dedup: centroid assignment broadcasts, no cartesian anywhere") {
     val p = plan("t_semantic_dedup")
     // the corpus x centroids argmax is a deliberate k-row broadcast
