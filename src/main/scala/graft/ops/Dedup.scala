@@ -164,26 +164,29 @@ object Dedup {
         h
       }
     }
-    val withBhs = sigs.select(col("id"), bandHashUdf(col("sig")).as("bhs"))
-    // pass 1 (thin rows): bucket occupancy per (band, hash), then per-doc
-    // small-bucket bitmask (bit b set <=> the doc's band-b bucket <= cap)
-    val banded = withBhs.select(col("id"), posexplode(col("bhs")))
+    // pass 1 (thin rows): ONE banded explode + ONE (band, hash) exchange
+    // carrying bucket occupancy and bucket min id; the star branch and
+    // the per-doc mask aggregation are both consumers of this same
+    // window output, so the (possibly expensive, uncached) signature
+    // input is exploded exactly once and the exchange is reused
+    val banded = sigs.select(col("id"), posexplode(bandHashUdf(col("sig"))))
       .select(col("id"), col("pos").as("band"), col("col").as("band_hash"))
     val w1 = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")
-    val masks = banded.withColumn("__cnt", count(lit(1)).over(w1))
+    val counted = banded
+      .withColumn("__cnt", count(lit(1)).over(w1))
+      .withColumn("__min_id", min("id").over(w1))
+    // per-doc small-bucket bitmask (bit b set <=> the doc's band-b bucket
+    // <= cap) + the band-hash array reassembled from the same rows — the
+    // mask bit of the CURRENT band is the small-bucket filter for pass 2,
+    // so no second occupancy window is ever needed
+    val perDoc = counted
       .groupBy("id")
-      .agg(expr(s"sum(CASE WHEN __cnt <= $maxBucket " +
-        "THEN shiftleft(CAST(1 AS BIGINT), CAST(band AS INT)) " +
-        "ELSE CAST(0 AS BIGINT) END)").as("small_mask"))
-    // pass 2 (members carry bhs + mask): bucket again, expand pairs
-    val members = withBhs.join(masks, Seq("id"))
-      .select(col("id"), col("small_mask"), col("bhs"), posexplode(col("bhs")))
-      .select(col("id"), col("small_mask"), col("bhs"),
-        col("pos").as("band"), col("col").as("band_hash"))
-    val w2 = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")
-    val m = members
-      .withColumn("__cnt", count(lit(1)).over(w2))
-      .withColumn("__min_id", min("id").over(w2))
+      .agg(
+        expr(s"sum(CASE WHEN __cnt <= $maxBucket " +
+          "THEN shiftleft(CAST(1 AS BIGINT), CAST(band AS INT)) " +
+          "ELSE CAST(0 AS BIGINT) END)").as("small_mask"),
+        expr("transform(array_sort(collect_list(struct(band, band_hash))), " +
+          "x -> x.band_hash)").as("bhs")) // 16 rows per id: bounded
     val firstMatchPairsUdf = udf { (ms: Seq[org.apache.spark.sql.Row], band: Int) =>
       val n = ms.length
       val ids = new Array[Long](n)
@@ -215,13 +218,20 @@ object Dedup {
       }
       out.toSeq
     }
-    val smallPairs = m.filter(col("__cnt") > 1 && col("__cnt") <= maxBucket)
+    // pass 2: re-explode only the small-bucket memberships (the mask bit
+    // decides locally), bucket once more, expand pairs first-match
+    val smallPairs = perDoc
+      .select(col("id"), col("small_mask"), col("bhs"), posexplode(col("bhs")))
+      .select(col("id"), col("small_mask"), col("bhs"),
+        col("pos").as("band"), col("col").as("band_hash"))
+      .filter(expr("((small_mask >> band) & 1) = 1"))
       .groupBy("band", "band_hash")
       .agg(sort_array(collect_list(struct(col("id"), col("small_mask"), col("bhs"))))
         .as("ms")) // bounded by cap
       .select(explode(firstMatchPairsUdf(col("ms"), col("band"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
-    val starPairs = m.filter(col("__cnt") > maxBucket && col("id") =!= col("__min_id"))
+    val starPairs = counted
+      .filter(col("__cnt") > maxBucket && col("id") =!= col("__min_id"))
       .select(col("__min_id").as("id_a"), col("id").as("id_b"))
     smallPairs.union(starPairs).distinct()
   }

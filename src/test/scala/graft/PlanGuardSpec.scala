@@ -149,10 +149,12 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
   test("bucket-pair generation: no unbounded membership collect; shared exchange") {
     // the two-regime shape (small buckets collected bounded-by-cap,
     // over-cap buckets projected as star pairs) must (a) never aggregate a
-    // bucket's full membership — no collect_set — and (b) read the
-    // banded/bucketed members from ONE exchange (the expensive signature
-    // compute sits below it), visible as a ReusedExchange in the final
-    // adaptive plan of the second regime's branch
+    // bucket's full membership — no collect_set (the mask/bhs collects are
+    // bounded at 16 rows per id, the pair collect at cap members) —
+    // and (b) share the pass-1 occupancy exchange between the star branch
+    // and the per-doc mask aggregation: the final adaptive plan must read
+    // the band-keyed exchange through a ReusedExchange, which is also the
+    // proof the (possibly uncached) signature explode below it ran once
     import spark.implicits._
     val docs = (1L to 300L)
       .map(i => (i, s"shared boilerplate prefix tokens ${i % 7} tail " * 4))
@@ -161,10 +163,12 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       graft.ops.Dedup.minhashSignatures(docs, "doc_id", "text"), maxBucket = 8)
     pairs.collect() // finalize the adaptive plan
     val p = pairs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
     assert(!p.contains("collect_set"),
       s"bucket membership must never be collected into agg state:\n$p")
-    assert(p.contains("ReusedExchange"),
-      s"small-pair and star branches must share the members exchange:\n$p")
+    assert("ReusedExchange \\[[^\\]]*\\], Exchange hashpartitioning\\(band"
+      .r.findAllIn(p).nonEmpty,
+      s"star branch must reuse the band-keyed pass-1 exchange (not recompute signatures):\n$p")
   }
 
   test("skew demo: both variants sort-merge; salted joins on (k, salt)") {
