@@ -911,6 +911,52 @@ object SparkEntry {
       graft.ops.Curation.lineDedup(lined, "doc_id", "text", minCount = 2)
         .orderBy("doc_id")
     }),
+    "t_pagerank" -> ((s, dir) => {
+      // integer-arithmetic PageRank over the symmetrized customer-supplier
+      // trade graph (distinct pairs via orders x lineitem), 3 Pregel-style
+      // iterations — every division is a floor of non-negative BIGINTs, so
+      // ranks are bit-identical under any partitioning or engine; top-50
+      // hubs, ties broken by node id
+      val cs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        .distinct()
+      val edges = cs.unionByName(cs.select(col("b").as("a"), col("a").as("b")))
+      graft.ops.Graph.pageRank(edges, "a", "b", iterations = 3)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(50)
+    }),
+    "t_countmin" -> ((s, dir) => {
+      // count-min sketch heavy hitters (Cormode-Muthukrishnan): 4x1024
+      // integer counter matrix over token frequencies, point-estimated on
+      // the exact top-20 tokens — one-sided error (cm_est >= exact_n
+      // always, equal absent collisions); the fixed-size sketch is the
+      // 100 TB answer when the distinct-key domain is too large to count
+      val toks = t(s, dir, "documents").select(
+        explode(split(TextAnalysis.normalized(col("text")), " ")).as("term"))
+      val sketch = graft.ops.Frequency.countMinSketch(toks, "term",
+        depth = 4, width = 1024)
+      val exact = toks.groupBy("term").agg(count(lit(1)).as("exact_n"))
+      val top = exact.orderBy(col("exact_n").desc, col("term")).limit(20)
+      graft.ops.Frequency.countMinEstimate(sketch, top, "term",
+          depth = 4, width = 1024)
+        .join(top, Seq("term"))
+        .select(col("term"), col("exact_n"), col("cm_est"))
+        .orderBy("term")
+    }),
+    "t_span_dedup" -> ((s, dir) => {
+      // exact-substring (duplicate 5-gram span) removal, Lee et al. 2022
+      // style, over the near-dup corpus: perturbed copies (every 7th word
+      // dropped) share 5-token runs with their originals BETWEEN the
+      // perturbation points, so coverage is partial — plus the word
+      // soup's organic repeated 5-grams; every duplicated span vanishes
+      // from every document it occurs in
+      graft.ops.Curation.spanDedup(docsWithNearDups(s, dir), "doc_id",
+          "text", k = 5, minCount = 2)
+        .orderBy("doc_id")
+    }),
     "t_linear_score" -> ((s, dir) => {
       // hashing-trick quality-classifier inference (fastText-style):
       // 4096-bucket integer weight table (deterministic fixture weights
@@ -2469,6 +2515,130 @@ object SparkEntry {
         |  CAST(len(l.ls) - coalesce(r.nk, 0) AS BIGINT) AS n_lines_dropped
         |FROM lined l LEFT JOIN reasm r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // pagerank replay: symmetrized trade graph, 3 unrolled Pregel rounds,
+    // all BIGINT floor divisions of non-negative operands (truncation ==
+    // floor on both engines, nothing near 2^53)
+    "t_pagerank" ->
+      """WITH cs AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), edges AS (
+        |  SELECT a, b FROM cs UNION ALL SELECT b AS a, a AS b FROM cs
+        |), nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT a AS node FROM edges UNION ALL SELECT b FROM edges) u
+        |), params AS (
+        |  SELECT COUNT(*) AS n,
+        |    ((1000000000000 * 15) // 100) // COUNT(*) AS base,
+        |    1000000000000 // COUNT(*) AS r0
+        |  FROM nodes
+        |), deg AS (
+        |  SELECT a, COUNT(*) AS deg FROM edges GROUP BY a
+        |), rank0 AS (
+        |  SELECT node, p.r0 AS rank FROM nodes CROSS JOIN params p
+        |), c1 AS (
+        |  SELECT e.b AS node, SUM(r.rank // d.deg) AS s
+        |  FROM edges e JOIN rank0 r ON r.node = e.a JOIN deg d ON d.a = e.a
+        |  GROUP BY e.b
+        |), rank1 AS (
+        |  SELECT nd.node, p.base + (85 * coalesce(c.s, 0)) // 100 AS rank
+        |  FROM nodes nd CROSS JOIN params p LEFT JOIN c1 c ON c.node = nd.node
+        |), c2 AS (
+        |  SELECT e.b AS node, SUM(r.rank // d.deg) AS s
+        |  FROM edges e JOIN rank1 r ON r.node = e.a JOIN deg d ON d.a = e.a
+        |  GROUP BY e.b
+        |), rank2 AS (
+        |  SELECT nd.node, p.base + (85 * coalesce(c.s, 0)) // 100 AS rank
+        |  FROM nodes nd CROSS JOIN params p LEFT JOIN c2 c ON c.node = nd.node
+        |), c3 AS (
+        |  SELECT e.b AS node, SUM(r.rank // d.deg) AS s
+        |  FROM edges e JOIN rank2 r ON r.node = e.a JOIN deg d ON d.a = e.a
+        |  GROUP BY e.b
+        |), rank3 AS (
+        |  SELECT nd.node, p.base + (85 * coalesce(c.s, 0)) // 100 AS rank
+        |  FROM nodes nd CROSS JOIN params p LEFT JOIN c3 c ON c.node = nd.node
+        |)
+        |SELECT node, CAST(rank AS BIGINT) AS rank FROM rank3
+        |ORDER BY rank DESC, node LIMIT 50""".stripMargin,
+
+    // count-min replay: sketch counters are sums, so the oracle builds
+    // them from per-DISTINCT-term exact counts (sum of exact_n per cell
+    // == count of occurrences per cell); fnv1a("r:" || term) mod the
+    // power-of-two width keeps signed/unsigned parity exact
+    "t_countmin" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(
+         |    TRIM(REGEXP_REPLACE(LOWER(text), '$WS', ' ', 'g')), ' ')) AS term
+         |  FROM documents
+         |), exact AS (
+         |  SELECT term, COUNT(*) AS exact_n FROM tok GROUP BY term
+         |), rs AS (
+         |  SELECT unnest(range(0, 4)) AS r
+         |), cells AS (
+         |  SELECT term, exact_n, r,
+         |    CAST(${fnvSql("CAST(r AS VARCHAR) || ':' || term")} % 1024 AS BIGINT) AS cell
+         |  FROM exact CROSS JOIN rs
+         |), sketch AS (
+         |  SELECT r, cell, SUM(exact_n) AS cnt FROM cells GROUP BY r, cell
+         |), top AS (
+         |  SELECT term, exact_n FROM exact ORDER BY exact_n DESC, term LIMIT 20
+         |), qcells AS (
+         |  SELECT c.term, c.exact_n, c.r, c.cell FROM cells c
+         |  WHERE c.term IN (SELECT term FROM top)
+         |), est AS (
+         |  SELECT q.term, q.exact_n, MIN(coalesce(s.cnt, 0)) AS cm_est
+         |  FROM qcells q LEFT JOIN sketch s USING (r, cell)
+         |  GROUP BY q.term, q.exact_n
+         |)
+         |SELECT term, CAST(exact_n AS BIGINT) AS exact_n,
+         |  CAST(cm_est AS BIGINT) AS cm_est
+         |FROM est ORDER BY term""".stripMargin,
+
+    // span-dedup replay: 5-gram window FNV fingerprints over the near-dup
+    // corpus, corpus-wide frequency, per-token coverage via EXISTS over
+    // duplicated starts (the oracle can afford the O(n*s) form the
+    // operator's two-pointer sweep avoids), in-order reassembly
+    "t_span_dedup" ->
+      s"""WITH $corpusCte, toksl AS (
+         |  SELECT doc_id,
+         |    string_split(TRIM(REGEXP_REPLACE(LOWER(text), '$WS', ' ', 'g')), ' ') AS toks
+         |  FROM corpus
+         |), wstr AS (
+         |  SELECT doc_id,
+         |    unnest([array_to_string(toks[(i+1):(i+5)], ' ')
+         |            FOR i IN range(0, greatest(len(toks) - 4, 0))]) AS w,
+         |    unnest(range(0, greatest(len(toks) - 4, 0))) AS p
+         |  FROM toksl
+         |), wins AS (
+         |  SELECT doc_id, p, ${fnvSql("w")} AS wh FROM wstr
+         |), freq AS (
+         |  SELECT wh FROM wins GROUP BY wh HAVING COUNT(*) >= 2
+         |), starts AS (
+         |  SELECT doc_id, p FROM wins WHERE wh IN (SELECT wh FROM freq)
+         |), ndw AS (
+         |  SELECT doc_id, COUNT(*) AS ndw FROM starts GROUP BY doc_id
+         |), tok AS (
+         |  SELECT doc_id, unnest(toks) AS tk,
+         |    unnest(range(0, len(toks))) AS i
+         |  FROM toksl
+         |), kept AS (
+         |  SELECT t.doc_id, t.i, t.tk FROM tok t
+         |  WHERE NOT EXISTS (SELECT 1 FROM starts s
+         |    WHERE s.doc_id = t.doc_id AND s.p <= t.i AND t.i <= s.p + 4)
+         |), reasm AS (
+         |  SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS ct,
+         |    COUNT(*) AS nk
+         |  FROM kept GROUP BY doc_id
+         |)
+         |SELECT l.doc_id, coalesce(r.ct, '') AS clean_text,
+         |  CAST(len(l.toks) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(r.nk, 0) AS BIGINT) AS n_kept,
+         |  CAST(len(l.toks) - coalesce(r.nk, 0) AS BIGINT) AS n_dropped,
+         |  CAST(coalesce(d.ndw, 0) AS BIGINT) AS n_dup_windows
+         |FROM toksl l LEFT JOIN reasm r USING (doc_id)
+         |  LEFT JOIN ndw d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // linear-score replay: the splitmix64 fixture weight table in HUGEINT
     // (power-of-two moduli keep signed/unsigned parity exact), fnv1a

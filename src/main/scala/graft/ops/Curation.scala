@@ -243,6 +243,85 @@ object Curation {
           .as("n_lines_dropped"))
   }
 
+  /** Duplicate-span removal — the exact-substring dedup of Lee et al.
+    * 2022 ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499), approximated at token-window granularity as
+    * production web-corpus pipelines do: any `k`-token window whose
+    * fingerprint occurs >= `minCount` times corpus-wide (counting every
+    * position in every document, self-repeats included) marks its `k`
+    * token positions as duplicated; every marked token is removed and
+    * each document reassembles from its surviving tokens in order.
+    * Complements document-level (MinHash/SimHash) and line-level dedup:
+    * it catches long verbatim spans embedded in otherwise-distinct pages,
+    * which neither of those granularities sees. Window identity is the
+    * FNV-1a fingerprint of the space-joined normalized window
+    * (fingerprint equality — the standard scale trade-off vs materializing
+    * window strings). NULL text behaves as empty text. Output: one row
+    * per input document — (idCol, clean_text, n_tokens, n_kept,
+    * n_dropped, n_dup_windows).
+    *
+    * Scale shape: windows derive narrowly from the per-row token array
+    * (no pre-shuffle explode of anything wider than the text itself); the
+    * window-frequency aggregate map-side combines, so a boilerplate span
+    * repeated 10^8 times ships one (fingerprint, count) partial per task;
+    * the duplicated-window probe is a KEYED semi-join on the fingerprint
+    * (never all-pairs); duplicated start positions — duplicate-mass
+    * sized, not corpus sized — regroup by document with per-group state
+    * bounded by the document's own window count; and the final coverage
+    * sweep is a per-row two-pointer merge over (tokens, sorted starts),
+    * O(n + s) per document. No quadratic step anywhere. */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minCount: Long = 2): DataFrame = {
+    require(k >= 2, "k < 2 is single-token granularity - not a span")
+    require(minCount >= 2, "minCount < 2 would mark every window duplicated")
+    val winHash = udf { (toks: Seq[String]) =>
+      val n = if (toks == null) 0 else toks.length
+      if (n < k) Array.empty[Long]
+      else Array.tabulate(n - k + 1) { i =>
+        Dedup.fnv1a(toks.slice(i, i + k).mkString(" "))
+      }
+    }
+    // two-pointer sweep: starts is sorted ascending; token i is covered
+    // iff some duplicated window [p, p+k-1] contains it
+    val sweep = udf { (toks: Seq[String], starts: Seq[Int]) =>
+      val st = if (starts == null) Seq.empty[Int] else starts
+      val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+      var j = 0
+      var covEnd = -1
+      var i = 0
+      while (i < toks.length) {
+        while (j < st.length && st(j) <= i) {
+          covEnd = math.max(covEnd, st(j) + k - 1); j += 1
+        }
+        if (i > covEnd) kept += toks(i)
+        i += 1
+      }
+      (kept.mkString(" "), kept.length)
+    }
+    val base = docs.select(col(idCol).as("__id"),
+      split(coalesce(normalized(col(textCol)), lit("")), " ").as("__toks"))
+    val wins = base
+      .select(col("__id"), posexplode(winHash(col("__toks"))))
+      .select(col("__id"), col("pos").as("__p"), col("col").as("__wh"))
+    val dup = wins.groupBy("__wh").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount).select("__wh")
+    val dupStarts = wins.join(dup, Seq("__wh"), "left_semi")
+      .groupBy("__id")
+      .agg(sort_array(collect_list(col("__p"))).as("__starts"),
+        count(lit(1)).as("n_dup_windows"))
+    base.join(dupStarts, Seq("__id"), "left")
+      .select(col("__id"), col("__toks"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        sweep(col("__toks"),
+          coalesce(col("__starts"), array().cast("array<int>"))).as("__sw"))
+      .select(col("__id").as(idCol),
+        col("__sw._1").as("clean_text"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        col("__sw._2").cast("long").as("n_kept"),
+        (size(col("__toks")) - col("__sw._2")).cast("long").as("n_dropped"),
+        col("n_dup_windows"))
+  }
+
   /** RE2-compatible patterns (identical semantics in Java regex), so an
     * external engine can replay the redaction byte-for-byte. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

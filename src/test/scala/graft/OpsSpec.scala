@@ -685,6 +685,100 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(ord(2L) == "")
   }
 
+  test("pageRank: integer ranks replay a hand-rolled reference exactly") {
+    import graft.ops.Graph
+    // diamond with a back edge: a->b, a->c, b->d, c->d, d->a
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "a"))
+      .toDF("s", "d")
+    val got = Graph.pageRank(edges, "s", "d", iterations = 3).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("rank")).toMap
+    val adj = Map("a" -> Seq("b", "c"), "b" -> Seq("d"), "c" -> Seq("d"),
+      "d" -> Seq("a"))
+    val nodes = Seq("a", "b", "c", "d")
+    val scale = 1000000000000L
+    val base = scale * 15 / 100 / nodes.length
+    var r = nodes.map(_ -> scale / nodes.length).toMap
+    for (_ <- 1 to 3) {
+      val in = nodes.map(v => v -> adj.toSeq.collect {
+        case (u, outs) if outs.contains(v) => r(u) / outs.size
+      }.sum).toMap
+      r = nodes.map(v => v -> (base + 85L * in(v) / 100L)).toMap
+    }
+    assert(got == r)
+    // hub (d: two in-edges) must outrank the spokes
+    assert(got("d") > got("b") && got("b") == got("c"))
+  }
+
+  test("countMin sketch: mass conserved per row, est >= exact, cells replayable") {
+    import graft.ops.Frequency
+    val depth = 4; val width = 64
+    val data = Seq.fill(5)("alpha") ++ Seq.fill(3)("beta") ++
+      Seq("gamma", null.asInstanceOf[String])
+    val items = data.toDF("term")
+    val sketch = Frequency.countMinSketch(items, "term", depth, width)
+    // each sketch row holds the full non-null item mass
+    val mass = sketch.groupBy("r").agg(sum("cnt").as("m")).collect()
+    assert(mass.length == depth && mass.forall(_.getAs[Long]("m") == 9L))
+    // independent replay of the counter matrix from the cell definition
+    def cell(r: Int, s: String): Long =
+      java.lang.Math.floorMod(Dedup.fnv1a(s"$r:$s"), width.toLong)
+    val refCnt: Map[(Int, Long), Long] = data.filter(_ != null)
+      .flatMap(s => (0 until depth).map(r => (r, cell(r, s))))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = sketch.collect().map(r =>
+      (r.getAs[Int]("r"), r.getAs[Long]("cell")) -> r.getAs[Long]("cnt")).toMap
+    assert(got == refCnt)
+    // estimates: one-sided error, exact value replayed via min over cells
+    val queries = Seq("alpha", "beta", "gamma", "absent").toDF("term")
+    val est = Frequency.countMinEstimate(sketch, queries, "term", depth, width)
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("cm_est")).toMap
+    val exact = Map("alpha" -> 5L, "beta" -> 3L, "gamma" -> 1L, "absent" -> 0L)
+    for ((t, n) <- exact) {
+      assert(est(t) >= n, s"$t: est ${est(t)} < exact $n")
+      val want = (0 until depth).map(r => refCnt.getOrElse((r, cell(r, t)), 0L)).min
+      assert(est(t) == want, s"$t: est ${est(t)} != replay $want")
+    }
+  }
+
+  test("spanDedup removes duplicated k-gram spans, keeps unique remainder") {
+    import graft.ops.Curation
+    // docs 1 and 2 share the 5-token span "a b c d e" embedded in
+    // otherwise-distinct text; doc 3 repeats a span within itself;
+    // doc 4 is shorter than k; doc 5 is entirely one shared span
+    val corpus = Seq(
+      (1L, "p q a b c d e r s"),
+      (2L, "x y z a b c d e w"),
+      (3L, "m n o t u m n o t u filler1 filler2"),
+      (4L, "tiny doc"),
+      (5L, "a b c d e")
+    ).toDF("doc_id", "text")
+    val out = Curation.spanDedup(corpus, "doc_id", "text", k = 5, minCount = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"),
+          r.getAs[Long]("n_dup_windows")))).toMap
+    assert(out.size == 5)
+    // shared span "a b c d e" is removed from BOTH carriers, rest kept
+    assert(out(1L) == (("p q r s", 9L, 4L, 5L, 1L)))
+    assert(out(2L) == (("x y z w", 9L, 4L, 5L, 1L)))
+    // self-repeat counts toward minCount: both "m n o t u" occurrences go
+    assert(out(3L) == (("filler1 filler2", 12L, 2L, 10L, 2L)))
+    // shorter than k: no windows, untouched
+    assert(out(4L) == (("tiny doc", 2L, 2L, 0L, 0L)))
+    // fully-duplicated doc survives as '' (row preserved)
+    assert(out(5L) == (("", 5L, 0L, 5L, 1L)))
+    // overlapping duplicated windows merge their coverage (no double-drop)
+    val ov = Curation.spanDedup(Seq(
+      (1L, "a b c d e f keepme1"), (2L, "a b c d e f keepme2")
+    ).toDF("doc_id", "text"), "doc_id", "text", k = 5, minCount = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_dropped"),
+          r.getAs[Long]("n_dup_windows")))).toMap
+    // windows [a..e] and [b..f] both duplicated -> covered union a..f
+    assert(ov(1L) == (("keepme1", 6L, 2L)))
+    assert(ov(2L) == (("keepme2", 6L, 2L)))
+  }
+
   test("applyLinearModel: integer logit replays the hashing-trick sum") {
     val dim = 64
     val weights = Array.tabulate(dim)(j => (j % 7).toLong - 3L)

@@ -344,6 +344,21 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"no unkeyed join anywhere in line dedup:\n$p")
   }
 
+  test("span dedup: keyed probe and regroup only; no cartesian, no unkeyed join") {
+    import spark.implicits._
+    // shared span in two docs plus unique remainders — both the
+    // duplicated-window probe and the reassembly join must stay keyed
+    val docs = (1 to 100).map(i =>
+      (i.toLong, s"shared span tokens w1 w2 w3 unique$i tail$i")).toDF("doc_id", "text")
+    val out = graft.ops.Curation.spanDedup(docs, "doc_id", "text", k = 5, minCount = 2)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span dedup must never plan an unkeyed join:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"duplicated-window probe must be the keyed semi-join:\n$p")
+  }
+
   test("semantic dedup: centroid assignment broadcasts, no cartesian anywhere") {
     val p = plan("t_semantic_dedup")
     // the corpus x centroids argmax is a deliberate k-row broadcast
