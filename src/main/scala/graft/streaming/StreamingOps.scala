@@ -15,16 +15,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
-  /** The driver's events table carries TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects; sessions set
+  /** Normalizes the events table's `ts` to plain TIMESTAMP across the
+    * parquet physical types the driver has shipped: TIMESTAMP(NANOS)
+    * (rejected by Spark's reader — sessions set
     * `spark.sql.legacy.parquet.nanosAsLong=true` and this converts the
-    * nano-long back to a (micro) timestamp. No-op when ts is already a
-    * timestamp. */
+    * nano-long back to a micro timestamp) and TIMESTAMP(MICROS) without
+    * UTC adjustment (read as TIMESTAMP_NTZ, which event-time watermarks
+    * and `unix_micros` reject — cast back; sessions run in UTC, so the
+    * cast is value-preserving and agrees with DuckDB's naive read of the
+    * same file). No-op when ts is already a timestamp. */
   def normalizeEventTs(df: DataFrame): DataFrame =
-    if (df.schema.exists(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType))
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   /** Streaming reader over a parquet directory (or single parquet file —
     * FileStreamSource wants a directory, so a file gets its parent as
