@@ -778,6 +778,19 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    "t_ann_pq" -> ((s, dir) => {
+      // product-quantization ADC search: 4 subspaces x 16 codewords over
+      // the 64-dim embeddings. Approximate distances are integer BY
+      // CONSTRUCTION (the LUT cells are q24-floored squared-L2 doubles,
+      // summed as BIGINTs), so the hashed output needs no extra scaling;
+      // the oracle replays fit, encode, LUT and sum exactly
+      val e = t(s, dir, "embeddings")
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 10), k = 5,
+          m = 4, ksub = 16)
+        .select(col("query_id"), col("corpus_id"), col("adist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     "t_embed_neardup" -> ((s, dir) => {
       // synthetic embeddings have no natural near-dups (max pairwise
       // cosine ~0.51) — inject perturbed copies of vec_id < 10 (first
@@ -1317,6 +1330,14 @@ object SparkEntry {
       "(acc, x) -> acc + x)"
 
   /** CosineSim replay over two double-cast embedding columns. */
+  /** Engine-exact squared L2 distance, q24-floored to BIGINT — the PQ
+    * assignment/LUT metric (mirrors `Similarity.sqDist` + `q24`): each
+    * dot is an in-order fold, the combination a fixed-shape double
+    * expression, the floor form single-definition everywhere. */
+  private def sqDistQ24Sql(a: String, b: String): String =
+    s"CAST(FLOOR((list_dot_product($a, $a) + list_dot_product($b, $b)" +
+      s" - 2*list_dot_product($a, $b)) * 16777216.0 + 0.5) AS BIGINT)"
+
   private def cosineSql(a: String, b: String): String =
     s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))" +
       s" / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))" +
@@ -2338,6 +2359,75 @@ object SparkEntry {
          |  FROM scored
          |)
          |SELECT query_id, corpus_id, CAST(FLOOR(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_ppm, rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // PQ/ADC replay — the full trained index: per-subspace seed sample
+    // (shared deterministic corpus sample, subvector per subspace), one
+    // Lloyd refinement with q24-floored squared-L2 assignment and the
+    // distributive quantized mean, float-cast codewords, re-assignment
+    // (= the code table), the query LUT, and the integer ADC sum
+    "t_ann_pq" ->
+      s"""WITH subs AS (
+         |  SELECT unnest(generate_series(0, 3)) AS sub
+         |), csv AS (
+         |  SELECT e.vec_id, s.sub,
+         |    CAST(list_slice(e.embedding, s.sub*16 + 1, s.sub*16 + 16) AS DOUBLE[]) AS sv
+         |  FROM embeddings e CROSS JOIN subs s
+         |), seeds AS (
+         |  SELECT vec_id AS cent_id, embedding FROM embeddings
+         |  WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT 16
+         |), ssv AS (
+         |  SELECT d.cent_id, s.sub,
+         |    CAST(list_slice(d.embedding, s.sub*16 + 1, s.sub*16 + 16) AS DOUBLE[]) AS csv
+         |  FROM seeds d CROSS JOIN subs s
+         |), a1 AS (
+         |  SELECT c.vec_id, c.sub, c.sv, v.cent_id,
+         |    ${sqDistQ24Sql("c.sv", "v.csv")} AS dd
+         |  FROM csv c JOIN ssv v ON c.sub = v.sub
+         |), b1 AS (
+         |  SELECT sub, cent_id, sv FROM (
+         |    SELECT sub, cent_id, sv,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dd, cent_id) AS r
+         |    FROM a1) t WHERE r = 1
+         |), st AS (
+         |  SELECT sub, cent_id, pos,
+         |    SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 16777216.0 + 0.5) AS BIGINT)) AS ssum,
+         |    COUNT(*) AS n
+         |  FROM (SELECT sub, cent_id, unnest(sv) AS val,
+         |          generate_subscripts(sv, 1) - 1 AS pos FROM b1) u
+         |  GROUP BY sub, cent_id, pos
+         |), books AS (
+         |  SELECT sub, cent_id,
+         |    CAST(list_transform(list(mm ORDER BY pos), x -> CAST(x AS REAL)) AS DOUBLE[]) AS csv
+         |  FROM (SELECT sub, cent_id, pos,
+         |          CAST(ssum AS DOUBLE) / 16777216.0 / CAST(n AS DOUBLE) AS mm FROM st) q
+         |  GROUP BY sub, cent_id
+         |), a2 AS (
+         |  SELECT c.vec_id, c.sub, b.cent_id,
+         |    ${sqDistQ24Sql("c.sv", "b.csv")} AS dd
+         |  FROM csv c JOIN books b ON c.sub = b.sub
+         |), codes AS (
+         |  SELECT vec_id AS corpus_id, sub, cent_id AS code FROM (
+         |    SELECT vec_id, sub, cent_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dd, cent_id) AS r
+         |    FROM a2) t WHERE r = 1
+         |), lut AS (
+         |  SELECT c.vec_id AS query_id, c.sub, b.cent_id AS code,
+         |    ${sqDistQ24Sql("c.sv", "b.csv")} AS qd
+         |  FROM csv c JOIN books b ON c.sub = b.sub
+         |  WHERE c.vec_id < 10
+         |), ad AS (
+         |  SELECT l.query_id, c.corpus_id, SUM(l.qd) AS adist
+         |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+         |  WHERE c.corpus_id <> l.query_id
+         |  GROUP BY l.query_id, c.corpus_id
+         |), ranked AS (
+         |  SELECT query_id, corpus_id, adist,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY adist, corpus_id) AS BIGINT) AS rank
+         |  FROM ad
+         |)
+         |SELECT query_id, corpus_id, adist, rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // embedding near-dup replay: 8-bit hyperplane bucket collision, exact

@@ -328,6 +328,129 @@ object Similarity {
       .select(col("id").as(idCol), col("cent_id"))
   }
 
+  /** Engine-exact squared L2 distance: |a|^2 + |b|^2 - 2*(a.b), each term
+    * an in-order fold ([[dotProduct]] / DuckDB `list_dot_product`), the
+    * combination a fixed-shape double expression — bit-identical across
+    * engines, the same parity contract the cosine kernel relies on. */
+  private def sqDist(a: Column, b: Column): Column =
+    dotProduct(a, a) + dotProduct(b, b) - lit(2.0) * dotProduct(a, b)
+
+  /** (id, sub, subvector) rows: the vector split into `m` contiguous
+    * subspaces of `subDim` dims each — a pure posexplode over slice
+    * expressions, no UDF, stays in whole-stage codegen. */
+  private def subvectors(df: DataFrame, idAs: String, svAs: String,
+      m: Int, subDim: Int, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as(idAs),
+        posexplode(array((0 until m).map(s =>
+          slice(col(vecCol), s * subDim + 1, subDim)): _*)))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", svAs)
+
+  /** Product-quantization codebook fit (Jégou, Douze & Schmid 2011,
+    * "Product quantization for nearest neighbor search", IEEE TPAMI):
+    * split every vector into `m` contiguous subspaces and k-means each
+    * subspace independently (seed codewords = the shared deterministic
+    * corpus sample, one Lloyd refinement — the [[ivfFit]] recipe per
+    * subspace). Returns (sub, cent_id, csv) float codewords.
+    *
+    * Determinism contract: assignment distances are squared-L2 doubles
+    * quantized to the 1/2^24 grid BEFORE the argmin ([[q24]] floor form,
+    * ties broken by cent_id), and codeword means are the distributive
+    * q24-integer sums of [[ivfFit]] — the whole trained codebook is
+    * bit-for-bit replayable by an external engine.
+    *
+    * Scale: the seed set is m*ksub rows (broadcast); assignment is one
+    * corpus scan producing m rows per vector, reduced map-side by the
+    * min_by aggregate (per-group state one struct, never a per-cell
+    * list); the mean aggregation is the same (key, pos)-sum shape as
+    * [[ivfFit]]. Nothing scales with corpus size except the scans. */
+  def pqFit(corpus: DataFrame, m: Int = 4, ksub: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+    val sd = dim / m
+    val seeds = corpus.filter(pmod(col(idCol), lit(7)) === 0)
+      .orderBy(col(idCol)).limit(ksub)
+      .select(col(idCol).as("cent_id"), col(vecCol))
+    val seedSv = subvectors(seeds, "cent_id", "csv", m, sd, "cent_id", vecCol)
+    val sv = subvectors(corpus, "vid", "sv", m, sd, idCol, vecCol)
+    val assigned = sv.join(broadcast(seedSv), Seq("sub"))
+      .withColumn("d", q24(sqDist(col("sv"), col("csv"))))
+      .groupBy("vid", "sub")
+      .agg(min_by(struct(col("cent_id"), col("sv")),
+        struct(col("d"), col("cent_id"))).as("best"))
+      .select(col("sub"), col("best.cent_id").as("cent_id"),
+        col("best.sv").as("sv"))
+    assigned.select(col("sub"), col("cent_id"), posexplode(col("sv")))
+      .groupBy("sub", "cent_id", "pos")
+      .agg(sum(q24(col("col"))).as("ssum"), count(lit(1)).as("n"))
+      .withColumn("mm", col("ssum").cast("double") / lit(16777216.0) / col("n"))
+      .groupBy("sub", "cent_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mm")))).as("pm"))
+      .select(col("sub"), col("cent_id"),
+        transform(col("pm"), x => x.getField("mm").cast("float")).as("csv"))
+  }
+
+  /** PQ encoding: each vector compresses to `m` small codes — the id of
+    * its nearest codeword per subspace (same quantized-distance argmin as
+    * the fit). Output (id, sub, code): m rows per vector, ~1 byte of
+    * information each vs 4*dim bytes of raw floats — the 64x memory
+    * compression that lets a 100 TB embedding corpus's index fit in RAM.
+    * `codebooks` must be the (small) [[pqFit]] output; it is broadcast. */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+    val sv = subvectors(corpus, "vid", "sv", m, dim / m, idCol, vecCol)
+    sv.join(broadcast(codebooks), Seq("sub"))
+      .withColumn("d", q24(sqDist(col("sv"), col("csv"))))
+      .groupBy("vid", "sub")
+      .agg(min(struct(col("d"), col("cent_id"))).as("best"))
+      .select(col("vid").as(idCol), col("sub"),
+        col("best.cent_id").as("code"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: queries stay full-precision, the
+    * corpus is its PQ codes; a query precomputes its quantized squared-L2
+    * distance to every codeword (the LUT — nq*m*ksub integer cells) and a
+    * corpus vector's approximate distance is the integer SUM of the LUT
+    * cells its codes select. Exact ranking over the approximate metric:
+    * integer distances, ties by corpus_id.
+    *
+    * Scale: the LUT is queries-sized (broadcast); the search is ONE scan
+    * of the (m-rows-per-vector) code table with a broadcast hash join on
+    * (sub, code) + one (query, corpus)-keyed integer-sum aggregate —
+    * map-side combined, no shuffle of anything corpus-sized beyond the
+    * group keys — then the standard WindowGroupLimit top-k prune. The
+    * corpus's float vectors are read once at encode time and never again;
+    * at 100 TB that is the difference between scanning 100 TB per query
+    * batch and scanning the ~1.5 TB code table. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
+      ksub: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val books = pqFit(corpus, m, ksub, idCol, vecCol)
+    // materialize the (tiny) trained codebooks once — fit-then-broadcast,
+    // same shape as ivfTopK
+    val bookRows = books.collect().toSeq // m*ksub*subDim floats — metadata
+    val bBooks = spark.createDataFrame(
+      spark.sparkContext.parallelize(bookRows, 1), books.schema)
+    val codes = pqEncode(corpus, bBooks, m, idCol, vecCol)
+      .withColumnRenamed(idCol, "corpus_id")
+    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val qsv = subvectors(queries, "query_id", "qsv", m, dim / m, idCol, vecCol)
+    val lut = qsv.join(broadcast(bBooks), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cent_id").as("code"),
+        q24(sqDist(col("qsv"), col("csv"))).as("qd"))
+    val adist = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .groupBy("query_id", "corpus_id")
+      .agg(sum(col("qd")).as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("corpus_id"))
+    adist.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "adist", "rank")
+  }
+
   /** (cent_id, pos, ssum, n) stats -> (cent_id, cvec_c float array):
     * quantized mean per dimension, assembled in dimension order. */
   def assembleCentroids(stats: DataFrame): DataFrame =

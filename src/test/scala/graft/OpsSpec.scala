@@ -588,6 +588,41 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(again == kept)
   }
 
+  test("PQ: ADC search puts an injected exact duplicate at rank 1") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // exact copies of the query vectors under new ids: a copy's codes are
+    // its query's per-subspace argmin codewords, so its ADC distance is
+    // the minimal achievable LUT sum -> rank 1 (ties impossible here:
+    // base vectors are mutually far, so no other vector shares the
+    // minimal distance in every subspace)
+    val dup = e.filter(col("vec_id") < 10).select(
+      (col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val corpus = e.unionByName(dup)
+    val out = Similarity.pqTopK(corpus, e.filter(col("vec_id") < 10),
+        k = 5, m = 4, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("adist"), r.getAs[Int]("rank")))
+    val rank1 = out.filter(_._4 == 1).map(t => t._1 -> (t._2, t._3)).toMap
+    for (q <- 0L until 10L) {
+      val (cid, _) = rank1(q)
+      assert(cid == q + 100000, s"query $q rank-1 was $cid")
+    }
+    // codes: m rows per vector, every code is a seed-derived codeword id
+    val books = Similarity.pqFit(corpus, m = 4, ksub = 16)
+    val bookIds = books.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val codes = Similarity.pqEncode(corpus, books, m = 4)
+    assert(codes.count() == corpus.count() * 4)
+    val codeIds = codes.select("code").distinct().collect().map(_.getLong(0)).toSet
+    assert(codeIds.subsetOf(bookIds))
+    // deterministic end to end
+    val again = Similarity.pqTopK(corpus, e.filter(col("vec_id") < 10),
+        k = 5, m = 4, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("rank")))
+    assert(again.toSeq == out.map(t => (t._1, t._2, t._4)).toSeq)
+  }
+
   test("mixture weights: binding domain saturates at 1.0, others hit target shares") {
     val rows = Seq(("en", 600L), ("en", 600L), ("de", 300L), ("fr", 100L))
       .toDF("lang", "toks")

@@ -40,6 +40,13 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"top-k not pushed into window:\n$p")
   }
 
+  test("PQ search: broadcast LUT equi-join, top-k pushdown, no cartesian") {
+    val p = plan("t_ann_pq")
+    assert(p.contains("WindowGroupLimit"), s"top-k not pushed into window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"LUT join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+  }
+
   test("chunking is shuffle-free; packing shuffles exactly once on the key") {
     // pin the OPERATORS (the queries add a final orderBy exchange for
     // deterministic oracle output — that one is presentation, not shape)
