@@ -908,6 +908,14 @@ object SparkEntry {
       TextAnalysis.corpusFreqScore(t(s, dir, "documents"))
         .orderBy("doc_id")
     }),
+    "t_ngram_lm" -> ((s, dir) => {
+      // bigram-LM surprisal (the CCNet corpus-LM quality-score shape):
+      // add-one-smoothed p(w2|w1) from the corpus's own bigram counts,
+      // surprisal in whole bits via integer bit-length — no float, no
+      // log, so the oracle replays the trained model exactly
+      TextAnalysis.ngramLmSurprisal(t(s, dir, "documents"))
+        .orderBy("doc_id")
+    }),
     "t_line_dedup" -> ((s, dir) => {
       // CCNet/RefinedWeb-style line-level boilerplate removal. The test
       // corpus is single-line word soup, so lines are materialized
@@ -2575,6 +2583,47 @@ object SparkEntry {
         |  CAST(SUM(c) AS BIGINT) AS freq_sum
         |FROM toks JOIN tc USING (term)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // bigram-LM replay: corpus bigram/context counts, add-one smoothing,
+    // surprisal = bitlen(c(w1)+V) - bitlen(c(w1,w2)+1) via length(bin(x))
+    // — whole-bit integers end to end, milli-bit average floor-divided
+    "t_ngram_lm" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(TRIM(REGEXP_REPLACE(LOWER(text), '$WS', ' ', 'g')), ' ') AS tk
+        |  FROM documents
+        |), tokpos AS (
+        |  SELECT doc_id, unnest(tk) AS w, generate_subscripts(tk, 1) AS pos
+        |  FROM toks
+        |), bg AS (
+        |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM tokpos a JOIN tokpos b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |), bgc AS (
+        |  SELECT w1, w2, COUNT(*) AS cbg FROM bg GROUP BY w1, w2
+        |), ctx AS (
+        |  SELECT w1, COUNT(*) AS cctx FROM bg GROUP BY w1
+        |), voc AS (
+        |  SELECT COUNT(DISTINCT w) AS v FROM tokpos
+        |), perdoc AS (
+        |  SELECT doc_id, w1, w2, COUNT(*) AS occ FROM bg GROUP BY doc_id, w1, w2
+        |), sc AS (
+        |  SELECT d.doc_id,
+        |    SUM(d.occ) AS n_bigrams,
+        |    SUM(d.occ * (length(bin(c.cctx + voc.v)) - length(bin(b.cbg + 1)))) AS sum_bits
+        |  FROM perdoc d
+        |  JOIN bgc b ON d.w1 = b.w1 AND d.w2 = b.w2
+        |  JOIN ctx c ON d.w1 = c.w1
+        |  CROSS JOIN voc
+        |  GROUP BY d.doc_id
+        |)
+        |SELECT t.doc_id,
+        |  CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(s.sum_bits, 0) AS BIGINT) AS sum_bits,
+        |  CAST(CASE WHEN coalesce(s.n_bigrams, 0) > 0
+        |    THEN (1000 * s.sum_bits) // s.n_bigrams ELSE 0 END AS BIGINT) AS avg_mbits
+        |FROM toks t LEFT JOIN sc s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // line-dedup replay: the same deterministic 12-token span lining,
     // corpus-wide span frequency, drop-every-occurrence at minCount 2,

@@ -325,6 +325,64 @@ object TextAnalysis {
         when(col("__s._2") >= 0, 1L).otherwise(0L).as("label"))
   }
 
+  /** Bigram language-model surprisal — the corpus-LM quality-scoring
+    * shape of CCNet (Wenzek et al. 2019, "CCNet: Extracting high quality
+    * monolingual datasets from web crawl data", which scores with a KenLM
+    * n-gram model): train bigram counts on the corpus itself, then score
+    * every document by its average per-token surprisal under the add-one-
+    * smoothed model p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V).
+    *
+    * Engine-exactness: instead of floating log-probs (libm `ln` differs
+    * in the last ulp across engines — unhashable), surprisal is measured
+    * in WHOLE BITS via integer bit-length: bits = bitlen(den) -
+    * bitlen(num), i.e. log2(1/p) at 1-bit granularity (within ±1 bit of
+    * the real value; the [[Quantile]] sketch takes the same
+    * exactness-over-resolution trade). Every quantity is a BIGINT;
+    * `avg_mbits` is the floor of 1000*sum/n (non-negative, so floor ==
+    * truncate on every engine). A production deployment would swap in a
+    * real KenLM — this is the exact-replay stand-in with the same plan
+    * shape. Output: (idCol, n_bigrams, sum_bits, avg_mbits); documents
+    * with fewer than two tokens score (0, 0, 0).
+    *
+    * Scale: the bigram/context count tables aggregate map-side (a
+    * boilerplate bigram repeated 10^8 times ships one partial per task);
+    * scoring joins are KEYED on the bigram/context (the per-(doc,bigram)
+    * pre-aggregation bounds the fan-in; AQE handles Zipf-head skew); the
+    * vocabulary size is a one-row broadcast; the final per-doc aggregate
+    * carries two longs of state. Nothing corpus-sized on the driver. */
+  def ngramLmSurprisal(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("__id"),
+      split(coalesce(normalized(col(textCol)), lit("")), " ", -1).as("__toks"))
+    val bg = base.filter(size(col("__toks")) >= 2)
+      .select(col("__id"), explode(expr(
+        "transform(sequence(0, size(__toks)-2), " +
+          "i -> struct(__toks[i] AS w1, __toks[i+1] AS w2))")).as("__bg"))
+      .select(col("__id"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val perDoc = bg.groupBy("__id", "w1", "w2").agg(count(lit(1)).as("occ"))
+    val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
+    val ctx = bg.groupBy("w1").agg(count(lit(1)).as("cctx"))
+    val vocab = base.select(explode(col("__toks")).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    def bitlen(c: Column): Column = length(bin(c)).cast(LongType)
+    val scored = perDoc
+      .join(bgc, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__bits",
+        bitlen(col("cctx") + col("v")) - bitlen(col("cbg") + lit(1L)))
+      .groupBy("__id")
+      .agg(sum(col("occ")).as("n_bigrams"),
+        sum(col("occ") * col("__bits")).as("sum_bits"))
+    base.select("__id").join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          expr("(1000 * sum_bits) div n_bigrams")).otherwise(lit(0L))
+          .as("avg_mbits"))
+  }
+
   /** Full per-document stats frame (expression-only columns). */
   def stats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -829,6 +829,25 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L) == ((0L, 5L, 1L))) // null text: intercept only
   }
 
+  test("ngramLmSurprisal: whole-bit add-one bigram surprisal, hand-checked") {
+    // corpus bigrams: (a,b) x3 [doc1 twice, doc2 once], (b,a) x1;
+    // contexts: a->3, b->1; vocab {a, b, '', x} -> V=4
+    val corpus = Seq((1L, "a b a b"), (2L, "a b"), (3L, ""),
+      (4L, "x"), (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramLmSurprisal(corpus, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_bits"),
+          r.getAs[Long]("avg_mbits")))).toMap
+    // (a,b): num=3+1=4 (3 bits), den=3+4=7 (3 bits) -> 0 bits
+    // (b,a): num=1+1=2 (2 bits), den=1+4=5 (3 bits) -> 1 bit
+    assert(out(1L) == ((3L, 1L, 333L))) // (a,b),(b,a),(a,b) -> 0+1+0
+    assert(out(2L) == ((1L, 0L, 0L)))
+    assert(out(3L) == ((0L, 0L, 0L))) // one empty token, no bigram
+    assert(out(4L) == ((0L, 0L, 0L)))
+    assert(out(5L) == ((0L, 0L, 0L))) // null text behaves as empty
+    assert(out.size == 5)
+  }
+
   test("stratified sample membership equals the stateless hash rule") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val kept = graft.ops.Sampling
