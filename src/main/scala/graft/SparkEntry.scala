@@ -967,6 +967,27 @@ object SparkEntry {
         .select(col("term"), col("exact_n"), col("cm_est"))
         .orderBy("term")
     }),
+    "t_hll" -> ((s, dir) => {
+      // HyperLogLog register sketch (2^8 registers) of the distinct
+      // lineitem line keys — register = low 8 hash bits, rank = integer
+      // bit-length of the rest; mergeable by register-wise max, fully
+      // integer, so the oracle replays every register exactly
+      val li = t(s, dir, "lineitem").select(
+        concat_ws("_", col("l_orderkey"), col("l_linenumber")).as("k"))
+      graft.ops.Frequency.hllSketch(li, "k", p = 8)
+        .orderBy("register")
+    }),
+    "t_hll_est" -> ((s, dir) => {
+      // the raw HLL estimate off that sketch, evaluated in exact rational
+      // arithmetic (driver-side big integers over the <=256 collected
+      // registers) — n_exact alongside shows the ~6.5% expected error
+      val li = t(s, dir, "lineitem").select(
+        concat_ws("_", col("l_orderkey"), col("l_linenumber")).as("k"))
+      val est = graft.ops.Frequency.hllEstimate(
+        graft.ops.Frequency.hllSketch(li, "k", p = 8), p = 8)
+      est.crossJoin(li.agg(count_distinct(col("k")).as("n_exact")))
+        .select(col("m"), col("n_used"), col("n_est"), col("n_exact"))
+    }),
     "t_span_dedup" -> ((s, dir) => {
       // exact-substring (duplicate 5-gram span) removal, Lee et al. 2022
       // style, over the near-dup corpus: perturbed copies (every 7th word
@@ -2733,6 +2754,52 @@ object SparkEntry {
          |SELECT term, CAST(exact_n AS BIGINT) AS exact_n,
          |  CAST(cm_est AS BIGINT) AS cm_est
          |FROM est ORDER BY term""".stripMargin,
+
+    // HLL replay: fnv1a in unsigned HUGEINT, register = h % 256 (power-
+    // of-two modulus == the JVM's signed floorMod), rank from bit-length
+    // of h // 256 via length(bin(x)) — integer end to end
+    "t_hll" ->
+      s"""WITH h AS (
+         |  SELECT ${fnvSql("CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)")} AS h
+         |  FROM lineitem
+         |), rr AS (
+         |  SELECT CAST(h % 256 AS BIGINT) AS register,
+         |    CAST(56 - (CASE WHEN h // 256 = 0 THEN 0
+         |      ELSE length(bin(h // 256)) END) + 1 AS BIGINT) AS rho
+         |  FROM h
+         |)
+         |SELECT register, MAX(rho) AS max_rho
+         |FROM rr GROUP BY register ORDER BY register""".stripMargin,
+
+    // HLL estimate replay: the raw estimator in exact HUGEINT rationals —
+    // alpha_256 = 7213*256*1000 / (10000*(256000+1079)), the harmonic
+    // denominator scaled by 2^57 so every term is integral, one floor
+    // division of non-negative 128-bit integers
+    "t_hll_est" ->
+      s"""WITH h AS (
+         |  SELECT ${fnvSql("CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)")} AS h
+         |  FROM lineitem
+         |), rr AS (
+         |  SELECT CAST(h % 256 AS BIGINT) AS register,
+         |    CAST(56 - (CASE WHEN h // 256 = 0 THEN 0
+         |      ELSE length(bin(h // 256)) END) + 1 AS BIGINT) AS rho
+         |  FROM h
+         |), sk AS (
+         |  SELECT register, MAX(rho) AS max_rho FROM rr GROUP BY register
+         |), agg AS (
+         |  SELECT COUNT(*) AS used,
+         |    SUM(CAST(1 AS HUGEINT) << CAST(57 - max_rho AS INTEGER)) AS dsum
+         |  FROM sk
+         |), ex AS (
+         |  SELECT COUNT(DISTINCT CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)) AS n_exact
+         |  FROM lineitem
+         |)
+         |SELECT CAST(256 AS BIGINT) AS m, CAST(used AS BIGINT) AS n_used,
+         |  CAST((CAST(1846528000 AS HUGEINT) * 256 * 256 * (CAST(1 AS HUGEINT) << 57)) //
+         |    (CAST(2570790000 AS HUGEINT) *
+         |      (dsum + (256 - used) * (CAST(1 AS HUGEINT) << 57))) AS BIGINT) AS n_est,
+         |  CAST(n_exact AS BIGINT) AS n_exact
+         |FROM agg CROSS JOIN ex""".stripMargin,
 
     // span-dedup replay: 5-gram window FNV fingerprints over the near-dup
     // corpus, corpus-wide frequency, per-token coverage via EXISTS over

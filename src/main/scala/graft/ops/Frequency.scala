@@ -53,6 +53,70 @@ object Frequency {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
   }
 
+  /** HyperLogLog register sketch (Flajolet, Fusy, Gandouet & Meunier
+    * 2007, "HyperLogLog: the analysis of a near-optimal cardinality
+    * estimation algorithm") — bounded-memory distinct counting, the
+    * cardinality complement of [[countMinSketch]]'s frequencies. The
+    * sketch is 2^p registers each holding the max leading-zero rank seen;
+    * it MERGES by register-wise max (distributive, order-independent),
+    * so partial sketches from any partitioning combine exactly — count
+    * distinct over 10^11 keys costs a 2^p-row reduce instead of a
+    * distinct-key-sized shuffle.
+    *
+    * Determinism contract: key hash is fnv1a (unsigned-replayable); the
+    * register is the LOW p bits (power-of-two modulus — signed floorMod
+    * == unsigned residue) and the rank is counted on the remaining 64-p
+    * bits via integer bit-length (rho = (64-p) - bitlen(h >>> p) + 1) —
+    * every quantity a BIGINT, identical under any row order, partitioning
+    * or replaying engine. NULL keys are ignored. Output: (register,
+    * max_rho), at most 2^p rows. */
+  def hllSketch(items: DataFrame, keyCol: String, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "p outside the practical register range")
+    val m = 1 << p
+    val rr = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val h = Dedup.fnv1a(s)
+        val register = java.lang.Math.floorMod(h, m.toLong)
+        val w = h >>> p
+        val bitlen = if (w == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(w)
+        (register, ((64 - p) - bitlen + 1).toLong)
+      }
+    }
+    items.select(rr(col(keyCol)).as("__r")).filter(col("__r").isNotNull)
+      .select(col("__r._1").as("register"), col("__r._2").as("rho"))
+      .groupBy("register").agg(max("rho").as("max_rho"))
+  }
+
+  /** Cardinality estimate from a [[hllSketch]]: the raw HLL estimator
+    * E = alpha_m * m^2 / sum_j 2^(-M_j), evaluated EXACTLY — alpha_m is
+    * kept as the rational 7213*m*1000 / (10000*(1000m+1079)), the
+    * harmonic denominator is scaled by 2^57 so every term is integral
+    * (max rho at p=8 is 57), and the one division is a floor of
+    * non-negative big integers. Arbitrary-precision arithmetic runs on
+    * the DRIVER over the collected sketch (<= 2^p rows — model metadata,
+    * same posture as the k-means centroid collect), so the estimate is
+    * bit-for-bit replayable by any engine with 128-bit integers. The
+    * small-range linear-counting correction needs a logarithm and is
+    * deliberately omitted (document the >= 2.5*m working range instead)
+    * — the whole-bit discipline over float transcendentals again.
+    * Output: one row (m, n_used, n_est). */
+  def hllEstimate(sketch: DataFrame, p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val K = 57
+    val regs = sketch.collect()
+      .map(r => r.getAs[Long]("register") -> r.getAs[Long]("max_rho"))
+    val used = regs.length
+    val dsum = regs.map { case (_, rho) => BigInt(1) << (K - rho.toInt) }.sum +
+      BigInt(m - used) * (BigInt(1) << K)
+    val alphaNum = BigInt(7213) * m * 1000
+    val alphaDen = BigInt(10000) * (1000L * m + 1079)
+    val est = (alphaNum * m * m * (BigInt(1) << K)) / (alphaDen * dsum)
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    Seq((m.toLong, used.toLong, est.toLong)).toDF("m", "n_used", "n_est")
+  }
+
   /** Per-key cell indexes, one per sketch row: floorMod(fnv1a("r:" + key),
     * width) — with width a power of two this equals the unsigned residue,
     * so an unsigned 128-bit replay is bit-exact. NULL -> empty (no cells). */

@@ -775,6 +775,36 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("HLL: register replay, merge-by-max, raw estimate in expected error band") {
+    import graft.ops.Frequency
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(concat_ws("_", col("l_orderkey"), col("l_linenumber")).as("k"))
+    val full = Frequency.hllSketch(li, "k", p = 8)
+    def regs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("register") -> r.getAs[Long]("max_rho")).toMap
+    val got = regs(full)
+    // independent per-key replay of the register definition
+    val want = li.distinct().collect().map(_.getString(0)).map { s =>
+      val h = Dedup.fnv1a(s)
+      val w = h >>> 8
+      val bl = if (w == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(w)
+      java.lang.Math.floorMod(h, 256L) -> (56 - bl + 1).toLong
+    }.groupBy(_._1).map { case (r, v) => r -> v.map(_._2).max }
+    assert(got == want)
+    // mergeability: union of arbitrary split halves max-merges to the full sketch
+    val h1 = Frequency.hllSketch(li.filter(length(col("k")) % 2 === 0), "k", p = 8)
+    val h2 = Frequency.hllSketch(li.filter(length(col("k")) % 2 === 1), "k", p = 8)
+    val merged = h1.unionByName(h2).groupBy("register")
+      .agg(max("max_rho").as("max_rho"))
+    assert(regs(merged) == got)
+    // raw estimator: 2^8 registers -> ~1.04/16 = 6.5% stderr; 15% is >2 sigma
+    val est = Frequency.hllEstimate(full, p = 8).head()
+    val exact = li.distinct().count()
+    assert(est.getAs[Long]("m") == 256L)
+    val n = est.getAs[Long]("n_est")
+    assert(math.abs(n - exact).toDouble / exact < 0.15, s"est $n vs exact $exact")
+  }
+
   test("spanDedup removes duplicated k-gram spans, keeps unique remainder") {
     import graft.ops.Curation
     // docs 1 and 2 share the 5-token span "a b c d e" embedded in
