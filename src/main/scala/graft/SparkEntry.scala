@@ -916,6 +916,16 @@ object SparkEntry {
       TextAnalysis.ngramLmSurprisal(t(s, dir, "documents"))
         .orderBy("doc_id")
     }),
+    "t_dsir" -> ((s, dir) => {
+      // DSIR-shaped importance score: whole-bit surprisal under the
+      // corpus's own bigram model minus surprisal under the English-
+      // target model (documents lang='en'), milli-bits per bigram —
+      // positive = more target-like; both models integer, so the oracle
+      // replays the full double-model pipeline exactly
+      val d = t(s, dir, "documents")
+      TextAnalysis.importanceScore(d, d.filter(col("lang") === "en"))
+        .orderBy("doc_id")
+    }),
     "t_line_dedup" -> ((s, dir) => {
       // CCNet/RefinedWeb-style line-level boilerplate removal. The test
       // corpus is single-line word soup, so lines are materialized
@@ -2645,6 +2655,75 @@ object SparkEntry {
         |    THEN (1000 * s.sum_bits) // s.n_bigrams ELSE 0 END AS BIGINT) AS avg_mbits
         |FROM toks t LEFT JOIN sc s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // DSIR replay: the t_ngram_lm pipeline twice — once with counts from
+    // the whole corpus (self model), once with counts from the lang='en'
+    // target — scored bigrams LEFT-join the model tables (unseen backs
+    // off to count 0), milli-bit averages floor-divided, delta integer
+    "t_dsir" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(TRIM(REGEXP_REPLACE(LOWER(text), '$WS', ' ', 'g')), ' ') AS tk
+        |  FROM documents
+        |), tokpos AS (
+        |  SELECT doc_id, unnest(tk) AS w, generate_subscripts(tk, 1) AS pos
+        |  FROM toks
+        |), bg AS (
+        |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM tokpos a JOIN tokpos b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |), perdoc AS (
+        |  SELECT doc_id, w1, w2, COUNT(*) AS occ FROM bg GROUP BY doc_id, w1, w2
+        |), sbgc AS (
+        |  SELECT w1, w2, COUNT(*) AS cbg FROM bg GROUP BY w1, w2
+        |), sctx AS (
+        |  SELECT w1, COUNT(*) AS cctx FROM bg GROUP BY w1
+        |), svoc AS (
+        |  SELECT COUNT(DISTINCT w) AS v FROM tokpos
+        |), mtokpos AS (
+        |  SELECT t.doc_id, unnest(t.tk) AS w, generate_subscripts(t.tk, 1) AS pos
+        |  FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+        |  WHERE d.lang = 'en'
+        |), mbg AS (
+        |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM mtokpos a JOIN mtokpos b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |), tbgc AS (
+        |  SELECT w1, w2, COUNT(*) AS cbg FROM mbg GROUP BY w1, w2
+        |), tctx AS (
+        |  SELECT w1, COUNT(*) AS cctx FROM mbg GROUP BY w1
+        |), tvoc AS (
+        |  SELECT COUNT(DISTINCT w) AS v FROM mtokpos
+        |), ssc AS (
+        |  SELECT d.doc_id, SUM(d.occ) AS n_bigrams,
+        |    SUM(d.occ * (length(bin(coalesce(c.cctx, 0) + voc.v))
+        |      - length(bin(coalesce(b.cbg, 0) + 1)))) AS sum_bits
+        |  FROM perdoc d
+        |  LEFT JOIN sbgc b ON d.w1 = b.w1 AND d.w2 = b.w2
+        |  LEFT JOIN sctx c ON d.w1 = c.w1
+        |  CROSS JOIN svoc voc
+        |  GROUP BY d.doc_id
+        |), tsc AS (
+        |  SELECT d.doc_id, SUM(d.occ) AS n_bigrams,
+        |    SUM(d.occ * (length(bin(coalesce(c.cctx, 0) + voc.v))
+        |      - length(bin(coalesce(b.cbg, 0) + 1)))) AS sum_bits
+        |  FROM perdoc d
+        |  LEFT JOIN tbgc b ON d.w1 = b.w1 AND d.w2 = b.w2
+        |  LEFT JOIN tctx c ON d.w1 = c.w1
+        |  CROSS JOIN tvoc voc
+        |  GROUP BY d.doc_id
+        |), avgs AS (
+        |  SELECT t.doc_id,
+        |    CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |    CAST(CASE WHEN coalesce(s.n_bigrams, 0) > 0
+        |      THEN (1000 * s.sum_bits) // s.n_bigrams ELSE 0 END AS BIGINT) AS self_mbits,
+        |    CAST(CASE WHEN coalesce(g.n_bigrams, 0) > 0
+        |      THEN (1000 * g.sum_bits) // g.n_bigrams ELSE 0 END AS BIGINT) AS target_mbits
+        |  FROM toks t LEFT JOIN ssc s USING (doc_id) LEFT JOIN tsc g USING (doc_id)
+        |)
+        |SELECT doc_id, n_bigrams, self_mbits, target_mbits,
+        |  self_mbits - target_mbits AS delta_mbits
+        |FROM avgs ORDER BY doc_id""".stripMargin,
 
     // line-dedup replay: the same deterministic 12-token span lining,
     // corpus-wide span frequency, drop-every-occurrence at minCount 2,

@@ -351,26 +351,34 @@ object TextAnalysis {
     * vocabulary size is a one-row broadcast; the final per-doc aggregate
     * carries two longs of state. Nothing corpus-sized on the driver. */
   def ngramLmSurprisal(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val base = docs.select(col(idCol).as("__id"),
+      textCol: String = "text", model: Option[DataFrame] = None): DataFrame = {
+    def tokenize(df: DataFrame) = df.select(col(idCol).as("__id"),
       split(coalesce(normalized(col(textCol)), lit("")), " ", -1).as("__toks"))
-    val bg = base.filter(size(col("__toks")) >= 2)
+    def bigrams(tk: DataFrame) = tk.filter(size(col("__toks")) >= 2)
       .select(col("__id"), explode(expr(
         "transform(sequence(0, size(__toks)-2), " +
           "i -> struct(__toks[i] AS w1, __toks[i+1] AS w2))")).as("__bg"))
       .select(col("__id"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val base = tokenize(docs)
+    val bg = bigrams(base)
+    // counts come from the MODEL corpus (default: the scored corpus
+    // itself); a scored bigram/context unseen in the model backs off to
+    // count 0, i.e. p = 1/(0+V) — the add-one floor
+    val mBase = model.map(tokenize).getOrElse(base)
+    val mBg = model.map(_ => bigrams(mBase)).getOrElse(bg)
     val perDoc = bg.groupBy("__id", "w1", "w2").agg(count(lit(1)).as("occ"))
-    val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
-    val ctx = bg.groupBy("w1").agg(count(lit(1)).as("cctx"))
-    val vocab = base.select(explode(col("__toks")).as("t"))
+    val bgc = mBg.groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
+    val ctx = mBg.groupBy("w1").agg(count(lit(1)).as("cctx"))
+    val vocab = mBase.select(explode(col("__toks")).as("t"))
       .agg(count_distinct(col("t")).as("v"))
     def bitlen(c: Column): Column = length(bin(c)).cast(LongType)
     val scored = perDoc
-      .join(bgc, Seq("w1", "w2"))
-      .join(ctx, Seq("w1"))
+      .join(bgc, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .withColumn("__bits",
-        bitlen(col("cctx") + col("v")) - bitlen(col("cbg") + lit(1L)))
+        bitlen(coalesce(col("cctx"), lit(0L)) + col("v")) -
+          bitlen(coalesce(col("cbg"), lit(0L)) + lit(1L)))
       .groupBy("__id")
       .agg(sum(col("occ")).as("n_bigrams"),
         sum(col("occ") * col("__bits")).as("sum_bits"))
@@ -381,6 +389,33 @@ object TextAnalysis {
         when(coalesce(col("n_bigrams"), lit(0L)) > 0,
           expr("(1000 * sum_bits) div n_bigrams")).otherwise(lit(0L))
           .as("avg_mbits"))
+  }
+
+  /** DSIR-shaped importance score (Xie et al. 2023, "Data selection for
+    * language models via importance resampling", which weighs raw
+    * documents by log p_target(x) - log p_raw(x) under hashed n-gram
+    * models): here the whole-bit analog score = raw-model surprisal
+    * minus target-model surprisal, in milli-bits per bigram — positive
+    * means the document reads more like `target` than like the raw
+    * corpus at large, so ranking by it descending IS the importance
+    * ranking. Same engine-exactness contract as [[ngramLmSurprisal]]
+    * (both models integer, the difference integer). Output: (idCol,
+    * n_bigrams, self_mbits, target_mbits, delta_mbits).
+    *
+    * Scale: two [[ngramLmSurprisal]] passes (the raw-model pass reuses
+    * the corpus's own counts; the target model's tables are target-sized)
+    * plus one id-keyed join — everything keyed or broadcast, nothing
+    * corpus-sized on the driver. */
+  def importanceScore(docs: DataFrame, target: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val self = ngramLmSurprisal(docs, idCol, textCol)
+      .select(col(idCol), col("n_bigrams"), col("avg_mbits").as("self_mbits"))
+    val tgt = ngramLmSurprisal(docs, idCol, textCol, model = Some(target))
+      .select(col(idCol), col("avg_mbits").as("target_mbits"))
+    self.join(tgt, Seq(idCol))
+      .select(col(idCol), col("n_bigrams"), col("self_mbits"),
+        col("target_mbits"),
+        (col("self_mbits") - col("target_mbits")).as("delta_mbits"))
   }
 
   /** Full per-document stats frame (expression-only columns). */

@@ -775,6 +775,29 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("importanceScore: target-like docs rank higher; delta is the pass difference") {
+    val corpus = Seq((1L, "x y x y x y"), (2L, "p q p q p q"),
+      (3L, "")).toDF("doc_id", "text")
+    val target = Seq((10L, "x y x y x y x y")).toDF("doc_id", "text")
+    val out = TextAnalysis.importanceScore(corpus, target)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("self_mbits"),
+          r.getAs[Long]("target_mbits"), r.getAs[Long]("delta_mbits")))).toMap
+    assert(out.size == 3)
+    // doc1's bigrams are the target model's whole mass -> cheap under the
+    // target, so its delta must beat doc2, whose bigrams the target never saw
+    assert(out(1L)._4 > out(2L)._4,
+      s"target-like doc must outrank: ${out(1L)} vs ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 0L, 0L)))
+    // delta is exactly the difference of the two explicit surprisal passes
+    val self = TextAnalysis.ngramLmSurprisal(corpus)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("avg_mbits")).toMap
+    val tgt = TextAnalysis.ngramLmSurprisal(corpus, model = Some(target))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("avg_mbits")).toMap
+    for (id <- Seq(1L, 2L, 3L))
+      assert(out(id)._4 == self(id) - tgt(id))
+  }
+
   test("HLL: register replay, merge-by-max, raw estimate in expected error band") {
     import graft.ops.Frequency
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
