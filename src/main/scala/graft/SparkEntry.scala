@@ -504,6 +504,19 @@ object SparkEntry {
       }
         .orderBy("event_type", "bucket")
     }),
+    "s_hll" -> ((s, dir) => {
+      // streaming HLL: registers maintained as groupBy-max over the event
+      // stream — state bounded at 2^8 rows forever; complete-mode output
+      // equals the batch sketch, which is what the oracle replays
+      val stream = StreamingOps.readEvents(s, s"$dir/events.parquet")
+        .select(col("event_id").cast("string").as("k"))
+      val sk = StreamingOps.streamingHll(stream, "k", p = 8)
+      StreamingOps.withShufflePartitions(s, 8) {
+        StreamingOps.runToMemory(sk, s"shll_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+      }
+        .orderBy("register")
+    }),
     "s_user_sessions" -> ((s, dir) => {
       val stream = StreamingOps.readEvents(s, s"$dir/events.parquet")
       val sessions = StreamingOps.userSessions(stream)
@@ -2833,6 +2846,20 @@ object SparkEntry {
          |SELECT term, CAST(exact_n AS BIGINT) AS exact_n,
          |  CAST(cm_est AS BIGINT) AS cm_est
          |FROM est ORDER BY term""".stripMargin,
+
+    // streaming HLL replay: the stream's complete-mode register state is
+    // exactly the batch sketch over the same events
+    "s_hll" ->
+      s"""WITH h AS (
+         |  SELECT ${fnvSql("CAST(event_id AS VARCHAR)")} AS h FROM events
+         |), rr AS (
+         |  SELECT CAST(h % 256 AS BIGINT) AS register,
+         |    CAST(56 - (CASE WHEN h // 256 = 0 THEN 0
+         |      ELSE length(bin(h // 256)) END) + 1 AS BIGINT) AS rho
+         |  FROM h
+         |)
+         |SELECT register, MAX(rho) AS max_rho
+         |FROM rr GROUP BY register ORDER BY register""".stripMargin,
 
     // HLL replay: fnv1a in unsigned HUGEINT, register = h % 256 (power-
     // of-two modulus == the JVM's signed floorMod), rank from bit-length

@@ -298,6 +298,18 @@ object StreamingOps {
         graft.ops.Quantile.bucketIdx(vCol, m).as("bucket"): _*)
       .agg(count(lit(1)).as("cnt"))
 
+  /** Continuous distinct-count sketch — the streaming twin of
+    * `Frequency.hllSketch`: HyperLogLog registers maintained as a running
+    * `groupBy(register).max(rho)` over the stream. Max is distributive
+    * and order-independent, so the state is EXACTLY the batch sketch at
+    * every point in time and is bounded at 2^p rows FOREVER regardless
+    * of stream volume — continuous cardinality monitoring (distinct
+    * users/keys/fingerprints seen so far) with fixed memory at any
+    * ingest rate. Complete-mode output equals the batch sketch (the
+    * oracle). */
+  def streamingHll(events: DataFrame, keyCol: String, p: Int = 8): DataFrame =
+    graft.ops.Frequency.hllSketch(events, keyCol, p)
+
   /** Stream-static incremental ingest dedup — the streaming twin of
     * `Curation.incrementalNew`: each micro-batch is anti-joined against a
     * STATIC corpus fingerprint set; rows whose fingerprint is already

@@ -64,6 +64,21 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("streaming HLL registers equal the batch sketch exactly") {
+    val stream = StreamingOps.readEvents(spark, eventsPath)
+      .select(col("event_id").cast("string").as("k"))
+    val got = StreamingOps.runToMemory(
+      StreamingOps.streamingHll(stream, "k", p = 8),
+      "shll_test", OutputMode.Complete())
+    val batch = graft.ops.Frequency.hllSketch(
+      StreamingOps.normalizeEventTs(spark.read.parquet(eventsPath))
+        .select(col("event_id").cast("string").as("k")), "k", p = 8)
+    def regs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("register") -> r.getAs[Long]("max_rho")).toMap
+    val g = regs(got)
+    assert(g.nonEmpty && g == regs(batch))
+  }
+
   test("stream-static ingest dedup is stateless and equals the batch anti-join") {
     val statics = StreamingOps.normalizeEventTs(spark.read.parquet(eventsPath))
     val fp = md5(concat_ws("|", col("user_id"), col("event_type"),
