@@ -1152,6 +1152,21 @@ object SparkEntry {
           floor(col("rate") * 1000000 + lit(0.5)).cast("long").as("rate_ppm"))
         .orderBy("domain")
     }),
+    "t_mixture_apply" -> ((s, dir) => {
+      // materializing the t_mixture rates: per-row deterministic
+      // Bernoulli draw — keep iff floorMod(fnv1a(doc_id), 2^20) <
+      // floor(rate * 2^20 + 0.5); the kept set is a pure function of
+      // the ids (power-of-two modulus = unsigned-replay parity)
+      val d = t(s, dir, "documents")
+      val weights = graft.ops.Curation.mixtureWeights(
+        d.select(col("lang"), TextAnalysis.tokenEstimate(col("text")).as("toks")),
+        "lang", "toks", Seq("en" -> 0.5, "de" -> 0.125, "es" -> 0.125,
+          "fr" -> 0.125, "zh" -> 0.125))
+      graft.ops.Curation.applyMixture(d.select("doc_id", "lang"),
+          "lang", "doc_id", weights)
+        .select(col("doc_id"), col("lang"), col("rate_q20"))
+        .orderBy("doc_id")
+    }),
     "t_chunks" -> ((s, dir) => {
       // corpus chunking for training: 256-char chunks, 32-char overlap
       // (stride 224); md5 per chunk so the oracle checks the exact bytes
@@ -3236,6 +3251,34 @@ object SparkEntry {
         |  CAST(FLOOR(share * budget / CAST(domain_tokens AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS rate_ppm
         |FROM agg CROSS JOIN b
         |ORDER BY domain""".stripMargin,
+
+    // mixture-apply replay: the same budget/rates on the 2^20 grid, then
+    // the unsigned-HUGEINT fnv1a draw against each domain's threshold
+    "t_mixture_apply" ->
+      s"""WITH tok AS (
+        |  SELECT lang AS domain,
+        |    CAST(len(regexp_extract_all(text, '[\\p{L}]+|[\\p{N}]+|[^\\s\\p{L}\\p{N}]', 0)) AS BIGINT) AS toks
+        |  FROM documents
+        |), shares(domain, share) AS (
+        |  VALUES ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.125 AS DOUBLE)),
+        |         ('es', CAST(0.125 AS DOUBLE)), ('fr', CAST(0.125 AS DOUBLE)),
+        |         ('zh', CAST(0.125 AS DOUBLE))
+        |), agg AS (
+        |  SELECT t.domain, CAST(SUM(t.toks) AS BIGINT) AS domain_tokens,
+        |    ANY_VALUE(s.share) AS share
+        |  FROM tok t JOIN shares s ON t.domain = s.domain
+        |  GROUP BY t.domain
+        |), b AS (
+        |  SELECT MIN(CAST(domain_tokens AS DOUBLE) / share) AS budget FROM agg
+        |), rates AS (
+        |  SELECT domain,
+        |    CAST(FLOOR(share * budget / CAST(domain_tokens AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT) AS rate_q20
+        |  FROM agg CROSS JOIN b
+        |)
+        |SELECT d.doc_id, d.lang, r.rate_q20
+        |FROM documents d JOIN rates r ON d.lang = r.domain
+        |WHERE ${fnvSql("CAST(d.doc_id AS VARCHAR)")} % 1048576 < r.rate_q20
+        |ORDER BY d.doc_id""".stripMargin,
 
     // chunking replay: chunk k covers [k*224, k*224 + 256); the md5 pins
     // the exact chunk bytes, not just the boundaries

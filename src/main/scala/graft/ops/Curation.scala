@@ -194,6 +194,34 @@ object Curation {
           .as("rate"))
   }
 
+  /** Applies [[mixtureWeights]]' sampling rates to the corpus — the
+    * deterministic Bernoulli draw that actually materializes the target
+    * mixture: a row is kept iff floorMod(fnv1a(id), 2^20) < rate_q20,
+    * where rate_q20 = floor(rate * 2^20 + 0.5) is the domain's keep-rate
+    * on the 2^20 grid. The hash is uniform on the id, so each domain
+    * retains ~rate of its rows; the draw is a pure function of the row
+    * id — stable under reruns, partitioning, and engines (power-of-two
+    * modulus keeps the signed floorMod equal to the unsigned residue,
+    * the same parity contract as every fnv1a bucketing here). Domains
+    * absent from `weights` are implicitly rate-0 (inner join — the
+    * [[mixtureWeights]] contract). Output: the kept rows plus their
+    * `rate_q20`.
+    *
+    * Scale: the weights table is domains-sized (broadcast); the draw is
+    * a per-row expression — the corpus is scanned once, never shuffled. */
+  def applyMixture(docs: DataFrame, domainCol: String, idCol: String,
+      weights: DataFrame): DataFrame = {
+    val q20 = floor(col("rate").cast("double") * lit(1048576.0) + lit(0.5))
+      .cast("long").as("rate_q20")
+    val w = weights.select(col("domain").as("__dom"), q20)
+    val draw = udf { (s: String) =>
+      java.lang.Math.floorMod(Dedup.fnv1a(s), 1048576L)
+    }
+    docs.join(broadcast(w), docs(domainCol) === col("__dom"))
+      .filter(draw(col(idCol).cast("string")) < col("rate_q20"))
+      .drop("__dom")
+  }
+
   /** Line-level boilerplate removal (the CCNet/RefinedWeb line-dedup
     * step): drop EVERY occurrence of any line whose corpus-wide
     * occurrence count is >= `minCount` — nav menus, cookie banners, and

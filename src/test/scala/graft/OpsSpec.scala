@@ -645,6 +645,26 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("applyMixture: deterministic hash draw replays the rate thresholds") {
+    import graft.ops.Curation
+    val docs = (1L to 400L).map(i =>
+      (i, if (i % 2 == 0) "a" else if (i % 3 == 0) "b" else "c"))
+      .toDF("doc_id", "dom")
+    val weights = Seq(("a", 1.0), ("b", 0.5)).toDF("domain", "rate")
+    val kept = Curation.applyMixture(docs, "dom", "doc_id", weights)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("rate_q20")).toMap
+    def draw(id: Long): Long =
+      java.lang.Math.floorMod(Dedup.fnv1a(id.toString), 1048576L)
+    // rate 1.0 -> threshold 2^20: every 'a' row survives
+    assert((2L to 400L by 2).forall(kept.contains))
+    assert((2L to 400L by 2).forall(i => kept(i) == 1048576L))
+    // rate 0.5 -> exactly the rows whose draw clears floor(.5*2^20+.5)
+    val bIds = (1L to 400L).filter(i => i % 2 != 0 && i % 3 == 0)
+    assert(bIds.filter(kept.contains) == bIds.filter(draw(_) < 524288L))
+    // 'c' has no target share -> rate 0 by omission, no rows
+    assert(kept.keys.forall(i => i % 2 == 0 || i % 3 == 0))
+  }
+
   test("kmeans stats with iters=1 assemble to exactly the IVF fit centroids") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
