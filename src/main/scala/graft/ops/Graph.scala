@@ -54,7 +54,7 @@ object Graph {
     val base = scale * (dampDen - dampNum) / dampDen / n
     var ranks = nodes.withColumn("rank", lit(scale / n))
     var prev: Option[DataFrame] = None
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       // `div` is true integral division — Spark's `/` on longs is DOUBLE
       // division, which silently loses exactness past 2^53
       val inSum = eDeg.join(ranks, eDeg("__src") === ranks("node"))
@@ -66,15 +66,21 @@ object Graph {
           (lit(base) + expr(s"($dampNum * coalesce(__s, 0L)) div $dampDen"))
             .cast("long").as("rank"))
         .persist()
-      next.count() // materialize so the previous round's cache can go
-      prev.foreach(_.unpersist())
-      prev = Some(next)
+      if (i < iterations) {
+        next.count() // materialize so the previous round's cache can go
+        prev.foreach(_.unpersist())
+        prev = Some(next)
+      }
+      // the FINAL iteration is materialized once, by the checkpoint below
+      // (an extra count() here would pay a whole redundant job); its
+      // predecessor stays cached until then so nothing recomputes
       ranks = next
     }
     // cache-free, lineage-truncated result (same discipline as the
     // connected-components rounds in Dedup)
     val out = ranks.localCheckpoint(true)
     prev.foreach(_.unpersist())
+    ranks.unpersist()
     eDeg.unpersist()
     nodes.unpersist()
     out
