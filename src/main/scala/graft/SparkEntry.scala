@@ -990,6 +990,15 @@ object SparkEntry {
         .select(col("term"), col("exact_n"), col("cm_est"))
         .orderBy("term")
     }),
+    "t_inverted_index" -> ((s, dir) => {
+      // sharded inverted-index build: per-term df/cf + posting lists in
+      // doc order, paged into 64-entry blocks so no aggregation group
+      // ever exceeds the page size (common word-soup terms span multiple
+      // blocks at every SF, exercising the paging)
+      graft.ops.Indexing.invertedIndex(t(s, dir, "documents"),
+          "doc_id", "text", blockSize = 64)
+        .orderBy("term", "block")
+    }),
     "t_hll" -> ((s, dir) => {
       // HyperLogLog register sketch (2^8 registers) of the distinct
       // lineitem line keys — register = low 8 hash bits, rank = integer
@@ -2875,6 +2884,33 @@ object SparkEntry {
          |)
          |SELECT register, MAX(rho) AS max_rho
          |FROM rr GROUP BY register ORDER BY register""".stripMargin,
+
+    // inverted-index replay: (term, doc) tf counts, within-term doc-order
+    // ranking, 64-entry pages, "id:tf" postings joined in doc order
+    "t_inverted_index" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(TRIM(REGEXP_REPLACE(LOWER(text), '$WS', ' ', 'g')), ' ')) AS term
+         |  FROM documents
+         |), tfd AS (
+         |  SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY term, doc_id
+         |), stats AS (
+         |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         |    CAST(SUM(tf) AS BIGINT) AS cf
+         |  FROM tfd GROUP BY term
+         |), rn AS (
+         |  SELECT term, doc_id, tf,
+         |    ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) - 1 AS r
+         |  FROM tfd
+         |), blk AS (
+         |  SELECT term, CAST(r // 64 AS BIGINT) AS block,
+         |    CAST(COUNT(*) AS BIGINT) AS n_block,
+         |    string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+         |  FROM rn GROUP BY term, r // 64
+         |)
+         |SELECT b.term, b.block, s.df, s.cf, b.n_block, b.postings
+         |FROM blk b JOIN stats s USING (term)
+         |ORDER BY term, block""".stripMargin,
 
     // HLL replay: fnv1a in unsigned HUGEINT, register = h % 256 (power-
     // of-two modulus == the JVM's signed floorMod), rank from bit-length

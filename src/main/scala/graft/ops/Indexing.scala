@@ -113,4 +113,49 @@ object Indexing {
         (col("__off") + coalesce(sum(col(valueCol)).over(w), lit(0L))).cast("long"))
       .drop("__mid", "__pid", "__intra", "__off")
   }
+
+  /** Sharded inverted-index build — the index-construction workload of a
+    * retrieval/RAG corpus: per term, document frequency (`df`), corpus
+    * frequency (`cf`), and the posting list of (doc_id:tf) pairs in
+    * doc-id order, PAGED into blocks of at most `blockSize` postings.
+    * One output row per (term, block); `postings` is the block's
+    * "id:tf,id:tf,..." string (deterministic order — exactly replayable).
+    *
+    * The blocking IS the scale design: a stopword-grade term with 10^9
+    * postings would otherwise materialize a 10^9-element `collect_list`
+    * in one aggregation group (the anti-pattern this repo bans). Paging
+    * first — row_number within term, block = rank div blockSize — bounds
+    * every aggregation group at `blockSize` entries while keeping the
+    * global posting order reconstructible (concatenate blocks in order).
+    * Real engines page postings for the same reason (block-max indexes).
+    *
+    * Plan shape: the (term, doc) tf aggregate combines map-side; the
+    * within-term ranking is one sort-based window (streaming state, no
+    * per-group buffer); the block aggregation re-uses the term
+    * partitioning (hash(term) satisfies the (term, block) clustering —
+    * no extra exchange); df/cf derive from the same tf subtree. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      blockSize: Int = 1024): DataFrame = {
+    require(blockSize >= 1, "need a positive block size")
+    val toks = docs.select(col(idCol).as("__id"),
+      explode(split(TextAnalysis.normalized(col(textCol)), " ", -1)).as("term"))
+    val tf = toks.groupBy("term", "__id").agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy("__id")
+    val blocks = tf
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("block", expr(s"(__rn - 1) div $blockSize"))
+      .groupBy("term", "block")
+      .agg(count(lit(1)).as("n_block"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("__id"), col("tf")))),
+            x => concat(x.getField("__id").cast("string"), lit(":"),
+              x.getField("tf").cast("string"))),
+          ",").as("postings"))
+    blocks.join(stats, Seq("term"))
+      .select(col("term"), col("block"), col("df"), col("cf"),
+        col("n_block"), col("postings"))
+  }
 }

@@ -795,6 +795,26 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("invertedIndex: paged postings with df/cf, hand-checked") {
+    import graft.ops.Indexing
+    val corpus = Seq((1L, "a b a"), (2L, "a b"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val out = Indexing.invertedIndex(corpus, "doc_id", "text", blockSize = 2)
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("block")) ->
+        ((r.getAs[Long]("df"), r.getAs[Long]("cf"),
+          r.getAs[Long]("n_block"), r.getAs[String]("postings")))).toMap
+    assert(out.size == 3)
+    assert(out(("a", 0L)) == ((3L, 4L, 2L, "1:2,2:1")))
+    assert(out(("a", 1L)) == ((3L, 4L, 1L, "3:1"))) // paged at blockSize
+    assert(out(("b", 0L)) == ((2L, 2L, 2L, "1:1,2:1")))
+    // no block ever exceeds the page size on a larger corpus
+    val big = (1L to 300L).map(i => (i, "common word" + (i % 7))).toDF("doc_id", "text")
+    val blocks = Indexing.invertedIndex(big, "doc_id", "text", blockSize = 64)
+    assert(blocks.agg(max("n_block")).head().getLong(0) <= 64L)
+    // "common" df=300 -> ceil(300/64)=5 pages, in order
+    assert(blocks.filter(col("term") === "common").count() == 5)
+  }
+
   test("importanceScore: target-like docs rank higher; delta is the pass difference") {
     val corpus = Seq((1L, "x y x y x y"), (2L, "p q p q p q"),
       (3L, "")).toDF("doc_id", "text")

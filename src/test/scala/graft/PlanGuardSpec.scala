@@ -47,6 +47,22 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
   }
 
+  test("inverted index: block aggregation reuses the term partitioning") {
+    // the posting-block groupBy(term, block) must NOT add an exchange
+    // beyond the window's hash(term) — hash(term) satisfies the
+    // (term, block) clustering; paging bounds every group at blockSize
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.Indexing.invertedIndex(docs, "doc_id", "text", 64)
+      .queryExecution.executedPlan.toString
+    // the claim: no exchange keyed on the block column anywhere — the
+    // block aggregation must consume the window's hash(term) layout as-is
+    assert(!p.linesIterator.exists(ln =>
+        ln.contains("Exchange hashpartitioning") && ln.contains("block#")),
+      s"block agg re-shuffled on (term, block):\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+  }
+
   test("chunking is shuffle-free; packing shuffles exactly once on the key") {
     // pin the OPERATORS (the queries add a final orderBy exchange for
     // deterministic oracle output — that one is presentation, not shape)
