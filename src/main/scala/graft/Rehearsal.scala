@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity}
+import graft.ops.{Dedup, Indexing, Multimodal, Similarity, TextAnalysis}
 
 /** Scale rehearsal: run the dedup / near-dup / ANN pipelines on a corpus
   * replicated N× from sf0.1, with a deliberately skewed boilerplate
@@ -160,6 +160,31 @@ object Rehearsal {
           nCentroids = 16, nprobe = 3).count()
       }
       emit(s"""{"scale":$scale,"stage":"ivf_topk","input_rows":$nVecs,"output_rows":$nIvf,"sec":$tIvf}""")
+
+      // PQ leg: full fit + encode + ADC search — fit cost is dominated by
+      // the corpus-scan assignment (linear), encode by the broadcast
+      // argmin (linear), search by the code-table scan (linear); nothing
+      // here may grow with corpus^2 or collect anything corpus-sized
+      val (nPq, tPq) = timed {
+        Similarity.pqTopK(vecs, vecs.filter(col("vec_id") < 10), k = 5,
+          m = 4, ksub = 16).count()
+      }
+      emit(s"""{"scale":$scale,"stage":"pq_topk","input_rows":$nVecs,"output_rows":$nPq,"sec":$tPq}""")
+
+      // bigram-LM leg: replicas are (near-)identical, so the DISTINCT
+      // bigram vocabulary stays ~base-sized while instance counts scale —
+      // the map-side combine must absorb the duplication (count-table
+      // rows ~flat, time ~linear)
+      val (nLm, tLm) = timed { TextAnalysis.ngramLmSurprisal(docs).count() }
+      emit(s"""{"scale":$scale,"stage":"ngram_lm","input_rows":$nDocs,"output_rows":$nLm,"sec":$tLm}""")
+
+      // inverted-index leg: exact-dup replicas multiply df per term, so
+      // posting pages per term grow ~linearly; no aggregation group may
+      // exceed the page size regardless of scale
+      val (nIdx, tIdx) = timed {
+        Indexing.invertedIndex(docs, "doc_id", "text", 1024).count()
+      }
+      emit(s"""{"scale":$scale,"stage":"inverted_index","input_rows":$nDocs,"output_rows":$nIdx,"sec":$tIdx}""")
 
       docs.unpersist(); sigs.unpersist(); vecs.unpersist()
     }
