@@ -804,6 +804,19 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    "t_ann_pq_rerank" -> ((s, dir) => {
+      // two-stage PQ retrieval: ADC 200-candidate shortlist off the
+      // m=8/ksub=32 code table, exact cosine top-5 over the shortlist
+      // only — recall recovers from ~0.17 (ADC-only) to ~0.96 while the
+      // exact kernel touches 200 vectors per query instead of the corpus
+      val e = t(s, dir, "embeddings")
+      Similarity.pqTopKRerank(e, e.filter(col("vec_id") < 10), k = 5,
+          m = 8, ksub = 32, shortlist = 200)
+        .select(col("query_id"), col("corpus_id"),
+          floor(col("cosine") * 1000000 + lit(0.5)).cast("long").as("cosine_ppm"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     "t_embed_neardup" -> ((s, dir) => {
       // synthetic embeddings have no natural near-dups (max pairwise
       // cosine ~0.51) — inject perturbed copies of vec_id < 10 (first
@@ -1413,6 +1426,63 @@ object SparkEntry {
   private def sqDistQ24Sql(a: String, b: String): String =
     s"CAST(FLOOR((list_dot_product($a, $a) + list_dot_product($b, $b)" +
       s" - 2*list_dot_product($a, $b)) * 16777216.0 + 0.5) AS BIGINT)"
+
+  /** The full trained-PQ-index replay as a WITH-body prefix: per-subspace
+    * seed sample, one quantized-Lloyd refinement, float-cast codebooks,
+    * the code table, and the query LUT (queries = vec_id < 10). Ends at
+    * CTEs `codes(corpus_id, sub, code)` and `lut(query_id, sub, code,
+    * qd)`; callers append the search tail. */
+  private def pqIndexCtes(m: Int, sd: Int, ksub: Int): String =
+    s"""subs AS (
+       |  SELECT unnest(generate_series(0, ${m - 1})) AS sub
+       |), csv AS (
+       |  SELECT e.vec_id, s.sub,
+       |    CAST(list_slice(e.embedding, s.sub*$sd + 1, s.sub*$sd + $sd) AS DOUBLE[]) AS sv
+       |  FROM embeddings e CROSS JOIN subs s
+       |), seeds AS (
+       |  SELECT vec_id AS cent_id, embedding FROM embeddings
+       |  WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT $ksub
+       |), ssv AS (
+       |  SELECT d.cent_id, s.sub,
+       |    CAST(list_slice(d.embedding, s.sub*$sd + 1, s.sub*$sd + $sd) AS DOUBLE[]) AS csv
+       |  FROM seeds d CROSS JOIN subs s
+       |), a1 AS (
+       |  SELECT c.vec_id, c.sub, c.sv, v.cent_id,
+       |    ${sqDistQ24Sql("c.sv", "v.csv")} AS dd
+       |  FROM csv c JOIN ssv v ON c.sub = v.sub
+       |), b1 AS (
+       |  SELECT sub, cent_id, sv FROM (
+       |    SELECT sub, cent_id, sv,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dd, cent_id) AS r
+       |    FROM a1) t WHERE r = 1
+       |), st AS (
+       |  SELECT sub, cent_id, pos,
+       |    SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 16777216.0 + 0.5) AS BIGINT)) AS ssum,
+       |    COUNT(*) AS n
+       |  FROM (SELECT sub, cent_id, unnest(sv) AS val,
+       |          generate_subscripts(sv, 1) - 1 AS pos FROM b1) u
+       |  GROUP BY sub, cent_id, pos
+       |), books AS (
+       |  SELECT sub, cent_id,
+       |    CAST(list_transform(list(mm ORDER BY pos), x -> CAST(x AS REAL)) AS DOUBLE[]) AS csv
+       |  FROM (SELECT sub, cent_id, pos,
+       |          CAST(ssum AS DOUBLE) / 16777216.0 / CAST(n AS DOUBLE) AS mm FROM st) q
+       |  GROUP BY sub, cent_id
+       |), a2 AS (
+       |  SELECT c.vec_id, c.sub, b.cent_id,
+       |    ${sqDistQ24Sql("c.sv", "b.csv")} AS dd
+       |  FROM csv c JOIN books b ON c.sub = b.sub
+       |), codes AS (
+       |  SELECT vec_id AS corpus_id, sub, cent_id AS code FROM (
+       |    SELECT vec_id, sub, cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dd, cent_id) AS r
+       |    FROM a2) t WHERE r = 1
+       |), lut AS (
+       |  SELECT c.vec_id AS query_id, c.sub, b.cent_id AS code,
+       |    ${sqDistQ24Sql("c.sv", "b.csv")} AS qd
+       |  FROM csv c JOIN books b ON c.sub = b.sub
+       |  WHERE c.vec_id < 10
+       |)""".stripMargin
 
   private def cosineSql(a: String, b: String): String =
     s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))" +
@@ -2443,56 +2513,7 @@ object SparkEntry {
     // distributive quantized mean, float-cast codewords, re-assignment
     // (= the code table), the query LUT, and the integer ADC sum
     "t_ann_pq" ->
-      s"""WITH subs AS (
-         |  SELECT unnest(generate_series(0, 3)) AS sub
-         |), csv AS (
-         |  SELECT e.vec_id, s.sub,
-         |    CAST(list_slice(e.embedding, s.sub*16 + 1, s.sub*16 + 16) AS DOUBLE[]) AS sv
-         |  FROM embeddings e CROSS JOIN subs s
-         |), seeds AS (
-         |  SELECT vec_id AS cent_id, embedding FROM embeddings
-         |  WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT 16
-         |), ssv AS (
-         |  SELECT d.cent_id, s.sub,
-         |    CAST(list_slice(d.embedding, s.sub*16 + 1, s.sub*16 + 16) AS DOUBLE[]) AS csv
-         |  FROM seeds d CROSS JOIN subs s
-         |), a1 AS (
-         |  SELECT c.vec_id, c.sub, c.sv, v.cent_id,
-         |    ${sqDistQ24Sql("c.sv", "v.csv")} AS dd
-         |  FROM csv c JOIN ssv v ON c.sub = v.sub
-         |), b1 AS (
-         |  SELECT sub, cent_id, sv FROM (
-         |    SELECT sub, cent_id, sv,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dd, cent_id) AS r
-         |    FROM a1) t WHERE r = 1
-         |), st AS (
-         |  SELECT sub, cent_id, pos,
-         |    SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 16777216.0 + 0.5) AS BIGINT)) AS ssum,
-         |    COUNT(*) AS n
-         |  FROM (SELECT sub, cent_id, unnest(sv) AS val,
-         |          generate_subscripts(sv, 1) - 1 AS pos FROM b1) u
-         |  GROUP BY sub, cent_id, pos
-         |), books AS (
-         |  SELECT sub, cent_id,
-         |    CAST(list_transform(list(mm ORDER BY pos), x -> CAST(x AS REAL)) AS DOUBLE[]) AS csv
-         |  FROM (SELECT sub, cent_id, pos,
-         |          CAST(ssum AS DOUBLE) / 16777216.0 / CAST(n AS DOUBLE) AS mm FROM st) q
-         |  GROUP BY sub, cent_id
-         |), a2 AS (
-         |  SELECT c.vec_id, c.sub, b.cent_id,
-         |    ${sqDistQ24Sql("c.sv", "b.csv")} AS dd
-         |  FROM csv c JOIN books b ON c.sub = b.sub
-         |), codes AS (
-         |  SELECT vec_id AS corpus_id, sub, cent_id AS code FROM (
-         |    SELECT vec_id, sub, cent_id,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dd, cent_id) AS r
-         |    FROM a2) t WHERE r = 1
-         |), lut AS (
-         |  SELECT c.vec_id AS query_id, c.sub, b.cent_id AS code,
-         |    ${sqDistQ24Sql("c.sv", "b.csv")} AS qd
-         |  FROM csv c JOIN books b ON c.sub = b.sub
-         |  WHERE c.vec_id < 10
-         |), ad AS (
+      s"""WITH ${pqIndexCtes(4, 16, 16)}, ad AS (
          |  SELECT l.query_id, c.corpus_id, SUM(l.qd) AS adist
          |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
          |  WHERE c.corpus_id <> l.query_id
@@ -2504,6 +2525,37 @@ object SparkEntry {
          |  FROM ad
          |)
          |SELECT query_id, corpus_id, adist, rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // PQ re-rank replay: the same trained index at m=8/ksub=32, the ADC
+    // 200-candidate shortlist, then the exact cosine top-5 over ONLY the
+    // shortlisted vectors — the two-stage retrieval contract
+    "t_ann_pq_rerank" ->
+      s"""WITH ${pqIndexCtes(8, 8, 32)}, ad AS (
+         |  SELECT l.query_id, c.corpus_id, SUM(l.qd) AS adist
+         |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+         |  WHERE c.corpus_id <> l.query_id
+         |  GROUP BY l.query_id, c.corpus_id
+         |), short AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT query_id, corpus_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY adist, corpus_id) AS r
+         |    FROM ad) t WHERE r <= 200
+         |), rr AS (
+         |  SELECT s.query_id, s.corpus_id,
+         |    ${cosineSql("qe.embedding", "ce.embedding")} AS cosine
+         |  FROM short s
+         |  JOIN embeddings qe ON qe.vec_id = s.query_id
+         |  JOIN embeddings ce ON ce.vec_id = s.corpus_id
+         |), ranked AS (
+         |  SELECT query_id, corpus_id, cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, corpus_id) AS BIGINT) AS rank
+         |  FROM rr
+         |)
+         |SELECT query_id, corpus_id,
+         |  CAST(FLOOR(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_ppm, rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // embedding near-dup replay: 8-bit hyperplane bucket collision, exact
