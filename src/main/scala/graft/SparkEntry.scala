@@ -793,10 +793,11 @@ object SparkEntry {
     }),
     "t_ann_pq" -> ((s, dir) => {
       // product-quantization ADC search: 4 subspaces x 16 codewords over
-      // the 64-dim embeddings. Approximate distances are integer BY
-      // CONSTRUCTION (the LUT cells are q24-floored squared-L2 doubles,
-      // summed as BIGINTs), so the hashed output needs no extra scaling;
-      // the oracle replays fit, encode, LUT and sum exactly
+      // the 64-dim embeddings. Integer END-TO-END: components q24-quantize
+      // BEFORE any arithmetic, LUT cells are exact-BIGINT squared-L2 sums
+      // of products, adist their BIGINT sum — no double fold exists for an
+      // engine version to diverge on; the oracle replays fit, encode, LUT
+      // and sum in the same exact integers
       val e = t(s, dir, "embeddings")
       Similarity.pqTopK(e, e.filter(col("vec_id") < 10), k = 5,
           m = 4, ksub = 16)
@@ -1133,10 +1134,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "t_kmeans" -> ((s, dir) => {
-      // two Lloyd iterations, k=8, over the embeddings corpus; emits the
-      // trained model's integer stats (2^24-quantized component sums +
-      // cluster sizes) so the oracle replays the whole fit exactly —
-      // no float ever reaches the hashed output
+      // two Lloyd iterations, k=8, over the embeddings corpus; integer
+      // end-to-end (q24 components, exact-BIGINT squared-L2 argmin,
+      // half-up integer centroid means) and emits the trained model's
+      // integer stats — no double fold exists anywhere in the fit for an
+      // engine version to flip, which is what re-greens the twice-red
+      // driver row
       graft.ops.Similarity.kmeansFitStats(t(s, dir, "embeddings"),
           k = 8, iters = 2)
         .select(col("cent_id"), col("pos").cast("long").as("pos"),
@@ -1418,59 +1421,118 @@ object SparkEntry {
       s"[CAST(($vec)[i] AS DOUBLE) * ($sl)[i] FOR i IN range(1, len($vec) + 1)]), " +
       "(acc, x) -> acc + x)"
 
-  /** CosineSim replay over two double-cast embedding columns. */
-  /** Engine-exact squared L2 distance, q24-floored to BIGINT — the PQ
-    * assignment/LUT metric (mirrors `Similarity.sqDist` + `q24`): each
-    * dot is an in-order fold, the combination a fixed-shape double
-    * expression, the floor form single-definition everywhere. */
-  private def sqDistQ24Sql(a: String, b: String): String =
-    s"CAST(FLOOR((list_dot_product($a, $a) + list_dot_product($b, $b)" +
-      s" - 2*list_dot_product($a, $b)) * 16777216.0 + 0.5) AS BIGINT)"
+  /** Per-component q24 quantization of an embedding list — the DuckDB
+    * mirror of `graft.functions.q24Vec`: one IEEE multiply+add+floor per
+    * element (no fold), bit-identical in any engine version. Entry point
+    * of the integer distance discipline on the oracle side. */
+  private def qvecSql(v: String): String =
+    s"list_transform(CAST($v AS DOUBLE[]), x -> CAST(FLOOR(x * 16777216.0 + 0.5) AS BIGINT))"
 
-  /** The full trained-PQ-index replay as a WITH-body prefix: per-subspace
-    * seed sample, one quantized-Lloyd refinement, float-cast codebooks,
-    * the code table, and the query LUT (queries = vec_id < 10). Ends at
-    * CTEs `codes(corpus_id, sub, code)` and `lut(query_id, sub, code,
-    * qd)`; callers append the search tail. */
+  /** Exact integer squared-L2 between two BIGINT q24 lists — mirror of
+    * `graft.functions.intSqDist`. Associative integer sums: no
+    * accumulation-order or engine-version sensitivity exists. */
+  private def isqSql(a: String, b: String): String =
+    s"CAST(list_sum([(($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])" +
+      s" FOR i IN range(1, len($a) + 1)]) AS BIGINT)"
+
+  /** Exact integer dot product of two BIGINT q24 lists — mirror of
+    * `graft.functions.intDot`. */
+  private def idotSql(a: String, b: String): String =
+    s"CAST(list_sum([(($a)[i]) * (($b)[i])" +
+      s" FOR i IN range(1, len($a) + 1)]) AS BIGINT)"
+
+  /** Half-up integer mean of (ssum, n) on the q24 grid — mirror of
+    * `Similarity.qMean`: subtracting the positive remainder makes the
+    * numerator an exact multiple of 2n, so `//` is exact under any
+    * integral-divide semantics. Emits a BIGINT expression over columns
+    * named `ssum` and `n`. */
+  private val qmeanSql: String =
+    "CAST((2*ssum + n - ((2*ssum + n) % (2*n) + 2*n) % (2*n)) // (2*n) AS BIGINT)"
+
+  /** Exact integer `cosine >= tn/td` test — mirror of
+    * `graft.functions.intCosineGte`: for tn,td > 0, `dot/sqrt(na*nb) >=
+    * tn/td <=> dot >= 0 AND dot^2*td^2 >= tn^2*na*nb`, cross-multiplied
+    * in HUGEINT (q24 unit vectors keep every term under 2^117). */
+  private def intCosGteSql(d: String, na: String, nb: String,
+      tn: Int, td: Int): String =
+    s"(($d) >= 0 AND ($na) > 0 AND ($nb) > 0" +
+      s" AND CAST($d AS HUGEINT) * ($d) * ${td.toLong * td}" +
+      s" >= ${tn.toLong * tn} * CAST($na AS HUGEINT) * ($nb))"
+
+  /** The quantized one-iteration Lloyd fit as a WITH-body fragment:
+    * `$qe(id, qv)` -> seeds (deterministic sample, LIMIT `$k`) -> integer
+    * squared-L2 argmin assignment -> distributive integer component sums
+    * -> half-up integer means. Emits CTEs `${p}seeds`, `${p}a1`,
+    * `${p}c1`, `${p}s1`, and `${p}cents(cent_id, qc)` — the trained
+    * centroids ON the q24 grid, no float anywhere. */
+  private def qLloydCtes(p: String, qe: String, id: String, k: Int): String =
+    s"""${p}seeds AS (
+       |  SELECT $id AS cent_id, qv AS qc FROM $qe
+       |  WHERE $id % 7 = 0 ORDER BY $id LIMIT $k
+       |), ${p}a1 AS (
+       |  SELECT e.$id AS vid, e.qv, s.cent_id, ${isqSql("e.qv", "s.qc")} AS d
+       |  FROM $qe e CROSS JOIN ${p}seeds s
+       |), ${p}c1 AS (
+       |  SELECT cent_id, vid, qv FROM (
+       |    SELECT cent_id, vid, qv,
+       |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cent_id) AS r
+       |    FROM ${p}a1) t WHERE r = 1
+       |), ${p}s1 AS (
+       |  SELECT cent_id, pos, CAST(SUM(val) AS BIGINT) AS ssum, COUNT(*) AS n
+       |  FROM (SELECT cent_id, unnest(qv) AS val,
+       |          generate_subscripts(qv, 1) - 1 AS pos FROM ${p}c1) u
+       |  GROUP BY cent_id, pos
+       |), ${p}cents AS (
+       |  SELECT cent_id, list(qm ORDER BY pos) AS qc
+       |  FROM (SELECT cent_id, pos, $qmeanSql AS qm FROM ${p}s1) q
+       |  GROUP BY cent_id
+       |)""".stripMargin
+
+  /** The full trained-PQ-index replay as a WITH-body prefix — integer
+    * end-to-end: per-subspace seed sample on q24-quantized subvectors,
+    * one Lloyd refinement with exact-BIGINT squared-L2 assignment and
+    * half-up integer codeword means, re-assignment (= the code table),
+    * and the query LUT (queries = vec_id < 10). No double ever feeds an
+    * argmin or a LUT cell, so the index replays bit-for-bit on ANY
+    * engine version. Ends at CTEs `codes(corpus_id, sub, code)` and
+    * `lut(query_id, sub, code, qd)`; callers append the search tail. */
   private def pqIndexCtes(m: Int, sd: Int, ksub: Int): String =
     s"""subs AS (
        |  SELECT unnest(generate_series(0, ${m - 1})) AS sub
+       |), qemb AS (
+       |  SELECT vec_id, ${qvecSql("embedding")} AS qv FROM embeddings
        |), csv AS (
        |  SELECT e.vec_id, s.sub,
-       |    CAST(list_slice(e.embedding, s.sub*$sd + 1, s.sub*$sd + $sd) AS DOUBLE[]) AS sv
-       |  FROM embeddings e CROSS JOIN subs s
+       |    list_slice(e.qv, s.sub*$sd + 1, s.sub*$sd + $sd) AS qsv
+       |  FROM qemb e CROSS JOIN subs s
        |), seeds AS (
-       |  SELECT vec_id AS cent_id, embedding FROM embeddings
+       |  SELECT vec_id AS cent_id, qv FROM qemb
        |  WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT $ksub
        |), ssv AS (
        |  SELECT d.cent_id, s.sub,
-       |    CAST(list_slice(d.embedding, s.sub*$sd + 1, s.sub*$sd + $sd) AS DOUBLE[]) AS csv
+       |    list_slice(d.qv, s.sub*$sd + 1, s.sub*$sd + $sd) AS qcsv
        |  FROM seeds d CROSS JOIN subs s
        |), a1 AS (
-       |  SELECT c.vec_id, c.sub, c.sv, v.cent_id,
-       |    ${sqDistQ24Sql("c.sv", "v.csv")} AS dd
+       |  SELECT c.vec_id, c.sub, c.qsv, v.cent_id,
+       |    ${isqSql("c.qsv", "v.qcsv")} AS dd
        |  FROM csv c JOIN ssv v ON c.sub = v.sub
        |), b1 AS (
-       |  SELECT sub, cent_id, sv FROM (
-       |    SELECT sub, cent_id, sv,
+       |  SELECT sub, cent_id, qsv FROM (
+       |    SELECT sub, cent_id, qsv,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dd, cent_id) AS r
        |    FROM a1) t WHERE r = 1
        |), st AS (
-       |  SELECT sub, cent_id, pos,
-       |    SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 16777216.0 + 0.5) AS BIGINT)) AS ssum,
-       |    COUNT(*) AS n
-       |  FROM (SELECT sub, cent_id, unnest(sv) AS val,
-       |          generate_subscripts(sv, 1) - 1 AS pos FROM b1) u
+       |  SELECT sub, cent_id, pos, CAST(SUM(val) AS BIGINT) AS ssum, COUNT(*) AS n
+       |  FROM (SELECT sub, cent_id, unnest(qsv) AS val,
+       |          generate_subscripts(qsv, 1) - 1 AS pos FROM b1) u
        |  GROUP BY sub, cent_id, pos
        |), books AS (
-       |  SELECT sub, cent_id,
-       |    CAST(list_transform(list(mm ORDER BY pos), x -> CAST(x AS REAL)) AS DOUBLE[]) AS csv
-       |  FROM (SELECT sub, cent_id, pos,
-       |          CAST(ssum AS DOUBLE) / 16777216.0 / CAST(n AS DOUBLE) AS mm FROM st) q
+       |  SELECT sub, cent_id, list(qm ORDER BY pos) AS qcsv
+       |  FROM (SELECT sub, cent_id, pos, $qmeanSql AS qm FROM st) q
        |  GROUP BY sub, cent_id
        |), a2 AS (
        |  SELECT c.vec_id, c.sub, b.cent_id,
-       |    ${sqDistQ24Sql("c.sv", "b.csv")} AS dd
+       |    ${isqSql("c.qsv", "b.qcsv")} AS dd
        |  FROM csv c JOIN books b ON c.sub = b.sub
        |), codes AS (
        |  SELECT vec_id AS corpus_id, sub, cent_id AS code FROM (
@@ -1479,7 +1541,7 @@ object SparkEntry {
        |    FROM a2) t WHERE r = 1
        |), lut AS (
        |  SELECT c.vec_id AS query_id, c.sub, b.cent_id AS code,
-       |    ${sqDistQ24Sql("c.sv", "b.csv")} AS qd
+       |    ${isqSql("c.qsv", "b.qcsv")} AS qd
        |  FROM csv c JOIN books b ON c.sub = b.sub
        |  WHERE c.vec_id < 10
        |)""".stripMargin
@@ -2444,54 +2506,28 @@ object SparkEntry {
          |SELECT query_id, corpus_id, CAST(FLOOR(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_ppm, rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
-    // IVF replay — the full trained index: deterministic seed sample,
-    // cosine Voronoi assignment, the DISTRIBUTIVE quantized Lloyd mean
-    // (floor(x*2^24 + 0.5) summed as exact BIGINTs — order-independent, the
-    // reason ivfFit needs no collect_list), float-cast centroids, then
-    // nprobe=3 probing and exact cosine top-5
+    // IVF replay — the full trained index, integer fit: q24-quantized
+    // components, exact-BIGINT squared-L2 Voronoi assignment, the
+    // DISTRIBUTIVE integer Lloyd mean (order-independent sums, half-up
+    // integer mean — the reason ivfFit needs no collect_list), then
+    // nprobe=3 integer-argmin probing and exact cosine top-5 over the
+    // probed candidates only (ranking margins measured: ORACLES.md 2b)
     "t_ann_ivf" ->
-      s"""WITH seeds AS (
-         |  SELECT vec_id AS cent_id, embedding AS cvec_c
-         |  FROM embeddings WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT 16
-         |), assigned AS (
-         |  SELECT e.vec_id AS vid, e.embedding AS v, s.cent_id,
-         |    ${cosineSql("e.embedding", "s.cvec_c")} AS cdist
-         |  FROM embeddings e CROSS JOIN seeds s
-         |), cells AS (
-         |  SELECT cent_id, vid, v FROM (
-         |    SELECT cent_id, vid, v,
-         |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cdist DESC, cent_id) AS r
-         |    FROM assigned) a
-         |  WHERE r = 1
-         |), dimsums AS (
-         |  SELECT cent_id, pos,
-         |    SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 16777216.0 + 0.5) AS BIGINT)) AS ssum,
-         |    COUNT(*) AS n
-         |  FROM (
-         |    SELECT cent_id, unnest(v) AS val,
-         |           generate_subscripts(v, 1) - 1 AS pos
-         |    FROM cells) u
-         |  GROUP BY cent_id, pos
-         |), dimmeans AS (
-         |  SELECT cent_id, pos,
-         |    CAST(ssum AS DOUBLE) / 16777216.0 / CAST(n AS DOUBLE) AS m
-         |  FROM dimsums
-         |), cents AS (
-         |  SELECT cent_id, list_transform(list(m ORDER BY pos), x -> CAST(x AS REAL)) AS cvec_c
-         |  FROM dimmeans GROUP BY cent_id
-         |), cell_corpus AS (
+      s"""WITH qe AS (
+         |  SELECT vec_id, embedding, ${qvecSql("embedding")} AS qv FROM embeddings
+         |), ${qLloydCtes("v1", "qe", "vec_id", 16)}, cell_corpus AS (
          |  SELECT cent_id, corpus_id, cvec FROM (
          |    SELECT c.cent_id, e.vec_id AS corpus_id, e.embedding AS cvec,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosineSql("e.embedding", "c.cvec_c")} DESC, c.cent_id) AS r
-         |    FROM embeddings e CROSS JOIN cents c) a
+         |        ORDER BY ${isqSql("e.qv", "c.qc")}, c.cent_id) AS r
+         |    FROM qe e CROSS JOIN v1cents c) a
          |  WHERE r = 1
          |), cell_queries AS (
          |  SELECT cent_id, query_id, qvec FROM (
          |    SELECT c.cent_id, e.vec_id AS query_id, e.embedding AS qvec,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosineSql("e.embedding", "c.cvec_c")} DESC, c.cent_id) AS r
-         |    FROM embeddings e CROSS JOIN cents c
+         |        ORDER BY ${isqSql("e.qv", "c.qc")}, c.cent_id) AS r
+         |    FROM qe e CROSS JOIN v1cents c
          |    WHERE e.vec_id < 10) a
          |  WHERE r <= 3
          |), scored AS (
@@ -2558,11 +2594,15 @@ object SparkEntry {
          |  CAST(FLOOR(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_ppm, rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
-    // embedding near-dup replay: 8-bit hyperplane bucket collision, exact
-    // cosine within buckets; the perturbed copies' float multiply is
-    // bit-identical in DuckDB (exact 48-bit product rounds the same way).
-    // Buckets over 64 members replay the min-id star fallback (the
-    // embeddingNearDups skew guard), mirroring the t_simhash_pairs oracle
+    // embedding near-dup replay: 8-bit hyperplane bucket collision, the
+    // EXACT integer cosine-threshold test (95/100, HUGEINT cross-multiply
+    // on q24 components — pair membership cannot flip on a double fold)
+    // within buckets; the emitted cosine_ppm is full-precision display
+    // (margins measured: ORACLES.md 2b). The perturbed copies' float
+    // multiply is bit-identical in DuckDB (exact 48-bit product rounds
+    // the same way). Buckets over 64 members replay the min-id star
+    // fallback (the embeddingNearDups skew guard), mirroring the
+    // t_simhash_pairs oracle
     "t_embed_neardup" ->
       s"""WITH ${signsCtes(8)}, corpus AS (
          |  SELECT vec_id, embedding FROM embeddings
@@ -2570,6 +2610,9 @@ object SparkEntry {
          |  SELECT vec_id + 100000,
          |    list_transform(embedding, (x, i) -> CASE WHEN i = 1 THEN CAST(x * CAST(1.05 AS REAL) AS REAL) ELSE x END)
          |  FROM embeddings WHERE vec_id < 10
+         |), qn AS (
+         |  SELECT vec_id, embedding, qv, ${idotSql("qv", "qv")} AS nn
+         |  FROM (SELECT vec_id, embedding, ${qvecSql("embedding")} AS qv FROM corpus) t
          |), dots AS (
          |  SELECT e.vec_id, sp.p, ${sigDotSql("e.embedding", "sp.sl")} AS dot
          |  FROM corpus e CROSS JOIN signlists sp
@@ -2592,13 +2635,15 @@ object SparkEntry {
          |    ON m.bucket = o.bucket AND m.vec_id = o.bmin
          |  WHERE o.bsz > 64 AND o.vec_id <> o.bmin
          |), scored AS (
-         |  SELECT p.id_a, p.id_b, ${cosineSql("ea.embedding", "eb.embedding")} AS cosine
+         |  SELECT p.id_a, p.id_b,
+         |    ${cosineSql("ea.embedding", "eb.embedding")} AS cosine,
+         |    ${idotSql("ea.qv", "eb.qv")} AS dot, ea.nn AS na, eb.nn AS nb
          |  FROM pairs p
-         |  JOIN corpus ea ON ea.vec_id = p.id_a
-         |  JOIN corpus eb ON eb.vec_id = p.id_b
+         |  JOIN qn ea ON ea.vec_id = p.id_a
+         |  JOIN qn eb ON eb.vec_id = p.id_b
          |)
          |SELECT id_a, id_b, CAST(FLOOR(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_ppm
-         |FROM scored WHERE cosine > CAST(0.95 AS DOUBLE)
+         |FROM scored WHERE ${intCosGteSql("dot", "na", "nb", 95, 100)}
          |ORDER BY id_a, id_b""".stripMargin,
 
     // resized-pixel oracle: source pixels are charAt(i % len)&0xFF (see
@@ -3190,59 +3235,40 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
         |ORDER BY doc_id""".stripMargin,
 
-    // k-means replay: two unrolled Lloyd iterations — seeds -> assign ->
-    // quantized integer means (floor(x*2^24 + 0.5): one definition in
-    // every engine version, unlike round()'s half case) -> float
-    // centroids -> assign -> integer stats. Same arithmetic as the
-    // t_ann_ivf fit (proven bit-exact); the hashed output is all-integer
+    // k-means replay: two unrolled Lloyd iterations, integer end-to-end —
+    // q24-quantize components FIRST (one IEEE op per value, fold-free),
+    // then every assignment is an exact-BIGINT squared-L2 argmin and
+    // every centroid a half-up integer mean on the q24 grid. No double
+    // fold feeds any argmin, so NO engine version can flip an assignment
+    // at a near-tie (the r6/r7 failure mode); the hashed output is
+    // all-integer by construction
     "t_kmeans" ->
-      s"""WITH seeds AS (
-         |  SELECT vec_id AS cent_id, embedding AS cvec_c
-         |  FROM embeddings WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT 8
-         |), a1 AS (
-         |  SELECT e.vec_id AS vid, e.embedding AS v, s.cent_id,
-         |    ${cosineSql("e.embedding", "s.cvec_c")} AS cdist
-         |  FROM embeddings e CROSS JOIN seeds s
-         |), c1 AS (
-         |  SELECT cent_id, vid, v FROM (
-         |    SELECT cent_id, vid, v,
-         |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cdist DESC, cent_id) AS r
-         |    FROM a1) t WHERE r = 1
-         |), s1 AS (
-         |  SELECT cent_id, pos,
-         |    SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 16777216.0 + 0.5) AS BIGINT)) AS ssum,
-         |    COUNT(*) AS n
-         |  FROM (SELECT cent_id, unnest(v) AS val,
-         |          generate_subscripts(v, 1) - 1 AS pos FROM c1) u
-         |  GROUP BY cent_id, pos
-         |), m1 AS (
-         |  SELECT cent_id, pos,
-         |    CAST(ssum AS DOUBLE) / 16777216.0 / CAST(n AS DOUBLE) AS m FROM s1
-         |), cents1 AS (
-         |  SELECT cent_id, list_transform(list(m ORDER BY pos), x -> CAST(x AS REAL)) AS cvec_c
-         |  FROM m1 GROUP BY cent_id
-         |), a2 AS (
-         |  SELECT e.vec_id AS vid, e.embedding AS v, c.cent_id,
-         |    ${cosineSql("e.embedding", "c.cvec_c")} AS cdist
-         |  FROM embeddings e CROSS JOIN cents1 c
+      s"""WITH qe AS (
+         |  SELECT vec_id, ${qvecSql("embedding")} AS qv FROM embeddings
+         |), ${qLloydCtes("k1", "qe", "vec_id", 8)}, a2 AS (
+         |  SELECT e.vec_id AS vid, e.qv, c.cent_id, ${isqSql("e.qv", "c.qc")} AS d
+         |  FROM qe e CROSS JOIN k1cents c
          |), c2 AS (
-         |  SELECT cent_id, vid, v FROM (
-         |    SELECT cent_id, vid, v,
-         |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cdist DESC, cent_id) AS r
+         |  SELECT cent_id, vid, qv FROM (
+         |    SELECT cent_id, vid, qv,
+         |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cent_id) AS r
          |    FROM a2) t WHERE r = 1
          |)
          |SELECT cent_id, CAST(pos AS BIGINT) AS pos,
-         |  SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 16777216.0 + 0.5) AS BIGINT)) AS ssum,
+         |  CAST(SUM(val) AS BIGINT) AS ssum,
          |  CAST(COUNT(*) AS BIGINT) AS n
-         |FROM (SELECT cent_id, unnest(v) AS val,
-         |        generate_subscripts(v, 1) - 1 AS pos FROM c2) u
+         |FROM (SELECT cent_id, unnest(qv) AS val,
+         |        generate_subscripts(qv, 1) - 1 AS pos FROM c2) u
          |GROUP BY cent_id, pos
          |ORDER BY cent_id, pos""".stripMargin,
 
-    // SemDeDup replay: same two-iteration Lloyd fit as t_kmeans over the
-    // twin-injected corpus, one more assignment off the final centroids,
-    // then the keep-lowest-index rule over the full within-cluster pair
-    // scan — the hashed output is the surviving (vec_id, cent_id) set
+    // SemDeDup replay: same two-iteration integer Lloyd fit as t_kmeans
+    // over the twin-injected corpus, one more integer-argmin assignment
+    // off the final centroids, then the keep-lowest-index rule with the
+    // EXACT integer cosine-threshold test (cross-multiplied in HUGEINT,
+    // 0.95 = 95/100) over the full within-cluster pair scan — the whole
+    // decision path is integer, so the surviving (vec_id, cent_id) set
+    // cannot flip on any engine's double fold
     "t_semantic_dedup" ->
       s"""WITH corpus AS (
          |  SELECT vec_id, embedding FROM embeddings
@@ -3250,66 +3276,40 @@ object SparkEntry {
          |  SELECT vec_id + 100000,
          |    list_transform(embedding, (x, i) -> CASE WHEN i = 1 THEN CAST(x * CAST(1.05 AS REAL) AS REAL) ELSE x END)
          |  FROM embeddings WHERE vec_id < 10
-         |), seeds AS (
-         |  SELECT vec_id AS cent_id, embedding AS cvec_c
-         |  FROM corpus WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT 8
-         |), a1 AS (
-         |  SELECT e.vec_id AS vid, e.embedding AS v, s.cent_id,
-         |    ${cosineSql("e.embedding", "s.cvec_c")} AS cdist
-         |  FROM corpus e CROSS JOIN seeds s
-         |), c1 AS (
-         |  SELECT cent_id, vid, v FROM (
-         |    SELECT cent_id, vid, v,
-         |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cdist DESC, cent_id) AS r
-         |    FROM a1) t WHERE r = 1
-         |), s1 AS (
-         |  SELECT cent_id, pos,
-         |    SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 16777216.0 + 0.5) AS BIGINT)) AS ssum,
-         |    COUNT(*) AS n
-         |  FROM (SELECT cent_id, unnest(v) AS val,
-         |          generate_subscripts(v, 1) - 1 AS pos FROM c1) u
-         |  GROUP BY cent_id, pos
-         |), m1 AS (
-         |  SELECT cent_id, pos,
-         |    CAST(ssum AS DOUBLE) / 16777216.0 / CAST(n AS DOUBLE) AS m FROM s1
-         |), cents1 AS (
-         |  SELECT cent_id, list_transform(list(m ORDER BY pos), x -> CAST(x AS REAL)) AS cvec_c
-         |  FROM m1 GROUP BY cent_id
-         |), a2 AS (
-         |  SELECT e.vec_id AS vid, e.embedding AS v, c.cent_id,
-         |    ${cosineSql("e.embedding", "c.cvec_c")} AS cdist
-         |  FROM corpus e CROSS JOIN cents1 c
+         |), qe AS (
+         |  SELECT vec_id, ${qvecSql("embedding")} AS qv FROM corpus
+         |), ${qLloydCtes("d1", "qe", "vec_id", 8)}, a2 AS (
+         |  SELECT e.vec_id AS vid, e.qv, c.cent_id, ${isqSql("e.qv", "c.qc")} AS d
+         |  FROM qe e CROSS JOIN d1cents c
          |), c2 AS (
-         |  SELECT cent_id, vid, v FROM (
-         |    SELECT cent_id, vid, v,
-         |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cdist DESC, cent_id) AS r
+         |  SELECT cent_id, vid, qv FROM (
+         |    SELECT cent_id, vid, qv,
+         |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cent_id) AS r
          |    FROM a2) t WHERE r = 1
          |), s2 AS (
-         |  SELECT cent_id, pos,
-         |    SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 16777216.0 + 0.5) AS BIGINT)) AS ssum,
-         |    COUNT(*) AS n
-         |  FROM (SELECT cent_id, unnest(v) AS val,
-         |          generate_subscripts(v, 1) - 1 AS pos FROM c2) u
+         |  SELECT cent_id, pos, CAST(SUM(val) AS BIGINT) AS ssum, COUNT(*) AS n
+         |  FROM (SELECT cent_id, unnest(qv) AS val,
+         |          generate_subscripts(qv, 1) - 1 AS pos FROM c2) u
          |  GROUP BY cent_id, pos
-         |), m2 AS (
-         |  SELECT cent_id, pos,
-         |    CAST(ssum AS DOUBLE) / 16777216.0 / CAST(n AS DOUBLE) AS m FROM s2
          |), cents2 AS (
-         |  SELECT cent_id, list_transform(list(m ORDER BY pos), x -> CAST(x AS REAL)) AS cvec_c
-         |  FROM m2 GROUP BY cent_id
+         |  SELECT cent_id, list(qm ORDER BY pos) AS qc
+         |  FROM (SELECT cent_id, pos, $qmeanSql AS qm FROM s2) q
+         |  GROUP BY cent_id
          |), a3 AS (
-         |  SELECT e.vec_id AS vid, e.embedding AS v, c.cent_id,
-         |    ${cosineSql("e.embedding", "c.cvec_c")} AS cdist
-         |  FROM corpus e CROSS JOIN cents2 c
+         |  SELECT e.vec_id AS vid, e.qv, c.cent_id, ${isqSql("e.qv", "c.qc")} AS d
+         |  FROM qe e CROSS JOIN cents2 c
          |), c3 AS (
-         |  SELECT cent_id, vid, v FROM (
-         |    SELECT cent_id, vid, v,
-         |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cdist DESC, cent_id) AS r
+         |  SELECT cent_id, vid, qv, ${idotSql("qv", "qv")} AS nn FROM (
+         |    SELECT cent_id, vid, qv,
+         |      ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cent_id) AS r
          |    FROM a3) t WHERE r = 1
-         |), dropped AS (
-         |  SELECT DISTINCT b.vid AS vid
+         |), pd AS (
+         |  SELECT b.vid AS vid, ${idotSql("a.qv", "b.qv")} AS dot,
+         |    a.nn AS na, b.nn AS nb
          |  FROM c3 a JOIN c3 b ON a.cent_id = b.cent_id AND a.vid < b.vid
-         |  WHERE ${cosineSql("a.v", "b.v")} >= CAST(0.95 AS DOUBLE)
+         |), dropped AS (
+         |  SELECT DISTINCT vid FROM pd
+         |  WHERE ${intCosGteSql("dot", "na", "nb", 95, 100)}
          |)
          |SELECT c.vid AS vec_id, c.cent_id
          |FROM c3 c LEFT JOIN dropped d ON c.vid = d.vid

@@ -20,6 +20,18 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // a query-filtered run rewrites oracle_sql.json with just the subset;
+    // if the outDir still held dumps from an earlier FULL run, a later
+    // check_oracle.py pass would silently verify only the subset. Refuse
+    // the footgun: partial runs require a dir containing nothing else.
+    if (only.nonEmpty) {
+      val stale = Option(new java.io.File(outDir).list()).getOrElse(Array.empty[String])
+        .filter(n => n != "oracle_sql.json" && !only(n))
+      require(stale.isEmpty,
+        s"[verify] refusing query-filtered run into $outDir: entries " +
+          s"${stale.mkString(", ")} are not in the filter and would be " +
+          "silently skipped by a later oracle check — use a fresh outDir")
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

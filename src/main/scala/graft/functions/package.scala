@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, StringType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** Column-level building blocks of the engine.
   *
@@ -64,6 +64,55 @@ package object functions {
 
   /** L2 norm of a numeric array column. */
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  /** Per-component 2^24 quantization of a float/double array:
+    * `floor(x*2^24 + 0.5)` per element, as `array<long>`. Each element is
+    * ONE IEEE multiply + add + floor on a value with a 24-bit mantissa —
+    * no fold, no accumulation order — so the result is bit-identical in
+    * every engine and engine version. This is the entry point of the
+    * integer distance discipline: quantize components FIRST, then do all
+    * distance/assignment arithmetic in exact BIGINT (a double fold like
+    * `list_dot_product` is NOT a cross-version invariant; a q24 grid is). */
+  def q24Vec(v: Column): Column =
+    transform(v, x =>
+      floor(x.cast(DoubleType) * lit(16777216.0) + lit(0.5)).cast(LongType))
+
+  /** Exact integer squared-L2 distance between two equal-length
+    * `array<long>` columns (q24-quantized vectors): `sum((a_i-b_i)^2)` in
+    * pure long arithmetic. Budget: |q| <= 2^25 per component and dim <=
+    * 64 keeps the sum under 2^57 — no overflow, and the same literal
+    * arithmetic in any engine. Associative integer sums are
+    * order-independent, so partial aggregation can never perturb it. */
+  def intSqDist(qa: Column, qb: Column): Column =
+    aggregate(zip_with(qa, qb, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Exact integer dot product of two `array<long>` columns. Same budget
+    * discipline as [[intSqDist]] (<= 2^54 for q24 unit vectors). */
+  def intDot(qa: Column, qb: Column): Column =
+    aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Engine-exact `cosine(a,b) >= tn/td` over q24-quantized vectors, with
+    * NO floating point anywhere: for tn,td > 0,
+    * `dot/sqrt(na*nb) >= tn/td  <=>  dot >= 0 AND dot^2*td^2 >= tn^2*na*nb`
+    * (squaring is valid once `dot >= 0`; na,nb > 0 for any nonzero
+    * vector). The cross-multiplied comparison runs in DECIMAL(38,0):
+    * with q24 unit-norm vectors dot^2 <= 2^108 ~ 3.2e32 and
+    * tn^2*na*nb <= tn^2 * 2^108, so tn <= ~500 stays inside 38 digits —
+    * callers quantize thresholds to 1/100 (tn <= 100). DuckDB mirrors
+    * the identical test in HUGEINT. Zero vectors (na or nb = 0) -> false,
+    * matching cosine-undefined -> no-match semantics. */
+  def intCosineGte(qa: Column, qb: Column, tn: Int, td: Int): Column = {
+    require(tn > 0 && td > 0 && tn <= 500 && td <= 500,
+      s"rational threshold $tn/$td outside the exact-decimal budget")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val dot = intDot(qa, qb)
+    val na = intDot(qa, qa)
+    val nb = intDot(qb, qb)
+    dot >= 0 && na > 0 && nb > 0 &&
+      dot.cast(dec) * dot.cast(dec) * lit(td.toLong * td).cast(dec) >=
+        lit(tn.toLong * tn).cast(dec) * na.cast(dec) * nb.cast(dec)
+  }
 
   /** Cosine similarity of two numeric array columns; null/zero-norm ->
     * null. Fused single-pass native expression (see [[CosineSim]]) —

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{cosineSimilarity, dotProduct, l2Norm}
+import graft.functions.{cosineSimilarity, dotProduct, intCosineGte, intSqDist, l2Norm, q24Vec}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -17,6 +17,23 @@ import graft.functions.{cosineSimilarity, dotProduct, l2Norm}
   *  - [[lshTopK]]: random-hyperplane LSH — corpus bucketed by a 16-bit
   *    signature; a query probes only its own bucket (and optionally
   *    Hamming-1 neighbors). Sub-linear scan at the cost of recall.
+  *
+  * == The integer distance discipline ==
+  *
+  * Every TRAINED model here (k-means centroids, IVF cells, PQ codebooks
+  * and codes) and every assignment/argmin that feeds one is computed in
+  * exact integer arithmetic on 2^24-quantized components
+  * ([[graft.functions.q24Vec]]): quantize each float component FIRST
+  * (one IEEE multiply+add+floor per value — exact in any engine), then
+  * take squared-L2 distances as BIGINT sums of products. A double fold
+  * (`list_dot_product`-style) is NOT a cross-engine-version invariant —
+  * a 1-ulp association difference at a near-tie flips an argmin and
+  * cascades through a Lloyd fit — whereas integer sums are associative
+  * and exact everywhere. Full-precision cosine survives only in DISPLAY
+  * or final-ranking columns over raw vectors, whose distance-to-boundary
+  * is measured per round (ORACLES.md Class 2b). Embeddings are unit-norm
+  * here, so L2 argmin == cosine argmax geometry; the integer form is the
+  * contract, not an approximation of one.
   */
 object Similarity {
 
@@ -118,57 +135,69 @@ object Similarity {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
-  /** IVF-style approximate top-k: the corpus is partitioned into
-    * `nCentroids` Voronoi cells (seed centroids = deterministic sample of
-    * the corpus, one Lloyd refinement via [[ivfFit]]); each query probes
-    * only its `nprobe` nearest cells.
-    *
-    * Scale: centroid assignment is a broadcast of nCentroids vectors +
-    * one corpus scan; the search join is an equi-join on cell id, so each
-    * query scores |corpus|/nCentroids * nprobe candidates instead of the
-    * whole corpus. Recall depends on the data being clusterable; tested
-    * against brute force on the labeled embeddings table.
-    */
-  /** Fit stage of [[ivfTopK]] — one Lloyd refinement producing the trained
-    * `(cent_id, cvec_c)` centroids. Exposed separately so the plan shape
-    * can be pinned in tests.
-    *
-    * The cell mean is DISTRIBUTIVE: each component is quantized to the
-    * 1/2^24 grid ([[q24]], `floor(x*2^24 + 0.5)` as BIGINT — float
-    * components convert to double exactly, the scaled sum is exact integer
-    * arithmetic, and the floor form has a single engine-independent
-    * definition for arguments landing exactly on .5),
-    * summed with an ordinary `sum()` (associative/commutative => partial
-    * aggregation is order-independent), and divided out at the end. Per-
-    * group aggregation state is one (Long, Long) regardless of cell size —
-    * no per-cell `collect_list` — so a 100x corpus scale-up changes
-    * nothing about the fit's memory shape, while the quantized mean stays
-    * bit-for-bit replayable by an external oracle. (avg() over raw
-    * doubles would NOT be: its summation order is partition-dependent.)
-    * The final per-centroid assembly `collect_list(struct(pos, m))` is
-    * bounded by the embedding dimension, not the cell size. */
-  def ivfFit(corpus: DataFrame, nCentroids: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val seeds = corpus.filter(pmod(col(idCol), lit(7)) === 0) // deterministic sample
-      .orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cvec_c"))
-    val assigned = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
-      .join(broadcast(seeds))
-      .withColumn("cdist", cosineSimilarity(col("v"), col("cvec_c")))
-    val wAssign = Window.partitionBy("vid").orderBy(desc("cdist"), col("cent_id"))
-    val cells = assigned.withColumn("r", row_number().over(wAssign))
-      .filter(col("r") === 1).select("cent_id", "v")
-    cells.select(col("cent_id"), posexplode(col("v")))
-      .groupBy("cent_id", "pos")
-      .agg(sum(q24(col("col"))).as("ssum"),
-        count(lit(1)).as("n"))
-      .withColumn("m", col("ssum").cast("double") / lit(16777216.0) / col("n"))
-      .groupBy("cent_id")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cent_id"),
-        transform(col("pm"), x => x.getField("m").cast("float")).as("cvec_c"))
+  /** Round-half-up integer mean of the quantized component sums, staying
+    * on the q24 grid: `floor(ssum/n + 1/2) = floor((2*ssum+n)/(2n))`,
+    * computed as exact BIGINT arithmetic — subtracting the positive
+    * remainder first makes the numerator an exact multiple of `2n`, so
+    * the division is exact under ANY engine's integral-divide semantics
+    * (floor vs truncate agree on exact quotients). Budget: |2*ssum+n| <=
+    * n*2^26, inside BIGINT for any cluster size below 2^37 rows. */
+  private def qMean(ssum: Column, n: Column): Column = {
+    val num = ssum * 2 + n
+    val den = n * 2
+    // `div` (IntegralDivide), not `/`: Column `/` on longs is DOUBLE
+    // division, which silently loses exactness past 2^53 — the integral
+    // form stays exact for any cluster size the BIGINT sums admit
+    graft.functions.exprColumn(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        graft.functions.columnExpr(num - pmod(num, den)),
+        graft.functions.columnExpr(den)))
   }
 
+  /** (cent_id, pos, ssum, n) integer stats -> (cent_id, qcvec
+    * `array<long>`): the trained centroid ON the q24 grid — the form the
+    * next Lloyd iteration (and the external oracle) consumes. The
+    * `collect_list` is bounded by the embedding dimension. */
+  def assembleQCentroids(stats: DataFrame): DataFrame =
+    stats
+      .withColumn("qm", qMean(col("ssum"), col("n")))
+      .groupBy("cent_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("qm")))).as("pm"))
+      .select(col("cent_id"),
+        transform(col("pm"), x => x.getField("qm")).as("qcvec"))
+
+  /** Fit stage of [[ivfTopK]] — one Lloyd refinement producing the trained
+    * `(cent_id, qcvec)` centroids on the q24 integer grid (==
+    * `assembleQCentroids(kmeansFitStats(corpus, n, 1))`, kept as the
+    * IVF-named entry point so the plan shape can be pinned in tests).
+    *
+    * The cell mean is DISTRIBUTIVE: components quantize to the 1/2^24
+    * grid ([[graft.functions.q24Vec]]) BEFORE any arithmetic, sum with an
+    * ordinary `sum()` (associative integer adds — partial aggregation is
+    * order-independent), and the mean rounds half-up back onto the grid
+    * in exact BIGINT ([[qMean]]). Per-group aggregation state is one
+    * (Long, Long) regardless of cell size — no per-cell `collect_list` —
+    * so a 100x corpus scale-up changes nothing about the fit's memory
+    * shape, while the whole trained model stays bit-for-bit replayable by
+    * an external oracle on any engine version (a double `avg()` would be
+    * partition-order-dependent; a double distance fold would be
+    * engine-version-dependent). */
+  def ivfFit(corpus: DataFrame, nCentroids: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assembleQCentroids(kmeansFitStats(corpus, nCentroids, 1, idCol, vecCol))
+
+  /** IVF-style approximate top-k: the corpus is partitioned into
+    * `nCentroids` Voronoi cells (seed centroids = deterministic sample of
+    * the corpus, one Lloyd refinement via [[ivfFit]], all-integer); each
+    * query probes only its `nprobe` nearest cells; final scoring over the
+    * probed candidates is exact cosine on the raw vectors.
+    *
+    * Scale: centroid assignment is a broadcast of nCentroids quantized
+    * vectors + one corpus scan; the search join is an equi-join on cell
+    * id, so each query scores |corpus|/nCentroids * nprobe candidates
+    * instead of the whole corpus. Recall depends on the data being
+    * clusterable; tested against brute force on the labeled embeddings
+    * table. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nprobe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -183,11 +212,11 @@ object Similarity {
 
     def nearestCells(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
       val scored = df.join(bCents)
-        .withColumn("cdist", cosineSimilarity(col(vec), col("cvec_c")))
-      val w = Window.partitionBy(id).orderBy(desc("cdist"), col("cent_id"))
+        .withColumn("cdist", intSqDist(q24Vec(col(vec)), col("qcvec")))
+      val w = Window.partitionBy(id).orderBy(col("cdist"), col("cent_id"))
       scored.withColumn("crank", row_number().over(w))
         .filter(col("crank") <= n)
-        .drop("cvec_c", "cdist", "crank")
+        .drop("qcvec", "cdist", "crank")
     }
 
     val cellCorpus = nearestCells(
@@ -206,8 +235,12 @@ object Similarity {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
-  /** Embedding near-duplicate pairs: cosine above `threshold` among
-    * LSH-bucket colliders (approximate; exact within buckets).
+  /** Embedding near-duplicate pairs: cosine >= `threshold` among
+    * LSH-bucket colliders (approximate; exact within buckets). The
+    * threshold test is the exact integer form ([[intCosineGte]] over
+    * q24-quantized vectors, threshold at 1/100 granularity) so pair
+    * membership — a hashed output — cannot flip on an engine's double
+    * fold; the emitted `cosine` column is full-precision display only.
     *
     * Skew guard: bucket occupancy is capped at `maxBucket` via the shared
     * `Dedup.boundedBucketPairs` two-regime shape — a bucket holding a
@@ -223,6 +256,7 @@ object Similarity {
   def embeddingNearDups(vectors: DataFrame, threshold: Double, bits: Int = 12,
       maxBucket: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (tn, td) = rationalThreshold(threshold)
     val sig = hyperplaneSigUdf(bits)
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
       sig(col(vecCol)).as("bucket"))
@@ -234,50 +268,69 @@ object Similarity {
     pairs
       .join(v.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
       .join(v.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .filter(intCosineGte(q24Vec(col("vec_a")), q24Vec(col("vec_b")), tn, td))
       .withColumn("cosine", cosineSimilarity(col("vec_a"), col("vec_b")))
-      .filter(col("cosine") > threshold)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** Threshold as an exact small rational on the 1/100 grid — the form
+    * [[intCosineGte]]'s 38-digit budget admits. Rejects thresholds that
+    * are not exact centi-multiples rather than silently rounding. */
+  private def rationalThreshold(t: Double): (Int, Int) = {
+    val tn = math.round(t * 100).toInt
+    require(math.abs(tn - t * 100) < 1e-9 && tn > 0 && tn <= 100,
+      s"cosine threshold $t must be a positive multiple of 0.01 (exact integer test)")
+    (tn, 100)
   }
 
   /** Multi-iteration Lloyd k-means over an embedding column, returning
     * the FINAL iteration's per-(centroid, dimension) aggregation stats
-    * `(cent_id, pos, ssum, n)` — `ssum` the 2^24-quantized component sum,
-    * `n` the cluster size. The caller divides out for float centroids
-    * ([[assembleCentroids]]); emitting integers keeps the whole trained
-    * model bit-for-bit replayable by an external oracle (same contract as
-    * [[ivfFit]], which is the iters=1 special case of this shape).
+    * `(cent_id, pos, ssum, n)` — `ssum` the sum of 2^24-quantized
+    * components, `n` the cluster size. The caller divides out for
+    * centroids ([[assembleQCentroids]] on the integer grid,
+    * [[assembleCentroids]] for float display); emitting integers keeps
+    * the whole trained model bit-for-bit replayable by an external
+    * oracle (same contract as [[ivfFit]], which is the iters=1 special
+    * case of this shape).
     *
-    * Scale: per iteration, ONE broadcast of k·dim floats + one corpus
+    * Assignment is `argmin` of exact integer squared-L2 on the quantized
+    * components ([[intSqDist]], ties by cent_id) — NO double fold
+    * anywhere in the fit, so no engine version can flip an assignment at
+    * a near-tie (the failure mode of a cosine-double argmax). Seed
+    * centroids are the deterministic corpus sample, quantized; iteration
+    * i+1's centroids are the half-up integer means ([[qMean]]).
+    *
+    * Scale: per iteration, ONE broadcast of k*dim longs + one corpus
     * scan + one (cent_id, pos)-keyed aggregation whose per-group state is
     * a (Long, Long) regardless of cluster size — no per-cluster arrays
-    * anywhere (the collect_list in [[assembleCentroids]] is bounded by
+    * anywhere (the collect_list in [[assembleQCentroids]] is bounded by
     * the embedding dimension). Centroids are materialized (collected —
-    * k·dim values, driver metadata) between iterations so iteration i+1
+    * k*dim values, driver metadata) between iterations so iteration i+1
     * never re-executes iteration i's subtree. Empty clusters drop out,
     * exactly as in the SQL replay. */
   def kmeansFitStats(corpus: DataFrame, k: Int = 8, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(iters >= 1, "at least one Lloyd iteration")
     val spark = corpus.sparkSession
-    val v = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val v = corpus.select(col(idCol).as("vid"), q24Vec(col(vecCol)).as("qv"))
     var cents: DataFrame = corpus.filter(pmod(col(idCol), lit(7)) === 0)
       .orderBy(col(idCol)).limit(k)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cvec_c"))
+      .select(col(idCol).as("cent_id"), q24Vec(col(vecCol)).as("qcvec"))
     var stats: DataFrame = null
     for (i <- 1 to iters) {
-      val centRows = cents.collect().toSeq // k·dim floats — model metadata
+      val centRows = cents.collect().toSeq // k·dim longs — model metadata
       val bCents = broadcast(spark.createDataFrame(
         spark.sparkContext.parallelize(centRows, 1), cents.schema))
       val assigned = v.join(bCents)
-        .withColumn("cdist", cosineSimilarity(col("v"), col("cvec_c")))
-      val w = Window.partitionBy("vid").orderBy(desc("cdist"), col("cent_id"))
+        .withColumn("cdist", intSqDist(col("qv"), col("qcvec")))
+      val w = Window.partitionBy("vid").orderBy(col("cdist"), col("cent_id"))
       val cells = assigned.withColumn("r", row_number().over(w))
-        .filter(col("r") === 1).select("cent_id", "v")
-      stats = cells.select(col("cent_id"), posexplode(col("v")))
+        .filter(col("r") === 1).select("cent_id", "qv")
+      stats = cells.select(col("cent_id"), posexplode(col("qv")))
         .groupBy("cent_id", "pos")
-        .agg(sum(q24(col("col"))).as("ssum"),
+        .agg(sum(col("col")).as("ssum"),
           count(lit(1)).as("n"))
-      if (i < iters) cents = assembleCentroids(stats)
+      if (i < iters) cents = assembleQCentroids(stats)
     }
     stats
   }
@@ -285,13 +338,17 @@ object Similarity {
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): k-means the embedding space (the
     * [[kmeansFitStats]] Lloyd fit), assign every vector to its nearest
-    * centroid by cosine, and within each cluster drop every vector that
-    * has a semantic near-duplicate (cosine >= `threshold`) of SMALLER
-    * id — the paper's keep-lowest-index rule: one pass, no connected
-    * components. Returns the survivors as (`idCol`, cent_id).
+    * centroid (integer squared-L2 argmin), and within each cluster drop
+    * every vector that has a semantic near-duplicate (cosine >=
+    * `threshold`, tested in the exact integer form — [[intCosineGte]],
+    * threshold on the 1/100 grid) of SMALLER id — the paper's
+    * keep-lowest-index rule: one pass, no connected components. Returns
+    * the survivors as (`idCol`, cent_id). The whole decision path (fit,
+    * assignment, threshold) is integer end-to-end: no engine's double
+    * fold can flip a survivor.
     *
-    * Scale: the fit broadcasts k·dim floats per iteration; the final
-    * assignment is the same broadcast argmax (per-vector window, corpus
+    * Scale: the fit broadcasts k*dim longs per iteration; the final
+    * assignment is the same broadcast argmin (per-vector window, corpus
     * never shuffled on cluster); within-cluster pair generation flows
     * through `Dedup.boundedBucketPairs` with the cluster id as the
     * bucket, so a degenerate mega-cluster emits O(n) star pairs instead
@@ -303,46 +360,41 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, threshold: Double, k: Int = 8,
       iters: Int = 2, maxCluster: Int = 1024,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (tn, td) = rationalThreshold(threshold)
     val spark = corpus.sparkSession
-    val cents = assembleCentroids(
+    val cents = assembleQCentroids(
       kmeansFitStats(corpus, k, iters, idCol, vecCol))
-    val centRows = cents.collect().toSeq // k·dim floats — model metadata
+    val centRows = cents.collect().toSeq // k·dim longs — model metadata
     val bCents = broadcast(spark.createDataFrame(
       spark.sparkContext.parallelize(centRows, 1), cents.schema))
-    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val w = Window.partitionBy("id").orderBy(desc("cdist"), col("cent_id"))
+    val v = corpus.select(col(idCol).as("id"), q24Vec(col(vecCol)).as("qv"))
+    val w = Window.partitionBy("id").orderBy(col("cdist"), col("cent_id"))
     val cells = v.join(bCents)
-      .withColumn("cdist", cosineSimilarity(col("vec"), col("cvec_c")))
+      .withColumn("cdist", intSqDist(col("qv"), col("qcvec")))
       .withColumn("r", row_number().over(w))
       .filter(col("r") === 1)
-      .select(col("cent_id"), col("id"), col("vec"))
+      .select(col("cent_id"), col("id"), col("qv"))
     val pairs = Dedup.boundedBucketPairs(
       cells.select(col("cent_id").as("bucket"), col("id")),
       Seq("bucket"), maxCluster)
     val dropped = pairs // id_a < id_b by construction in both regimes
-      .join(cells.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
-      .join(cells.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
-      .filter(cosineSimilarity(col("vec_a"), col("vec_b")) >= threshold)
+      .join(cells.select(col("id").as("id_a"), col("qv").as("qv_a")), Seq("id_a"))
+      .join(cells.select(col("id").as("id_b"), col("qv").as("qv_b")), Seq("id_b"))
+      .filter(intCosineGte(col("qv_a"), col("qv_b"), tn, td))
       .select(col("id_b").as("id")).distinct()
     cells.join(dropped, Seq("id"), "left_anti")
       .select(col("id").as(idCol), col("cent_id"))
   }
 
-  /** Engine-exact squared L2 distance: |a|^2 + |b|^2 - 2*(a.b), each term
-    * an in-order fold ([[dotProduct]] / DuckDB `list_dot_product`), the
-    * combination a fixed-shape double expression — bit-identical across
-    * engines, the same parity contract the cosine kernel relies on. */
-  private def sqDist(a: Column, b: Column): Column =
-    dotProduct(a, a) + dotProduct(b, b) - lit(2.0) * dotProduct(a, b)
-
-  /** (id, sub, subvector) rows: the vector split into `m` contiguous
-    * subspaces of `subDim` dims each — a pure posexplode over slice
-    * expressions, no UDF, stays in whole-stage codegen. */
-  private def subvectors(df: DataFrame, idAs: String, svAs: String,
+  /** (id, sub, quantized subvector) rows: the q24-quantized vector split
+    * into `m` contiguous subspaces of `subDim` dims each — a pure
+    * posexplode over slice expressions, no UDF, stays in whole-stage
+    * codegen. Quantization commutes with slicing (it is per-element). */
+  private def qSubvectors(df: DataFrame, idAs: String, svAs: String,
       m: Int, subDim: Int, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as(idAs),
         posexplode(array((0 until m).map(s =>
-          slice(col(vecCol), s * subDim + 1, subDim)): _*)))
+          slice(q24Vec(col(vecCol)), s * subDim + 1, subDim)): _*)))
       .withColumnRenamed("pos", "sub").withColumnRenamed("col", svAs)
 
   /** Product-quantization codebook fit (Jégou, Douze & Schmid 2011,
@@ -350,13 +402,15 @@ object Similarity {
     * split every vector into `m` contiguous subspaces and k-means each
     * subspace independently (seed codewords = the shared deterministic
     * corpus sample, one Lloyd refinement — the [[ivfFit]] recipe per
-    * subspace). Returns (sub, cent_id, csv) float codewords.
+    * subspace). Returns (sub, cent_id, qcsv) codewords ON the q24
+    * integer grid.
     *
-    * Determinism contract: assignment distances are squared-L2 doubles
-    * quantized to the 1/2^24 grid BEFORE the argmin ([[q24]] floor form,
-    * ties broken by cent_id), and codeword means are the distributive
-    * q24-integer sums of [[ivfFit]] — the whole trained codebook is
-    * bit-for-bit replayable by an external engine.
+    * Determinism contract: assignment distances are exact BIGINT
+    * squared-L2 over quantized components ([[intSqDist]], ties broken by
+    * cent_id) and codeword means are the half-up integer means
+    * ([[qMean]]) of the distributive component sums — the whole trained
+    * codebook is integer end-to-end and bit-for-bit replayable by an
+    * external engine of ANY version (no double fold exists to diverge).
     *
     * Scale: the seed set is m*ksub rows (broadcast); assignment is one
     * corpus scan producing m rows per vector, reduced map-side by the
@@ -371,28 +425,28 @@ object Similarity {
     val seeds = corpus.filter(pmod(col(idCol), lit(7)) === 0)
       .orderBy(col(idCol)).limit(ksub)
       .select(col(idCol).as("cent_id"), col(vecCol))
-    val seedSv = subvectors(seeds, "cent_id", "csv", m, sd, "cent_id", vecCol)
-    val sv = subvectors(corpus, "vid", "sv", m, sd, idCol, vecCol)
+    val seedSv = qSubvectors(seeds, "cent_id", "qcsv", m, sd, "cent_id", vecCol)
+    val sv = qSubvectors(corpus, "vid", "qsv", m, sd, idCol, vecCol)
     val assigned = sv.join(broadcast(seedSv), Seq("sub"))
-      .withColumn("d", q24(sqDist(col("sv"), col("csv"))))
+      .withColumn("d", intSqDist(col("qsv"), col("qcsv")))
       .groupBy("vid", "sub")
-      .agg(min_by(struct(col("cent_id"), col("sv")),
+      .agg(min_by(struct(col("cent_id"), col("qsv")),
         struct(col("d"), col("cent_id"))).as("best"))
       .select(col("sub"), col("best.cent_id").as("cent_id"),
-        col("best.sv").as("sv"))
-    assigned.select(col("sub"), col("cent_id"), posexplode(col("sv")))
+        col("best.qsv").as("qsv"))
+    assigned.select(col("sub"), col("cent_id"), posexplode(col("qsv")))
       .groupBy("sub", "cent_id", "pos")
-      .agg(sum(q24(col("col"))).as("ssum"), count(lit(1)).as("n"))
-      .withColumn("mm", col("ssum").cast("double") / lit(16777216.0) / col("n"))
+      .agg(sum(col("col")).as("ssum"), count(lit(1)).as("n"))
+      .withColumn("qm", qMean(col("ssum"), col("n")))
       .groupBy("sub", "cent_id")
-      .agg(array_sort(collect_list(struct(col("pos"), col("mm")))).as("pm"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("qm")))).as("pm"))
       .select(col("sub"), col("cent_id"),
-        transform(col("pm"), x => x.getField("mm").cast("float")).as("csv"))
+        transform(col("pm"), x => x.getField("qm")).as("qcsv"))
   }
 
   /** PQ encoding: each vector compresses to `m` small codes — the id of
-    * its nearest codeword per subspace (same quantized-distance argmin as
-    * the fit). Output (id, sub, code): m rows per vector, ~1 byte of
+    * its nearest codeword per subspace (same exact-integer argmin as the
+    * fit). Output (id, sub, code): m rows per vector, ~1 byte of
     * information each vs 4*dim bytes of raw floats — the 64x memory
     * compression that lets a 100 TB embedding corpus's index fit in RAM.
     * `codebooks` must be the (small) [[pqFit]] output; it is broadcast. */
@@ -400,21 +454,51 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
-    val sv = subvectors(corpus, "vid", "sv", m, dim / m, idCol, vecCol)
+    val sv = qSubvectors(corpus, "vid", "qsv", m, dim / m, idCol, vecCol)
     sv.join(broadcast(codebooks), Seq("sub"))
-      .withColumn("d", q24(sqDist(col("sv"), col("csv"))))
+      .withColumn("d", intSqDist(col("qsv"), col("qcsv")))
       .groupBy("vid", "sub")
       .agg(min(struct(col("d"), col("cent_id"))).as("best"))
       .select(col("vid").as(idCol), col("sub"),
         col("best.cent_id").as("code"))
   }
 
-  /** PQ asymmetric-distance (ADC) top-k: queries stay full-precision, the
-    * corpus is its PQ codes; a query precomputes its quantized squared-L2
-    * distance to every codeword (the LUT — nq*m*ksub integer cells) and a
-    * corpus vector's approximate distance is the integer SUM of the LUT
-    * cells its codes select. Exact ranking over the approximate metric:
-    * integer distances, ties by corpus_id.
+  /** One-time build of a persistent PQ index — the fit-once/search-many
+    * split the 100 TB contract requires (the raw float vectors are
+    * scanned exactly once, here; every later [[pqSearch]] touches only
+    * the stored artifact). Writes two tables:
+    *  - `{name}_books`: the (sub, cent_id, qcsv) integer codebooks —
+    *    m*ksub rows, metadata-sized;
+    *  - `{name}_codes`: the (id, sub, code) code table, BUCKETED by id so
+    *    all m rows of a vector co-locate in one bucket file and the
+    *    search's (query, corpus) aggregate starts from a clustered
+    *    layout (same pattern as `Curation.writeFingerprintIndex`).
+    * Append newly-encoded batches with the same bucket spec instead of
+    * re-fitting; re-fit only when drift degrades recall. */
+  def pqIndexWrite(corpus: DataFrame, name: String, m: Int = 4,
+      ksub: Int = 16, numBuckets: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val books = pqFit(corpus, m, ksub, idCol, vecCol)
+    val bookRows = books.collect().toSeq // m*ksub*subDim longs — metadata
+    val bBooks = spark.createDataFrame(
+      spark.sparkContext.parallelize(bookRows, 1), books.schema)
+    bBooks.write.mode("overwrite").saveAsTable(s"${name}_books")
+    pqEncode(corpus, bBooks, m, idCol, vecCol)
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, idCol).sortBy(idCol, "sub")
+      .saveAsTable(s"${name}_codes")
+  }
+
+  /** ADC search against a PREBUILT index ([[pqFit]]+[[pqEncode]] frames,
+    * or the stored tables of [[pqIndexWrite]] via [[pqSearchIndexed]]):
+    * queries stay full-precision until quantization, the corpus is its PQ
+    * codes; a query precomputes its exact-integer squared-L2 distance to
+    * every codeword (the LUT — nq*m*ksub BIGINT cells) and a corpus
+    * vector's approximate distance is the integer SUM of the LUT cells
+    * its codes select. Exact ranking over the approximate metric:
+    * integer distances end-to-end, ties by corpus_id — no double
+    * arithmetic exists anywhere in the result.
     *
     * Scale: the LUT is queries-sized (broadcast); the search is ONE scan
     * of the (m-rows-per-vector) code table with a broadcast hash join on
@@ -424,24 +508,17 @@ object Similarity {
     * corpus's float vectors are read once at encode time and never again;
     * at 100 TB that is the difference between scanning 100 TB per query
     * batch and scanning the ~1.5 TB code table. */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
-      ksub: Int = 16,
+  def pqSearch(codebooks: DataFrame, codes: DataFrame, queries: DataFrame,
+      k: Int, m: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    val books = pqFit(corpus, m, ksub, idCol, vecCol)
-    // materialize the (tiny) trained codebooks once — fit-then-broadcast,
-    // same shape as ivfTopK
-    val bookRows = books.collect().toSeq // m*ksub*subDim floats — metadata
-    val bBooks = spark.createDataFrame(
-      spark.sparkContext.parallelize(bookRows, 1), books.schema)
-    val codes = pqEncode(corpus, bBooks, m, idCol, vecCol)
-      .withColumnRenamed(idCol, "corpus_id")
-    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
-    val qsv = subvectors(queries, "query_id", "qsv", m, dim / m, idCol, vecCol)
-    val lut = qsv.join(broadcast(bBooks), Seq("sub"))
+    val dim = queries.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+    val cids = codes.withColumnRenamed(idCol, "corpus_id")
+    val qsv = qSubvectors(queries, "query_id", "qsv", m, dim / m, idCol, vecCol)
+    val lut = qsv.join(broadcast(codebooks), Seq("sub"))
       .select(col("query_id"), col("sub"), col("cent_id").as("code"),
-        q24(sqDist(col("qsv"), col("csv"))).as("qd"))
-    val adist = codes.join(broadcast(lut), Seq("sub", "code"))
+        intSqDist(col("qsv"), col("qcsv")).as("qd"))
+    val adist = cids.join(broadcast(lut), Seq("sub", "code"))
       .filter(col("corpus_id") =!= col("query_id"))
       .groupBy("query_id", "corpus_id")
       .agg(sum(col("qd")).as("adist"))
@@ -451,30 +528,48 @@ object Similarity {
       .select("query_id", "corpus_id", "adist", "rank")
   }
 
-  /** Two-stage PQ retrieval — ADC shortlist + EXACT re-rank, the
-    * production IVFADC-with-refinement shape: [[pqTopK]] selects
-    * `shortlist` candidates per query from the compressed code table,
-    * then ONLY those candidates rejoin their raw vectors for an exact
-    * cosine top-k. On incompressible (near-random) embeddings plain ADC
-    * recall degrades with quantization error; the re-rank recovers it
-    * (measured on the labeled corpus: 0.17 ADC-only -> ~0.96 recall@10
-    * at m=8, ksub=32, shortlist=200) while the expensive exact kernel
-    * touches |queries|*shortlist vectors instead of the corpus — at
-    * 100 TB that is the whole point of the code table.
+  /** [[pqSearch]] against the stored tables of [[pqIndexWrite]] — the
+    * production entry point: loads `{name}_books` (broadcast) and
+    * `{name}_codes` (bucketed scan), never the raw embedding corpus. */
+  def pqSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+      name: String, queries: DataFrame, k: Int, m: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqSearch(spark.table(s"${name}_books"), spark.table(s"${name}_codes"),
+      queries, k, m, idCol, vecCol)
+
+  /** Convenience fit+encode+search in one call (bench/test path — each
+    * invocation re-fits; production should [[pqIndexWrite]] once and
+    * [[pqSearchIndexed]] many times). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
+      ksub: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val books = pqFit(corpus, m, ksub, idCol, vecCol)
+    // materialize the (tiny) trained codebooks once — fit-then-broadcast,
+    // same shape as ivfTopK
+    val bookRows = books.collect().toSeq // m*ksub*subDim longs — metadata
+    val bBooks = spark.createDataFrame(
+      spark.sparkContext.parallelize(bookRows, 1), books.schema)
+    val codes = pqEncode(corpus, bBooks, m, idCol, vecCol)
+    pqSearch(bBooks, codes, queries, k, m, idCol, vecCol)
+  }
+
+  /** Exact cosine re-rank of an ADC shortlist — stage 2 of the
+    * production IVFADC-with-refinement shape. `short` is (query_id,
+    * corpus_id) pairs; ONLY those candidates rejoin their raw vectors
+    * for an exact cosine top-k, so the expensive exact kernel touches
+    * |queries|*shortlist vectors instead of the corpus.
     *
     * Scale: the shortlist is queries-sized (broadcast into the rejoin,
     * so the corpus is scanned once with a broadcast semi-probe and
     * never shuffled); ranking is the usual WindowGroupLimit prune. */
-  def pqTopKRerank(corpus: DataFrame, queries: DataFrame, k: Int,
-      m: Int = 8, ksub: Int = 32, shortlist: Int = 200,
+  def pqRerank(corpus: DataFrame, queries: DataFrame, short: DataFrame,
+      k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(shortlist >= k, "shortlist must cover k")
-    val short = pqTopK(corpus, queries, shortlist, m, ksub, idCol, vecCol)
-      .select("query_id", "corpus_id")
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("corpus_id"))
-    c.join(broadcast(short), Seq("corpus_id"))
+    c.join(broadcast(short.select("query_id", "corpus_id")), Seq("corpus_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("cosine", cosineSimilarity(col("qvec"), col("cvec")))
       .withColumn("rank", row_number().over(w))
@@ -482,8 +577,27 @@ object Similarity {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
+  /** Two-stage PQ retrieval — ADC shortlist + EXACT re-rank: [[pqTopK]]
+    * selects `shortlist` candidates per query from the compressed code
+    * table, then [[pqRerank]] scores only those exactly. On
+    * incompressible (near-random) embeddings plain ADC recall degrades
+    * with quantization error; the re-rank recovers it (measured on the
+    * labeled corpus: 0.17 ADC-only -> ~0.96 recall@10 at m=8, ksub=32,
+    * shortlist=200) while the exact kernel touches |queries|*shortlist
+    * vectors instead of the corpus — at 100 TB that is the whole point
+    * of the code table. */
+  def pqTopKRerank(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 32, shortlist: Int = 200,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, "shortlist must cover k")
+    val short = pqTopK(corpus, queries, shortlist, m, ksub, idCol, vecCol)
+    pqRerank(corpus, queries, short, k, idCol, vecCol)
+  }
+
   /** (cent_id, pos, ssum, n) stats -> (cent_id, cvec_c float array):
-    * quantized mean per dimension, assembled in dimension order. */
+    * quantized mean per dimension, assembled in dimension order — the
+    * float DISPLAY form of the trained centroids (no query path consumes
+    * it; assignments use [[assembleQCentroids]]' integer form). */
   def assembleCentroids(stats: DataFrame): DataFrame =
     stats
       .withColumn("m", col("ssum").cast("double") / lit(16777216.0) / col("n"))

@@ -695,11 +695,14 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
   test("kmeans stats with iters=1 assemble to exactly the IVF fit centroids") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    val viaKmeans = keyed(Similarity.assembleCentroids(
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaKmeans = keyed(Similarity.assembleQCentroids(
       Similarity.kmeansFitStats(e, k = 16, iters = 1)))
     val viaIvf = keyed(Similarity.ivfFit(e, nCentroids = 16))
     assert(viaKmeans == viaIvf)
+    // the integer centroids sit on the q24 grid: |component| < 2^25 for
+    // unit-norm input, so every downstream BIGINT distance is exact
+    assert(viaIvf.values.flatten.forall(q => math.abs(q) < (1L << 25)))
     // a second iteration must keep every quantized stat integral and
     // cluster sizes summing to the corpus
     val s2 = Similarity.kmeansFitStats(e, k = 16, iters = 2)
