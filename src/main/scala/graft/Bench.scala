@@ -35,8 +35,21 @@ object Bench {
         catch { case _: Throwable => }
       }
     } catch { case _: Throwable => }
+    // machine-load stamps: seven rounds of driver bench numbers have been
+    // contention-garbage (cheap queries inflate 10-100x when ambient load
+    // is high at start). Emitting loadavg at start/end plus a per-query
+    // wall-clock timestamp lets any reader discount a contended run
+    // mechanically instead of re-adjudicating it by hand.
+    def loadavg(): Double =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadavg()
+    val wallStart = System.currentTimeMillis()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val started = scala.collection.mutable.LinkedHashMap[String, Long]()
     val results = SparkEntry.queries.map { case (name, fn) =>
+      started(name) = System.currentTimeMillis()
       val t0 = System.nanoTime()
       // noop sink materializes EVERY column — count() would let Catalyst
       // prune the projected expressions/UDFs and drop sorts, timing only
@@ -71,8 +84,11 @@ object Bench {
     val total = results.collect {
       case (name, dt) if !errors.contains(name) => dt
     }.sum
+    val loadEnd = loadavg()
+    val ts = started.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","error_count":${errors.size},"errors":$errs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","error_count":${errors.size},"errors":$errs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"wall_start_ms":$wallStart,"query_start_ms":$ts}"""
     // the driver greps for the JSON line; sbt prefixes stdout with [info],
     // so also write an unprefixed copy to a file and to stderr
     println(json)

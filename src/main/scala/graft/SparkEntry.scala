@@ -517,6 +517,21 @@ object SparkEntry {
       }
         .orderBy("register")
     }),
+    "s_countmin" -> ((s, dir) => {
+      // streaming count-min: the 4x256 counter matrix maintained as a
+      // running groupBy-count over the event stream — state bounded at
+      // depth*width rows forever (spec-asserted); complete-mode output
+      // equals the batch sketch, which is what the oracle replays
+      val stream = StreamingOps.readEvents(s, s"$dir/events.parquet")
+        .select(col("event_id").cast("string").as("k"))
+      val sk = StreamingOps.streamingCountMin(stream, "k", depth = 4, width = 256)
+      StreamingOps.withShufflePartitions(s, 8) {
+        StreamingOps.runToMemory(sk, s"scm_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+      }
+        .select(col("r").cast("long").as("r"), col("cell"), col("cnt"))
+        .orderBy("r", "cell")
+    }),
     "s_user_sessions" -> ((s, dir) => {
       val stream = StreamingOps.readEvents(s, s"$dir/events.parquet")
       val sessions = StreamingOps.userSessions(stream)
@@ -801,6 +816,22 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.pqTopK(e, e.filter(col("vec_id") < 10), k = 5,
           m = 4, ksub = 16)
+        .select(col("query_id"), col("corpus_id"), col("adist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    "t_ann_pq_indexed" -> ((s, dir) => {
+      // the fit-once/search-many contract end-to-end: pqIndexWrite
+      // persists the integer codebooks + id-bucketed code table as
+      // tables, then pqSearchIndexed answers from the stored artifact
+      // ONLY — the search plan contains no raw-embedding corpus scan
+      // (pinned in OpsSpec). Output is byte-identical to t_ann_pq: same
+      // trained index, searched from disk instead of in-flight frames
+      val e = t(s, dir, "embeddings")
+      graft.ops.Similarity.pqIndexWrite(e, "pq_verify_idx",
+        m = 4, ksub = 16, numBuckets = 8)
+      graft.ops.Similarity.pqSearchIndexed(s, "pq_verify_idx",
+          e.filter(col("vec_id") < 10), k = 5, m = 4)
         .select(col("query_id"), col("corpus_id"), col("adist"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
@@ -1545,6 +1576,24 @@ object SparkEntry {
        |  FROM csv c JOIN books b ON c.sub = b.sub
        |  WHERE c.vec_id < 10
        |)""".stripMargin
+
+  /** The complete ADC search query over [[pqIndexCtes]] — shared by the
+    * in-flight (`t_ann_pq`) and stored-index (`t_ann_pq_indexed`) rows,
+    * which produce identical output by construction. */
+  private def pqAdcQuerySql(m: Int, sd: Int, ksub: Int): String =
+    s"""WITH ${pqIndexCtes(m, sd, ksub)}, ad AS (
+       |  SELECT l.query_id, c.corpus_id, SUM(l.qd) AS adist
+       |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+       |  WHERE c.corpus_id <> l.query_id
+       |  GROUP BY l.query_id, c.corpus_id
+       |), ranked AS (
+       |  SELECT query_id, corpus_id, adist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adist, corpus_id) AS BIGINT) AS rank
+       |  FROM ad
+       |)
+       |SELECT query_id, corpus_id, adist, rank
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   private def cosineSql(a: String, b: String): String =
     s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))" +
@@ -2545,23 +2594,14 @@ object SparkEntry {
 
     // PQ/ADC replay — the full trained index: per-subspace seed sample
     // (shared deterministic corpus sample, subvector per subspace), one
-    // Lloyd refinement with q24-floored squared-L2 assignment and the
-    // distributive quantized mean, float-cast codewords, re-assignment
+    // integer Lloyd refinement, the integer codeword means, re-assignment
     // (= the code table), the query LUT, and the integer ADC sum
-    "t_ann_pq" ->
-      s"""WITH ${pqIndexCtes(4, 16, 16)}, ad AS (
-         |  SELECT l.query_id, c.corpus_id, SUM(l.qd) AS adist
-         |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
-         |  WHERE c.corpus_id <> l.query_id
-         |  GROUP BY l.query_id, c.corpus_id
-         |), ranked AS (
-         |  SELECT query_id, corpus_id, adist,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY adist, corpus_id) AS BIGINT) AS rank
-         |  FROM ad
-         |)
-         |SELECT query_id, corpus_id, adist, rank
-         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "t_ann_pq" -> pqAdcQuerySql(4, 16, 16),
+
+    // the stored-index path (pqIndexWrite + pqSearchIndexed) is the SAME
+    // trained artifact searched from tables instead of in-flight frames —
+    // byte-identical output by construction, so the oracle is identical
+    "t_ann_pq_indexed" -> pqAdcQuerySql(4, 16, 16),
 
     // PQ re-rank replay: the same trained index at m=8/ksub=32, the ADC
     // 200-candidate shortlist, then the exact cosine top-5 over ONLY the
@@ -2967,6 +3007,22 @@ object SparkEntry {
          |SELECT term, CAST(exact_n AS BIGINT) AS exact_n,
          |  CAST(cm_est AS BIGINT) AS cm_est
          |FROM est ORDER BY term""".stripMargin,
+
+    // streaming count-min replay: the stream's complete-mode counter
+    // state is exactly the batch sketch over the same events — per-cell
+    // COUNT with the same fnv1a("r:" || key) cell map, width 256 a power
+    // of two for signed/unsigned parity
+    "s_countmin" ->
+      s"""WITH h AS (
+         |  SELECT CAST(event_id AS VARCHAR) AS k FROM events
+         |), rs AS (
+         |  SELECT unnest(range(0, 4)) AS r
+         |), cells AS (
+         |  SELECT r, CAST(${fnvSql("CAST(r AS VARCHAR) || ':' || k")} % 256 AS BIGINT) AS cell
+         |  FROM h CROSS JOIN rs
+         |)
+         |SELECT CAST(r AS BIGINT) AS r, cell, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM cells GROUP BY r, cell ORDER BY r, cell""".stripMargin,
 
     // streaming HLL replay: the stream's complete-mode register state is
     // exactly the batch sketch over the same events

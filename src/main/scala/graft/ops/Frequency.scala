@@ -91,8 +91,11 @@ object Frequency {
   /** Cardinality estimate from a [[hllSketch]]: the raw HLL estimator
     * E = alpha_m * m^2 / sum_j 2^(-M_j), evaluated EXACTLY — alpha_m is
     * kept as the rational 7213*m*1000 / (10000*(1000m+1079)), the
-    * harmonic denominator is scaled by 2^57 so every term is integral
-    * (max rho at p=8 is 57), and the one division is a floor of
+    * harmonic denominator is scaled by 2^K with K = 64-p+1 — the max
+    * possible rho for the sketch's OWN p, so every 2^(K-rho) term is a
+    * non-negative shift at any p in 4..16 (a fixed K=57 would turn
+    * p<8 registers into negative shifts, which BigInt silently floors
+    * to 0, corrupting the estimate) — and the one division is a floor of
     * non-negative big integers. Arbitrary-precision arithmetic runs on
     * the DRIVER over the collected sketch (<= 2^p rows — model metadata,
     * same posture as the k-means centroid collect), so the estimate is
@@ -102,8 +105,9 @@ object Frequency {
     * — the whole-bit discipline over float transcendentals again.
     * Output: one row (m, n_used, n_est). */
   def hllEstimate(sketch: DataFrame, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "p outside the practical register range")
     val m = 1 << p
-    val K = 57
+    val K = 64 - p + 1 // max rho for this p: rho ranges in 1..(64-p)+1
     val regs = sketch.collect()
       .map(r => r.getAs[Long]("register") -> r.getAs[Long]("max_rho"))
     val used = regs.length

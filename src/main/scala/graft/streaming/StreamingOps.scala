@@ -310,6 +310,21 @@ object StreamingOps {
   def streamingHll(events: DataFrame, keyCol: String, p: Int = 8): DataFrame =
     graft.ops.Frequency.hllSketch(events, keyCol, p)
 
+  /** Continuous frequency sketch — the streaming twin of
+    * `Frequency.countMinSketch`, completing the sketch-family symmetry
+    * with [[streamingHll]]: the depth x width counter matrix maintained
+    * as a running `groupBy(r, cell).count` over the stream. Counter sums
+    * are distributive and order-independent, so the state is EXACTLY the
+    * batch sketch at every point in time and is bounded at depth*width
+    * rows FOREVER regardless of stream volume or distinct-key count —
+    * continuous heavy-hitter monitoring with fixed memory at any ingest
+    * rate (point-estimate any key against the complete-mode output with
+    * `Frequency.countMinEstimate`). Complete-mode output equals the
+    * batch sketch (the oracle). */
+  def streamingCountMin(events: DataFrame, keyCol: String, depth: Int = 4,
+      width: Int = 256): DataFrame =
+    graft.ops.Frequency.countMinSketch(events, keyCol, depth, width)
+
   /** Stream-static incremental ingest dedup — the streaming twin of
     * `Curation.incrementalNew`: each micro-batch is anti-joined against a
     * STATIC corpus fingerprint set; rows whose fingerprint is already

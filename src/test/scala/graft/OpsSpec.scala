@@ -623,6 +623,38 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(again.toSeq == out.map(t => (t._1, t._2, t._4)).toSeq)
   }
 
+  test("PQ stored index: search touches tables only, equals in-flight search") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    try {
+      Similarity.pqIndexWrite(e, "pq_idx_spec", m = 4, ksub = 16, numBuckets = 8)
+      // queries as an in-memory frame so the ONLY possible file scans in
+      // the search plan are the stored index tables
+      val qRows = e.filter(col("vec_id") < 10).collect().toSeq
+      val q = spark.createDataFrame(
+        spark.sparkContext.parallelize(qRows, 1), e.schema)
+      val viaIndex = Similarity.pqSearchIndexed(spark, "pq_idx_spec", q,
+        k = 5, m = 4)
+      val direct = Similarity.pqTopK(e, e.filter(col("vec_id") < 10),
+        k = 5, m = 4, ksub = 16)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Long]("adist"), r.getAs[Int]("rank"))).toSet
+      assert(rows(viaIndex) == rows(direct),
+        "stored-index search must replay the in-flight index exactly")
+      // plan pin: the 100 TB contract — the search never scans the raw
+      // embedding corpus, only the persisted code/book tables
+      val p = viaIndex.queryExecution.executedPlan.toString
+      assert(p.contains("pq_idx_spec_codes"),
+        s"search must read the stored code table:\n$p")
+      assert(!p.toLowerCase.contains("embeddings"),
+        s"search plan must not scan the raw corpus:\n$p")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pq_idx_spec_codes")
+      spark.sql("DROP TABLE IF EXISTS pq_idx_spec_books")
+    }
+  }
+
   test("PQ recall@10: ADC regression floor; two-stage re-rank recovers to ~0.96") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")
@@ -896,6 +928,15 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(est.getAs[Long]("m") == 256L)
     val n = est.getAs[Long]("n_est")
     assert(math.abs(n - exact).toDouble / exact < 0.15, s"est $n vs exact $exact")
+    // p != 8 must stay sane: at p=4, rho can reach 64-4+1 = 61 > 57, so a
+    // fixed K=57 scale would shift negatively (BigInt floors to 0 and the
+    // harmonic term vanishes) — K now derives from p; the wider-variance
+    // 2^4-register estimate still lands within ~3 sigma (1.04/4 ~ 26%)
+    val est4 = Frequency.hllEstimate(
+      Frequency.hllSketch(li, "k", p = 4), p = 4).head()
+    assert(est4.getAs[Long]("m") == 16L)
+    val n4 = est4.getAs[Long]("n_est")
+    assert(math.abs(n4 - exact).toDouble / exact < 0.8, s"p=4 est $n4 vs $exact")
   }
 
   test("spanDedup removes duplicated k-gram spans, keeps unique remainder") {

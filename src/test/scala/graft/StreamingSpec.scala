@@ -79,6 +79,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(g.nonEmpty && g == regs(batch))
   }
 
+  test("streaming count-min equals the batch sketch; state bounded at depth*width") {
+    val stream = StreamingOps.readEvents(spark, eventsPath)
+      .select(col("event_id").cast("string").as("k"))
+    val sk = StreamingOps.streamingCountMin(stream, "k", depth = 4, width = 256)
+    val q = StreamingOps.withShufflePartitions(spark, 8) {
+      val qq = sk.writeStream.format("memory").queryName("scm_test")
+        .outputMode(OutputMode.Complete()).start()
+      try qq.processAllAvailable() finally qq.stop()
+      qq
+    }
+    // zero state growth: the aggregation state can never exceed the
+    // sketch geometry, no matter the stream volume or distinct keys
+    val st = q.lastProgress.stateOperators
+    assert(st.nonEmpty && st(0).numRowsTotal <= 4L * 256,
+      s"count-min state must stay sketch-sized: ${q.lastProgress}")
+    val batch = graft.ops.Frequency.countMinSketch(
+      StreamingOps.normalizeEventTs(spark.read.parquet(eventsPath))
+        .select(col("event_id").cast("string").as("k")), "k", 4, 256)
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("cell")) -> r.getAs[Long]("cnt")).toMap
+    val g = cells(spark.table("scm_test"))
+    assert(g.nonEmpty && g == cells(batch))
+    // mass conservation: every depth row holds every occurrence once
+    val n = spark.read.parquet(eventsPath).count()
+    (0 until 4).foreach { r =>
+      assert(g.collect { case ((`r`, _), c) => c }.sum == n)
+    }
+  }
+
   test("stream-static ingest dedup is stateless and equals the batch anti-join") {
     val statics = StreamingOps.normalizeEventTs(spark.read.parquet(eventsPath))
     val fp = md5(concat_ws("|", col("user_id"), col("event_type"),
