@@ -102,6 +102,39 @@ package object functions {
     * callers quantize thresholds to 1/100 (tn <= 100). DuckDB mirrors
     * the identical test in HUGEINT. Zero vectors (na or nb = 0) -> false,
     * matching cosine-undefined -> no-match semantics. */
+  /** Engine-exact cosine ORDER-BY key over q24-quantized vectors, with no
+    * sqrt and no double fold anywhere: a single BIGINT monotone (to
+    * documented resolution) in cosine(a,b). Construction: with
+    * `dot = intDot(qa,qb)`, `D = intDot(qa,qa)*intDot(qb,qb)`,
+    * `cos^2 = dot^2/D`; two base-10^6 limbs of the exact rational —
+    * `k1 = (dot^2*10^6) div D`, `k2 = ((dot^2*10^6 - k1*D)*10^6) div D` —
+    * give `sign(dot) * (k1*10^6 + k2)`: sign-aware squared cosine at
+    * 1e-12 resolution, every step exact integral arithmetic in
+    * DECIMAL(38,0) (mirror in HUGEINT). Candidates closer than 1e-12 in
+    * cos^2 compare equal — break ties by id for determinism, exactly as
+    * the double-cosine rankings already do.
+    *
+    * Budget: near-unit-norm vectors and dim <= 64 keep dot^2*10^6 under
+    * 10^38 (dot <= 2^54 for |x| <= 1). This is the standby for any
+    * Class 2b ranking whose measured margin comes back thin
+    * (ORACLES.md); zero vectors yield null (cosine undefined). */
+  def intCosRankKey(qa: Column, qb: Column): Column = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    def idiv(a: Column, b: Column): Column =
+      exprColumn(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        columnExpr(a), columnExpr(b)))
+    val dot = intDot(qa, qb)
+    val d = intDot(qa, qa).cast(dec) * intDot(qb, qb).cast(dec)
+    val s = lit(1000000L).cast(dec)
+    val num = dot.cast(dec) * dot.cast(dec) * s
+    val k1 = idiv(num, d)
+    val r = num - k1.cast(dec) * d
+    val k2 = idiv(r * s, d)
+    val mag = k1 * lit(1000000L) + k2
+    when(d === 0, lit(null))
+      .otherwise(when(dot < 0, -mag).otherwise(mag))
+  }
+
   def intCosineGte(qa: Column, qb: Column, tn: Int, td: Int): Column = {
     require(tn > 0 && td > 0 && tn <= 500 && td <= 500,
       s"rational threshold $tn/$td outside the exact-decimal budget")

@@ -623,6 +623,35 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(again.toSeq == out.map(t => (t._1, t._2, t._4)).toSeq)
   }
 
+  test("intCosRankKey orders exactly like double cosine on non-boundary data") {
+    import graft.functions.{intCosRankKey, q24Vec, cosineSimilarity}
+    // deterministic pseudo-random vectors, including negative-cosine and
+    // near-parallel pairs; gaps in cos^2 are ~1e-2 .. 1e-5, far above the
+    // key's 1e-12 resolution, so orderings must agree EXACTLY
+    val rnd = new scala.util.Random(42)
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = df.select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+    val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        intCosRankKey(q24Vec(col("qv")), q24Vec(col("cv"))).as("ikey"),
+        cosineSimilarity(col("qv"), col("cv")).as("cos"))
+      .collect()
+    scored.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byKey = rows.sortBy(r => (-r.getLong(2), r.getLong(1))).map(_.getLong(1)).toSeq
+      val byCos = rows.sortBy(r => (-r.getDouble(3), r.getLong(1))).map(_.getLong(1)).toSeq
+      assert(byKey == byCos, "integer key ordering diverged from cosine ordering")
+    }
+    // sign correctness: key is negative exactly when cosine is
+    scored.foreach { r =>
+      assert((r.getLong(2) < 0) == (r.getDouble(3) < 0), s"sign mismatch: $r")
+    }
+  }
+
   test("PQ stored index: search touches tables only, equals in-flight search") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")
