@@ -19,6 +19,11 @@ outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# surface the oracle engine version in every run: two rounds of red-row
+# adjudication hinged on builder/driver DuckDB version skew, so the gap
+# must at least be visible at verify time
+print(f"[duckdb {duckdb.__version__}] oracle replay over {sfdir}")
+
 con = duckdb.connect()
 for t in TABLES:
     con.execute(

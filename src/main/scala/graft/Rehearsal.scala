@@ -178,6 +178,31 @@ object Rehearsal {
       val (nLm, tLm) = timed { TextAnalysis.ngramLmSurprisal(docs).count() }
       emit(s"""{"scale":$scale,"stage":"ngram_lm","input_rows":$nDocs,"output_rows":$nLm,"sec":$tLm}""")
 
+      // PageRank skew leg: a power-law hub — 10^5 sources all pointing at
+      // one node ("hub") — on top of a sparse deterministic ring graph
+      // whose node count scales with the run. Per iteration the cost is
+      // one keyed equi-join (ranks to edges on the SOURCE — the hub's
+      // 10^5 OUT-edges after symmetrization are one AQE-splittable join
+      // key) plus one destination-keyed aggregate, where the hub's 10^5
+      // in-contributions collapse to ONE row per map partition by partial
+      // aggregation BEFORE the shuffle — so the reduce side never sees
+      // the hub's fan-in, and wall time must stay ~linear in scale. If
+      // this leg ever degrades superlinearly, the fix is
+      // Skew.saltedCountSum inside the iteration (two-phase aggregate).
+      val (nPr, tPr) = timed {
+        val nNodes = 100000L * scale
+        val ring = spark.range(nNodes).select(
+          col("id").cast("string").as("a"),
+          ((col("id") * 7 + 1) % nNodes).cast("string").as("b"))
+        val hub = spark.range(100000L).select(
+          (col("id") % nNodes).cast("string").as("a"), lit("hub").as("b"))
+        val base = ring.unionByName(hub)
+        val edges = base.unionByName(
+          base.select(col("b").as("a"), col("a").as("b")))
+        graft.ops.Graph.pageRank(edges, "a", "b", iterations = 3).count()
+      }
+      emit(s"""{"scale":$scale,"stage":"pagerank_hub","input_rows":${200000L * scale + 200000L},"output_rows":$nPr,"sec":$tPr}""")
+
       // inverted-index leg: exact-dup replicas multiply df per term, so
       // posting pages per term grow ~linearly; no aggregation group may
       // exceed the page size regardless of scale
