@@ -211,6 +211,41 @@ object Rehearsal {
       }
       emit(s"""{"scale":$scale,"stage":"inverted_index","input_rows":$nDocs,"output_rows":$nIdx,"sec":$tIdx}""")
 
+      // set-similarity-join leg: the EXACT join's own output is
+      // quadratic in per-group duplication (k identical docs MUST emit
+      // C(k,2) pairs — that is the correct answer, not a plan defect),
+      // so production runs it after the O(n) exact pass, and so does the
+      // leg: exact-dedup first, then the prefix-filter join on the
+      // remainder. What must stay ~linear is candidate generation over
+      // the deduped corpus (rarest-first prefixes keep posting lists
+      // short even as the corpus grows).
+      val (nSsj, tSsj) = timed {
+        val deduped = Dedup.exact(docs, "doc_id", Seq("text"))
+        graft.ops.SetSim.jaccardJoin(deduped, "doc_id", "text",
+          tn = 2, td = 5, shingleW = 3).count()
+      }
+      emit(s"""{"scale":$scale,"stage":"setsim_join","input_rows":$nDocs,"output_rows":$nSsj,"sec":$tSsj}""")
+
+      // triangle-counting leg on the SAME hub graph as the PageRank leg:
+      // the literal curse-of-the-last-reducer setup (Suri &
+      // Vassilvitskii 2011) — a 10^5-degree hub whose naive (id-ordered)
+      // wedge join would enumerate C(10^5, 2) ~ 5e9 hub wedges. Degree
+      // orientation points every hub edge AWAY from its low-degree
+      // endpoint, so the hub's OUT-degree is ~0 and the wedge join stays
+      // ~linear in the edge count. If this leg degrades superlinearly
+      // the orientation is broken.
+      val (nTri, tTri) = timed {
+        val nNodes = 100000L * scale
+        val ring = spark.range(nNodes).select(
+          col("id").cast("string").as("a"),
+          ((col("id") * 7 + 1) % nNodes).cast("string").as("b"))
+        val hub = spark.range(100000L).select(
+          (col("id") % nNodes).cast("string").as("a"), lit("hub").as("b"))
+        graft.ops.Graph.triangleCounts(ring.unionByName(hub), "a", "b")
+          .count()
+      }
+      emit(s"""{"scale":$scale,"stage":"triangles_hub","input_rows":${100000L * scale + 100000L},"output_rows":$nTri,"sec":$tTri}""")
+
       docs.unpersist(); sigs.unpersist(); vecs.unpersist()
     }
 

@@ -1312,6 +1312,146 @@ object SparkEntry {
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"),
           sum(col("frame_checksum")).as("checksum_sum"))
         .orderBy("media_id")
+    }),
+    "q_funnel" -> ((s, dir) => {
+      // ordered conversion funnel view -> click -> purchase: a user
+      // reaches a stage only via an event STRICTLY AFTER their entry to
+      // the previous stage (first-touch semantics). Three keyed min-ts
+      // aggregates chained by equi-joins on user_id — each stage's frame
+      // is user-cardinality, so the joins broadcast at any corpus size
+      val e = t(s, dir, "events").select("user_id", "event_type", "ts")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("v_ts"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("v_ts"))
+        .groupBy("user_id").agg(min("ts").as("c_ts"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("c_ts"))
+        .groupBy("user_id").agg(min("ts").as("p_ts"))
+      def stage(df: DataFrame, ord: Long, name: String) =
+        df.agg(count(lit(1)).as("users"))
+          .select(lit(ord).as("stage"), lit(name).as("step"), col("users"))
+      stage(v, 1, "view").union(stage(c, 2, "click"))
+        .union(stage(p, 3, "purchase")).orderBy("stage")
+    }),
+    "q_retention" -> ((s, dir) => {
+      // weekly cohort retention: cohort = Monday of the user's first
+      // event week; one row per (cohort, week offset) with distinct
+      // active users. first-touch frame is user-cardinality; offsets are
+      // exact integer day-diffs div 7 (week-truncated dates differ by
+      // multiples of 7)
+      val e = t(s, dir, "events").select("user_id", "ts")
+      val first = e.groupBy("user_id").agg(min("ts").as("first_ts"))
+      e.join(first, "user_id")
+        .select(col("user_id"),
+          // dates travel as strings (the v_diff_date convention: parquet
+          // DATE and DuckDB DATE reach pandas as different dtypes)
+          date_format(date_trunc("week", col("first_ts")), "yyyy-MM-dd").as("cohort"),
+          expr("datediff(CAST(date_trunc('week', ts) AS DATE), " +
+            "CAST(date_trunc('week', first_ts) AS DATE)) div 7")
+            .cast("long").as("week_offset"))
+        .distinct()
+        .groupBy("cohort", "week_offset")
+        .agg(count(lit(1)).as("users"))
+        .orderBy("cohort", "week_offset")
+    }),
+    "q_scd_intervals" -> ((s, dir) => {
+      // event-sourced state intervals (SCD-2 construction): collapse each
+      // user's consecutive runs of the same event_type into validity
+      // intervals [from, to) — gaps-and-islands with a lead() for the
+      // exclusive upper bound (NULL = current). Total order (ts,
+      // event_id) makes runs deterministic under any partitioning
+      val e = t(s, dir, "events").select("user_id", "event_id", "event_type", "ts")
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val seg = e
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(byUser).isNull ||
+            lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("seg", sum("chg").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val iv = seg.groupBy("user_id", "seg")
+        .agg(min(col("event_type")).as("state"),
+          min(unix_micros(col("ts"))).as("from_us"),
+          count(lit(1)).as("n_events"))
+      iv.withColumn("to_us", lead(col("from_us"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy("seg")))
+        .select("user_id", "seg", "state", "from_us", "to_us", "n_events")
+        .orderBy("user_id", "seg")
+    }),
+    "t_zorder" -> ((s, dir) => {
+      // Morton (Z-order) clustering vs a single-key layout, judged by the
+      // zone maps a scan planner would skip files with: bucket lineitem
+      // 64 ways by (a) top-6 bits of interleave(l_partkey, l_suppkey) and
+      // (b) l_orderkey hash (what a default shuffle gives), then emit
+      // per-bucket min/max of BOTH keys. Under (a) both spans narrow to
+      // ~1/8 of their domains; under (b) every bucket spans everything —
+      // the whole case for ZORDER at 100 TB, in one query
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey").as("x"), col("l_suppkey").as("y"))
+      val z = graft.ops.Layout.zBucket(li, col("x"), col("y"),
+        bits = 15, log2Buckets = 6)
+      val zm = graft.ops.Layout.zoneMaps(z, "zbucket", col("x"), col("y"))
+        .withColumn("layout", lit("zorder"))
+      val h = li.withColumn("hbucket", pmod(col("l_orderkey"), lit(64L)))
+      val hm = graft.ops.Layout.zoneMaps(h, "hbucket", col("x"), col("y"))
+        .withColumn("layout", lit("hash"))
+      zm.unionByName(hm)
+        .select("layout", "bucket", "cnt", "min_x", "max_x", "min_y", "max_y")
+        .orderBy("layout", "bucket")
+    }),
+    "t_triangles" -> ((s, dir) => {
+      // per-node triangle counts over the part co-occurrence graph (parts
+      // bought together in an order; every 4th part key to keep the demo
+      // graph sparse), by degree-ordered orientation — top 50 hubs
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"), "o")
+        .filter(col("a.p") < col("b.p"))
+        .select(concat(lit("p"), col("a.p")).as("pa"),
+          concat(lit("p"), col("b.p")).as("pb"))
+      graft.ops.Graph.triangleCounts(pairs, "pa", "pb")
+        .orderBy(col("triangles").desc, col("node")).limit(50)
+    }),
+    "t_setsim_join" -> ((s, dir) => {
+      // EXACT Jaccard >= 2/5 similarity join on 3-gram shingle sets via
+      // prefix filtering (rarest-first global shingle order; only prefix
+      // shingles generate candidates) — lossless, so the oracle is the
+      // brute-force all-pairs answer; overlap/union sizes are exact
+      // integers. Shingles, not raw tokens: the word-soup corpus's token
+      // SETS are near-identical across documents (measured: >79k of
+      // 135k pairs clear 0.6 on tokens — quadratic output), while 3-gram
+      // sets isolate the 20 injected near-dup pairs + true repeats
+      graft.ops.SetSim.jaccardJoin(docsWithNearDups(s, dir),
+          "doc_id", "text", tn = 2, td = 5, shingleW = 3)
+        .orderBy("id_a", "id_b")
+    }),
+    "t_hll_group" -> ((s, dir) => {
+      // per-language approximate distinct-token counts: one 2^8-register
+      // HLL per language in a single keyed aggregate, estimates evaluated
+      // DISTRIBUTED in DECIMAL(38,0) (no driver collect — groups may be
+      // corpus-cardinality); exact counts alongside to show the error
+      val toks = t(s, dir, "documents").select(col("lang"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+      val sk = graft.ops.Frequency.hllSketchGrouped(toks, "tok", "lang", p = 8)
+      val est = graft.ops.Frequency.hllEstimateGrouped(sk, "lang", p = 8)
+      val exact = toks.groupBy("lang")
+        .agg(count_distinct(col("tok")).as("n_exact"))
+      est.join(exact, "lang")
+        .select("lang", "n_used", "n_est", "n_exact").orderBy("lang")
+    }),
+    "t_allocate" -> ((s, dir) => {
+      // largest-remainder apportionment of a 997-example budget across
+      // event types, proportional to row counts — exact integer quota
+      // sampling; allocations sum to the budget by construction
+      graft.ops.Sampling.largestRemainderAllocate(
+          t(s, dir, "events"), "event_type", budget = 997L)
+        .orderBy("event_type")
     })
   )
 
@@ -1345,6 +1485,29 @@ object SparkEntry {
   /** Signed-64 view of an unsigned HUGEINT value (two's complement). */
   private def signedSql(u: String): String =
     s"CAST(CASE WHEN ($u) >= $P63 THEN ($u) - $P64 ELSE ($u) END AS BIGINT)"
+
+  /** HLL register/rank replay at p = 8: fnv1a + the splitmix64 FINALIZER
+    * (Dedup.permute with the golden-ratio key, b = 0 — Frequency
+    * .hllSketch's finalized 63-bit hash; raw fnv1a's high bits are too
+    * non-uniform for rho, see the hllSketch scaladoc). Emits a CTE chain
+    * `fh/ht2/ht3/hrr`; `hrr` has (carry..., register, rho). `carry` is a
+    * comma-SUFFIXED projection threaded through every stage ("" or e.g.
+    * "lang, "). */
+  private def hllRegCtes(carry: String, keyExpr: String, from: String): String =
+    s"""fh AS (
+       |  SELECT ${carry}xor(${fnvSql(keyExpr)},
+       |    CAST(11400714819323198485 AS HUGEINT)) AS t1
+       |  FROM $from
+       |), ht2 AS (
+       |  SELECT ${carry}${mulModSql("xor(t1, t1 // 1073741824)", 3210233709L, 484763065L)} AS t2 FROM fh
+       |), ht3 AS (
+       |  SELECT ${carry}${mulModSql("xor(t2, t2 // 134217728)", 2496678331L, 321982955L)} AS t3 FROM ht2
+       |), hrr AS (
+       |  SELECT ${carry}CAST(hp % 256 AS BIGINT) AS register,
+       |    CAST(55 - (CASE WHEN hp // 256 = 0 THEN 0
+       |      ELSE length(bin(hp // 256)) END) + 1 AS BIGINT) AS rho
+       |  FROM (SELECT ${carry}xor(t3, t3 // 2147483648) % $P63 AS hp FROM ht3) q
+       |)""".stripMargin
 
   /** The 64 deterministic (a, b) permutation parameters — the same
     * splitmix-derived constants as Dedup.mixParams / MinHashAgg. */
@@ -3027,16 +3190,9 @@ object SparkEntry {
     // streaming HLL replay: the stream's complete-mode register state is
     // exactly the batch sketch over the same events
     "s_hll" ->
-      s"""WITH h AS (
-         |  SELECT ${fnvSql("CAST(event_id AS VARCHAR)")} AS h FROM events
-         |), rr AS (
-         |  SELECT CAST(h % 256 AS BIGINT) AS register,
-         |    CAST(56 - (CASE WHEN h // 256 = 0 THEN 0
-         |      ELSE length(bin(h // 256)) END) + 1 AS BIGINT) AS rho
-         |  FROM h
-         |)
+      s"""WITH ${hllRegCtes("", "CAST(event_id AS VARCHAR)", "events")}
          |SELECT register, MAX(rho) AS max_rho
-         |FROM rr GROUP BY register ORDER BY register""".stripMargin,
+         |FROM hrr GROUP BY register ORDER BY register""".stripMargin,
 
     // inverted-index replay: (term, doc) tf counts, within-term doc-order
     // ranking, 64-entry pages, "id:tf" postings joined in doc order
@@ -3065,49 +3221,39 @@ object SparkEntry {
          |FROM blk b JOIN stats s USING (term)
          |ORDER BY term, block""".stripMargin,
 
-    // HLL replay: fnv1a in unsigned HUGEINT, register = h % 256 (power-
-    // of-two modulus == the JVM's signed floorMod), rank from bit-length
-    // of h // 256 via length(bin(x)) — integer end to end
+    // HLL replay: finalized (fnv1a + splitmix mixer) hash in unsigned
+    // HUGEINT, register = h % 256 (power-of-two modulus == the JVM's
+    // signed floorMod), rank from bit-length of h // 256 via
+    // length(bin(x)) — integer end to end
     "t_hll" ->
-      s"""WITH h AS (
-         |  SELECT ${fnvSql("CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)")} AS h
-         |  FROM lineitem
-         |), rr AS (
-         |  SELECT CAST(h % 256 AS BIGINT) AS register,
-         |    CAST(56 - (CASE WHEN h // 256 = 0 THEN 0
-         |      ELSE length(bin(h // 256)) END) + 1 AS BIGINT) AS rho
-         |  FROM h
-         |)
+      s"""WITH ${hllRegCtes("",
+             "CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)",
+             "lineitem")}
          |SELECT register, MAX(rho) AS max_rho
-         |FROM rr GROUP BY register ORDER BY register""".stripMargin,
+         |FROM hrr GROUP BY register ORDER BY register""".stripMargin,
 
     // HLL estimate replay: the raw estimator in exact HUGEINT rationals —
     // alpha_256 = 7213*256*1000 / (10000*(256000+1079)), the harmonic
-    // denominator scaled by 2^57 so every term is integral, one floor
-    // division of non-negative 128-bit integers
+    // denominator scaled by 2^56 (the max rho of the finalized 63-bit
+    // hash at p=8) so every term is integral, one floor division of
+    // non-negative 128-bit integers
     "t_hll_est" ->
-      s"""WITH h AS (
-         |  SELECT ${fnvSql("CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)")} AS h
-         |  FROM lineitem
-         |), rr AS (
-         |  SELECT CAST(h % 256 AS BIGINT) AS register,
-         |    CAST(56 - (CASE WHEN h // 256 = 0 THEN 0
-         |      ELSE length(bin(h // 256)) END) + 1 AS BIGINT) AS rho
-         |  FROM h
-         |), sk AS (
-         |  SELECT register, MAX(rho) AS max_rho FROM rr GROUP BY register
+      s"""WITH ${hllRegCtes("",
+             "CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)",
+             "lineitem")}, sk AS (
+         |  SELECT register, MAX(rho) AS max_rho FROM hrr GROUP BY register
          |), agg AS (
          |  SELECT COUNT(*) AS used,
-         |    SUM(CAST(1 AS HUGEINT) << CAST(57 - max_rho AS INTEGER)) AS dsum
+         |    SUM(CAST(1 AS HUGEINT) << CAST(56 - max_rho AS INTEGER)) AS dsum
          |  FROM sk
          |), ex AS (
          |  SELECT COUNT(DISTINCT CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)) AS n_exact
          |  FROM lineitem
          |)
          |SELECT CAST(256 AS BIGINT) AS m, CAST(used AS BIGINT) AS n_used,
-         |  CAST((CAST(1846528000 AS HUGEINT) * 256 * 256 * (CAST(1 AS HUGEINT) << 57)) //
+         |  CAST((CAST(1846528000 AS HUGEINT) * 256 * 256 * (CAST(1 AS HUGEINT) << 56)) //
          |    (CAST(2570790000 AS HUGEINT) *
-         |      (dsum + (256 - used) * (CAST(1 AS HUGEINT) << 57))) AS BIGINT) AS n_est,
+         |      (dsum + (256 - used) * (CAST(1 AS HUGEINT) << 56))) AS BIGINT) AS n_est,
          |  CAST(n_exact AS BIGINT) AS n_exact
          |FROM agg CROSS JOIN ex""".stripMargin,
 
@@ -3648,6 +3794,198 @@ object SparkEntry {
          |)
          |SELECT doc_id AS media_id, CAST(nf AS BIGINT) AS n_frames,
          |  CAST((((SUM(CAST(${signedSql("ck_u")} AS HUGEINT)) % $P64) + $P64 + $P63) % $P64) - $P63 AS BIGINT) AS checksum_sum
-         |FROM fck GROUP BY doc_id, nf ORDER BY media_id""".stripMargin
+         |FROM fck GROUP BY doc_id, nf ORDER BY media_id""".stripMargin,
+
+    // ordered funnel: each stage's entry is the min event ts STRICTLY
+    // after the user's entry to the previous stage
+    "q_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id
+        |)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step, count(*) AS users FROM v
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'click', count(*) FROM c
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM p
+        |ORDER BY stage""".stripMargin,
+
+    "q_retention" ->
+      """WITH first AS (
+        |  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+        |)
+        |SELECT cohort, week_offset, count(*) AS users FROM (
+        |  SELECT DISTINCT e.user_id,
+        |    strftime(date_trunc('week', f.first_ts), '%Y-%m-%d') AS cohort,
+        |    CAST(date_diff('day', CAST(date_trunc('week', f.first_ts) AS DATE),
+        |      CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT) AS week_offset
+        |  FROM events e JOIN first f ON e.user_id = f.user_id
+        |)
+        |GROUP BY cohort, week_offset ORDER BY cohort, week_offset""".stripMargin,
+
+    "q_scd_intervals" ->
+      """WITH seg AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), runs AS (
+        |  SELECT user_id, event_type, ts,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+        |  FROM seg
+        |), iv AS (
+        |  SELECT user_id, CAST(seg AS BIGINT) AS seg, min(event_type) AS state,
+        |    min(epoch_us(ts)) AS from_us, count(*) AS n_events
+        |  FROM runs GROUP BY user_id, seg
+        |)
+        |SELECT user_id, seg, state, from_us,
+        |  lead(from_us) OVER (PARTITION BY user_id ORDER BY seg) AS to_us,
+        |  n_events
+        |FROM iv ORDER BY user_id, seg""".stripMargin,
+
+    // Morton interleave replayed as the identical unrolled shift/mask sum
+    "t_zorder" -> {
+      val z = graft.ops.Layout.zValueSql("x", "y", 15)
+      s"""WITH li AS (
+         |  SELECT l_orderkey, l_partkey AS x, l_suppkey AS y FROM lineitem
+         |), zb AS (
+         |  SELECT x, y, CAST($z AS BIGINT) >> 24 AS bucket FROM li
+         |), hb AS (
+         |  SELECT x, y, l_orderkey % 64 AS bucket FROM li
+         |), zm AS (
+         |  SELECT 'zorder' AS layout, CAST(bucket AS BIGINT) AS bucket,
+         |    count(*) AS cnt, min(x) AS min_x, max(x) AS max_x,
+         |    min(y) AS min_y, max(y) AS max_y
+         |  FROM zb GROUP BY bucket
+         |  UNION ALL
+         |  SELECT 'hash', CAST(bucket AS BIGINT), count(*), min(x), max(x),
+         |    min(y), max(y)
+         |  FROM hb GROUP BY bucket
+         |)
+         |SELECT layout, bucket, cnt,
+         |  CAST(min_x AS BIGINT) AS min_x, CAST(max_x AS BIGINT) AS max_x,
+         |  CAST(min_y AS BIGINT) AS min_y, CAST(max_y AS BIGINT) AS max_y
+         |FROM zm ORDER BY layout, bucket""".stripMargin
+    },
+
+    // triangle counting replay: same canonical edge set, degree-ordered
+    // orientation, wedge join + id-canonical closing-edge join. The
+    // orientation tie-break order only decides WHICH root counts a
+    // triangle — the triangle set, and so the per-node counts, are
+    // order-invariant
+    "t_triangles" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, 'p' || CAST(l_partkey AS VARCHAR) AS p
+        |  FROM lineitem WHERE l_partkey % 4 = 0
+        |), e AS (
+        |  SELECT DISTINCT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |), deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+        |  ) GROUP BY node
+        |), o AS (
+        |  SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.u < e.v)
+        |           THEN e.u ELSE e.v END AS src,
+        |         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.u < e.v)
+        |           THEN e.v ELSE e.u END AS dst
+        |  FROM e JOIN deg d1 ON e.u = d1.node JOIN deg d2 ON e.v = d2.node
+        |), tri AS (
+        |  SELECT w.p, w.q1, w.q2 FROM (
+        |    SELECT e1.src AS p, e1.dst AS q1, e2.dst AS q2
+        |    FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        |  ) w JOIN e ON least(w.q1, w.q2) = e.u AND greatest(w.q1, w.q2) = e.v
+        |)
+        |SELECT node, count(*) AS triangles FROM (
+        |  SELECT p AS node FROM tri UNION ALL SELECT q1 FROM tri
+        |  UNION ALL SELECT q2 FROM tri
+        |) GROUP BY node ORDER BY triangles DESC, node LIMIT 50""".stripMargin,
+
+    // brute-force exact Jaccard >= 2/5 over 3-gram shingle sets (prefix
+    // filtering is lossless, so the candidate-generation strategy cannot
+    // change the answer; pairs sharing no shingle have J = 0 < t and are
+    // correctly absent from the shared-shingle brute force too)
+    "t_setsim_join" ->
+      s"""WITH $corpusCte, ta AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '$WS') AS ts FROM corpus
+         |), tok AS (
+         |  SELECT DISTINCT doc_id,
+         |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS tok
+         |  FROM ta, unnest(range(1, len(ts) - 1)) AS u(i)
+         |), sz AS (
+         |  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |), ov AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN tok ta ON ta.doc_id = c.id_a
+         |  JOIN tok tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+         |  GROUP BY c.id_a, c.id_b
+         |)
+         |SELECT o.id_a, o.id_b, o.inter, sa.n + sb.n - o.inter AS un
+         |FROM ov o JOIN sz sa ON o.id_a = sa.doc_id
+         |JOIN sz sb ON o.id_b = sb.doc_id
+         |WHERE o.inter * 5 >= 2 * (sa.n + sb.n - o.inter)
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // grouped HLL: registers replayed exactly (finalized-hash low-8-bit
+    // register, integer bit-length rank), estimate replayed in HUGEINT —
+    // same exact-rational estimator, floor division, all operands positive
+    "t_hll_group" ->
+      s"""WITH tok AS (
+         |  SELECT lang, t AS tok
+         |  FROM documents, unnest(string_split_regex(trim(text), '$WS')) AS u(t)
+         |  WHERE t <> ''
+         |), ${hllRegCtes("lang, ", "tok", "tok")}, sk AS (
+         |  SELECT lang, register, max(rho) AS max_rho FROM hrr
+         |  GROUP BY lang, register
+         |), est AS (
+         |  SELECT lang, count(*) AS n_used,
+         |    sum(CAST(1 AS HUGEINT) << CAST(56 - max_rho AS INTEGER)) +
+         |      (256 - count(*)) * (CAST(1 AS HUGEINT) << 56) AS dsum
+         |  FROM sk GROUP BY lang
+         |), ex AS (
+         |  SELECT lang, count(DISTINCT tok) AS n_exact FROM tok GROUP BY lang
+         |)
+         |SELECT e.lang, e.n_used,
+         |  CAST((CAST(7213 AS HUGEINT) * 256 * 1000 * 256 * 256 *
+         |    (CAST(1 AS HUGEINT) << 56)) //
+         |    (CAST(10000 AS HUGEINT) * (1000 * 256 + 1079) * e.dsum) AS BIGINT)
+         |    AS n_est,
+         |  ex.n_exact
+         |FROM est e JOIN ex ON e.lang = ex.lang ORDER BY e.lang""".stripMargin,
+
+    "t_allocate" ->
+      """WITH c AS (
+        |  SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+        |), tot AS (
+        |  SELECT sum(cnt) AS total FROM c
+        |), q AS (
+        |  SELECT event_type, cnt,
+        |    (997 * cnt) // total AS floor_alloc,
+        |    (997 * cnt) % total AS rem
+        |  FROM c, tot
+        |), lo AS (
+        |  SELECT 997 - sum(floor_alloc) AS leftover FROM q
+        |), r AS (
+        |  SELECT q.*, row_number() OVER (ORDER BY rem DESC, event_type) AS rrank
+        |  FROM q
+        |)
+        |SELECT event_type, cnt,
+        |  floor_alloc + CASE WHEN rrank <= (SELECT leftover FROM lo)
+        |    THEN 1 ELSE 0 END AS alloc
+        |FROM r ORDER BY event_type""".stripMargin
   )
 }

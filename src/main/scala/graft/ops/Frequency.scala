@@ -63,24 +63,32 @@ object Frequency {
     * distinct over 10^11 keys costs a 2^p-row reduce instead of a
     * distinct-key-sized shuffle.
     *
-    * Determinism contract: key hash is fnv1a (unsigned-replayable); the
-    * register is the LOW p bits (power-of-two modulus — signed floorMod
-    * == unsigned residue) and the rank is counted on the remaining 64-p
-    * bits via integer bit-length (rho = (64-p) - bitlen(h >>> p) + 1) —
-    * every quantity a BIGINT, identical under any row order, partitioning
-    * or replaying engine. NULL keys are ignored. Output: (register,
-    * max_rho), at most 2^p rows. */
+    * Determinism contract: key hash is fnv1a FINALIZED by the splitmix64
+    * mixer ([[Dedup.permute]] with the golden-ratio key, b = 0 — a
+    * 63-bit value). The finalizer is not optional hygiene: HLL's
+    * analysis assumes avalanche in the bits that feed rho, and raw
+    * fnv1a's high bits are measurably non-uniform on short keys
+    * (sequential decimal strings estimated 2-3.4x high in a direct
+    * measurement; finalized, the same sets land within ~2%). The
+    * register is the LOW p bits of the finalized hash and the rank is
+    * counted on the remaining 63-p bits via integer bit-length (rho =
+    * (63-p) - bitlen(h >>> p) + 1) — every quantity a BIGINT, identical
+    * under any row order, partitioning or replaying engine. NULL keys
+    * are ignored. Output: (register, max_rho), at most 2^p rows. */
+  private val GOLDEN = 0x9e3779b97f4a7c15L
+
   def hllSketch(items: DataFrame, keyCol: String, p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, "p outside the practical register range")
     val m = 1 << p
+    val g = GOLDEN
     val rr = udf { (s: String) =>
       if (s == null) null
       else {
-        val h = Dedup.fnv1a(s)
-        val register = java.lang.Math.floorMod(h, m.toLong)
+        val h = Dedup.permute(Dedup.fnv1a(s), g, 0L) // 63-bit, >= 0
+        val register = h % m
         val w = h >>> p
         val bitlen = if (w == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(w)
-        (register, ((64 - p) - bitlen + 1).toLong)
+        (register, ((63 - p) - bitlen + 1).toLong)
       }
     }
     items.select(rr(col(keyCol)).as("__r")).filter(col("__r").isNotNull)
@@ -91,7 +99,7 @@ object Frequency {
   /** Cardinality estimate from a [[hllSketch]]: the raw HLL estimator
     * E = alpha_m * m^2 / sum_j 2^(-M_j), evaluated EXACTLY — alpha_m is
     * kept as the rational 7213*m*1000 / (10000*(1000m+1079)), the
-    * harmonic denominator is scaled by 2^K with K = 64-p+1 — the max
+    * harmonic denominator is scaled by 2^K with K = 63-p+1 — the max
     * possible rho for the sketch's OWN p, so every 2^(K-rho) term is a
     * non-negative shift at any p in 4..16 (a fixed K=57 would turn
     * p<8 registers into negative shifts, which BigInt silently floors
@@ -107,7 +115,7 @@ object Frequency {
   def hllEstimate(sketch: DataFrame, p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, "p outside the practical register range")
     val m = 1 << p
-    val K = 64 - p + 1 // max rho for this p: rho ranges in 1..(64-p)+1
+    val K = 63 - p + 1 // max rho for this p: rho ranges in 1..(63-p)+1
     val regs = sketch.collect()
       .map(r => r.getAs[Long]("register") -> r.getAs[Long]("max_rho"))
     val used = regs.length
@@ -119,6 +127,69 @@ object Frequency {
     val spark = sketch.sparkSession
     import spark.implicits._
     Seq((m.toLong, used.toLong, est.toLong)).toDF("m", "n_used", "n_est")
+  }
+
+  /** Per-GROUP HyperLogLog register sketches: one 2^p-register sketch per
+    * distinct `groupCol` value, in a single keyed aggregate. The approx
+    * count-distinct-per-group primitive (distinct users per domain,
+    * distinct n-grams per language ...) whose exact form would shuffle
+    * every (group, key) pair; this shuffles at most groups x 2^p register
+    * rows. Output: (groupCol, register, max_rho). */
+  def hllSketchGrouped(items: DataFrame, keyCol: String, groupCol: String,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "p outside the practical register range")
+    val m = 1 << p
+    val rr = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val h = Dedup.permute(Dedup.fnv1a(s), GOLDEN, 0L) // 63-bit, >= 0
+        val register = h % m
+        val w = h >>> p
+        val bitlen = if (w == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(w)
+        (register, ((63 - p) - bitlen + 1).toLong)
+      }
+    }
+    items.select(col(groupCol), rr(col(keyCol)).as("__r"))
+      .filter(col("__r").isNotNull)
+      .select(col(groupCol), col("__r._1").as("register"), col("__r._2").as("rho"))
+      .groupBy(groupCol, "register").agg(max("rho").as("max_rho"))
+  }
+
+  /** Raw HLL estimate per group, computed DISTRIBUTED (no driver collect
+    * — groups may be corpus-cardinality): the same exact-rational
+    * estimator as [[hllEstimate]], evaluated per group in DECIMAL(38,0)
+    * arithmetic. Budget: each harmonic term 2^(K-rho) <= 2^(64-p) fits a
+    * BIGINT; the group sum (<= 2^p terms of <= 2^(64-p), plus
+    * (m-used)*2^K) and the alpha_m cross-multiplication stay under
+    * ~10^31 < 10^38 for p <= 8 (enforced) — exact in any engine with
+    * 128-bit integers (DuckDB HUGEINT mirrors it). One keyed aggregate
+    * over the sketch rows. Output: (groupCol, n_used, n_est). */
+  def hllEstimateGrouped(sketch: DataFrame, groupCol: String, p: Int = 8)
+      : DataFrame = {
+    require(p >= 4 && p <= 8, "decimal budget certified for p <= 8")
+    val m = 1 << p
+    val K = 63 - p + 1
+    val alphaNum = BigInt(7213) * m * 1000
+    val alphaDen = BigInt(10000) * (1000L * m + 1079)
+    val num = alphaNum * m * m * (BigInt(1) << K) // ~1.7e31 at p=8
+    sketch
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_used"),
+        sum(expr(s"CAST(shiftleft(1L, $K - CAST(max_rho AS INT)) AS DECIMAL(38,0))"))
+          .as("__dsum_used"))
+      .withColumn("__dsum",
+        col("__dsum_used") + (lit(m.toLong) - col("n_used"))
+          .cast("decimal(38,0)") *
+          lit(new java.math.BigDecimal((BigInt(1) << K).bigInteger)).cast("decimal(38,0)"))
+      .withColumn("__den",
+        lit(new java.math.BigDecimal(alphaDen.bigInteger)).cast("decimal(38,0)") *
+          col("__dsum"))
+      .withColumn("n_est",
+        // IntegralDivide (`div`) is EXACT on decimals (truncation; ==
+        // floor here, all operands positive) — a `/` + cast would round
+        // the scale-limited quotient, which is not an engine invariant
+        expr(s"CAST(CAST(${num.toString} AS DECIMAL(38,0)) div __den AS BIGINT)"))
+      .select(col(groupCol), col("n_used"), col("n_est"))
   }
 
   /** Per-key cell indexes, one per sketch row: floorMod(fnv1a("r:" + key),

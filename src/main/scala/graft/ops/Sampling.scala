@@ -53,4 +53,38 @@ object Sampling {
     df.withColumn("sample_bucket", pmod(xxhash64(col(idCol)), lit(10000L)))
       .filter(col("sample_bucket") < rate)
   }
+
+  /** Largest-remainder (Hamilton) apportionment of an integer `budget`
+    * across the groups of `groupCol`, proportionally to each group's row
+    * count — the exact-integer allocator behind quota sampling ("draw
+    * 100k examples across domains proportionally"): every group gets
+    * floor(budget * w / W), and the leftover seats go one each to the
+    * largest remainders (ties by group name, so the result is a pure
+    * function of the counts). Output: (groupCol, cnt, alloc) with
+    * sum(alloc) == budget exactly.
+    *
+    * Everything is BIGINT arithmetic on counts — no rates, no doubles,
+    * engine-exact. The aggregate is groups-sized; the remainder rank runs
+    * on the groups frame (domain-cardinality — thousands, not rows), so
+    * the single-partition window is over METADATA, same posture as the
+    * mixture-weights op (`Curation.mixtureWeights`). */
+  def largestRemainderAllocate(df: DataFrame, groupCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    val quota = counts.crossJoin(broadcast(total))
+      .withColumn("floor_alloc", expr(s"($budget * cnt) div total"))
+      .withColumn("rem", expr(s"($budget * cnt) % total"))
+    // leftover = budget - sum(floor_alloc): one more groups-sized agg,
+    // broadcast back as a scalar
+    val leftover = quota.agg((lit(budget) - sum("floor_alloc")).as("leftover"))
+    quota.crossJoin(broadcast(leftover))
+      .withColumn("rrank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col(groupCol))))
+      .withColumn("alloc",
+        col("floor_alloc") + when(col("rrank") <= col("leftover"), 1L).otherwise(0L))
+      .select(col(groupCol), col("cnt"), col("alloc"))
+  }
 }

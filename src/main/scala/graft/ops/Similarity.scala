@@ -479,6 +479,17 @@ object Similarity {
       ksub: Int = 16, numBuckets: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
+    // idempotence across SESSIONS, not just within one: a fresh
+    // in-memory catalog does not know a previous run's tables, but their
+    // warehouse directories persist and make saveAsTable refuse with
+    // LOCATION_ALREADY_EXISTS — drop the entry AND delete the orphan
+    for (suffix <- Seq("_books", "_codes")) {
+      spark.sql(s"DROP TABLE IF EXISTS ${name}$suffix")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"${name}$suffix")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     val books = pqFit(corpus, m, ksub, idCol, vecCol)
     val bookRows = books.collect().toSeq // m*ksub*subDim longs — metadata
     val bBooks = spark.createDataFrame(

@@ -937,12 +937,13 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     def regs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getAs[Long]("register") -> r.getAs[Long]("max_rho")).toMap
     val got = regs(full)
-    // independent per-key replay of the register definition
+    // independent per-key replay of the register definition: fnv1a +
+    // splitmix64 finalizer (63-bit), rho over the 55 post-register bits
     val want = li.distinct().collect().map(_.getString(0)).map { s =>
-      val h = Dedup.fnv1a(s)
+      val h = Dedup.permute(Dedup.fnv1a(s), 0x9e3779b97f4a7c15L, 0L)
       val w = h >>> 8
       val bl = if (w == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(w)
-      java.lang.Math.floorMod(h, 256L) -> (56 - bl + 1).toLong
+      (h % 256L) -> (55 - bl + 1).toLong
     }.groupBy(_._1).map { case (r, v) => r -> v.map(_._2).max }
     assert(got == want)
     // mergeability: union of arbitrary split halves max-merges to the full sketch
@@ -957,9 +958,9 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(est.getAs[Long]("m") == 256L)
     val n = est.getAs[Long]("n_est")
     assert(math.abs(n - exact).toDouble / exact < 0.15, s"est $n vs exact $exact")
-    // p != 8 must stay sane: at p=4, rho can reach 64-4+1 = 61 > 57, so a
-    // fixed K=57 scale would shift negatively (BigInt floors to 0 and the
-    // harmonic term vanishes) — K now derives from p; the wider-variance
+    // p != 8 must stay sane: at p=4, rho can reach 63-4+1 = 60 > 56, so a
+    // fixed K=56 scale would shift negatively (BigInt floors to 0 and the
+    // harmonic term vanishes) — K derives from p; the wider-variance
     // 2^4-register estimate still lands within ~3 sigma (1.04/4 ~ 26%)
     val est4 = Frequency.hllEstimate(
       Frequency.hllSketch(li, "k", p = 4), p = 4).head()

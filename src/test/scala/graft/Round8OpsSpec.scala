@@ -1,0 +1,234 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Frequency, Graph, Layout, Sampling, SetSim}
+
+/** Round-8 operators: z-order layout, triangle counting, prefix-filter
+  * set-similarity join, grouped HLL, largest-remainder allocation. */
+class Round8OpsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // ---- Layout (Morton / Z-order) ----------------------------------------
+
+  /** reference Morton interleave in plain Scala */
+  private def morton(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).map { i =>
+      (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }.sum
+
+  test("zValue matches the reference interleave on a grid + edge values") {
+    val pts = for (x <- 0 to 17; y <- 0 to 17) yield (x.toLong, y.toLong)
+    val extra = Seq((32767L, 0L), (0L, 32767L), (32767L, 32767L), (12345L, 6789L))
+    val df = (pts ++ extra).toDF("x", "y")
+      .withColumn("z", Layout.zValue(col("x"), col("y"), 15))
+    df.collect().foreach { r =>
+      assert(r.getAs[Long]("z") ==
+        morton(r.getAs[Long]("x"), r.getAs[Long]("y"), 15),
+        s"(${r.get(0)}, ${r.get(1)})")
+    }
+  }
+
+  test("zValueSql is the identical arithmetic (replayed through Spark SQL)") {
+    val df = Seq((12345L, 6789L), (1L, 2L), (32767L, 32767L)).toDF("x", "y")
+    val viaSql = df.selectExpr(s"${Layout.zValueSql("x", "y", 15)} AS z")
+      .as[Long].collect()
+    val viaCol = df.select(Layout.zValue(col("x"), col("y"), 15)).as[Long].collect()
+    assert(viaSql.sameElements(viaCol))
+  }
+
+  test("zBucket narrows BOTH dimensions' zone maps vs a one-key layout") {
+    // uniform grid: under z-bucketing into 64 buckets each bucket should
+    // span ~1/8 of each dimension; under bucketing by an unrelated key
+    // every bucket spans everything
+    val n = 1 << 12
+    val grid = spark.range(n).selectExpr(
+      "id % 64 AS x", "id DIV 64 AS y", "id AS k")
+    val z = Layout.zBucket(grid, col("x"), col("y"), bits = 6, log2Buckets = 6)
+    val zm = Layout.zoneMaps(z, "zbucket", col("x"), col("y")).collect()
+    assert(zm.length == 64)
+    zm.foreach { r =>
+      assert(r.getAs[Long]("max_x") - r.getAs[Long]("min_x") <= 7)
+      assert(r.getAs[Long]("max_y") - r.getAs[Long]("min_y") <= 7)
+    }
+    // bucket by a HASH of the key — uncorrelated with x and y (k % 64
+    // would literally equal x on this grid)
+    val h = grid.withColumn("hb", pmod(xxhash64(col("k")), lit(64L)))
+    val hm = Layout.zoneMaps(h, "hb", col("x"), col("y")).collect()
+    // a hash bucket's ~64 samples span nearly (not always exactly) the
+    // full domain — the contrast with <= 7 above is the point
+    hm.foreach { r =>
+      assert(r.getAs[Long]("max_x") - r.getAs[Long]("min_x") >= 48)
+      assert(r.getAs[Long]("max_y") - r.getAs[Long]("min_y") >= 48)
+    }
+  }
+
+  // ---- Graph.triangleCounts ---------------------------------------------
+
+  test("triangle counts: K4 + pendant path + disconnected edge") {
+    // K4 on {a,b,c,d}: 4 triangles, each node in 3. Pendant e-a and
+    // disconnected f-g: in none.
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+      ("e", "a"), ("f", "g")).toDF("u", "v")
+    val tc = Graph.triangleCounts(edges, "u", "v").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tc == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
+  test("triangle counts ignore duplicate/reversed edges and self-loops") {
+    val edges = Seq(
+      ("a", "b"), ("b", "a"), ("a", "b"), // one undirected edge
+      ("b", "c"), ("c", "a"),
+      ("a", "a") // self-loop
+    ).toDF("u", "v")
+    val tc = Graph.triangleCounts(edges, "u", "v").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tc == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("triangle plan: equi-joins only, no nested-loop/cartesian") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("u", "v")
+    val plan = Graph.triangleCounts(edges, "u", "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  // ---- SetSim.jaccardJoin -----------------------------------------------
+
+  /** brute-force distinct-shingle Jaccard in plain Scala */
+  private def bruteJaccard(docs: Seq[(Long, String)], w: Int, tn: Int,
+      td: Int): Set[(Long, Long, Long, Long)] = {
+    def sh(t: String): Set[String] = {
+      val ts = t.trim.split("\\s+").filter(_.nonEmpty)
+      if (w == 1) ts.toSet
+      else if (ts.length < w) Set.empty
+      else ts.sliding(w).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> sh(t) }.toMap
+    (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      inter = (sets(a) & sets(b)).size.toLong
+      un = (sets(a) | sets(b)).size.toLong
+      if un > 0 && inter * td >= tn * un
+    } yield (a, b, inter, un)).toSet
+  }
+
+  private val simDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (4L, "an entirely different document about distributed query engines"),
+    (5L, "the quick brown cat naps under the warm sun all afternoon"),
+    (6L, "xy"), // single token: no 3-gram shingles
+    (7L, ""))
+
+  test("jaccardJoin(3-gram) equals brute force") {
+    val got = SetSim.jaccardJoin(simDocs.toDF("doc_id", "text"),
+      "doc_id", "text", tn = 2, td = 5, shingleW = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == bruteJaccard(simDocs, 3, 2, 5))
+    assert(got.exists(p => p._1 == 1L && p._2 == 3L)) // exact dup found
+  }
+
+  test("jaccardJoin(tokens, w=1) equals brute force at a high threshold") {
+    val got = SetSim.jaccardJoin(simDocs.toDF("doc_id", "text"),
+      "doc_id", "text", tn = 9, td = 10, shingleW = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == bruteJaccard(simDocs, 1, 9, 10))
+  }
+
+  test("jaccardJoin prefix filter really prunes (candidate count < all pairs)") {
+    // sanity on the filtering claim: with 3-gram shingles on these docs,
+    // the only candidate pairs share a PREFIX shingle; doc 4 and doc 5
+    // share no shingles with anything, so nothing pairs them
+    val got = SetSim.jaccardJoin(simDocs.toDF("doc_id", "text"),
+      "doc_id", "text", tn = 2, td = 5, shingleW = 3).collect()
+    assert(!got.exists(r => r.getLong(0) == 4L || r.getLong(1) == 4L))
+  }
+
+  // ---- Frequency: grouped HLL -------------------------------------------
+
+  test("grouped HLL sketch with one group == global sketch; distributed " +
+    "decimal estimate == driver BigInt estimate") {
+    val items = spark.range(5000).selectExpr(
+      "CAST(id % 1700 AS STRING) AS k", "'g' AS g")
+    val global = Frequency.hllSketch(items, "k", p = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val grouped = Frequency.hllSketchGrouped(items, "k", "g", p = 8)
+    assert(grouped.collect().map(r => (r.getLong(1), r.getLong(2))).toSet == global)
+    val viaDriver = Frequency.hllEstimate(
+      Frequency.hllSketch(items, "k", p = 8), p = 8)
+      .collect()(0).getAs[Long]("n_est")
+    val viaGroups = Frequency.hllEstimateGrouped(grouped, "g", p = 8)
+      .collect()(0).getAs[Long]("n_est")
+    assert(viaDriver == viaGroups,
+      s"decimal path $viaGroups != BigInt path $viaDriver")
+  }
+
+  test("grouped HLL separates groups (estimates track per-group cardinality)") {
+    // both cardinalities inside the raw estimator's >= 2.5*m working
+    // range (m = 256): ~5000 vs ~800 distinct. Sequential decimal keys
+    // on purpose — the un-finalized fnv1a estimated such sets 2-3.4x
+    // high (measured), so these bounds also pin the finalizer's effect
+    val items = spark.range(40000).selectExpr(
+      "CASE WHEN id % 2 = 0 THEN CAST(id % 10000 AS STRING) " +
+        "ELSE CAST(id % 1600 AS STRING) END AS k",
+      "CASE WHEN id % 2 = 0 THEN 'big' ELSE 'small' END AS g")
+    val est = Frequency.hllEstimateGrouped(
+      Frequency.hllSketchGrouped(items, "k", "g", p = 8), "g", p = 8)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_est")).toMap
+    // even ids -> id % 10000 even: 5000 distinct; odd ids -> id % 1600
+    // odd: 800 distinct. raw-estimator error at p=8 is ~6.5%
+    assert(est("big") > 4200 && est("big") < 5800, est.toString)
+    assert(est("small") > 650 && est("small") < 950, est.toString)
+  }
+
+  // ---- PQ index idempotence across sessions -----------------------------
+
+  test("pqIndexWrite survives an orphaned warehouse location (fresh-catalog rerun)") {
+    import graft.ops.Similarity
+    // simulate a PREVIOUS session's leftovers: the in-memory catalog has
+    // no table entry, but the warehouse directory exists — exactly the
+    // state that made saveAsTable refuse with LOCATION_ALREADY_EXISTS
+    val wh = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val orphan = new java.io.File(wh, "pq_orphan_spec_books")
+    orphan.mkdirs()
+    assert(orphan.exists())
+    val vecs = spark.range(64).selectExpr("id AS vec_id",
+      "transform(sequence(0, 7), j -> CAST((id * 7 + j) % 13 AS FLOAT) / 13.0) AS embedding")
+    Similarity.pqIndexWrite(vecs, "pq_orphan_spec", m = 2, ksub = 4,
+      numBuckets = 2)
+    assert(spark.table("pq_orphan_spec_books").count() > 0)
+    assert(spark.table("pq_orphan_spec_codes").count() == 64 * 2)
+    spark.sql("DROP TABLE IF EXISTS pq_orphan_spec_books")
+    spark.sql("DROP TABLE IF EXISTS pq_orphan_spec_codes")
+  }
+
+  // ---- Sampling.largestRemainderAllocate --------------------------------
+
+  test("largest-remainder allocation: exact budget, hand-checked quotas") {
+    // counts 5, 3, 2 over budget 7: quotas 3.5, 2.1, 1.4 -> floors 3,2,1
+    // (sum 6), one leftover goes to the largest remainder (.5 -> a)
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .toDF("g")
+    val got = Sampling.largestRemainderAllocate(df, "g", budget = 7L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(got == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("largest-remainder allocation sums to the budget and ties break by name") {
+    // equal counts, budget not divisible: remainders all equal -> the
+    // +1s go to the alphabetically first groups
+    val df = (1 to 40).map(i => s"g${(i - 1) % 4}").toDF("g")
+    val got = Sampling.largestRemainderAllocate(df, "g", budget = 10L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(got.values.sum == 10L)
+    assert(got == Map("g0" -> 3L, "g1" -> 3L, "g2" -> 2L, "g3" -> 2L))
+  }
+}
