@@ -1452,6 +1452,73 @@ object SparkEntry {
       graft.ops.Sampling.largestRemainderAllocate(
           t(s, dir, "events"), "event_type", budget = 997L)
         .orderBy("event_type")
+    }),
+    "t_weighted_sample" -> ((s, dir) => {
+      // systematic PPS sampling: draw exactly 500 examples proportional
+      // to document length (n_chars) — a regular grid over the id-ordered
+      // cumulative-weight line, multiplicity for heavyweight rows; pure
+      // integer ceiling division (DECIMAL(38,0)), no RNG, no doubles
+      graft.ops.Sampling.systematicSample(
+          t(s, dir, "documents"), "doc_id", "n_chars", k = 500L)
+        .select(col("doc_id"), col("n_chars"), col("cum_lo"), col("cum_hi"),
+          col("picks"))
+        .orderBy("doc_id")
+    }),
+    "q_cdc_merge" -> ((s, dir) => {
+      // lakehouse MERGE: apply an upsert/delete change stream to a base
+      // snapshot, latest change per key wins. Base = customer balances;
+      // stream = orders as balance updates keyed by customer (finalized
+      // orders delete the key), sequenced by (order date, order key) —
+      // one window over base ∪ changes, no join, one keyed exchange
+      val base = t(s, dir, "customer").select(
+        col("c_custkey").as("cust"),
+        expr("CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT)").as("bal_cents"),
+        col("c_mktsegment").as("seg"))
+      val changes = t(s, dir, "orders").select(
+        col("o_custkey").as("cust"),
+        (expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+          .cast("long") * lit(10000000000L) + col("o_orderkey")).as("seq"),
+        when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
+        expr("CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)").as("bal_cents"),
+        col("o_orderpriority").as("seg"))
+      graft.ops.ChangeData.cdcMerge(base, changes, Seq("cust"), "seq", "op")
+        .orderBy("cust")
+    }),
+    "t_pmi" -> ((s, dir) => {
+      // collocation mining by association lift (the log-free monotone
+      // form of PMI): top 50 adjacent-token pairs by c(xy)*N/(c(x)*c(y)),
+      // exact DECIMAL(38,0) integer arithmetic, min count 5
+      graft.ops.TextAnalysis.collocations(
+        t(s, dir, "documents"), minCount = 5, topK = 50)
+    }),
+    "t_edit_join" -> ((s, dir) => {
+      // typo-tolerant entity matching: all part-name pairs within
+      // Levenshtein distance 2 by the lossless PASS-JOIN segment filter
+      // (candidates via d+1-segment pigeonhole equi-join; membership
+      // decided by exact integer edit distance). Every-10th-part subset
+      // keeps the brute-force oracle tractable at sf0.1
+      val parts = t(s, dir, "part").filter(col("p_partkey") % 10 === 0)
+      graft.ops.EditJoin.editJoin(parts, "p_partkey", "p_name", d = 2)
+        .orderBy("id_a", "id_b")
+    }),
+    "t_rand_proj" -> ((s, dir) => {
+      // Johnson-Lindenstrauss compression: 64-dim float embeddings ->
+      // 16 BIGINT coordinates via a deterministic +-1 matrix over
+      // q24-quantized components — the compress-before-index step;
+      // pure projection, zero shuffles, both engines inline the same
+      // splitmix64-derived sign constants
+      graft.ops.Similarity.randomProjection(
+          t(s, dir, "embeddings"), dim = 64, outDim = 16)
+        .orderBy("vec_id")
+    }),
+    "t_index_search" -> ((s, dir) => {
+      // ranked retrieval from the stored inverted index: whole-bit
+      // TF-IDF (bitlen(N div df) * bitlen(tf), integer end-to-end),
+      // only the query terms' posting blocks are scanned
+      val docs = t(s, dir, "documents")
+      val idx = graft.ops.Indexing.invertedIndex(docs, "doc_id", "text")
+      graft.ops.Indexing.searchIndex(idx, nDocs = docs.count(),
+        terms = Seq("scan", "merge", "window"), k = 20)
     })
   )
 
@@ -3986,6 +4053,139 @@ object SparkEntry {
         |SELECT event_type, cnt,
         |  floor_alloc + CASE WHEN rrank <= (SELECT leftover FROM lo)
         |    THEN 1 ELSE 0 END AS alloc
-        |FROM r ORDER BY event_type""".stripMargin
+        |FROM r ORDER BY event_type""".stripMargin,
+
+    // systematic PPS grid replay: id-ordered running weight sum, picks by
+    // telescoping ceiling division — all-positive integer `//` (floor)
+    // == Spark decimal `div` (truncation); HUGEINT keeps 500*W exact
+    "t_weighted_sample" ->
+      """WITH pos AS (
+        |  SELECT doc_id, n_chars FROM documents WHERE n_chars > 0
+        |), cum AS (
+        |  SELECT doc_id, n_chars,
+        |    SUM(n_chars) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_hi
+        |  FROM pos
+        |), w AS (
+        |  SELECT MAX(cum_hi) AS tw FROM cum
+        |)
+        |SELECT doc_id, n_chars,
+        |  cum_hi - n_chars AS cum_lo, cum_hi,
+        |  CAST((CAST(500 AS HUGEINT) * cum_hi + tw - 1) // tw
+        |    - (CAST(500 AS HUGEINT) * (cum_hi - n_chars) + tw - 1) // tw
+        |    AS BIGINT) AS picks
+        |FROM cum CROSS JOIN w
+        |WHERE (CAST(500 AS HUGEINT) * cum_hi + tw - 1) // tw
+        |    - (CAST(500 AS HUGEINT) * (cum_hi - n_chars) + tw - 1) // tw > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // CDC merge replay: base rows as seq = -2^63 inserts, one window over
+    // the union, latest (seq, op, payload) per key, deletes filtered —
+    // (seq is unique per key: it embeds the unique order key, and the
+    // base sentinel appears once per customer)
+    "q_cdc_merge" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS cust,
+        |    CAST(-9223372036854775807 - 1 AS BIGINT) AS seq, 'I' AS op,
+        |    CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS bal_cents,
+        |    c_mktsegment AS seg
+        |  FROM customer
+        |), ch AS (
+        |  SELECT o_custkey AS cust,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      * 10000000000 + o_orderkey AS seq,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS bal_cents,
+        |    o_orderpriority AS seg
+        |  FROM orders
+        |), allr AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM ch
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY cust
+        |    ORDER BY seq DESC, op DESC, bal_cents DESC) AS rk
+        |  FROM allr
+        |)
+        |SELECT cust, bal_cents, seg FROM r
+        |WHERE rk = 1 AND op <> 'D' ORDER BY cust""".stripMargin,
+
+    // lift-ranked collocations: exact integer c(xy)*N*10^6 // (c(x)*c(y))
+    // in HUGEINT (Spark side DECIMAL(38,0) — both exact), unigram counts
+    // over all non-empty normalized tokens, bigrams over adjacent pairs
+    "t_pmi" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(TRIM(REGEXP_REPLACE(LOWER(text), '$WS', ' ', 'g')), ' ') AS tk
+        |  FROM documents
+        |), tokpos AS (
+        |  SELECT doc_id, unnest(tk) AS w, generate_subscripts(tk, 1) AS pos
+        |  FROM toks
+        |), uni AS (
+        |  SELECT w, COUNT(*) AS cw FROM tokpos WHERE w <> '' GROUP BY w
+        |), n AS (
+        |  SELECT COUNT(*) AS n_toks FROM tokpos WHERE w <> ''
+        |), bg AS (
+        |  SELECT a.w AS w1, b.w AS w2, COUNT(*) AS cxy
+        |  FROM tokpos a JOIN tokpos b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  WHERE a.w <> '' AND b.w <> ''
+        |  GROUP BY a.w, b.w HAVING COUNT(*) >= 5
+        |)
+        |SELECT bg.w1, bg.w2, bg.cxy, ux.cw AS cx, uy.cw AS cy,
+        |  CAST((CAST(bg.cxy AS HUGEINT) * n.n_toks * 1000000)
+        |    // (CAST(ux.cw AS HUGEINT) * uy.cw) AS BIGINT) AS lift_ppm
+        |FROM bg JOIN uni ux ON bg.w1 = ux.w
+        |JOIN uni uy ON bg.w2 = uy.w CROSS JOIN n
+        |ORDER BY lift_ppm DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // brute-force edit join on the same every-10th-part subset: the
+    // PASS-JOIN segment filter is lossless, so all-pairs (with the
+    // sound |length diff| <= d prefilter) IS the answer; levenshtein is
+    // the classic integer DP in both engines
+    "t_edit_join" ->
+      """WITH p AS (
+        |  SELECT p_partkey AS id, p_name AS nm FROM part
+        |  WHERE p_partkey % 10 = 0
+        |)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+        |FROM p a JOIN p b ON a.id < b.id
+        |  AND abs(length(a.nm) - length(b.nm)) <= 2
+        |WHERE levenshtein(a.nm, b.nm) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // identical +-1 matrix (constants inlined by the same generator) over
+    // the identical q24 components: pure integer sums, fold-order-free
+    "t_rand_proj" ->
+      s"""WITH qv AS (
+         |  SELECT vec_id, ${qvecSql("embedding")} AS qv FROM embeddings
+         |)
+         |SELECT vec_id,
+         |  ${graft.ops.Similarity.randomProjectionSql(64, 16, "qv")
+              .mkString(",\n         |  ")}
+         |FROM qv ORDER BY vec_id""".stripMargin,
+
+    // whole-bit TF-IDF replay: df = docs containing the term (the
+    // index's df), N = corpus size, score = bitlen(N // df) * bitlen(tf)
+    "t_index_search" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(TRIM(REGEXP_REPLACE(LOWER(text), '$WS', ' ', 'g')), ' ')) AS term
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks
+         |  WHERE term IN ('scan', 'merge', 'window') GROUP BY doc_id, term
+         |), dfx AS (
+         |  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |  WHERE term IN ('scan', 'merge', 'window') GROUP BY term
+         |), n AS (
+         |  SELECT count(*) AS nd FROM documents
+         |), sc AS (
+         |  SELECT tf.doc_id, count(*) AS n_terms,
+         |    SUM(length(bin(nd // df)) * length(bin(tf.tf))) AS score
+         |  FROM tf JOIN dfx USING (term) CROSS JOIN n
+         |  GROUP BY tf.doc_id
+         |)
+         |SELECT doc_id, n_terms, CAST(score AS BIGINT) AS score
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   )
 }

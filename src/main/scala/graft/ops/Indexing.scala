@@ -158,4 +158,39 @@ object Indexing {
       .select(col("term"), col("block"), col("df"), col("cf"),
         col("n_block"), col("postings"))
   }
+
+  /** Ranked retrieval over a stored [[invertedIndex]] — the query side of
+    * the index: score every document containing at least one of `terms`
+    * and return the top `k`. The index answers WITHOUT touching the
+    * corpus: only the query terms' posting blocks are scanned (on a
+    * term-bucketed index layout that is partition pruning — the posting
+    * lists of two or three terms, not 10^11 documents).
+    *
+    * Scoring is whole-bit TF-IDF, the integer discipline of
+    * [[TextAnalysis.ngramLmSurprisal]]: per matched term,
+    * bitlen(N div df) * bitlen(tf), where bitlen(x) = floor(log2 x) + 1
+    * for x >= 1 — a monotone staircase of the real tf-idf with no
+    * logarithm, no doubles, no fold; identical in any engine. Ties break
+    * by doc id. `nDocs` is the corpus size recorded at index-build time
+    * (a driver scalar, like the centroid counts elsewhere).
+    *
+    * Output: (doc_id, n_terms, score) — top k by (score desc, doc_id).
+    * The final top-k is a TakeOrdered, never a global sort. */
+  def searchIndex(index: DataFrame, nDocs: Long, terms: Seq[String],
+      k: Int): DataFrame = {
+    require(terms.nonEmpty && nDocs >= 1)
+    def bitlen(c: org.apache.spark.sql.Column) = length(bin(c)).cast("long")
+    val posts = index.filter(col("term").isin(terms: _*))
+      .select(col("term"), col("df"),
+        explode(split(col("postings"), ",")).as("p"))
+      .select(col("term"), col("df"),
+        split(col("p"), ":").getItem(0).cast("long").as("doc_id"),
+        split(col("p"), ":").getItem(1).cast("long").as("tf"))
+    posts
+      .withColumn("w", bitlen(expr(s"CAST($nDocs AS BIGINT) div df")) * bitlen(col("tf")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("w").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -68,6 +68,46 @@ object Sampling {
     * on the groups frame (domain-cardinality — thousands, not rows), so
     * the single-partition window is over METADATA, same posture as the
     * mixture-weights op (`Curation.mixtureWeights`). */
+  /** Systematic sampling proportional to an INTEGER weight column (the
+    * classic PPS grid scheme): lay the rows end-to-end on a [0, W) line
+    * in `idCol` order, each covering an interval of its weight; drop a
+    * regular grid of k points at multiples of W/k; a row is drawn once
+    * per grid point inside its interval. Rows heavier than W/k can be
+    * drawn multiple times — `picks` carries the multiplicity, and
+    * sum(picks) == k EXACTLY (the grid points are counted by
+    * telescoping ceilings). The weighted analogue of "draw exactly
+    * 100k examples", e.g. proportional to token counts.
+    *
+    * Engine-exactness: with the grid test done as integer ceiling
+    * division — picks = ceil(k*cum_hi / W) - ceil(k*cum_lo / W), with
+    * ceil(a/b) = (a + b - 1) div b, all operands positive — the draw is
+    * a pure function of the (id-ordered) integer weights. Evaluated in
+    * DECIMAL(38,0): k * W must stay under 10^38, which holds through
+    * k = 10^12 draws from W = 10^15 total tokens; BIGINT would overflow
+    * at real scale. No RNG, no doubles.
+    *
+    * Scale: the cumulative sum is [[Indexing.globalRunningSum]] (one
+    * range exchange + a metadata-sized offset collect — no
+    * single-partition window); the grid test is then a pure projection.
+    * Zero- and negative-weight rows are excluded up front (they cover
+    * no interval). Output: the drawn rows + (cum_lo, cum_hi, picks). */
+  def systematicSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Long): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    val pos = df.filter(col(weightCol) > 0)
+    val cum = Indexing.globalRunningSum(pos, Seq(col(idCol)), weightCol,
+      outCol = "cum_hi")
+    val total = cum.agg(max("cum_hi").as("__w"))
+    val dec = "decimal(38,0)"
+    cum.crossJoin(broadcast(total))
+      .withColumn("cum_lo", col("cum_hi") - col(weightCol))
+      .withColumn("picks",
+        expr(s"CAST((CAST($k AS $dec) * cum_hi + __w - 1) div __w" +
+          s" - (CAST($k AS $dec) * cum_lo + __w - 1) div __w AS BIGINT)"))
+      .filter(col("picks") > 0)
+      .drop("__w")
+  }
+
   def largestRemainderAllocate(df: DataFrame, groupCol: String,
       budget: Long): DataFrame = {
     require(budget >= 0, "budget must be non-negative")

@@ -75,6 +75,55 @@ object Similarity {
     if (v == null) 0 else hyperplaneSig(v, bits)
   }
 
+  /** The +-1 projection matrix entry for (output dim j, input dim i) —
+    * shared by [[randomProjection]] and its oracle generator so both
+    * engines inline the SAME constants. */
+  private[graft] def projSign(j: Int, i: Int): Long =
+    if (planeSign(j, i) > 0) 1L else -1L
+
+  /** Signed random projection — Johnson–Lindenstrauss dimensionality
+    * reduction with a deterministic +-1 matrix (the database-friendly JL
+    * variant of Achlioptas 2003, "Database-friendly random projections";
+    * the sign-preservation analysis is Charikar 2002's SimHash): each
+    * output coordinate p_j = sum_i sign(j,i) * q24(v_i). Distances and
+    * angles survive within JL distortion at outDim ~ O(log n / eps^2),
+    * so downstream ANN/clustering can run on `outDim` longs instead of
+    * `dim` floats — the compress-before-index step of an embedding
+    * pipeline.
+    *
+    * Engine-exactness: components are q24-quantized FIRST (one IEEE
+    * multiply+add+floor each — fold-free), then everything is +-1 BIGINT
+    * sums whose order cannot matter; the matrix is splitmix64-derived at
+    * PLAN time and inlined into the expression on both engines. Scale:
+    * a pure projection — zero shuffles, whole-stage codegen'd (outDim x
+    * dim add/subtract terms), no UDF. */
+  def randomProjection(corpus: DataFrame, dim: Int, outDim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim >= 1 && outDim >= 1)
+    val projCols = (0 until outDim).map { j =>
+      (0 until dim).map { i =>
+        val e = element_at(col("__qv"), i + 1)
+        if (projSign(j, i) > 0) e else -e
+      }.reduce(_ + _).as(s"p$j")
+    }
+    corpus.select(col(idCol), q24Vec(col(vecCol)).as("__qv"))
+      .select(col(idCol) +: projCols: _*)
+  }
+
+  /** The projection as ANSI SQL select-expressions over a BIGINT-list
+    * column `qv` (same constants, same arithmetic — for oracle replay). */
+  def randomProjectionSql(dim: Int, outDim: Int, qv: String): Seq[String] =
+    (0 until outDim).map { j =>
+      val terms = (0 until dim).map { i =>
+        (projSign(j, i) > 0, s"($qv)[${i + 1}]")
+      }
+      val head = if (terms.head._1) terms.head._2 else s"(0 - ${terms.head._2})"
+      val rest = terms.tail.map { case (pos, t) =>
+        (if (pos) " + " else " - ") + t
+      }.mkString
+      s"($head$rest) AS p$j"
+    }
+
   /** Exact cosine top-k of each query vector against the corpus.
     * `queries` must be small (it is broadcast); self-matches (same id)
     * are excluded. Ties broken by corpus id for determinism. */

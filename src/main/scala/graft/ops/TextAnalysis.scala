@@ -418,6 +418,54 @@ object TextAnalysis {
         (col("self_mbits") - col("target_mbits")).as("delta_mbits"))
   }
 
+  /** Corpus-wide collocation mining by association lift — the log-free
+    * form of pointwise mutual information (PMI, Church & Hanks 1990):
+    * lift(x,y) = c(xy)·N / (c(x)·c(y)) with N the corpus token count,
+    * bigram counts over adjacent normalized tokens. PMI = log2(lift) is
+    * monotone in lift, so ranking by the exact rational lift IS the PMI
+    * ranking — no logarithm, no libm, no doubles. `lift_ppm` is the
+    * integer floor of lift·10^6, evaluated in DECIMAL(38,0):
+    * c(xy)·N·10^6 stays under 10^38 through N = 10^15 tokens (BIGINT
+    * would overflow at ~10^12). Bigrams below `minCount` are noise
+    * (a 1-occurrence pair of two rare tokens has huge lift) and are
+    * dropped, the standard PMI cutoff.
+    *
+    * Scale: bigram and unigram counts both combine map-side; the
+    * unigram table (vocabulary-sized ≪ corpus) broadcasts onto the
+    * bigram counts twice; N is a 1-row broadcast; the global top-k is
+    * a TakeOrdered, never a single-partition sort. */
+  def collocations(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minCount: Long = 5, topK: Int = 50)
+      : DataFrame = {
+    val toks = docs.select(
+      split(coalesce(normalized(col(textCol)), lit("")), " ", -1).as("__toks"))
+    val uni = toks.select(explode(col("__toks")).as("w"))
+      .filter(col("w") =!= "")
+    val n = uni.agg(count(lit(1)).as("n_toks"))
+    val uc = uni.groupBy("w").agg(count(lit(1)).as("cw"))
+    val bg = toks.filter(size(col("__toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(__toks)-2), " +
+          "i -> struct(__toks[i] AS w1, __toks[i+1] AS w2))")).as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+    bg
+      .join(broadcast(uc.withColumnRenamed("w", "w1")
+        .withColumnRenamed("cw", "cx")), Seq("w1"))
+      .join(broadcast(uc.withColumnRenamed("w", "w2")
+        .withColumnRenamed("cw", "cy")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("lift_ppm", expr(
+        "CAST((CAST(cxy AS DECIMAL(38,0)) * n_toks * 1000000)" +
+          " div (CAST(cx AS DECIMAL(38,0)) * cy) AS BIGINT)"))
+      .select(col("w1"), col("w2"), col("cxy"), col("cx"), col("cy"),
+        col("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Full per-document stats frame (expression-only columns). */
   def stats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -231,4 +231,197 @@ class Round8OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.sum == 10L)
     assert(got == Map("g0" -> 3L, "g1" -> 3L, "g2" -> 2L, "g3" -> 2L))
   }
+
+  // ---- systematic PPS sampling ------------------------------------------
+
+  test("systematicSample draws exactly k with weight-proportional picks") {
+    // weights 1..100 (W = 5050); k = 10 -> grid step 505: row 100
+    // (interval [4950, 5050)) always contains >= 1 grid point
+    val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "w")
+    val got = Sampling.systematicSample(df, "id", "w", k = 10L)
+      .select("id", "picks").as[(Long, Long)].collect().toMap
+    assert(got.values.sum == 10L)
+    // independent replay of the grid rule: picks(i) counts the grid
+    // points j*W/10 (j = 0..9) inside [cum_lo, cum_hi)
+    val W = 5050L
+    def ceilDiv(a: Long, b: Long) = (a + b - 1) / b
+    val want = (1 to 100).map { i =>
+      val hi = i.toLong * (i + 1) / 2; val lo = hi - i
+      i.toLong -> (ceilDiv(10 * hi, W) - ceilDiv(10 * lo, W))
+    }.filter(_._2 > 0).toMap
+    assert(got == want)
+    // a row heavier than the whole rest must carry multiplicity
+    val heavy = Seq((1L, 1L), (2L, 1000L), (3L, 1L)).toDF("id", "w")
+    val h = Sampling.systematicSample(heavy, "id", "w", k = 5L)
+      .select("id", "picks").as[(Long, Long)].collect().toMap
+    assert(h.values.sum == 5L && h(2L) >= 4L)
+  }
+
+  test("systematicSample drops non-positive weights and keeps determinism " +
+      "under repartitioning") {
+    val df = Seq((1L, 5L), (2L, 0L), (3L, -2L), (4L, 5L)).toDF("id", "w")
+    val a = Sampling.systematicSample(df, "id", "w", k = 3L)
+      .select("id", "picks").as[(Long, Long)].collect().toSet
+    val b = Sampling.systematicSample(df.repartition(7), "id", "w", k = 3L)
+      .select("id", "picks").as[(Long, Long)].collect().toSet
+    assert(a == b)
+    assert(!a.exists(p => p._1 == 2L || p._1 == 3L))
+    assert(a.toSeq.map(_._2).sum == 3L)
+  }
+
+  // ---- CDC merge --------------------------------------------------------
+
+  test("cdcMerge: latest wins, deletes remove, untouched keys survive") {
+    import graft.ops.ChangeData
+    val base = Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+      .toDF("k", "v", "tag")
+    val changes = Seq(
+      (1L, 100L, "U", 11L, "a1"), // update k=1
+      (1L, 200L, "U", 12L, "a2"), // later update wins
+      (2L, 100L, "D", 0L, ""),    // delete k=2
+      (4L, 100L, "I", 40L, "d"),  // insert new key
+      (5L, 100L, "U", 50L, "e"),  // upsert-on-missing behaves as insert
+      (5L, 200L, "D", 0L, ""),    // ... then deleted
+      (6L, 100L, "D", 0L, ""),    // delete of a never-seen key: no row
+      (6L, 200L, "I", 60L, "f")   // re-insert after delete
+    ).toDF("k", "seq", "op", "v", "tag")
+    val got = ChangeData.cdcMerge(base, changes, Seq("k"), "seq", "op")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 12L, "a2"), (3L, 30L, "c"), (4L, 40L, "d"),
+      (6L, 60L, "f")))
+  }
+
+  test("cdcMerge plan: single keyed window over the union, no join") {
+    import graft.ops.ChangeData
+    val base = Seq((1L, 10L, "a")).toDF("k", "v", "tag")
+    val changes = Seq((1L, 1L, "U", 11L, "x")).toDF("k", "seq", "op", "v", "tag")
+    val plan = ChangeData.cdcMerge(base, changes, Seq("k"), "seq", "op")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
+  // ---- collocations (lift / PMI) ----------------------------------------
+
+  test("collocations: hand-checked lift on a tiny corpus") {
+    import graft.ops.TextAnalysis
+    // "x y" appears 6x, x appears 6x, y appears 6x, N = 18 tokens
+    // lift = 6*18/(6*6) = 3.0 -> 3_000_000 ppm
+    val docs = (1 to 6).map(i => (i.toLong, "x y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, minCount = 5, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("lift_ppm")).toMap
+    assert(got == Map(("x", "y") -> 3000000L, ("y", "z") -> 3000000L))
+  }
+
+  // ---- EditJoin ---------------------------------------------------------
+
+  /** reference Levenshtein */
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
+
+  test("editJoin equals brute force (incl. short strings and empties)") {
+    import graft.ops.EditJoin
+    val strs = Seq(
+      1L -> "large brown widget", 2L -> "large brown widgets",
+      3L -> "larg brown widget", 4L -> "small green bolt",
+      5L -> "small green bolts", 6L -> "entirely unrelated name",
+      7L -> "ab", 8L -> "b", 9L -> "", 10L -> "large brown widget",
+      11L -> "xy", 12L -> "abc")
+    for (d <- Seq(1, 2, 3)) {
+      val got = EditJoin.editJoin(strs.toDF("id", "nm"), "id", "nm", d)
+        .as[(Long, Long, Long)].collect().toSet
+      val want = (for {
+        (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+        dist = lev(sa, sb) if dist <= d
+      } yield (ia, ib, dist.toLong)).toSet
+      assert(got == want, s"d=$d")
+    }
+  }
+
+  test("editJoin candidate plan: equi-joins only") {
+    import graft.ops.EditJoin
+    val df = Seq(1L -> "abcdef", 2L -> "abcxef", 3L -> "zzzzzz").toDF("id", "nm")
+    val plan = EditJoin.editJoin(df, "id", "nm", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  // ---- random projection ------------------------------------------------
+
+  test("randomProjection matches a per-row Scala replay and its SQL form") {
+    import graft.ops.Similarity
+    val vecs = Seq(
+      (1L, Array.tabulate(8)(i => (i + 1) * 0.125f)),
+      (2L, Array.tabulate(8)(i => -1.0f + i * 0.25f)),
+      (3L, Array.fill(8)(0.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.randomProjection(df, dim = 8, outDim = 4)
+      .orderBy("vec_id").collect()
+    // independent replay: q24 then +-1 sums with the same sign source
+    def q24(x: Float): Long = math.floor(x.toDouble * 16777216.0 + 0.5).toLong
+    vecs.sortBy(_._1).zip(got).foreach { case ((id, v), row) =>
+      assert(row.getLong(0) == id)
+      for (j <- 0 until 4) {
+        val want = (0 until 8).map(i => Similarity.projSign(j, i) * q24(v(i))).sum
+        assert(row.getLong(1 + j) == want, s"id=$id p$j")
+      }
+    }
+    // the generated SQL computes the identical numbers through Spark SQL.
+    // It targets DuckDB's 1-BASED list subscripts; Spark's [] is 0-based,
+    // so prepend a sentinel 0 — then the same 1-based text indexes the
+    // original elements
+    df.select(col("vec_id"),
+        concat(array(lit(0L)), graft.functions.q24Vec(col("embedding")))
+          .as("qv"))
+      .createOrReplaceTempView("rp_qv")
+    val viaSql = spark.sql("SELECT vec_id, " +
+        Similarity.randomProjectionSql(8, 4, "qv").mkString(", ") +
+        " FROM rp_qv ORDER BY vec_id").collect()
+    got.zip(viaSql).foreach { case (a, b) => assert(a == b) }
+  }
+
+  // ---- index search -----------------------------------------------------
+
+  test("searchIndex: whole-bit tf-idf hand-check, term pruning") {
+    import graft.ops.Indexing
+    val docs = Seq(
+      (1L, "apple banana apple"),      // apple tf 2, banana tf 1
+      (2L, "apple cherry"),            // apple tf 1
+      (3L, "banana banana banana banana"), // banana tf 4
+      (4L, "durian")                   // matches nothing
+    ).toDF("doc_id", "text")
+    val idx = Indexing.invertedIndex(docs, "doc_id", "text")
+    val got = Indexing.searchIndex(idx, nDocs = 4L,
+        terms = Seq("apple", "banana"), k = 10)
+      .as[(Long, Long, Long)].collect().toList
+    // df(apple)=2 -> w = bitlen(4 div 2)=2; df(banana)=2 -> w=2
+    // doc1: apple tf2 (bitlen 2) + banana tf1 (bitlen 1) -> 2*2+2*1 = 6
+    // doc2: apple tf1 -> 2
+    // doc3: banana tf4 (bitlen 3) -> 6; tie with doc1 -> doc1 first
+    assert(got == List((1L, 2L, 6L), (3L, 1L, 6L), (2L, 1L, 2L)))
+  }
+
+  test("collocations rank by lift, not raw count") {
+    import graft.ops.TextAnalysis
+    // "a b" is frequent but a,b are everywhere (low lift); "p q" is
+    // rarer but exclusive (high lift) and must rank first
+    val noise = (1 to 20).map(i => (i.toLong, "a b a c b a"))
+    val signal = (21 to 25).map(i => (i.toLong, "p q"))
+    val docs = (noise ++ signal).toDF("doc_id", "text")
+    val rows = TextAnalysis.collocations(docs, minCount = 5, topK = 3)
+      .collect()
+    assert(rows.head.getString(0) == "p" && rows.head.getString(1) == "q")
+  }
 }
