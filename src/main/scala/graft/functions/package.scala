@@ -152,4 +152,11 @@ package object functions {
     * markedly faster than the compositional zip_with/aggregate form. */
   def cosineSimilarity(a: Column, b: Column): Column =
     exprColumn(CosineSim(columnExpr(a), columnExpr(b)))
+
+  /** Overlap count of two SORTED duplicate-free integer arrays — one
+    * allocation-free merge sweep in whole-stage codegen (see
+    * [[SortedIntersectSize]] for the contract and the measured gap vs
+    * `size(array_intersect(...))`). */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    exprColumn(SortedIntersectSize(columnExpr(a), columnExpr(b)))
 }

@@ -313,6 +313,45 @@ class Round8OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(("x", "y") -> 3000000L, ("y", "z") -> 3000000L))
   }
 
+  // ---- sortedIntersectSize ----------------------------------------------
+
+  test("sortedIntersectSize == size(array_intersect) on sorted distinct " +
+      "arrays (randomized, both codegen and interpreted paths)") {
+    val rnd = new scala.util.Random(8)
+    val rows = (1 to 300).map { i =>
+      def arr() = Seq.fill(rnd.nextInt(60))(rnd.nextInt(80).toLong)
+        .distinct.sorted
+      (i.toLong, arr(), arr())
+    }
+    val df = rows.toDF("id", "a", "b").persist()
+    val got = df.select(col("id"),
+        graft.functions.sortedIntersectSize(col("a"), col("b")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val ref = df.select(col("id"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == ref)
+    // interpreted path (codegen disabled) agrees
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interp = df.select(col("id"),
+          graft.functions.sortedIntersectSize(col("a"), col("b")).as("s"))
+        .as[(Long, Long)].collect().toMap
+      assert(interp == ref)
+    }
+    df.unpersist()
+  }
+
+  private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
+    val conf = spark.conf
+    val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   // ---- EditJoin ---------------------------------------------------------
 
   /** reference Levenshtein */
