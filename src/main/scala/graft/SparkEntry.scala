@@ -1519,6 +1519,64 @@ object SparkEntry {
       val idx = graft.ops.Indexing.invertedIndex(docs, "doc_id", "text")
       graft.ops.Indexing.searchIndex(idx, nDocs = docs.count(),
         terms = Seq("scan", "merge", "window"), k = 20)
+    }),
+    "t_kcore" -> ((s, dir) => {
+      // 3-core of the repeat-co-purchase graph (parts co-occurring in
+      // >= 2 distinct orders): iterated degree peeling with a FIXED 12
+      // peels on both engines, so the output is a pure function of the
+      // graph even where the peel hasn't hit its fixpoint
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"), "o")
+        .filter(col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+        .agg(count(lit(1)).as("m"))
+        .filter(col("m") >= 2)
+        .select(concat(lit("p"), col("pa")).as("pa"),
+          concat(lit("p"), col("pb")).as("pb"))
+      graft.ops.Graph.kCore(pairs, "pa", "pb", k = 3, rounds = 12)
+        .orderBy("node")
+    }),
+    "t_heavy_hitters" -> ((s, dir) => {
+      // exact heavy hitters (bigrams covering >= 1/800 of the stream)
+      // via per-partition Misra-Gries candidate nomination + exact
+      // verification — no distinct-key-sized shuffle; the oracle is the
+      // plain exact answer because the candidate set is a proven superset
+      val bg = t(s, dir, "documents")
+        .select(split(trim(col("text")), "\\s+").as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ts)-2), i -> concat(ts[i], ' ', ts[i+1]))"))
+          .as("k"))
+      graft.ops.Frequency.heavyHitters(bg, "k", divisor = 800L)
+        .orderBy("key")
+    }),
+    "s_cdc_merge" -> ((s, dir) => {
+      // continuously-maintained CDC snapshot: base customers + order
+      // change stream as two file streams, per-key latest-wins winner as
+      // a running max_by — state is one row per live key forever;
+      // complete-mode output equals the batch q_cdc_merge (the oracle
+      // replays the identical SQL)
+      val baseS = StreamingOps.readEvents(s, s"$dir/customer.parquet")
+        .select(col("c_custkey").as("cust"),
+          lit(Long.MinValue).as("seq"), lit("I").as("op"),
+          expr("CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT)").as("bal_cents"),
+          col("c_mktsegment").as("seg"))
+      val chS = StreamingOps.readEvents(s, s"$dir/orders.parquet")
+        .select(col("o_custkey").as("cust"),
+          (expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+            .cast("long") * lit(10000000000L) + col("o_orderkey")).as("seq"),
+          when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
+          expr("CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)").as("bal_cents"),
+          col("o_orderpriority").as("seg"))
+      val merged = StreamingOps.streamingCdcMerge(
+        baseS.unionByName(chS), Seq("cust"), "seq", "op")
+      StreamingOps.withShufflePartitions(s, 8) {
+        StreamingOps.runToMemory(merged, s"scdc_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+      }
+        .orderBy("cust")
     })
   )
 
@@ -1883,6 +1941,70 @@ object SparkEntry {
       |  CAST(SUM(f.cents * (d.variant + 1)) AS BIGINT) AS weighted_cents
       |FROM fact f JOIN dim d ON f.k = d.k
       |GROUP BY f.k ORDER BY f.k""".stripMargin
+
+  /** CDC merge replay, shared by q_cdc_merge (batch window) and
+    * s_cdc_merge (streaming max_by — definitionally the same winner). */
+  private val cdcMergeSql: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS cust,
+      |    CAST(-9223372036854775807 - 1 AS BIGINT) AS seq, 'I' AS op,
+      |    CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS bal_cents,
+      |    c_mktsegment AS seg
+      |  FROM customer
+      |), ch AS (
+      |  SELECT o_custkey AS cust,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+      |      * 10000000000 + o_orderkey AS seq,
+      |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+      |    CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS bal_cents,
+      |    o_orderpriority AS seg
+      |  FROM orders
+      |), allr AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM ch
+      |), r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY cust
+      |    ORDER BY seq DESC, op DESC, bal_cents DESC) AS rk
+      |  FROM allr
+      |)
+      |SELECT cust, bal_cents, seg FROM r
+      |WHERE rk = 1 AND op <> 'D' ORDER BY cust""".stripMargin
+
+  /** Unrolled k-core peeling replay: both engines run EXACTLY `rounds`
+    * peels (fixed-round contract — agreement does not require the peel
+    * to have converged), each round one degree aggregate + one keep
+    * filter + one edge restriction. Machine-generated CTE chain; every
+    * CTE is MATERIALIZED — inlining would expand e_{r} into e_{r-1}
+    * three times (once directly, twice through the IN subqueries), i.e.
+    * 3^rounds parquet scans ("too many open files" long before any
+    * result). */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    val b = new StringBuilder
+    b ++= """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), e0 AS MATERIALIZED (
+        |  SELECT 'p' || CAST(a.p AS VARCHAR) AS u,
+        |         'p' || CAST(b.p AS VARCHAR) AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |)""".stripMargin
+    for (r <- 0 until rounds) {
+      b ++= s""",
+        |d$r AS MATERIALIZED (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM e$r UNION ALL SELECT v FROM e$r
+        |  ) GROUP BY node
+        |), n$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= $k),
+        |e${r + 1} AS MATERIALIZED (
+        |  SELECT u, v FROM e$r
+        |  WHERE u IN (SELECT node FROM n$r) AND v IN (SELECT node FROM n$r)
+        |)""".stripMargin
+    }
+    b ++= s"""
+        |SELECT node, count(*) AS deg FROM (
+        |  SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds
+        |) GROUP BY node ORDER BY node""".stripMargin
+    b.toString
+  }
 
   /** DuckDB-runnable ANSI equivalents (driver's correctness oracle).
     * Omitted for ops whose semantics aren't SQL-expressible (difflib ratio,
@@ -4082,31 +4204,11 @@ object SparkEntry {
     // CDC merge replay: base rows as seq = -2^63 inserts, one window over
     // the union, latest (seq, op, payload) per key, deletes filtered —
     // (seq is unique per key: it embeds the unique order key, and the
-    // base sentinel appears once per customer)
-    "q_cdc_merge" ->
-      """WITH base AS (
-        |  SELECT c_custkey AS cust,
-        |    CAST(-9223372036854775807 - 1 AS BIGINT) AS seq, 'I' AS op,
-        |    CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS bal_cents,
-        |    c_mktsegment AS seg
-        |  FROM customer
-        |), ch AS (
-        |  SELECT o_custkey AS cust,
-        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
-        |      * 10000000000 + o_orderkey AS seq,
-        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
-        |    CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS bal_cents,
-        |    o_orderpriority AS seg
-        |  FROM orders
-        |), allr AS (
-        |  SELECT * FROM base UNION ALL SELECT * FROM ch
-        |), r AS (
-        |  SELECT *, row_number() OVER (PARTITION BY cust
-        |    ORDER BY seq DESC, op DESC, bal_cents DESC) AS rk
-        |  FROM allr
-        |)
-        |SELECT cust, bal_cents, seg FROM r
-        |WHERE rk = 1 AND op <> 'D' ORDER BY cust""".stripMargin,
+    // base sentinel appears once per customer). The SAME text also
+    // oracles s_cdc_merge: the streaming max_by winner is definitionally
+    // this window's rank-1 row
+    "q_cdc_merge" -> cdcMergeSql,
+    "s_cdc_merge" -> cdcMergeSql,
 
     // lift-ranked collocations: exact integer c(xy)*N*10^6 // (c(x)*c(y))
     // in HUGEINT (Spark side DECIMAL(38,0) — both exact), unigram counts
@@ -4186,6 +4288,26 @@ object SparkEntry {
          |  GROUP BY tf.doc_id
          |)
          |SELECT doc_id, n_terms, CAST(score AS BIGINT) AS score
-         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "t_kcore" -> kCoreSql(k = 3, rounds = 12),
+
+    // exact heavy hitters: the Misra-Gries candidate pass is a proven
+    // superset and verification is exact, so the plain exact answer IS
+    // the oracle regardless of partitioning
+    "t_heavy_hitters" ->
+      s"""WITH t2 AS (
+         |  SELECT string_split_regex(TRIM(text), '$WS') AS ts
+         |  FROM documents WHERE text IS NOT NULL
+         |), bg AS (
+         |  SELECT ts[i] || ' ' || ts[i+1] AS k
+         |  FROM t2, unnest(range(1, len(ts))) AS u(i)
+         |), n AS (
+         |  SELECT count(*) AS c FROM bg
+         |)
+         |SELECT k AS key, count(*) AS cnt
+         |FROM bg CROSS JOIN n
+         |GROUP BY k, c HAVING count(*) * 800 >= c
+         |ORDER BY key""".stripMargin
   )
 }

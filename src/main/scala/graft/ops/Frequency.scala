@@ -195,6 +195,63 @@ object Frequency {
   /** Per-key cell indexes, one per sketch row: floorMod(fnv1a("r:" + key),
     * width) — with width a power of two this equals the unsigned residue,
     * so an unsigned 128-bit replay is bit-exact. NULL -> empty (no cells). */
+  /** EXACT heavy hitters — every key occurring in at least 1/`divisor`
+    * of the rows — found WITHOUT a distinct-key-sized shuffle: a
+    * per-partition Misra–Gries pass (Misra & Gries 1982, "Finding
+    * repeated elements"; the merge analysis is Agarwal et al. 2013,
+    * "Mergeable summaries") nominates a bounded candidate set, and only
+    * candidates are counted exactly.
+    *
+    * Losslessness (the prefix-filter argument, made quantitative): a
+    * global heavy hitter has count >= n/divisor, so by pigeonhole some
+    * partition holds >= n/(divisor*p) of its occurrences. A Misra–Gries
+    * summary with cap = divisor*p + 1 counters retains any key that
+    * frequent in the partition even under TOTAL partition skew (a key
+    * can only be evicted by cap decrement sweeps each consuming cap
+    * units, so a key with local count > n_i/(cap+1) >= survives), and
+    * its estimate undercounts by at most the sweep count — so nominating
+    * every key with (est + sweeps)*divisor*p >= n is a SUPERSET of the
+    * true heavies. Exact verification then decides membership, making
+    * the output independent of partitioning even though the candidate
+    * set is not. Candidate memory is O(divisor*p) per task — bounded
+    * regardless of corpus or vocabulary size.
+    *
+    * Output: (key, cnt) with cnt*divisor >= n, exact counts. */
+  def heavyHitters(items: DataFrame, keyCol: String, divisor: Long)
+      : DataFrame = {
+    require(divisor >= 1)
+    val spark = items.sparkSession
+    import spark.implicits._
+    val keys = items.select(col(keyCol).cast("string").as("k"))
+      .filter(col("k").isNotNull)
+    val n = keys.count()
+    if (n == 0) return keys.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .select(col("k").as("key"), col("cnt"))
+    val ds = keys.as[String]
+    val p = math.max(ds.rdd.getNumPartitions, 1)
+    val cap = (divisor * p + 1).toInt
+    val cands = ds.mapPartitions { it =>
+      val m = new scala.collection.mutable.HashMap[String, Long]
+      var sweeps = 0L
+      it.foreach { s =>
+        if (m.contains(s)) m(s) += 1
+        else if (m.size < cap) m(s) = 1L
+        else { // decrement sweep: every counter down one, drop the zeros
+          sweeps += 1
+          val dead = m.iterator.filter(_._2 == 1L).map(_._1).toList
+          m.mapValuesInPlace((_, c) => c - 1)
+          dead.foreach(m.remove)
+        }
+      }
+      m.iterator.filter { case (_, c) => (c + sweeps) * divisor * p >= n }
+        .map(_._1)
+    }.toDF("k").distinct()
+    keys.join(broadcast(cands), Seq("k"), "left_semi")
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * divisor >= n)
+      .select(col("k").as("key"), col("cnt"))
+  }
+
   private def cellUdf(depth: Int, width: Int) = {
     require(depth >= 1 && width >= 2, "need a positive sketch geometry")
     require((width & (width - 1)) == 0,

@@ -86,6 +86,62 @@ object Graph {
     out
   }
 
+  /** The k-core of an UNDIRECTED simple graph by iterated peeling
+    * (Seidman 1983, "Network structure and minimum degree"; the
+    * distributed analysis is Montresor et al. 2013): repeatedly drop
+    * every node of degree < k, re-count, repeat. The surviving subgraph
+    * (every node has >= k neighbors INSIDE it) is the standard dense-
+    * community filter — e.g. pruning spam/link farms to a web graph's
+    * stable core before PageRank-style scoring.
+    *
+    * `rounds` is a FIXED peel count, not a convergence loop: both this
+    * engine and any replaying oracle run exactly `rounds` peels, so the
+    * output is a pure function of (edges, k, rounds) even when the peel
+    * has not reached its fixpoint (callers size `rounds` generously;
+    * peeling converges in a handful of rounds on power-law graphs —
+    * assert `kCoreConverged` where the true core is required).
+    *
+    * Scale shape: each round is one map-side-combined degree aggregate
+    * plus two semi-joins filtering the cached edge frame — the Pregel
+    * budget of [[pageRank]]; caches rotate round-over-round and lineage
+    * is cut once at the end. Everything is integer counting —
+    * engine-exact. Output: (node, deg) of the surviving subgraph. */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val und = edges
+      .select(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
+      .filter(col("a") =!= col("b"))
+    // each round references the edge frame FOUR times (twice in the
+    // degree union, twice through the semi-joins), so carrying lineage
+    // across rounds grows the logical plan ~4^rounds — a driver OOM long
+    // before any data moves. localCheckpoint each round replaces the
+    // lineage with a materialized-RDD leaf: plan size stays constant.
+    var cur = und.select(
+        least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val deg = cur.select(col("u").as("node"))
+        .union(cur.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("node")
+      cur = cur
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select("u", "v").localCheckpoint(true)
+    }
+    cur.select(col("u").as("node"))
+      .union(cur.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+  }
+
+  /** True iff one more peel of [[kCore]]'s output graph would change
+    * nothing — i.e. `rounds` reached the fixpoint (driver-side boolean
+    * over a metadata-sized aggregate). */
+  def kCoreConverged(coreNodes: DataFrame, k: Int): Boolean =
+    coreNodes.filter(col("deg") < k).isEmpty
+
   /** Per-node triangle counts over an UNDIRECTED simple graph, by
     * degree-ordered orientation (the compact-forward / node-iterator++
     * scheme of Schank & Wagner 2005, "Finding, counting and listing all

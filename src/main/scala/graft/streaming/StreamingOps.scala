@@ -325,6 +325,33 @@ object StreamingOps {
       width: Int = 256): DataFrame =
     graft.ops.Frequency.countMinSketch(events, keyCol, depth, width)
 
+  /** Continuously-maintained CDC snapshot — the streaming twin of
+    * `ChangeData.cdcMerge`: the per-key latest-wins winner maintained as
+    * a running `max_by` aggregate over the tagged change stream (base
+    * rows enter as seq = -2^63 inserts, exactly as in the batch op; a
+    * static base unions in as a second file stream). max_by over the
+    * (seq, op, first-payload) struct is distributive and
+    * order-independent — the lexicographic struct max IS the batch
+    * window's (seq desc, op desc, payload desc) winner — so the
+    * complete-mode output equals the batch merge at every point in time
+    * and deletes stay filtered the moment a 'D' becomes a key's latest.
+    * State is one row per live key (snapshot-sized, the floor for any
+    * upsert view), never per-change. */
+  def streamingCdcMerge(tagged: DataFrame, keyCols: Seq[String],
+      seqCol: String, opCol: String): DataFrame = {
+    val payload = tagged.columns
+      .filterNot(c => keyCols.contains(c) || c == seqCol || c == opCol).toSeq
+    val ordKey = struct(
+      (Seq(seqCol, opCol) ++ payload.headOption.toSeq).map(col): _*)
+    tagged.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct((Seq(opCol) ++ payload).map(col): _*), ordKey)
+        .as("__w"))
+      .select(keyCols.map(col) ++
+        (Seq(opCol) ++ payload).map(c => col(s"__w.$c").as(c)): _*)
+      .filter(col(opCol) =!= "D")
+      .drop(opCol)
+  }
+
   /** Stream-static incremental ingest dedup — the streaming twin of
     * `Curation.incrementalNew`: each micro-batch is anti-joined against a
     * STATIC corpus fingerprint set; rows whose fingerprint is already

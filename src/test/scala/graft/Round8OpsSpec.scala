@@ -232,6 +232,88 @@ class Round8OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map("g0" -> 3L, "g1" -> 3L, "g2" -> 2L, "g3" -> 2L))
   }
 
+  // ---- k-core -----------------------------------------------------------
+
+  test("kCore peels a pendant tree off a clique; fixed rounds reproduce " +
+      "non-fixpoint states") {
+    import graft.ops.Graph
+    // K4 {a,b,c,d} + a path d-e-f-g: the 3-core is exactly the K4, and
+    // peeling eats the path one vertex per round from the outside in
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+      ("d", "e"), ("e", "f"), ("f", "g")).toDF("u", "v")
+    val core = Graph.kCore(edges, "u", "v", k = 3, rounds = 5)
+    val got = core.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    assert(Graph.kCoreConverged(core, 3))
+    // one round of k=2 peeling only removes g (deg 1); e and f survive
+    // round 1 — the fixed-round contract exposes the intermediate state
+    val oneRound = Graph.kCore(edges, "u", "v", k = 2, rounds = 1)
+    val nodes1 = oneRound.collect().map(_.getString(0)).toSet
+    assert(nodes1 == Set("a", "b", "c", "d", "e", "f"))
+    assert(!Graph.kCoreConverged(oneRound, 2)) // f now has deg 1
+    val conv = Graph.kCore(edges, "u", "v", k = 2, rounds = 3)
+    assert(Graph.kCoreConverged(conv, 2))
+    assert(conv.collect().map(_.getString(0)).toSet == Set("a", "b", "c", "d"))
+  }
+
+  // ---- heavy hitters ----------------------------------------------------
+
+  test("heavyHitters equals the exact answer under several partitionings " +
+      "and skew") {
+    import graft.ops.Frequency
+    val rnd = new scala.util.Random(11)
+    // zipf-ish: key i appears ~ 3000/i times
+    val rows = (1 to 60).flatMap(i => Seq.fill(3000 / i)(s"k$i")) ++
+      (1 to 2000).map(i => s"rare$i")
+    val n = rows.size.toLong
+    val divisor = 40L
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * divisor >= n }.toMap
+    assert(exact.nonEmpty && exact.size < 60)
+    for (parts <- Seq(1, 7, 32)) {
+      val df = rnd.shuffle(rows).toDF("k").repartition(parts)
+      val got = Frequency.heavyHitters(df, "k", divisor)
+        .as[(String, Long)].collect().toMap
+      assert(got == exact, s"parts=$parts")
+    }
+    // pathological skew: everything in one partition of many
+    val skewed = rows.toDF("k").coalesce(1).repartition(1)
+    assert(Frequency.heavyHitters(skewed, "k", divisor)
+      .as[(String, Long)].collect().toMap == exact)
+  }
+
+  // ---- streaming CDC merge ----------------------------------------------
+
+  test("streamingCdcMerge complete-mode == batch cdcMerge") {
+    import graft.ops.ChangeData
+    import graft.streaming.StreamingOps
+    val base = Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+      .toDF("k", "v", "tag")
+    val changes = Seq(
+      (1L, 100L, "U", 11L, "a1"), (1L, 200L, "U", 12L, "a2"),
+      (2L, 100L, "D", 0L, ""), (4L, 100L, "I", 40L, "d"),
+      (5L, 100L, "U", 50L, "e"), (5L, 200L, "D", 0L, ""),
+      (6L, 100L, "D", 0L, ""), (6L, 200L, "I", 60L, "f")
+    ).toDF("k", "seq", "op", "v", "tag")
+    val want = ChangeData.cdcMerge(base, changes, Seq("k"), "seq", "op")
+      .as[(Long, Long, String)].collect().toSet
+    // stream the same tagged union through the running max_by
+    val dir = java.nio.file.Files.createTempDirectory("scdc_spec_").toString
+    val tagged = base.withColumn("seq", lit(Long.MinValue))
+      .withColumn("op", lit("I"))
+      .select("k", "seq", "op", "v", "tag")
+      .unionByName(changes.select("k", "seq", "op", "v", "tag"))
+    tagged.write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(tagged.schema).parquet(s"$dir/in")
+    val merged = StreamingOps.streamingCdcMerge(stream, Seq("k"), "seq", "op")
+    val got = StreamingOps.withShufflePartitions(spark, 4) {
+      StreamingOps.runToMemory(merged, s"scdc_spec_${System.nanoTime()}",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+    }.as[(Long, Long, String)].collect().toSet
+    assert(got == want)
+  }
+
   // ---- systematic PPS sampling ------------------------------------------
 
   test("systematicSample draws exactly k with weight-proportional picks") {
