@@ -246,6 +246,52 @@ object Rehearsal {
       }
       emit(s"""{"scale":$scale,"stage":"triangles_hub","input_rows":${100000L * scale + 100000L},"output_rows":$nTri,"sec":$tTri}""")
 
+      // edit-join leg: random 16-hex-char strings (no accidental
+      // near-pairs) + 1% injected single-edit twins — the PASS-JOIN
+      // segment filter must keep candidate volume ~linear in n because
+      // random strings share no (length, index, segment) key; if this
+      // leg goes superlinear the filter is broken
+      val (nEj, tEj) = timed {
+        val n = 100000L * scale
+        val strs = spark.range(n).selectExpr("id",
+          "substring(md5(CAST(id AS STRING)), 1, 16) AS s")
+        val twins = spark.range(n / 100).selectExpr(
+          s"id + ${Long.MaxValue / 2} AS id",
+          "concat('z', substring(md5(CAST(id * 100 AS STRING)), 2, 15)) AS s")
+        graft.ops.EditJoin.editJoin(strs.unionByName(twins), "id", "s", d = 2)
+          .count()
+      }
+      emit(s"""{"scale":$scale,"stage":"edit_join","input_rows":${100000L * scale + 1000L * scale},"output_rows":$nEj,"sec":$tEj}""")
+
+      // heavy-hitters leg: 7 hot keys over a long uniform tail — the
+      // Misra-Gries pass must stay one scan with bounded per-task state;
+      // candidate nomination is partitioning-dependent but the output is
+      // pinned (7 rows at every scale)
+      val (nHh, tHh) = timed {
+        val n = 1000000L * scale
+        val keys = spark.range(n).selectExpr(
+          "CASE WHEN id % 5 = 0 THEN concat('hot', id % 7) " +
+            "ELSE concat('cold', id) END AS k")
+        graft.ops.Frequency.heavyHitters(keys, "k", divisor = 50L).count()
+      }
+      emit(s"""{"scale":$scale,"stage":"heavy_hitters","input_rows":${1000000L * scale},"output_rows":$nHh,"sec":$tHh}""")
+
+      // k-core leg: a ring (every node degree 2) with one pendant spoke
+      // per ring node — at k = 2 the spokes peel in round one and the
+      // ring survives; per-round cost must stay linear in edges
+      val (nKc, tKc) = timed {
+        val n = 200000L * scale
+        val ring = spark.range(n).select(
+          concat(lit("r"), col("id")).as("a"),
+          concat(lit("r"), (col("id") + 1) % n).as("b"))
+        val spokes = spark.range(n).select(
+          concat(lit("r"), col("id")).as("a"),
+          concat(lit("s"), col("id")).as("b"))
+        graft.ops.Graph.kCore(ring.unionByName(spokes), "a", "b",
+          k = 2, rounds = 3).count()
+      }
+      emit(s"""{"scale":$scale,"stage":"kcore_ring","input_rows":${400000L * scale},"output_rows":$nKc,"sec":$tKc}""")
+
       docs.unpersist(); sigs.unpersist(); vecs.unpersist()
     }
 
