@@ -283,6 +283,28 @@ class Round8OpsSpec extends AnyFunSuite with SparkSpec {
       .as[(String, Long)].collect().toMap == exact)
   }
 
+  test("systematicSample plan: the running-sum window is partition-keyed, " +
+      "never a global ORDER BY window") {
+    val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "w")
+    val plan = Sampling.systematicSample(df, "id", "w", k = 10L)
+      .queryExecution.executedPlan.toString
+    // the cumulative sum must run per range-partition (__pid) — a bare
+    // row_number/sum OVER (ORDER BY ...) would funnel all rows through
+    // one task. (The one-ROW total aggregate's SinglePartition exchange
+    // is metadata-sized and fine.)
+    assert("Window \\[[^\\n]*\\], \\[__pid".r.findFirstIn(plan).isDefined, plan)
+    assert(!"Window \\[[^\\n]*\\], \\[\\]".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("heavyHitters plan: candidate set probes via broadcast") {
+    import graft.ops.Frequency
+    val df = (1 to 1000).map(i => s"k${i % 20}").toDF("k")
+    val plan = Frequency.heavyHitters(df, "k", divisor = 30L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan)
+  }
+
   // ---- streaming CDC merge ----------------------------------------------
 
   test("streamingCdcMerge complete-mode == batch cdcMerge") {
