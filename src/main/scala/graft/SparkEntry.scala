@@ -1552,6 +1552,16 @@ object SparkEntry {
       graft.ops.Frequency.heavyHitters(bg, "k", divisor = 800L)
         .orderBy("key")
     }),
+    "t_ann_rp" -> ((s, dir) => {
+      // two-stage JL retrieval: 100-candidate shortlist in the 16-long
+      // projected space (randomProjection's compressed artifact), exact
+      // integer squared-L2 top-5 over the shortlist only — the
+      // codebook-free compress-then-search twin of t_ann_pq_rerank
+      val e = t(s, dir, "embeddings")
+      graft.ops.Similarity.rpTopK(e, e.filter(col("vec_id") < 10), k = 5,
+          dim = 64, outDim = 16, shortlist = 100)
+        .orderBy("query_id", "rank")
+    }),
     "s_cdc_merge" -> ((s, dir) => {
       // continuously-maintained CDC snapshot: base customers + order
       // change stream as two file streams, per-key latest-wins winner as
@@ -4291,6 +4301,43 @@ object SparkEntry {
          |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "t_kcore" -> kCoreSql(k = 3, rounds = 12),
+
+    // two-stage JL retrieval replay: identical inlined +-1 projection,
+    // shortlist distances in HUGEINT (diff^2 ~ 2^62 x 16 dims overflows
+    // BIGINT; Spark side uses DECIMAL(38,0) — both exact), ties by
+    // corpus id at both stages, exact stage = integer squared-L2
+    "t_ann_rp" -> {
+      val pd = (0 until 16).map(j =>
+        s"(CAST(c.p$j AS HUGEINT) - q.p$j) * (CAST(c.p$j AS HUGEINT) - q.p$j)")
+        .mkString(" + ")
+      s"""WITH qv AS MATERIALIZED (
+         |  SELECT vec_id, ${qvecSql("embedding")} AS qv FROM embeddings
+         |), p AS MATERIALIZED (
+         |  SELECT vec_id,
+         |  ${graft.ops.Similarity.randomProjectionSql(64, 16, "qv")
+              .mkString(",\n         |  ")}
+         |  FROM qv
+         |), sh AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY $pd, c.vec_id) AS prank
+         |  FROM p c JOIN p q ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |), re AS (
+         |  SELECT s.query_id, s.corpus_id,
+         |    ${isqSql("cq.qv", "qq.qv")} AS sq_dist
+         |  FROM sh s
+         |  JOIN qv cq ON s.corpus_id = cq.vec_id
+         |  JOIN qv qq ON s.query_id = qq.vec_id
+         |  WHERE s.prank <= 100
+         |), rk AS (
+         |  SELECT query_id, corpus_id, sq_dist,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sq_dist, corpus_id) AS rank
+         |  FROM re
+         |)
+         |SELECT query_id, corpus_id, sq_dist, CAST(rank AS BIGINT) AS rank
+         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
 
     // exact heavy hitters: the Misra-Gries candidate pass is a proven
     // superset and verification is exact, so the plain exact answer IS

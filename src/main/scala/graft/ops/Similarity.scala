@@ -654,6 +654,57 @@ object Similarity {
     pqRerank(corpus, queries, short, k, idCol, vecCol)
   }
 
+  /** Two-stage JL retrieval — the [[randomProjection]] twin of
+    * [[pqTopKRerank]]: shortlist in the outDim-long projected space
+    * (JL preserves distances within distortion, so true neighbors land
+    * in a generous shortlist), then EXACT integer squared-L2 re-rank
+    * over the full q24 vectors for the shortlist only. The
+    * compress-then-search architecture where the compressed artifact is
+    * 16 BIGINTs per vector instead of PQ's code table — simpler to
+    * maintain, no codebook training, trivially incremental (new vectors
+    * project independently).
+    *
+    * Engine-exactness: projected distances are sums of 16 integer
+    * squares evaluated in DECIMAL(38,0) (diff^2 ~ 2^62 overflows BIGINT
+    * at dim 64 — the oracle mirrors in HUGEINT); ties break by corpus
+    * id at both stages; the exact stage is [[graft.functions.intSqDist]].
+    * With `shortlist >= |corpus|` the output IS the exact top-k
+    * (spec-pinned) — the shortlist only ever trades recall, never
+    * determinism. */
+  def rpTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      outDim: Int = 16, shortlist: Int = 200,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, "shortlist must cover k")
+    val cCols = Seq("corpus_id") ++ (0 until outDim).map(j => s"c$j")
+    val qCols = Seq("query_id") ++ (0 until outDim).map(j => s"q$j")
+    val pcr = randomProjection(corpus, dim, outDim, idCol, vecCol)
+      .toDF(cCols: _*)
+    val pqr = randomProjection(queries, dim, outDim, idCol, vecCol)
+      .toDF(qCols: _*)
+    val pdist = (0 until outDim).map { j =>
+      val d = (col(s"c$j") - col(s"q$j")).cast("decimal(38,0)")
+      d * d
+    }.reduce(_ + _)
+    val w1 = Window.partitionBy("query_id")
+      .orderBy(col("pdist"), col("corpus_id"))
+    val short = pcr.join(broadcast(pqr), col("corpus_id") =!= col("query_id"))
+      .withColumn("pdist", pdist)
+      .withColumn("prank", row_number().over(w1))
+      .filter(col("prank") <= shortlist)
+      .select("query_id", "corpus_id")
+    val cq = corpus.select(col(idCol).as("corpus_id"),
+      q24Vec(col(vecCol)).as("qcv"))
+    val qq = queries.select(col(idCol).as("query_id"),
+      q24Vec(col(vecCol)).as("qqv"))
+    val w2 = Window.partitionBy("query_id").orderBy(col("d"), col("corpus_id"))
+    short.join(cq, "corpus_id").join(broadcast(qq), "query_id")
+      .withColumn("d", intSqDist(col("qcv"), col("qqv")))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("d").as("sq_dist"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** (cent_id, pos, ssum, n) stats -> (cent_id, cvec_c float array):
     * quantized mean per dimension, assembled in dimension order — the
     * float DISPLAY form of the trained centroids (no query path consumes

@@ -535,6 +535,42 @@ class Round8OpsSpec extends AnyFunSuite with SparkSpec {
     got.zip(viaSql).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("rpTopK with a corpus-covering shortlist IS the exact integer topK; " +
+      "a tight shortlist keeps high recall on clustered data") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(21)
+    // 10 well-separated centers, 30 points each: JL projection must keep
+    // same-cluster points closest
+    val centers = Array.fill(10)(Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    val pts = for (c <- 0 until 10; i <- 0 until 30) yield {
+      val v = centers(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+      ((c * 30 + i).toLong, v)
+    }
+    val corpus = pts.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 30 === 0) // one per cluster
+    val exact = Similarity.rpTopK(corpus, queries, k = 5, dim = 64,
+        outDim = 16, shortlist = 300)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // covering shortlist == brute-force integer ranking (independent replay)
+    def q24(x: Float) = math.floor(x.toDouble * 16777216.0 + 0.5).toLong
+    val qv = pts.map { case (id, v) => id -> v.map(q24) }.toMap
+    val want = (for ((qid, q) <- qv.toSeq if qid % 30 == 0) yield {
+      qv.toSeq.filter(_._1 != qid)
+        .map { case (cid, c) =>
+          (cid, c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (cid, d) => (d, cid) }.take(5).zipWithIndex
+        .map { case ((cid, d), r) => (qid, cid, d, (r + 1).toLong) }
+    }).flatten.toSet
+    assert(exact == want)
+    // tight shortlist: top-5 must stay within the query's own cluster
+    val tight = Similarity.rpTopK(corpus, queries, k = 5, dim = 64,
+        outDim = 16, shortlist = 20)
+      .as[(Long, Long, Long, Long)].collect()
+    val inCluster = tight.count { case (q, c, _, _) => q / 30 == c / 30 }
+    assert(inCluster.toDouble / tight.length >= 0.9,
+      s"$inCluster/${tight.length}")
+  }
+
   // ---- index search -----------------------------------------------------
 
   test("searchIndex: whole-bit tf-idf hand-check, term pruning") {
