@@ -65,7 +65,11 @@ def report(sfdir):
 
     # --- near-dup corpus (base + perturbed twins, all pairs) ---
     twins = m[qmask].copy()
-    twins[:, 0] *= np.float32(1.05).astype(np.float64)
+    # the engines compute CAST(x * CAST(1.05 AS REAL) AS REAL) — a
+    # float32-ROUNDED product; measuring on the unrounded float64 product
+    # would certify margins ~1e-8 off the values the engines actually rank
+    twins[:, 0] = (twins[:, 0].astype(np.float32) *
+                   np.float32(1.05)).astype(np.float64)
     allv = np.vstack([m, twins])
     an = np.sqrt((allv * allv).sum(axis=1))
     cc = (allv @ allv.T) / np.outer(an, an)

@@ -226,7 +226,9 @@ object Rehearsal {
       }
       emit(s"""{"scale":$scale,"stage":"setsim_join","input_rows":$nDocs,"output_rows":$nSsj,"sec":$tSsj}""")
 
-      // triangle-counting leg on the SAME hub graph as the PageRank leg:
+      // triangle-counting leg on a hub graph of the PageRank leg's SHAPE
+      // (ring + 10^5-degree hub; half the node count — the wedge join is
+      // the cost driver here, not the iteration):
       // the literal curse-of-the-last-reducer setup (Suri &
       // Vassilvitskii 2011) — a 10^5-degree hub whose naive (id-ordered)
       // wedge join would enumerate C(10^5, 2) ~ 5e9 hub wedges. Degree

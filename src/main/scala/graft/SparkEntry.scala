@@ -4173,8 +4173,8 @@ object SparkEntry {
         |  SELECT sum(cnt) AS total FROM c
         |), q AS (
         |  SELECT event_type, cnt,
-        |    (997 * cnt) // total AS floor_alloc,
-        |    (997 * cnt) % total AS rem
+        |    (CAST(997 AS HUGEINT) * cnt) // total AS floor_alloc,
+        |    (CAST(997 AS HUGEINT) * cnt) % total AS rem
         |  FROM c, tot
         |), lo AS (
         |  SELECT 997 - sum(floor_alloc) AS leftover FROM q
@@ -4183,8 +4183,8 @@ object SparkEntry {
         |  FROM q
         |)
         |SELECT event_type, cnt,
-        |  floor_alloc + CASE WHEN rrank <= (SELECT leftover FROM lo)
-        |    THEN 1 ELSE 0 END AS alloc
+        |  CAST(floor_alloc + CASE WHEN rrank <= (SELECT leftover FROM lo)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
         |FROM r ORDER BY event_type""".stripMargin,
 
     // systematic PPS grid replay: id-ordered running weight sum, picks by

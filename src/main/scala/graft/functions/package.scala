@@ -106,18 +106,21 @@ package object functions {
     * sqrt and no double fold anywhere: a single BIGINT monotone (to
     * documented resolution) in cosine(a,b). Construction: with
     * `dot = intDot(qa,qb)`, `D = intDot(qa,qa)*intDot(qb,qb)`,
-    * `cos^2 = dot^2/D`; two base-10^6 limbs of the exact rational —
-    * `k1 = (dot^2*10^6) div D`, `k2 = ((dot^2*10^6 - k1*D)*10^6) div D` —
-    * give `sign(dot) * (k1*10^6 + k2)`: sign-aware squared cosine at
-    * 1e-12 resolution, every step exact integral arithmetic in
-    * DECIMAL(38,0) (mirror in HUGEINT). Candidates closer than 1e-12 in
-    * cos^2 compare equal — break ties by id for determinism, exactly as
-    * the double-cosine rankings already do.
+    * `cos^2 = dot^2/D`; THREE base-10^4 long-division limbs of the exact
+    * rational give `sign(dot) * floor(cos^2 * 10^12)`: sign-aware
+    * squared cosine at 1e-12 resolution, every step exact integral
+    * arithmetic in DECIMAL(38,0) (mirror in HUGEINT). Candidates closer
+    * than 1e-12 in cos^2 compare equal — break ties by id for
+    * determinism, exactly as the double-cosine rankings already do.
     *
-    * Budget: near-unit-norm vectors and dim <= 64 keep dot^2*10^6 under
-    * 10^38 (dot <= 2^54 for |x| <= 1). This is the standby for any
-    * Class 2b ranking whose measured margin comes back thin
-    * (ORACLES.md); zero vectors yield null (cosine undefined). */
+    * Budget — why limbs of 10^4, not 10^6: with |x| <= 1 and dim <= 64,
+    * dot^2 and D (and every long-division remainder, which is < D) are
+    * <= 2^108 ~ 3.2e32; multiplying by a 10^4 limb base keeps every
+    * intermediate <= 3.2e36 < 10^38-1, whereas a 10^6 base overflows
+    * DECIMAL(38,0) at the top of the budget (3.2e38) and Spark's
+    * non-ANSI decimal arithmetic would return silent nulls. This is the
+    * standby for any Class 2b ranking whose measured margin comes back
+    * thin (ORACLES.md); zero vectors yield null (cosine undefined). */
   def intCosRankKey(qa: Column, qb: Column): Column = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     def idiv(a: Column, b: Column): Column =
@@ -125,12 +128,14 @@ package object functions {
         columnExpr(a), columnExpr(b)))
     val dot = intDot(qa, qb)
     val d = intDot(qa, qa).cast(dec) * intDot(qb, qb).cast(dec)
-    val s = lit(1000000L).cast(dec)
-    val num = dot.cast(dec) * dot.cast(dec) * s
-    val k1 = idiv(num, d)
-    val r = num - k1.cast(dec) * d
-    val k2 = idiv(r * s, d)
-    val mag = k1 * lit(1000000L) + k2
+    val b = lit(10000L).cast(dec)
+    val n0 = dot.cast(dec) * dot.cast(dec)
+    val k1 = idiv(n0 * b, d)
+    val r1 = n0 * b - k1.cast(dec) * d
+    val k2 = idiv(r1 * b, d)
+    val r2 = r1 * b - k2.cast(dec) * d
+    val k3 = idiv(r2 * b, d)
+    val mag = (k1 * lit(10000L) + k2) * lit(10000L) + k3
     when(d === 0, lit(null))
       .otherwise(when(dot < 0, -mag).otherwise(mag))
   }

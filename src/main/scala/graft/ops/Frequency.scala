@@ -77,11 +77,15 @@ object Frequency {
     * are ignored. Output: (register, max_rho), at most 2^p rows. */
   private val GOLDEN = 0x9e3779b97f4a7c15L
 
-  def hllSketch(items: DataFrame, keyCol: String, p: Int = 8): DataFrame = {
-    require(p >= 4 && p <= 16, "p outside the practical register range")
+  /** The ONE definition of (register, rho) for a key — shared by the
+    * global and grouped sketch UDFs so the hash chain (fnv1a + splitmix
+    * finalizer, low-p-bit register, 63-p rank width) can never
+    * desynchronize between them or drift from the `hllRegCtes` oracle
+    * mirror. */
+  private def regRhoUdf(p: Int) = {
     val m = 1 << p
     val g = GOLDEN
-    val rr = udf { (s: String) =>
+    udf { (s: String) =>
       if (s == null) null
       else {
         val h = Dedup.permute(Dedup.fnv1a(s), g, 0L) // 63-bit, >= 0
@@ -91,6 +95,11 @@ object Frequency {
         (register, ((63 - p) - bitlen + 1).toLong)
       }
     }
+  }
+
+  def hllSketch(items: DataFrame, keyCol: String, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "p outside the practical register range")
+    val rr = regRhoUdf(p)
     items.select(rr(col(keyCol)).as("__r")).filter(col("__r").isNotNull)
       .select(col("__r._1").as("register"), col("__r._2").as("rho"))
       .groupBy("register").agg(max("rho").as("max_rho"))
@@ -138,17 +147,7 @@ object Frequency {
   def hllSketchGrouped(items: DataFrame, keyCol: String, groupCol: String,
       p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, "p outside the practical register range")
-    val m = 1 << p
-    val rr = udf { (s: String) =>
-      if (s == null) null
-      else {
-        val h = Dedup.permute(Dedup.fnv1a(s), GOLDEN, 0L) // 63-bit, >= 0
-        val register = h % m
-        val w = h >>> p
-        val bitlen = if (w == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(w)
-        (register, ((63 - p) - bitlen + 1).toLong)
-      }
-    }
+    val rr = regRhoUdf(p)
     items.select(col(groupCol), rr(col(keyCol)).as("__r"))
       .filter(col("__r").isNotNull)
       .select(col(groupCol), col("__r._1").as("register"), col("__r._2").as("rho"))
@@ -229,6 +228,11 @@ object Frequency {
       .select(col("k").as("key"), col("cnt"))
     val ds = keys.as[String]
     val p = math.max(ds.rdd.getNumPartitions, 1)
+    // a wrapped Int cap would make the summary permanently empty and the
+    // output SILENTLY wrong (empty), not an error — refuse instead
+    require(divisor * p + 1 <= Int.MaxValue,
+      s"divisor * partitions ($divisor * $p) exceeds the candidate-map " +
+        "capacity budget; coalesce the input or lower the divisor")
     val cap = (divisor * p + 1).toInt
     val cands = ds.mapPartitions { it =>
       val m = new scala.collection.mutable.HashMap[String, Long]

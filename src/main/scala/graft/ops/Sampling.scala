@@ -63,8 +63,11 @@ object Sampling {
     * function of the counts). Output: (groupCol, cnt, alloc) with
     * sum(alloc) == budget exactly.
     *
-    * Everything is BIGINT arithmetic on counts — no rates, no doubles,
-    * engine-exact. The aggregate is groups-sized; the remainder rank runs
+    * Everything is integer arithmetic on counts — no rates, no doubles,
+    * engine-exact. The budget*count products run in DECIMAL(38,0)
+    * (the [[systematicSample]] discipline: a 10^9 budget times a 10^10-row
+    * group is 10^19, past BIGINT — non-ANSI Spark would wrap silently).
+    * The aggregate is groups-sized; the remainder rank runs
     * on the groups frame (domain-cardinality — thousands, not rows), so
     * the single-partition window is over METADATA, same posture as the
     * mixture-weights op (`Curation.mixtureWeights`). */
@@ -114,8 +117,9 @@ object Sampling {
     val counts = df.groupBy(groupCol).agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum("cnt").as("total"))
     val quota = counts.crossJoin(broadcast(total))
-      .withColumn("floor_alloc", expr(s"($budget * cnt) div total"))
-      .withColumn("rem", expr(s"($budget * cnt) % total"))
+      .withColumn("floor_alloc", expr(
+        s"CAST((CAST($budget AS DECIMAL(38,0)) * cnt) div total AS BIGINT)"))
+      .withColumn("rem", expr(s"(CAST($budget AS DECIMAL(38,0)) * cnt) % total"))
     // leftover = budget - sum(floor_alloc): one more groups-sized agg,
     // broadcast back as a scalar
     val leftover = quota.agg((lit(budget) - sum("floor_alloc")).as("leftover"))

@@ -534,8 +534,13 @@ object Similarity {
     // LOCATION_ALREADY_EXISTS — drop the entry AND delete the orphan
     for (suffix <- Seq("_books", "_codes")) {
       spark.sql(s"DROP TABLE IF EXISTS ${name}$suffix")
+      // saveAsTable lowercases identifiers, so the warehouse directory is
+      // the LOWERCASED name — checking the verbatim name would miss the
+      // orphan for mixed-case callers on a case-sensitive filesystem and
+      // bring the LOCATION_ALREADY_EXISTS failure right back
       val p = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), s"${name}$suffix")
+        spark.conf.get("spark.sql.warehouse.dir"),
+        s"${name.toLowerCase(java.util.Locale.ROOT)}$suffix")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
     }

@@ -650,6 +650,20 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     scored.foreach { r =>
       assert((r.getLong(2) < 0) == (r.getDouble(3) < 0), s"sign mismatch: $r")
     }
+    // top-of-budget regression: dim 64, every |component| = 1 puts
+    // dot^2 at the documented maximum 2^108 ~ 3.2e32, where a 10^6 limb
+    // base overflowed DECIMAL(38,0) and silently nulled the key (the
+    // 10^4 three-limb form stays inside the budget). Parallel all-ones
+    // vectors: cos = 1 exactly -> key must be exactly 10^12.
+    val ones = Seq((0L, Seq.fill(64)(1.0f)), (1L, Seq.fill(64)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val topKey = ones.as("a").join(ones.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(intCosRankKey(q24Vec(col("a.embedding")),
+        q24Vec(col("b.embedding"))).as("k"))
+      .head()
+    assert(!topKey.isNullAt(0), "key overflowed to null at the budget top")
+    assert(topKey.getLong(0) == 1000000000000L)
   }
 
   test("PQ stored index: search touches tables only, equals in-flight search") {
