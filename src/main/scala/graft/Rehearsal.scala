@@ -280,15 +280,15 @@ object Rehearsal {
 
       // k-core leg: a ring (every node degree 2) with one pendant spoke
       // per ring node — at k = 2 the spokes peel in round one and the
-      // ring survives; per-round cost must stay linear in edges
+      // ring survives; per-round cost must stay linear in edges. Node
+      // ids stay BIGINT (ring 0..n-1, spokes n..2n-1): kCore preserves
+      // key types, and integer keys shuffle ~2x leaner than strings
       val (nKc, tKc) = timed {
         val n = 200000L * scale
         val ring = spark.range(n).select(
-          concat(lit("r"), col("id")).as("a"),
-          concat(lit("r"), (col("id") + 1) % n).as("b"))
+          col("id").as("a"), ((col("id") + 1) % n).as("b"))
         val spokes = spark.range(n).select(
-          concat(lit("r"), col("id")).as("a"),
-          concat(lit("s"), col("id")).as("b"))
+          col("id").as("a"), (col("id") + n).as("b"))
         graft.ops.Graph.kCore(ring.unionByName(spokes), "a", "b",
           k = 2, rounds = 3).count()
       }

@@ -1521,10 +1521,13 @@ object SparkEntry {
         terms = Seq("scan", "merge", "window"), k = 20)
     }),
     "t_kcore" -> ((s, dir) => {
-      // 3-core of the repeat-co-purchase graph (parts co-occurring in
+      // 2-core of the repeat-co-purchase graph (parts co-occurring in
       // >= 2 distinct orders): iterated degree peeling with a FIXED 12
       // peels on both engines, so the output is a pure function of the
-      // graph even where the peel hasn't hit its fixpoint
+      // graph even where the peel hasn't hit its fixpoint. k = 2 keeps
+      // the core non-degenerate at every SF (the graph SPARSIFIES as SF
+      // grows: more orders, same per-order part fan-out — at sf0.1 the
+      // 3-core is empty while the 2-core converges to a 3-node frontier)
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
@@ -1535,7 +1538,7 @@ object SparkEntry {
         .filter(col("m") >= 2)
         .select(concat(lit("p"), col("pa")).as("pa"),
           concat(lit("p"), col("pb")).as("pb"))
-      graft.ops.Graph.kCore(pairs, "pa", "pb", k = 3, rounds = 12)
+      graft.ops.Graph.kCore(pairs, "pa", "pb", k = 2, rounds = 12)
         .orderBy("node")
     }),
     "t_heavy_hitters" -> ((s, dir) => {
@@ -1551,6 +1554,17 @@ object SparkEntry {
           .as("k"))
       graft.ops.Frequency.heavyHitters(bg, "k", divisor = 800L)
         .orderBy("key")
+    }),
+    "q_skyline" -> ((s, dir) => {
+      // price-recency Pareto frontier of orders: no other order is both
+      // pricier and more recent (ties survive only as exact duplicates).
+      // Local skyline per partition (lossless by dominance transitivity)
+      // + one final sweep over candidates — integer comparisons only
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("id"),
+        expr("CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)").as("cents"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') AS BIGINT)")
+          .as("dday"))
+      graft.ops.Skyline.skyline2D(o, "id", "cents", "dday").orderBy("id")
     }),
     "t_ann_rp" -> ((s, dir) => {
       // two-stage JL retrieval: 100-candidate shortlist in the 16-long
@@ -4300,7 +4314,7 @@ object SparkEntry {
          |SELECT doc_id, n_terms, CAST(score AS BIGINT) AS score
          |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
-    "t_kcore" -> kCoreSql(k = 3, rounds = 12),
+    "t_kcore" -> kCoreSql(k = 2, rounds = 12),
 
     // two-stage JL retrieval replay: identical inlined +-1 projection,
     // shortlist distances in HUGEINT (diff^2 ~ 2^62 x 16 dims overflows
@@ -4338,6 +4352,29 @@ object SparkEntry {
          |SELECT query_id, corpus_id, sq_dist, CAST(rank AS BIGINT) AS rank
          |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+
+    // skyline replay: the operator's output is the dominance-defined SET
+    // (partitioning-independent by candidate losslessness), so a
+    // declarative window formulation is a valid oracle — dominated(b)
+    // <=> max y over strictly-greater x >= y_b (the RANGE frame: integer
+    // cents, so x' > x <=> x' >= x+1), OR some same-x row has greater y
+    "q_skyline" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS id,
+        |    CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS dday
+        |  FROM orders
+        |), w AS (
+        |  SELECT id, cents, dday,
+        |    max(dday) OVER (ORDER BY cents DESC
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+        |    max(dday) OVER (PARTITION BY cents) AS gm
+        |  FROM o
+        |)
+        |SELECT id, cents, dday FROM w
+        |WHERE (m1 IS NULL OR m1 < dday) AND dday = gm
+        |ORDER BY id""".stripMargin,
 
     // exact heavy hitters: the Misra-Gries candidate pass is a proven
     // superset and verification is exact, so the plain exact answer IS

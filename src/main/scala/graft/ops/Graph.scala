@@ -109,8 +109,11 @@ object Graph {
   def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
       rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1)
+    require(edges.schema(aCol).dataType == edges.schema(bCol).dataType,
+      "endpoint columns must share a type (node ids keep their native " +
+        "type — integer keys shuffle ~2x leaner than stringified ones)")
     val und = edges
-      .select(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
+      .select(col(aCol).as("a"), col(bCol).as("b"))
       .filter(col("a") =!= col("b"))
     // each round references the edge frame FOUR times (twice in the
     // degree union, twice through the semi-joins), so carrying lineage

@@ -305,6 +305,30 @@ class Round8OpsSpec extends AnyFunSuite with SparkSpec {
       plan)
   }
 
+  // ---- skyline ----------------------------------------------------------
+
+  test("skyline2D equals brute-force dominance under several partitionings, " +
+      "incl. ties and exact duplicates") {
+    import graft.ops.Skyline
+    val rnd = new scala.util.Random(17)
+    val pts = (1 to 400).map(i =>
+      (i.toLong, rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)) ++
+      Seq((401L, 39L, 39L), (402L, 39L, 39L)) // exact-duplicate frontier pts
+    def dominated(b: (Long, Long, Long)) = pts.exists { a =>
+      a._1 != b._1 && a._2 >= b._2 && a._3 >= b._3 &&
+        (a._2 > b._2 || a._3 > b._3)
+    }
+    val want = pts.filterNot(dominated).toSet
+    for (parts <- Seq(1, 5, 32)) {
+      val df = rnd.shuffle(pts).toDF("id", "x", "y").repartition(parts)
+      val got = Skyline.skyline2D(df, "id", "x", "y")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == want, s"parts=$parts")
+    }
+    // both exact duplicates survive (neither dominates the other)
+    assert(want.contains((401L, 39L, 39L)) && want.contains((402L, 39L, 39L)))
+  }
+
   // ---- streaming CDC merge ----------------------------------------------
 
   test("streamingCdcMerge complete-mode == batch cdcMerge") {
