@@ -595,6 +595,70 @@ class Round8OpsSpec extends AnyFunSuite with SparkSpec {
       s"$inCluster/${tight.length}")
   }
 
+  test("editJoin equals brute force on a RANDOM small-alphabet corpus " +
+      "(dense tie/edge-case coverage)") {
+    import graft.ops.EditJoin
+    val rnd = new scala.util.Random(33)
+    // strings over {a,b,c} of length 0..6: many exact ties, many pairs
+    // at every distance, empties, and lengths straddling the short-string
+    // fallback boundary for every d
+    val strs = (1 to 120).map { i =>
+      i.toLong -> Seq.fill(rnd.nextInt(7))("abc" (rnd.nextInt(3))).mkString
+    }
+    for (d <- Seq(1, 2)) {
+      val got = EditJoin.editJoin(strs.toDF("id", "nm"), "id", "nm", d)
+        .as[(Long, Long, Long)].collect().toSet
+      val want = (for {
+        (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+        dist = lev(sa, sb) if dist <= d
+      } yield (ia, ib, dist.toLong)).toSet
+      assert(got == want, s"d=$d: ${(got diff want).take(3)} extra, " +
+        s"${(want diff got).take(3)} missing")
+    }
+  }
+
+  test("jaccardJoin equals brute force on a RANDOM small-vocab corpus") {
+    val rnd = new scala.util.Random(34)
+    val vocab = Vector("the", "data", "spark", "join", "scan", "row")
+    val docs = (1 to 80).map { i =>
+      i.toLong -> Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(6)))
+        .mkString(" ")
+    }
+    for ((tn, td, w) <- Seq((1, 3, 2), (1, 2, 3), (3, 4, 1))) {
+      val got = SetSim.jaccardJoin(docs.toDF("doc_id", "text"),
+          "doc_id", "text", tn, td, w)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == bruteJaccard(docs, w, tn, td), s"t=$tn/$td w=$w")
+    }
+  }
+
+  test("skyline2D anti-correlated worst case: every point IS the frontier") {
+    import graft.ops.Skyline
+    val pts = (0L until 50L).map(i => (i, i, 49L - i)) // x + y constant
+    val got = Skyline.skyline2D(pts.toDF("id", "x", "y").repartition(7),
+        "id", "x", "y")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == pts.toSet)
+  }
+
+  test("systematicSample with k exceeding the row count multiplies picks") {
+    val df = Seq((1L, 3L), (2L, 1L)).toDF("id", "w") // W = 4
+    val got = Sampling.systematicSample(df, "id", "w", k = 10L)
+      .select("id", "picks").as[(Long, Long)].collect().toMap
+    assert(got.values.sum == 10L)
+    // grid step W/k = 0.4: row 1 covers [0,3) -> grid pts 0,.4,...,2.8
+    // (8 of them); row 2 covers [3,4) -> 3.2, 3.6 (2)
+    assert(got == Map(1L -> 8L, 2L -> 2L))
+  }
+
+  test("kCore on a graph of only self-loops and duplicates returns empty") {
+    import graft.ops.Graph
+    val edges = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("u", "v")
+    assert(Graph.kCore(edges, "u", "v", k = 1, rounds = 2).isEmpty)
+  }
+
   // ---- index search -----------------------------------------------------
 
   test("searchIndex: whole-bit tf-idf hand-check, term pruning") {
