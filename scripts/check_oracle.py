@@ -31,6 +31,37 @@ for t in TABLES:
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
+# ---- output-type lint ------------------------------------------------
+# Three consecutive rounds of driver-red were engine-materialization skew
+# on oracle OUTPUT columns (doubles in r6/7, HUGEINT in r8): values match
+# but a newer DuckDB maps the column to pandas differently, flipping a
+# formatting-sensitive hash. That class is mechanically detectable before
+# shipping: every oracle query's final projection must stay inside a
+# closed whitelist of types whose pandas materialization is stable across
+# DuckDB versions. HUGEINT (any uncast SUM(BIGINT)) and DECIMAL in the
+# output fail the lint EVEN WHEN values match — cast to BIGINT/DOUBLE in
+# the SQL instead.
+TYPE_WHITELIST = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+                  "FLOAT", "VARCHAR", "DATE", "BOOLEAN", "TIMESTAMP",
+                  "TIMESTAMP WITH TIME ZONE"}
+lint_fail = 0
+for name in sorted(oracle):
+    try:
+        desc = con.execute(f"DESCRIBE {oracle[name]}").fetchall()
+    except Exception as e:
+        print(f"[LINT] {name}: DESCRIBE failed: {e}")
+        lint_fail += 1
+        continue
+    bad = [(c, t) for c, t, *_ in desc if t.upper() not in TYPE_WHITELIST]
+    if bad:
+        print(f"[LINT] {name}: non-whitelisted output column types: {bad}")
+        lint_fail += 1
+if lint_fail:
+    print(f"[LINT] {lint_fail} oracle queries with fragile output types")
+else:
+    print(f"[LINT] all {len(oracle)} oracle output projections type-clean")
+# ----------------------------------------------------------------------
+
 STRICT_ORDER = "--strict-order" in sys.argv  # don't re-sort rows: the
 # engines' own ORDER BY must agree (mimics an order-sensitive driver hash)
 
@@ -93,5 +124,6 @@ for name in sorted(nosql):
     n = sum(len(pd.read_parquet(f)) for f in files) if files else -1
     print(f"[rows] {name}: {n} (no oracle)")
 
-print(f"\n{'FAIL' if fail else 'PASS'}: {fail} mismatches")
-sys.exit(1 if fail else 0)
+print(f"\n{'FAIL' if (fail or lint_fail) else 'PASS'}: {fail} mismatches, "
+      f"{lint_fail} type-lint offenders")
+sys.exit(1 if (fail or lint_fail) else 0)

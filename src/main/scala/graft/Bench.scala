@@ -87,19 +87,61 @@ object Bench {
     val loadEnd = loadavg()
     val ts = started.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val json =
+    val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","error_count":${errors.size},"errors":$errs,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"wall_start_ms":$wallStart,"query_start_ms":$ts}"""
-    // the driver greps for the JSON line; sbt prefixes stdout with [info],
-    // so also write an unprefixed copy to a file and to stderr
-    println(json)
-    System.err.println(json)
-    try {
-      val w = new java.io.PrintWriter("/tmp/bench.json")
-      try w.println(json) finally w.close()
-    } catch { case _: Throwable => }
+    // The driver tail-scrapes the LAST ~2000 characters of output for a
+    // JSON line. 124 queries x ~22 chars of full-precision durations is
+    // >2700 chars — every previous round's BENCH_r*.json came back
+    // `parsed: null` because the one JSON line never fit the window. So:
+    // the full-detail record (every query, full precision, start stamps)
+    // goes to /tmp/bench_full.json and stderr, and the FINAL stdout line
+    // is a compact (<1500 char) summary the window can always hold —
+    // headline total, error/load stamps, and as many per-query durations
+    // (all v_* reference-parity rows first, then the slowest extension
+    // queries — the perf-relevant tail) as the budget admits.
+    // Locale.ROOT: a comma decimal separator under a non-POSIX locale
+    // would silently produce invalid JSON
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val vFirst = results.toSeq.filter(_._1.startsWith("v_")) ++
+      results.toSeq.filterNot(_._1.startsWith("v_")).sortBy(-_._2)
+    val errsCompact = errors.take(2).map { case (k, v) =>
+      "\"" + k + "\":\"" + v.take(60) + "\""
+    }.mkString("{", ",", "}")
+    val budget = 1300
+    val head =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","error_count":${errors.size},"errors":$errsCompact,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"detail":"/tmp/bench_full.json","queries":{"""
+    val tail = "}}"
+    val sb = new StringBuilder(head)
+    var first = true
+    var omitted = 0
+    vFirst.foreach { case (k, v) =>
+      val entry = (if (first) "" else ",") + "\"" + k + "\":" + fmt(v)
+      if (sb.length + entry.length + tail.length <= budget) {
+        sb.append(entry); first = false
+      } else omitted += 1
+    }
+    val json = sb.append(tail).toString
+    // strict output order: everything long or chatty FIRST, the compact
+    // line LAST on both streams — a merged stdout+stderr capture must
+    // never see the >2700-char full record after the parseable line
+    System.err.println(fullJson)
+    if (omitted > 0)
+      System.err.println(s"[bench] compact line omits $omitted fast queries" +
+        " (full detail: /tmp/bench_full.json)")
     if (errors.nonEmpty) {
       System.err.println(s"BENCH ERRORS (${errors.size}): " + errors.keys.mkString(", "))
     }
+    try {
+      val w = new java.io.PrintWriter("/tmp/bench.json")
+      try w.println(json) finally w.close()
+      val wf = new java.io.PrintWriter("/tmp/bench_full.json")
+      try wf.println(fullJson) finally wf.close()
+    } catch { case _: Throwable => }
+    // shutdown WARNs after the compact line would eat tail-window budget
+    spark.sparkContext.setLogLevel("ERROR")
+    println(json)
+    System.err.println(json)
     spark.stop()
   }
 }

@@ -1784,6 +1784,39 @@ object SparkEntry {
     s"CAST(list_sum([(($a)[i]) * (($b)[i])" +
       s" FOR i IN range(1, len($a) + 1)]) AS BIGINT)"
 
+  /** HUGEINT mirror of `graft.functions.intCosRankKey` — the engine-exact
+    * descending-cosine rank key (sign-aware floor(cos^2 * 10^12) of the
+    * exact rational dot^2 / (na*nb), three base-10^4 long-division limbs,
+    * every step exact integral arithmetic). Input: a CTE `$src` carrying
+    * columns `dot`, `na`, `nb` (BIGINT intDot values) plus the carried
+    * columns `$carry`; emits chained CTEs ending in `${p}key($carry,
+    * cos_key)`. All division numerators are non-negative and d > 0, so
+    * DuckDB `//` (floor) == Spark IntegralDivide (truncate) — exact
+    * agreement by construction; zero vectors yield NULL (both engines
+    * order DESC with NULLS LAST). Budget: n0 <= 2^108, *10^4 < 2^122,
+    * inside HUGEINT. */
+  private def cosKeyCtes(p: String, src: String, carry: String): String =
+    s"""${p}k0 AS (
+       |  SELECT $carry, dot,
+       |    CAST(dot AS HUGEINT) * dot AS n0,
+       |    NULLIF(CAST(na AS HUGEINT) * nb, 0) AS d
+       |  FROM $src
+       |), ${p}k1 AS (
+       |  SELECT $carry, dot, d,
+       |    (n0 * 10000) // d AS q1, (n0 * 10000) % d AS r1
+       |  FROM ${p}k0
+       |), ${p}k2 AS (
+       |  SELECT $carry, dot, d, q1,
+       |    (r1 * 10000) // d AS q2, (r1 * 10000) % d AS r2
+       |  FROM ${p}k1
+       |), ${p}key AS (
+       |  SELECT $carry,
+       |    CASE WHEN dot < 0
+       |      THEN -((q1 * 10000 + q2) * 10000 + (r2 * 10000) // d)
+       |      ELSE (q1 * 10000 + q2) * 10000 + (r2 * 10000) // d END AS cos_key
+       |  FROM ${p}k2
+       |)""".stripMargin
+
   /** Half-up integer mean of (ssum, n) on the q24 grid — mirror of
     * `Similarity.qMean`: subtracting the positive remainder makes the
     * numerator an exact multiple of 2n, so `//` is exact under any
@@ -1891,7 +1924,13 @@ object SparkEntry {
 
   /** The complete ADC search query over [[pqIndexCtes]] — shared by the
     * in-flight (`t_ann_pq`) and stored-index (`t_ann_pq_indexed`) rows,
-    * which produce identical output by construction. */
+    * which produce identical output by construction. The output `adist`
+    * is cast to BIGINT: DuckDB types `SUM(BIGINT)` as HUGEINT and newer
+    * engine versions changed how HUGEINT result columns materialize to
+    * pandas, flipping a formatting-sensitive hash while values stay
+    * integer-exact (adist < 2^57 by the q24 budget, so the cast is
+    * lossless). Oracle OUTPUT projections must never leave HUGEINT /
+    * DECIMAL columns — linted by `scripts/check_oracle.py`. */
   private def pqAdcQuerySql(m: Int, sd: Int, ksub: Int): String =
     s"""WITH ${pqIndexCtes(m, sd, ksub)}, ad AS (
        |  SELECT l.query_id, c.corpus_id, SUM(l.qd) AS adist
@@ -1904,7 +1943,7 @@ object SparkEntry {
        |      ORDER BY adist, corpus_id) AS BIGINT) AS rank
        |  FROM ad
        |)
-       |SELECT query_id, corpus_id, adist, rank
+       |SELECT query_id, corpus_id, CAST(adist AS BIGINT) AS adist, rank
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   private def cosineSql(a: String, b: String): String =
@@ -2601,22 +2640,32 @@ object SparkEntry {
     // exact brute-force oracle for the brute-force ANN query: same cosine
     // formula as CosineSim (dot / (sqrt(na)*sqrt(nb)) over doubles), same
     // deterministic tie-break (corpus_id)
+    // ranking by the engine-exact integer cosine key (cosKeyCtes mirror
+    // of intCosRankKey); the double cosine survives as a ppm DISPLAY
+    // column only — no fold feeds any ORDER BY (closes the last Class 2b
+    // verified-by-measurement ranking dependence)
     "t_ann_topk" ->
-      """WITH q AS (
-        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      s"""WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+        |    ${qvecSql("embedding")} AS qq
         |  FROM embeddings WHERE vec_id < 10
         |), c AS (
-        |  SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        |  SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv,
+        |    ${qvecSql("embedding")} AS qc
+        |  FROM embeddings
         |), s AS (
         |  SELECT query_id, corpus_id,
         |    list_dot_product(qv, cv) /
-        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine,
+        |    ${idotSql("qq", "qc")} AS dot,
+        |    ${idotSql("qq", "qq")} AS na,
+        |    ${idotSql("qc", "qc")} AS nb
         |  FROM q CROSS JOIN c WHERE corpus_id <> query_id
-        |), r AS (
+        |), ${cosKeyCtes("t", "s", "query_id, corpus_id, cosine")}, r AS (
         |  SELECT query_id, corpus_id, cosine,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-        |      ORDER BY cosine DESC, corpus_id) AS BIGINT) AS rank
-        |  FROM s
+        |      ORDER BY cos_key DESC NULLS LAST, corpus_id) AS BIGINT) AS rank
+        |  FROM tkey
         |)
         |SELECT query_id, corpus_id,
         |  CAST(FLOOR(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_ppm, rank
@@ -2919,14 +2968,17 @@ object SparkEntry {
          |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
          |), scored AS (
          |  SELECT cd.query_id, cd.corpus_id,
-         |    ${cosineSql("qe.embedding", "ce.embedding")} AS cosine
+         |    ${cosineSql("qe.embedding", "ce.embedding")} AS cosine,
+         |    ${idotSql(s"${qvecSql("qe.embedding")}", s"${qvecSql("ce.embedding")}")} AS dot,
+         |    ${idotSql(s"${qvecSql("qe.embedding")}", s"${qvecSql("qe.embedding")}")} AS na,
+         |    ${idotSql(s"${qvecSql("ce.embedding")}", s"${qvecSql("ce.embedding")}")} AS nb
          |  FROM cand cd
          |  JOIN embeddings qe ON qe.vec_id = cd.query_id
          |  JOIN embeddings ce ON ce.vec_id = cd.corpus_id
-         |), ranked AS (
+         |), ${cosKeyCtes("h", "scored", "query_id, corpus_id, cosine")}, ranked AS (
          |  SELECT query_id, corpus_id, cosine,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS BIGINT) AS rank
-         |  FROM scored
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_key DESC NULLS LAST, corpus_id) AS BIGINT) AS rank
+         |  FROM hkey
          |)
          |SELECT query_id, corpus_id, CAST(FLOOR(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_ppm, rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
@@ -2956,14 +3008,17 @@ object SparkEntry {
          |    WHERE e.vec_id < 10) a
          |  WHERE r <= 3
          |), scored AS (
-         |  SELECT q.query_id, c.corpus_id, ${cosineSql("q.qvec", "c.cvec")} AS cosine
+         |  SELECT q.query_id, c.corpus_id, ${cosineSql("q.qvec", "c.cvec")} AS cosine,
+         |    ${idotSql(s"${qvecSql("q.qvec")}", s"${qvecSql("c.cvec")}")} AS dot,
+         |    ${idotSql(s"${qvecSql("q.qvec")}", s"${qvecSql("q.qvec")}")} AS na,
+         |    ${idotSql(s"${qvecSql("c.cvec")}", s"${qvecSql("c.cvec")}")} AS nb
          |  FROM cell_queries q JOIN cell_corpus c ON q.cent_id = c.cent_id
          |  WHERE c.corpus_id <> q.query_id
-         |), ranked AS (
+         |), ${cosKeyCtes("v", "scored", "query_id, corpus_id, cosine")}, ranked AS (
          |  SELECT query_id, corpus_id, cosine,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY cosine DESC, corpus_id) AS BIGINT) AS rank
-         |  FROM scored
+         |      ORDER BY cos_key DESC NULLS LAST, corpus_id) AS BIGINT) AS rank
+         |  FROM vkey
          |)
          |SELECT query_id, corpus_id, CAST(FLOOR(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_ppm, rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
@@ -2996,15 +3051,18 @@ object SparkEntry {
          |    FROM ad) t WHERE r <= 200
          |), rr AS (
          |  SELECT s.query_id, s.corpus_id,
-         |    ${cosineSql("qe.embedding", "ce.embedding")} AS cosine
+         |    ${cosineSql("qe.embedding", "ce.embedding")} AS cosine,
+         |    ${idotSql(s"${qvecSql("qe.embedding")}", s"${qvecSql("ce.embedding")}")} AS dot,
+         |    ${idotSql(s"${qvecSql("qe.embedding")}", s"${qvecSql("qe.embedding")}")} AS na,
+         |    ${idotSql(s"${qvecSql("ce.embedding")}", s"${qvecSql("ce.embedding")}")} AS nb
          |  FROM short s
          |  JOIN embeddings qe ON qe.vec_id = s.query_id
          |  JOIN embeddings ce ON ce.vec_id = s.corpus_id
-         |), ranked AS (
+         |), ${cosKeyCtes("z", "rr", "query_id, corpus_id, cosine")}, ranked AS (
          |  SELECT query_id, corpus_id, cosine,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY cosine DESC, corpus_id) AS BIGINT) AS rank
-         |  FROM rr
+         |      ORDER BY cos_key DESC NULLS LAST, corpus_id) AS BIGINT) AS rank
+         |  FROM zkey
          |)
          |SELECT query_id, corpus_id,
          |  CAST(FLOOR(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_ppm, rank
@@ -4216,7 +4274,8 @@ object SparkEntry {
         |  SELECT MAX(cum_hi) AS tw FROM cum
         |)
         |SELECT doc_id, n_chars,
-        |  cum_hi - n_chars AS cum_lo, cum_hi,
+        |  CAST(cum_hi - n_chars AS BIGINT) AS cum_lo,
+        |  CAST(cum_hi AS BIGINT) AS cum_hi,
         |  CAST((CAST(500 AS HUGEINT) * cum_hi + tw - 1) // tw
         |    - (CAST(500 AS HUGEINT) * (cum_hi - n_chars) + tw - 1) // tw
         |    AS BIGINT) AS picks

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{cosineSimilarity, dotProduct, intCosineGte, intSqDist, l2Norm, q24Vec}
+import graft.functions.{cosineSimilarity, dotProduct, intCosRankKey, intCosineGte, intSqDist, l2Norm, q24Vec}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -46,6 +46,18 @@ object Similarity {
     * model, keeping it bit-for-bit replayable anywhere. */
   private[graft] def q24(c: Column): Column =
     floor(c.cast("double") * lit(16777216.0) + lit(0.5)).cast("long")
+
+  /** Engine-exact descending-cosine rank key — the Class 2b standby
+    * promoted to the default ranking for every top-k here: the BIGINT
+    * [[graft.functions.intCosRankKey]] over q24 components is monotone
+    * in cosine at 1e-12 cos^2 resolution and computed in exact integer
+    * arithmetic, so a 1-ulp double-fold association difference can never
+    * reorder a near-tie across engine versions. The double `cosine`
+    * column survives as DISPLAY ONLY (ppm-floored with measured margins,
+    * ORACLES.md Class 2b); candidates inside the 1e-12 key resolution
+    * tie-break by corpus id — deterministically, identically everywhere. */
+  private def cosKey(qv: Column, cv: Column): Column =
+    intCosRankKey(q24Vec(qv), q24Vec(cv))
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * +-1 from splitmix64 — no RNG state, identical on every executor. */
@@ -133,7 +145,8 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
       .withColumn("cosine", cosineSimilarity(col("qvec"), col("cvec")))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("corpus_id"))
+      .withColumn("cos_key", cosKey(col("qvec"), col("cvec")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_key"), col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "cosine", "rank")
@@ -178,7 +191,8 @@ object Similarity {
       .dropDuplicates("query_id", "corpus_id")
     val scored = candidates
       .withColumn("cosine", cosineSimilarity(col("qvec"), col("cvec")))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("corpus_id"))
+      .withColumn("cos_key", cosKey(col("qvec"), col("cvec")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_key"), col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "cosine", "rank")
@@ -278,7 +292,8 @@ object Similarity {
     val scored = cellQueries.join(cellCorpus, Seq("cent_id"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine", cosineSimilarity(col("qvec"), col("cvec")))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("corpus_id"))
+      .withColumn("cos_key", cosKey(col("qvec"), col("cvec")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_key"), col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "cosine", "rank")
@@ -633,10 +648,11 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("corpus_id"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_key"), col("corpus_id"))
     c.join(broadcast(short.select("query_id", "corpus_id")), Seq("corpus_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("cosine", cosineSimilarity(col("qvec"), col("cvec")))
+      .withColumn("cos_key", cosKey(col("qvec"), col("cvec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "cosine", "rank")
