@@ -190,12 +190,14 @@ object Rehearsal {
       // this leg ever degrades superlinearly, the fix is
       // Skew.saltedCountSum inside the iteration (two-phase aggregate).
       val (nPr, tPr) = timed {
+        // ids stay BIGINT (hub node = -1): pageRank now preserves native
+        // key types — the kCore precedent measured 3.7x at the 50x leg
         val nNodes = 100000L * scale
         val ring = spark.range(nNodes).select(
-          col("id").cast("string").as("a"),
-          ((col("id") * 7 + 1) % nNodes).cast("string").as("b"))
+          col("id").as("a"),
+          ((col("id") * 7 + 1) % nNodes).as("b"))
         val hub = spark.range(100000L).select(
-          (col("id") % nNodes).cast("string").as("a"), lit("hub").as("b"))
+          (col("id") % nNodes).as("a"), lit(-1L).as("b"))
         val base = ring.unionByName(hub)
         val edges = base.unionByName(
           base.select(col("b").as("a"), col("a").as("b")))
@@ -237,12 +239,13 @@ object Rehearsal {
       // ~linear in the edge count. If this leg degrades superlinearly
       // the orientation is broken.
       val (nTri, tTri) = timed {
+        // ids stay BIGINT (hub node = -1): native key types, as pageRank
         val nNodes = 100000L * scale
         val ring = spark.range(nNodes).select(
-          col("id").cast("string").as("a"),
-          ((col("id") * 7 + 1) % nNodes).cast("string").as("b"))
+          col("id").as("a"),
+          ((col("id") * 7 + 1) % nNodes).as("b"))
         val hub = spark.range(100000L).select(
-          (col("id") % nNodes).cast("string").as("a"), lit("hub").as("b"))
+          (col("id") % nNodes).as("a"), lit(-1L).as("b"))
         graft.ops.Graph.triangleCounts(ring.unionByName(hub), "a", "b")
           .count()
       }

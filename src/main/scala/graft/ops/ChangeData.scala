@@ -37,6 +37,12 @@ object ChangeData {
   def cdcMerge(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
       seqCol: String, opCol: String): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
+    // a base column named like seqCol/opCol would land in `payload` and
+    // then be clobbered by the withColumn tags — a silently wrong merged
+    // schema, not an error. Refuse instead.
+    require(!base.columns.contains(seqCol) && !base.columns.contains(opCol),
+      s"base already has a column named '$seqCol' or '$opCol' — pick " +
+        "sequence/op column names that do not collide with the payload")
     val payload = base.columns.filterNot(keyCols.contains).toSeq
     val taggedBase = base
       .withColumn(seqCol, lit(Long.MinValue))

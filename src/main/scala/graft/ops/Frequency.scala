@@ -215,6 +215,20 @@ object Frequency {
     * set is not. Candidate memory is O(divisor*p) per task — bounded
     * regardless of corpus or vocabulary size.
     *
+    * Two data scans total — the floor for this output contract: the MG
+    * pass ALSO tallies per-partition row counts (a sentinel row per
+    * partition), so the total `n` that the nomination threshold needs is
+    * read off the cached summary frame instead of a dedicated upfront
+    * count() scan, and nomination happens post-hoc over the summary.
+    * (The MG lower bound est <= c certifies membership for candidates
+    * with est*divisor*p >= n without any further scan, but the exact
+    * `cnt` column the output promises still requires the one
+    * verification scan — certification can save that scan only under a
+    * weaker estimates-only contract.) The executed partition count
+    * cannot drift from the `p` in the bound: the pass runs over the
+    * frame's materialized RDD, whose partitioning is fixed at that point
+    * — an AQE re-plan of the DataFrame can no longer change it.
+    *
     * Output: (key, cnt) with cnt*divisor >= n, exact counts. */
   def heavyHitters(items: DataFrame, keyCol: String, divisor: Long)
       : DataFrame = {
@@ -223,21 +237,27 @@ object Frequency {
     import spark.implicits._
     val keys = items.select(col(keyCol).cast("string").as("k"))
       .filter(col("k").isNotNull)
-    val n = keys.count()
-    if (n == 0) return keys.groupBy("k").agg(count(lit(1)).as("cnt"))
-      .select(col("k").as("key"), col("cnt"))
-    val ds = keys.as[String]
-    val p = math.max(ds.rdd.getNumPartitions, 1)
+    // the RDD pins the executed partitioning — `p` and the partition
+    // count the map-side pass actually runs with are the same object
+    val rdd = keys.as[String].rdd
+    val p = math.max(rdd.getNumPartitions, 1)
     // a wrapped Int cap would make the summary permanently empty and the
     // output SILENTLY wrong (empty), not an error — refuse instead
     require(divisor * p + 1 <= Int.MaxValue,
       s"divisor * partitions ($divisor * $p) exceeds the candidate-map " +
         "capacity budget; coalesce the input or lower the divisor")
     val cap = (divisor * p + 1).toInt
-    val cands = ds.mapPartitions { it =>
+    // summary rows: (key, est + sweeps) per surviving counter, plus one
+    // (null, n_i) sentinel per partition carrying the partition's row
+    // count. The map never holds more than `cap` entries, so emitting
+    // every counter (nomination moves post-hoc, once n is known) has the
+    // same worst-case volume as the old pre-filtered emission.
+    val summary = spark.createDataset(rdd.mapPartitions { it =>
       val m = new scala.collection.mutable.HashMap[String, Long]
       var sweeps = 0L
+      var nPart = 0L
       it.foreach { s =>
+        nPart += 1
         if (m.contains(s)) m(s) += 1
         else if (m.size < cap) m(s) = 1L
         else { // decrement sweep: every counter down one, drop the zeros
@@ -247,9 +267,22 @@ object Frequency {
           dead.foreach(m.remove)
         }
       }
-      m.iterator.filter { case (_, c) => (c + sweeps) * divisor * p >= n }
-        .map(_._1)
-    }.toDF("k").distinct()
+      m.iterator.map { case (k, c) => (k, c + sweeps) } ++
+        Iterator((null: String, nPart))
+    }).toDF("k", "ub").persist()
+    val n = summary.filter(col("k").isNull)
+      .agg(coalesce(sum("ub"), lit(0L))).head().getLong(0)
+    if (n == 0) {
+      summary.unpersist()
+      return keys.groupBy("k").agg(count(lit(1)).as("cnt"))
+        .select(col("k").as("key"), col("cnt"))
+    }
+    // materialize the (candidate-sized) nomination before dropping the
+    // cached summary — a lazy unpersist would silently re-run the MG scan
+    val cands = summary
+      .filter(col("k").isNotNull && col("ub") * divisor * p >= n)
+      .select("k").distinct().localCheckpoint(true)
+    summary.unpersist()
     keys.join(broadcast(cands), Seq("k"), "left_semi")
       .groupBy("k").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * divisor >= n)

@@ -193,4 +193,51 @@ object Indexing {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Persist an [[invertedIndex]] bucketed BY TERM — the fit-once/
+    * search-many contract of `Similarity.pqIndexWrite` applied to text
+    * retrieval: `{name}_postings` is the paged posting table bucketed
+    * (and sorted) on `term`, so a [[searchIndex]] term filter becomes
+    * LITERAL bucket pruning on disk (the scan touches hash(term)-selected
+    * buckets, not the index — `SelectedBucketsCount` in the plan), plus
+    * `{name}_meta` holding the corpus size recorded at build time (the
+    * driver scalar every TF-IDF weight needs). Idempotent across
+    * sessions: same orphan-location discipline as `pqIndexWrite` — a
+    * fresh catalog doesn't know a previous run's tables but their
+    * warehouse directories persist and break saveAsTable.
+    *
+    * Returns the recorded corpus size. */
+  def indexWrite(docs: DataFrame, name: String, blockSize: Int = 1024,
+      numBuckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): Long = {
+    val spark = docs.sparkSession
+    for (suffix <- Seq("_postings", "_meta")) {
+      spark.sql(s"DROP TABLE IF EXISTS ${name}$suffix")
+      // saveAsTable lowercases identifiers — check the lowercased path
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        s"${name.toLowerCase(java.util.Locale.ROOT)}$suffix")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val nDocs = docs.count()
+    invertedIndex(docs, idCol, textCol, blockSize)
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "term").sortBy("term", "block")
+      .saveAsTable(s"${name}_postings")
+    import spark.implicits._
+    Seq(nDocs).toDF("n_docs").coalesce(1)
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+    nDocs
+  }
+
+  /** [[searchIndex]] against the stored tables of [[indexWrite]] — the
+    * production entry point: answers from the term-bucketed posting
+    * table only (bucket-pruned scan), never the corpus; the TF-IDF
+    * document count comes from `{name}_meta` (one-row driver read). */
+  def searchIndexStored(spark: org.apache.spark.sql.SparkSession,
+      name: String, terms: Seq[String], k: Int): DataFrame = {
+    val nDocs = spark.table(s"${name}_meta").head().getLong(0)
+    searchIndex(spark.table(s"${name}_postings"), nDocs, terms, k)
+  }
 }

@@ -37,7 +37,19 @@ object Layout {
     val ys = (0 until bits).map { i =>
       shiftleft(shiftright(y.cast(LongType), i).bitwiseAND(lit(1L)), 2 * i + 1)
     }
-    (xs ++ ys).reduce(_ + _)
+    val z = (xs ++ ys).reduce(_ + _)
+    // an input past 2^bits-1 would silently ALIAS Morton buckets (the
+    // high bits vanish from the interleave) — a wrong layout, not an
+    // error, and invisible until scan pruning quietly degrades. Enforce
+    // the documented contract per row instead: one branch-free codegen
+    // comparison, and an out-of-domain key fails the query loudly.
+    val lim = lit(1L << bits)
+    val xl = x.cast(LongType)
+    val yl = y.cast(LongType)
+    when(xl >= 0 && xl < lim && yl >= 0 && yl < lim, z)
+      .otherwise(raise_error(concat(
+        lit(s"zValue: input exceeds $bits bits: x="), xl.cast("string"),
+        lit(" y="), yl.cast("string"))))
   }
 
   /** The same Morton code as ANSI SQL text (for oracle replay): the

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** EXACT set-similarity join by prefix filtering (Chaudhuri, Ganti &
@@ -41,8 +40,9 @@ object SetSim {
     * `inter/un >= tn/td` is evaluated as `inter*td >= tn*un`.
     *
     * Plan shape: one shingle-frequency aggregate; a global frequency rank
-    * (window over the shingle VOCABULARY — at web scale swap in
-    * [[Indexing.globalRowNumber]]'s partition-offset form); per-doc
+    * via [[Indexing.globalRowNumber]]'s partition-offset decomposition
+    * (NO single-partition window anywhere — the vocabulary is unbounded
+    * at web scale, so the rank must distribute); per-doc
     * sorted shingle-rank arrays (per-doc bounded); a candidate equi-join
     * on prefix shingles; one verification join on (id_a, id_b) against
     * the exploded shingle table. Nothing all-pairs, nothing driver-side. */
@@ -63,9 +63,13 @@ object SetSim {
       .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("__ta"))
       .select(col("id"), explode(expr(shingleExpr)).as("tok"))
       .persist()
-    // global order: ascending doc frequency, ties by token text
-    val rank = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-      .withColumn("r", row_number().over(Window.orderBy(col("df"), col("tok"))))
+    // global order: ascending doc frequency, ties by token text — via the
+    // partition-offset decomposition (globalRowNumber), never a
+    // single-partition window: the frame is vocabulary-sized, which at
+    // web scale is far too large to sort on one task
+    val rank = Indexing.globalRowNumber(
+        toks.groupBy("tok").agg(count(lit(1)).as("df")),
+        Seq("df", "tok"), outCol = "r")
       .select("tok", "r")
     val ranked = toks.join(rank, "tok").select(col("id"), col("r"))
     // per-doc rank-sorted token array + size; prefix length

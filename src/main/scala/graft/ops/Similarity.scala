@@ -276,10 +276,22 @@ object Similarity {
     def nearestCells(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
       val scored = df.join(bCents)
         .withColumn("cdist", intSqDist(q24Vec(col(vec)), col("qcvec")))
-      val w = Window.partitionBy(id).orderBy(col("cdist"), col("cent_id"))
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= n)
-        .drop("qcvec", "cdist", "crank")
+      if (n == 1)
+        // the corpus-sized single-cell assignment takes the map-side
+        // min_by argmin (one row per vector reaches the exchange —
+        // see kmeansFitStats); identical (cdist, cent_id) tie-break
+        scored.groupBy(id)
+          .agg(min_by(struct(col("cent_id"), col(vec)),
+            struct(col("cdist"), col("cent_id"))).as("best"))
+          .select(col("best.cent_id").as("cent_id"), col(id),
+            col(s"best.$vec").as(vec))
+      else {
+        // multi-probe (query side, tiny): the window form is fine
+        val w = Window.partitionBy(id).orderBy(col("cdist"), col("cent_id"))
+        scored.withColumn("crank", row_number().over(w))
+          .filter(col("crank") <= n)
+          .drop("qcvec", "cdist", "crank")
+      }
     }
 
     val cellCorpus = nearestCells(
@@ -387,9 +399,16 @@ object Similarity {
         spark.sparkContext.parallelize(centRows, 1), cents.schema))
       val assigned = v.join(bCents)
         .withColumn("cdist", intSqDist(col("qv"), col("qcvec")))
-      val w = Window.partitionBy("vid").orderBy(col("cdist"), col("cent_id"))
-      val cells = assigned.withColumn("r", row_number().over(w))
-        .filter(col("r") === 1).select("cent_id", "qv")
+      // argmin as a min_by AGGREGATE, not a per-vid window: the window
+      // form hash-shuffles all corpus*k candidate rows on vid before
+      // ranking, whereas min_by partially aggregates (per-group state =
+      // one struct), collapsing the corpus*k mass map-side so only one
+      // row per vector reaches the exchange — the pqFit shape, unified
+      // here. Tie-break identical: min over struct(cdist, cent_id).
+      val cells = assigned.groupBy("vid")
+        .agg(min_by(struct(col("cent_id"), col("qv")),
+          struct(col("cdist"), col("cent_id"))).as("best"))
+        .select(col("best.cent_id").as("cent_id"), col("best.qv").as("qv"))
       stats = cells.select(col("cent_id"), posexplode(col("qv")))
         .groupBy("cent_id", "pos")
         .agg(sum(col("col")).as("ssum"),
@@ -432,12 +451,14 @@ object Similarity {
     val bCents = broadcast(spark.createDataFrame(
       spark.sparkContext.parallelize(centRows, 1), cents.schema))
     val v = corpus.select(col(idCol).as("id"), q24Vec(col(vecCol)).as("qv"))
-    val w = Window.partitionBy("id").orderBy(col("cdist"), col("cent_id"))
+    // same map-side min_by argmin as kmeansFitStats (one row per vector
+    // reaches the exchange, never corpus*k); tie-break (cdist, cent_id)
     val cells = v.join(bCents)
       .withColumn("cdist", intSqDist(col("qv"), col("qcvec")))
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") === 1)
-      .select(col("cent_id"), col("id"), col("qv"))
+      .groupBy("id")
+      .agg(min_by(struct(col("cent_id"), col("qv")),
+        struct(col("cdist"), col("cent_id"))).as("best"))
+      .select(col("best.cent_id").as("cent_id"), col("id"), col("best.qv").as("qv"))
     val pairs = Dedup.boundedBucketPairs(
       cells.select(col("cent_id").as("bucket"), col("id")),
       Seq("bucket"), maxCluster)

@@ -48,6 +48,67 @@ object Skyline {
     }
   }
 
+  /** `a` dominates `b`: >= in every dimension, > in at least one. */
+  private def dominates(a: Seq[Long], b: Seq[Long]): Boolean = {
+    var gt = false
+    var i = 0
+    while (i < a.length) {
+      if (a(i) < b(i)) return false
+      if (a(i) > b(i)) gt = true
+      i += 1
+    }
+    gt
+  }
+
+  /** Sort-filter-skyline sweep (the presorted BNL of Chomicki et al.
+    * 2003, "Skyline with presorting") over rows already in (dims desc
+    * lexicographic, id) order: a dominator always sorts BEFORE what it
+    * dominates (its first differing dimension is strictly greater), so
+    * each row need only be tested against the kept frontier — and a row
+    * dropped because some kept row dominates it can, by transitivity,
+    * never be needed as a dominator itself. Kept-buffer size = the
+    * partition's local skyline (the documented anti-correlated worst
+    * case is the output itself). */
+  private def sfsSweep(it: Iterator[(Long, Seq[Long])])
+      : Iterator[(Long, Seq[Long])] = {
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    it.flatMap { case r @ (_, v) =>
+      if (kept.exists(k => dominates(k, v))) None
+      else { kept += v; Some(r) }
+    }
+  }
+
+  /** d-dimensional skyline maximizing every column of `dimCols` (negate
+    * a column to minimize it); `idCol` rides along. Same lossless
+    * two-phase shape as [[skyline2D]]: per-partition SFS sweeps (no
+    * exchange — dominance transitivity makes local pruning sound), then
+    * one candidate-sized final sweep. The per-partition sort key is the
+    * dims-desc lexicographic order (arrays compare lexicographically),
+    * which every dominator precedes its dominated rows in.
+    * Output: (id, dims...), the exact frontier. */
+  def skylineND(df: DataFrame, idCol: String, dimCols: Seq[String])
+      : DataFrame = {
+    require(dimCols.nonEmpty, "need at least one dimension")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val packed = df.select(col(idCol).cast("long").as("_1"),
+        array(dimCols.map(c => col(c).cast("long")): _*).as("_2"))
+      .as[(Long, Seq[Long])]
+    val local = packed
+      .sortWithinPartitions(col("_2").desc, col("_1"))
+      .mapPartitions(sfsSweep)
+    // the final sweep runs over the CANDIDATE set (sum of local skyline
+    // sizes — O(partitions x skyline)), not the input; same bound
+    // argument as skyline2D's repartition(1)
+    val global = local
+      .repartition(1)
+      .sortWithinPartitions(col("_2").desc, col("_1"))
+      .mapPartitions(sfsSweep)
+    global.select(col("_1").as(idCol) +:
+      dimCols.zipWithIndex.map { case (c, i) =>
+        col("_2").getItem(i).as(c) }: _*)
+  }
+
   /** Skyline of `df` maximizing the two INTEGER columns (xCol, yCol);
     * `idCol` rides along. Output: (id, x, y), the exact frontier. */
   def skyline2D(df: DataFrame, idCol: String, xCol: String, yCol: String)
