@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must bypass sbt's logger: every stdout line gets
+// an `[info] ` prefix otherwise, and the driver's tail-window JSON
+// parser (which scrapes graft.Bench's final compact line) never sees a
+// bare `{...}` — nine rounds of BENCH_r*.json came back `parsed: null`
+// because of exactly this prefix.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -14,6 +14,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run to the
+    // named queries (the driver never sets it — full surface by default)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
     // steady-state measurement (the reference baseline is its warm run):
     // run every query once at the smallest SF so codegen/JIT for each
     // plan shape is compiled before timing at the target SF, then touch
@@ -21,7 +29,7 @@ object Bench {
     try {
       val warmDir = "/root/testdata/sf0.001"
       if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-        SparkEntry.queries.foreach { case (_, fn) =>
+        queries.foreach { case (_, fn) =>
           try {
             fn(spark, warmDir).write.mode("overwrite").format("noop").save()
             spark.catalog.listTables().collect()
@@ -48,7 +56,7 @@ object Bench {
     val wallStart = System.currentTimeMillis()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val started = scala.collection.mutable.LinkedHashMap[String, Long]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       started(name) = System.currentTimeMillis()
       val t0 = System.nanoTime()
       // noop sink materializes EVERY column — count() would let Catalyst

@@ -152,6 +152,25 @@ package object functions {
         lit(tn.toLong * tn).cast(dec) * na.cast(dec) * nb.cast(dec)
   }
 
+  /** Fused [[intCosRankKey]] — identical integers (property-spec'd in
+    * Round10OpsSpec), ONE primitive loop per pair instead of the
+    * interpreted `aggregate(zip_with(...))` lambdas re-evaluated 10-20x
+    * by the three-limb decimal form's duplicated subtrees. Accepts raw
+    * `array<float|double>` (q24-quantizes inline) or pre-quantized
+    * `array<bigint>`; sides may mix. */
+  def intCosRankKeyFused(a: Column, b: Column): Column =
+    exprColumn(IntCosRankKey(columnExpr(a), columnExpr(b)))
+
+  /** Fused [[intCosineGte]] — same exact threshold test, one loop. */
+  def intCosineGteFused(a: Column, b: Column, tn: Int, td: Int): Column =
+    exprColumn(IntCosGte(columnExpr(a), columnExpr(b), tn, td))
+
+  /** Fused [[intSqDist]] — same exact integer, one loop; quantizes raw
+    * float/double inputs inline so per-pair call sites skip the
+    * interpreted `transform` of [[q24Vec]] entirely. */
+  def intSqDistFused(a: Column, b: Column): Column =
+    exprColumn(IntSqDist(columnExpr(a), columnExpr(b)))
+
   /** Cosine similarity of two numeric array columns; null/zero-norm ->
     * null. Fused single-pass native expression (see [[CosineSim]]) —
     * markedly faster than the compositional zip_with/aggregate form. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{cosineSimilarity, dotProduct, intCosRankKey, intCosineGte, intSqDist, l2Norm, q24Vec}
+import graft.functions.{cosineSimilarity, dotProduct, intCosRankKeyFused, intCosineGteFused, intSqDistFused, l2Norm, q24Vec}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -55,9 +55,16 @@ object Similarity {
     * reorder a near-tie across engine versions. The double `cosine`
     * column survives as DISPLAY ONLY (ppm-floored with measured margins,
     * ORACLES.md Class 2b); candidates inside the 1e-12 key resolution
-    * tie-break by corpus id — deterministically, identically everywhere. */
+    * tie-break by corpus id — deterministically, identically everywhere.
+    *
+    * Evaluated per candidate PAIR, so the kernel shape is the whole
+    * cost: the fused expression ([[graft.functions.intCosRankKeyFused]])
+    * quantizes, dots and norms in ONE codegen loop and long-divides in a
+    * single 128-bit tail — bit-identical (property-spec'd) to the
+    * three-limb decimal form, without its interpreted lambdas and
+    * duplicated subtrees re-evaluating the 64-element fold 10-20x. */
   private def cosKey(qv: Column, cv: Column): Column =
-    intCosRankKey(q24Vec(qv), q24Vec(cv))
+    intCosRankKeyFused(qv, cv)
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * +-1 from splitmix64 — no RNG state, identical on every executor. */
@@ -275,7 +282,9 @@ object Similarity {
 
     def nearestCells(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
       val scored = df.join(bCents)
-        .withColumn("cdist", intSqDist(q24Vec(col(vec)), col("qcvec")))
+        // fused kernel quantizes the raw vector inline per candidate —
+        // no interpreted q24Vec transform re-run k times per row
+        .withColumn("cdist", intSqDistFused(col(vec), col("qcvec")))
       if (n == 1)
         // the corpus-sized single-cell assignment takes the map-side
         // min_by argmin (one row per vector reaches the exchange —
@@ -344,7 +353,7 @@ object Similarity {
     pairs
       .join(v.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
       .join(v.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
-      .filter(intCosineGte(q24Vec(col("vec_a")), q24Vec(col("vec_b")), tn, td))
+      .filter(intCosineGteFused(col("vec_a"), col("vec_b"), tn, td))
       .withColumn("cosine", cosineSimilarity(col("vec_a"), col("vec_b")))
       .select("id_a", "id_b", "cosine")
   }
@@ -398,7 +407,7 @@ object Similarity {
       val bCents = broadcast(spark.createDataFrame(
         spark.sparkContext.parallelize(centRows, 1), cents.schema))
       val assigned = v.join(bCents)
-        .withColumn("cdist", intSqDist(col("qv"), col("qcvec")))
+        .withColumn("cdist", intSqDistFused(col("qv"), col("qcvec")))
       // argmin as a min_by AGGREGATE, not a per-vid window: the window
       // form hash-shuffles all corpus*k candidate rows on vid before
       // ranking, whereas min_by partially aggregates (per-group state =
@@ -454,7 +463,7 @@ object Similarity {
     // same map-side min_by argmin as kmeansFitStats (one row per vector
     // reaches the exchange, never corpus*k); tie-break (cdist, cent_id)
     val cells = v.join(bCents)
-      .withColumn("cdist", intSqDist(col("qv"), col("qcvec")))
+      .withColumn("cdist", intSqDistFused(col("qv"), col("qcvec")))
       .groupBy("id")
       .agg(min_by(struct(col("cent_id"), col("qv")),
         struct(col("cdist"), col("cent_id"))).as("best"))
@@ -465,7 +474,7 @@ object Similarity {
     val dropped = pairs // id_a < id_b by construction in both regimes
       .join(cells.select(col("id").as("id_a"), col("qv").as("qv_a")), Seq("id_a"))
       .join(cells.select(col("id").as("id_b"), col("qv").as("qv_b")), Seq("id_b"))
-      .filter(intCosineGte(col("qv_a"), col("qv_b"), tn, td))
+      .filter(intCosineGteFused(col("qv_a"), col("qv_b"), tn, td))
       .select(col("id_b").as("id")).distinct()
     cells.join(dropped, Seq("id"), "left_anti")
       .select(col("id").as(idCol), col("cent_id"))
@@ -513,7 +522,7 @@ object Similarity {
     val seedSv = qSubvectors(seeds, "cent_id", "qcsv", m, sd, "cent_id", vecCol)
     val sv = qSubvectors(corpus, "vid", "qsv", m, sd, idCol, vecCol)
     val assigned = sv.join(broadcast(seedSv), Seq("sub"))
-      .withColumn("d", intSqDist(col("qsv"), col("qcsv")))
+      .withColumn("d", intSqDistFused(col("qsv"), col("qcsv")))
       .groupBy("vid", "sub")
       .agg(min_by(struct(col("cent_id"), col("qsv")),
         struct(col("d"), col("cent_id"))).as("best"))
@@ -541,7 +550,7 @@ object Similarity {
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
     val sv = qSubvectors(corpus, "vid", "qsv", m, dim / m, idCol, vecCol)
     sv.join(broadcast(codebooks), Seq("sub"))
-      .withColumn("d", intSqDist(col("qsv"), col("qcsv")))
+      .withColumn("d", intSqDistFused(col("qsv"), col("qcsv")))
       .groupBy("vid", "sub")
       .agg(min(struct(col("d"), col("cent_id"))).as("best"))
       .select(col("vid").as(idCol), col("sub"),
@@ -618,7 +627,7 @@ object Similarity {
     val qsv = qSubvectors(queries, "query_id", "qsv", m, dim / m, idCol, vecCol)
     val lut = qsv.join(broadcast(codebooks), Seq("sub"))
       .select(col("query_id"), col("sub"), col("cent_id").as("code"),
-        intSqDist(col("qsv"), col("qcsv")).as("qd"))
+        intSqDistFused(col("qsv"), col("qcsv")).as("qd"))
     val adist = cids.join(broadcast(lut), Seq("sub", "code"))
       .filter(col("corpus_id") =!= col("query_id"))
       .groupBy("query_id", "corpus_id")
@@ -740,7 +749,7 @@ object Similarity {
       q24Vec(col(vecCol)).as("qqv"))
     val w2 = Window.partitionBy("query_id").orderBy(col("d"), col("corpus_id"))
     short.join(cq, "corpus_id").join(broadcast(qq), "query_id")
-      .withColumn("d", intSqDist(col("qcv"), col("qqv")))
+      .withColumn("d", intSqDistFused(col("qcv"), col("qqv")))
       .withColumn("rank", row_number().over(w2))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("d").as("sq_dist"),
