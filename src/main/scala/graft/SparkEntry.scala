@@ -24,6 +24,15 @@ object SparkEntry {
     if (name == "events") StreamingOps.normalizeEventTs(df) else df
   }
 
+  /** Identifier-safe tag of a data directory. Stored-index names embed
+    * it so the warm (sf0.001), verify (sf0.01) and bench (sf0.1) passes
+    * keep SEPARATE persisted artifacts: each name's content stamp then
+    * hits across runs and JVMs (the index builders skip the re-fit),
+    * instead of the passes thrashing one shared name whose stamp never
+    * matches the previous caller's data. */
+  private def dirTag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+
   /** The two sides of the validation workload, derived deterministically
     * from `orders` (the reference compares two live databases; here the
     * "second database" is a filtered + perturbed view so both engines can
@@ -828,9 +837,10 @@ object SparkEntry {
       // (pinned in OpsSpec). Output is byte-identical to t_ann_pq: same
       // trained index, searched from disk instead of in-flight frames
       val e = t(s, dir, "embeddings")
-      graft.ops.Similarity.pqIndexWrite(e, "pq_verify_idx",
+      val idx = s"pq_verify_idx_${dirTag(dir)}"
+      graft.ops.Similarity.pqIndexWrite(e, idx,
         m = 4, ksub = 16, numBuckets = 8)
-      graft.ops.Similarity.pqSearchIndexed(s, "pq_verify_idx",
+      graft.ops.Similarity.pqSearchIndexed(s, idx,
           e.filter(col("vec_id") < 10), k = 5, m = 4)
         .select(col("query_id"), col("corpus_id"), col("adist"),
           col("rank").cast("long").as("rank"))
@@ -847,9 +857,10 @@ object SparkEntry {
       // Output is byte-identical to the in-flight pqTopKRerank — same
       // trained index, searched from disk
       val e = t(s, dir, "embeddings")
-      graft.ops.Similarity.pqIndexWrite(e, "pq_rerank_idx",
+      val idx = s"pq_rerank_idx_${dirTag(dir)}"
+      graft.ops.Similarity.pqIndexWrite(e, idx,
         m = 8, ksub = 32, numBuckets = 8)
-      val short = graft.ops.Similarity.pqSearchIndexed(s, "pq_rerank_idx",
+      val short = graft.ops.Similarity.pqSearchIndexed(s, idx,
         e.filter(col("vec_id") < 10), k = 200, m = 8)
       Similarity.pqRerank(e, e.filter(col("vec_id") < 10), short, k = 5)
         .select(col("query_id"), col("corpus_id"),
@@ -1539,8 +1550,9 @@ object SparkEntry {
       // the documents corpus (pinned in PlanGuardSpec) — and byte-
       // identical output means the same oracle as t_index_search
       val docs = t(s, dir, "documents")
-      graft.ops.Indexing.indexWrite(docs, "text_verify_idx")
-      graft.ops.Indexing.searchIndexStored(s, "text_verify_idx",
+      val idx = s"text_verify_idx_${dirTag(dir)}"
+      graft.ops.Indexing.indexWrite(docs, idx)
+      graft.ops.Indexing.searchIndexStored(s, idx,
         terms = Seq("scan", "merge", "window"), k = 20)
     }),
     "t_kcore" -> ((s, dir) => {

@@ -201,32 +201,42 @@ object Indexing {
     * LITERAL bucket pruning on disk (the scan touches hash(term)-selected
     * buckets, not the index — `SelectedBucketsCount` in the plan), plus
     * `{name}_meta` holding the corpus size recorded at build time (the
-    * driver scalar every TF-IDF weight needs). Idempotent across
-    * sessions: same orphan-location discipline as `pqIndexWrite` — a
-    * fresh catalog doesn't know a previous run's tables but their
-    * warehouse directories persist and break saveAsTable.
+    * driver scalar every TF-IDF weight needs) plus the content stamp of
+    * the input (`StoredArtifacts.stamp`).
+    *
+    * IDEMPOTENT by content, exactly as `Similarity.pqIndexWrite`: a
+    * matching stamp skips the tokenize + index + write entirely
+    * (re-registering the surviving warehouse directories when a fresh
+    * session's catalog forgot them — bucket spec restored by DDL), so
+    * repeated runs measure search, not build; any change to the corpus
+    * or the build parameters rebuilds (spec-pinned in Round10OpsSpec).
     *
     * Returns the recorded corpus size. */
   def indexWrite(docs: DataFrame, name: String, blockSize: Int = 1024,
       numBuckets: Int = 64,
       idCol: String = "doc_id", textCol: String = "text"): Long = {
     val spark = docs.sparkSession
-    for (suffix <- Seq("_postings", "_meta")) {
-      spark.sql(s"DROP TABLE IF EXISTS ${name}$suffix")
-      // saveAsTable lowercases identifiers — check the lowercased path
-      val p = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"),
-        s"${name.toLowerCase(java.util.Locale.ROOT)}$suffix")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+    val (nDocs, h) = StoredArtifacts.stamp(docs, idCol)
+    val params = s"text:block=$blockSize,buckets=$numBuckets,id=$idCol,text=$textCol"
+    if (StoredArtifacts.metaMatches(spark, s"${name}_meta", nDocs, h, params)) {
+      try {
+        StoredArtifacts.register(spark, s"${name}_meta")
+        StoredArtifacts.register(spark, s"${name}_postings",
+          Some((Seq("term"), Seq("term", "block"), numBuckets)))
+        return spark.table(s"${name}_meta")
+          .select("n_docs").head().getLong(0)
+      } catch { case _: Exception => () /* damaged artifact: rebuild */ }
     }
-    val nDocs = docs.count()
+    for (suffix <- Seq("_postings", "_meta"))
+      StoredArtifacts.dropAndClean(spark, s"$name$suffix")
     invertedIndex(docs, idCol, textCol, blockSize)
       .write.mode("overwrite")
       .bucketBy(numBuckets, "term").sortBy("term", "block")
       .saveAsTable(s"${name}_postings")
+    // meta LAST: a crashed build never leaves a matching stamp
     import spark.implicits._
-    Seq(nDocs).toDF("n_docs").coalesce(1)
+    Seq((nDocs, nDocs, h, params))
+      .toDF("n_docs", "stamp_rows", "stamp_hash", "params").coalesce(1)
       .write.mode("overwrite").saveAsTable(s"${name}_meta")
     nDocs
   }
@@ -237,7 +247,7 @@ object Indexing {
     * document count comes from `{name}_meta` (one-row driver read). */
   def searchIndexStored(spark: org.apache.spark.sql.SparkSession,
       name: String, terms: Seq[String], k: Int): DataFrame = {
-    val nDocs = spark.table(s"${name}_meta").head().getLong(0)
+    val nDocs = spark.table(s"${name}_meta").select("n_docs").head().getLong(0)
     searchIndex(spark.table(s"${name}_postings"), nDocs, terms, k)
   }
 }

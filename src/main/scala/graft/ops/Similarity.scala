@@ -566,29 +566,36 @@ object Similarity {
     *  - `{name}_codes`: the (id, sub, code) code table, BUCKETED by id so
     *    all m rows of a vector co-locate in one bucket file and the
     *    search's (query, corpus) aggregate starts from a clustered
-    *    layout (same pattern as `Curation.writeFingerprintIndex`).
-    * Append newly-encoded batches with the same bucket spec instead of
-    * re-fitting; re-fit only when drift degrades recall. */
+    *    layout (same pattern as `Curation.writeFingerprintIndex`);
+    *  - `{name}_meta`: the content stamp (row count + id-hash sum +
+    *    build params, `StoredArtifacts.stamp`) of the input this index
+    *    was built from.
+    *
+    * IDEMPOTENT by content: when the stored stamp matches the current
+    * input and parameters, the fit + write are SKIPPED and — if this is
+    * a fresh session whose catalog forgot the tables — the surviving
+    * warehouse directories are re-registered (bucket spec restored by
+    * DDL). A repeated run therefore measures search, not fit; a stamp
+    * mismatch (new rows, new ids, new params) rebuilds from scratch, so
+    * a stale index never silently answers for changed data
+    * (rebuild-on-stale is spec-pinned in Round10OpsSpec). */
   def pqIndexWrite(corpus: DataFrame, name: String, m: Int = 4,
       ksub: Int = 16, numBuckets: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
-    // idempotence across SESSIONS, not just within one: a fresh
-    // in-memory catalog does not know a previous run's tables, but their
-    // warehouse directories persist and make saveAsTable refuse with
-    // LOCATION_ALREADY_EXISTS — drop the entry AND delete the orphan
-    for (suffix <- Seq("_books", "_codes")) {
-      spark.sql(s"DROP TABLE IF EXISTS ${name}$suffix")
-      // saveAsTable lowercases identifiers, so the warehouse directory is
-      // the LOWERCASED name — checking the verbatim name would miss the
-      // orphan for mixed-case callers on a case-sensitive filesystem and
-      // bring the LOCATION_ALREADY_EXISTS failure right back
-      val p = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"),
-        s"${name.toLowerCase(java.util.Locale.ROOT)}$suffix")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+    val (nRows, h) = StoredArtifacts.stamp(corpus, idCol)
+    val params = s"pq:m=$m,ksub=$ksub,buckets=$numBuckets,id=$idCol,vec=$vecCol"
+    if (StoredArtifacts.metaMatches(spark, s"${name}_meta", nRows, h, params)) {
+      try {
+        StoredArtifacts.register(spark, s"${name}_meta")
+        StoredArtifacts.register(spark, s"${name}_books")
+        StoredArtifacts.register(spark, s"${name}_codes",
+          Some((Seq(idCol), Seq(idCol, "sub"), numBuckets)))
+        return // stamp hit: the stored artifact IS current
+      } catch { case _: Exception => () /* damaged artifact: rebuild */ }
     }
+    for (suffix <- Seq("_books", "_codes", "_meta"))
+      StoredArtifacts.dropAndClean(spark, s"$name$suffix")
     val books = pqFit(corpus, m, ksub, idCol, vecCol)
     val bookRows = books.collect().toSeq // m*ksub*subDim longs — metadata
     val bBooks = spark.createDataFrame(
@@ -598,6 +605,11 @@ object Similarity {
       .write.mode("overwrite")
       .bucketBy(numBuckets, idCol).sortBy(idCol, "sub")
       .saveAsTable(s"${name}_codes")
+    // meta LAST: a crashed build can leave partial tables but never a
+    // matching stamp, so the next run always rebuilds
+    import spark.implicits._
+    Seq((nRows, h, params)).toDF("stamp_rows", "stamp_hash", "params")
+      .coalesce(1).write.mode("overwrite").saveAsTable(s"${name}_meta")
   }
 
   /** ADC search against a PREBUILT index ([[pqFit]]+[[pqEncode]] frames,

@@ -108,6 +108,118 @@ class Round10OpsSpec extends AnyFunSuite with SparkSpec {
     assert(bad.isEmpty, bad.collect().take(5).mkString("\n"))
   }
 
+  // ---- content-stamped stored-index idempotence --------------------------
+
+  /** newest file mtime under a warehouse table directory — a rebuild
+    * rewrites the parquet files, a stamp-hit leaves them untouched */
+  private def newestMtime(table: String): Long = {
+    val dir = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      table.toLowerCase(java.util.Locale.ROOT))
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) (f.lastModified() +: f.listFiles().toSeq.map(walk)).max
+      else f.lastModified()
+    walk(dir)
+  }
+
+  private def textDocs(n: Long) = {
+    val words = Seq("scan", "merge", "window", "sort", "hash", "join")
+    (1L to n).map { i =>
+      (i, (0 until (i % 7 + 1).toInt).map(j => words(((i + j) % 6).toInt))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("indexWrite: identical input+params skips the rebuild; changed " +
+      "input or params rebuilds (stale index never reused)") {
+    import graft.ops.Indexing
+    val docs = textDocs(200L)
+    assert(Indexing.indexWrite(docs, "r10_stamp_idx", numBuckets = 4) == 200L)
+    val expected = Indexing.searchIndexStored(spark, "r10_stamp_idx",
+      terms = Seq("scan", "merge"), k = 10).collect().toSeq
+    val m1 = newestMtime("r10_stamp_idx_postings")
+    Thread.sleep(20)
+    // same input, same params -> stamp hit, no rewrite
+    assert(Indexing.indexWrite(docs, "r10_stamp_idx", numBuckets = 4) == 200L)
+    assert(newestMtime("r10_stamp_idx_postings") == m1,
+      "identical input must not rebuild the stored index")
+    assert(Indexing.searchIndexStored(spark, "r10_stamp_idx",
+      terms = Seq("scan", "merge"), k = 10).collect().toSeq == expected)
+    // changed input -> rebuild (and the answer tracks the NEW corpus)
+    assert(Indexing.indexWrite(docs.filter(col("doc_id") <= 100),
+      "r10_stamp_idx", numBuckets = 4) == 100L)
+    assert(newestMtime("r10_stamp_idx_postings") != m1,
+      "changed input must rebuild")
+    // changed params (same input) -> rebuild too
+    val m2 = newestMtime("r10_stamp_idx_postings")
+    Thread.sleep(20)
+    Indexing.indexWrite(docs.filter(col("doc_id") <= 100),
+      "r10_stamp_idx", numBuckets = 2)
+    assert(newestMtime("r10_stamp_idx_postings") != m2,
+      "changed build params must rebuild")
+  }
+
+  test("stored indexes survive catalog loss: a fresh catalog re-registers " +
+      "the surviving directories (bucket spec restored) without rebuilding") {
+    import graft.ops.{Indexing, Similarity}
+    val docs = textDocs(150L)
+    Indexing.indexWrite(docs, "r10_reuse_idx", numBuckets = 4)
+    val expected = Indexing.searchIndexStored(spark, "r10_reuse_idx",
+      terms = Seq("scan", "hash"), k = 10).collect().toSeq
+    val m1 = newestMtime("r10_reuse_idx_postings")
+    // simulate a fresh session: move the data aside (DROP on a managed
+    // table deletes it), drop the catalog entries, move the data back —
+    // leaving exactly a new JVM's state: directories, no catalog
+    val wh = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val tables = Seq("r10_reuse_idx_postings", "r10_reuse_idx_meta")
+    for (t <- tables) {
+      val src = new java.io.File(wh, t)
+      assert(src.renameTo(new java.io.File(wh, t + ".save")))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      assert(new java.io.File(wh, t + ".save").renameTo(src))
+      assert(!spark.catalog.tableExists(t))
+    }
+    Thread.sleep(20)
+    // stamp hit from the surviving _meta directory -> re-register, no build
+    assert(Indexing.indexWrite(docs, "r10_reuse_idx", numBuckets = 4) == 150L)
+    assert(newestMtime("r10_reuse_idx_postings") == m1,
+      "catalog loss with intact directories must not rebuild")
+    val stored = Indexing.searchIndexStored(spark, "r10_reuse_idx",
+      terms = Seq("scan", "hash"), k = 10)
+    assert(stored.collect().toSeq == expected)
+    // the restored registration must keep the term-bucketed layout: the
+    // search's literal term filter prunes buckets on disk
+    val scan = stored.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("SelectedBucketsCount"),
+      s"re-registered table lost its bucket spec:\n$scan")
+
+    // same flow for the PQ index: build, lose the catalog, reuse
+    val vecs = spark.range(64).selectExpr("id AS vec_id",
+      "transform(sequence(0, 7), j -> CAST((id * 7 + j) % 13 AS FLOAT) / 13.0) AS embedding")
+    Similarity.pqIndexWrite(vecs, "r10_pq_reuse", m = 2, ksub = 4,
+      numBuckets = 2)
+    val pqExpected = Similarity.pqSearchIndexed(spark, "r10_pq_reuse",
+      vecs.filter(col("vec_id") < 4), k = 3, m = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    val pm1 = newestMtime("r10_pq_reuse_codes")
+    for (t <- Seq("r10_pq_reuse_books", "r10_pq_reuse_codes", "r10_pq_reuse_meta")) {
+      val src = new java.io.File(wh, t)
+      assert(src.renameTo(new java.io.File(wh, t + ".save")))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      assert(new java.io.File(wh, t + ".save").renameTo(src))
+    }
+    Thread.sleep(20)
+    Similarity.pqIndexWrite(vecs, "r10_pq_reuse", m = 2, ksub = 4,
+      numBuckets = 2)
+    assert(newestMtime("r10_pq_reuse_codes") == pm1,
+      "PQ index must be reused across catalog loss, not refit")
+    assert(Similarity.pqSearchIndexed(spark, "r10_pq_reuse",
+      vecs.filter(col("vec_id") < 4), k = 3, m = 2)
+      .orderBy("query_id", "rank").collect().toSeq == pqExpected)
+  }
+
   test("fused kernels survive the interpreted (non-codegen) path with " +
       "identical results") {
     import graft.functions.{intCosRankKey, intCosRankKeyFused, q24Vec}
