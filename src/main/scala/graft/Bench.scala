@@ -111,8 +111,13 @@ object Bench {
     // would silently produce invalid JSON
     def fmt(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val vFirst = results.toSeq.filter(_._1.startsWith("v_")) ++
-      results.toSeq.filterNot(_._1.startsWith("v_")).sortBy(-_._2)
+    // errored queries are excluded from the compact map entirely (they
+    // are already out of `value`): their partial wall times would be
+    // indistinguishable from successful measurements to a tail-window
+    // reader, and the names already appear in `errors`/error_count
+    val ok = results.toSeq.filterNot { case (k, _) => errors.contains(k) }
+    val vFirst = ok.filter(_._1.startsWith("v_")) ++
+      ok.filterNot(_._1.startsWith("v_")).sortBy(-_._2)
     val errsCompact = errors.take(2).map { case (k, v) =>
       "\"" + k + "\":\"" + v.take(60) + "\""
     }.mkString("{", ",", "}")

@@ -171,6 +171,20 @@ object Rehearsal {
       }
       emit(s"""{"scale":$scale,"stage":"pq_topk","input_rows":$nVecs,"output_rows":$nPq,"sec":$tPq}""")
 
+      // stored PQ-index legs: same build-once/search-many split for the
+      // vector side — the ADC search scans the stored CODE table (m
+      // small ints per vector, never the raw embeddings), so search cost
+      // scales with the code table, not with refit + corpus rewrite
+      val (_, tPqBuild) = timed {
+        Similarity.pqIndexWrite(vecs, s"rehearsal_pq_idx_$scale",
+          m = 4, ksub = 16)
+      }
+      val (nPqS, tPqSearch) = timed {
+        Similarity.pqSearchIndexed(spark, s"rehearsal_pq_idx_$scale",
+          vecs.filter(col("vec_id") < 10), k = 5, m = 4).count()
+      }
+      emit(s"""{"scale":$scale,"stage":"pq_index_stored_search","input_rows":$nVecs,"output_rows":$nPqS,"build_sec":$tPqBuild,"sec":$tPqSearch}""")
+
       // bigram-LM leg: replicas are (near-)identical, so the DISTINCT
       // bigram vocabulary stays ~base-sized while instance counts scale —
       // the map-side combine must absorb the duplication (count-table
@@ -212,6 +226,25 @@ object Rehearsal {
         Indexing.invertedIndex(docs, "doc_id", "text", 1024).count()
       }
       emit(s"""{"scale":$scale,"stage":"inverted_index","input_rows":$nDocs,"output_rows":$nIdx,"sec":$tIdx}""")
+
+      // stored text-index legs: build once (content-stamped), search
+      // many — the production split. Build cost may scale with the
+      // corpus; the SEARCH must answer from hash(term)-pruned buckets of
+      // the stored posting table (SelectedBucketsCount in the scan, no
+      // corpus leaf), touching the query terms' posting lists, not the
+      // corpus — per-search cost stays ~flat as the corpus scales
+      val (_, tIdxBuild) = timed {
+        Indexing.indexWrite(docs, s"rehearsal_text_idx_$scale",
+          numBuckets = 64)
+      }
+      val storedSearch = Indexing.searchIndexStored(spark,
+        s"rehearsal_text_idx_$scale",
+        terms = Seq("standard", "header", "generic"), k = 20)
+      val searchLeaves = storedSearch.queryExecution.executedPlan
+        .collectLeaves().map(_.toString).mkString("\n")
+      val bucketPruned = searchLeaves.contains("SelectedBucketsCount")
+      val (nIdxS, tIdxSearch) = timed { storedSearch.count() }
+      emit(s"""{"scale":$scale,"stage":"text_index_stored_search","input_rows":$nDocs,"output_rows":$nIdxS,"build_sec":$tIdxBuild,"sec":$tIdxSearch,"bucket_pruned":$bucketPruned}""")
 
       // set-similarity-join leg: the EXACT join's own output is
       // quadratic in per-group duplication (k identical docs MUST emit
@@ -280,6 +313,25 @@ object Rehearsal {
         graft.ops.Frequency.heavyHitters(keys, "k", divisor = 50L).count()
       }
       emit(s"""{"scale":$scale,"stage":"heavy_hitters","input_rows":${1000000L * scale},"output_rows":$nHh,"sec":$tHh}""")
+
+      // anti-correlated skyline leg: points on (and just under) the
+      // a+b+c ~ const simplex, duplicate-heavy — the documented worst
+      // case where local skylines approach partition size and the
+      // frontier is a large fraction of the distinct grid. 64 input
+      // partitions force the multi-round fan-in reduction (64 -> 2 -> 1
+      // at fanIn=32); the final task streams the candidates with kept
+      // state bounded by the DISTINCT frontier (duplicate compression in
+      // the sweep), which this leg sizes at ~grid cells, not input rows
+      val (nSky, tSky) = timed {
+        val n = 50000L * scale
+        val pts = spark.range(n).selectExpr("id",
+          "abs(xxhash64(id)) % 51 AS a", "abs(xxhash64(id * 31)) % 51 AS b",
+          "abs(xxhash64(id * 61)) % 3 AS e")
+          .selectExpr("id", "a", "b", "102 - a - b + e AS c")
+        graft.ops.Skyline.skylineND(pts.repartition(64), "id",
+          Seq("a", "b", "c")).count()
+      }
+      emit(s"""{"scale":$scale,"stage":"skyline_anticorr","input_rows":${50000L * scale},"output_rows":$nSky,"sec":$tSky}""")
 
       // k-core leg: a ring (every node degree 2) with one pendant spoke
       // per ring node — at k = 2 the spokes peel in round one and the

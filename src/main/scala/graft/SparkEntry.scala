@@ -1410,12 +1410,13 @@ object SparkEntry {
       // the whole case for ZORDER at 100 TB, in one query
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey").as("x"), col("l_suppkey").as("y"))
-      // bits=15 covers l_partkey up to sf ~0.17 (200k*SF keys); past
-      // that zValue now FAILS LOUDLY (per-row contract guard) instead of
-      // silently aliasing buckets — size bits to the key domain when
-      // laying out a real corpus
-      val z = graft.ops.Layout.zBucket(li, col("x"), col("y"),
-        bits = 15, log2Buckets = 6)
+      // interleave width sized FROM THE KEY DOMAIN (bit length of the
+      // max key, one driver-side agg) — a hard-coded bits=15 would
+      // raise_error past sf ~0.17 when l_partkey outgrows 15 bits; the
+      // oracle derives the identical width via length(bin(max)) and a
+      // static 31-bit unroll (wider interleaves only prepend zero terms)
+      val z = graft.ops.Layout.zBucketAdaptive(li, col("x"), col("y"),
+        log2Buckets = 6)
       val zm = graft.ops.Layout.zoneMaps(z, "zbucket", col("x"), col("y"))
         .withColumn("layout", lit("zorder"))
       val h = li.withColumn("hbucket", pmod(col("l_orderkey"), lit(64L)))
@@ -1616,6 +1617,23 @@ object SparkEntry {
             .as("last_day"))
       graft.ops.Skyline.skylineND(c, "id",
         Seq("n_orders", "cents", "last_day")).orderBy("id")
+    }),
+    "q_skyline_4d" -> ((s, dir) => {
+      // the 4-D frontier: q_skyline_3d's criteria plus customer TENURE
+      // (earliest first order, maximized as the negated first-order
+      // day) — exercises the general d-dimensional sweep and the
+      // declarative NOT EXISTS oracle at full dimensionality, where
+      // frontiers grow and the fan-in-bounded candidate reduction earns
+      // its keep
+      val day = "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') AS BIGINT)"
+      val c = t(s, dir, "orders").groupBy(col("o_custkey").as("id"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)"))
+            .as("cents"),
+          max(expr(day)).as("last_day"),
+          (-min(expr(day))).as("neg_first_day"))
+      graft.ops.Skyline.skylineND(c, "id",
+        Seq("n_orders", "cents", "last_day", "neg_first_day")).orderBy("id")
     }),
     "t_ann_rp" -> ((s, dir) => {
       // two-stage JL retrieval: 100-candidate shortlist in the 16-long
@@ -4201,13 +4219,22 @@ object SparkEntry {
         |  n_events
         |FROM iv ORDER BY user_id, seg""".stripMargin,
 
-    // Morton interleave replayed as the identical unrolled shift/mask sum
+    // Morton interleave replayed as the identical unrolled shift/mask
+    // sum. The Spark side sizes the interleave to the key domain
+    // (zBucketAdaptive: bits = bit length of the max key, min 3); here
+    // the unroll is a STATIC 31-bit interleave — numerically identical,
+    // since wider interleaves only prepend zero terms — and the bucket
+    // shift re-derives the same domain width as a scalar subquery:
+    // 2*greatest(length(bin(max key)), 3) - log2Buckets
     "t_zorder" -> {
-      val z = graft.ops.Layout.zValueSql("x", "y", 15)
+      val z = graft.ops.Layout.zValueSql("x", "y", 31)
       s"""WITH li AS (
          |  SELECT l_orderkey, l_partkey AS x, l_suppkey AS y FROM lineitem
          |), zb AS (
-         |  SELECT x, y, CAST($z AS BIGINT) >> 24 AS bucket FROM li
+         |  SELECT x, y, CAST($z AS BIGINT) >>
+         |    (2 * (SELECT greatest(length(bin(greatest(max(x), max(y)))), 3)
+         |          FROM li) - 6) AS bucket
+         |  FROM li
          |), hb AS (
          |  SELECT x, y, l_orderkey % 64 AS bucket FROM li
          |), zm AS (
@@ -4515,6 +4542,23 @@ object SparkEntry {
         |    AND b.last_day >= a.last_day
         |    AND (b.n_orders > a.n_orders OR b.cents > a.cents
         |         OR b.last_day > a.last_day))
+        |ORDER BY id""".stripMargin,
+
+    "q_skyline_4d" ->
+      """WITH c AS (
+        |  SELECT o_custkey AS id, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(MAX(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT) AS last_day,
+        |    CAST(-MIN(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT) AS neg_first_day
+        |  FROM orders GROUP BY o_custkey
+        |)
+        |SELECT id, n_orders, cents, last_day, neg_first_day FROM c a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM c b
+        |  WHERE b.n_orders >= a.n_orders AND b.cents >= a.cents
+        |    AND b.last_day >= a.last_day AND b.neg_first_day >= a.neg_first_day
+        |    AND (b.n_orders > a.n_orders OR b.cents > a.cents
+        |         OR b.last_day > a.last_day OR b.neg_first_day > a.neg_first_day))
         |ORDER BY id""".stripMargin,
 
     // exact heavy hitters: the Misra-Gries candidate pass is a proven

@@ -277,15 +277,25 @@ object Frequency {
       return keys.groupBy("k").agg(count(lit(1)).as("cnt"))
         .select(col("k").as("key"), col("cnt"))
     }
+    // nomination/acceptance thresholds as driver-side ceiling divisions:
+    // `ub*divisor*p >= n` and `cnt*divisor >= n` are equivalent to
+    // `ub >= ceil(n/(divisor*p))` / `cnt >= ceil(n/divisor)` for
+    // integers, and the rearranged form cannot overflow — the Column
+    // products run in non-ANSI Long arithmetic, where divisor*p near the
+    // Int.MaxValue cap times a partition-sized ub would silently wrap
+    // and DROP true heavy hitters (the require above only guards the
+    // map capacity, not this product)
+    val nomThresh = (n + divisor * p - 1) / (divisor * p)
+    val cntThresh = (n + divisor - 1) / divisor
     // materialize the (candidate-sized) nomination before dropping the
     // cached summary — a lazy unpersist would silently re-run the MG scan
     val cands = summary
-      .filter(col("k").isNotNull && col("ub") * divisor * p >= n)
+      .filter(col("k").isNotNull && col("ub") >= nomThresh)
       .select("k").distinct().localCheckpoint(true)
     summary.unpersist()
     keys.join(broadcast(cands), Seq("k"), "left_semi")
       .groupBy("k").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") * divisor >= n)
+      .filter(col("cnt") >= cntThresh)
       .select(col("k").as("key"), col("cnt"))
   }
 

@@ -74,6 +74,34 @@ object Layout {
       .withColumn("zbucket", shiftright(col("zval"), 2 * bits - log2Buckets))
   }
 
+  /** [[zBucket]] with the interleave width derived from the DATA: one
+    * driver-side (max x, max y) aggregate sizes `bits` as the bit length
+    * of the larger key (clamped so `2*bits >= log2Buckets`), removing
+    * the scale trap of a hard-coded width — a fixed bits=15 raise_errors
+    * the moment the key domain outgrows it (a scale-dependent crash
+    * embedded in the caller), while a fixed-huge width parks every small
+    * key in bucket 0. The max scan is column-pruned and map-combined —
+    * at 100 TB it is one cheap pass, the same driver-scalar discipline
+    * as the centroid counts.
+    *
+    * Exactly replayable: bit length = `length(bin(maxKey))` on any
+    * engine, and since a WIDER interleave only prepends zero terms
+    * (z_31 == z_bits numerically for keys inside the domain), an oracle
+    * can compute z with a static 31-bit unroll and shift by the same
+    * data-derived amount. */
+  def zBucketAdaptive(df: DataFrame, x: Column, y: Column,
+      log2Buckets: Int): DataFrame = {
+    require(log2Buckets >= 0)
+    val minBits = math.max(1, (log2Buckets + 1) / 2)
+    val mx = df.agg(greatest(
+      coalesce(max(x).cast(LongType), lit(0L)),
+      coalesce(max(y).cast(LongType), lit(0L))).as("m")).head().getLong(0)
+    require(mx < (1L << 31),
+      s"zBucketAdaptive: key domain max $mx exceeds the 31-bit interleave budget")
+    val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(math.max(mx, 1L))
+    zBucket(df, x, y, math.max(bitlen, minBits), log2Buckets)
+  }
+
   /** Per-bucket zone maps (count + min/max of both interleaved columns)
     * for a given bucket assignment — the statistics a scan planner would
     * consult to skip files. One keyed aggregate; output is bucket-count

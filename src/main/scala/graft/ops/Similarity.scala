@@ -113,20 +113,24 @@ object Similarity {
     * Engine-exactness: components are q24-quantized FIRST (one IEEE
     * multiply+add+floor each — fold-free), then everything is +-1 BIGINT
     * sums whose order cannot matter; the matrix is splitmix64-derived at
-    * PLAN time and inlined into the expression on both engines. Scale:
-    * a pure projection — zero shuffles, whole-stage codegen'd (outDim x
-    * dim add/subtract terms), no UDF. */
+    * PLAN time and passed to the expression on both engines. Scale: a
+    * pure projection — zero shuffles, no UDF, ONE fused two-loop codegen
+    * expression ([[graft.functions.SignedProjection]]) whose generated
+    * Java is constant-size in (dim, outDim): the earlier unrolled
+    * outDim x dim column-term form compiled ~4 s of janino at 16x64 and
+    * would pass the 64KB method limit at real embedding widths. */
   def randomProjection(corpus: DataFrame, dim: Int, outDim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(dim >= 1 && outDim >= 1)
-    val projCols = (0 until outDim).map { j =>
-      (0 until dim).map { i =>
-        val e = element_at(col("__qv"), i + 1)
-        if (projSign(j, i) > 0) e else -e
-      }.reduce(_ + _).as(s"p$j")
-    }
-    corpus.select(col(idCol), q24Vec(col(vecCol)).as("__qv"))
-      .select(col(idCol) +: projCols: _*)
+    val signs = Array.tabulate(outDim * dim)(k => projSign(k / dim, k % dim))
+    val proj = graft.functions.exprColumn(graft.functions.SignedProjection(
+      graft.functions.columnExpr(col(vecCol)), dim, outDim, signs))
+    // two selects: the array materializes once, the p_j extraction is a
+    // cheap per-element read (CollapseProject never inlines a non-cheap
+    // multi-referenced producer, pinned in Round10OpsSpec)
+    corpus.select(col(idCol), proj.as("__p"))
+      .select(col(idCol) +: (0 until outDim).map(j =>
+        element_at(col("__p"), j + 1).as(s"p$j")): _*)
   }
 
   /** The projection as ANSI SQL select-expressions over a BIGINT-list

@@ -29,6 +29,31 @@ import org.apache.spark.sql.functions._
   * above) — so a plain declarative replay is a valid oracle. */
 object Skyline {
 
+  /** Refuse-over-silently-wrong: the sweeps compare LONGS, so a
+    * non-integral id or dimension would cast to null and produce a wrong
+    * frontier with null ids instead of an error — the same contract
+    * `Indexing.globalRunningSum` enforces. Pre-scale floats to integer
+    * units (cents, ppm) first. */
+  private def requireIntegral(df: DataFrame, cols: Seq[String], op: String): Unit = {
+    import org.apache.spark.sql.types._
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
+        s"$op needs integral columns; '$c' is ${dt.simpleString} — " +
+          "pre-scale to integer units")
+    }
+  }
+
+  /** Geometric fan-in of the candidate-reduction rounds: each round
+    * shuffles the surviving candidates into `parts/fanIn` tasks and
+    * re-sweeps, so no single task ever ingests more than ~fanIn local
+    * skylines — the guard for high-d/anti-correlated data where local
+    * skylines approach partition size and a direct `repartition(1)`
+    * final sweep would funnel an input-sized candidate set through one
+    * task. At <= fanIn input partitions this degenerates to exactly the
+    * old single final sweep. */
+  private val fanIn = 32
+
   /** One (x desc, y desc, id) sorted sweep emitting the non-dominated
     * rows: bestY carries the max y over STRICTLY-greater x; within an
     * x-group only rows tying the group max y survive, and exact (x, y)
@@ -73,7 +98,14 @@ object Skyline {
       : Iterator[(Long, Seq[Long])] = {
     val kept = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
     it.flatMap { case r @ (_, v) =>
-      if (kept.exists(k => dominates(k, v))) None
+      // exact duplicates sort ADJACENT (dims-desc lex, id tie-break), all
+      // survive (no strict inequality), and have identical dominance
+      // power — emit them without re-appending, so the kept buffer holds
+      // one entry per DISTINCT frontier vector: in duplicate-heavy
+      // anti-correlated data that is the difference between
+      // O(input)-sized and O(distinct-frontier)-sized per-task state
+      if (kept.nonEmpty && kept.last == v) Some(r)
+      else if (kept.exists(k => dominates(k, v))) None
       else { kept += v; Some(r) }
     }
   }
@@ -89,22 +121,29 @@ object Skyline {
   def skylineND(df: DataFrame, idCol: String, dimCols: Seq[String])
       : DataFrame = {
     require(dimCols.nonEmpty, "need at least one dimension")
+    requireIntegral(df, idCol +: dimCols, "skylineND")
     val spark = df.sparkSession
     import spark.implicits._
     val packed = df.select(col(idCol).cast("long").as("_1"),
         array(dimCols.map(c => col(c).cast("long")): _*).as("_2"))
       .as[(Long, Seq[Long])]
-    val local = packed
+    var cur = packed
       .sortWithinPartitions(col("_2").desc, col("_1"))
       .mapPartitions(sfsSweep)
-    // the final sweep runs over the CANDIDATE set (sum of local skyline
-    // sizes — O(partitions x skyline)), not the input; same bound
-    // argument as skyline2D's repartition(1)
-    val global = local
-      .repartition(1)
-      .sortWithinPartitions(col("_2").desc, col("_1"))
-      .mapPartitions(sfsSweep)
-    global.select(col("_1").as(idCol) +:
+    // candidate reduction: every round shuffles only SURVIVORS (sum of
+    // local skyline sizes), dominance pruning between rounds keeps any
+    // one task's inflow at ~fanIn local skylines — sound at every round
+    // by transitivity (the same losslessness argument as the local
+    // sweeps), and a single repartition(1) round when partitions <= fanIn
+    var parts = math.max(packed.rdd.getNumPartitions, 1)
+    while (parts > 1) {
+      parts = math.max(1, parts / fanIn)
+      cur = cur
+        .repartition(parts)
+        .sortWithinPartitions(col("_2").desc, col("_1"))
+        .mapPartitions(sfsSweep)
+    }
+    cur.select(col("_1").as(idCol) +:
       dimCols.zipWithIndex.map { case (c, i) =>
         col("_2").getItem(i).as(c) }: _*)
   }
@@ -113,6 +152,7 @@ object Skyline {
     * `idCol` rides along. Output: (id, x, y), the exact frontier. */
   def skyline2D(df: DataFrame, idCol: String, xCol: String, yCol: String)
       : DataFrame = {
+    requireIntegral(df, Seq(idCol, xCol, yCol), "skyline2D")
     val spark = df.sparkSession
     import spark.implicits._
     val rows: Dataset[(Long, Long, Long)] = df.select(
@@ -120,13 +160,20 @@ object Skyline {
         col(yCol).cast("long"))
       .toDF("_1", "_2", "_3")
       .as[(Long, Long, Long)]
-    val local = rows
+    var cur = rows
       .sortWithinPartitions(col("_2").desc, col("_3").desc, col("_1"))
       .mapPartitions(sweep)
-    val global = local
-      .repartition(1)
-      .sortWithinPartitions(col("_2").desc, col("_3").desc, col("_1"))
-      .mapPartitions(sweep)
-    global.toDF(idCol, xCol, yCol)
+    // same fan-in-bounded candidate reduction as skylineND (the 2-D
+    // sweep streams with O(1) state, so here it bounds per-task inflow
+    // volume rather than memory)
+    var parts = math.max(rows.rdd.getNumPartitions, 1)
+    while (parts > 1) {
+      parts = math.max(1, parts / fanIn)
+      cur = cur
+        .repartition(parts)
+        .sortWithinPartitions(col("_2").desc, col("_3").desc, col("_1"))
+        .mapPartitions(sweep)
+    }
+    cur.toDF(idCol, xCol, yCol)
   }
 }

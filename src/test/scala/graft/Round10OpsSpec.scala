@@ -108,6 +108,111 @@ class Round10OpsSpec extends AnyFunSuite with SparkSpec {
     assert(bad.isEmpty, bad.collect().take(5).mkString("\n"))
   }
 
+  // ---- fused signed projection -------------------------------------------
+
+  test("SignedProjection equals the unrolled element_at form (incl. null " +
+      "element, short array, extra elements) and materializes once") {
+    import graft.functions.{exprColumn, columnExpr, q24Vec, SignedProjection}
+    import graft.ops.Similarity
+    val dim = 8; val outDim = 4
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 100).map(i => (i.toLong,
+      Seq.fill(dim)(java.lang.Float.valueOf((rnd.nextDouble() * 2 - 1).toFloat)))) ++
+      Seq(
+        (201L, null),
+        (202L, Seq.fill(dim - 1)(java.lang.Float.valueOf(0.5f))), // short
+        (203L, Seq.fill(dim + 3)(java.lang.Float.valueOf(0.5f))), // extra
+        (204L, Seq.tabulate(dim)(k => if (k == 2) null
+          else java.lang.Float.valueOf(0.25f)))) // null element
+    val df = rows.toDF("id", "v")
+    // the unrolled reference: q24 per element, +-1 sum via element_at
+    val signs = Array.tabulate(outDim * dim)(k =>
+      Similarity.projSign(k / dim, k % dim))
+    val unrolled = (0 until outDim).map { j =>
+      (0 until dim).map { i =>
+        val e = element_at(q24Vec(col("v")), i + 1)
+        if (signs(j * dim + i) > 0) e else -e
+      }.reduce(_ + _).as(s"r$j")
+    }
+    val fusedCol = exprColumn(SignedProjection(columnExpr(col("v")),
+      dim, outDim, signs))
+    val both = df.select(col("id") +: fusedCol.as("p") +: unrolled: _*)
+    val bad = both.filter((0 until outDim)
+      .map(j => !(element_at(col("p"), j + 1) <=> col(s"r$j")))
+      .reduce(_ || _))
+    assert(bad.isEmpty, bad.collect().take(5).mkString("\n"))
+    // plan pin: the projection must evaluate ONCE per row — a
+    // CollapseProject regression would inline it into every p_j column
+    // spark.range input: a local Seq would constant-fold to a
+    // LocalTableScan and hide the projection from the plan entirely
+    val rp = Similarity.randomProjection(
+      spark.range(100).selectExpr("id AS vec_id",
+        s"transform(sequence(0, ${dim - 1}), " +
+          "j -> CAST((id * 7 + j) % 13 AS FLOAT) / 13.0) AS embedding"),
+      dim, outDim)
+    val planStr = rp.queryExecution.executedPlan.toString
+    val occurrences = "signed_projection".r.findAllIn(planStr).size
+    assert(occurrences == 1,
+      s"signed_projection must appear exactly once, saw $occurrences:\n$planStr")
+  }
+
+  // ---- round-10 contract guards ------------------------------------------
+
+  test("skyline operators refuse non-integral id/dim columns instead of " +
+      "silently casting to null") {
+    import graft.ops.Skyline
+    val bad = Seq((1L, 2.5, 3L)).toDF("id", "x", "y")
+    intercept[IllegalArgumentException](Skyline.skyline2D(bad, "id", "x", "y"))
+    intercept[IllegalArgumentException](Skyline.skylineND(bad, "id", Seq("x", "y")))
+    val badId = Seq(("a", 2L, 3L)).toDF("id", "x", "y")
+    intercept[IllegalArgumentException](Skyline.skyline2D(badId, "id", "x", "y"))
+  }
+
+  test("skylineND multi-round candidate reduction (>fanIn partitions) " +
+      "still equals brute force, including anti-correlated data") {
+    import graft.ops.Skyline
+    def brute(rows: Seq[(Long, Seq[Long])]): Set[Long] =
+      rows.filter { case (_, a) =>
+        !rows.exists { case (_, b) =>
+          a.indices.forall(i => b(i) >= a(i)) && a.indices.exists(i => b(i) > a(i))
+        }
+      }.map(_._1).toSet
+    val rnd = new scala.util.Random(11)
+    // anti-correlated: points near the plane x+y+z = const, where local
+    // skylines approach partition size — the case the fan-in rounds exist
+    // for
+    val anti = (1L to 300L).map { i =>
+      val a = rnd.nextInt(100).toLong; val b = rnd.nextInt(100 - a.toInt).toLong
+      (i, Seq(a, b, 99L - a - b + rnd.nextInt(3)))
+    }
+    // 64 partitions > fanIn=32 forces a two-round reduction
+    val df = anti.map { case (id, v) => (id, v(0), v(1), v(2)) }
+      .toDF("id", "a", "b", "c").repartition(64)
+    val got = Skyline.skylineND(df, "id", Seq("a", "b", "c"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == brute(anti))
+    // 2-D path through the same multi-round shape
+    val got2 = Skyline.skyline2D(df, "id", "a", "b")
+      .collect().map(_.getLong(0)).toSet
+    assert(got2 == brute(anti.map { case (id, v) => (id, v.take(2)) }))
+  }
+
+  test("zBucketAdaptive sizes the interleave from the key domain: same " +
+      "buckets as a hand-sized zBucket, no raise_error past 15-bit keys") {
+    import graft.ops.Layout
+    // keys spread up past 2^15 — the old hard-coded bits=15 would
+    // raise_error on the larger ones
+    val df = spark.range(0L, 512L)
+      .selectExpr("id * 129 AS x", "CAST((id * 129) % 1024 AS BIGINT) AS y")
+    val adaptive = Layout.zBucketAdaptive(df, col("x"), col("y"), log2Buckets = 6)
+      .select("x", "zbucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // max key is 2^16+511 -> bit length 17
+    val manual = Layout.zBucket(df, col("x"), col("y"), bits = 17, log2Buckets = 6)
+      .select("x", "zbucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(adaptive == manual)
+    assert(adaptive.values.toSet.size > 1, "buckets must not collapse")
+  }
+
   // ---- content-stamped stored-index idempotence --------------------------
 
   /** newest file mtime under a warehouse table directory — a rebuild
