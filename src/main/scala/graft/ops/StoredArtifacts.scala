@@ -28,7 +28,16 @@ private[ops] object StoredArtifacts {
   /** Deterministic content stamp of the index input: (row count,
     * wrap-around sum of xxhash64(id)). Sum, not a fold: associative and
     * order-independent, so partitioning can never perturb it; xxhash64
-    * is Spark's stable seed-42 hash, identical across sessions. */
+    * is Spark's stable seed-42 hash, identical across sessions.
+    *
+    * Contract: the stamp detects membership changes (rows added/removed,
+    * ids changed) and parameter changes — NOT an in-place edit of a
+    * row's payload under an unchanged id. That is deliberate: hashing
+    * payloads would scan the text/embedding column (at 100 TB, the
+    * corpus) on every call, defeating the skip. Corpora with stable ids
+    * are append-only in practice; a caller that mutates payloads in
+    * place must force a rebuild by changing a parameter or dropping
+    * `{name}_meta`. */
   def stamp(df: DataFrame, idCol: String): (Long, Long) = {
     val r = df.agg(count(lit(1)).as("n"),
       sum(xxhash64(col(idCol))).as("h")).head()
