@@ -49,7 +49,17 @@ object Graph {
     require(edges.schema(srcCol).dataType == edges.schema(dstCol).dataType,
       "endpoint columns must share a type (node ids keep their native " +
         "type — integer keys shuffle ~2x leaner than stringified ones)")
+    // materialize the caller's edge subtree ONCE, hash-partitioned on
+    // the source key: an arbitrary edge-construction plan (joins,
+    // distincts) would otherwise re-execute for each of its three
+    // consumers here (nodes, degrees, eDeg), and the cached edge mass
+    // would re-shuffle in EVERY iteration's rank join — partitioned on
+    // __src, the degree aggregate, the degree join and each iteration's
+    // rank join all cluster on the cached layout with no further
+    // exchange of anything edge-sized (the per-iteration shuffles that
+    // remain are the rank-sized contribution aggregate, unavoidable)
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .repartition(col("__src")).persist()
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node"))).distinct()
       .persist()
@@ -88,6 +98,7 @@ object Graph {
     ranks.unpersist()
     eDeg.unpersist()
     nodes.unpersist()
+    e.unpersist()
     out
   }
 
