@@ -325,6 +325,35 @@ class Round10OpsSpec extends AnyFunSuite with SparkSpec {
       .orderBy("query_id", "rank").collect().toSeq == pqExpected)
   }
 
+  test("fused kernels equal the compositional forms across random dims " +
+      "(1..64) and budget-edge magnitudes (|x| up to 2)") {
+    import graft.functions._
+    val rnd = new scala.util.Random(101)
+    for (trial <- 1 to 8) {
+      val dim = rnd.nextInt(64) + 1
+      // amp 2.0 drives |q24| to ~2^25 — the documented component budget
+      // ceiling, where the DECIMAL(38,0) three-limb form sits closest to
+      // its 38-digit headroom (dot^2 * 10^4 ~ 5e37)
+      val amp = if (trial % 2 == 0) 2.0 else 1.0 / (trial + 1)
+      def vec() = Seq.fill(dim)(
+        java.lang.Float.valueOf(((rnd.nextDouble() * 2 - 1) * amp).toFloat))
+      val df = (1 to 60).map(i => (i.toLong, vec(), vec())).toDF("id", "a", "b")
+        .withColumn("qa", q24Vec(col("a"))).withColumn("qb", q24Vec(col("b")))
+      val bad = df
+        .withColumn("k_ref", intCosRankKey(col("qa"), col("qb")))
+        .withColumn("k_fused", intCosRankKeyFused(col("a"), col("b")))
+        .withColumn("g_ref", intCosineGte(col("qa"), col("qb"), 95, 100))
+        .withColumn("g_fused", intCosineGteFused(col("a"), col("b"), 95, 100))
+        .withColumn("d_ref", intSqDist(col("qa"), col("qb")))
+        .withColumn("d_fused", intSqDistFused(col("a"), col("b")))
+        .filter(!(col("k_ref") <=> col("k_fused")) ||
+          !(col("g_ref") <=> col("g_fused")) ||
+          !(col("d_ref") <=> col("d_fused")))
+      assert(bad.isEmpty,
+        s"trial $trial dim=$dim amp=$amp:\n" + bad.collect().take(3).mkString("\n"))
+    }
+  }
+
   test("fused kernels survive the interpreted (non-codegen) path with " +
       "identical results") {
     import graft.functions.{intCosRankKey, intCosRankKeyFused, q24Vec}
