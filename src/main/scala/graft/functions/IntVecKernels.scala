@@ -35,10 +35,71 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType,
   * under 2^57.
   *
   * Null semantics mirror the compositional forms exactly (property-
-  * spec'd): null array, length mismatch, or null element -> null.
+  * spec'd): for [[IntCosRankKey]]/[[IntSqDist]], null array, length
+  * mismatch, or null element -> null; [[IntCosGte]] replicates the full
+  * three-valued And of its conjunction (a zero-norm side -> FALSE even
+  * alongside a null/mismatched other side).
   */
 object IntVecKernels {
   final val E12: BigInteger = BigInteger.valueOf(1000000000000L)
+
+  /** Quantized component load shared by the kernels' static helpers:
+    * kind 0 = float (q24-quantize), 1 = double (quantize), 2 = long
+    * (already quantized). */
+  def qLoad(a: ArrayData, kind: Int, i: Int): Long = kind match {
+    case 0 => math.floor(a.getFloat(i).toDouble * 16777216.0 + 0.5).toLong
+    case 1 => math.floor(a.getDouble(i) * 16777216.0 + 0.5).toLong
+    case _ => a.getLong(i)
+  }
+
+  /** Squared norm of one side, or Long.MinValue when a null element
+    * makes it SQL-null (a norm is a sum of squares, never negative, so
+    * the sentinel cannot collide with a real value). */
+  def normOrNull(a: ArrayData, kind: Int): Long = {
+    val n = a.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return Long.MinValue
+      val x = qLoad(a, kind, i)
+      s += x * x
+      i += 1
+    }
+    s
+  }
+
+  /** Dot product when the caller has already established equal lengths
+    * and no null elements (via [[normOrNull]] on both sides). */
+  def dotStrict(a: ArrayData, ka: Int, b: ArrayData, kb: Int): Long = {
+    val n = a.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += qLoad(a, ka, i) * qLoad(b, kb, i)
+      i += 1
+    }
+    s
+  }
+
+  /** The full three-valued `dot >= 0 AND na > 0 AND nb > 0 AND cmp`
+    * over possibly-null sides — EXACTLY Spark's And over the
+    * compositional conjunction, including the corners where one
+    * conjunct is FALSE while another is NULL (e.g. a zero-norm side
+    * with a length mismatch -> FALSE, not NULL): 0 = false, 1 = true,
+    * 2 = null. `l`/`r` may be SQL-null. */
+  def cosGteTri(l: ArrayData, lKind: Int, r: ArrayData, rKind: Int,
+      tn: Long, td: Long): Byte = {
+    val na = if (l == null) Long.MinValue else normOrNull(l, lKind)
+    val nb = if (r == null) Long.MinValue else normOrNull(r, rKind)
+    val dotNull = na == Long.MinValue || nb == Long.MinValue ||
+      l.numElements() != r.numElements()
+    val dot = if (dotNull) 0L else dotStrict(l, lKind, r, rKind)
+    if ((na != Long.MinValue && na == 0L) ||
+        (nb != Long.MinValue && nb == 0L) ||
+        (!dotNull && dot < 0L)) 0
+    else if (na == Long.MinValue || nb == Long.MinValue || dotNull) 2
+    else if (cosGte(dot, na, nb, tn, td)) 1 else 0
+  }
 
   /** sign(dot) * floor(dot^2 * 10^12 / (na*nb)) — the identical integer
     * the three-limb base-10^4 DECIMAL(38,0) long division of
@@ -182,10 +243,16 @@ case class IntCosRankKey(left: Expression, right: Expression)
 }
 
 /** Fused [[graft.functions.intCosineGte]]: the exact integer
-  * `cosine(a,b) >= tn/td` threshold test as one loop + one 128-bit
-  * comparison. Zero-norm vectors -> false (cosine undefined -> no
-  * match); null array / length mismatch / null element -> null —
-  * identical to the compositional conjunction (property-spec'd). */
+  * `cosine(a,b) >= tn/td` threshold test in one pass per pair.
+  *
+  * Null semantics are the full THREE-VALUED And of the compositional
+  * conjunction `dot >= 0 && na > 0 && nb > 0 && cmp` — including the
+  * corners where one conjunct is FALSE while another is NULL: a
+  * zero-norm side forces FALSE even when the other side is a null
+  * array, has a null element, or mismatches in length (Spark's
+  * `null && false` is false). Property-spec'd against the Column form
+  * over every combined edge. The loops live in the static
+  * [[IntVecKernels]] helpers shared between eval and codegen. */
 case class IntCosGte(left: Expression, right: Expression, tn: Int, td: Int)
     extends BinaryExpression with QuantizedVecKernel {
   require(tn > 0 && td > 0 && tn <= 500 && td <= 500,
@@ -198,55 +265,26 @@ case class IntCosGte(left: Expression, right: Expression, tn: Int, td: Int)
   override def eval(input: InternalRow): Any = {
     val l = left.eval(input)
     val r = right.eval(input)
-    if (l == null || r == null) return null
-    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = a.numElements()
-    if (n != b.numElements()) return null
-    var dot = 0L; var na = 0L; var nb = 0L
-    var i = 0
-    while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = qElem(a, leftKind, i); val y = qElem(b, rightKind, i)
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    java.lang.Boolean.valueOf(
-      IntVecKernels.cosGte(dot, na, nb, tn.toLong, td.toLong))
+    val tri = IntVecKernels.cosGteTri(
+      if (l == null) null else l.asInstanceOf[ArrayData], leftKind,
+      if (r == null) null else r.asInstanceOf[ArrayData], rightKind,
+      tn.toLong, td.toLong)
+    if (tri == 2) null else java.lang.Boolean.valueOf(tri == 1)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lg = left.genCode(ctx); val rg = right.genCode(ctx)
-    val a = ctx.freshName("aArr"); val b = ctx.freshName("bArr")
-    val n = ctx.freshName("n"); val i = ctx.freshName("i")
-    val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
-    val nb = ctx.freshName("nb"); val bad = ctx.freshName("nullElem")
-    val x = ctx.freshName("x"); val y = ctx.freshName("y")
+    val tri = ctx.freshName("tri")
     ev.copy(code =
       code"""
         ${lg.code}
         ${rg.code}
-        boolean ${ev.isNull} = true;
-        boolean ${ev.value} = false;
-        if (!${lg.isNull} && !${rg.isNull}) {
-          org.apache.spark.sql.catalyst.util.ArrayData $a = ${lg.value};
-          org.apache.spark.sql.catalyst.util.ArrayData $b = ${rg.value};
-          int $n = $a.numElements();
-          if ($n == $b.numElements()) {
-            long $dot = 0L; long $na = 0L; long $nb = 0L;
-            boolean $bad = false;
-            for (int $i = 0; $i < $n; $i++) {
-              if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
-              long $x = ${qElemCode(a, leftKind, i)};
-              long $y = ${qElemCode(b, rightKind, i)};
-              $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
-            }
-            if (!$bad) {
-              ${ev.isNull} = false;
-              ${ev.value} = graft.functions.IntVecKernels.cosGte(
-                $dot, $na, $nb, ${tn.toLong}L, ${td.toLong}L);
-            }
-          }
-        }
+        byte $tri = graft.functions.IntVecKernels.cosGteTri(
+          ${lg.isNull} ? null : ${lg.value}, $leftKind,
+          ${rg.isNull} ? null : ${rg.value}, $rightKind,
+          ${tn.toLong}L, ${td.toLong}L);
+        boolean ${ev.isNull} = ($tri == (byte) 2);
+        boolean ${ev.value} = ($tri == (byte) 1);
       """)
   }
 

@@ -208,8 +208,11 @@ object Indexing {
     * matching stamp skips the tokenize + index + write entirely
     * (re-registering the surviving warehouse directories when a fresh
     * session's catalog forgot them — bucket spec restored by DDL), so
-    * repeated runs measure search, not build; any change to the corpus
-    * or the build parameters rebuilds (spec-pinned in Round10OpsSpec).
+    * repeated runs measure search, not build; a membership or parameter
+    * change rebuilds (spec-pinned in Round10OpsSpec). As with the PQ
+    * index, the stamp is membership + params, not payload — in-place
+    * text edits under unchanged doc ids require forcing the rebuild
+    * (see `StoredArtifacts.stamp`).
     *
     * Returns the recorded corpus size. */
   def indexWrite(docs: DataFrame, name: String, blockSize: Int = 1024,

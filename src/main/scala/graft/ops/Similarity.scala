@@ -580,9 +580,12 @@ object Similarity {
     * a fresh session whose catalog forgot the tables — the surviving
     * warehouse directories are re-registered (bucket spec restored by
     * DDL). A repeated run therefore measures search, not fit; a stamp
-    * mismatch (new rows, new ids, new params) rebuilds from scratch, so
-    * a stale index never silently answers for changed data
-    * (rebuild-on-stale is spec-pinned in Round10OpsSpec). */
+    * mismatch (new rows, new ids, new params) rebuilds from scratch
+    * (rebuild-on-stale is spec-pinned in Round10OpsSpec). The stamp is
+    * MEMBERSHIP + params, deliberately not payload (see
+    * `StoredArtifacts.stamp`): a caller that mutates embeddings in
+    * place under unchanged ids must force the rebuild by changing a
+    * parameter or dropping `{name}_meta`. */
   def pqIndexWrite(corpus: DataFrame, name: String, m: Int = 4,
       ksub: Int = 16, numBuckets: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {

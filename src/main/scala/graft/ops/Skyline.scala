@@ -54,6 +54,12 @@ object Skyline {
     * old single final sweep. */
   private val fanIn = 32
 
+  /** Partition-count estimate for sizing the reduction rounds, read
+    * from session conf so building the plan never executes it. */
+  private def reductionParts(spark: org.apache.spark.sql.SparkSession): Int =
+    try spark.conf.get("spark.sql.shuffle.partitions").toInt
+    catch { case _: Exception => spark.sparkContext.defaultParallelism }
+
   /** One (x desc, y desc, id) sorted sweep emitting the non-dominated
     * rows: bestY carries the max y over STRICTLY-greater x; within an
     * x-group only rows tying the group max y survive, and exact (x, y)
@@ -134,8 +140,15 @@ object Skyline {
     // local skyline sizes), dominance pruning between rounds keeps any
     // one task's inflow at ~fanIn local skylines — sound at every round
     // by transitivity (the same losslessness argument as the local
-    // sweeps), and a single repartition(1) round when partitions <= fanIn
-    var parts = math.max(packed.rdd.getNumPartitions, 1)
+    // sweeps), and a single repartition(1) round when partitions <= fanIn.
+    // The round count derives from the session's shuffle-partition conf,
+    // NOT from packed.rdd.getNumPartitions: reading the RDD of an AQE
+    // plan finalizes it, eagerly EXECUTING the upstream shuffles once
+    // for the partition count and again in the real query — the plan
+    // stays fully lazy this way, at the cost of the estimate missing an
+    // unusually wide raw-scan input (still bounded: that only widens the
+    // FIRST round's fan-in, and conf partitions track cluster scale)
+    var parts = math.max(reductionParts(spark), 1)
     while (parts > 1) {
       parts = math.max(1, parts / fanIn)
       cur = cur
@@ -165,8 +178,8 @@ object Skyline {
       .mapPartitions(sweep)
     // same fan-in-bounded candidate reduction as skylineND (the 2-D
     // sweep streams with O(1) state, so here it bounds per-task inflow
-    // volume rather than memory)
-    var parts = math.max(rows.rdd.getNumPartitions, 1)
+    // volume rather than memory); same lazy conf-derived round count
+    var parts = math.max(reductionParts(spark), 1)
     while (parts > 1) {
       parts = math.max(1, parts / fanIn)
       cur = cur

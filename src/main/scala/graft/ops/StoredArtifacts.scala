@@ -25,10 +25,16 @@ import org.apache.spark.sql.functions._
   */
 private[ops] object StoredArtifacts {
 
-  /** Deterministic content stamp of the index input: (row count,
-    * wrap-around sum of xxhash64(id)). Sum, not a fold: associative and
-    * order-independent, so partitioning can never perturb it; xxhash64
-    * is Spark's stable seed-42 hash, identical across sessions.
+  /** Deterministic content stamp of the index input: (row count, exact
+    * DECIMAL(38,0) sum of xxhash64(id), as a string). Sum, not a fold:
+    * associative and order-independent, so partitioning can never
+    * perturb it; xxhash64 is Spark's stable seed-42 hash, identical
+    * across sessions. The sum accumulates in DECIMAL(38,0) — |hash| <
+    * 2^63 times any corpus under ~10^18 rows stays inside 38 digits —
+    * because a BIGINT sum of uniform hashes overflows almost surely,
+    * which is silent wrap-around in legacy mode but an
+    * ARITHMETIC_OVERFLOW crash under ANSI mode (Spark 4's default);
+    * the op library must stamp identically in either mode.
     *
     * Contract: the stamp detects membership changes (rows added/removed,
     * ids changed) and parameter changes — NOT an in-place edit of a
@@ -38,10 +44,11 @@ private[ops] object StoredArtifacts {
     * are append-only in practice; a caller that mutates payloads in
     * place must force a rebuild by changing a parameter or dropping
     * `{name}_meta`. */
-  def stamp(df: DataFrame, idCol: String): (Long, Long) = {
+  def stamp(df: DataFrame, idCol: String): (Long, String) = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val r = df.agg(count(lit(1)).as("n"),
-      sum(xxhash64(col(idCol))).as("h")).head()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      sum(xxhash64(col(idCol)).cast(dec)).cast("string").as("h")).head()
+    (r.getLong(0), if (r.isNullAt(1)) "0" else r.getString(1))
   }
 
   /** `saveAsTable` lowercases identifiers, so the warehouse directory is
@@ -90,7 +97,7 @@ private[ops] object StoredArtifacts {
     * this input and configuration. Any read failure reads as "no
     * match" (rebuild), never as reuse. */
   def metaMatches(spark: SparkSession, metaTable: String,
-      rows: Long, hash: Long, params: String): Boolean = {
+      rows: Long, hash: String, params: String): Boolean = {
     val df =
       if (spark.catalog.tableExists(metaTable)) Some(spark.table(metaTable))
       else {
@@ -105,7 +112,7 @@ private[ops] object StoredArtifacts {
       try {
         Set("stamp_rows", "stamp_hash", "params").subsetOf(d.columns.toSet) && {
           val r = d.select("stamp_rows", "stamp_hash", "params").head()
-          r.getLong(0) == rows && r.getLong(1) == hash && r.getString(2) == params
+          r.getLong(0) == rows && r.getString(1) == hash && r.getString(2) == params
         }
       } catch { case _: Exception => false }
     }

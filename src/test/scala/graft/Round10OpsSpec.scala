@@ -35,7 +35,13 @@ class Round10OpsSpec extends AnyFunSuite with SparkSpec {
       (1006L, zero, zero),                     // both zero
       (1007L, null, dup),                      // null array
       (1008L, dup, vec(8)),                    // length mismatch
-      (1009L, dup.updated(3, null.asInstanceOf[java.lang.Float]), dup)) // null element
+      (1009L, dup.updated(3, null.asInstanceOf[java.lang.Float]), dup), // null element
+      // combined edges — one conjunct FALSE while another is NULL: the
+      // three-valued And yields FALSE, not NULL (null && false = false)
+      (1010L, vec(16), zero.take(8)),          // mismatch x zero-norm
+      (1011L, null, zero),                     // null array x zero-norm
+      (1012L, dup.updated(3, null.asInstanceOf[java.lang.Float]), zero), // null elem x zero
+      (1013L, zero.take(8), vec(16)))          // zero-norm short side x longer
     (base ++ edge).toDF("id", "a", "b")
   }
 
@@ -185,16 +191,22 @@ class Round10OpsSpec extends AnyFunSuite with SparkSpec {
       val a = rnd.nextInt(100).toLong; val b = rnd.nextInt(100 - a.toInt).toLong
       (i, Seq(a, b, 99L - a - b + rnd.nextInt(3)))
     }
-    // 64 partitions > fanIn=32 forces a two-round reduction
-    val df = anti.map { case (id, v) => (id, v(0), v(1), v(2)) }
-      .toDF("id", "a", "b", "c").repartition(64)
-    val got = Skyline.skylineND(df, "id", Seq("a", "b", "c"))
-      .collect().map(_.getLong(0)).toSet
-    assert(got == brute(anti))
-    // 2-D path through the same multi-round shape
-    val got2 = Skyline.skyline2D(df, "id", "a", "b")
-      .collect().map(_.getLong(0)).toSet
-    assert(got2 == brute(anti.map { case (id, v) => (id, v.take(2)) }))
+    // shuffle-partitions conf 64 > fanIn=32 forces a two-round reduction
+    // (the round count reads the conf — never the input RDD, which would
+    // eagerly execute an AQE plan)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      val df = anti.map { case (id, v) => (id, v(0), v(1), v(2)) }
+        .toDF("id", "a", "b", "c").repartition(64)
+      val got = Skyline.skylineND(df, "id", Seq("a", "b", "c"))
+        .collect().map(_.getLong(0)).toSet
+      assert(got == brute(anti))
+      // 2-D path through the same multi-round shape
+      val got2 = Skyline.skyline2D(df, "id", "a", "b")
+        .collect().map(_.getLong(0)).toSet
+      assert(got2 == brute(anti.map { case (id, v) => (id, v.take(2)) }))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   test("zBucketAdaptive sizes the interleave from the key domain: same " +
