@@ -175,7 +175,14 @@ trait QuantizedVecKernel { self: BinaryExpression =>
   * vectors: one loop computes dot, |a|^2, |b|^2 on q24 components, then
   * one 128-bit reduction yields sign(dot) * floor(cos^2 * 10^12) —
   * BIGINT, monotone in cosine at 1e-12 cos^2 resolution, bit-identical
-  * to the three-limb decimal form (property-spec'd). */
+  * to the three-limb decimal form (property-spec'd).
+  *
+  * This kernel and [[IntSqDist]] keep their accumulation loops INLINE
+  * (in eval and in the generated Java) rather than routing through the
+  * static helpers [[IntCosGte]] uses: their strict null semantics
+  * (anything null -> null) admit a single fused pass, and they sit on
+  * the hottest per-pair paths (every ANN top-k candidate) where one
+  * loop vs. three helper passes is the measured difference. */
 case class IntCosRankKey(left: Expression, right: Expression)
     extends BinaryExpression with QuantizedVecKernel {
 

@@ -210,18 +210,20 @@ object Indexing {
     * session's catalog forgot them — bucket spec restored by DDL), so
     * repeated runs measure search, not build; a membership or parameter
     * change rebuilds (spec-pinned in Round10OpsSpec). As with the PQ
-    * index, the stamp is membership + params, not payload — in-place
-    * text edits under unchanged doc ids require forcing the rebuild
+    * index, the stamp is membership + params, not payload — for
+    * in-place text edits under unchanged doc ids pass `force = true`
     * (see `StoredArtifacts.stamp`).
     *
     * Returns the recorded corpus size. */
   def indexWrite(docs: DataFrame, name: String, blockSize: Int = 1024,
       numBuckets: Int = 64,
-      idCol: String = "doc_id", textCol: String = "text"): Long = {
+      idCol: String = "doc_id", textCol: String = "text",
+      force: Boolean = false): Long = {
     val spark = docs.sparkSession
     val (nDocs, h) = StoredArtifacts.stamp(docs, idCol)
     val params = s"text:block=$blockSize,buckets=$numBuckets,id=$idCol,text=$textCol"
-    if (StoredArtifacts.metaMatches(spark, s"${name}_meta", nDocs, h, params)) {
+    if (!force &&
+        StoredArtifacts.metaMatches(spark, s"${name}_meta", nDocs, h, params)) {
       try {
         StoredArtifacts.register(spark, s"${name}_meta")
         StoredArtifacts.register(spark, s"${name}_postings",

@@ -584,15 +584,17 @@ object Similarity {
     * (rebuild-on-stale is spec-pinned in Round10OpsSpec). The stamp is
     * MEMBERSHIP + params, deliberately not payload (see
     * `StoredArtifacts.stamp`): a caller that mutates embeddings in
-    * place under unchanged ids must force the rebuild by changing a
-    * parameter or dropping `{name}_meta`. */
+    * place under unchanged ids passes `force = true` to rebuild
+    * unconditionally. */
   def pqIndexWrite(corpus: DataFrame, name: String, m: Int = 4,
       ksub: Int = 16, numBuckets: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      force: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     val (nRows, h) = StoredArtifacts.stamp(corpus, idCol)
     val params = s"pq:m=$m,ksub=$ksub,buckets=$numBuckets,id=$idCol,vec=$vecCol"
-    if (StoredArtifacts.metaMatches(spark, s"${name}_meta", nRows, h, params)) {
+    if (!force &&
+        StoredArtifacts.metaMatches(spark, s"${name}_meta", nRows, h, params)) {
       try {
         StoredArtifacts.register(spark, s"${name}_meta")
         StoredArtifacts.register(spark, s"${name}_books")

@@ -274,6 +274,14 @@ class Round10OpsSpec extends AnyFunSuite with SparkSpec {
       "r10_stamp_idx", numBuckets = 2)
     assert(newestMtime("r10_stamp_idx_postings") != m2,
       "changed build params must rebuild")
+    // force = true rebuilds even on a stamp hit — the escape hatch for
+    // in-place payload edits under unchanged ids (stamp is membership)
+    val m3 = newestMtime("r10_stamp_idx_postings")
+    Thread.sleep(20)
+    Indexing.indexWrite(docs.filter(col("doc_id") <= 100),
+      "r10_stamp_idx", numBuckets = 2, force = true)
+    assert(newestMtime("r10_stamp_idx_postings") != m3,
+      "force = true must rebuild despite a matching stamp")
   }
 
   test("stored indexes survive catalog loss: a fresh catalog re-registers " +
