@@ -317,19 +317,25 @@ object Rehearsal {
       // anti-correlated skyline leg: points on (and just under) the
       // a+b+c ~ const simplex, duplicate-heavy — the documented worst
       // case where local skylines approach partition size and the
-      // frontier is a large fraction of the distinct grid. 64 input
-      // partitions force the multi-round fan-in reduction (64 -> 2 -> 1
-      // at fanIn=32); the final task streams the candidates with kept
-      // state bounded by the DISTINCT frontier (duplicate compression in
-      // the sweep), which this leg sizes at ~grid cells, not input rows
+      // frontier is a large fraction of the distinct grid. Shuffle
+      // partitions are raised to 64 (> fanIn=32) around the call so the
+      // multi-round fan-in reduction actually runs (64 -> 2 -> 1; the
+      // round count reads the conf — never the input RDD, which would
+      // eagerly execute an AQE plan); the final task streams the
+      // candidates with kept state bounded by the DISTINCT frontier
+      // (duplicate compression in the sweep) — ~grid cells, not rows
       val (nSky, tSky) = timed {
         val n = 50000L * scale
-        val pts = spark.range(n).selectExpr("id",
-          "abs(xxhash64(id)) % 51 AS a", "abs(xxhash64(id * 31)) % 51 AS b",
-          "abs(xxhash64(id * 61)) % 3 AS e")
-          .selectExpr("id", "a", "b", "102 - a - b + e AS c")
-        graft.ops.Skyline.skylineND(pts.repartition(64), "id",
-          Seq("a", "b", "c")).count()
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        try {
+          val pts = spark.range(n).selectExpr("id",
+            "abs(xxhash64(id)) % 51 AS a", "abs(xxhash64(id * 31)) % 51 AS b",
+            "abs(xxhash64(id * 61)) % 3 AS e")
+            .selectExpr("id", "a", "b", "102 - a - b + e AS c")
+          graft.ops.Skyline.skylineND(pts.repartition(64), "id",
+            Seq("a", "b", "c")).count()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
       emit(s"""{"scale":$scale,"stage":"skyline_anticorr","input_rows":${50000L * scale},"output_rows":$nSky,"sec":$tSky}""")
 
