@@ -85,6 +85,47 @@ object Rehearsal {
     replicas.reduce(_ unionByName _).unionByName(boiler)
   }
 
+  /** Synthesized validation pair (each side `(id, check)`) for the
+    * engine's namesake workload, deterministic (no RNG), in two regimes:
+    *
+    *  - `skewed = false` — the J3 many-to-many regime
+    *    (`running_validation.py:233-239`): n/4 distinct composite keys,
+    *    each with multiplicity 4 PER SIDE, so the differing-pair algebra
+    *    multiplies 4x4 per shared key;
+    *  - `skewed = true` — one hot key ("hot") holding ~1% of all rows on
+    *    each side (bounded to 20 distinct check values so the per-id
+    *    distinct-pair scoring stays 20x20 while the SHUFFLE sees the full
+    *    1% landing in one partition), the rest unique keys.
+    *
+    * Both regimes drop keys per side (%97 / %89 — the anti-join food) and
+    * perturb check values on residue classes: k%29 a full rewrite (fuzzy-
+    * differing at 0.9), k%23 a single-char edit of a 24-char string
+    * (ratio 47/48 ~ 0.979: fuzzy-EQUAL at 0.9, exact-differing). */
+  private def validationSide(spark: SparkSession, n: Long, skewed: Boolean,
+      dropMod: Long, perturb: Boolean): DataFrame = {
+    val checkOf = (kExpr: String) =>
+      if (!perturb) s"substring(md5(CAST($kExpr AS STRING)), 1, 24)"
+      else s"""CASE
+        WHEN $kExpr % 29 = 0 THEN substring(md5(concat(CAST($kExpr AS STRING), '!')), 1, 24)
+        WHEN $kExpr % 23 = 0 THEN concat(substring(md5(CAST($kExpr AS STRING)), 1, 23), 'z')
+        ELSE substring(md5(CAST($kExpr AS STRING)), 1, 24) END"""
+    if (!skewed) {
+      val kDistinct = math.max(n / 4, 1L)
+      spark.range(n).selectExpr(s"id % $kDistinct AS k")
+        .filter(s"k % $dropMod != 0")
+        .selectExpr("concat('k', CAST(k AS STRING)) AS id",
+          s"${checkOf("k")} AS check")
+    } else {
+      spark.range(n)
+        .filter(s"id % $dropMod != 0")
+        .selectExpr("id", "CASE WHEN id % 100 = 0 THEN -1 ELSE id END AS k")
+        .selectExpr(
+          "CASE WHEN k = -1 THEN 'hot' ELSE concat('k', CAST(k AS STRING)) END AS id",
+          s"""CASE WHEN k = -1 THEN concat('boilerplate header value ', CAST(id % 20 AS STRING))
+              ELSE ${checkOf("k")} END AS check""")
+    }
+  }
+
   private def timed[T](f: => T): (T, Double) = {
     val t0 = System.nanoTime()
     val r = f
@@ -184,6 +225,33 @@ object Rehearsal {
           vecs.filter(col("vec_id") < 10), k = 5, m = 4).count()
       }
       emit(s"""{"scale":$scale,"stage":"pq_index_stored_search","input_rows":$nVecs,"output_rows":$nPqS,"build_sec":$tPqBuild,"sec":$tPqSearch}""")
+
+      // ANN recall leg: implementation-exactness (the oracle replay) and
+      // speed (the timed legs above) say nothing about RETRIEVAL QUALITY
+      // — the number an LLM-pipeline user reads first. recall@k of each
+      // approximate tier's id set against the exact cosine top-k, same
+      // parameters as the t_ann_* bench queries, over the scaled corpus
+      // (replicas >= 2 are decorrelated sign-flips, so the exact answer
+      // stays dominated by base + near-dup replicas while bucket
+      // occupancy grows — recall must not decay with corpus growth)
+      {
+        val k = 5
+        val qs = vecs.filter(col("vec_id") < 10)
+        def ids(df: DataFrame): Set[(Long, Long)] =
+          df.select("query_id", "corpus_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exact = ids(Similarity.bruteForceTopK(vecs, qs, k))
+        def recall(approx: Set[(Long, Long)]): Double =
+          if (exact.isEmpty) 1.0
+          else approx.intersect(exact).size.toDouble / exact.size
+        val rIvf = recall(ids(Similarity.ivfTopK(vecs, qs, k,
+          nCentroids = 16, nprobe = 3)))
+        val rLsh = recall(ids(Similarity.lshTopK(vecs, qs, k, bits = 8)))
+        val rPq = recall(ids(Similarity.pqTopK(vecs, qs, k, m = 4, ksub = 16)))
+        val rRp = recall(ids(Similarity.rpTopK(vecs, qs, k, dim = 64,
+          outDim = 16, shortlist = 100)))
+        emit(s"""{"scale":$scale,"stage":"ann_recall","input_rows":$nVecs,"k":$k,"recall_ivf":$rIvf,"recall_lsh":$rLsh,"recall_pq":$rPq,"recall_rp":$rRp}""")
+      }
 
       // bigram-LM leg: replicas are (near-)identical, so the DISTINCT
       // bigram vocabulary stays ~base-sized while instance counts scale —
@@ -324,6 +392,7 @@ object Rehearsal {
       // eagerly execute an AQE plan); the final task streams the
       // candidates with kept state bounded by the DISTINCT frontier
       // (duplicate compression in the sweep) — ~grid cells, not rows
+      var skyDiag: graft.ops.Skyline.SkylineDiag = null
       val (nSky, tSky) = timed {
         val n = 50000L * scale
         val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -333,11 +402,16 @@ object Rehearsal {
             "abs(xxhash64(id)) % 51 AS a", "abs(xxhash64(id * 31)) % 51 AS b",
             "abs(xxhash64(id * 61)) % 3 AS e")
             .selectExpr("id", "a", "b", "102 - a - b + e AS c")
-          graft.ops.Skyline.skylineND(pts.repartition(64), "id",
-            Seq("a", "b", "c")).count()
+          val (sky, d) = graft.ops.Skyline.skylineNDInstrumented(
+            pts.repartition(64), "id", Seq("a", "b", "c"))
+          skyDiag = d
+          sky.count()
         } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
-      emit(s"""{"scale":$scale,"stage":"skyline_anticorr","input_rows":${50000L * scale},"output_rows":$nSky,"sec":$tSky}""")
+      // rounds: per reduction round, total rows in and the largest
+      // single-task inflow — the fan-in<=~32-local-skylines claim as a
+      // measured number instead of an argument
+      emit(s"""{"scale":$scale,"stage":"skyline_anticorr","input_rows":${50000L * scale},"output_rows":$nSky,"sec":$tSky,"rounds":${skyDiag.report},"max_task_in":${skyDiag.maxTaskInflow}}""")
 
       // k-core leg: a ring (every node degree 2) with one pendant spoke
       // per ring node — at k = 2 the spokes peel in round one and the
@@ -354,6 +428,51 @@ object Rehearsal {
           k = 2, rounds = 3).count()
       }
       emit(s"""{"scale":$scale,"stage":"kcore_ring","input_rows":${400000L * scale},"output_rows":$nKc,"sec":$tKc}""")
+
+      // validation legs — the engine's NAMESAKE workload at scale:
+      // summaryFast + both anti-joins + the fuzzy string diff over a
+      // synthesized pair, in the two regimes the reference's own data
+      // model hits (duplicate composite keys: J3 many-to-many; one hot
+      // key holding ~1% of rows). Per-row cost must stay ~flat across
+      // scales, and summaryFast's one-exchange-per-side pin must hold
+      // (the exchange count is emitted from the EXECUTED plan).
+      for ((regime, skewed) <- Seq(("dupkey", false), ("skew", true))) {
+        val n = 100000L * scale
+        val f = validationSide(spark, n, skewed, dropMod = 97L, perturb = false)
+          .localCheckpoint(true)
+        val s = validationSide(spark, n, skewed, dropMod = 89L, perturb = true)
+          .localCheckpoint(true)
+        val rowsF = f.count(); val rowsS = s.count()
+        val totalRows = rowsF + rowsS
+
+        val mode = graft.core.CompareMode.Fuzzy(0.9)
+        val sumDf = graft.core.Validator.summaryFast(f, s, mode)
+        val (sumRow, tSum) = timed { sumDf.collect().head }
+        val sumPlan = sumDf.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        val exchanges = sumPlan.linesIterator.count(ln =>
+          ln.contains("Exchange hashpartitioning") &&
+            !ln.contains("ReusedExchange"))
+        emit(s"""{"scale":$scale,"stage":"validate_summary_$regime","input_rows":$totalRows,"n_differing":${sumRow.getAs[Long]("n_differing")},"sec":$tSum,"us_per_row":${tSum * 1e6 / totalRows},"keyed_exchanges":$exchanges}""")
+
+        val v = graft.core.Validator.validate(f, s, mode)
+        val (nMiss, tMiss) = timed {
+          v.missingInFirst.count() + v.missingInSecond.count()
+        }
+        emit(s"""{"scale":$scale,"stage":"validate_antijoins_$regime","input_rows":$totalRows,"output_rows":$nMiss,"sec":$tMiss,"us_per_row":${tMiss * 1e6 / totalRows}}""")
+
+        // fuzzy diff: every joined (id) pair runs the guarded seqRatioGte
+        // kernel — pairs = sum over shared ids of m x n multiplicity
+        // (computed from id-count aggregates, cheap), so the emitted
+        // pairs_per_sec is the kernel's throughput, which must stay flat
+        val pairs = f.groupBy("id").agg(count(lit(1)).as("c1"))
+          .join(s.groupBy("id").agg(count(lit(1)).as("c2")), Seq("id"))
+          .agg(sum(col("c1") * col("c2"))).head().getLong(0)
+        val (nDiff, tDiff) = timed { v.differing.count() }
+        emit(s"""{"scale":$scale,"stage":"validate_fuzzy_$regime","input_rows":$totalRows,"pairs":$pairs,"output_rows":$nDiff,"sec":$tDiff,"pairs_per_sec":${(pairs / math.max(tDiff, 1e-9)).toLong}}""")
+
+        f.unpersist(); s.unpersist()
+      }
 
       docs.unpersist(); sigs.unpersist(); vecs.unpersist()
     }

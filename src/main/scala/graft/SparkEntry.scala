@@ -30,8 +30,13 @@ object SparkEntry {
     * hits across runs and JVMs (the index builders skip the re-fit),
     * instead of the passes thrashing one shared name whose stamp never
     * matches the previous caller's data. */
-  private def dirTag(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+  private def dirTag(dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+    // the sanitized tag can alias distinct dirs (/sf0.1 vs /sf0_1); a raw-
+    // path hash suffix keeps their stored-index names (and stamps) apart
+    // so alternating callers never thrash one shared artifact
+    s"${tag}_${java.lang.Long.toHexString(dir.hashCode & 0xffffffffL)}"
+  }
 
   /** The two sides of the validation workload, derived deterministically
     * from `orders` (the reference compares two live databases; here the

@@ -27,9 +27,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * element nulled every output); extra elements beyond `dim` are ignored.
   */
 case class SignedProjection(child: Expression, dim: Int, outDim: Int,
-    signs: Array[Long]) extends UnaryExpression {
+    signs: IndexedSeq[Long]) extends UnaryExpression {
   require(dim >= 1 && outDim >= 1 && signs.length == outDim * dim,
     s"sign matrix must be outDim*dim = ${outDim * dim} entries")
+
+  // IndexedSeq, not Array: case-class equality over an Array field is
+  // reference equality, which breaks semanticEquals-based machinery
+  // (subexpression elimination, plan matching) for identical projections.
+  // Codegen and eval index a flat primitive array built once per operator.
+  @transient private lazy val signArr: Array[Long] = signs.toArray
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -56,7 +62,7 @@ case class SignedProjection(child: Expression, dim: Int, outDim: Int,
       val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val q = math.floor(x * 16777216.0 + 0.5).toLong
       var j = 0
-      while (j < outDim) { acc(j) += signs(j * dim + i) * q; j += 1 }
+      while (j < outDim) { acc(j) += signArr(j * dim + i) * q; j += 1 }
       i += 1
     }
     new GenericArrayData(acc)
@@ -64,7 +70,7 @@ case class SignedProjection(child: Expression, dim: Int, outDim: Int,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cg = child.genCode(ctx)
-    val signsRef = ctx.addReferenceObj("signs", signs, "long[]")
+    val signsRef = ctx.addReferenceObj("signs", signArr, "long[]")
     val a = ctx.freshName("arr"); val acc = ctx.freshName("acc")
     val i = ctx.freshName("i"); val j = ctx.freshName("j")
     val q = ctx.freshName("q"); val bad = ctx.freshName("bad")

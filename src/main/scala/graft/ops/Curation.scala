@@ -117,14 +117,45 @@ object Curation {
     * the driver-resident Bloom filter: `corpus`'s distinct fingerprints,
     * written as a table BUCKETED (and sorted) by fingerprint. The bucket
     * layout is the point: every later anti-join against it co-locates by
-    * construction, so the 10^10-row side never shuffles again. Append new
-    * fingerprints periodically (same bucket spec) instead of rebuilding. */
+    * construction, so the 10^10-row side never shuffles again.
+    *
+    * IDEMPOTENT by content, the same `StoredArtifacts` discipline as
+    * `Similarity.pqIndexWrite` / `Indexing.indexWrite`: a matching
+    * (membership + file-witness + params) stamp skips the distinct +
+    * write entirely, re-registering a surviving warehouse directory when
+    * a fresh session's catalog forgot it (bucket spec restored by DDL —
+    * without it the anti-join would silently lose its co-location); a
+    * stamp mismatch drops BOTH the table and its orphan directory and
+    * rebuilds, and the meta is written LAST so a crashed build can never
+    * leave a matching stamp over partial data. For an in-place payload
+    * edit under unchanged file names pass `force = true`. */
   def writeFingerprintIndex(corpus: DataFrame, fpCol: String,
-      tableName: String, numBuckets: Int = 256): Unit =
+      tableName: String, numBuckets: Int = 256,
+      force: Boolean = false): Unit = {
+    val spark = corpus.sparkSession
+    val (nRows, h) = StoredArtifacts.stamp(corpus, fpCol)
+    val params = s"fp:buckets=$numBuckets,fp=$fpCol"
+    if (!force &&
+        StoredArtifacts.metaMatches(spark, s"${tableName}_meta", nRows, h, params)) {
+      try {
+        StoredArtifacts.register(spark, s"${tableName}_meta")
+        StoredArtifacts.register(spark, tableName,
+          Some((Seq(fpCol), Seq(fpCol), numBuckets)))
+        return // stamp hit: the stored index IS current
+      } catch { case _: Exception => () /* damaged artifact: rebuild */ }
+    }
+    for (t <- Seq(tableName, s"${tableName}_meta"))
+      StoredArtifacts.dropAndClean(spark, t)
     corpus.select(col(fpCol)).na.drop().distinct()
       .write.mode("overwrite")
       .bucketBy(numBuckets, fpCol).sortBy(fpCol)
       .saveAsTable(tableName)
+    // meta LAST: a crashed build never leaves a matching stamp
+    import spark.implicits._
+    Seq((nRows, h, params, numBuckets))
+      .toDF("stamp_rows", "stamp_hash", "params", "num_buckets").coalesce(1)
+      .write.mode("overwrite").saveAsTable(s"${tableName}_meta")
+  }
 
   /** [[incrementalNew]] for the 10^10-row regime, EXACT with O(1) driver
     * memory: anti-join the batch against the pre-bucketed fingerprint
@@ -136,11 +167,25 @@ object Curation {
     * ~1.2 B/corpus-row on the driver: 12 GB at 10^10 rows; this
     * materializes nothing). Combine with [[incrementalNew]] over the
     * recent slice only if profiling shows the batch shuffle itself is the
-    * bottleneck. */
+    * bottleneck.
+    *
+    * Survives catalog loss: a fresh session re-points the catalog at the
+    * surviving warehouse directories, restoring the bucket spec from the
+    * bucket count recorded in `{indexTable}_meta`. NEVER guesses the
+    * bucket count — a wrong registered spec would let the planner skip
+    * the batch-side hash distribution and silently mis-join — so a
+    * missing/unreadable meta fails loudly instead. */
   def incrementalNewIndexed(batch: DataFrame, fpCol: String,
       indexTable: String): DataFrame = {
-    val idx = batch.sparkSession.table(indexTable)
-    batch.join(idx, Seq(fpCol), "left_anti")
+    val spark = batch.sparkSession
+    if (!spark.catalog.tableExists(indexTable)) {
+      StoredArtifacts.register(spark, s"${indexTable}_meta")
+      val nb = spark.table(s"${indexTable}_meta")
+        .select("num_buckets").head().getInt(0)
+      StoredArtifacts.register(spark, indexTable,
+        Some((Seq(fpCol), Seq(fpCol), nb)))
+    }
+    batch.join(spark.table(indexTable), Seq(fpCol), "left_anti")
   }
 
   /** Token-budget corpus selection — "take the best documents until the

@@ -122,7 +122,7 @@ object Similarity {
   def randomProjection(corpus: DataFrame, dim: Int, outDim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(dim >= 1 && outDim >= 1)
-    val signs = Array.tabulate(outDim * dim)(k => projSign(k / dim, k % dim))
+    val signs = IndexedSeq.tabulate(outDim * dim)(k => projSign(k / dim, k % dim))
     val proj = graft.functions.exprColumn(graft.functions.SignedProjection(
       graft.functions.columnExpr(col(vecCol)), dim, outDim, signs))
     // two selects: the array materializes once, the p_j extraction is a

@@ -116,6 +116,29 @@ object Skyline {
     }
   }
 
+  /** Per-round measurements of the candidate reduction, filled by task
+    * accumulators when the instrumented entry point runs: for round r,
+    * (task count of that round, total rows entering the round's sweeps,
+    * per-task inflow list). `Rehearsal` reads it so the "no task ingests
+    * more than ~fanIn local skylines" claim is MEASURED, not argued. */
+  final class SkylineDiag {
+    import scala.jdk.CollectionConverters._
+    private[Skyline] val rounds = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, org.apache.spark.util.LongAccumulator,
+        org.apache.spark.util.CollectionAccumulator[java.lang.Long])]
+    /** One JSON array, one object per reduction round — valid only AFTER
+      * an action has executed the instrumented frame. */
+    def report: String = rounds.map { case (parts, in, tasks) =>
+      val perTask = tasks.value.asScala.map(_.longValue)
+      val maxTask = if (perTask.isEmpty) 0L else perTask.max
+      s"""{"parts":$parts,"in_rows":${in.value},"max_task_in":$maxTask}"""
+    }.mkString("[", ",", "]")
+    /** Largest single-task inflow across all reduction rounds. */
+    def maxTaskInflow: Long =
+      rounds.flatMap(_._3.value.asScala.map(_.longValue))
+        .foldLeft(0L)(math.max)
+  }
+
   /** d-dimensional skyline maximizing every column of `dimCols` (negate
     * a column to minimize it); `idCol` rides along. Same lossless
     * two-phase shape as [[skyline2D]]: per-partition SFS sweeps (no
@@ -125,7 +148,18 @@ object Skyline {
     * which every dominator precedes its dominated rows in.
     * Output: (id, dims...), the exact frontier. */
   def skylineND(df: DataFrame, idCol: String, dimCols: Seq[String])
-      : DataFrame = {
+      : DataFrame = skylineNDImpl(df, idCol, dimCols, None)
+
+  /** [[skylineND]] plus per-round fan-in instrumentation — same plan,
+    * same answer; the diag's accumulators fill when an action runs. */
+  def skylineNDInstrumented(df: DataFrame, idCol: String,
+      dimCols: Seq[String]): (DataFrame, SkylineDiag) = {
+    val d = new SkylineDiag
+    (skylineNDImpl(df, idCol, dimCols, Some(d)), d)
+  }
+
+  private def skylineNDImpl(df: DataFrame, idCol: String,
+      dimCols: Seq[String], diag: Option[SkylineDiag]): DataFrame = {
     require(dimCols.nonEmpty, "need at least one dimension")
     requireIntegral(df, idCol +: dimCols, "skylineND")
     val spark = df.sparkSession
@@ -147,15 +181,44 @@ object Skyline {
     // for the partition count and again in the real query — the plan
     // stays fully lazy this way, at the cost of the estimate missing an
     // unusually wide raw-scan input (still bounded: that only widens the
-    // FIRST round's fan-in, and conf partitions track cluster scale)
+    // FIRST round's fan-in, and conf partitions track cluster scale).
+    // do-while, never while: the conf estimate says nothing about the
+    // INPUT's partitioning (a file scan partitions by size, not conf),
+    // so at least one round ending at repartition(1) must always run —
+    // a conf of 1 with a multi-partition scan would otherwise return
+    // concatenated LOCAL skylines with dominated rows surviving.
     var parts = math.max(reductionParts(spark), 1)
-    while (parts > 1) {
+    while ({
       parts = math.max(1, parts / fanIn)
+      // instrumentation (rehearsal only): count rows ENTERING each
+      // round's sweeps, total and per task — inflow is recorded by a
+      // task-completion listener so the accumulators are exact even
+      // though the sweep consumes the iterator lazily
+      val sweep: Iterator[(Long, Seq[Long])] => Iterator[(Long, Seq[Long])] =
+        diag match {
+          case None => sfsSweep
+          case Some(d) =>
+            val in = spark.sparkContext.longAccumulator(
+              s"skyline_round_in_${d.rounds.length}")
+            val tasks = spark.sparkContext
+              .collectionAccumulator[java.lang.Long](
+                s"skyline_task_in_${d.rounds.length}")
+            d.rounds += ((parts, in, tasks))
+            it => {
+              var n = 0L
+              val tc = org.apache.spark.TaskContext.get()
+              if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+                in.add(n); tasks.add(n)
+              }
+              sfsSweep(it.map { x => n += 1; x })
+            }
+        }
       cur = cur
         .repartition(parts)
         .sortWithinPartitions(col("_2").desc, col("_1"))
-        .mapPartitions(sfsSweep)
-    }
+        .mapPartitions(sweep)
+      parts > 1
+    }) ()
     cur.select(col("_1").as(idCol) +:
       dimCols.zipWithIndex.map { case (c, i) =>
         col("_2").getItem(i).as(c) }: _*)
@@ -178,15 +241,18 @@ object Skyline {
       .mapPartitions(sweep)
     // same fan-in-bounded candidate reduction as skylineND (the 2-D
     // sweep streams with O(1) state, so here it bounds per-task inflow
-    // volume rather than memory); same lazy conf-derived round count
+    // volume rather than memory); same lazy conf-derived round count,
+    // and the same always-run-one-round guarantee: the global sweep at
+    // repartition(1) must happen even when the conf estimate is 1
     var parts = math.max(reductionParts(spark), 1)
-    while (parts > 1) {
+    while ({
       parts = math.max(1, parts / fanIn)
       cur = cur
         .repartition(parts)
         .sortWithinPartitions(col("_2").desc, col("_3").desc, col("_1"))
         .mapPartitions(sweep)
-    }
+      parts > 1
+    }) ()
     cur.toDF(idCol, xCol, yCol)
   }
 }

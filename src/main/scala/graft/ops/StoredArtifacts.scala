@@ -37,18 +37,32 @@ private[ops] object StoredArtifacts {
     * the op library must stamp identically in either mode.
     *
     * Contract: the stamp detects membership changes (rows added/removed,
-    * ids changed) and parameter changes — NOT an in-place edit of a
-    * row's payload under an unchanged id. That is deliberate: hashing
-    * payloads would scan the text/embedding column (at 100 TB, the
-    * corpus) on every call, defeating the skip. Corpora with stable ids
-    * are append-only in practice; a caller that mutates payloads in
-    * place must force a rebuild by changing a parameter or dropping
-    * `{name}_meta`. */
+    * ids changed), parameter changes, and — via the file witness below —
+    * any regeneration of a file-backed input by a Spark-style writer
+    * (fresh part-file names). It does NOT detect a byte-in-place edit of
+    * an existing file under unchanged names, nor a payload mutation of a
+    * non-file input under unchanged ids. That residue is deliberate:
+    * hashing payloads would scan the text/embedding column (at 100 TB,
+    * the corpus) on every call, defeating the skip. A caller in that
+    * corner passes `force = true` or drops `{name}_meta`.
+    *
+    * The file witness is xxhash64 over the SORTED `df.inputFiles` list —
+    * pure driver-side plan metadata, zero data scan. Any overwrite by
+    * Spark/Hadoop writers produces fresh UUID part-file names, so
+    * "same ids, regenerated payloads" (the ADVICE-flagged stale-reuse
+    * case) now misses the stamp and rebuilds. Non-file inputs (views,
+    * in-memory frames) have an empty list — a stable witness, falling
+    * back to the membership-only contract. */
   def stamp(df: DataFrame, idCol: String): (Long, String) = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val r = df.agg(count(lit(1)).as("n"),
       sum(xxhash64(col(idCol)).cast(dec)).cast("string").as("h")).head()
-    (r.getLong(0), if (r.isNullAt(1)) "0" else r.getString(1))
+    val files = try df.inputFiles.sorted.mkString("\n")
+      catch { case _: Exception => "" }
+    val witness = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(files, 42))
+    val h = if (r.isNullAt(1)) "0" else r.getString(1)
+    (r.getLong(0), s"$h|f$witness")
   }
 
   /** `saveAsTable` lowercases identifiers, so the warehouse directory is

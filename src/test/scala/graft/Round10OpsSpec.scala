@@ -132,7 +132,7 @@ class Round10OpsSpec extends AnyFunSuite with SparkSpec {
           else java.lang.Float.valueOf(0.25f)))) // null element
     val df = rows.toDF("id", "v")
     // the unrolled reference: q24 per element, +-1 sum via element_at
-    val signs = Array.tabulate(outDim * dim)(k =>
+    val signs = IndexedSeq.tabulate(outDim * dim)(k =>
       Similarity.projSign(k / dim, k % dim))
     val unrolled = (0 until outDim).map { j =>
       (0 until dim).map { i =>

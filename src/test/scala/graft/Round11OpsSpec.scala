@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 surface: skyline conf=1 regression (ADVICE high), stored
+  * fingerprint index, streaming table diff, validation rehearsal. */
+class Round11OpsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // ---- skyline: the conf=1 silent-local-skyline regression --------------
+
+  test("skyline reduction always runs a final global sweep, even when " +
+      "spark.sql.shuffle.partitions is 1 and the input has many partitions") {
+    import graft.ops.Skyline
+    def brute2(rows: Seq[(Long, Long, Long)]): Set[Long] =
+      rows.filter { case (_, x, y) =>
+        !rows.exists { case (_, bx, by) =>
+          bx >= x && by >= y && (bx > x || by > y) }
+      }.map(_._1).toSet
+    val rnd = new scala.util.Random(1101)
+    val pts = (1L to 400L).map(i =>
+      (i, rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // conf = 1: the old `while (parts > 1)` loop never ran, returning
+    // concatenated LOCAL skylines — dominated rows survived whenever the
+    // INPUT (file-scan/repartition geometry, independent of the conf)
+    // had more than one partition
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      val df = pts.toDF("id", "x", "y").repartition(8)
+      val got2d = Skyline.skyline2D(df, "id", "x", "y")
+        .collect().map(_.getLong(0)).toSet
+      assert(got2d == brute2(pts))
+      val gotNd = Skyline.skylineND(df, "id", Seq("x", "y"))
+        .collect().map(_.getLong(0)).toSet
+      assert(gotNd == brute2(pts))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  // ---- stored fingerprint index: StoredArtifacts discipline --------------
+
+  /** newest file mtime under a warehouse table directory — a rebuild
+    * rewrites the parquet files, a stamp-hit leaves them untouched */
+  private def newestMtime(table: String): Long = {
+    val dir = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      table.toLowerCase(java.util.Locale.ROOT))
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) (f.lastModified() +: f.listFiles().toSeq.map(walk)).max
+      else f.lastModified()
+    walk(dir)
+  }
+
+  test("writeFingerprintIndex: identical input+params skips the rebuild; " +
+      "changed input, params, or force rebuilds") {
+    import graft.ops.Curation
+    val corpus = (0L until 200L).map(i => (i, s"fp${i % 50}")).toDF("id", "fp")
+    Curation.writeFingerprintIndex(corpus, "fp", "r11_fp_idx", numBuckets = 4)
+    val m1 = newestMtime("r11_fp_idx")
+    Thread.sleep(20)
+    // same input, same params -> stamp hit, no rewrite
+    Curation.writeFingerprintIndex(corpus, "fp", "r11_fp_idx", numBuckets = 4)
+    assert(newestMtime("r11_fp_idx") == m1,
+      "identical input must not rebuild the stored fingerprint index")
+    // changed membership -> rebuild, and the index answers for the NEW corpus
+    Curation.writeFingerprintIndex(corpus.filter(col("id") < 100L),
+      "fp", "r11_fp_idx", numBuckets = 4)
+    assert(newestMtime("r11_fp_idx") != m1, "changed input must rebuild")
+    val batch = (0L until 60L).map(i => (1000L + i, s"fp$i")).toDF("id", "fp")
+    val got = Curation.incrementalNewIndexed(batch, "fp", "r11_fp_idx")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // corpus' first 100 rows hold fp0..fp49; batch fp50..fp59 are new
+    assert(got == (1050L until 1060L))
+    // changed params -> rebuild
+    val m2 = newestMtime("r11_fp_idx")
+    Thread.sleep(20)
+    Curation.writeFingerprintIndex(corpus.filter(col("id") < 100L),
+      "fp", "r11_fp_idx", numBuckets = 2)
+    assert(newestMtime("r11_fp_idx") != m2, "changed params must rebuild")
+    // force = true rebuilds despite a matching stamp
+    val m3 = newestMtime("r11_fp_idx")
+    Thread.sleep(20)
+    Curation.writeFingerprintIndex(corpus.filter(col("id") < 100L),
+      "fp", "r11_fp_idx", numBuckets = 2, force = true)
+    assert(newestMtime("r11_fp_idx") != m3, "force must rebuild")
+  }
+
+  test("fingerprint index survives catalog loss: re-registered with the " +
+      "bucket spec intact (batch-side-only exchange), no rebuild") {
+    import graft.ops.Curation
+    val corpus = (0L until 200L).map(i => (i, s"fp${i % 50}")).toDF("id", "fp")
+    Curation.writeFingerprintIndex(corpus, "fp", "r11_fp_reuse", numBuckets = 4)
+    val m1 = newestMtime("r11_fp_reuse")
+    // simulate a fresh session: move directories aside, drop catalog
+    // entries, move them back — a new JVM's exact state
+    val wh = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    for (t <- Seq("r11_fp_reuse", "r11_fp_reuse_meta")) {
+      val src = new java.io.File(wh, t)
+      assert(src.renameTo(new java.io.File(wh, t + ".save")))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      assert(new java.io.File(wh, t + ".save").renameTo(src))
+      assert(!spark.catalog.tableExists(t))
+    }
+    Thread.sleep(20)
+    // path A: a rebuild call stamp-hits from the surviving _meta directory
+    Curation.writeFingerprintIndex(corpus, "fp", "r11_fp_reuse", numBuckets = 4)
+    assert(newestMtime("r11_fp_reuse") == m1,
+      "catalog loss with intact directories must not rebuild")
+    // path B: drop the catalog again and go straight to the READER — it
+    // must self-register from meta (bucket count recorded there)
+    for (t <- Seq("r11_fp_reuse", "r11_fp_reuse_meta")) {
+      val src = new java.io.File(wh, t)
+      assert(src.renameTo(new java.io.File(wh, t + ".save")))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      assert(new java.io.File(wh, t + ".save").renameTo(src))
+    }
+    val batch = (0L until 60L).map(i => (1000L + i, s"fp$i")).toDF("id", "fp")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val res = Curation.incrementalNewIndexed(batch, "fp", "r11_fp_reuse")
+      val got = res.collect().map(_.getAs[Long]("id")).sorted.toSeq
+      assert(got == (1050L until 1060L))
+      // the restored bucket spec must still satisfy the join's index-side
+      // distribution by layout: exactly one (batch-side) exchange
+      val plan = res.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val exchanges = plan.linesIterator.count(ln =>
+        ln.contains("Exchange") && !ln.contains("ReusedExchange"))
+      assert(exchanges == 1, s"expected batch-side-only exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
+
+  test("stamp file witness: in-place regeneration of a file-backed input " +
+      "(same ids, fresh part files) forces a rebuild") {
+    import graft.ops.Curation
+    val dir = java.nio.file.Files.createTempDirectory("r11_fpsrc").toString
+    val mk = () => (0L until 100L).map(i => (i, s"fp${i % 20}")).toDF("id", "fp")
+    mk().write.mode("overwrite").parquet(dir)
+    Curation.writeFingerprintIndex(spark.read.parquet(dir), "fp",
+      "r11_fp_witness", numBuckets = 2)
+    val m1 = newestMtime("r11_fp_witness")
+    Thread.sleep(20)
+    // regenerate the source IN PLACE: identical ids and payload, but a
+    // Spark writer emits fresh UUID part-file names -> witness mismatch
+    mk().write.mode("overwrite").parquet(dir)
+    Curation.writeFingerprintIndex(spark.read.parquet(dir), "fp",
+      "r11_fp_witness", numBuckets = 2)
+    assert(newestMtime("r11_fp_witness") != m1,
+      "regenerated input files must miss the stamp and rebuild")
+  }
+
+  test("SignedProjection instances with equal sign matrices are equal " +
+      "(semanticEquals-able), unequal matrices are not") {
+    import graft.functions.{SignedProjection, columnExpr}
+    val e = columnExpr(col("v"))
+    val s1 = IndexedSeq.tabulate(8)(i => if (i % 2 == 0) 1L else -1L)
+    val s2 = IndexedSeq.tabulate(8)(i => if (i % 2 == 0) 1L else -1L)
+    val s3 = s1.updated(3, 1L)
+    assert(SignedProjection(e, 4, 2, s1) == SignedProjection(e, 4, 2, s2))
+    assert(SignedProjection(e, 4, 2, s1).semanticEquals(
+      SignedProjection(e, 4, 2, s2)))
+    assert(SignedProjection(e, 4, 2, s1) != SignedProjection(e, 4, 2, s3))
+  }
+}
