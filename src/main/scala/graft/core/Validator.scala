@@ -228,13 +228,17 @@ object Validator {
     * tot1*tot2 - equal pairs). At 100 TB this replaces six scan+join jobs
     * with two aggregations and two id-keyed joins inside one job.
     *
-    * Equality-based modes (Numeric, Date, Fuzzy(>=1)) count equal pairs
-    * with a null-safe equi-join on (id, value) — the cheapest shape.
-    * Fuzzy(t<1) is not an equivalence relation, so its equal pairs come
-    * from joining the per-id DISTINCT value sets and scoring `seq_ratio`
-    * once per distinct (v1, v2) pair weighted by c1*c2 — the same pairs
-    * [[validate]]'s inner join scores row-by-row, but deduplicated, so the
-    * quadratic ratio kernel runs at most once per distinct value pair. */
+    * Every mode counts equal pairs over the per-id DISTINCT value sets
+    * (id-only join keys — see the eq comment below for why v never
+    * becomes a join key), weighted by c1*c2: equality modes test the
+    * coerced values null-safe; Fuzzy(t<1) — not an equivalence relation
+    * — scores `seq_ratio` once per distinct (v1, v2) pair, the same
+    * pairs [[validate]]'s inner join scores row-by-row but deduplicated.
+    * Null-id rows (impossible via compositeKey, possible on raw nullable
+    * inputs) contribute through count-only sidecar aggregates with
+    * exactly [[summary]]'s semantics: they count toward their side's
+    * total and its missing-in-the-other metric, never toward
+    * differing/matched. */
   def summaryFast(first: DataFrame, second: DataFrame, mode: CompareMode): DataFrame = {
     val coerce: Column => Column = mode match {
       case CompareMode.Numeric  => toNumeric
@@ -248,7 +252,22 @@ object Validator {
     // repartition replaces what would otherwise be three exchanges per
     // side. Map-side combine is not missed: validation keys are
     // near-unique, so pre-exchange partials save ~nothing.
+    //
+    // The explicit isnotnull(id) filter is load-bearing for that claim:
+    // each side feeds TWO consumers (its per-id totals and the eq join),
+    // and the exchanges collapse to one per side only when both
+    // consumers' subtrees are canonically IDENTICAL. The inner eq join
+    // infers isnotnull(id) into ITS copy of each side; with a nullable
+    // id column (any parquet read) the totals copy lacked that filter,
+    // the subtrees stopped matching, and every input was scanned and
+    // shuffled twice — the regression the dupkey rehearsal leg caught
+    // (4 keyed exchanges instead of 2). Filtering both branches up
+    // front restores the match; null-id rows re-enter through the
+    // sidecar aggregates below with exact summary() semantics. For the
+    // production path (compositeKey ids, provably non-null) both the
+    // filter and the sidecars constant-fold away to nothing.
     def grouped(df: DataFrame) = df
+      .filter(col("id").isNotNull)
       .select(col("id").cast(StringType).as("id"), coerce(col("check")).as("v"))
       .repartition(col("id"))
       .groupBy("id", "v").agg(count(lit(1)).as("c"))
@@ -256,18 +275,46 @@ object Validator {
     val g2 = grouped(second)
     val t1 = g1.groupBy("id").agg(sum("c").as("tot1"))
     val t2 = g2.groupBy("id").agg(sum("c").as("tot2"))
-    // equal (per the mode's truth table) value pairs per id
-    val eq = mode match {
+    // equal (per the mode's truth table) value pairs per id. The join
+    // keys are id ONLY, for every mode: putting v <=> v into the join
+    // keys (the exact modes' natural form) makes the planner require a
+    // hashpartitioning(id, v) distribution, re-exchanging both
+    // aggregated sides — a third and fourth shuffle the id-only join
+    // avoids. The per-id |V1| x |V2| expansion this trades for is
+    // bounded by distinct check values per key — ~1 for real validation
+    // data (keys are near-unique by construction).
+    // v is ALREADY coerced by grouped(), so exact modes compare with a
+    // plain null-safe equal instead of differs() (which would re-coerce
+    // per pair); the truth table is identical on coerced values
+    val eqPair = mode match {
       case CompareMode.Fuzzy(t) if t < 1.0 =>
-        g1.as("a").join(g2.as("b"), col("a.id") === col("b.id"))
-          .groupBy(col("a.id"))
-          .agg(sum(when(differs(col("a.v"), col("b.v"), mode), lit(0L))
-            .otherwise(col("a.c") * col("b.c"))).as("eq_pairs"))
+        when(differs(col("a.v"), col("b.v"), mode), lit(0L))
+          .otherwise(col("a.c") * col("b.c"))
       case _ =>
-        g1.as("a").join(g2.as("b"),
-            col("a.id") === col("b.id") && (col("a.v") <=> col("b.v")))
-          .groupBy(col("a.id"))
-          .agg(sum(col("a.c") * col("b.c")).as("eq_pairs"))
+        when(col("a.v") <=> col("b.v"), col("a.c") * col("b.c"))
+          .otherwise(lit(0L))
+    }
+    val eq = g1.as("a").join(g2.as("b"), col("a.id") === col("b.id"))
+      .groupBy(col("a.id"))
+      .agg(sum(eqPair).as("eq_pairs"))
+    // null-id sidecars: a null id never joins (and never matches in
+    // summary()'s anti-joins), so each side's null rows contribute
+    // count-only — to (n_first, missing_in_second) resp. (n_second,
+    // missing_in_first). Shaped as extra (tot1, eq_pairs, tot2) rows so
+    // the final aggregate's existing CASE arithmetic absorbs them: a
+    // (n, null, null) row adds n to n_first and — tot2 being null — to
+    // missing_in_second, and nothing anywhere else. Cost: a pushed-down
+    // `id IS NULL` scan per side when id is nullable (row-group stats
+    // skip null-free files); an empty-relation constant when it is not.
+    def nullSide(df: DataFrame, firstSide: Boolean) = {
+      val n = df.filter(col("id").isNull)
+        .agg(count(lit(1)).as(if (firstSide) "tot1" else "tot2"))
+      if (firstSide)
+        n.select(col("tot1"), lit(null).cast("long").as("eq_pairs"),
+          lit(null).cast("long").as("tot2"))
+      else
+        n.select(lit(null).cast("long").as("tot1"),
+          lit(null).cast("long").as("eq_pairs"), col("tot2"))
     }
     // eq attaches to t1 BEFORE the full outer: eq ids are a subset of
     // t1's (they come from the g1xg2 inner join), and t1/eq are both
@@ -276,6 +323,9 @@ object Validator {
     // expression that would force one more shuffle of the merged side
     t1.join(eq, Seq("id"), "left_outer")
       .join(t2, Seq("id"), "full_outer")
+      .select(col("tot1"), col("eq_pairs"), col("tot2"))
+      .unionByName(nullSide(first, firstSide = true))
+      .unionByName(nullSide(second, firstSide = false))
       .agg(
         sum(coalesce(col("tot1"), lit(0L))).as("n_first"),
         sum(coalesce(col("tot2"), lit(0L))).as("n_second"),

@@ -312,6 +312,38 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"no mid-plan re-exchange should survive — id partitioning must propagate:\n$p")
   }
 
+  test("summaryFast keeps one exchange per side on NULLABLE ids (parquet " +
+      "inputs) in both exact and fuzzy modes") {
+    // the dupkey rehearsal regression: the eq join's inferred
+    // isnotnull(id) made the totals and eq copies of each side
+    // canonically different whenever id was nullable (every parquet
+    // read), so exchange reuse never fired and each input was scanned
+    // and shuffled twice. grouped()'s explicit isnotnull filter pins the
+    // match; this test is the nullable-input twin of the compositeKey
+    // pin above.
+    import org.apache.spark.sql.functions.col
+    val d = java.nio.file.Files.createTempDirectory("pg_sfn").toString
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    def keyed(pred: String) = l.filter(pred).select(
+      graft.functions.compositeKey(Seq("l_orderkey", "l_linenumber")).as("id"),
+      col("l_extendedprice").cast("string").as("check"))
+    keyed("l_orderkey % 97 != 0").write.parquet(s"$d/f")
+    keyed("l_orderkey % 89 != 0").write.parquet(s"$d/s")
+    val f = spark.read.parquet(s"$d/f") // parquet: id is nullable now
+    val s = spark.read.parquet(s"$d/s")
+    for (mode <- Seq[graft.core.CompareMode](
+        graft.core.CompareMode.Numeric, graft.core.CompareMode.Fuzzy(0.9))) {
+      val df = graft.core.Validator.summaryFast(f, s, mode)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val real = p.linesIterator.filter(ln =>
+        ln.contains("Exchange hashpartitioning") && !ln.contains("ReusedExchange")).size
+      assert(real == 2,
+        s"$mode: expected 2 keyed exchanges on nullable ids, got $real:\n$p")
+    }
+  }
+
   test("budget selection's global running sum has no single-partition stage") {
     val p = plan("t_budget_select")
     // strip the presentation orderBy tail: assert on the operator instead

@@ -13,9 +13,17 @@ class RandomizedEquivalenceSpec extends AnyFunSuite with SparkSpec {
 
   private val rnd = new scala.util.Random(20260812)
 
-  private def randomKeyed(n: Int, keySpace: Int, nullRate: Double) = {
+  // nullIdRate > 0 only for the summaryFast test: NULL ids are impossible
+  // through compositeKey, but raw keyed inputs are nullable — summaryFast
+  // must reproduce summary()'s null-id semantics (count toward the side's
+  // total and its missing-in-the-other metric, never toward
+  // differing/matched). reconcile/differingBuckets contractually take
+  // non-null keys.
+  private def randomKeyed(n: Int, keySpace: Int, nullRate: Double,
+      nullIdRate: Double = 0.0) = {
     val rows = Seq.fill(n) {
-      val id = (rnd.nextInt(keySpace) + 1).toString
+      val id = if (rnd.nextDouble() < nullIdRate) null
+        else (rnd.nextInt(keySpace) + 1).toString
       val v = if (rnd.nextDouble() < nullRate) null
         else if (rnd.nextDouble() < 0.1) "garbage" + rnd.nextInt(3)
         else (rnd.nextInt(50) + rnd.nextInt(2) * 1000).toString
@@ -26,8 +34,10 @@ class RandomizedEquivalenceSpec extends AnyFunSuite with SparkSpec {
 
   test("summaryFast == summary across 20 random duplicate/null-heavy inputs") {
     for (trial <- 1 to 20) {
-      val f = randomKeyed(rnd.nextInt(120), rnd.nextInt(30) + 5, rnd.nextDouble() * 0.4)
-      val s = randomKeyed(rnd.nextInt(120), rnd.nextInt(30) + 5, rnd.nextDouble() * 0.4)
+      val f = randomKeyed(rnd.nextInt(120), rnd.nextInt(30) + 5,
+        rnd.nextDouble() * 0.4, nullIdRate = 0.05)
+      val s = randomKeyed(rnd.nextInt(120), rnd.nextInt(30) + 5,
+        rnd.nextDouble() * 0.4, nullIdRate = 0.05)
       val mode = if (trial % 2 == 0) CompareMode.Numeric else CompareMode.Fuzzy(1.0)
       val slow = Validator.summary(f, s, Validator.validate(f, s, mode)).collect()(0)
       val fast = Validator.summaryFast(f, s, mode).collect()(0)
