@@ -244,13 +244,26 @@ object Rehearsal {
         def recall(approx: Set[(Long, Long)]): Double =
           if (exact.isEmpty) 1.0
           else approx.intersect(exact).size.toDouble / exact.size
+        // two parameterizations per tier: the bench queries' speed-leaning
+        // params, and the recall-leaning setting each tier's knob reaches
+        // (probe more cells / more+coarser tables / bigger codebooks with
+        // exact re-rank / wider projection with a deeper shortlist) — the
+        // recall-vs-cost dial is the deliverable, not one magic number
         val rIvf = recall(ids(Similarity.ivfTopK(vecs, qs, k,
           nCentroids = 16, nprobe = 3)))
+        val rIvfT = recall(ids(Similarity.ivfTopK(vecs, qs, k,
+          nCentroids = 16, nprobe = 8)))
         val rLsh = recall(ids(Similarity.lshTopK(vecs, qs, k, bits = 8)))
+        val rLshT = recall(ids(Similarity.lshTopK(vecs, qs, k,
+          bits = 4, tables = 16)))
         val rPq = recall(ids(Similarity.pqTopK(vecs, qs, k, m = 4, ksub = 16)))
+        val rPqT = recall(ids(Similarity.pqTopKRerank(vecs, qs, k,
+          m = 8, ksub = 32, shortlist = 100)))
         val rRp = recall(ids(Similarity.rpTopK(vecs, qs, k, dim = 64,
           outDim = 16, shortlist = 100)))
-        emit(s"""{"scale":$scale,"stage":"ann_recall","input_rows":$nVecs,"k":$k,"recall_ivf":$rIvf,"recall_lsh":$rLsh,"recall_pq":$rPq,"recall_rp":$rRp}""")
+        val rRpT = recall(ids(Similarity.rpTopK(vecs, qs, k, dim = 64,
+          outDim = 24, shortlist = 200)))
+        emit(s"""{"scale":$scale,"stage":"ann_recall","input_rows":$nVecs,"k":$k,"recall_ivf":$rIvf,"recall_lsh":$rLsh,"recall_pq":$rPq,"recall_rp":$rRp,"recall_ivf_nprobe8":$rIvfT,"recall_lsh_b4t16":$rLshT,"recall_pq_rerank":$rPqT,"recall_rp_o24s200":$rRpT}""")
       }
 
       // bigram-LM leg: replicas are (near-)identical, so the DISTINCT
