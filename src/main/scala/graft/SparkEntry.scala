@@ -660,6 +660,31 @@ object SparkEntry {
         .select(col("event_id"), col("fp"))
         .orderBy("event_id")
     }),
+    "s_table_diff" -> ((s, dir) => {
+      // continuous TABLE DIFF: the full missing/differing truth table of
+      // the batch validate() as a streaming op — an observed event stream
+      // diffed against a (perturbed, key-filtered) reference stream,
+      // emitting missing_in_reference / missing_in_stream / differing per
+      // key. Complete-mode output equals the batch full-outer diff at
+      // every point in time (distributive counts + maxes — see
+      // StreamingOps.streamingTableDiff), which the oracle replays
+      val obs = StreamingOps.readEvents(s, s"$dir/events.parquet")
+        .filter(col("event_id") % 97 =!= 0)
+      val ref = StreamingOps.readEvents(s, s"$dir/events.parquet")
+        .filter(col("event_id") % 89 =!= 0)
+        .select(col("event_id"),
+          when(col("event_id") % 7 === 0, col("value") + 1.0)
+            .otherwise(col("value")).as("value"))
+      val diff = StreamingOps.streamingTableDiff(obs, ref, "event_id", "value")
+      StreamingOps.withShufflePartitions(s, 8) {
+        StreamingOps.runToMemory(diff, s"stdiff_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+      }
+        .select(col("id"), col("kind"),
+          expr("CAST(ROUND(observed*100) AS BIGINT)").as("observed_cents"),
+          expr("CAST(ROUND(expected*100) AS BIGINT)").as("expected_cents"))
+        .orderBy("id")
+    }),
 
     // --- training-data pipeline extensions ------------------------------
     // --- skew mitigation demo (same semantics, two physical shapes) -----
@@ -2619,6 +2644,28 @@ object SparkEntry {
         |SELECT event_id, fp FROM batch b
         |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
         |ORDER BY event_id""".stripMargin,
+    // streaming table diff replay: the batch full-outer diff — streaming
+    // equals batch because the per-key state is distributive counts+maxes
+    "s_table_diff" ->
+      """WITH e AS (
+        |  SELECT event_id AS id, max(value) AS observed
+        |  FROM events WHERE event_id % 97 <> 0 GROUP BY 1
+        |), r AS (
+        |  SELECT event_id AS id,
+        |    max(CASE WHEN event_id % 7 = 0 THEN value + 1.0 ELSE value END)
+        |      AS expected
+        |  FROM events WHERE event_id % 89 <> 0 GROUP BY 1
+        |)
+        |SELECT COALESCE(e.id, r.id) AS id,
+        |  CASE WHEN r.id IS NULL THEN 'missing_in_reference'
+        |       WHEN e.id IS NULL THEN 'missing_in_stream'
+        |       ELSE 'differing' END AS kind,
+        |  CAST(ROUND(observed*100) AS BIGINT) AS observed_cents,
+        |  CAST(ROUND(expected*100) AS BIGINT) AS expected_cents
+        |FROM e FULL OUTER JOIN r ON e.id = r.id
+        |WHERE r.id IS NULL OR e.id IS NULL
+        |   OR observed IS DISTINCT FROM expected
+        |ORDER BY id""".stripMargin,
     "t_dedup_exact" ->
       """SELECT md5(text) AS text_hash,
         |  CAST(MIN(doc_id) AS BIGINT) AS keep_id,

@@ -352,6 +352,85 @@ object StreamingOps {
       .drop(opCol)
   }
 
+  /** Continuous TABLE DIFF — the full, both-directional streaming form of
+    * the engine's namesake batch validation (`Validator.validate`):
+    * an observed stream diffed against a reference stream (or a static
+    * snapshot replayed as a file stream), continuously emitting per key
+    *  - `missing_in_reference` — observed but never expected,
+    *  - `missing_in_stream`   — expected but never observed,
+    *  - `differing`           — present on both sides with null-safe
+    *    unequal check values (per-side MAX for multi-valued keys — a
+    *    deterministic, order-independent choice; dedup upstream with
+    *    [[dedupedEvents]] when keys must be unique);
+    * matched keys emit nothing. [[streamingValidate]] covers only the
+    * differing direction; this is the whole truth table.
+    *
+    * Distributive by construction (counts + maxes), so the complete-mode
+    * output equals the batch full-outer diff at EVERY point in time, for
+    * any micro-batch slicing and any late-data arrival order — a key
+    * flagged missing_in_stream self-corrects to differing/matched the
+    * moment its event arrives. State is one small row per DISTINCT key
+    * (the floor for any diff that must remember what it has seen),
+    * exactly [[streamingCdcMerge]]'s class; for an unbounded key
+    * universe use [[streamingTableDiffBounded]]. */
+  def streamingTableDiff(stream: DataFrame, reference: DataFrame,
+      keyCol: String, checkCol: String): DataFrame = {
+    val e = stream.select(col(keyCol).as("id"), col(checkCol).as("v"),
+      lit("E").as("side"))
+    val r = reference.select(col(keyCol).as("id"), col(checkCol).as("v"),
+      lit("R").as("side"))
+    e.unionByName(r)
+      .groupBy("id")
+      .agg(
+        count(when(col("side") === "E", 1)).as("n_stream"),
+        count(when(col("side") === "R", 1)).as("n_reference"),
+        max(when(col("side") === "E", col("v"))).as("observed"),
+        max(when(col("side") === "R", col("v"))).as("expected"))
+      .withColumn("kind",
+        when(col("n_reference") === 0, "missing_in_reference")
+          .when(col("n_stream") === 0, "missing_in_stream")
+          .when(!(col("observed") <=> col("expected")), "differing"))
+      .filter(col("kind").isNotNull)
+      .select("id", "kind", "observed", "expected")
+  }
+
+  /** Watermark-BOUNDED continuous table diff for unbounded key universes:
+    * a stream-stream FULL OUTER join on the key with a `horizon`
+    * time-range bound — matched-and-equal pairs emit nothing, unequal
+    * pairs emit `differing` as they meet, and a side unmatched within
+    * the horizon emits its missing row when the watermark passes (which
+    * is also when its join state is EVICTED — per-key state lives
+    * horizon + watermark, not forever, the property the complete-mode
+    * [[streamingTableDiff]] cannot offer).
+    *
+    * The horizon defines simultaneity: a key whose observed and expected
+    * rows are further than `horizon` apart in event time reports as
+    * missing on BOTH sides (a real monitoring semantic: the reference
+    * was not confirmed in time). Append-mode; late rows beyond the
+    * watermark are dropped by the join, exactly Spark's documented
+    * outer-join contract. */
+  def streamingTableDiffBounded(stream: DataFrame, reference: DataFrame,
+      keyCol: String, checkCol: String, tsCol: String = "ts",
+      horizon: String = "1 hour", watermark: String = "10 minutes"): DataFrame = {
+    val e = stream.withWatermark(tsCol, watermark)
+      .select(col(keyCol).as("id"), col(checkCol).as("observed"),
+        col(tsCol).as("e_ts"))
+    val r = reference.withWatermark(tsCol, watermark)
+      .select(col(keyCol).as("rid"), col(checkCol).as("expected"),
+        col(tsCol).as("r_ts"))
+    e.join(r,
+      col("id") === col("rid") &&
+        col("r_ts") >= col("e_ts") - expr(s"INTERVAL $horizon") &&
+        col("r_ts") <= col("e_ts") + expr(s"INTERVAL $horizon"),
+      "full_outer")
+      .select(coalesce(col("id"), col("rid")).as("id"),
+        when(col("rid").isNull, "missing_in_reference")
+          .when(col("id").isNull, "missing_in_stream")
+          .when(!(col("observed") <=> col("expected")), "differing").as("kind"),
+        col("observed"), col("expected"))
+      .filter(col("kind").isNotNull)
+  }
+
   /** Stream-static incremental ingest dedup — the streaming twin of
     * `Curation.incrementalNew`: each micro-batch is anti-joined against a
     * STATIC corpus fingerprint set; rows whose fingerprint is already

@@ -10,6 +10,90 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
 
   private val eventsPath = "/root/testdata/sf0.001/events.parquet"
 
+  test("streaming table diff equals the batch full-outer diff under " +
+      "multi-batch out-of-order replay (complete mode)") {
+    import spark.implicits._
+    val e = StreamingOps.normalizeEventTs(spark.read.parquet(eventsPath))
+    // two sides with missing keys on each and perturbed values; written
+    // as 3-file directories consumed one file per trigger, so keys and
+    // values arrive across micro-batches in arbitrary (ts-disordered)
+    // interleavings — the late-data replay the distributive state must
+    // absorb
+    val obsB = e.filter(col("event_id") % 11 =!= 0)
+      .select(col("event_id"), col("value"))
+    val refB = e.filter(col("event_id") % 13 =!= 0)
+      .select(col("event_id"),
+        when(col("event_id") % 7 === 0, col("value") + 1.0)
+          .otherwise(col("value")).as("value"))
+    val d = java.nio.file.Files.createTempDirectory("stdiff").toString
+    obsB.repartition(3).write.parquet(s"$d/obs")
+    refB.repartition(3).write.parquet(s"$d/ref")
+    def streamOf(p: String) = spark.readStream
+      .schema(spark.read.parquet(p).schema)
+      .option("maxFilesPerTrigger", "1").parquet(p)
+    val got = StreamingOps.withShufflePartitions(spark, 4) {
+      StreamingOps.runToMemory(
+        StreamingOps.streamingTableDiff(
+          streamOf(s"$d/obs"), streamOf(s"$d/ref"), "event_id", "value"),
+        "stdiff_eq", OutputMode.Complete())
+    }.select("id", "kind", "observed", "expected")
+    val batch = obsB.select(col("event_id").as("id"), col("value").as("observed"))
+      .join(refB.select(col("event_id").as("id"), col("value").as("expected")),
+        Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("expected").isNull && col("observed").isNotNull, "missing_in_reference")
+          .when(col("observed").isNull, "missing_in_stream")
+          .when(!(col("observed") <=> col("expected")), "differing").as("kind"),
+        col("observed"), col("expected"))
+      .filter(col("kind").isNotNull)
+    assert(got.count() > 0)
+    assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
+  }
+
+  test("bounded streaming table diff: differing emitted on arrival incl. " +
+      "within-watermark late data, missing keys emitted and EVICTED when " +
+      "the watermark passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(minute: Long) = new java.sql.Timestamp(minute * 60000L)
+    val obs = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val ref = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val diff = StreamingOps.streamingTableDiffBounded(
+      obs.toDF().toDF("id", "ts", "value"),
+      ref.toDF().toDF("id", "ts", "value"),
+      "id", "value", "ts", horizon = "1 hour", watermark = "30 minutes")
+    val q = diff.writeStream.format("memory").queryName("stdiff_bounded")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1 @ ~t100: key 1 matched-equal (never emits), key 2
+      // differing, key 3 observed-only, key 4 expected-only, and key 5's
+      // reference waiting for its late observation
+      obs.addData((1L, ts(100), 5.0), (2L, ts(100), 5.0), (3L, ts(100), 7.0))
+      ref.addData((1L, ts(101), 5.0), (2L, ts(100), 6.0), (4L, ts(100), 8.0),
+        (5L, ts(100), 9.0))
+      q.processAllAvailable()
+      // batch 2: key 5's observation arrives LATE (t80 < max seen t101)
+      // but inside the 30-minute watermark -> still joined and scored
+      obs.addData((5L, ts(80), 9.5))
+      q.processAllAvailable()
+      // batch 3: a far-future matched pair pushes the watermark past
+      // every horizon -> keys 3 and 4 finalize as missing; the sentinel
+      // itself is equal on both sides and must not emit
+      obs.addData((999L, ts(1000), 1.0))
+      ref.addData((999L, ts(1000), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("stdiff_bounded")
+        .select("id", "kind").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSet
+      assert(rows == Set(
+        2L -> "differing",
+        5L -> "differing",
+        3L -> "missing_in_reference",
+        4L -> "missing_in_stream"), s"got $rows")
+    } finally q.stop()
+  }
+
   test("windowed counts match the batch equivalent") {
     val stream = StreamingOps.readEvents(spark, eventsPath)
     val got = StreamingOps.runToMemory(
