@@ -88,7 +88,19 @@ object EditJoin {
 
     // candidates (both directions collapse to id-ordered pairs), then
     // exact verification; names ride along so no join-back is needed
-    val candLong = idx.as("x").join(probe.as("y"),
+    // (profiled: a payload-free join with id join-back verification is
+    // SLOWER — the two extra id joins cost more than 16-char payloads in
+    // the probe shuffle).
+    //
+    // shuffle_hash, not the default sort-merge: the probe side is
+    // ~(2d+1)^2*(d+1) rows per string and SMJ must SORT it — profiled 2x
+    // slower than hashing the (d+1)-rows-per-string index side and
+    // STREAMING the probe through it. Memory contract: the per-partition
+    // hash build is the segment index over corpus/shuffle-partitions
+    // strings — the same sizing rule as any hash aggregate; scale
+    // shuffle partitions with the corpus (AQE splits skewed segment
+    // keys) and the build stays bounded while the big side never sorts.
+    val candLong = idx.as("x").hint("shuffle_hash").join(probe.as("y"),
         Seq("l", "i", "sub"))
       .filter(col("x.id") =!= col("y.id"))
       .select(least(col("x.id"), col("y.id")).as("id_a"),
