@@ -251,7 +251,14 @@ object Validator {
     // the per-id totals, and the id equi-joins — so the explicit
     // repartition replaces what would otherwise be three exchanges per
     // side. Map-side combine is not missed: validation keys are
-    // near-unique, so pre-exchange partials save ~nothing.
+    // near-unique, so pre-exchange partials save ~nothing. A HOT key
+    // necessarily lands in one partition (its rows must meet to be
+    // counted); that task's work is the hot key's row share — the
+    // skewed-key rehearsal leg measures the bound (a key holding 1% of
+    // 10M rows costs ~1.6x the duplicate-key regime), and a key hot
+    // enough to dominate would indict the key CHOICE (validation keys
+    // are meant to be near-unique), not the plan: repartitioning by
+    // (id, v) instead would split it but double-shuffle the common case.
     //
     // The explicit isnotnull(id) filter is load-bearing for that claim:
     // each side feeds TWO consumers (its per-id totals and the eq join),
