@@ -329,10 +329,15 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       col("l_extendedprice").cast("string").as("check"))
     keyed("l_orderkey % 97 != 0").write.parquet(s"$d/f")
     keyed("l_orderkey % 89 != 0").write.parquet(s"$d/s")
-    val f = spark.read.parquet(s"$d/f") // parquet: id is nullable now
-    val s = spark.read.parquet(s"$d/s")
-    for (mode <- Seq[graft.core.CompareMode](
-        graft.core.CompareMode.Numeric, graft.core.CompareMode.Fuzzy(0.9))) {
+    // both nullable-input kinds that regressed: parquet scans AND
+    // checkpointed RDD scans (the rehearsal legs' shape)
+    val inputs = Seq(
+      "parquet" -> (spark.read.parquet(s"$d/f"), spark.read.parquet(s"$d/s")),
+      "checkpoint" -> (keyed("l_orderkey % 97 != 0").localCheckpoint(true),
+        keyed("l_orderkey % 89 != 0").localCheckpoint(true)))
+    for ((kind, (f, s)) <- inputs;
+        mode <- Seq[graft.core.CompareMode](
+          graft.core.CompareMode.Numeric, graft.core.CompareMode.Fuzzy(0.9))) {
       val df = graft.core.Validator.summaryFast(f, s, mode)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
@@ -340,7 +345,7 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       val real = p.linesIterator.filter(ln =>
         ln.contains("Exchange hashpartitioning") && !ln.contains("ReusedExchange")).size
       assert(real == 2,
-        s"$mode: expected 2 keyed exchanges on nullable ids, got $real:\n$p")
+        s"$kind/$mode: expected 2 keyed exchanges, got $real:\n$p")
     }
   }
 

@@ -152,6 +152,79 @@ class Round11OpsSpec extends AnyFunSuite with SparkSpec {
       "regenerated input files must miss the stamp and rebuild")
   }
 
+  test("streamingTableDiff == batch full-outer diff across random " +
+      "overlap/duplicate/null-value regimes") {
+    import graft.streaming.StreamingOps
+    import org.apache.spark.sql.streaming.OutputMode
+    val rnd = new scala.util.Random(1111)
+    for (trial <- 1 to 8) {
+      val keySpace = rnd.nextInt(40) + 5
+      def side(n: Int) = (1 to n).map { _ =>
+        val id = (rnd.nextInt(keySpace) + 1).toLong
+        val v = if (rnd.nextDouble() < 0.15) null
+          else java.lang.Double.valueOf(rnd.nextInt(6).toDouble)
+        (id, v)
+      }.toDF("id", "value")
+      val obsB = side(rnd.nextInt(150))
+      val refB = side(rnd.nextInt(150))
+      val d = java.nio.file.Files.createTempDirectory(s"r11_std_$trial").toString
+      obsB.repartition(2).write.parquet(s"$d/o")
+      refB.repartition(2).write.parquet(s"$d/r")
+      def streamOf(p: String) = spark.readStream
+        .schema(spark.read.parquet(p).schema)
+        .option("maxFilesPerTrigger", "1").parquet(p)
+      val got = StreamingOps.withShufflePartitions(spark, 3) {
+        StreamingOps.runToMemory(
+          StreamingOps.streamingTableDiff(
+            streamOf(s"$d/o"), streamOf(s"$d/r"), "id", "value"),
+          s"r11_std_t$trial", OutputMode.Complete())
+      }
+      // batch definition: per-key per-side max (the op's documented
+      // multi-value reduction), full-outer, null-safe compare
+      val batch = obsB.groupBy("id").agg(max("value").as("observed"))
+        .join(refB.groupBy("id").agg(max("value").as("expected")),
+          Seq("id"), "full_outer")
+        .join(obsB.select("id").distinct()
+          .withColumn("in_o", lit(1)), Seq("id"), "left_outer")
+        .join(refB.select("id").distinct()
+          .withColumn("in_r", lit(1)), Seq("id"), "left_outer")
+        .select(col("id"),
+          when(col("in_r").isNull, "missing_in_reference")
+            .when(col("in_o").isNull, "missing_in_stream")
+            .when(!(col("observed") <=> col("expected")), "differing").as("kind"),
+          col("observed"), col("expected"))
+        .filter(col("kind").isNotNull)
+      assert(got.except(batch).isEmpty && batch.except(got).isEmpty,
+        s"trial $trial diverged")
+    }
+  }
+
+  test("skylineNDInstrumented: same answer as skylineND, and the diag's " +
+      "per-round inflow/task counts are consistent") {
+    import graft.ops.Skyline
+    val rnd = new scala.util.Random(1102)
+    val pts = (1L to 2000L).map(i =>
+      (i, rnd.nextInt(60).toLong, rnd.nextInt(60).toLong,
+        rnd.nextInt(60).toLong))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      val df = pts.toDF("id", "a", "b", "c").repartition(16)
+      val plain = Skyline.skylineND(df, "id", Seq("a", "b", "c"))
+        .collect().map(_.getLong(0)).toSet
+      val (inst, diag) = Skyline.skylineNDInstrumented(df, "id", Seq("a", "b", "c"))
+      val got = inst.collect().map(_.getLong(0)).toSet
+      assert(got == plain)
+      // conf 64, fanIn 32 -> two reduction rounds (2 parts, then 1)
+      val rounds = diag.report
+      assert(rounds.startsWith("[{\"parts\":2,") && rounds.contains("{\"parts\":1,"),
+        s"unexpected rounds: $rounds")
+      // the final round's single task ingests exactly the candidates that
+      // survived round 1, which is at least the answer
+      assert(diag.maxTaskInflow >= got.size)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("SignedProjection instances with equal sign matrices are equal " +
       "(semanticEquals-able), unequal matrices are not") {
     import graft.functions.{SignedProjection, columnExpr}
