@@ -116,12 +116,18 @@ object Rehearsal {
         .selectExpr("concat('k', CAST(k AS STRING)) AS id",
           s"${checkOf("k")} AS check")
     } else {
+      // hot check values: (id DIV 100) % 20, NOT id % 20 — hot ids are
+      // the multiples of 100, so id % 20 would be constantly 0 and the
+      // hot key would carry ONE distinct value instead of the 20 the
+      // distinct-pair scoring stress needs. Short values ('b0'..'b19')
+      // keep the per-pair ratio kernel cheap so the leg measures pair
+      // VOLUME, not an artificial long-string DP.
       spark.range(n)
         .filter(s"id % $dropMod != 0")
         .selectExpr("id", "CASE WHEN id % 100 = 0 THEN -1 ELSE id END AS k")
         .selectExpr(
           "CASE WHEN k = -1 THEN 'hot' ELSE concat('k', CAST(k AS STRING)) END AS id",
-          s"""CASE WHEN k = -1 THEN concat('boilerplate header value ', CAST(id % 20 AS STRING))
+          s"""CASE WHEN k = -1 THEN concat('b', CAST((id DIV 100) % 20 AS STRING))
               ELSE ${checkOf("k")} END AS check""")
     }
   }
@@ -480,7 +486,7 @@ object Rehearsal {
         // pairs_per_sec is the kernel's throughput, which must stay flat
         val pairs = f.groupBy("id").agg(count(lit(1)).as("c1"))
           .join(s.groupBy("id").agg(count(lit(1)).as("c2")), Seq("id"))
-          .agg(sum(col("c1") * col("c2"))).head().getLong(0)
+          .agg(coalesce(sum(col("c1") * col("c2")), lit(0L))).head().getLong(0)
         val (nDiff, tDiff) = timed { v.differing.count() }
         emit(s"""{"scale":$scale,"stage":"validate_fuzzy_$regime","input_rows":$totalRows,"pairs":$pairs,"output_rows":$nDiff,"sec":$tDiff,"pairs_per_sec":${(pairs / math.max(tDiff, 1e-9)).toLong}}""")
 

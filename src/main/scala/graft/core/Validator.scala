@@ -285,25 +285,42 @@ object Validator {
     // equal (per the mode's truth table) value pairs per id. The join
     // keys are id ONLY, for every mode: putting v <=> v into the join
     // keys (the exact modes' natural form) makes the planner require a
-    // hashpartitioning(id, v) distribution, re-exchanging both
-    // aggregated sides — a third and fourth shuffle the id-only join
-    // avoids. The per-id |V1| x |V2| expansion this trades for is
-    // bounded by distinct check values per key — ~1 for real validation
-    // data (keys are near-unique by construction).
-    // v is ALREADY coerced by grouped(), so exact modes compare with a
-    // plain null-safe equal instead of differs() (which would re-coerce
-    // per pair); the truth table is identical on coerced values
-    val eqPair = mode match {
+    // hashpartitioning(id, v) distribution (requireAllClusterKeysForCoPartition
+    // defaults true), re-exchanging both aggregated sides — a third and
+    // fourth shuffle the id-only join avoids.
+    //
+    // Exact modes (v already coerced by grouped()) do NOT pay the
+    // per-id |V1| x |V2| join expansion for that: g2's distinct values
+    // collapse to ONE row per id — a (v -> count) map plus a null-v
+    // count — and each g1 row contributes c1 * lookup(v1), so a dirty
+    // key carrying thousands of distinct values costs |V1| + |V2| per
+    // side, not their product. The per-id map is bounded by that key's
+    // OWN distinct values — the same memory class as the rows it
+    // replaces. groupBy's NormalizeFloatingNumbers canonicalizes
+    // NaN/-0.0 on BOTH sides before the map is built/probed, so the
+    // binary map lookup agrees with <=>'s truth table; both-null pairs
+    // multiply the two null counts. Fuzzy(t<1) is not an equivalence
+    // relation — every distinct pair must be SCORED, so the cross
+    // product is intrinsic there and stays the id-only join.
+    val eq = mode match {
       case CompareMode.Fuzzy(t) if t < 1.0 =>
-        when(differs(col("a.v"), col("b.v"), mode), lit(0L))
-          .otherwise(col("a.c") * col("b.c"))
+        g1.as("a").join(g2.as("b"), col("a.id") === col("b.id"))
+          .groupBy(col("a.id"))
+          .agg(sum(when(differs(col("a.v"), col("b.v"), mode), lit(0L))
+            .otherwise(col("a.c") * col("b.c"))).as("eq_pairs"))
       case _ =>
-        when(col("a.v") <=> col("b.v"), col("a.c") * col("b.c"))
-          .otherwise(lit(0L))
+        val g2m = g2.groupBy("id").agg(
+          map_from_entries(collect_list(
+            when(col("v").isNotNull, struct(col("v"), col("c"))))).as("m2"),
+          sum(when(col("v").isNull, col("c")).otherwise(lit(0L))).as("nulls2"))
+        g1.join(g2m, Seq("id"))
+          .groupBy("id")
+          .agg(sum(
+            when(col("v").isNull, col("c") * col("nulls2"))
+              .otherwise(col("c") *
+                coalesce(element_at(col("m2"), col("v")), lit(0L))))
+            .as("eq_pairs"))
     }
-    val eq = g1.as("a").join(g2.as("b"), col("a.id") === col("b.id"))
-      .groupBy(col("a.id"))
-      .agg(sum(eqPair).as("eq_pairs"))
     // null-id sidecars: a null id never joins (and never matches in
     // summary()'s anti-joins), so each side's null rows contribute
     // count-only — to (n_first, missing_in_second) resp. (n_second,

@@ -100,6 +100,13 @@ object EditJoin {
     // strings — the same sizing rule as any hash aggregate; scale
     // shuffle partitions with the corpus (AQE splits skewed segment
     // keys) and the build stays bounded while the big side never sorts.
+    // The strategy hint also pre-empts an auto-broadcast of a tiny index
+    // side — a deliberate trade: generate/UDF subtrees carry inflated
+    // size estimates that rarely qualify for broadcast anyway, and at
+    // the smallest measured corpus (6 k docs, the sf0.1 bench) the
+    // hinted plan is ALREADY the faster one (2.47 s -> 1.75 s); corpora
+    // small enough for the broadcast to matter finish in milliseconds
+    // either way.
     val candLong = idx.as("x").hint("shuffle_hash").join(probe.as("y"),
         Seq("l", "i", "sub"))
       .filter(col("x.id") =!= col("y.id"))

@@ -46,21 +46,26 @@ private[ops] object StoredArtifacts {
     * the corpus) on every call, defeating the skip. A caller in that
     * corner passes `force = true` or drops `{name}_meta`.
     *
-    * The file witness is xxhash64 over the SORTED `df.inputFiles` list —
-    * pure driver-side plan metadata, zero data scan. Any overwrite by
-    * Spark/Hadoop writers produces fresh UUID part-file names, so
-    * "same ids, regenerated payloads" (the ADVICE-flagged stale-reuse
-    * case) now misses the stamp and rebuilds. Non-file inputs (views,
-    * in-memory frames) have an empty list — a stable witness, falling
-    * back to the membership-only contract. */
+    * The file witness is a 64-bit MD5 prefix over the SORTED
+    * `df.inputFiles` list — pure driver-side plan metadata, zero data
+    * scan. Any overwrite by Spark/Hadoop writers produces fresh UUID
+    * part-file names, so "same ids, regenerated payloads" (the
+    * ADVICE-flagged stale-reuse case) now misses the stamp and
+    * rebuilds. Non-file inputs (views, in-memory frames) have an empty
+    * list — a stable witness, falling back to the membership-only
+    * contract. */
   def stamp(df: DataFrame, idCol: String): (Long, String) = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val r = df.agg(count(lit(1)).as("n"),
       sum(xxhash64(col(idCol)).cast(dec)).cast("string").as("h")).head()
     val files = try df.inputFiles.sorted.mkString("\n")
       catch { case _: Exception => "" }
-    val witness = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(files, 42))
+    // 64-bit, stable across JVMs: a 32-bit hash would put single-witness
+    // collisions (stale reuse after an in-place regeneration) at ~2^-32,
+    // too likely for the failure mode the witness exists to close
+    val witness = java.security.MessageDigest.getInstance("MD5")
+      .digest(files.getBytes("UTF-8")).take(8)
+      .map(b => f"${b & 0xff}%02x").mkString
     val h = if (r.isNullAt(1)) "0" else r.getString(1)
     (r.getLong(0), s"$h|f$witness")
   }

@@ -37,12 +37,16 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
           streamOf(s"$d/obs"), streamOf(s"$d/ref"), "event_id", "value"),
         "stdiff_eq", OutputMode.Complete())
     }.select("id", "kind", "observed", "expected")
+    // presence via flags, not value nullness: a key present only in obs
+    // with a NULL observed value is missing_in_reference, which a
+    // value-null test would mislabel as missing_in_stream
     val batch = obsB.select(col("event_id").as("id"), col("value").as("observed"))
-      .join(refB.select(col("event_id").as("id"), col("value").as("expected")),
-        Seq("id"), "full_outer")
+      .withColumn("in_o", lit(1))
+      .join(refB.select(col("event_id").as("id"), col("value").as("expected"))
+        .withColumn("in_r", lit(1)), Seq("id"), "full_outer")
       .select(col("id"),
-        when(col("expected").isNull && col("observed").isNotNull, "missing_in_reference")
-          .when(col("observed").isNull, "missing_in_stream")
+        when(col("in_r").isNull, "missing_in_reference")
+          .when(col("in_o").isNull, "missing_in_stream")
           .when(!(col("observed") <=> col("expected")), "differing").as("kind"),
         col("observed"), col("expected"))
       .filter(col("kind").isNotNull)
