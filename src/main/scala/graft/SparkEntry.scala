@@ -1009,6 +1009,22 @@ object SparkEntry {
         .select(col("doc_id"), col("split_bucket"), col("split"))
         .orderBy("doc_id")
     }),
+    "t_split_safe" -> ((s, dir) => {
+      // LEAKAGE-SAFE split: near-dup groups (LSH candidates -> connected
+      // components) are assigned to train/val/test as a UNIT, so a
+      // training document's near-duplicates can never land in the eval
+      // split; singletons hash their own id and agree with t_split.
+      // The oracle replays the full chain — minhash bands, the
+      // min-id component closure, and Spark's xxhash64 of the group key
+      val docs = docsWithNearDups(s, dir)
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      val labels = Dedup.connectedComponentsStar(Dedup.minhashCandidates(sigs))
+      graft.ops.Sampling.assignSplitByGroup(docs, "doc_id", labels,
+          Seq("train" -> 9000, "val" -> 500, "test" -> 500))
+        .select(col("doc_id"), col("split_group"), col("split_bucket"),
+          col("split"))
+        .orderBy("doc_id")
+    }),
     "t_corpus_freq" -> ((s, dir) => {
       // log-free perplexity proxy: per-doc integer sum of corpus-wide
       // token occurrence counts — rare-token-heavy (noisy) docs score low
@@ -3352,6 +3368,35 @@ object SparkEntry {
       s"""WITH ${xxhash64Ctes("doc_id", "documents")},
          |b AS (SELECT doc_id, ((h % 10000) + 10000) % 10000 AS split_bucket FROM xxh)
          |SELECT doc_id, CAST(split_bucket AS BIGINT) AS split_bucket,
+         |  CASE WHEN split_bucket < 9000 THEN 'train'
+         |       WHEN split_bucket < 9500 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+    // leakage-safe split replay: the t_dedup_groups component closure,
+    // group key = component (own id for singletons), then the same
+    // xxhash64 bucket replay as t_split over the GROUP key
+    "t_split_safe" ->
+      s"""WITH RECURSIVE $minhashCtes, nodes AS (
+         |  SELECT DISTINCT id FROM (SELECT id_a AS id FROM cand UNION ALL SELECT id_b FROM cand) u
+         |), cedges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM cand UNION SELECT id_b, id_a FROM cand
+         |), reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.r FROM reach r JOIN cedges e ON e.src = r.id
+         |), comp AS (
+         |  SELECT id, MIN(r) AS component FROM reach GROUP BY id
+         |), lab AS (
+         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS split_group
+         |  FROM corpus d LEFT JOIN comp c ON c.id = d.doc_id
+         |), grp AS (SELECT DISTINCT split_group FROM lab),
+         |${xxhash64Ctes("split_group", "grp")},
+         |b AS (
+         |  SELECT l.doc_id, l.split_group,
+         |    ((x.h % 10000) + 10000) % 10000 AS split_bucket
+         |  FROM lab l JOIN xxh x ON x.split_group = l.split_group
+         |)
+         |SELECT doc_id, split_group, CAST(split_bucket AS BIGINT) AS split_bucket,
          |  CASE WHEN split_bucket < 9000 THEN 'train'
          |       WHEN split_bucket < 9500 THEN 'val'
          |       ELSE 'test' END AS split

@@ -15,21 +15,58 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  private def checkSplits(splits: Seq[(String, Int)]): Unit = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 10000,
+      s"split weights must sum to 10000 bp, got ${splits.map(_._2).sum}")
+    require(splits.forall(_._2 > 0), "every split needs positive weight")
+  }
+
+  /** name CASE over an already-computed `split_bucket` column. */
+  private def splitCase(splits: Seq[(String, Int)]): Column = {
+    val cums = splits.map(_._2).scanLeft(0)(_ + _).tail
+    splits.zip(cums).init.foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cum), rest) =>
+        when(col("split_bucket") < cum, name).otherwise(rest)
+    }
+  }
+
   /** Assign each row to a named split by hashed-id bucket. `splits` are
     * (name, weight-in-basis-points) and must sum to 10000. Appends
     * `split_bucket` (0..9999) and `split`. */
   def assignSplit(df: DataFrame, idCol: String,
       splits: Seq[(String, Int)]): DataFrame = {
-    require(splits.nonEmpty && splits.map(_._2).sum == 10000,
-      s"split weights must sum to 10000 bp, got ${splits.map(_._2).sum}")
-    require(splits.forall(_._2 > 0), "every split needs positive weight")
-    val bucket = pmod(xxhash64(col(idCol)), lit(10000L))
-    val cums = splits.map(_._2).scanLeft(0)(_ + _).tail
-    val cases = splits.zip(cums).init.foldRight(
-      lit(splits.last._1): Column) { case (((name, _), cum), rest) =>
-      when(col("split_bucket") < cum, name).otherwise(rest)
-    }
-    df.withColumn("split_bucket", bucket).withColumn("split", cases)
+    checkSplits(splits)
+    df.withColumn("split_bucket", pmod(xxhash64(col(idCol)), lit(10000L)))
+      .withColumn("split", splitCase(splits))
+  }
+
+  /** LEAKAGE-SAFE split: every member of a duplicate/near-dup GROUP
+    * lands in the SAME split. Hashing row ids ([[assignSplit]]) puts a
+    * training document's near-duplicates into the eval split with
+    * probability (1 - train share) each — the classic train/test
+    * contamination channel; hashing the GROUP key closes it. `labels`
+    * is an (id, component) frame — [[graft.ops.Dedup.connectedComponentsStar]]
+    * over LSH/SimHash candidate pairs, or any grouping; rows absent from
+    * `labels` are singleton groups keyed by their own id, so their
+    * assignment is IDENTICAL to [[assignSplit]]'s (the two rules agree
+    * everywhere except inside duplicate groups, which is the point).
+    * Appends `split_group`, `split_bucket`, `split`.
+    *
+    * Scale: `labels` is candidate-pair-sized (docs that hit some LSH
+    * bucket together), not corpus-sized — one left equi-join (broadcast
+    * when small, shuffled otherwise) plus the same stateless hash
+    * expression as assignSplit; membership stays recomputable from
+    * (id, labels) alone and stable under corpus growth as long as the
+    * grouping is. */
+  def assignSplitByGroup(df: DataFrame, idCol: String, labels: DataFrame,
+      splits: Seq[(String, Int)]): DataFrame = {
+    checkSplits(splits)
+    val lab = labels.select(col("id").as("__gid"), col("component").as("__comp"))
+    df.join(lab, col(idCol) === col("__gid"), "left_outer")
+      .withColumn("split_group", coalesce(col("__comp"), col(idCol)))
+      .drop("__gid", "__comp")
+      .withColumn("split_bucket", pmod(xxhash64(col("split_group")), lit(10000L)))
+      .withColumn("split", splitCase(splits))
   }
 
   /** Deterministic stratified sampling — rebalance a corpus by keeping a

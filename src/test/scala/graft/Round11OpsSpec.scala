@@ -225,6 +225,38 @@ class Round11OpsSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("assignSplitByGroup: no near-dup pair straddles a split boundary, " +
+      "and singletons agree with assignSplit exactly") {
+    import graft.ops.{Dedup, Sampling}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val pairs = Dedup.minhashCandidates(sigs)
+    val labels = Dedup.connectedComponentsStar(pairs)
+    val splits = Seq("train" -> 9000, "val" -> 500, "test" -> 500)
+    val byGroup = Sampling.assignSplitByGroup(docs, "doc_id", labels, splits)
+      .select("doc_id", "split_group", "split")
+    // the leakage property: every LSH candidate pair lands in ONE split
+    val straddlers = pairs
+      .join(byGroup.select(col("doc_id").as("id_a"), col("split").as("sa")), Seq("id_a"))
+      .join(byGroup.select(col("doc_id").as("id_b"), col("split").as("sb")), Seq("id_b"))
+      .filter(col("sa") =!= col("sb"))
+    assert(straddlers.isEmpty,
+      straddlers.collect().take(5).mkString("\n"))
+    // outside duplicate groups the two rules are IDENTICAL (same hash of
+    // the same key), so adopting the safe split never reshuffles the
+    // singleton majority
+    val byId = Sampling.assignSplit(docs, "doc_id", splits)
+      .select(col("doc_id"), col("split").as("split_by_id"))
+    val singletonsDiffer = byGroup.filter(col("split_group") === col("doc_id"))
+      .join(byId, Seq("doc_id"))
+      .filter(col("split") =!= col("split_by_id"))
+    assert(singletonsDiffer.isEmpty)
+    // sanity: the corpus has at least one real multi-doc group, so the
+    // straddler assertion was not vacuous
+    assert(labels.filter(col("id") =!= col("component")).count() > 0)
+  }
+
   test("SignedProjection instances with equal sign matrices are equal " +
       "(semanticEquals-able), unequal matrices are not") {
     import graft.functions.{SignedProjection, columnExpr}
