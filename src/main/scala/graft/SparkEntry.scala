@@ -1025,6 +1025,14 @@ object SparkEntry {
           col("split"))
         .orderBy("doc_id")
     }),
+    "t_corpus_drift" -> ((s, dir) => {
+      // distribution-shift monitoring: per-source total-variation
+      // distance from the corpus-wide token distribution, exact rational
+      // DECIMAL arithmetic (no logarithm), plus the argmax-deviation
+      // term — the "which snapshot drifted, and on what" report
+      TextAnalysis.corpusDrift(t(s, dir, "documents"))
+        .orderBy("source")
+    }),
     "t_corpus_freq" -> ((s, dir) => {
       // log-free perplexity proxy: per-doc integer sum of corpus-wide
       // token occurrence counts — rare-token-heavy (noisy) docs score low
@@ -3401,6 +3409,43 @@ object SparkEntry {
          |       WHEN split_bucket < 9500 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    // corpus-drift replay: same raw-space tokenization, per-source TVD
+    // vs the corpus distribution in HUGEINT (absent terms folded in via
+    // the N_s*(N - sum nct) closed form, exactly as the Spark side);
+    // top term = argmax |dev|, ties by term ASC
+    "t_corpus_drift" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+        |), st AS (
+        |  SELECT source, term, COUNT(*) AS nst FROM toks GROUP BY 1, 2
+        |), ct AS (SELECT term, SUM(nst) AS nct FROM st GROUP BY 1),
+        |ns AS (SELECT source, SUM(nst) AS nsz FROM st GROUP BY 1),
+        |nc AS (SELECT SUM(nst) AS ncz FROM st),
+        |dev AS (
+        |  SELECT s.source, s.term, c.nct,
+        |    ABS(CAST(s.nst AS HUGEINT) * nc.ncz
+        |      - CAST(n.nsz AS HUGEINT) * c.nct) AS absd
+        |  FROM st s JOIN ct c USING (term) JOIN ns n USING (source) CROSS JOIN nc
+        |), agg AS (
+        |  SELECT source, SUM(absd) AS present_abs, SUM(nct) AS present_ct
+        |  FROM dev GROUP BY 1
+        |), top AS (
+        |  SELECT source, term, absd,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY absd DESC, term ASC) AS rn
+        |  FROM dev
+        |)
+        |SELECT a.source, CAST(n.nsz AS BIGINT) AS n_tokens,
+        |  CAST(((a.present_abs + CAST(n.nsz AS HUGEINT) * (nc.ncz - a.present_ct))
+        |      * 1000000) // (2 * CAST(n.nsz AS HUGEINT) * nc.ncz) AS BIGINT)
+        |    AS tvd_ppm,
+        |  tp.term AS top_term,
+        |  CAST((tp.absd * 1000000) // (CAST(n.nsz AS HUGEINT) * nc.ncz) AS BIGINT)
+        |    AS top_term_dev_ppm
+        |FROM agg a JOIN ns n USING (source) CROSS JOIN nc
+        |JOIN top tp ON tp.source = a.source AND tp.rn = 1
+        |ORDER BY source""".stripMargin,
 
     // corpus-frequency replay: same raw-space tokenization as the Spark
     // side (split on single space, empty text -> one empty token)

@@ -466,6 +466,72 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Corpus distribution-drift report — the crawl-monitoring shape: for
+    * every slice (a source, a snapshot, a date partition) measure how far
+    * its token distribution sits from the corpus-wide distribution by
+    * total-variation distance, TV(P_s, Q) = ½·Σ_t |p_s(t) − q(t)| — the
+    * statistic a pipeline alarms on when a new crawl snapshot drifts
+    * (TVD rather than KL because it is an exact RATIONAL in the counts:
+    * no logarithm, no libm, so any engine replays it bit-for-bit, the
+    * same trade [[collocations]] makes for PMI).
+    *
+    * Per-term deviation d_{s,t} = n_{s,t}·N − N_s·n_t (all BIGINT counts,
+    * combined in DECIMAL(38,0)); terms ABSENT from the slice contribute
+    * Σ_{t∉s} N_s·n_t = N_s·(N − Σ_{t∈s} n_t) in closed form, so the join
+    * only ever touches (slice, term) pairs that exist. `tvd_ppm` =
+    * ⌊10^6·Σ|d| / (2·N_s·N)⌋ ∈ [0, 10^6]; `top_term` is the argmax-|d|
+    * term (ties broken by term ascending) with its own deviation
+    * |d|·10^6/(N_s·N) as `top_term_dev_ppm` — the "what drifted" answer
+    * next to the "how much". Overflow: n_{s,t}·N·10^6 ≤ 10^36 < 10^38
+    * through N = 10^15 corpus tokens, the same domain bound as
+    * [[collocations]]; every division is last and non-negative, so floor
+    * == truncate on every engine.
+    *
+    * Scale: ONE corpus scan produces the (slice, term) counts with
+    * map-side combine; everything downstream is vocabulary×slices-sized
+    * — the term join is keyed (AQE absorbs the Zipf head), the slice
+    * totals broadcast, and the final reduce carries three numbers per
+    * slice. Nothing corpus-sized moves twice and nothing reaches the
+    * driver. Tokenization is the raw-space split of [[corpusFreqScore]]
+    * (empty text → one empty-string token), documented so the slice
+    * distributions are comparable run-over-run. */
+  def corpusDrift(docs: DataFrame, sliceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val st = docs
+      .select(col(sliceCol).as("slice"),
+        explode(split(col(textCol), " ", -1)).as("term"))
+      .groupBy("slice", "term").agg(count(lit(1)).as("nst"))
+    val ct = st.groupBy("term").agg(sum(col("nst")).as("nct"))
+    val ns = st.groupBy("slice").agg(sum(col("nst")).as("nsz"))
+    val nc = ct.agg(sum(col("nct")).as("ncz"))
+    val dec = "DECIMAL(38,0)"
+    val dev = st.join(ct, Seq("term"))
+      .join(broadcast(ns), Seq("slice"))
+      .crossJoin(broadcast(nc))
+      .withColumn("absd", expr(
+        s"abs(CAST(nst AS $dec) * ncz - CAST(nsz AS $dec) * nct)"))
+    dev
+      .groupBy("slice")
+      .agg(
+        first(col("nsz")).as("nsz"), first(col("ncz")).as("ncz"),
+        sum(col("absd")).as("present_abs"),
+        sum(col("nct")).as("present_ct"),
+        // argmax-|d| term, ties by term ASC: lexicographic max over
+        // (absd, negated term) has no tuple form for strings, so take
+        // the min over (-absd, term) instead — same argmax, ASC ties
+        min(struct((col("absd") * -1).as("k"), col("term"))).as("top"))
+      .withColumn("sum_abs", expr(
+        s"present_abs + CAST(nsz AS $dec) * (ncz - present_ct)"))
+      .select(
+        col("slice").as(sliceCol),
+        col("nsz").as("n_tokens"),
+        expr(s"CAST((sum_abs * 1000000) div (2 * CAST(nsz AS $dec) * ncz) AS BIGINT)")
+          .as("tvd_ppm"),
+        col("top.term").as("top_term"),
+        expr(s"CAST((top.k * -1000000) div (CAST(nsz AS $dec) * ncz) AS BIGINT)")
+          .as("top_term_dev_ppm"))
+  }
+
   /** Full per-document stats frame (expression-only columns). */
   def stats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -257,6 +257,45 @@ class Round11OpsSpec extends AnyFunSuite with SparkSpec {
     assert(labels.filter(col("id") =!= col("component")).count() > 0)
   }
 
+  // ---- corpus drift (per-slice TVD vs the corpus distribution) ----------
+
+  test("corpusDrift: hand-checked TVD, absent-term closed form, argmax term") {
+    import graft.ops.TextAnalysis
+    // slices: A = {x x x y}, B = {x y y y}, C = {z z z z}; N = 12,
+    // corpus counts x:4 y:4 z:4 (q = 1/3 each)
+    val docs = Seq(
+      (1L, "x x x y", "A"), (2L, "x y y y", "B"), (3L, "z z z z", "C"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.corpusDrift(docs).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    // A: p=(3/4,1/4,0) -> TVD = (|3/4-1/3|+|1/4-1/3|+1/3)/2 = 5/12
+    //    deviations d_x=3*12-4*4=20, d_y=|1*12-16|=4, absent z: 4*4=16
+    //    tvd_ppm = 40e6 div 96 = 416666; top x dev 20e6 div 48 = 416666
+    // B symmetric to A with y dominant -> top term y
+    // C: pure z -> TVD = 2/3; d_z=32, absent x,y: 32 -> 666666
+    assert(got(0) == ("A", 4L, 416666L, "x", 416666L))
+    assert(got(1) == ("B", 4L, 416666L, "y", 416666L))
+    assert(got(2) == ("C", 4L, 666666L, "z", 666666L))
+  }
+
+  test("corpusDrift: equal-deviation tie breaks by term ascending; " +
+      "identical slices score zero drift") {
+    import graft.ops.TextAnalysis
+    // A = {x x x y}, B = {x y y y}: d_x and d_y both 8 in each slice ->
+    // tie resolves to the lexicographically smallest term
+    val tied = Seq((1L, "x x x y", "A"), (2L, "x y y y", "B"))
+      .toDF("doc_id", "text", "source")
+    val gotTied = TextAnalysis.corpusDrift(tied).orderBy("source").collect()
+    assert(gotTied.map(_.getString(3)).toSeq == Seq("x", "x"))
+    assert(gotTied.map(_.getLong(2)).toSeq == Seq(250000L, 250000L))
+    // two identical slices: every deviation is exactly 0
+    val same = Seq((1L, "a b c", "A"), (2L, "a b c", "B"))
+      .toDF("doc_id", "text", "source")
+    val gotSame = TextAnalysis.corpusDrift(same).collect()
+    assert(gotSame.forall(r => r.getLong(2) == 0L && r.getLong(4) == 0L))
+  }
+
   test("SignedProjection instances with equal sign matrices are equal " +
       "(semanticEquals-able), unequal matrices are not") {
     import graft.functions.{SignedProjection, columnExpr}
