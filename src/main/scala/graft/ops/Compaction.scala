@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction — the file-size governance a 100 TB table needs.
+  *
+  * Streaming micro-batches, over-parallel writers and incremental loads
+  * leave tables as millions of KB-sized files; at scale the SCAN cost of
+  * such a table is dominated by per-file open/footer overhead and the
+  * driver's listing, not by bytes (the classic lakehouse "small files
+  * problem" that Delta/Iceberg `OPTIMIZE` exists to fix). Compaction
+  * rewrites the data as ~`targetBytes` files.
+  *
+  * Two surfaces:
+  *
+  *  - [[compactionPlan]] — the INSPECTION surface: list the directory
+  *    (driver-side METADATA, file-count-sized — the same listing Spark's
+  *    own `InMemoryFileIndex` does) and bin-pack sizes best-fit-decreasing
+  *    into `targetBytes` bins. Returns one row per file with its assigned
+  *    bin, so an operator can see what a rewrite would do before paying
+  *    for it. The packer itself ([[packBins]]) is a pure function,
+  *    O(n log n) via a capacity-keyed tree — fine at 10^7 files.
+  *
+  *  - [[compact]] — the EXECUTION surface, and deliberately NOT
+  *    `repartition(n)`: a repartition is a full shuffle of every byte
+  *    (write amplification ×2 across the cluster). Instead the rewrite
+  *    rides Spark's own scan packing — `spark.sql.files.maxPartitionBytes`
+  *    / `openCostInBytes` make the parquet scan itself coalesce many
+  *    small files into ~targetBytes `FilePartition`s (size-desc first-fit,
+  *    the same shape as [[packBins]]) — and the write emits one file per
+  *    scan partition. One narrow, shuffle-free, whole-stage-codegen pass:
+  *    read bytes once, write bytes once, nothing crosses the network on
+  *    a co-located cluster. Column pruning/pushdown don't apply (every
+  *    column survives a rewrite by definition).
+  *
+  * Limits (documented, standard for OPTIMIZE-style tools): output sizes
+  * track INPUT bytes per bin, so recompression differences show up in
+  * the output sizes, not the binning; hive-partitioned layouts should be
+  * compacted per partition directory (the bin packer would happily mix
+  * partitions, which `partitionBy` on rewrite would then re-split). */
+object Compaction {
+
+  /** Best-fit-decreasing bin packing of (name, bytes) into bins of
+    * `targetBytes`: files in size-DESC order (name-ASC ties — fully
+    * deterministic) each land in the fullest bin that still fits them,
+    * else open a new bin. Oversized files get a bin of their own (a
+    * rewrite can't split a row group it never reads row-by-row... it can,
+    * but one target-sized file per oversized input is already the right
+    * output, and that is what the scan-packing execution produces too).
+    * Returns (name, bytes, bin) with bins numbered by opening order.
+    *
+    * O(n log n): the open bins live in a TreeMap keyed by remaining
+    * capacity, so best-fit is one `ceilingEntry` probe. */
+  def packBins(files: Seq[(String, Long)], targetBytes: Long)
+      : Seq[(String, Long, Int)] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    // best-fit = the bin with the SMALLEST remaining capacity that still
+    // fits: TreeMap[remaining -> bin ids at that remaining]
+    val byRemaining = new java.util.TreeMap[Long, List[Int]]()
+    val remaining = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def open(): Int = { remaining += targetBytes; remaining.length - 1 }
+    def take(rem: Long): Int = {
+      val ids = byRemaining.get(rem)
+      ids match {
+        case id :: rest =>
+          if (rest.isEmpty) byRemaining.remove(rem)
+          else byRemaining.put(rem, rest)
+          id
+        case Nil => byRemaining.remove(rem); -1 // unreachable
+      }
+    }
+    def put(id: Int): Unit = {
+      val rem = remaining(id)
+      if (rem > 0)
+        byRemaining.put(rem, id :: Option(byRemaining.get(rem)).getOrElse(Nil))
+    }
+    files.sortBy { case (name, bytes) => (-bytes, name) }.map {
+      case (name, bytes) =>
+        val fitKey = Option(byRemaining.ceilingKey(bytes))
+        val id = fitKey match {
+          case Some(rem) => take(rem)
+          case None => open()
+        }
+        remaining(id) = math.max(0L, remaining(id) - bytes)
+        put(id)
+        (name, bytes, id)
+    }
+  }
+
+  /** One row per data file under `dir` with its best-fit-decreasing
+    * compaction bin: (file, bytes, bin). Driver-side listing only —
+    * metadata-sized, no data read. `_`-prefixed and `.`-prefixed entries
+    * (committer metadata, CRCs) are skipped, as Spark's own file index
+    * does. */
+  def compactionPlan(spark: SparkSession, dir: String, targetBytes: Long)
+      : DataFrame = {
+    import spark.implicits._
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
+        files += ((f.getPath.toString, f.getLen))
+    }
+    packBins(files.toSeq, targetBytes)
+      .toDF("file", "bytes", "bin")
+  }
+
+  /** Rewrite the parquet table at `srcDir` into `dstDir` as ~`targetBytes`
+    * files with ZERO shuffle: the scan's FilePartition packing is the bin
+    * assignment (maxPartitionBytes = targetBytes, openCostInBytes scaled
+    * to 1/256 of it so padding never dominates real bytes), and each scan
+    * partition writes exactly one output file. Runs eagerly (the session
+    * confs are restored after the write; the physical scan is planned
+    * inside the window, which is why the action lives in here). Returns
+    * (files_in, bytes_in, files_out, bytes_out) as a 1-row DataFrame. */
+  def compact(spark: SparkSession, srcDir: String, dstDir: String,
+      targetBytes: Long): DataFrame = {
+    import spark.implicits._
+    require(targetBytes > 0, "targetBytes must be positive")
+    def stats(dir: String): (Long, Long) = {
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(path, true)
+      var n = 0L; var b = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+          n += 1; b += f.getLen
+        }
+      }
+      (n, b)
+    }
+    val conf = spark.conf
+    val keys = Seq("spark.sql.files.maxPartitionBytes",
+      "spark.sql.files.openCostInBytes",
+      // without this Spark SHRINKS partitions below maxPartitionBytes to
+      // fill every core (bytesPerCore in FilePartition.maxSplitBytes) —
+      // right for a query, wrong for a rewrite whose whole point is the
+      // output file size
+      "spark.sql.files.minPartitionNum")
+    val old = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set(keys(0), targetBytes.toString)
+      conf.set(keys(1), math.max(targetBytes / 256, 1L).toString)
+      conf.set(keys(2), "1")
+      spark.read.parquet(srcDir).write.mode(SaveMode.Overwrite).parquet(dstDir)
+    } finally old.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+    val (fi, bi) = stats(srcDir)
+    val (fo, bo) = stats(dstDir)
+    Seq((fi, bi, fo, bo))
+      .toDF("files_in", "bytes_in", "files_out", "bytes_out")
+  }
+}

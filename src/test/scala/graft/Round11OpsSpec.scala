@@ -296,6 +296,57 @@ class Round11OpsSpec extends AnyFunSuite with SparkSpec {
     assert(gotSame.forall(r => r.getLong(2) == 0L && r.getLong(4) == 0L))
   }
 
+  // ---- small-file compaction --------------------------------------------
+
+  test("packBins: best-fit-decreasing hand check, oversized isolation, " +
+      "deterministic name tie-break") {
+    import graft.ops.Compaction.packBins
+    // target 10, sizes 6,4,4,3,2,1 -> bins {6,4} and {4,3,2,1}
+    val got = packBins(Seq(("a", 6L), ("b", 4L), ("c", 4L), ("d", 3L),
+      ("e", 2L), ("f", 1L)), 10L).map(t => t._1 -> t._3).toMap
+    assert(got("a") == 0 && got("b") == 0)
+    assert(Seq("c", "d", "e", "f").forall(got(_) == 1))
+    // an oversized file gets a bin of its own; nothing joins it
+    val over = packBins(Seq(("big", 12L), ("s1", 2L), ("s2", 2L)), 5L)
+    val bigBin = over.find(_._1 == "big").get._3
+    assert(over.filter(_._3 == bigBin).map(_._1) == Seq("big"))
+    assert(over.filter(_._1 != "big").map(_._3).distinct.size == 1)
+    // equal sizes order by name, so the assignment is reproducible
+    val x = packBins(Seq(("n2", 4L), ("n1", 4L), ("n3", 4L)), 8L)
+    val y = packBins(Seq(("n3", 4L), ("n1", 4L), ("n2", 4L)), 8L)
+    assert(x.sortBy(_._1) == y.sortBy(_._1))
+  }
+
+  test("compactionPlan lists data files only; compact rewrites many " +
+      "small files into few target-sized ones, shuffle-free, " +
+      "preserving every row and restoring session confs") {
+    import graft.ops.Compaction
+    val src = java.nio.file.Files.createTempDirectory("graft_compact_src")
+      .toString
+    val dst = src.replace("_src", "_dst")
+    // ~40 small files of a few KB each
+    spark.range(0, 20000).selectExpr("id",
+        "repeat(cast(id as string), 8) AS pad")
+      .repartition(40).write.mode("overwrite").parquet(src)
+    val plan = Compaction.compactionPlan(spark, src, 64L * 1024)
+    val nIn = plan.count()
+    assert(nIn >= 35) // the 40 parts (allowing empty-partition elision)
+    assert(plan.filter(col("file").contains("_SUCCESS")).isEmpty)
+    assert(plan.select("bin").distinct().count() < nIn / 4)
+    val before = (spark.conf.getOption("spark.sql.files.maxPartitionBytes"),
+      spark.conf.getOption("spark.sql.files.minPartitionNum"))
+    val stats = Compaction.compact(spark, src, dst, 64L * 1024).head()
+    assert((spark.conf.getOption("spark.sql.files.maxPartitionBytes"),
+      spark.conf.getOption("spark.sql.files.minPartitionNum")) == before)
+    val (filesIn, filesOut) = (stats.getLong(0), stats.getLong(2))
+    assert(filesIn == nIn)
+    assert(filesOut < filesIn / 4 && filesOut >= 1)
+    // every row survives the rewrite
+    val a = spark.read.parquet(src).orderBy("id").collect()
+    val b = spark.read.parquet(dst).orderBy("id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("SignedProjection instances with equal sign matrices are equal " +
       "(semanticEquals-able), unequal matrices are not") {
     import graft.functions.{SignedProjection, columnExpr}
