@@ -448,6 +448,29 @@ object Rehearsal {
       }
       emit(s"""{"scale":$scale,"stage":"kcore_ring","input_rows":${400000L * scale},"output_rows":$nKc,"sec":$tKc}""")
 
+      // compaction leg: the small-files problem — 512 micro-files at
+      // every scale (constant per-file overhead, growing bytes), rewritten
+      // shuffle-free to ~32 MB targets; throughput must stay ~flat in
+      // MB/s since the rewrite is one narrow read-once/write-once pass
+      {
+        val n = 2000000L * scale
+        val src = s"/tmp/rehearsal_compact_src_$scale"
+        val dst = s"/tmp/rehearsal_compact_dst_$scale"
+        spark.range(n).selectExpr("id", "md5(CAST(id AS STRING)) AS pad")
+          .repartition(512).write.mode("overwrite").parquet(src)
+        val (st, tComp) = timed {
+          graft.ops.Compaction.compact(spark, src, dst,
+            32L * 1024 * 1024).head()
+        }
+        val bytesIn = st.getAs[Long]("bytes_in")
+        emit(s"""{"scale":$scale,"stage":"compaction","files_in":${st.getAs[Long]("files_in")},"files_out":${st.getAs[Long]("files_out")},"bytes_in":$bytesIn,"sec":$tComp,"mb_per_sec":${(bytesIn / 1e6 / math.max(tComp, 1e-9)).toLong}}""")
+        val hconf = spark.sparkContext.hadoopConfiguration
+        for (d <- Seq(src, dst)) {
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(hconf).delete(p, true)
+        }
+      }
+
       // validation legs — the engine's NAMESAKE workload at scale:
       // summaryFast + both anti-joins + the fuzzy string diff over a
       // synthesized pair, in the two regimes the reference's own data

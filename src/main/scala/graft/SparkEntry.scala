@@ -686,6 +686,35 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "s_drift" -> ((s, dir) => {
+      // continuous distribution-drift monitoring: per hourly window, the
+      // exact-integer total-variation distance of the window's event_type
+      // mix from the whole table's distribution (computed batch-side and
+      // handed to the stream as the static reference), plus the
+      // argmax-deviation type. Update-mode emissions grow monotonically
+      // in n_events, so max(struct(..)) per window IS the final answer
+      val reference = s.read.parquet(s"$dir/events.parquet")
+        .groupBy("event_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ev = StreamingOps.readEvents(s, s"$dir/events.parquet")
+      val drift = StreamingOps.streamingDrift(ev, reference,
+        windowMinutes = 60, watermark = Some("10 minutes"))
+      StreamingOps.withShufflePartitions(s, 8) {
+        StreamingOps.runToMemory(drift.toDF(), s"drift_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      }
+        .groupBy("window_start")
+        .agg(max(struct(col("n_events"), col("tvd_ppm"), col("top_term"),
+          col("top_dev_ppm"))).as("f"))
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("f.n_events").as("n_events"), col("f.tvd_ppm").as("tvd_ppm"),
+          col("f.top_term").as("top_term"),
+          col("f.top_dev_ppm").as("top_dev_ppm"))
+        .orderBy("window_start")
+    }),
+
     // --- training-data pipeline extensions ------------------------------
     // --- skew mitigation demo (same semantics, two physical shapes) -----
     // fact side: half of lineitem lands on hot key 0; dim: 8 rows per key
@@ -2690,6 +2719,43 @@ object SparkEntry {
         |WHERE r.id IS NULL OR e.id IS NULL
         |   OR observed IS DISTINCT FROM expected
         |ORDER BY id""".stripMargin,
+    // streaming drift replay: hourly event_type counts vs the whole
+    // table's distribution, TVD in HUGEINT over the union of window and
+    // reference terms (the reference here IS the full vocabulary, so the
+    // window-only side is empty by construction); top term = argmax
+    // deviation, ties by term ASC — identical integer math to the stream
+    "s_drift" ->
+      """WITH ref AS (
+        |  SELECT event_type AS term, COUNT(*) AS rc FROM events GROUP BY 1
+        |), rt AS (SELECT SUM(rc) AS rtot FROM ref),
+        |wc AS (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type AS term,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |), nw AS (SELECT ws, SUM(c) AS n FROM wc GROUP BY 1),
+        |dev AS (
+        |  SELECT nw.ws, r.term,
+        |    ABS(CAST(COALESCE(wc.c, 0) AS HUGEINT) * rt.rtot
+        |      - CAST(nw.n AS HUGEINT) * r.rc) AS absd
+        |  FROM nw CROSS JOIN ref r CROSS JOIN rt
+        |  LEFT JOIN wc ON wc.ws = nw.ws AND wc.term = r.term
+        |), agg AS (
+        |  SELECT ws, SUM(absd) AS sumabs FROM dev GROUP BY 1
+        |), top AS (
+        |  SELECT ws, term, absd, ROW_NUMBER() OVER (PARTITION BY ws
+        |    ORDER BY absd DESC, term ASC) AS rn
+        |  FROM dev
+        |)
+        |SELECT strftime(a.ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  CAST(nw.n AS BIGINT) AS n_events,
+        |  CAST((a.sumabs * 1000000)
+        |    // (2 * CAST(nw.n AS HUGEINT) * rt.rtot) AS BIGINT) AS tvd_ppm,
+        |  tp.term AS top_term,
+        |  CAST((tp.absd * 1000000)
+        |    // (CAST(nw.n AS HUGEINT) * rt.rtot) AS BIGINT) AS top_dev_ppm
+        |FROM agg a JOIN nw ON nw.ws = a.ws CROSS JOIN rt
+        |JOIN top tp ON tp.ws = a.ws AND tp.rn = 1
+        |ORDER BY window_start""".stripMargin,
     "t_dedup_exact" ->
       """SELECT md5(text) AS text_hash,
         |  CAST(MIN(doc_id) AS BIGINT) AS keep_id,

@@ -431,6 +431,100 @@ object StreamingOps {
       .filter(col("kind").isNotNull)
   }
 
+  final case class DriftRow(window_start: java.sql.Timestamp, n_events: Long,
+      tvd_ppm: Long, top_term: String, top_dev_ppm: Long)
+  /** public: the state encoder's generated code must construct them. */
+  final case class DriftCounts(counts: Map[String, Long])
+  final case class DriftWin(start: java.sql.Timestamp, end: java.sql.Timestamp)
+
+  /** Continuous DISTRIBUTION-DRIFT monitoring — the streaming twin of
+    * `TextAnalysis.corpusDrift`: per tumbling event-time window, the
+    * total-variation distance between the window's categorical
+    * distribution (of `termCol`) and a static `reference` distribution,
+    * plus the argmax-deviation term — the alarm a pipeline raises when a
+    * crawl/ingest snapshot stops looking like the corpus it feeds.
+    *
+    * Exact integer arithmetic (BigInt over counts — the per-window term
+    * loop is vocabulary-sized, never row-sized, so it is not a hot
+    * path): tvd_ppm = ⌊10^6·Σ_t|n_t·R − N·r_t| / (2·N·R)⌋ over the UNION
+    * of window and reference terms, identical to the batch formula, so
+    * the final update-mode row per window equals the batch answer under
+    * ANY micro-batch slicing or (within-watermark) late-data order —
+    * counts are distributive, and each update emits the window's
+    * complete drift-so-far (n_events strictly grows per update, so
+    * "latest row per window" is selectable with one max). State is one
+    * vocabulary-sized count map per OPEN window, evicted by event-time
+    * timeout two window-lengths past the window start once the watermark
+    * passes — unbounded time costs bounded state. `watermark = None` is
+    * the accumulate-forever variant (the [[userSessions]] trade): exact
+    * under arbitrarily-late replay, state one map per DISTINCT window —
+    * for bounded-history demos and equivalence testing, not for an
+    * unbounded clock. */
+  def streamingDrift(events: DataFrame, reference: Map[String, Long],
+      termCol: String = "event_type", tsCol: String = "ts",
+      windowMinutes: Int = 60,
+      watermark: Option[String] = Some("10 minutes"))
+      : Dataset[DriftRow] = {
+    require(reference.nonEmpty && reference.values.forall(_ > 0),
+      "reference distribution must be non-empty with positive counts")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rtot = reference.values.sum
+    val winMs = windowMinutes * 60000L
+    val src = watermark match {
+      case Some(w) => events.withWatermark(tsCol, w)
+      case None    => events
+    }
+    val timeoutConf = watermark match {
+      case Some(_) => GroupStateTimeout.EventTimeTimeout()
+      case None    => GroupStateTimeout.NoTimeout()
+    }
+    // the tumbling-window struct column CARRIES the watermark tag the
+    // event-time timeout needs — projecting `.start` out of it would
+    // strip that metadata and fail analysis, so the whole struct is the
+    // grouping key
+    src
+      .select(
+        window(col(tsCol), s"$windowMinutes minutes").as("w"),
+        col(termCol).cast("string").as("term"))
+      .as[(DriftWin, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DriftCounts, DriftRow](
+        OutputMode.Update(), timeoutConf) {
+        (win: DriftWin, rows: Iterator[(DriftWin, String)],
+            state: GroupState[DriftCounts]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val ws = win.start
+            var m = state.getOption.map(_.counts)
+              .getOrElse(Map.empty[String, Long])
+            rows.foreach { case (_, t) =>
+              m = m.updated(t, m.getOrElse(t, 0L) + 1L)
+            }
+            state.update(DriftCounts(m))
+            if (watermark.isDefined)
+              state.setTimeoutTimestamp(math.max(ws.getTime + 2 * winMs,
+                state.getCurrentWatermarkMs() + 1))
+            val n = m.valuesIterator.sum
+            val bigN = BigInt(n)
+            val bigR = BigInt(rtot)
+            var sumAbs = BigInt(0)
+            var topD = BigInt(-1)
+            var topT: String = null
+            (m.keySet ++ reference.keySet).toSeq.sorted.foreach { t =>
+              val d = (BigInt(m.getOrElse(t, 0L)) * bigR -
+                bigN * BigInt(reference.getOrElse(t, 0L))).abs
+              sumAbs += d
+              if (d > topD) { topD = d; topT = t } // sorted ASC: ties keep
+                                                   // the smallest term
+            }
+            Iterator.single(DriftRow(ws, n,
+              (sumAbs * 1000000 / (bigN * bigR * 2)).toLong, topT,
+              (topD * 1000000 / (bigN * bigR)).toLong))
+          }
+      }
+  }
+
   /** Stream-static incremental ingest dedup — the streaming twin of
     * `Curation.incrementalNew`: each micro-batch is anti-joined against a
     * STATIC corpus fingerprint set; rows whose fingerprint is already

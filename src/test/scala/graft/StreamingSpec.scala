@@ -393,4 +393,107 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         s"fragment sum must equal batch totals, got $rebuilt")
     } finally q.stop()
   }
+
+  // reference implementation of the integer TVD the drift op and its
+  // oracle both compute — an independent third copy for the spec
+  private def tvdExpected(counts: Map[String, Long], ref: Map[String, Long])
+      : (Long, Long, String, Long) = {
+    val n = BigInt(counts.values.sum)
+    val r = BigInt(ref.values.sum)
+    var sumAbs = BigInt(0); var topD = BigInt(-1); var topT: String = null
+    (counts.keySet ++ ref.keySet).toSeq.sorted.foreach { t =>
+      val d = (BigInt(counts.getOrElse(t, 0L)) * r -
+        n * BigInt(ref.getOrElse(t, 0L))).abs
+      sumAbs += d
+      if (d > topD) { topD = d; topT = t }
+    }
+    (n.toLong, (sumAbs * 1000000 / (n * r * 2)).toLong, topT,
+      (topD * 1000000 / (n * r)).toLong)
+  }
+
+  test("streamingDrift equals the batch TVD per window under multi-batch " +
+      "ts-disordered replay; final update row is selectable by max") {
+    import spark.implicits._
+    val e = StreamingOps.normalizeEventTs(spark.read.parquet(eventsPath))
+    val reference = e.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val d = java.nio.file.Files.createTempDirectory("sdrift").toString
+    // 4 files consumed one per trigger: every window's counts arrive
+    // split across micro-batches in arbitrary event-time order
+    e.repartition(4).write.parquet(s"$d/ev")
+    def streamOf(p: String) = spark.readStream
+      .schema(spark.read.parquet(p).schema)
+      .option("maxFilesPerTrigger", "1").parquet(p)
+    val got = StreamingOps.withShufflePartitions(spark, 4) {
+      StreamingOps.runToMemory(
+        // watermark = None: the replay below re-delivers the whole month
+        // across 4 unordered batches, so any finite watermark would
+        // evict mid-replay — this asserts the distributive-exactness
+        // contract, which is watermark-free by design
+        StreamingOps.streamingDrift(streamOf(s"$d/ev"), reference,
+          windowMinutes = 60, watermark = None).toDF(),
+        "sdrift_eq", OutputMode.Update())
+    }
+      .groupBy("window_start")
+      .agg(max(struct(col("n_events"), col("tvd_ppm"), col("top_term"),
+        col("top_dev_ppm"))).as("f"))
+      .select(col("window_start"), col("f.n_events"), col("f.tvd_ppm"),
+        col("f.top_term"), col("f.top_dev_ppm"))
+      .collect()
+      .map(r => r.getTimestamp(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+      .toMap
+    val windows = e
+      .select(window(col("ts"), "60 minutes").getField("start").as("ws"),
+        col("event_type"))
+      .groupBy("ws", "event_type").count().collect()
+      .groupBy(_.getTimestamp(0))
+      .map { case (ws, rows) =>
+        ws -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+      }
+    assert(windows.nonEmpty && got.keySet == windows.keySet)
+    windows.foreach { case (ws, counts) =>
+      val (n, tvd, top, topDev) = tvdExpected(counts, reference)
+      assert(got(ws) == ((n, tvd, top, topDev)),
+        s"window $ws: got ${got(ws)}, expected ($n,$tvd,$top,$topDev)")
+    }
+  }
+
+  test("streamingDrift per-window state is EVICTED once the watermark " +
+      "passes two window lengths: a revisit starts from scratch instead " +
+      "of continuing the evicted counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(minute: Long) = new java.sql.Timestamp(minute * 60000L)
+    val src = MemoryStream[(java.sql.Timestamp, String)]
+    val drift = StreamingOps.streamingDrift(
+      src.toDF().toDF("ts", "event_type"),
+      reference = Map("a" -> 1L, "b" -> 1L),
+      windowMinutes = 60, watermark = Some("10 minutes"))
+    val q = drift.toDF().writeStream.format("memory").queryName("sdrift_ev")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // window [0,60): two 'a' events -> TVD vs the uniform {a,b}
+      // reference = 1/2
+      src.addData((ts(1), "a"), (ts(2), "a"))
+      q.processAllAvailable()
+      // far-future event pushes the watermark (t=400-10) past the
+      // window-0 timeout (start + 2*60 = t=120) -> state evicted
+      src.addData((ts(400), "b"))
+      q.processAllAvailable()
+      // a revisit of window 0 must NOT resume the evicted counts: either
+      // the row is dropped as late (watermark) or it restarts at
+      // n_events = 1 — both prove the store no longer holds window 0
+      src.addData((ts(3), "a"))
+      q.processAllAvailable()
+      val w0 = spark.table("sdrift_ev")
+        .filter(col("window_start") === ts(0)).collect()
+        .map(r => (r.getLong(1), r.getLong(2)))
+      assert(w0.contains((2L, 500000L)),
+        s"pre-eviction window-0 row missing: ${w0.toSeq}")
+      assert(!w0.exists(_._1 == 3L),
+        s"evicted window 0 must not continue to n=3: ${w0.toSeq}")
+    } finally q.stop()
+  }
 }
