@@ -497,9 +497,19 @@ object TextAnalysis {
     * distributions are comparable run-over-run. */
   def corpusDrift(docs: DataFrame, sliceCol: String = "source",
       textCol: String = "text"): DataFrame = {
+    // the explicit isnotnull pair keeps ALL FOUR consumers of the
+    // (slice, term) count frame canonically identical: the joins below
+    // would otherwise infer isnotnull on different columns per branch
+    // (term for ct, slice for ns, both for dev, neither for nc), and
+    // four different inferred filter sets = four distinct canonical
+    // subtrees = the corpus scanned four times instead of once with
+    // three ReusedExchanges (null-slice docs are dropped — a slice key
+    // is required; explode never emits a null term)
     val st = docs
+      .filter(col(sliceCol).isNotNull)
       .select(col(sliceCol).as("slice"),
         explode(split(col(textCol), " ", -1)).as("term"))
+      .filter(col("term").isNotNull)
       .groupBy("slice", "term").agg(count(lit(1)).as("nst"))
     val ct = st.groupBy("term").agg(sum(col("nst")).as("nct"))
     val ns = st.groupBy("slice").agg(sum(col("nst")).as("nsz"))

@@ -285,6 +285,26 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("corpusDrift scans the corpus ONCE: all four consumers of the " +
+      "(slice, term) count frame reuse one exchange") {
+    // the scaladoc's "ONE corpus scan" claim as a measured pin: ct/ns/nc
+    // re-aggregate st rather than re-deriving from the raw tokens, and
+    // the explicit isnotnull(slice) keeps the four subtrees canonically
+    // identical (the joins would otherwise infer different per-branch
+    // filters — the summaryFast nullable-id lesson). AQE stage reuse is
+    // runtime-only, so the pin reads the final executed plan.
+    val df = graft.ops.TextAnalysis.corpusDrift(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    val reused = p.linesIterator.count(_.contains("ReusedExchange"))
+    assert(scans == 1, s"corpus must be scanned exactly once, got $scans:\n$p")
+    assert(reused == 3,
+      s"ct/ns/nc must all reuse st's exchange (3 ReusedExchange), got $reused:\n$p")
+  }
+
   test("summaryFast shuffles each side exactly once (id partitioning reused)") {
     // hashpartitioning(id) satisfies the (id, v) grouping, the per-id
     // totals AND the id equi-joins, so the whole single-pass summary must
