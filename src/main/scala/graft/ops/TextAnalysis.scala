@@ -480,9 +480,17 @@ object TextAnalysis {
     * Σ_{t∉s} N_s·n_t = N_s·(N − Σ_{t∈s} n_t) in closed form, so the join
     * only ever touches (slice, term) pairs that exist. `tvd_ppm` =
     * ⌊10^6·Σ|d| / (2·N_s·N)⌋ ∈ [0, 10^6]; `top_term` is the argmax-|d|
-    * term (ties broken by term ascending) with its own deviation
-    * |d|·10^6/(N_s·N) as `top_term_dev_ppm` — the "what drifted" answer
-    * next to the "how much". Overflow: n_{s,t}·N·10^6 ≤ 10^36 < 10^38
+    * term AMONG TERMS PRESENT IN THE SLICE (ties broken by term
+    * ascending) with its own deviation |d|·10^6/(N_s·N) as
+    * `top_term_dev_ppm` — the "what drifted" answer next to the "how
+    * much". A term fully ABSENT from the slice counts toward `tvd_ppm`
+    * (the closed form above) but is never nominated as `top_term`:
+    * nominating absent terms exactly would materialize the
+    * slices×vocabulary grid the closed form exists to avoid, and an
+    * under-represented-but-present term already surfaces. (The
+    * streaming twin `StreamingOps.streamingDrift` nominates over the
+    * UNION — its reference vocabulary is a small static map, where the
+    * grid is free.) Overflow: n_{s,t}·N·10^6 ≤ 10^36 < 10^38
     * through N = 10^15 corpus tokens, the same domain bound as
     * [[collocations]]; every division is last and non-negative, so floor
     * == truncate on every engine.

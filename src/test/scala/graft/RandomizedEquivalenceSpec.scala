@@ -192,4 +192,73 @@ class RandomizedEquivalenceSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("corpusDrift == brute-force BigInt TVD across 15 random corpora " +
+      "(empty texts, shared and disjoint vocabularies, single slices)") {
+    import spark.implicits._
+    val vocab = Vector("a", "b", "c", "dd", "ee", "zz", "q")
+    for (trial <- 1 to 15) {
+      val nSlices = rnd.nextInt(4) + 1
+      val docs = Seq.fill(rnd.nextInt(40) + 1) {
+        val slice = "s" + rnd.nextInt(nSlices)
+        val text =
+          if (rnd.nextDouble() < 0.1) "" // empty text -> one "" token
+          else Seq.fill(rnd.nextInt(12) + 1)(
+            vocab(rnd.nextInt(vocab.length))).mkString(" ")
+        (slice, text)
+      }
+      val df = docs.toDF("source", "text")
+      val got = graft.ops.TextAnalysis.corpusDrift(df).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toMap
+      // brute force: token counts straight off the input rows
+      val toks = docs.flatMap { case (s, t) => t.split(" ", -1).map(s -> _) }
+      val bySlice = toks.groupBy(_._1).map { case (s, xs) =>
+        s -> xs.groupBy(_._2).map { case (t, ys) => t -> ys.size.toLong }
+      }
+      val corpus = toks.groupBy(_._2).map { case (t, ys) => t -> ys.size.toLong }
+      val ncz = BigInt(corpus.values.sum)
+      assert(got.keySet == bySlice.keySet)
+      bySlice.foreach { case (s, counts) =>
+        val nsz = BigInt(counts.values.sum)
+        var sumAbs = BigInt(0); var topD = BigInt(-1); var topT: String = null
+        corpus.keySet.toSeq.sorted.foreach { t =>
+          val d = (BigInt(counts.getOrElse(t, 0L)) * ncz -
+            nsz * BigInt(corpus(t))).abs
+          sumAbs += d
+          // top_term nominates among PRESENT terms only (absent terms
+          // contribute to the TVD sum but not the argmax — documented)
+          if (counts.contains(t) && d > topD) { topD = d; topT = t }
+        }
+        val exp = (nsz.toLong, (sumAbs * 1000000 / (2 * nsz * ncz)).toLong,
+          topT, (topD * 1000000 / (nsz * ncz)).toLong)
+        assert(got(s) == exp, s"trial $trial slice $s: got ${got(s)}, expected $exp")
+      }
+    }
+  }
+
+  test("packBins invariants across 25 random file sets: every file placed " +
+      "exactly once, no bin overflows (except singleton oversized files), " +
+      "input order never changes the assignment") {
+    import graft.ops.Compaction.packBins
+    for (trial <- 1 to 25) {
+      val target = rnd.nextInt(1000) + 10L
+      val files = Seq.tabulate(rnd.nextInt(60) + 1)(i =>
+        (f"f$i%03d", rnd.nextInt(2 * target.toInt).toLong + 1))
+      val packed = packBins(files, target)
+      assert(packed.map(_._1).sorted == files.map(_._1).sorted,
+        s"trial $trial: files lost or duplicated")
+      packed.foreach { case (name, bytes, _) =>
+        assert(files.toMap.apply(name) == bytes) }
+      packed.groupBy(_._3).foreach { case (bin, members) =>
+        val total = members.map(_._2).sum
+        assert(total <= target ||
+          (members.size == 1 && members.head._2 > target),
+          s"trial $trial bin $bin overflows: $members (target $target)")
+      }
+      val shuffled = packBins(rnd.shuffle(files), target)
+      assert(shuffled.sortBy(_._1) == packed.sortBy(_._1),
+        s"trial $trial: assignment depends on input order")
+    }
+  }
 }
