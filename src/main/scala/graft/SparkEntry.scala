@@ -694,6 +694,7 @@ object SparkEntry {
       // argmax-deviation type. Update-mode emissions grow monotonically
       // in n_events, so max(struct(..)) per window IS the final answer
       val reference = s.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_type").isNotNull) // op contract: non-null terms
         .groupBy("event_type").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val ev = StreamingOps.readEvents(s, s"$dir/events.parquet")
@@ -2726,12 +2727,13 @@ object SparkEntry {
     // deviation, ties by term ASC — identical integer math to the stream
     "s_drift" ->
       """WITH ref AS (
-        |  SELECT event_type AS term, COUNT(*) AS rc FROM events GROUP BY 1
+        |  SELECT event_type AS term, COUNT(*) AS rc FROM events
+        |  WHERE event_type IS NOT NULL GROUP BY 1
         |), rt AS (SELECT SUM(rc) AS rtot FROM ref),
         |wc AS (
         |  SELECT date_trunc('hour', ts) AS ws, event_type AS term,
         |    COUNT(*) AS c
-        |  FROM events GROUP BY 1, 2
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
         |), nw AS (SELECT ws, SUM(c) AS n FROM wc GROUP BY 1),
         |dev AS (
         |  SELECT nw.ws, r.term,
@@ -3482,7 +3484,8 @@ object SparkEntry {
     // top term = argmax |dev|, ties by term ASC
     "t_corpus_drift" ->
       """WITH toks AS (
-        |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE source IS NOT NULL
         |), st AS (
         |  SELECT source, term, COUNT(*) AS nst FROM toks GROUP BY 1, 2
         |), ct AS (SELECT term, SUM(nst) AS nct FROM st GROUP BY 1),

@@ -88,25 +88,39 @@ object Compaction {
     }
   }
 
+  /** Recursive data-file listing with Spark's own visibility rule: a
+    * file is data only if NO path segment below `dir` starts with `_` or
+    * `.` — `fs.listFiles(recursive)` descends into `_temporary`/hidden
+    * directories (a killed write's leftovers), and filtering just the
+    * leaf name would count those phantom files while the scan ignores
+    * them. One lister shared by [[compactionPlan]] and [[compact]]'s
+    * stats so the two surfaces can never disagree on what counts. */
+  private def listDataFiles(spark: SparkSession, dir: String)
+      : Seq[(String, Long)] = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseUri = fs.makeQualified(base).toUri
+    val it = fs.listFiles(base, true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = baseUri.relativize(f.getPath.toUri).getPath
+      val visible = rel.split('/').forall(seg =>
+        !seg.startsWith("_") && !seg.startsWith("."))
+      if (f.isFile && visible) files += ((f.getPath.toString, f.getLen))
+    }
+    files.toSeq
+  }
+
   /** One row per data file under `dir` with its best-fit-decreasing
     * compaction bin: (file, bytes, bin). Driver-side listing only —
-    * metadata-sized, no data read. `_`-prefixed and `.`-prefixed entries
-    * (committer metadata, CRCs) are skipped, as Spark's own file index
+    * metadata-sized, no data read. Hidden/committer entries (`_`- and
+    * `.`-prefixed path segments) are skipped, as Spark's own file index
     * does. */
   def compactionPlan(spark: SparkSession, dir: String, targetBytes: Long)
       : DataFrame = {
     import spark.implicits._
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(path, true)
-    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    while (it.hasNext) {
-      val f = it.next()
-      val name = f.getPath.getName
-      if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
-        files += ((f.getPath.toString, f.getLen))
-    }
-    packBins(files.toSeq, targetBytes)
+    packBins(listDataFiles(spark, dir), targetBytes)
       .toDF("file", "bytes", "bin")
   }
 
@@ -123,37 +137,25 @@ object Compaction {
     import spark.implicits._
     require(targetBytes > 0, "targetBytes must be positive")
     def stats(dir: String): (Long, Long) = {
-      val path = new org.apache.hadoop.fs.Path(dir)
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(path, true)
-      var n = 0L; var b = 0L
-      while (it.hasNext) {
-        val f = it.next()
-        val name = f.getPath.getName
-        if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
-          n += 1; b += f.getLen
-        }
-      }
-      (n, b)
+      val fs = listDataFiles(spark, dir)
+      (fs.size.toLong, fs.map(_._2).sum)
     }
-    val conf = spark.conf
-    val keys = Seq("spark.sql.files.maxPartitionBytes",
-      "spark.sql.files.openCostInBytes",
-      // without this Spark SHRINKS partitions below maxPartitionBytes to
-      // fill every core (bytesPerCore in FilePartition.maxSplitBytes) —
-      // right for a query, wrong for a rewrite whose whole point is the
-      // output file size
-      "spark.sql.files.minPartitionNum")
-    val old = keys.map(k => k -> conf.getOption(k))
-    try {
-      conf.set(keys(0), targetBytes.toString)
-      conf.set(keys(1), math.max(targetBytes / 256, 1L).toString)
-      conf.set(keys(2), "1")
-      spark.read.parquet(srcDir).write.mode(SaveMode.Overwrite).parquet(dstDir)
-    } finally old.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None) => conf.unset(k)
-    }
+    // an ISOLATED session (shared context and catalog, own SQLConf)
+    // carries the three scan-packing settings: mutating the caller's
+    // session conf for the duration of the rewrite would silently
+    // re-shape every concurrently planned scan on that session
+    val rewriteSession = spark.newSession()
+    rewriteSession.conf.set("spark.sql.files.maxPartitionBytes",
+      targetBytes.toString)
+    rewriteSession.conf.set("spark.sql.files.openCostInBytes",
+      math.max(targetBytes / 256, 1L).toString)
+    // without this Spark SHRINKS partitions below maxPartitionBytes to
+    // fill every core (bytesPerCore in FilePartition.maxSplitBytes) —
+    // right for a query, wrong for a rewrite whose whole point is the
+    // output file size
+    rewriteSession.conf.set("spark.sql.files.minPartitionNum", "1")
+    rewriteSession.read.parquet(srcDir)
+      .write.mode(SaveMode.Overwrite).parquet(dstDir)
     val (fi, bi) = stats(srcDir)
     val (fo, bo) = stats(dstDir)
     Seq((fi, bi, fo, bo))

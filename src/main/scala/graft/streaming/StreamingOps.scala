@@ -467,14 +467,19 @@ object StreamingOps {
       : Dataset[DriftRow] = {
     require(reference.nonEmpty && reference.values.forall(_ > 0),
       "reference distribution must be non-empty with positive counts")
+    require(reference.keysIterator.forall(_ != null),
+      "reference terms must be non-null")
     val spark = events.sparkSession
     import spark.implicits._
     val rtot = reference.values.sum
     val winMs = windowMinutes * 60000L
-    val src = watermark match {
+    // null terms are DROPPED, the same contract as the batch twin
+    // (corpusDrift filters null slices): a null key would otherwise NPE
+    // the sorted union below and crash the query
+    val src = (watermark match {
       case Some(w) => events.withWatermark(tsCol, w)
       case None    => events
-    }
+    }).filter(col(termCol).isNotNull)
     val timeoutConf = watermark match {
       case Some(_) => GroupStateTimeout.EventTimeTimeout()
       case None    => GroupStateTimeout.NoTimeout()
@@ -496,11 +501,18 @@ object StreamingOps {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val ws = win.start
-            var m = state.getOption.map(_.counts)
-              .getOrElse(Map.empty[String, Long])
+            // the row loop is the ROW-SIZED path (millions per window)
+            // — mutable accumulation, one immutable snapshot at the end;
+            // per-row immutable Map.updated would allocate a HAMT copy
+            // per event
+            val acc = scala.collection.mutable.HashMap.empty[String, Long]
+            state.getOption.foreach(_.counts.foreach { case (k, v) =>
+              acc(k) = v
+            })
             rows.foreach { case (_, t) =>
-              m = m.updated(t, m.getOrElse(t, 0L) + 1L)
+              acc(t) = acc.getOrElse(t, 0L) + 1L
             }
+            val m = acc.toMap
             state.update(DriftCounts(m))
             if (watermark.isDefined)
               state.setTimeoutTimestamp(math.max(ws.getTime + 2 * winMs,

@@ -328,7 +328,16 @@ class Round11OpsSpec extends AnyFunSuite with SparkSpec {
     spark.range(0, 20000).selectExpr("id",
         "repeat(cast(id as string), 8) AS pad")
       .repartition(40).write.mode("overwrite").parquet(src)
+    // a killed write's leftovers: files under _temporary are invisible
+    // to Spark's scan and must be invisible to the plan and the stats
+    // too (the visibility rule checks every path SEGMENT, not the leaf)
+    val tmp = java.nio.file.Paths.get(src, "_temporary", "0")
+    java.nio.file.Files.createDirectories(tmp)
+    java.nio.file.Files.write(tmp.resolve("part-phantom.parquet"),
+      Array.fill[Byte](4096)(1))
     val plan = Compaction.compactionPlan(spark, src, 64L * 1024)
+    assert(plan.filter(col("file").contains("phantom")).isEmpty,
+      "_temporary contents must not be binned")
     val nIn = plan.count()
     assert(nIn >= 35) // the 40 parts (allowing empty-partition elision)
     assert(plan.filter(col("file").contains("_SUCCESS")).isEmpty)

@@ -475,8 +475,10 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .outputMode(OutputMode.Update()).start()
     try {
       // window [0,60): two 'a' events -> TVD vs the uniform {a,b}
-      // reference = 1/2
-      src.addData((ts(1), "a"), (ts(2), "a"))
+      // reference = 1/2; the null-typed event is DROPPED (the documented
+      // contract — it must neither crash the query nor count)
+      src.addData((ts(1), "a"), (ts(2), "a"),
+        (ts(2), null.asInstanceOf[String]))
       q.processAllAvailable()
       // far-future event pushes the watermark (t=400-10) past the
       // window-0 timeout (start + 2*60 = t=120) -> state evicted
