@@ -161,4 +161,37 @@ object Compaction {
     Seq((fi, bi, fo, bo))
       .toDF("files_in", "bytes_in", "files_out", "bytes_out")
   }
+
+  /** CLUSTERED compaction — the `OPTIMIZE ... ORDER BY` shape: rewrite
+    * into ~targetBytes files that are additionally RANGE-CLUSTERED on
+    * `clusterCol`, so every output file covers a narrow, pairwise-
+    * disjoint slice of the cluster key's domain and min/max file stats
+    * (parquet footers / lakehouse zone maps) prune scans on that key.
+    * This variant deliberately PAYS one range-partitioned shuffle — the
+    * price of clustering; [[compact]] is the shuffle-free rewrite when
+    * only file sizes need fixing, and `Layout.zBucket` the
+    * multi-dimensional layout when two keys must both prune.
+    *
+    * Bin count = ceil(input bytes / targetBytes) (output sizes track
+    * input bytes per range; compression differences show up in sizes,
+    * not the clustering). Range boundaries come from Spark's reservoir
+    * sampling — skewed keys get proportionally more files, which is the
+    * behavior a clustered rewrite wants. Same stats frame as [[compact]]
+    * plus `n_bins`. */
+  def compactClustered(spark: SparkSession, srcDir: String, dstDir: String,
+      targetBytes: Long, clusterCol: String): DataFrame = {
+    import spark.implicits._
+    require(targetBytes > 0, "targetBytes must be positive")
+    val in = listDataFiles(spark, srcDir)
+    val bytesIn = in.map(_._2).sum
+    val nBins = math.max(1, math.ceil(bytesIn.toDouble / targetBytes).toInt)
+    spark.read.parquet(srcDir)
+      .repartitionByRange(nBins, org.apache.spark.sql.functions.col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode(SaveMode.Overwrite).parquet(dstDir)
+    val out = listDataFiles(spark, dstDir)
+    Seq((in.size.toLong, bytesIn, out.size.toLong, out.map(_._2).sum,
+        nBins.toLong))
+      .toDF("files_in", "bytes_in", "files_out", "bytes_out", "n_bins")
+  }
 }

@@ -356,6 +356,35 @@ class Round11OpsSpec extends AnyFunSuite with SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("compactClustered rewrites into target-sized files whose cluster-" +
+      "key ranges are pairwise disjoint (zone-map-prunable), all rows kept") {
+    import graft.ops.Compaction
+    val src = java.nio.file.Files.createTempDirectory("graft_cc_src").toString
+    val dst = src.replace("_src", "_dst")
+    // ids arrive SCATTERED across files (hash repartition), so before the
+    // rewrite every file spans ~the whole id domain — no stat can prune
+    spark.range(0, 30000).selectExpr("id",
+        "repeat(cast(id as string), 8) AS pad")
+      .repartition(40).write.mode("overwrite").parquet(src)
+    val st = Compaction.compactClustered(spark, src, dst, 96L * 1024, "id")
+      .head()
+    assert(st.getLong(2) <= st.getLong(4) && st.getLong(2) >= 2,
+      s"expected 2..n_bins output files, got $st")
+    assert(spark.read.parquet(dst).count() == 30000)
+    // per-file min/max of the cluster key must not overlap across files
+    import org.apache.spark.sql.functions._
+    val ranges = spark.read.parquet(dst)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("id").as("lo"), max("id").as("hi"))
+      .orderBy("lo").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"overlapping file ranges: ${ranges.toSeq}")
+      case _ =>
+    }
+  }
+
   test("SignedProjection instances with equal sign matrices are equal " +
       "(semanticEquals-able), unequal matrices are not") {
     import graft.functions.{SignedProjection, columnExpr}
