@@ -464,8 +464,16 @@ object Rehearsal {
         }
         val bytesIn = st.getAs[Long]("bytes_in")
         emit(s"""{"scale":$scale,"stage":"compaction","files_in":${st.getAs[Long]("files_in")},"files_out":${st.getAs[Long]("files_out")},"bytes_in":$bytesIn,"sec":$tComp,"mb_per_sec":${(bytesIn / 1e6 / math.max(tComp, 1e-9)).toLong}}""")
+        // clustered variant over the same input: the measured price of
+        // the range shuffle that buys disjoint per-file key ranges
+        val dstC = s"/tmp/rehearsal_compact_dstc_$scale"
+        val (stc, tClus) = timed {
+          graft.ops.Compaction.compactClustered(spark, src, dstC,
+            32L * 1024 * 1024, "id").head()
+        }
+        emit(s"""{"scale":$scale,"stage":"compaction_clustered","files_out":${stc.getAs[Long]("files_out")},"n_bins":${stc.getAs[Long]("n_bins")},"sec":$tClus,"mb_per_sec":${(bytesIn / 1e6 / math.max(tClus, 1e-9)).toLong}}""")
         val hconf = spark.sparkContext.hadoopConfiguration
-        for (d <- Seq(src, dst)) {
+        for (d <- Seq(src, dst, dstC)) {
           val p = new org.apache.hadoop.fs.Path(d)
           p.getFileSystem(hconf).delete(p, true)
         }
