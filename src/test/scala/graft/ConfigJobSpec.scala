@@ -128,4 +128,17 @@ class ConfigJobSpec extends AnyFunSuite with SparkSpec {
     val df = SourceReader.read(spark, spec)
     assert(df.count() == 2 && df.columns.toSeq == Seq("k", "v"))
   }
+
+  test("SourceReader reads json-lines (the raw-crawl interchange format) " +
+      "through the same generic format path") {
+    val d = Files.createTempDirectory("jsonl")
+    Seq((1L, "doc a"), (2L, "doc b")).toDF("doc_id", "text").write
+      .json(s"$d/t")
+    val spec = graft.config.SourceSpec("json", Map.empty, Some(s"$d/t"))
+    val df = SourceReader.read(spark, spec)
+    assert(df.count() == 2 &&
+      df.columns.sorted.toSeq == Seq("doc_id", "text"))
+    assert(df.filter(df("doc_id") === 1L).head().getAs[String]("text")
+      == "doc a")
+  }
 }
