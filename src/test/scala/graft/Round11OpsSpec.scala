@@ -350,6 +350,13 @@ class Round11OpsSpec extends AnyFunSuite with SparkSpec {
     val (filesIn, filesOut) = (stats.getLong(0), stats.getLong(2))
     assert(filesIn == nIn)
     assert(filesOut < filesIn / 4 && filesOut >= 1)
+    // "target-sized" is a size claim, not just a count claim: the scan
+    // packs <= targetBytes of INPUT per partition, so each re-encoded
+    // output file stays within 2x the target (encoding slack + footer)
+    val outSizes = Compaction.compactionPlan(spark, dst, 64L * 1024)
+      .select("bytes").collect().map(_.getLong(0))
+    assert(outSizes.forall(_ <= 2 * 64L * 1024),
+      s"output file exceeds 2x target: ${outSizes.toSeq}")
     // every row survives the rewrite
     val a = spark.read.parquet(src).orderBy("id").collect()
     val b = spark.read.parquet(dst).orderBy("id").collect()
