@@ -44,11 +44,10 @@ object Compaction {
   /** Best-fit-decreasing bin packing of (name, bytes) into bins of
     * `targetBytes`: files in size-DESC order (name-ASC ties — fully
     * deterministic) each land in the fullest bin that still fits them,
-    * else open a new bin. Oversized files get a bin of their own (a
-    * rewrite can't split a row group it never reads row-by-row... it can,
-    * but one target-sized file per oversized input is already the right
-    * output, and that is what the scan-packing execution produces too).
-    * Returns (name, bytes, bin) with bins numbered by opening order.
+    * else open a new bin. Oversized files get a bin of their own —
+    * already the right rewrite unit, and the same choice the
+    * scan-packing execution makes. Returns (name, bytes, bin) with bins
+    * numbered by opening order.
     *
     * O(n log n): the open bins live in a TreeMap keyed by remaining
     * capacity, so best-fit is one `ceilingEntry` probe. */
@@ -128,10 +127,10 @@ object Compaction {
     * files with ZERO shuffle: the scan's FilePartition packing is the bin
     * assignment (maxPartitionBytes = targetBytes, openCostInBytes scaled
     * to 1/256 of it so padding never dominates real bytes), and each scan
-    * partition writes exactly one output file. Runs eagerly (the session
-    * confs are restored after the write; the physical scan is planned
-    * inside the window, which is why the action lives in here). Returns
-    * (files_in, bytes_in, files_out, bytes_out) as a 1-row DataFrame. */
+    * partition writes exactly one output file. Runs eagerly on an
+    * ISOLATED child session carrying the packing confs — the caller's
+    * session is never mutated. Returns (files_in, bytes_in, files_out,
+    * bytes_out) as a 1-row DataFrame. */
   def compact(spark: SparkSession, srcDir: String, dstDir: String,
       targetBytes: Long): DataFrame = {
     import spark.implicits._
@@ -186,7 +185,7 @@ object Compaction {
     val bytesIn = in.map(_._2).sum
     val nBins = math.max(1, math.ceil(bytesIn.toDouble / targetBytes).toInt)
     spark.read.parquet(srcDir)
-      .repartitionByRange(nBins, org.apache.spark.sql.functions.col(clusterCol))
+      .repartitionByRange(nBins, col(clusterCol))
       .sortWithinPartitions(clusterCol)
       .write.mode(SaveMode.Overwrite).parquet(dstDir)
     val out = listDataFiles(spark, dstDir)
