@@ -484,7 +484,7 @@ object Rehearsal {
       // synthesized pair, in the two regimes the reference's own data
       // model hits (duplicate composite keys: J3 many-to-many; one hot
       // key holding ~1% of rows). Per-row cost must stay ~flat across
-      // scales, and summaryFast's one-exchange-per-side pin must hold
+      // scales, and summaryFast's single-keyed-exchange pin must hold
       // (the exchange count is emitted from the EXECUTED plan).
       for ((regime, skewed) <- Seq(("dupkey", false), ("skew", true))) {
         val n = 100000L * scale

@@ -222,18 +222,35 @@ object Validator {
   /** Single-pass summary — identical numbers to [[summary]] but ONE Spark
     * job with no repeated scans:
     *
-    * each side is reduced to per-(id, coercedValue) counts; per-id pair
-    * algebra then yields every metric, including the m-by-n duplicate-key
-    * multiplicity of the inner-join diff (differing pairs per id =
-    * tot1*tot2 - equal pairs). At 100 TB this replaces six scan+join jobs
-    * with two aggregations and two id-keyed joins inside one job.
+    * Exact modes (Numeric / Date / Fuzzy(t>=1)) ride ONE shuffle total:
+    * both sides are tagged with per-side indicator columns and UNIONED
+    * before a single `repartition(id)`; one `(id, v)` aggregation then
+    * carries per-side counts side by side, and per-id pair algebra yields
+    * every metric, including the m-by-n duplicate-key multiplicity of the
+    * inner-join diff (differing pairs per id = tot1*tot2 - equal pairs).
+    * The `(id, v)` grouping itself aligns equal coerced values (groupBy's
+    * NormalizeFloatingNumbers canonicalizes NaN/-0.0 first, so group
+    * identity agrees with `<=>`'s truth table, and a null v is its own
+    * group — both-null pairs multiply through c1*c2 like any other), so
+    * eq_pairs = sum(c1*c2) with no join and no per-value lookup structure;
+    * a dirty id carrying thousands of distinct values costs |V1|+|V2|
+    * grouped rows, never their product. At 100 TB this replaces six
+    * scan+join jobs with one shuffle of |rows1|+|rows2| rows and two
+    * codegen hash aggregations.
     *
-    * Every mode counts equal pairs over the per-id DISTINCT value sets
-    * (id-only join keys — see the eq comment below for why v never
-    * becomes a join key), weighted by c1*c2: equality modes test the
-    * coerced values null-safe; Fuzzy(t<1) — not an equivalence relation
-    * — scores `seq_ratio` once per distinct (v1, v2) pair, the same
-    * pairs [[validate]]'s inner join scores row-by-row but deduplicated.
+    * Fuzzy(t<1) — not an equivalence relation — must SCORE every distinct
+    * (v1, v2) pair (the same pairs [[validate]]'s inner join scores
+    * row-by-row, deduplicated), so the cross product is intrinsic and the
+    * mode keeps the two-sided shape: per-side `(id, v)` grouping (one
+    * exchange per side, reused by its totals consumer), an id-only pair
+    * join (v in the join keys would demand a hashpartitioning(id, v)
+    * distribution and re-shuffle both sides). It cannot share the exact
+    * path's single union exchange: the pair join's two sides each prune a
+    * different count column below the exchange, the three consumer
+    * subtrees stop being canonically identical, and exchange reuse never
+    * fires — three full scans instead of one (measured; see the plan
+    * pin in PlanGuardSpec).
+    *
     * Null-id rows (impossible via compositeKey, possible on raw nullable
     * inputs) contribute through count-only sidecar aggregates with
     * exactly [[summary]]'s semantics: they count toward their side's
@@ -245,120 +262,101 @@ object Validator {
       case CompareMode.Date     => toTs
       case CompareMode.Fuzzy(_) => c => c.cast(StringType)
     }
-    // ONE exchange per side: hashpartitioning(id) satisfies every
-    // downstream distribution — the (id, v) grouping (id is a subset of
-    // the clustering keys, so same-(id,v) rows are already co-located),
-    // the per-id totals, and the id equi-joins — so the explicit
-    // repartition replaces what would otherwise be three exchanges per
-    // side. Map-side combine is not missed: validation keys are
-    // near-unique, so pre-exchange partials save ~nothing. A HOT key
-    // necessarily lands in one partition (its rows must meet to be
-    // counted); that task's work is the hot key's row share — the
-    // skewed-key rehearsal leg measures the bound (a key holding 1% of
-    // 10M rows costs ~1.6x the duplicate-key regime), and a key hot
-    // enough to dominate would indict the key CHOICE (validation keys
-    // are meant to be near-unique), not the plan: repartitioning by
-    // (id, v) instead would split it but double-shuffle the common case.
+    // hashpartitioning(id) satisfies every downstream distribution — the
+    // (id, v) grouping (id is a subset of the clustering keys, so
+    // same-(id,v) rows are already co-located), the per-id totals, and
+    // the fuzzy path's id equi-join — so one explicit repartition per
+    // input stream replaces what would otherwise be several exchanges.
+    // Map-side combine is not missed: validation keys are near-unique, so
+    // pre-exchange partials save ~nothing. A HOT key necessarily lands in
+    // one partition (its rows must meet to be counted); that task's work
+    // is the hot key's row share — the skewed-key rehearsal leg measures
+    // the bound, and a key hot enough to dominate would indict the key
+    // CHOICE (validation keys are meant to be near-unique), not the plan.
     //
-    // The explicit isnotnull(id) filter is load-bearing for that claim:
-    // each side feeds TWO consumers (its per-id totals and the eq join),
-    // and the exchanges collapse to one per side only when both
-    // consumers' subtrees are canonically IDENTICAL. The inner eq join
+    // The explicit isnotnull(id) filter is load-bearing on the fuzzy
+    // path: each side feeds TWO consumers (its per-id totals and the
+    // pair join), and the exchanges collapse to one per side only while
+    // both consumers' subtrees stay canonically IDENTICAL. The pair join
     // infers isnotnull(id) into ITS copy of each side; with a nullable
-    // id column (any parquet read) the totals copy lacked that filter,
-    // the subtrees stopped matching, and every input was scanned and
-    // shuffled twice — the regression the dupkey rehearsal leg caught
-    // (4 keyed exchanges instead of 2). Filtering both branches up
-    // front restores the match; null-id rows re-enter through the
-    // sidecar aggregates below with exact summary() semantics. For the
+    // id column (any parquet read) the totals copy would lack that
+    // filter, the subtrees would stop matching, and every input would be
+    // scanned and shuffled twice — the regression the dupkey rehearsal
+    // leg caught in round 10. Filtering up front keeps the copies
+    // identical (and on the exact path it is what lets the null sidecars
+    // stay out of the union); null-id rows re-enter through the sidecar
+    // aggregates below with exact summary() semantics. For the
     // production path (compositeKey ids, provably non-null) both the
     // filter and the sidecars constant-fold away to nothing.
-    def grouped(df: DataFrame) = df
+    def keyedSide(df: DataFrame): DataFrame = df
       .filter(col("id").isNotNull)
       .select(col("id").cast(StringType).as("id"), coerce(col("check")).as("v"))
-      .repartition(col("id"))
-      .groupBy("id", "v").agg(count(lit(1)).as("c"))
-    val g1 = grouped(first)
-    val g2 = grouped(second)
-    val t1 = g1.groupBy("id").agg(sum("c").as("tot1"))
-    val t2 = g2.groupBy("id").agg(sum("c").as("tot2"))
-    // equal (per the mode's truth table) value pairs per id. The join
-    // keys are id ONLY, for every mode: putting v <=> v into the join
-    // keys (the exact modes' natural form) makes the planner require a
-    // hashpartitioning(id, v) distribution (requireAllClusterKeysForCoPartition
-    // defaults true), re-exchanging both aggregated sides — a third and
-    // fourth shuffle the id-only join avoids.
-    //
-    // Exact modes (v already coerced by grouped()) do NOT pay the
-    // per-id |V1| x |V2| join expansion for that: g2's distinct values
-    // collapse to ONE row per id — a (v -> count) map plus a null-v
-    // count — and each g1 row contributes c1 * lookup(v1), so a dirty
-    // key carrying thousands of distinct values costs |V1| + |V2| per
-    // side, not their product. The per-id map is bounded by that key's
-    // OWN distinct values — the same memory class as the rows it
-    // replaces. groupBy's NormalizeFloatingNumbers canonicalizes
-    // NaN/-0.0 on BOTH sides before the map is built/probed, so the
-    // binary map lookup agrees with <=>'s truth table; both-null pairs
-    // multiply the two null counts. Fuzzy(t<1) is not an equivalence
-    // relation — every distinct pair must be SCORED, so the cross
-    // product is intrinsic there and stays the id-only join.
-    val eq = mode match {
+
+    // per-id (tot1, eq_pairs, tot2); tot == 0 <=> the id is absent from
+    // that side (plain counts — no nullable full-outer columns to test)
+    val perId = mode match {
       case CompareMode.Fuzzy(t) if t < 1.0 =>
-        g1.as("a").join(g2.as("b"), col("a.id") === col("b.id"))
-          .groupBy(col("a.id"))
+        def grouped(df: DataFrame) = keyedSide(df)
+          .repartition(col("id"))
+          .groupBy("id", "v").agg(count(lit(1)).as("c"))
+        val g1 = grouped(first)
+        val g2 = grouped(second)
+        val t1 = g1.groupBy("id").agg(sum("c").as("tot1"))
+        val t2 = g2.groupBy("id").agg(sum("c").as("tot2"))
+        val eq = g1.as("a").join(g2.as("b"), col("a.id") === col("b.id"))
+          .groupBy(col("a.id").as("id"))
           .agg(sum(when(differs(col("a.v"), col("b.v"), mode), lit(0L))
             .otherwise(col("a.c") * col("b.c"))).as("eq_pairs"))
+        // eq attaches to t1 BEFORE the full outer: eq ids are a subset of
+        // t1's (they come from the g1xg2 inner join), and t1/eq are both
+        // id-partitioned, so this left join needs no exchange — whereas
+        // joining eq AFTER the full outer keys on coalesce(id, id), a new
+        // expression that would force one more shuffle of the merged side
+        t1.join(eq, Seq("id"), "left_outer")
+          .join(t2, Seq("id"), "full_outer")
+          .select(coalesce(col("tot1"), lit(0L)).as("tot1"),
+            coalesce(col("eq_pairs"), lit(0L)).as("eq_pairs"),
+            coalesce(col("tot2"), lit(0L)).as("tot2"))
       case _ =>
-        val g2m = g2.groupBy("id").agg(
-          map_from_entries(collect_list(
-            when(col("v").isNotNull, struct(col("v"), col("c"))))).as("m2"),
-          sum(when(col("v").isNull, col("c")).otherwise(lit(0L))).as("nulls2"))
-        g1.join(g2m, Seq("id"))
-          .groupBy("id")
-          .agg(sum(
-            when(col("v").isNull, col("c") * col("nulls2"))
-              .otherwise(col("c") *
-                coalesce(element_at(col("m2"), col("v")), lit(0L))))
-            .as("eq_pairs"))
+        val combined = keyedSide(first)
+          .withColumn("one1", lit(1)).withColumn("one2", lit(0))
+          .unionByName(keyedSide(second)
+            .withColumn("one1", lit(0)).withColumn("one2", lit(1)))
+          .repartition(col("id"))
+          .groupBy("id", "v")
+          .agg(sum("one1").as("c1"), sum("one2").as("c2"))
+        combined.groupBy("id")
+          .agg(sum("c1").as("tot1"),
+            sum(col("c1") * col("c2")).as("eq_pairs"),
+            sum("c2").as("tot2"))
     }
     // null-id sidecars: a null id never joins (and never matches in
     // summary()'s anti-joins), so each side's null rows contribute
     // count-only — to (n_first, missing_in_second) resp. (n_second,
     // missing_in_first). Shaped as extra (tot1, eq_pairs, tot2) rows so
     // the final aggregate's existing CASE arithmetic absorbs them: a
-    // (n, null, null) row adds n to n_first and — tot2 being null — to
+    // (n, 0, 0) row adds n to n_first and — tot2 being 0 — to
     // missing_in_second, and nothing anywhere else. Cost: a pushed-down
     // `id IS NULL` scan per side when id is nullable (row-group stats
     // skip null-free files); an empty-relation constant when it is not.
     def nullSide(df: DataFrame, firstSide: Boolean) = {
-      val n = df.filter(col("id").isNull)
-        .agg(count(lit(1)).as(if (firstSide) "tot1" else "tot2"))
+      val n = df.filter(col("id").isNull).agg(count(lit(1)).as("n"))
       if (firstSide)
-        n.select(col("tot1"), lit(null).cast("long").as("eq_pairs"),
-          lit(null).cast("long").as("tot2"))
+        n.select(col("n").as("tot1"), lit(0L).as("eq_pairs"), lit(0L).as("tot2"))
       else
-        n.select(lit(null).cast("long").as("tot1"),
-          lit(null).cast("long").as("eq_pairs"), col("tot2"))
+        n.select(lit(0L).as("tot1"), lit(0L).as("eq_pairs"), col("n").as("tot2"))
     }
-    // eq attaches to t1 BEFORE the full outer: eq ids are a subset of
-    // t1's (they come from the g1xg2 inner join), and t1/eq are both
-    // id-partitioned, so this left join needs no exchange — whereas
-    // joining eq AFTER the full outer keys on coalesce(id, id), a new
-    // expression that would force one more shuffle of the merged side
-    t1.join(eq, Seq("id"), "left_outer")
-      .join(t2, Seq("id"), "full_outer")
-      .select(col("tot1"), col("eq_pairs"), col("tot2"))
+    perId.select(col("tot1"), col("eq_pairs"), col("tot2"))
       .unionByName(nullSide(first, firstSide = true))
       .unionByName(nullSide(second, firstSide = false))
       .agg(
-        sum(coalesce(col("tot1"), lit(0L))).as("n_first"),
-        sum(coalesce(col("tot2"), lit(0L))).as("n_second"),
-        sum(when(col("tot1").isNull, col("tot2")).otherwise(0L)).as("missing_in_first"),
-        sum(when(col("tot2").isNull, col("tot1")).otherwise(0L)).as("missing_in_second"),
-        sum(when(col("tot1").isNotNull && col("tot2").isNotNull,
-          col("tot1") * col("tot2") - coalesce(col("eq_pairs"), lit(0L)))
-          .otherwise(0L)).as("n_differing"),
-        sum(when(col("tot1").isNotNull, col("tot2")).otherwise(0L)).as("n_matched"))
+        sum(col("tot1")).as("n_first"),
+        sum(col("tot2")).as("n_second"),
+        sum(when(col("tot1") === 0L, col("tot2")).otherwise(0L)).as("missing_in_first"),
+        sum(when(col("tot2") === 0L, col("tot1")).otherwise(0L)).as("missing_in_second"),
+        sum(when(col("tot1") > 0L && col("tot2") > 0L,
+          col("tot1") * col("tot2") - col("eq_pairs")).otherwise(0L)).as("n_differing"),
+        sum(when(col("tot1") > 0L, col("tot2")).otherwise(0L)).as("n_matched"))
       .na.fill(0L) // empty inputs: global agg yields nulls, report zeros
   }
 }

@@ -305,11 +305,12 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"ct/ns/nc must all reuse st's exchange (3 ReusedExchange), got $reused:\n$p")
   }
 
-  test("summaryFast shuffles each side exactly once (id partitioning reused)") {
-    // hashpartitioning(id) satisfies the (id, v) grouping, the per-id
-    // totals AND the id equi-joins, so the whole single-pass summary must
-    // show exactly TWO data exchanges (one per input side); the only
-    // other exchange is the single-row final aggregate's
+  test("summaryFast shuffles both sides through ONE exchange (tagged union)") {
+    // both sides are tagged and unioned BEFORE the repartition(id), and
+    // hashpartitioning(id) satisfies the (id, v) grouping and the per-id
+    // totals, so the whole single-pass summary must show exactly ONE
+    // keyed data exchange; the only other exchange is the single-row
+    // final aggregate's
     import org.apache.spark.sql.functions.col
     val l = spark.read.parquet(s"$dir/lineitem.parquet")
     def keyed(pred: String) = l.filter(pred).select(
@@ -325,22 +326,23 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       .split("== Initial Plan ==").head
     val real = p.linesIterator.filter(ln =>
       ln.contains("Exchange hashpartitioning") && !ln.contains("ReusedExchange")).size
-    assert(real == 2,
-      s"expected exactly 2 physical keyed exchanges (one per side), got $real:\n$p")
+    assert(real == 1,
+      s"expected exactly 1 physical keyed exchange (both sides ride the tagged union), got $real:\n$p")
     assert(!p.linesIterator.exists(ln =>
       ln.contains("Exchange hashpartitioning") && ln.contains("ENSURE_REQUIREMENTS")),
       s"no mid-plan re-exchange should survive — id partitioning must propagate:\n$p")
   }
 
-  test("summaryFast keeps one exchange per side on NULLABLE ids (parquet " +
-      "inputs) in both exact and fuzzy modes") {
-    // the dupkey rehearsal regression: the eq join's inferred
-    // isnotnull(id) made the totals and eq copies of each side
-    // canonically different whenever id was nullable (every parquet
-    // read), so exchange reuse never fired and each input was scanned
-    // and shuffled twice. grouped()'s explicit isnotnull filter pins the
-    // match; this test is the nullable-input twin of the compositeKey
-    // pin above.
+  test("summaryFast keeps its minimal exchange count on NULLABLE ids " +
+      "(parquet inputs): 1 exact, 2 fuzzy") {
+    // the dupkey rehearsal regression: the fuzzy pair join infers
+    // isnotnull(id) into ITS copy of each side; were the totals copy to
+    // lack that filter on a nullable id (every parquet read) the
+    // subtrees would stop matching, exchange reuse would never fire,
+    // and each input would be scanned and shuffled twice. keyedSide()'s
+    // explicit isnotnull filter pins the match; this test is the
+    // nullable-input twin of the compositeKey pin above. Exact modes
+    // ride the tagged union — one exchange regardless of nullability.
     import org.apache.spark.sql.functions.col
     val d = java.nio.file.Files.createTempDirectory("pg_sfn").toString
     val l = spark.read.parquet(s"$dir/lineitem.parquet")
@@ -362,10 +364,14 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       df.collect()
       val p = df.queryExecution.executedPlan.toString
         .split("== Initial Plan ==").head
+      val want = mode match {
+        case graft.core.CompareMode.Fuzzy(t) if t < 1.0 => 2
+        case _                                          => 1
+      }
       val real = p.linesIterator.filter(ln =>
         ln.contains("Exchange hashpartitioning") && !ln.contains("ReusedExchange")).size
-      assert(real == 2,
-        s"$kind/$mode: expected 2 keyed exchanges, got $real:\n$p")
+      assert(real == want,
+        s"$kind/$mode: expected $want keyed exchange(s), got $real:\n$p")
     }
   }
 
