@@ -220,36 +220,33 @@ object Validator {
   }
 
   /** Single-pass summary — identical numbers to [[summary]] but ONE Spark
-    * job with no repeated scans:
+    * job, ONE shuffle for every mode:
     *
-    * Exact modes (Numeric / Date / Fuzzy(t>=1)) ride ONE shuffle total:
-    * both sides are tagged with per-side indicator columns and UNIONED
-    * before a single `repartition(id)`; one `(id, v)` aggregation then
-    * carries per-side counts side by side, and per-id pair algebra yields
-    * every metric, including the m-by-n duplicate-key multiplicity of the
-    * inner-join diff (differing pairs per id = tot1*tot2 - equal pairs).
-    * The `(id, v)` grouping itself aligns equal coerced values (groupBy's
+    * both sides are tagged with a single `side` indicator column and
+    * UNIONED before one `repartition(id)`; a `(id, v)` aggregation then
+    * carries per-side counts side by side, and per-id pair algebra
+    * yields every metric, including the m-by-n duplicate-key
+    * multiplicity of the inner-join diff (differing pairs per id =
+    * tot1*tot2 - equal pairs). At 100 TB this replaces six scan+join
+    * jobs with one shuffle of |rows1|+|rows2| rows and codegen hash
+    * aggregations throughout.
+    *
+    * Equality modes (Numeric / Date / Fuzzy(t>=1)): the `(id, v)`
+    * grouping itself aligns equal coerced values (groupBy's
     * NormalizeFloatingNumbers canonicalizes NaN/-0.0 first, so group
     * identity agrees with `<=>`'s truth table, and a null v is its own
     * group — both-null pairs multiply through c1*c2 like any other), so
-    * eq_pairs = sum(c1*c2) with no join and no per-value lookup structure;
-    * a dirty id carrying thousands of distinct values costs |V1|+|V2|
-    * grouped rows, never their product. At 100 TB this replaces six
-    * scan+join jobs with one shuffle of |rows1|+|rows2| rows and two
-    * codegen hash aggregations.
+    * eq_pairs = sum(c1*c2) with no join and no per-value lookup
+    * structure; a dirty id carrying thousands of distinct values costs
+    * |V1|+|V2| grouped rows, never their product.
     *
-    * Fuzzy(t<1) — not an equivalence relation — must SCORE every distinct
-    * (v1, v2) pair (the same pairs [[validate]]'s inner join scores
-    * row-by-row, deduplicated), so the cross product is intrinsic and the
-    * mode keeps the two-sided shape: per-side `(id, v)` grouping (one
-    * exchange per side, reused by its totals consumer), an id-only pair
-    * join (v in the join keys would demand a hashpartitioning(id, v)
-    * distribution and re-shuffle both sides). It cannot share the exact
-    * path's single union exchange: the pair join's two sides each prune a
-    * different count column below the exchange, the three consumer
-    * subtrees stop being canonically identical, and exchange reuse never
-    * fires — three full scans instead of one (measured; see the plan
-    * pin in PlanGuardSpec).
+    * Fuzzy(t<1) — not an equivalence relation — must SCORE every
+    * distinct (v1, v2) pair (the same pairs [[validate]]'s inner join
+    * scores row-by-row, deduplicated), so that cross product is
+    * intrinsic and runs as an id-only self-join of the grouped union;
+    * id-partitioned on both sides, it adds no exchange, and the shared
+    * one is reused across all three consumers (see the single-tag
+    * comment in the body for why that reuse holds).
     *
     * Null-id rows (impossible via compositeKey, possible on raw nullable
     * inputs) contribute through count-only sidecar aggregates with
@@ -275,57 +272,62 @@ object Validator {
     // CHOICE (validation keys are meant to be near-unique), not the plan.
     //
     // The explicit isnotnull(id) filter is load-bearing on the fuzzy
-    // path: each side feeds TWO consumers (its per-id totals and the
-    // pair join), and the exchanges collapse to one per side only while
-    // both consumers' subtrees stay canonically IDENTICAL. The pair join
-    // infers isnotnull(id) into ITS copy of each side; with a nullable
-    // id column (any parquet read) the totals copy would lack that
-    // filter, the subtrees would stop matching, and every input would be
-    // scanned and shuffled twice — the regression the dupkey rehearsal
-    // leg caught in round 10. Filtering up front keeps the copies
-    // identical (and on the exact path it is what lets the null sidecars
-    // stay out of the union); null-id rows re-enter through the sidecar
-    // aggregates below with exact summary() semantics. For the
+    // path: the grouped union feeds THREE consumers there (per-id totals
+    // and the two pair-join sides), and the single exchange is reused
+    // only while every consumer's subtree below it stays canonically
+    // IDENTICAL. The pair join infers isnotnull(id) into ITS copies;
+    // with a nullable id column (any parquet read) the totals copy would
+    // lack that filter, the subtrees would stop matching, and the union
+    // would be scanned and shuffled three times — the regression class
+    // the dupkey rehearsal leg caught in round 10. Filtering up front
+    // keeps every copy identical; null-id rows re-enter through the
+    // sidecar aggregates below with exact summary() semantics. For the
     // production path (compositeKey ids, provably non-null) both the
     // filter and the sidecars constant-fold away to nothing.
     def keyedSide(df: DataFrame): DataFrame = df
       .filter(col("id").isNotNull)
       .select(col("id").cast(StringType).as("id"), coerce(col("check")).as("v"))
 
+    // ONE exchange for every mode: both sides tagged with a single
+    // `side` indicator and unioned BEFORE the repartition(id). The tag
+    // being ONE column is load-bearing: each fuzzy pair-join side needs
+    // only its own count, and with two indicator columns each consumer
+    // would prune the other's below the exchange, the three consumer
+    // subtrees would stop being canonically identical, and exchange
+    // reuse would never fire (measured: three full scans). With one
+    // shared `side` column every consumer's below-exchange footprint is
+    // exactly (id, v, side), so the union is scanned and shuffled once.
+    val combined = keyedSide(first).withColumn("side", lit(1))
+      .unionByName(keyedSide(second).withColumn("side", lit(0)))
+      .repartition(col("id"))
+    def counted(df: DataFrame) = df.groupBy("id", "v").agg(
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("c2"))
+
     // per-id (tot1, eq_pairs, tot2); tot == 0 <=> the id is absent from
     // that side (plain counts — no nullable full-outer columns to test)
     val perId = mode match {
       case CompareMode.Fuzzy(t) if t < 1.0 =>
-        def grouped(df: DataFrame) = keyedSide(df)
-          .repartition(col("id"))
-          .groupBy("id", "v").agg(count(lit(1)).as("c"))
-        val g1 = grouped(first)
-        val g2 = grouped(second)
-        val t1 = g1.groupBy("id").agg(sum("c").as("tot1"))
-        val t2 = g2.groupBy("id").agg(sum("c").as("tot2"))
-        val eq = g1.as("a").join(g2.as("b"), col("a.id") === col("b.id"))
-          .groupBy(col("a.id").as("id"))
-          .agg(sum(when(differs(col("a.v"), col("b.v"), mode), lit(0L))
-            .otherwise(col("a.c") * col("b.c"))).as("eq_pairs"))
-        // eq attaches to t1 BEFORE the full outer: eq ids are a subset of
-        // t1's (they come from the g1xg2 inner join), and t1/eq are both
-        // id-partitioned, so this left join needs no exchange — whereas
-        // joining eq AFTER the full outer keys on coalesce(id, id), a new
-        // expression that would force one more shuffle of the merged side
-        t1.join(eq, Seq("id"), "left_outer")
-          .join(t2, Seq("id"), "full_outer")
-          .select(coalesce(col("tot1"), lit(0L)).as("tot1"),
-            coalesce(col("eq_pairs"), lit(0L)).as("eq_pairs"),
-            coalesce(col("tot2"), lit(0L)).as("tot2"))
+        // not an equivalence relation: every distinct (v1, v2) pair must
+        // be SCORED — the cross product is intrinsic and runs as an
+        // id-only equi-join (v in the join keys would demand a
+        // hashpartitioning(id, v) distribution and re-shuffle both sides)
+        val g = counted(combined)
+        val a = g.filter(col("c1") > 0).select(col("id"), col("v").as("v1"), col("c1"))
+        val b = g.filter(col("c2") > 0).select(col("id"), col("v").as("v2"), col("c2"))
+        val eq = a.join(b, Seq("id"))
+          .groupBy("id")
+          .agg(sum(when(differs(col("v1"), col("v2"), mode), lit(0L))
+            .otherwise(col("c1") * col("c2"))).as("eq_pairs"))
+        g.groupBy("id")
+          .agg(sum("c1").as("tot1"), sum("c2").as("tot2"))
+          .join(eq, Seq("id"), "left_outer") // both id-partitioned: no exchange
+          .select(col("tot1"),
+            coalesce(col("eq_pairs"), lit(0L)).as("eq_pairs"), col("tot2"))
       case _ =>
-        val combined = keyedSide(first)
-          .withColumn("one1", lit(1)).withColumn("one2", lit(0))
-          .unionByName(keyedSide(second)
-            .withColumn("one1", lit(0)).withColumn("one2", lit(1)))
-          .repartition(col("id"))
-          .groupBy("id", "v")
-          .agg(sum("one1").as("c1"), sum("one2").as("c2"))
-        combined.groupBy("id")
+        // equality modes: the (id, v) grouping itself aligns equal
+        // coerced values, so eq_pairs = sum(c1*c2) — no join at all
+        counted(combined).groupBy("id")
           .agg(sum("c1").as("tot1"),
             sum(col("c1") * col("c2")).as("eq_pairs"),
             sum("c2").as("tot2"))

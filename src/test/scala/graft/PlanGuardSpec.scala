@@ -333,16 +333,17 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"no mid-plan re-exchange should survive — id partitioning must propagate:\n$p")
   }
 
-  test("summaryFast keeps its minimal exchange count on NULLABLE ids " +
-      "(parquet inputs): 1 exact, 2 fuzzy") {
-    // the dupkey rehearsal regression: the fuzzy pair join infers
-    // isnotnull(id) into ITS copy of each side; were the totals copy to
-    // lack that filter on a nullable id (every parquet read) the
-    // subtrees would stop matching, exchange reuse would never fire,
-    // and each input would be scanned and shuffled twice. keyedSide()'s
-    // explicit isnotnull filter pins the match; this test is the
-    // nullable-input twin of the compositeKey pin above. Exact modes
-    // ride the tagged union — one exchange regardless of nullability.
+  test("summaryFast keeps ONE keyed exchange on NULLABLE ids (parquet " +
+      "inputs) in both exact and fuzzy modes") {
+    // the dupkey rehearsal regression class: the fuzzy pair join infers
+    // isnotnull(id) into ITS copies of the grouped union; were the
+    // totals copy to lack that filter on a nullable id (every parquet
+    // read) the subtrees would stop matching, exchange reuse would
+    // never fire, and the union would be scanned and shuffled three
+    // times. keyedSide()'s explicit isnotnull filter pins the match —
+    // as does the single `side` tag column (two indicator columns would
+    // prune differently per consumer below the exchange). This test is
+    // the nullable-input twin of the compositeKey pin above.
     import org.apache.spark.sql.functions.col
     val d = java.nio.file.Files.createTempDirectory("pg_sfn").toString
     val l = spark.read.parquet(s"$dir/lineitem.parquet")
@@ -364,14 +365,10 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       df.collect()
       val p = df.queryExecution.executedPlan.toString
         .split("== Initial Plan ==").head
-      val want = mode match {
-        case graft.core.CompareMode.Fuzzy(t) if t < 1.0 => 2
-        case _                                          => 1
-      }
       val real = p.linesIterator.filter(ln =>
         ln.contains("Exchange hashpartitioning") && !ln.contains("ReusedExchange")).size
-      assert(real == want,
-        s"$kind/$mode: expected $want keyed exchange(s), got $real:\n$p")
+      assert(real == 1,
+        s"$kind/$mode: expected 1 keyed exchange, got $real:\n$p")
     }
   }
 
