@@ -66,7 +66,11 @@ object Compaction {
           if (rest.isEmpty) byRemaining.remove(rem)
           else byRemaining.put(rem, rest)
           id
-        case Nil => byRemaining.remove(rem); -1 // unreachable
+        case Nil =>
+          // unreachable (put never stores empty lists and keys come from
+          // ceilingKey) — fail at the violation site rather than letting
+          // a sentinel index corrupt `remaining` and the output rows
+          sys.error(s"packBins invariant broken: empty bin list at remaining=$rem")
       }
     }
     def put(id: Int): Unit = {

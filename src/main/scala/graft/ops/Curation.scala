@@ -142,7 +142,15 @@ object Curation {
         StoredArtifacts.register(spark, tableName,
           Some((Seq(fpCol), Seq(fpCol), numBuckets)))
         return // stamp hit: the stored index IS current
-      } catch { case _: Exception => () /* damaged artifact: rebuild */ }
+      } catch {
+        // NonFatal only: an interrupt/OOM must propagate, never be
+        // silently converted into a full drop-and-rebuild of the index
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"fingerprint index '$tableName' stamp hit but " +
+              s"re-register failed (${e.getClass.getSimpleName}: " +
+              s"${e.getMessage}); rebuilding")
+      }
     }
     for (t <- Seq(tableName, s"${tableName}_meta"))
       StoredArtifacts.dropAndClean(spark, t)

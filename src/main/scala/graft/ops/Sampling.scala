@@ -61,7 +61,12 @@ object Sampling {
   def assignSplitByGroup(df: DataFrame, idCol: String, labels: DataFrame,
       splits: Seq[(String, Int)]): DataFrame = {
     checkSplits(splits)
+    // components are functional in id, so dedup is free when labels is
+    // already one-row-per-id — and a guard when a caller passes raw
+    // candidate PAIRS, which would otherwise silently duplicate corpus
+    // rows through the left join and double-count documents downstream
     val lab = labels.select(col("id").as("__gid"), col("component").as("__comp"))
+      .dropDuplicates("__gid")
     df.join(lab, col(idCol) === col("__gid"), "left_outer")
       .withColumn("split_group", coalesce(col("__comp"), col(idCol)))
       .drop("__gid", "__comp")

@@ -207,9 +207,14 @@ object Skyline {
             it => {
               var n = 0L
               val tc = org.apache.spark.TaskContext.get()
-              if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
-                in.add(n); tasks.add(n)
-              }
+              // transformation-side accumulators are exactly-once only for
+              // a task's FIRST attempt — skip retries/speculative copies so
+              // the measured fan-in never double-counts (rehearsal-only
+              // diagnostics, but "measured" must mean measured)
+              if (tc != null && tc.attemptNumber() == 0)
+                tc.addTaskCompletionListener[Unit] { _ =>
+                  in.add(n); tasks.add(n)
+                }
               sfsSweep(it.map { x => n += 1; x })
             }
         }
