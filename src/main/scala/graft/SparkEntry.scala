@@ -246,6 +246,31 @@ object SparkEntry {
           pmod(col("id").cast("long"), lit(64L)))
         .orderBy("bucket")
     }),
+    "v_multi_validate" -> ((s, dir) => {
+      // whole-row validation: k columns, k modes, ONE pass and ONE keyed
+      // shuffle (k single-column runs would scan both sides k times)
+      val (db1, db2) = ordersPair(s, dir)
+      Validator.summaryMulti(db1, db2, Seq(
+          ("o_totalprice", CompareMode.Numeric),
+          ("o_orderdate", CompareMode.Date),
+          ("o_orderpriority", CompareMode.Fuzzy(0.9))))
+        .orderBy("column_name")
+    }),
+    "v_multi_diff" -> ((s, dir) => {
+      // the tidy per-column differing pairs behind v_multi_validate's
+      // counts — k columns from ONE inner join on id. totalprice rides
+      // as DECIMAL(18,2) so its string form is engine-portable (Java
+      // double->string shortest-repr corners differ from DuckDB's);
+      // the Numeric mode re-parses it identically either way
+      val (db1, db2) = ordersPair(s, dir)
+      val dec = (df: DataFrame) => df.withColumn("o_totalprice",
+        col("o_totalprice").cast("decimal(18,2)"))
+      Validator.diffMulti(dec(db1), dec(db2), Seq(
+          ("o_totalprice", CompareMode.Numeric),
+          ("o_orderdate", CompareMode.Date),
+          ("o_orderpriority", CompareMode.Fuzzy(0.9))))
+        .orderBy("column_name", "id")
+    }),
     "v_profile" -> ((s, dir) => {
       // column profiling: the cheap pre-diff validation step. exact=true
       // takes the two-level pre-agg distinct path (no countDistinct
@@ -2336,6 +2361,73 @@ object SparkEntry {
          |       ELSE r.ratio < CAST(0.9 AS DOUBLE) END) AS n_differing,
          |  (SELECT COUNT(*) FROM db2 WHERE EXISTS
          |     (SELECT 1 FROM db1 WHERE db1.id = db2.id)) AS n_matched""".stripMargin,
+    "v_multi_validate" ->
+      s"""$pairCte
+         |SELECT 'o_orderdate' AS column_name,
+         |  (SELECT COUNT(*) FROM db1) AS n_first,
+         |  (SELECT COUNT(*) FROM db2) AS n_second,
+         |  (SELECT COUNT(*) FROM db2 WHERE NOT EXISTS
+         |     (SELECT 1 FROM db1 WHERE db1.id = db2.id)) AS missing_in_first,
+         |  (SELECT COUNT(*) FROM db1 WHERE NOT EXISTS
+         |     (SELECT 1 FROM db2 WHERE db2.id = db1.id)) AS missing_in_second,
+         |  (SELECT COUNT(*) FROM db1 JOIN db2 ON db1.id = db2.id
+         |     WHERE db1.o_orderdate IS DISTINCT FROM db2.o_orderdate) AS n_differing,
+         |  (SELECT COUNT(*) FROM db2 WHERE EXISTS
+         |     (SELECT 1 FROM db1 WHERE db1.id = db2.id)) AS n_matched
+         |UNION ALL
+         |SELECT 'o_orderpriority',
+         |  (SELECT COUNT(*) FROM db1),
+         |  (SELECT COUNT(*) FROM db2),
+         |  (SELECT COUNT(*) FROM db2 WHERE NOT EXISTS
+         |     (SELECT 1 FROM db1 WHERE db1.id = db2.id)),
+         |  (SELECT COUNT(*) FROM db1 WHERE NOT EXISTS
+         |     (SELECT 1 FROM db2 WHERE db2.id = db1.id)),
+         |  (SELECT COUNT(*) FROM db1 JOIN db2 ON db1.id = db2.id
+         |     LEFT JOIN read_parquet('$repoRoot/src/test/resources/difflib_ratios.parquet') r
+         |       ON db1.o_orderpriority = r.a AND db2.o_orderpriority = r.b
+         |     WHERE CASE
+         |       WHEN db1.o_orderpriority IS NULL AND db2.o_orderpriority IS NULL THEN FALSE
+         |       WHEN db1.o_orderpriority IS NULL OR db2.o_orderpriority IS NULL THEN TRUE
+         |       ELSE r.ratio < CAST(0.9 AS DOUBLE) END),
+         |  (SELECT COUNT(*) FROM db2 WHERE EXISTS
+         |     (SELECT 1 FROM db1 WHERE db1.id = db2.id))
+         |UNION ALL
+         |SELECT 'o_totalprice',
+         |  (SELECT COUNT(*) FROM db1),
+         |  (SELECT COUNT(*) FROM db2),
+         |  (SELECT COUNT(*) FROM db2 WHERE NOT EXISTS
+         |     (SELECT 1 FROM db1 WHERE db1.id = db2.id)),
+         |  (SELECT COUNT(*) FROM db1 WHERE NOT EXISTS
+         |     (SELECT 1 FROM db2 WHERE db2.id = db1.id)),
+         |  (SELECT COUNT(*) FROM db1 JOIN db2 ON db1.id = db2.id
+         |     WHERE db1.o_totalprice IS DISTINCT FROM db2.o_totalprice),
+         |  (SELECT COUNT(*) FROM db2 WHERE EXISTS
+         |     (SELECT 1 FROM db1 WHERE db1.id = db2.id))
+         |ORDER BY column_name""".stripMargin,
+    "v_multi_diff" ->
+      s"""$pairCte
+         |SELECT * FROM (
+         |  SELECT db1.id, 'o_orderdate' AS column_name,
+         |    strftime(db1.o_orderdate, '%Y-%m-%d %H:%M:%S') AS check_first,
+         |    strftime(db2.o_orderdate, '%Y-%m-%d %H:%M:%S') AS check_second
+         |  FROM db1 JOIN db2 ON db1.id = db2.id
+         |  WHERE db1.o_orderdate IS DISTINCT FROM db2.o_orderdate
+         |  UNION ALL
+         |  SELECT db1.id, 'o_orderpriority', db1.o_orderpriority, db2.o_orderpriority
+         |  FROM db1 JOIN db2 ON db1.id = db2.id
+         |    LEFT JOIN read_parquet('$repoRoot/src/test/resources/difflib_ratios.parquet') r
+         |      ON db1.o_orderpriority = r.a AND db2.o_orderpriority = r.b
+         |  WHERE CASE
+         |    WHEN db1.o_orderpriority IS NULL AND db2.o_orderpriority IS NULL THEN FALSE
+         |    WHEN db1.o_orderpriority IS NULL OR db2.o_orderpriority IS NULL THEN TRUE
+         |    ELSE r.ratio < CAST(0.9 AS DOUBLE) END
+         |  UNION ALL
+         |  SELECT db1.id, 'o_totalprice',
+         |    CAST(CAST(db1.o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+         |    CAST(CAST(db2.o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+         |  FROM db1 JOIN db2 ON db1.id = db2.id
+         |  WHERE db1.o_totalprice IS DISTINCT FROM db2.o_totalprice
+         |) ORDER BY column_name, id""".stripMargin,
     "v_date_filter" ->
       """SELECT o_orderkey AS id,
         |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date

@@ -361,4 +361,127 @@ object Validator {
         sum(when(col("tot1") > 0L, col("tot2")).otherwise(0L)).as("n_matched"))
       .na.fill(0L) // empty inputs: global agg yields nulls, report zeros
   }
+
+  /** Multi-column [[summaryFast]]: validate k check columns in ONE pass —
+    * one scan of each side, ONE keyed shuffle total regardless of k,
+    * emitting a per-column summary row (same metrics and semantics as k
+    * independent summaryFast calls, which would cost k full passes).
+    *
+    * `first`/`second` must carry an `id` column plus every named check
+    * column. Mechanics: each side is tagged with a single `side`
+    * indicator, the union rides one `repartition(id)`, and AFTER the
+    * shuffle each row fans out via posexplode into (id, pos, v) — so the
+    * exchange moves each input row once (all k values side by side),
+    * never k copies of the id. Per-column values are pre-coerced to a
+    * STRING group key whose equality agrees with the mode's `<=>` over
+    * coerced values: doubles are zero-normalized (-0.0 -> 0.0; NaN is
+    * already one group, matching Spark's NaN = NaN semantics) and
+    * double/timestamp -> string casts are injective, so the (id, pos, v)
+    * grouping aligns exactly the pairs the mode calls equal. Fuzzy(t<1)
+    * columns re-score their eq_pairs through the intrinsic per-column
+    * pair join (id-only keys, id-partitioned — no added exchange; the
+    * pos filter stays above the shared exchange so reuse holds).
+    *
+    * The only other keyed exchange is the k-row final per-column rollup
+    * (post-partial-agg: ~numPartitions x k rows — metadata-sized).
+    * Null-id rows contribute through the same count-only sidecar
+    * semantics as [[summaryFast]], identically for every column. */
+  def summaryMulti(first: DataFrame, second: DataFrame,
+      checks: Seq[(String, CompareMode)]): DataFrame = {
+    require(checks.nonEmpty, "summaryMulti needs at least one check column")
+    def groupKey(c: Column, mode: CompareMode): Column = mode match {
+      case CompareMode.Numeric =>
+        val d = toNumeric(c)
+        when(d === lit(0.0), lit(0.0)).otherwise(d).cast(StringType)
+      case CompareMode.Date     => toTs(c).cast(StringType)
+      case CompareMode.Fuzzy(_) => c.cast(StringType)
+    }
+    // single side tag + explicit isnotnull(id): both load-bearing for
+    // exchange reuse across the fuzzy legs' consumers — see summaryFast
+    def keyedSide(df: DataFrame, sideTag: Int) = df
+      .filter(col("id").isNotNull)
+      .select(col("id").cast(StringType).as("id") +:
+        checks.zipWithIndex.map { case ((c, m), j) =>
+          groupKey(col(c), m).as(s"__v$j") } :+
+        lit(sideTag).as("side"): _*)
+    val exploded = keyedSide(first, 1).unionByName(keyedSide(second, 0))
+      .repartition(col("id"))
+      .select(col("id"),
+        posexplode(array(checks.indices.map(j => col(s"__v$j")): _*))
+          .as(Seq("pos", "v")),
+        col("side"))
+    val grouped = exploded.groupBy("id", "pos", "v").agg(
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("c2"))
+    var perIdPos = grouped.groupBy("id", "pos").agg(
+      sum("c1").as("tot1"),
+      sum(col("c1") * col("c2")).as("eq_pairs"),
+      sum("c2").as("tot2"))
+    for (((_, m), j) <- checks.zipWithIndex) m match {
+      case CompareMode.Fuzzy(t) if t < 1.0 =>
+        val a = grouped.filter(col("pos") === j && col("c1") > 0)
+          .select(col("id"), col("v").as("v1"), col("c1"))
+        val b = grouped.filter(col("pos") === j && col("c2") > 0)
+          .select(col("id"), col("v").as("v2"), col("c2"))
+        val eqj = a.join(b, Seq("id")).groupBy("id").agg(
+          sum(when(differs(col("v1"), col("v2"), m), lit(0L))
+            .otherwise(col("c1") * col("c2"))).as("__eqf"))
+        perIdPos = perIdPos.join(eqj, Seq("id"), "left_outer")
+          .withColumn("eq_pairs",
+            when(col("pos") === j, coalesce(col("__eqf"), lit(0L)))
+              .otherwise(col("eq_pairs")))
+          .drop("__eqf")
+      case _ => ()
+    }
+    val perCol = perIdPos.groupBy("pos").agg(
+      sum(col("tot1")).as("__nf"),
+      sum(col("tot2")).as("__ns"),
+      sum(when(col("tot1") === 0L, col("tot2")).otherwise(0L)).as("__mif"),
+      sum(when(col("tot2") === 0L, col("tot1")).otherwise(0L)).as("__mis"),
+      sum(when(col("tot1") > 0L && col("tot2") > 0L,
+        col("tot1") * col("tot2") - col("eq_pairs")).otherwise(0L)).as("n_differing"),
+      sum(when(col("tot1") > 0L, col("tot2")).otherwise(0L)).as("n_matched"))
+    // null-id sidecars: one count per side, identical for every column
+    def nulls(df: DataFrame, as: String) =
+      df.filter(col("id").isNull).agg(count(lit(1)).as(as))
+    val names = array(checks.map { case (c, _) => lit(c) }: _*)
+    perCol
+      .crossJoin(broadcast(nulls(first, "__nn1")))
+      .crossJoin(broadcast(nulls(second, "__nn2")))
+      .select(
+        element_at(names, col("pos").cast("int") + 1).as("column_name"),
+        (col("__nf") + col("__nn1")).as("n_first"),
+        (col("__ns") + col("__nn2")).as("n_second"),
+        (col("__mif") + col("__nn2")).as("missing_in_first"),
+        (col("__mis") + col("__nn1")).as("missing_in_second"),
+        col("n_differing"), col("n_matched"))
+  }
+
+  /** Multi-column tidy diff: the per-column differing pairs of k check
+    * columns from ONE inner join on id (k single-column [[validate]]
+    * calls would join k times). Long format: (id, column_name,
+    * check_first, check_second), one row per differing (row-pair,
+    * column) with [[validate]]'s m-by-n duplicate-key multiplicity.
+    * Values are string-cast up front — safe for every mode because the
+    * coercions themselves parse from strings (pandas-parity). */
+  def diffMulti(first: DataFrame, second: DataFrame,
+      checks: Seq[(String, CompareMode)]): DataFrame = {
+    require(checks.nonEmpty, "diffMulti needs at least one check column")
+    def sideSel(df: DataFrame, pfx: String) = df.select(
+      col("id").cast(StringType).as("id") +:
+        checks.map { case (c, _) => col(c).cast(StringType).as(s"$pfx$c") }: _*)
+    val joined = sideSel(first, "__f_").join(sideSel(second, "__s_"), Seq("id"))
+    val legs = array(checks.map { case (c, m) =>
+      struct(lit(c).as("column_name"),
+        col(s"__f_$c").as("check_first"),
+        col(s"__s_$c").as("check_second"),
+        differs(col(s"__f_$c"), col(s"__s_$c"), m).as("__d"))
+    }: _*)
+    joined
+      .select(col("id"), explode(legs).as("leg"))
+      .filter(col("leg.__d"))
+      .select(col("id"), col("leg.column_name").as("column_name"),
+        col("leg.check_first").as("check_first"),
+        col("leg.check_second").as("check_second"))
+  }
 }

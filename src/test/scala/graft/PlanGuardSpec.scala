@@ -372,6 +372,47 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("summaryMulti holds ONE id-keyed exchange regardless of k (fuzzy " +
+      "columns included, nullable parquet inputs)") {
+    // the multi-column contract: k columns must NOT mean k scans or k
+    // id-shuffles. The union rides one repartition(id) (rows shuffled
+    // un-exploded, all k values side by side); the only other keyed
+    // exchange is the k-row per-column rollup on pos, which moves
+    // ~numPartitions x k rows after partial aggregation. Fuzzy legs
+    // consume the same exchange through reuse (single side tag +
+    // explicit isnotnull — the summaryFast lesson).
+    import org.apache.spark.sql.functions.col
+    val d = java.nio.file.Files.createTempDirectory("pg_smx").toString
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    o.filter("o_orderkey % 97 != 0").selectExpr("CAST(o_orderkey AS STRING) AS id",
+      "o_totalprice", "o_orderdate", "o_orderstatus", "o_orderpriority")
+      .write.parquet(s"$d/f")
+    o.filter("o_orderkey % 89 != 0").selectExpr("CAST(o_orderkey AS STRING) AS id",
+      "o_totalprice", "o_orderdate", "o_orderstatus", "o_orderpriority")
+      .write.parquet(s"$d/s")
+    val f = spark.read.parquet(s"$d/f")
+    val sec = spark.read.parquet(s"$d/s")
+    for (k <- Seq(2, 4)) {
+      val checks = Seq(
+        ("o_totalprice", graft.core.CompareMode.Numeric),
+        ("o_orderdate", graft.core.CompareMode.Date),
+        ("o_orderstatus", graft.core.CompareMode.Fuzzy(1.0)),
+        ("o_orderpriority", graft.core.CompareMode.Fuzzy(0.9))).take(k)
+      val df = graft.core.Validator.summaryMulti(f, sec, checks)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val idKeyed = p.linesIterator.filter(ln =>
+        ln.contains("Exchange hashpartitioning(id#") &&
+          !ln.contains("ReusedExchange")).size
+      assert(idKeyed == 1,
+        s"k=$k: expected 1 id-keyed exchange, got $idKeyed:\n$p")
+      val scans = p.linesIterator.count(ln => ln.contains("FileScan parquet") &&
+        !ln.contains("IsNull(id)"))
+      assert(scans <= 2, s"k=$k: inputs scanned more than once each:\n$p")
+    }
+  }
+
   test("budget selection's global running sum has no single-partition stage") {
     val p = plan("t_budget_select")
     // strip the presentation orderBy tail: assert on the operator instead

@@ -48,6 +48,73 @@ class RandomizedEquivalenceSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // multi-column frames: numeric-ish, date-ish and a small fuzzy string
+  // domain, with nulls, garbage and duplicate/null ids — summaryMulti and
+  // diffMulti must agree with k independent single-column runs
+  private def randomMulti(n: Int, keySpace: Int, nullIdRate: Double) = {
+    val fuzzyDomain = Seq("alpha one", "alpha two", "beta", "gamma ray", "delta")
+    val rows = Seq.fill(n) {
+      val id = if (rnd.nextDouble() < nullIdRate) null
+        else (rnd.nextInt(keySpace) + 1).toString
+      def maybe[T >: Null](v: T): T = if (rnd.nextDouble() < 0.25) null else v
+      val num = maybe(if (rnd.nextDouble() < 0.1) "garbage"
+        else (rnd.nextInt(40) + rnd.nextInt(2) * 500).toString)
+      val dt = maybe(if (rnd.nextDouble() < 0.1) "not-a-date"
+        else f"2024-01-${rnd.nextInt(5) + 1}%02d")
+      val fz = maybe(fuzzyDomain(rnd.nextInt(fuzzyDomain.length)))
+      (id, num, dt, fz)
+    }
+    rows.toDF("id", "num", "dt", "fz")
+  }
+
+  private val multiChecks = Seq(
+    ("num", CompareMode.Numeric),
+    ("dt", CompareMode.Date),
+    ("fz", CompareMode.Fuzzy(0.6)))
+
+  test("summaryMulti == per-column summaryFast across 12 random inputs") {
+    for (trial <- 1 to 12) {
+      val f = randomMulti(rnd.nextInt(100) + 5, rnd.nextInt(25) + 5, 0.05)
+      val s = randomMulti(rnd.nextInt(100) + 5, rnd.nextInt(25) + 5, 0.05)
+      val multi = Validator.summaryMulti(f, s, multiChecks).collect()
+        .map(r => r.getAs[String]("column_name") -> r).toMap
+      assert(multi.keySet == multiChecks.map(_._1).toSet)
+      for ((c, mode) <- multiChecks) {
+        val single = Validator.summaryFast(
+          f.select(col("id"), col(c).as("check")),
+          s.select(col("id"), col(c).as("check")), mode).collect()(0)
+        for (m <- Seq("n_first", "n_second", "missing_in_first",
+            "missing_in_second", "n_differing", "n_matched"))
+          assert(multi(c).getAs[Long](m) == single.getAs[Long](m),
+            s"trial $trial col $c $m: multi=${multi(c).getAs[Long](m)} " +
+              s"single=${single.getAs[Long](m)}")
+      }
+    }
+  }
+
+  test("diffMulti == per-column validate().differing across 8 random inputs") {
+    for (trial <- 1 to 8) {
+      val f = randomMulti(rnd.nextInt(80) + 5, rnd.nextInt(20) + 5, 0.0)
+      val s = randomMulti(rnd.nextInt(80) + 5, rnd.nextInt(20) + 5, 0.0)
+      def nn(x: String) = if (x == null) "\u0000NULL" else x
+      val multi = Validator.diffMulti(f, s, multiChecks).collect()
+        .map(r => (r.getAs[String]("column_name"), r.getAs[String]("id"),
+          nn(r.getAs[String]("check_first")), nn(r.getAs[String]("check_second"))))
+        .groupBy(_._1).map { case (k, v) => k -> v.toSeq.sorted }
+      for ((c, mode) <- multiChecks) {
+        val single = Validator.validate(
+          f.select(col("id"), col(c).cast("string").as("check")),
+          s.select(col("id"), col(c).cast("string").as("check")), mode)
+          .differing.collect()
+          .map(r => (c, r.getAs[String]("id"), nn(r.getAs[String]("check_first")),
+            nn(r.getAs[String]("check_second")))).toSeq.sorted
+        assert(multi.getOrElse(c, Seq.empty) == single,
+          s"trial $trial col $c: multi=${multi.getOrElse(c, Seq.empty).size} " +
+            s"single=${single.size}")
+      }
+    }
+  }
+
   test("reconcile statuses partition the key universe consistently with validate") {
     for (_ <- 1 to 10) {
       val f = randomKeyed(80, 25, 0.2).dropDuplicates("id")
