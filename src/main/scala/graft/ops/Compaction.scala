@@ -36,9 +36,10 @@ import org.apache.spark.sql.functions._
   *
   * Limits (documented, standard for OPTIMIZE-style tools): output sizes
   * track INPUT bytes per bin, so recompression differences show up in
-  * the output sizes, not the binning; hive-partitioned layouts should be
-  * compacted per partition directory (the bin packer would happily mix
-  * partitions, which `partitionBy` on rewrite would then re-split). */
+  * the output sizes, not the binning. Hive-partitioned layouts go
+  * through [[compactPartitioned]], which governs each leaf partition
+  * independently (the flat packer would happily mix partitions, which
+  * `partitionBy` on rewrite would then re-split). */
 object Compaction {
 
   /** Best-fit-decreasing bin packing of (name, bytes) into bins of
@@ -133,36 +134,129 @@ object Compaction {
     * to 1/256 of it so padding never dominates real bytes), and each scan
     * partition writes exactly one output file. Runs eagerly on an
     * ISOLATED child session carrying the packing confs — the caller's
-    * session is never mutated. Returns (files_in, bytes_in, files_out,
-    * bytes_out) as a 1-row DataFrame. */
+    * session is never mutated.
+    *
+    * Idempotent-cheap: when `srcDir` already has the shape this rewrite
+    * emits (see [[alreadyCompact]]) the call returns after ONE listing
+    * with `rewritten = false` and leaves `dstDir` untouched — re-running
+    * governance over an already-governed table costs metadata, not a
+    * byte-level rewrite. Returns a 1-row frame (files_in, bytes_in,
+    * files_out, bytes_out, files_planned, rewritten); `files_planned` is
+    * [[compactionPlan]]'s best-fit bin count for the same listing, so
+    * plan-vs-actual (best-fit vs the scan's first-fit) divergence is
+    * visible per run. */
   def compact(spark: SparkSession, srcDir: String, dstDir: String,
       targetBytes: Long): DataFrame = {
     import spark.implicits._
     require(targetBytes > 0, "targetBytes must be positive")
-    def stats(dir: String): (Long, Long) = {
-      val fs = listDataFiles(spark, dir)
-      (fs.size.toLong, fs.map(_._2).sum)
+    val in = listDataFiles(spark, srcDir)
+    val (fi, bi) = (in.size.toLong, in.map(_._2).sum)
+    // files_planned: what the best-fit-decreasing PLAN would produce for
+    // the same listing, so [[compactionPlan]]-vs-actual (best-fit vs the
+    // scan's size-desc first-fit) divergence is visible per run
+    val planned =
+      if (in.isEmpty) 0L
+      else packBins(in, targetBytes).map(_._3).distinct.size.toLong
+    if (alreadyCompact(in, targetBytes)) {
+      // idempotent-cheap: a directory that is already ~targetBytes files
+      // (at most one sub-half-target tail file, nothing over 2x — the
+      // shape this rewrite itself emits) costs ONE listing to re-run,
+      // not a full read+write of every byte. dstDir is untouched.
+      return Seq((fi, bi, fi, bi, planned, false))
+        .toDF("files_in", "bytes_in", "files_out", "bytes_out",
+          "files_planned", "rewritten")
     }
-    // an ISOLATED session (shared context and catalog, own SQLConf)
-    // carries the three scan-packing settings: mutating the caller's
-    // session conf for the duration of the rewrite would silently
-    // re-shape every concurrently planned scan on that session
-    val rewriteSession = spark.newSession()
-    rewriteSession.conf.set("spark.sql.files.maxPartitionBytes",
-      targetBytes.toString)
-    rewriteSession.conf.set("spark.sql.files.openCostInBytes",
+    rewriteInto(rewriteSession(spark, targetBytes), srcDir, dstDir)
+    val out = listDataFiles(spark, dstDir)
+    Seq((fi, bi, out.size.toLong, out.map(_._2).sum, planned, true))
+      .toDF("files_in", "bytes_in", "files_out", "bytes_out",
+        "files_planned", "rewritten")
+  }
+
+  /** The no-op criterion: nothing over 2x target (the rewrite's own
+    * upper bound) and at most ONE file under half target — every finite
+    * table has a remainder tail, and merging a lone tail into an
+    * already-full neighbor costs a full rewrite of both for a file-count
+    * gain of one. Matches the shape [[compact]] itself emits, so
+    * compact's output always re-runs as a no-op. */
+  private def alreadyCompact(files: Seq[(String, Long)],
+      targetBytes: Long): Boolean =
+    files.nonEmpty &&
+      files.forall(_._2 <= 2L * targetBytes) &&
+      files.count(_._2 < targetBytes / 2) <= 1
+
+  /** An ISOLATED session (shared context and catalog, own SQLConf)
+    * carrying the three scan-packing settings: mutating the caller's
+    * session conf for the duration of the rewrite would silently
+    * re-shape every concurrently planned scan on that session. */
+  private def rewriteSession(spark: SparkSession, targetBytes: Long)
+      : SparkSession = {
+    val rw = spark.newSession()
+    rw.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+    rw.conf.set("spark.sql.files.openCostInBytes",
       math.max(targetBytes / 256, 1L).toString)
     // without this Spark SHRINKS partitions below maxPartitionBytes to
     // fill every core (bytesPerCore in FilePartition.maxSplitBytes) —
     // right for a query, wrong for a rewrite whose whole point is the
     // output file size
-    rewriteSession.conf.set("spark.sql.files.minPartitionNum", "1")
-    rewriteSession.read.parquet(srcDir)
-      .write.mode(SaveMode.Overwrite).parquet(dstDir)
-    val (fi, bi) = stats(srcDir)
-    val (fo, bo) = stats(dstDir)
-    Seq((fi, bi, fo, bo))
-      .toDF("files_in", "bytes_in", "files_out", "bytes_out")
+    rw.conf.set("spark.sql.files.minPartitionNum", "1")
+    rw
+  }
+
+  private def rewriteInto(rw: SparkSession, srcDir: String,
+      dstDir: String): Unit =
+    rw.read.parquet(srcDir).write.mode(SaveMode.Overwrite).parquet(dstDir)
+
+  /** Hive-partition-aware [[compact]]: detect `key=value` partition
+    * directories under `srcDir` and compact each LEAF partition with the
+    * same zero-shuffle rewrite, preserving the partition layout at
+    * `dstDir` (the flat packer would happily mix partitions, which a
+    * `partitionBy` re-write would then re-split and shuffle). Leaves are
+    * compacted independently — exactly the unit a partitioned table
+    * wants governed, and each leaf gets the same idempotent no-op check
+    * (an already-compact partition costs one listing; its dst dir is
+    * then left unwritten). Returns one row per leaf partition plus the
+    * `rewritten` flag; non-partitioned directories (no `key=value`
+    * segment) fall back to a single [[compact]] call labeled `/`.
+    *
+    * Driver-side loop, one narrow job per rewritten leaf — at 10^4+
+    * partitions prefer governing recent partitions only (the usual
+    * OPTIMIZE WHERE predicate): pass `partitionFilter` to select leaves
+    * by their relative path. */
+  def compactPartitioned(spark: SparkSession, srcDir: String,
+      dstDir: String, targetBytes: Long,
+      partitionFilter: String => Boolean = _ => true): DataFrame = {
+    import spark.implicits._
+    require(targetBytes > 0, "targetBytes must be positive")
+    val base = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseUri = fs.makeQualified(base).toUri
+    val hivePart = "[^/=]+=[^/=]*".r
+    val leaves = listDataFiles(spark, srcDir)
+      .map { case (path, bytes) =>
+        val rel = baseUri.relativize(new org.apache.hadoop.fs.Path(path).toUri)
+          .getPath
+        val segs = rel.split('/').dropRight(1)
+        val partSegs = segs.takeWhile(sg => hivePart.pattern.matcher(sg).matches)
+        (if (partSegs.isEmpty) "/" else partSegs.mkString("/"), (path, bytes))
+      }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    val rw = rewriteSession(spark, targetBytes)
+    val rows = for ((part, members) <- leaves if partitionFilter(part)) yield {
+      val files = members.map(_._2)
+      val (fi, bi) = (files.size.toLong, files.map(_._2).sum)
+      val (src, dst) =
+        if (part == "/") (srcDir, dstDir)
+        else (s"$srcDir/$part", s"$dstDir/$part")
+      if (alreadyCompact(files, targetBytes)) (part, fi, bi, fi, bi, false)
+      else {
+        rewriteInto(rw, src, dst)
+        val out = listDataFiles(spark, dst)
+        (part, fi, bi, out.size.toLong, out.map(_._2).sum, true)
+      }
+    }
+    rows.toDF("partition", "files_in", "bytes_in", "files_out",
+      "bytes_out", "rewritten")
   }
 
   /** CLUSTERED compaction — the `OPTIMIZE ... ORDER BY` shape: rewrite
