@@ -524,6 +524,92 @@ object Rehearsal {
         f.unpersist(); s.unpersist()
       }
 
+      // streaming legs — the last unrehearsed family: throughput and
+      // STATE-SIZE-vs-scale for the two continuous monitors, driven
+      // through multi-file parquet streams replayed in disordered
+      // micro-batches (maxFilesPerTrigger=1). The geometry claims become
+      // measured numbers: streamingTableDiff state = one row per
+      // DISTINCT key (held CONSTANT here while event volume grows with
+      // scale — state must not grow with rows), streamingDrift state =
+      // one vocab-sized map per distinct window (fixed window count →
+      // state rows constant across scales).
+      {
+        import org.apache.spark.sql.streaming.OutputMode
+        val sd = java.nio.file.Files.createTempDirectory("rh_stream").toString
+        val n = 100000L * scale
+        val keys = 100000L // FIXED key universe: state must track keys, not rows
+        val obs = spark.range(n)
+          .selectExpr(s"id % $keys AS k", "id")
+          .filter("k % 97 != 0")
+          .selectExpr("k AS id", "CAST(k % 1000 AS DOUBLE) AS v")
+        val ref = spark.range(n)
+          .selectExpr(s"id % $keys AS k", "id")
+          .filter("k % 89 != 0")
+          .selectExpr("k AS id",
+            "CASE WHEN k % 31 = 0 THEN CAST(k % 1000 AS DOUBLE) + 1.0 " +
+              "ELSE CAST(k % 1000 AS DOUBLE) END AS v")
+        obs.repartition(8).write.mode("overwrite").parquet(s"$sd/obs")
+        ref.repartition(8).write.mode("overwrite").parquet(s"$sd/ref")
+        val rowsIn = spark.read.parquet(s"$sd/obs").count() +
+          spark.read.parquet(s"$sd/ref").count()
+        val distinctKeys = spark.read.parquet(s"$sd/obs").select("id")
+          .union(spark.read.parquet(s"$sd/ref").select("id"))
+          .distinct().count()
+        def streamOf(p: String) = spark.readStream
+          .schema(spark.read.parquet(p).schema)
+          .option("maxFilesPerTrigger", "1").parquet(p)
+
+        def runWithProgress(df: DataFrame, name: String, mode: OutputMode)
+            : (Long, Long, Long) = {
+          val q = df.writeStream.format("memory").queryName(name)
+            .outputMode(mode).start()
+          try {
+            q.processAllAvailable()
+            val progs = q.recentProgress
+            val stateRows = progs.reverse
+              .flatMap(p => Option(p.stateOperators).toSeq.flatten.headOption)
+              .headOption.map(_.numRowsTotal).getOrElse(-1L)
+            val dataBatches = progs.count(_.numInputRows > 0).toLong
+            val outRows = spark.table(name).count()
+            (stateRows, dataBatches, outRows)
+          } finally q.stop()
+        }
+
+        val diffDf = graft.streaming.StreamingOps.streamingTableDiff(
+          streamOf(s"$sd/obs"), streamOf(s"$sd/ref"), "id", "v")
+        val ((stateRows, batches, outRows), tDiff) = timed {
+          runWithProgress(diffDf, s"rh_tdiff_$scale", OutputMode.Complete())
+        }
+        emit(s"""{"scale":$scale,"stage":"streaming_table_diff","input_rows":$rowsIn,"distinct_keys":$distinctKeys,"batches":$batches,"output_rows":$outRows,"state_rows":$stateRows,"sec":$tDiff,"rows_per_sec":${(rowsIn / math.max(tDiff, 1e-9)).toLong}}""")
+
+        // drift: fixed 8-window, 50-term geometry; volume grows with
+        // scale, open-window state must not
+        val vocab = 50
+        val windows = 8
+        val ev = spark.range(n).selectExpr(
+          s"concat('t', CAST(id % $vocab AS STRING)) AS event_type",
+          s"timestamp_micros(CAST(1700000000000000 + (id % ${windows * 3600L}) * 1000000 AS LONG)) AS ts")
+        ev.repartition(8).write.mode("overwrite").parquet(s"$sd/ev")
+        // the state bound to verify against: DISTINCT event-time windows
+        // (the epoch is not hour-aligned, so `windows` hours span
+        // windows+1 hourly buckets)
+        val distinctWindows = spark.read.parquet(s"$sd/ev")
+          .select(window(col("ts"), "60 minutes")).distinct().count()
+        val reference = (0 until vocab)
+          .map(i => s"t$i" -> (i + 1).toLong).toMap
+        val driftDf = graft.streaming.StreamingOps.streamingDrift(
+          streamOf(s"$sd/ev"), reference, windowMinutes = 60,
+          watermark = None).toDF()
+        val ((dState, dBatches, dOut), tDrift) = timed {
+          runWithProgress(driftDf, s"rh_drift_$scale", OutputMode.Update())
+        }
+        emit(s"""{"scale":$scale,"stage":"streaming_drift","input_rows":$n,"windows":$distinctWindows,"vocab":$vocab,"batches":$dBatches,"output_rows":$dOut,"state_rows":$dState,"sec":$tDrift,"rows_per_sec":${(n / math.max(tDrift, 1e-9)).toLong}}""")
+
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val pth = new org.apache.hadoop.fs.Path(sd)
+        pth.getFileSystem(hconf).delete(pth, true)
+      }
+
       docs.unpersist(); sigs.unpersist(); vecs.unpersist()
     }
 

@@ -1088,6 +1088,13 @@ object SparkEntry {
       TextAnalysis.corpusDrift(t(s, dir, "documents"))
         .orderBy("source")
     }),
+    "t_corpus_drift_union" -> ((s, dir) => {
+      // the bounded-vocab variant: top_term nominated over the UNION of
+      // slice and corpus vocabularies (streaming-twin semantics); same
+      // exact-rational tvd_ppm as t_corpus_drift
+      TextAnalysis.corpusDrift(t(s, dir, "documents"), topOverUnion = true)
+        .orderBy("source")
+    }),
     "t_corpus_freq" -> ((s, dir) => {
       // log-free perplexity proxy: per-doc integer sum of corpus-wide
       // token occurrence counts — rare-token-heavy (noisy) docs score low
@@ -3601,6 +3608,40 @@ object SparkEntry {
         |  CAST(((a.present_abs + CAST(n.nsz AS HUGEINT) * (nc.ncz - a.present_ct))
         |      * 1000000) // (2 * CAST(n.nsz AS HUGEINT) * nc.ncz) AS BIGINT)
         |    AS tvd_ppm,
+        |  tp.term AS top_term,
+        |  CAST((tp.absd * 1000000) // (CAST(n.nsz AS HUGEINT) * nc.ncz) AS BIGINT)
+        |    AS top_term_dev_ppm
+        |FROM agg a JOIN ns n USING (source) CROSS JOIN nc
+        |JOIN top tp ON tp.source = a.source AND tp.rn = 1
+        |ORDER BY source""".stripMargin,
+
+    // union-nomination drift replay: same grid the Spark side opts into
+    "t_corpus_drift_union" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE source IS NOT NULL
+        |), st AS (
+        |  SELECT source, term, COUNT(*) AS nst FROM toks GROUP BY 1, 2
+        |), ct AS (SELECT term, SUM(nst) AS nct FROM st GROUP BY 1),
+        |ns AS (SELECT source, SUM(nst) AS nsz FROM st GROUP BY 1),
+        |nc AS (SELECT SUM(nst) AS ncz FROM st),
+        |dev AS (
+        |  SELECT n.source, c.term, c.nct,
+        |    ABS(CAST(COALESCE(s.nst, 0) AS HUGEINT) * nc.ncz
+        |      - CAST(n.nsz AS HUGEINT) * c.nct) AS absd
+        |  FROM ct c CROSS JOIN ns n CROSS JOIN nc
+        |  LEFT JOIN st s ON s.source = n.source AND s.term = c.term
+        |), agg AS (
+        |  SELECT source, SUM(absd) AS sum_abs FROM dev GROUP BY 1
+        |), top AS (
+        |  SELECT source, term, absd,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY absd DESC, term ASC) AS rn
+        |  FROM dev
+        |)
+        |SELECT a.source, CAST(n.nsz AS BIGINT) AS n_tokens,
+        |  CAST((a.sum_abs * 1000000) // (2 * CAST(n.nsz AS HUGEINT) * nc.ncz)
+        |      AS BIGINT) AS tvd_ppm,
         |  tp.term AS top_term,
         |  CAST((tp.absd * 1000000) // (CAST(n.nsz AS HUGEINT) * nc.ncz) AS BIGINT)
         |    AS top_term_dev_ppm

@@ -487,10 +487,11 @@ object TextAnalysis {
     * (the closed form above) but is never nominated as `top_term`:
     * nominating absent terms exactly would materialize the
     * slices×vocabulary grid the closed form exists to avoid, and an
-    * under-represented-but-present term already surfaces. (The
-    * streaming twin `StreamingOps.streamingDrift` nominates over the
-    * UNION — its reference vocabulary is a small static map, where the
-    * grid is free.) Overflow: n_{s,t}·N·10^6 ≤ 10^36 < 10^38
+    * under-represented-but-present term already surfaces. For bounded
+    * vocabularies pass `topOverUnion = true` to nominate over the UNION
+    * via the explicit grid — tvd_ppm is unchanged, and the semantics
+    * match the streaming twin `StreamingOps.streamingDrift`, whose
+    * reference vocabulary is a small static map where the grid is free. Overflow: n_{s,t}·N·10^6 ≤ 10^36 < 10^38
     * through N = 10^15 corpus tokens, the same domain bound as
     * [[collocations]]; every division is last and non-negative, so floor
     * == truncate on every engine.
@@ -504,7 +505,7 @@ object TextAnalysis {
     * (empty text → one empty-string token), documented so the slice
     * distributions are comparable run-over-run. */
   def corpusDrift(docs: DataFrame, sliceCol: String = "source",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", topOverUnion: Boolean = false): DataFrame = {
     // the explicit isnotnull pair keeps ALL FOUR consumers of the
     // (slice, term) count frame canonically identical: the joins below
     // would otherwise infer isnotnull on different columns per branch
@@ -528,6 +529,37 @@ object TextAnalysis {
       .crossJoin(broadcast(nc))
       .withColumn("absd", expr(
         s"abs(CAST(nst AS $dec) * ncz - CAST(nsz AS $dec) * nct)"))
+    if (topOverUnion) {
+      // bounded-vocab variant, symmetric with StreamingOps.streamingDrift:
+      // nominate top_term over the UNION of slice and corpus
+      // vocabularies by materializing the slicesxvocab grid — tvd_ppm is
+      // IDENTICAL to the closed-form base path (spec-pinned); only the
+      // nomination universe changes (an absent term deviates by nsz*nct
+      // and may out-deviate every present term). The grid is
+      // slicesxvocab rows — exactly the size the base path exists to
+      // avoid, so this stays opt-in for corpora whose vocabulary fits
+      // the streaming twin's own regime (the slice totals still
+      // broadcast; the grid join is keyed).
+      val grid = ct.crossJoin(broadcast(ns)).crossJoin(broadcast(nc))
+      val devU = grid.join(st, Seq("slice", "term"), "left_outer")
+        .withColumn("nst0", coalesce(col("nst"), lit(0L)))
+        .withColumn("absd", expr(
+          s"abs(CAST(nst0 AS $dec) * ncz - CAST(nsz AS $dec) * nct)"))
+      return devU
+        .groupBy("slice")
+        .agg(
+          first(col("nsz")).as("nsz"), first(col("ncz")).as("ncz"),
+          sum(col("absd")).as("sum_abs"),
+          min(struct((col("absd") * -1).as("k"), col("term"))).as("top"))
+        .select(
+          col("slice").as(sliceCol),
+          col("nsz").as("n_tokens"),
+          expr(s"CAST((sum_abs * 1000000) div (2 * CAST(nsz AS $dec) * ncz) AS BIGINT)")
+            .as("tvd_ppm"),
+          col("top.term").as("top_term"),
+          expr(s"CAST((top.k * -1000000) div (CAST(nsz AS $dec) * ncz) AS BIGINT)")
+            .as("top_term_dev_ppm"))
+    }
     dev
       .groupBy("slice")
       .agg(

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Round-12 operators: idempotent + hive-partition-aware compaction. */
+/** Round-12 operators: idempotent + hive-partition-aware compaction,
+  * union-nomination corpus drift. */
 class Round12OpsSpec extends AnyFunSuite with SparkSpec {
 
   private def mtimes(dir: String): Map[String, Long] = {
@@ -113,6 +114,37 @@ class Round12OpsSpec extends AnyFunSuite with SparkSpec {
         src.replace("_src", "_dst3"), 64L * 1024, _.endsWith("=es"))
       .collect()
     assert(some.map(_.getAs[String]("partition")).toSeq == Seq("lang=es"))
+  }
+
+  test("corpusDrift topOverUnion: tvd_ppm identical to the closed-form " +
+      "base path; only the nomination universe may change; corpus still " +
+      "scanned once") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = graft.ops.TextAnalysis.corpusDrift(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("tvd_ppm"))).toMap
+    val uniDf = graft.ops.TextAnalysis.corpusDrift(docs, topOverUnion = true)
+    val uni = uniDf.collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("tvd_ppm"))).toMap
+    assert(base.nonEmpty && uni.keySet == base.keySet)
+    for ((k, v) <- base) assert(uni(k) == v,
+      s"slice $k: union (n_tokens, tvd)=${uni(k)} != base $v")
+    // union nomination may only ever RAISE the winning deviation: every
+    // present term is still a candidate
+    val baseDev = graft.ops.TextAnalysis.corpusDrift(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("top_term_dev_ppm")).toMap
+    val uniDev = graft.ops.TextAnalysis
+      .corpusDrift(docs, topOverUnion = true).collect()
+      .map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("top_term_dev_ppm")).toMap
+    for ((k, d) <- baseDev) assert(uniDev(k) >= d,
+      s"slice $k: union winner ${uniDev(k)} < present-only winner $d")
+    val plan = uniDf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"union variant must still scan the corpus once:\n$plan")
   }
 
   test("compactPartitioned on a flat directory falls back to one '/' leaf") {
