@@ -12,7 +12,9 @@ import org.yaml.snakeyaml.Yaml
   *
   * Accepted keys mirror `config.yaml` of the reference: `databases`
   * (exactly two names), `data_type`, `threshold`, `composite_id_columns`,
-  * `check_column`, `{db}_table_name`, `{db}_database_date_column`,
+  * `check_column` (or the multi-column `check_columns:` list, each entry
+  * `{column, data_type, threshold}`), `{db}_table_name`,
+  * `{db}_database_date_column`,
   * `start_date`/`end_date`, `output_directory` — plus a generalization the
   * reference lacked: an optional `sources:` map describing each database
   * as an arbitrary Spark source (`format`/`path`/`options`/`query`), which
@@ -81,7 +83,22 @@ object ConfigLoader {
       endDate = str(m, "end_date"),
       dateColumnFirst = str(m, s"${dbs.head}_database_date_column"),
       dateColumnSecond = str(m, s"${dbs(1)}_database_date_column"),
-      outputDirectory = str(m, "output_directory").getOrElse("./output"))
+      outputDirectory = str(m, "output_directory").getOrElse("./output"),
+      checkColumns = m.get("check_columns") match {
+        case Some(l: JList[_]) => l.asScala.toSeq.map {
+          case cm: JMap[_, _] =>
+            val c = cm.asScala.map { case (k, v) => k.toString -> v }
+              .toMap.asInstanceOf[Map[String, Object]]
+            CheckSpec(
+              column = str(c, "column").getOrElse(throw new
+                IllegalArgumentException("check_columns entries need `column`")),
+              dataType = str(c, "data_type").getOrElse("string"),
+              threshold = str(c, "threshold").map(_.toDouble).getOrElse(1.0))
+          case other => throw new IllegalArgumentException(
+            s"check_columns entries must be maps, got $other")
+        }
+        case _ => Seq.empty
+      })
   }
 
   private def sourceSpec(s: Map[String, Object], root: Map[String, Object],

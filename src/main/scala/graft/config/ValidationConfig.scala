@@ -20,9 +20,19 @@ final case class SourceSpec(
     path: Option[String] = None,
     query: Option[String] = None)
 
+/** One column of a multi-column validation: the per-column twin of the
+  * top-level (`check_column`, `data_type`, `threshold`) trio. */
+final case class CheckSpec(
+    column: String,
+    dataType: String = "string",
+    threshold: Double = 1.0)
+
 /** Typed equivalent of the reference's `config.yaml` surface
   * (SURVEY §1.5). Exactly two sources per job, as the reference enforces
-  * (`running_validation.py:614-615`).
+  * (`running_validation.py:614-615`). `checkColumns` extends the
+  * reference's one-column-per-job contract (`config.yaml:21`) to
+  * whole-row validation: when non-empty, [[graft.core.ValidationJob.runMulti]]
+  * validates every listed column in ONE pass instead of k job reruns.
   */
 final case class ValidationConfig(
     first: SourceSpec,
@@ -37,4 +47,5 @@ final case class ValidationConfig(
     endDate: Option[String] = None,    // config.yaml:17
     dateColumnFirst: Option[String] = None,  // {db}_database_date_column
     dateColumnSecond: Option[String] = None,
-    outputDirectory: String = "./output")
+    outputDirectory: String = "./output",
+    checkColumns: Seq[CheckSpec] = Seq.empty) // multi-column extension

@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.config.ValidationConfig
+import graft.config.{CheckSpec, ValidationConfig}
 import graft.report.ReportWriter
 import graft.sources.SourceReader
 
@@ -18,13 +18,17 @@ import graft.sources.SourceReader
   */
 object ValidationJob {
 
-  def compareMode(cfg: ValidationConfig): CompareMode = cfg.dataType match {
-    case "integer" | "numeric" => CompareMode.Numeric
-    case "date"                => CompareMode.Date
-    case "string"              => CompareMode.Fuzzy(cfg.threshold)
-    case other => throw new IllegalArgumentException(
-      s"unknown data_type '$other' (expected integer|string|date)") // running_validation.py:651-653
-  }
+  def compareMode(cfg: ValidationConfig): CompareMode =
+    modeOf(cfg.dataType, cfg.threshold)
+
+  def modeOf(dataType: String, threshold: Double): CompareMode =
+    dataType match {
+      case "integer" | "numeric" => CompareMode.Numeric
+      case "date"                => CompareMode.Date
+      case "string"              => CompareMode.Fuzzy(threshold)
+      case other => throw new IllegalArgumentException(
+        s"unknown data_type '$other' (expected integer|string|date)") // running_validation.py:651-653
+    }
 
   /** Read one side, apply the optional date-range filter (exclusive both
     * ends — reference semantics), project to (id, check). */
@@ -37,6 +41,45 @@ object ValidationJob {
       case _ => raw
     }
     Validator.keyed(filtered, cfg.compositeIdColumns, cfg.checkColumn)
+  }
+
+  /** One side projected to (id, every multi-check column) — the
+    * multi-column twin of [[side]]'s (id, check) projection; pushdown
+    * still prunes the source scan to keys + k checks + date col. */
+  private def sideMulti(spark: SparkSession, cfg: ValidationConfig,
+      spec: graft.config.SourceSpec, dateCol: Option[String]): DataFrame = {
+    val raw = SourceReader.read(spark, spec)
+    val filtered = (cfg.startDate, cfg.endDate, dateCol) match {
+      case (Some(s), Some(e), Some(dc)) =>
+        Validator.dateFiltered(raw, dc, s"$s 00:00:00", s"$e 00:00:00")
+      case _ => raw
+    }
+    import org.apache.spark.sql.functions.col
+    filtered.select(
+      graft.functions.compositeKey(cfg.compositeIdColumns).as("id") +:
+        cfg.checkColumns.map(c => col(c.column)): _*)
+  }
+
+  /** Whole-row validation over `cfg.checkColumns` — k columns, each with
+    * its own compare mode, in ONE pass per surface (one id-keyed shuffle
+    * for the per-column summary, one inner join for the tidy long-format
+    * diff) instead of k single-column job reruns. Writes the diff frame
+    * partitioned by column under `outputDirectory/multi_diff`; returns
+    * (per-column summary, long diff frame). */
+  def runMulti(spark: SparkSession, cfg: ValidationConfig,
+      writeReports: Boolean = true): (DataFrame, DataFrame) = {
+    require(cfg.checkColumns.nonEmpty,
+      "runMulti needs a non-empty `check_columns` list")
+    val checks: Seq[(String, CompareMode)] =
+      cfg.checkColumns.map(c => c.column -> modeOf(c.dataType, c.threshold))
+    val first = sideMulti(spark, cfg, cfg.first, cfg.dateColumnFirst)
+    val second = sideMulti(spark, cfg, cfg.second, cfg.dateColumnSecond)
+    val summary = Validator.summaryMulti(first, second, checks)
+    val diff = Validator.diffMulti(first, second, checks)
+    if (writeReports)
+      ReportWriter.writePartitioned(diff, s"${cfg.outputDirectory}/multi_diff",
+        Seq("column_name"))
+    (summary, diff)
   }
 
   /** Run the validation; write tidy + compat reports; return the output. */

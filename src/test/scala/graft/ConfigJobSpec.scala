@@ -59,6 +59,48 @@ class ConfigJobSpec extends AnyFunSuite with SparkSpec {
     assert(new java.io.File(s"$outDir/tidy/differing_values").isDirectory)
   }
 
+  test("check_columns drives a multi-column job: per-column summary and " +
+      "a column-partitioned long diff, one pass") {
+    val (pa, pb) = writeSides()
+    val outDir = Files.createTempDirectory("cfgmulti").toString
+    val yaml =
+      s"""databases: [left, right]
+         |composite_id_columns: [pk]
+         |check_column: val
+         |check_columns:
+         |  - column: val
+         |    data_type: string
+         |  - column: d
+         |    data_type: date
+         |output_directory: $outDir
+         |sources:
+         |  left:
+         |    format: parquet
+         |    path: $pa
+         |  right:
+         |    format: parquet
+         |    path: $pb
+         |""".stripMargin
+    val cfg = ConfigLoader.fromYamlString(yaml)
+    assert(cfg.checkColumns == Seq(
+      graft.config.CheckSpec("val", "string", 1.0),
+      graft.config.CheckSpec("d", "date", 1.0)))
+    val (summary, diff) = ValidationJob.runMulti(spark, cfg)
+    val bySumCol = summary.collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(bySumCol.keySet == Set("val", "d"))
+    // val: pk 3 differs (z vs zz); d: identical on shared keys
+    assert(bySumCol("val").getAs[Long]("n_differing") == 1)
+    assert(bySumCol("d").getAs[Long]("n_differing") == 0)
+    assert(bySumCol("val").getAs[Long]("missing_in_first") == 1)  // pk 4
+    assert(bySumCol("val").getAs[Long]("missing_in_second") == 1) // pk 1
+    val diffRows = diff.collect()
+      .map(r => (r.getAs[String]("column_name"), r.getAs[String]("id")))
+    assert(diffRows.toSeq == Seq(("val", "3")))
+    // report written hive-partitioned by column
+    assert(new java.io.File(s"$outDir/multi_diff/column_name=val").isDirectory)
+  }
+
   test("graft.Main runs the whole lifecycle from a config file path") {
     // the CLI entry point end to end: yaml on disk -> sources -> validate
     // -> reports on disk -> printed summary row
