@@ -524,6 +524,54 @@ object Rehearsal {
         f.unpersist(); s.unpersist()
       }
 
+      // multi-column validation leg: k=3 columns (numeric, date, string)
+      // through summaryMulti's single id-keyed shuffle vs k independent
+      // summaryFast passes over the same sides — the measured version of
+      // the "k columns must not mean k scans" claim. Exchange count read
+      // from the executed plan.
+      {
+        val n = 100000L * scale
+        val kDistinct = math.max(n / 4, 1L)
+        def multiSide(dropMod: Long, perturb: Boolean) = {
+          def p(norm: String, pert: String) = if (perturb) pert else norm
+          spark.range(n).selectExpr(s"id % $kDistinct AS k")
+            .filter(s"k % $dropMod != 0")
+            .selectExpr(
+              "concat('k', CAST(k AS STRING)) AS id",
+              p("k", "CASE WHEN k % 31 = 0 THEN k + 1 ELSE k END") + " AS c_num",
+              p("date_add(DATE '2024-01-01', CAST(k % 365 AS INT))",
+                "CASE WHEN k % 37 = 0 THEN date_add(DATE '2024-01-01', CAST(k % 365 AS INT) + 1) " +
+                  "ELSE date_add(DATE '2024-01-01', CAST(k % 365 AS INT)) END") + " AS c_date",
+              p("substring(md5(CAST(k AS STRING)), 1, 16)",
+                "CASE WHEN k % 29 = 0 THEN concat(substring(md5(CAST(k AS STRING)), 1, 15), 'z') " +
+                  "ELSE substring(md5(CAST(k AS STRING)), 1, 16) END") + " AS c_str")
+            .localCheckpoint(true)
+        }
+        val f = multiSide(97L, perturb = false)
+        val s = multiSide(89L, perturb = true)
+        val rowsIn = f.count() + s.count()
+        val checks = Seq(
+          ("c_num", graft.core.CompareMode.Numeric),
+          ("c_date", graft.core.CompareMode.Date),
+          ("c_str", graft.core.CompareMode.Fuzzy(1.0)))
+        val mDf = graft.core.Validator.summaryMulti(f, s, checks)
+        val (mRows, tMulti) = timed { mDf.collect() }
+        val mPlan = mDf.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        val idExchanges = mPlan.linesIterator.count(ln =>
+          ln.contains("Exchange hashpartitioning(id#") &&
+            !ln.contains("ReusedExchange"))
+        val nDiffTotal = mRows.map(_.getAs[Long]("n_differing")).sum
+        val (_, tSingles) = timed {
+          for ((c, m) <- checks)
+            graft.core.Validator.summaryFast(
+              f.select(col("id"), col(c).as("check")),
+              s.select(col("id"), col(c).as("check")), m).collect()
+        }
+        emit(s"""{"scale":$scale,"stage":"validate_multi_k3","input_rows":$rowsIn,"n_differing_total":$nDiffTotal,"sec":$tMulti,"sec_3_single_passes":$tSingles,"speedup":${(tSingles / math.max(tMulti, 1e-9) * 100).toLong / 100.0},"us_per_row":${tMulti * 1e6 / rowsIn},"id_keyed_exchanges":$idExchanges}""")
+        f.unpersist(); s.unpersist()
+      }
+
       // streaming legs — the last unrehearsed family: throughput and
       // STATE-SIZE-vs-scale for the two continuous monitors, driven
       // through multi-file parquet streams replayed in disordered
