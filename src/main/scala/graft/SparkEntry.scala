@@ -711,6 +711,33 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "s_table_diff_multi" -> ((s, dir) => {
+      // the multi-column twin: value (in portable integer cents) and
+      // event_type diffed against a perturbed reference in ONE stateful
+      // aggregation; long-format per-column output, complete mode ==
+      // batch per-column full-outer diff (distributive counts + maxes)
+      val base = (pred: String) => StreamingOps.readEvents(s, s"$dir/events.parquet")
+        .filter(expr(pred))
+        .select(col("event_id"),
+          expr("CAST(ROUND(value*100) AS BIGINT)").as("cents"),
+          col("event_type"))
+      val obs = base("event_id % 97 != 0")
+        .select(col("event_id"), col("cents").cast("string").as("value"),
+          col("event_type"))
+      val ref = base("event_id % 89 != 0")
+        .select(col("event_id"),
+          (col("cents") + when(col("event_id") % 7 === 0, 100L).otherwise(0L))
+            .cast("string").as("value"),
+          when(col("event_id") % 11 === 0, concat(col("event_type"), lit("X")))
+            .otherwise(col("event_type")).as("event_type"))
+      val diff = StreamingOps.streamingTableDiffMulti(obs, ref,
+        "event_id", Seq("event_type", "value"))
+      StreamingOps.withShufflePartitions(s, 8) {
+        StreamingOps.runToMemory(diff, s"stdiffm_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+      }.orderBy("id", "column_name")
+    }),
+
     "s_drift" -> ((s, dir) => {
       // continuous distribution-drift monitoring: per hourly window, the
       // exact-integer total-variation distance of the window's event_type
@@ -2819,6 +2846,39 @@ object SparkEntry {
         |WHERE r.id IS NULL OR e.id IS NULL
         |   OR observed IS DISTINCT FROM expected
         |ORDER BY id""".stripMargin,
+    "s_table_diff_multi" ->
+      """WITH e AS (
+        |  SELECT event_id AS id,
+        |    max(CAST(CAST(ROUND(value*100) AS BIGINT) AS VARCHAR)) AS v_value,
+        |    max(event_type) AS v_type
+        |  FROM events WHERE event_id % 97 <> 0 GROUP BY 1
+        |), r AS (
+        |  SELECT event_id AS id,
+        |    max(CAST(CAST(ROUND(value*100) AS BIGINT)
+        |      + CASE WHEN event_id % 7 = 0 THEN 100 ELSE 0 END AS VARCHAR))
+        |      AS v_value,
+        |    max(CASE WHEN event_id % 11 = 0 THEN event_type || 'X'
+        |             ELSE event_type END) AS v_type
+        |  FROM events WHERE event_id % 89 <> 0 GROUP BY 1
+        |)
+        |SELECT * FROM (
+        |  SELECT COALESCE(e.id, r.id) AS id, 'event_type' AS column_name,
+        |    CASE WHEN r.id IS NULL THEN 'missing_in_reference'
+        |         WHEN e.id IS NULL THEN 'missing_in_stream'
+        |         WHEN e.v_type IS DISTINCT FROM r.v_type THEN 'differing'
+        |    END AS kind,
+        |    e.v_type AS observed, r.v_type AS expected
+        |  FROM e FULL OUTER JOIN r ON e.id = r.id
+        |  UNION ALL
+        |  SELECT COALESCE(e.id, r.id), 'value',
+        |    CASE WHEN r.id IS NULL THEN 'missing_in_reference'
+        |         WHEN e.id IS NULL THEN 'missing_in_stream'
+        |         WHEN e.v_value IS DISTINCT FROM r.v_value THEN 'differing'
+        |    END,
+        |    e.v_value, r.v_value
+        |  FROM e FULL OUTER JOIN r ON e.id = r.id
+        |) WHERE kind IS NOT NULL
+        |ORDER BY id, column_name""".stripMargin,
     // streaming drift replay: hourly event_type counts vs the whole
     // table's distribution, TVD in HUGEINT over the union of window and
     // reference terms (the reference here IS the full vocabulary, so the

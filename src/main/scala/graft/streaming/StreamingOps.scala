@@ -394,6 +394,53 @@ object StreamingOps {
       .select("id", "kind", "observed", "expected")
   }
 
+  /** Multi-column [[streamingTableDiff]] — the streaming twin of
+    * `Validator.diffMulti`: diff k check columns against the reference
+    * in ONE stateful aggregation (state stays one row per DISTINCT key,
+    * now carrying 2k per-side maxes), emitting the long format
+    * (id, column_name, kind, observed, expected). Values are string-cast
+    * up front so the long format is uniform; per-side MAX over the cast
+    * is the same deterministic, order-independent choice as the
+    * single-column op. missing_in_* keys emit one row per column
+    * (uniform with the per-column counts a consumer aggregates).
+    * Distributive counts + maxes ⇒ complete-mode output equals the
+    * batch per-column full-outer diff at every point in time, for any
+    * micro-batch slicing and late order. The explode runs AFTER the
+    * aggregation — stateless post-processing, k output rows per changed
+    * key, nothing extra in state. */
+  def streamingTableDiffMulti(stream: DataFrame, reference: DataFrame,
+      keyCol: String, checkCols: Seq[String]): DataFrame = {
+    require(checkCols.nonEmpty, "streamingTableDiffMulti needs check columns")
+    def sideSel(df: DataFrame, tag: String) = df.select(
+      col(keyCol).as("id") +:
+        checkCols.map(c => col(c).cast("string").as(s"__c_$c")) :+
+        lit(tag).as("side"): _*)
+    val aggCols =
+      count(when(col("side") === "E", 1)).as("n_stream") +:
+      count(when(col("side") === "R", 1)).as("n_reference") +:
+      checkCols.flatMap(c => Seq(
+        max(when(col("side") === "E", col(s"__c_$c"))).as(s"__o_$c"),
+        max(when(col("side") === "R", col(s"__c_$c"))).as(s"__e_$c")))
+    val agg = sideSel(stream, "E").unionByName(sideSel(reference, "R"))
+      .groupBy("id")
+      .agg(aggCols.head, aggCols.tail: _*)
+    val legs = array(checkCols.map(c => struct(
+      lit(c).as("column_name"),
+      col(s"__o_$c").as("observed"),
+      col(s"__e_$c").as("expected"))): _*)
+    agg
+      .select(col("id"), col("n_stream"), col("n_reference"),
+        explode(legs).as("leg"))
+      .withColumn("kind",
+        when(col("n_reference") === 0, "missing_in_reference")
+          .when(col("n_stream") === 0, "missing_in_stream")
+          .when(!(col("leg.observed") <=> col("leg.expected")), "differing"))
+      .filter(col("kind").isNotNull)
+      .select(col("id"), col("leg.column_name").as("column_name"),
+        col("kind"), col("leg.observed").as("observed"),
+        col("leg.expected").as("expected"))
+  }
+
   /** Watermark-BOUNDED continuous table diff for unbounded key universes:
     * a stream-stream FULL OUTER join on the key with a `horizon`
     * time-range bound — matched-and-equal pairs emit nothing, unequal

@@ -54,6 +54,51 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
   }
 
+  test("multi-column streaming table diff equals per-column single-column " +
+      "diffs under multi-batch out-of-order replay (complete mode)") {
+    val e = StreamingOps.normalizeEventTs(spark.read.parquet(eventsPath))
+    val obsB = e.filter(col("event_id") % 11 =!= 0)
+      .select(col("event_id"),
+        col("value").cast("string").as("v1"),
+        col("event_type").as("v2"))
+    val refB = e.filter(col("event_id") % 13 =!= 0)
+      .select(col("event_id"),
+        when(col("event_id") % 7 === 0, col("value") + 1.0)
+          .otherwise(col("value")).cast("string").as("v1"),
+        when(col("event_id") % 5 === 0, concat(col("event_type"), lit("X")))
+          .otherwise(col("event_type")).as("v2"))
+    val d = java.nio.file.Files.createTempDirectory("stdiffm").toString
+    obsB.repartition(3).write.parquet(s"$d/obs")
+    refB.repartition(3).write.parquet(s"$d/ref")
+    def streamOf(p: String) = spark.readStream
+      .schema(spark.read.parquet(p).schema)
+      .option("maxFilesPerTrigger", "1").parquet(p)
+    val got = StreamingOps.withShufflePartitions(spark, 4) {
+      StreamingOps.runToMemory(
+        StreamingOps.streamingTableDiffMulti(
+          streamOf(s"$d/obs"), streamOf(s"$d/ref"), "event_id",
+          Seq("v1", "v2")),
+        "stdiffm_eq", OutputMode.Complete())
+    }.collect()
+      .map(r => (r.get(0).toString, r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSet
+    // per-column single-column runs over the SAME inputs, long-formatted
+    val singles = Seq("v1", "v2").flatMap { c =>
+      StreamingOps.withShufflePartitions(spark, 4) {
+        StreamingOps.runToMemory(
+          StreamingOps.streamingTableDiff(
+            streamOf(s"$d/obs"), streamOf(s"$d/ref"), "event_id", c),
+          s"stdiffm_s_$c", OutputMode.Complete())
+      }.collect().map(r => (r.get(0).toString, c, r.getString(1),
+        Option(r.get(2)).map(_.toString).orNull,
+        Option(r.get(3)).map(_.toString).orNull))
+    }.toSet
+    assert(got.nonEmpty)
+    assert(got == singles,
+      s"multi minus singles: ${(got -- singles).take(5)}; " +
+        s"singles minus multi: ${(singles -- got).take(5)}")
+  }
+
   test("bounded streaming table diff: differing emitted on arrival incl. " +
       "within-watermark late data, missing keys emitted and EVICTED when " +
       "the watermark passes") {
