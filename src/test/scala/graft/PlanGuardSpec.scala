@@ -413,6 +413,30 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("diffMulti runs ONE join for k columns (each side scanned once)") {
+    import org.apache.spark.sql.functions.col
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val f = o.filter("o_orderkey % 97 != 0").selectExpr(
+      "CAST(o_orderkey AS STRING) AS id", "o_totalprice", "o_orderdate",
+      "o_orderpriority")
+    val sec = o.filter("o_orderkey % 89 != 0").selectExpr(
+      "CAST(o_orderkey AS STRING) AS id", "o_totalprice", "o_orderdate",
+      "o_orderpriority")
+    val df = graft.core.Validator.diffMulti(f, sec, Seq(
+      ("o_totalprice", graft.core.CompareMode.Numeric),
+      ("o_orderdate", graft.core.CompareMode.Date),
+      ("o_orderpriority", graft.core.CompareMode.Fuzzy(0.9))))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val joins = p.linesIterator.count(ln =>
+      ln.contains("SortMergeJoin") || ln.contains("ShuffledHashJoin") ||
+        ln.contains("BroadcastHashJoin"))
+    assert(joins == 1, s"k columns must share one inner join, got $joins:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 2, s"each side must be scanned exactly once, got $scans:\n$p")
+  }
+
   test("budget selection's global running sum has no single-partition stage") {
     val p = plan("t_budget_select")
     // strip the presentation orderBy tail: assert on the operator instead
