@@ -445,7 +445,15 @@ object Validator {
     def nulls(df: DataFrame, as: String) =
       df.filter(col("id").isNull).agg(count(lit(1)).as(as))
     val names = array(checks.map { case (c, _) => lit(c) }: _*)
-    perCol
+    // k-row pos seed: with EMPTY (or all-null-id) inputs perCol has no
+    // rows, but the contract is one row per check column — and the
+    // null-id sidecar counts must survive even when no non-null id
+    // exists (summaryFast's zeros-row behavior, per column)
+    val seed = first.sparkSession.range(checks.size)
+      .select(col("id").cast("int").as("pos"))
+    broadcast(seed).join(perCol, Seq("pos"), "left_outer")
+      .na.fill(0L, Seq("__nf", "__ns", "__mif", "__mis",
+        "n_differing", "n_matched"))
       .crossJoin(broadcast(nulls(first, "__nn1")))
       .crossJoin(broadcast(nulls(second, "__nn2")))
       .select(

@@ -92,6 +92,30 @@ class RandomizedEquivalenceSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("summaryMulti on empty and null-id-only inputs still emits one row " +
+      "per column with summaryFast's numbers") {
+    val empty = randomMulti(0, 5, 0.0)
+    val nullsOnly = randomMulti(30, 5, 1.0) // every id null
+    for ((f, s) <- Seq((empty, empty), (nullsOnly, empty),
+        (nullsOnly, nullsOnly))) {
+      val multi = Validator.summaryMulti(f, s, multiChecks).collect()
+        .map(r => r.getAs[String]("column_name") -> r).toMap
+      assert(multi.keySet == multiChecks.map(_._1).toSet,
+        s"must emit one row per column even with no non-null ids: " +
+          s"${multi.keySet}")
+      for ((c, mode) <- multiChecks) {
+        val single = Validator.summaryFast(
+          f.select(col("id"), col(c).as("check")),
+          s.select(col("id"), col(c).as("check")), mode).collect()(0)
+        for (m <- Seq("n_first", "n_second", "missing_in_first",
+            "missing_in_second", "n_differing", "n_matched"))
+          assert(multi(c).getAs[Long](m) == single.getAs[Long](m),
+            s"col $c $m: multi=${multi(c).getAs[Long](m)} " +
+              s"single=${single.getAs[Long](m)}")
+      }
+    }
+  }
+
   test("diffMulti == per-column validate().differing across 8 random inputs") {
     for (trial <- 1 to 8) {
       val f = randomMulti(rnd.nextInt(80) + 5, rnd.nextInt(20) + 5, 0.0)
