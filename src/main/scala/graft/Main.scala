@@ -21,6 +21,23 @@ object Main {
     * embedding callers reuse their session. */
   def run(spark: SparkSession, configPath: String): Row = {
     val cfg = ConfigLoader.fromYamlFile(configPath)
+    // a config with `check_columns:` opts into the one-pass whole-row
+    // validation; the classic single-column lifecycle is unchanged
+    if (cfg.checkColumns.nonEmpty) {
+      val (summary, _) = ValidationJob.runMulti(spark, cfg)
+      val rows = summary.orderBy("column_name").collect()
+      val cols = summary.columns
+      rows.foreach { r =>
+        println(cols.zipWithIndex
+          .map { case (c, i) => s""""$c":${
+            if (r.get(i).isInstanceOf[String]) s""""${r.get(i)}"""" else r.get(i)
+          }""" }
+          .mkString("{", ",", "}"))
+      }
+      println(s"reports written to ${cfg.outputDirectory}/multi_diff " +
+        s"(hive-partitioned by column_name)")
+      return rows.head
+    }
     val (_, summary) = ValidationJob.run(spark, cfg)
     val row = summary.collect()(0)
     val fields = summary.columns.zipWithIndex

@@ -101,6 +101,33 @@ class ConfigJobSpec extends AnyFunSuite with SparkSpec {
     assert(new java.io.File(s"$outDir/multi_diff/column_name=val").isDirectory)
   }
 
+  test("graft.Main routes a check_columns config through runMulti") {
+    val (pa, pb) = writeSides()
+    val outDir = Files.createTempDirectory("mainmulti").toString
+    val cfgFile = Files.createTempFile("mainm", ".yaml")
+    Files.writeString(cfgFile,
+      s"""databases: [left, right]
+         |composite_id_columns: [pk]
+         |check_column: val
+         |check_columns:
+         |  - column: val
+         |    data_type: string
+         |  - column: d
+         |    data_type: date
+         |output_directory: $outDir
+         |sources:
+         |  left:
+         |    format: parquet
+         |    path: $pa
+         |  right:
+         |    format: parquet
+         |    path: $pb
+         |""".stripMargin)
+    val row = graft.Main.run(spark, cfgFile.toString)
+    assert(row.getAs[String]("column_name") == "d") // ordered, first col
+    assert(new java.io.File(s"$outDir/multi_diff/column_name=val").isDirectory)
+  }
+
   test("graft.Main runs the whole lifecycle from a config file path") {
     // the CLI entry point end to end: yaml on disk -> sources -> validate
     // -> reports on disk -> printed summary row
