@@ -21,9 +21,10 @@ object Main {
     * embedding callers reuse their session. */
   def run(spark: SparkSession, configPath: String): Row = {
     val cfg = ConfigLoader.fromYamlFile(configPath)
-    // a config with `check_columns:` opts into the one-pass whole-row
-    // validation; the classic single-column lifecycle is unchanged
-    if (cfg.checkColumns.nonEmpty) {
+    // a config with `check_columns:` (a list or `all`) opts into the
+    // one-pass whole-row validation; the classic single-column lifecycle
+    // is unchanged
+    if (cfg.checkColumns.nonEmpty || cfg.checkAllColumns) {
       val (summary, _) = ValidationJob.runMulti(spark, cfg)
       val rows = summary.orderBy("column_name").collect()
       val cols = summary.columns

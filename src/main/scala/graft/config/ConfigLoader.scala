@@ -84,7 +84,12 @@ object ConfigLoader {
       dateColumnFirst = str(m, s"${dbs.head}_database_date_column"),
       dateColumnSecond = str(m, s"${dbs(1)}_database_date_column"),
       outputDirectory = str(m, "output_directory").getOrElse("./output"),
+      checkAllColumns = m.get("check_columns") match {
+        case Some(s: String) if s.equalsIgnoreCase("all") => true
+        case _ => false
+      },
       checkColumns = m.get("check_columns") match {
+        case Some(s: String) if s.equalsIgnoreCase("all") => Seq.empty
         case Some(l: JList[_]) => l.asScala.toSeq.map {
           case cm: JMap[_, _] =>
             val c = cm.asScala.map { case (k, v) => k.toString -> v }

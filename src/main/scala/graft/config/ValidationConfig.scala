@@ -48,4 +48,7 @@ final case class ValidationConfig(
     dateColumnFirst: Option[String] = None,  // {db}_database_date_column
     dateColumnSecond: Option[String] = None,
     outputDirectory: String = "./output",
-    checkColumns: Seq[CheckSpec] = Seq.empty) // multi-column extension
+    checkColumns: Seq[CheckSpec] = Seq.empty, // multi-column extension
+    // `check_columns: all` — infer the whole-row check list from the two
+    // sources' shared schema at run time (ValidationJob.inferChecks)
+    checkAllColumns: Boolean = false)

@@ -46,18 +46,50 @@ object ValidationJob {
   /** One side projected to (id, every multi-check column) — the
     * multi-column twin of [[side]]'s (id, check) projection; pushdown
     * still prunes the source scan to keys + k checks + date col. */
-  private def sideMulti(spark: SparkSession, cfg: ValidationConfig,
+  private def rawSide(spark: SparkSession, cfg: ValidationConfig,
       spec: graft.config.SourceSpec, dateCol: Option[String]): DataFrame = {
     val raw = SourceReader.read(spark, spec)
-    val filtered = (cfg.startDate, cfg.endDate, dateCol) match {
+    (cfg.startDate, cfg.endDate, dateCol) match {
       case (Some(s), Some(e), Some(dc)) =>
         Validator.dateFiltered(raw, dc, s"$s 00:00:00", s"$e 00:00:00")
       case _ => raw
     }
+  }
+
+  /** (id, every check column) — the multi-column twin of [[side]]'s
+    * (id, check) projection; pushdown still prunes the source scan to
+    * keys + k checks + date col. */
+  private def keyedMulti(df: DataFrame, cfg: ValidationConfig,
+      cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
-    filtered.select(
-      graft.functions.compositeKey(cfg.compositeIdColumns).as("id") +:
-        cfg.checkColumns.map(c => col(c.column)): _*)
+    df.select(graft.functions.compositeKey(cfg.compositeIdColumns).as("id") +:
+      cols.map(col): _*)
+  }
+
+  /** Infer a whole-row check list from two frames' schemas: the shared
+    * columns (minus the composite key, date and explicitly excluded
+    * columns), each mapped to the natural compare mode for its type —
+    * numeric types to Numeric, date/timestamp to Date, everything else
+    * to exact string equality (Fuzzy(1.0)). Column order follows the
+    * FIRST frame's schema, so reports are stable run-over-run. The
+    * zero-config twin of `check_columns:` — "validate these two tables"
+    * with nothing but a key. */
+  def inferChecks(first: DataFrame, second: DataFrame,
+      exclude: Seq[String] = Seq.empty): Seq[(String, CompareMode)] = {
+    import org.apache.spark.sql.types._
+    val secondCols = second.schema.map(f => f.name.toLowerCase).toSet
+    val excl = exclude.map(_.toLowerCase).toSet
+    first.schema.toSeq
+      .filter(f => secondCols.contains(f.name.toLowerCase) &&
+        !excl.contains(f.name.toLowerCase))
+      .map { f =>
+        val mode = f.dataType match {
+          case _: NumericType => CompareMode.Numeric
+          case DateType | TimestampType | TimestampNTZType => CompareMode.Date
+          case _ => CompareMode.Fuzzy(1.0)
+        }
+        f.name -> mode
+      }
   }
 
   /** Whole-row validation over `cfg.checkColumns` — k columns, each with
@@ -68,12 +100,22 @@ object ValidationJob {
     * (per-column summary, long diff frame). */
   def runMulti(spark: SparkSession, cfg: ValidationConfig,
       writeReports: Boolean = true): (DataFrame, DataFrame) = {
-    require(cfg.checkColumns.nonEmpty,
-      "runMulti needs a non-empty `check_columns` list")
+    require(cfg.checkColumns.nonEmpty || cfg.checkAllColumns,
+      "runMulti needs a `check_columns` list (or `check_columns: all`)")
+    val rawFirst = rawSide(spark, cfg, cfg.first, cfg.dateColumnFirst)
+    val rawSecond = rawSide(spark, cfg, cfg.second, cfg.dateColumnSecond)
     val checks: Seq[(String, CompareMode)] =
-      cfg.checkColumns.map(c => c.column -> modeOf(c.dataType, c.threshold))
-    val first = sideMulti(spark, cfg, cfg.first, cfg.dateColumnFirst)
-    val second = sideMulti(spark, cfg, cfg.second, cfg.dateColumnSecond)
+      if (cfg.checkAllColumns)
+        // zero-config whole-row mode: every shared column except the key
+        // and the per-side date columns (filter predicates, not payload)
+        inferChecks(rawFirst, rawSecond,
+          exclude = cfg.compositeIdColumns ++
+            cfg.dateColumnFirst.toSeq ++ cfg.dateColumnSecond.toSeq)
+      else cfg.checkColumns.map(c => c.column -> modeOf(c.dataType, c.threshold))
+    require(checks.nonEmpty,
+      "no shared non-key columns to validate between the two sources")
+    val first = keyedMulti(rawFirst, cfg, checks.map(_._1))
+    val second = keyedMulti(rawSecond, cfg, checks.map(_._1))
     val summary = Validator.summaryMulti(first, second, checks)
     val diff = Validator.diffMulti(first, second, checks)
     if (writeReports)

@@ -101,6 +101,44 @@ class ConfigJobSpec extends AnyFunSuite with SparkSpec {
     assert(new java.io.File(s"$outDir/multi_diff/column_name=val").isDirectory)
   }
 
+  test("check_columns: all infers the whole-row list from the shared " +
+      "schema (key and date columns excluded, modes from types)") {
+    val (pa, pb) = writeSides()
+    val outDir = Files.createTempDirectory("cfgall").toString
+    val yaml =
+      s"""databases: [left, right]
+         |composite_id_columns: [pk]
+         |check_column: val
+         |check_columns: all
+         |output_directory: $outDir
+         |sources:
+         |  left:
+         |    format: parquet
+         |    path: $pa
+         |  right:
+         |    format: parquet
+         |    path: $pb
+         |""".stripMargin
+    val cfg = ConfigLoader.fromYamlString(yaml)
+    assert(cfg.checkAllColumns && cfg.checkColumns.isEmpty)
+    val (summary, _) = ValidationJob.runMulti(spark, cfg)
+    val rows = summary.collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    // shared columns minus pk: val (string -> exact) and d (timestamp -> Date)
+    assert(rows.keySet == Set("val", "d"))
+    assert(rows("val").getAs[Long]("n_differing") == 1)
+    assert(rows("d").getAs[Long]("n_differing") == 0)
+    // inferred modes visible through inferChecks directly
+    val a = spark.read.parquet(pa); val b = spark.read.parquet(pb)
+    val inferred = ValidationJob.inferChecks(a, b, exclude = Seq("pk"))
+    assert(inferred == Seq(
+      "val" -> CompareMode.Fuzzy(1.0), "d" -> CompareMode.Date))
+    // numeric typing maps to Numeric
+    val n1 = a.selectExpr("pk", "CAST(pk AS DOUBLE) AS x")
+    assert(ValidationJob.inferChecks(n1, n1, Seq("pk")) ==
+      Seq("x" -> CompareMode.Numeric))
+  }
+
   test("graft.Main routes a check_columns config through runMulti") {
     val (pa, pb) = writeSides()
     val outDir = Files.createTempDirectory("mainmulti").toString
