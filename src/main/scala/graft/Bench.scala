@@ -128,7 +128,9 @@ object Bench {
     val m1 = r1.toMap; val m2 = r2.toMap
     // min over SUCCESSFUL passes; errored only if BOTH passes crashed
     // (a one-pass flake reads as its successful measurement, and the
-    // error text survives in the full record's per-pass error maps)
+    // error text survives in errors_pass1/errors_pass2 of the full
+    // record — emitted below precisely so an INTERMITTENT crash is never
+    // invisible: the headline `errors` map only carries both-pass crashes)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = r1.map { case (name, _) =>
       val v = (e1.contains(name), e2.contains(name)) match {
@@ -146,8 +148,11 @@ object Bench {
       r.collect { case (k, v) if !e.contains(k) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
     val p1 = passMap(r1, e1); val p2 = passMap(r2, e2)
-    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
+    def errMap(e: scala.collection.Map[String, String]) =
+      e.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+        .mkString("{", ",", "}")
+    val errs = errMap(errors)
+    val errsP1 = errMap(e1); val errsP2 = errMap(e2)
     // total = successful queries only: a crashed query's partial runtime in
     // the headline total would let a crash read as a speedup (or slowdown)
     // instead of the separate failure it is
@@ -158,7 +163,7 @@ object Bench {
     val ts = started.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"queries_pass1":$p1,"queries_pass2":$p2,"sf":"$sfDir","error_count":${errors.size},"errors":$errs,"loadavg_first":$loadFirst,"load_retried":$loadRetried,"contended":$contended,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"wall_start_ms":$wallStart,"query_start_ms":$ts}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"queries_pass1":$p1,"queries_pass2":$p2,"sf":"$sfDir","error_count":${errors.size},"errors":$errs,"errors_pass1":$errsP1,"errors_pass2":$errsP2,"loadavg_first":$loadFirst,"load_retried":$loadRetried,"contended":$contended,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"wall_start_ms":$wallStart,"query_start_ms":$ts}"""
     // The driver tail-scrapes the LAST ~2000 characters of output for a
     // JSON line. 124 queries x ~22 chars of full-precision durations is
     // >2700 chars — every previous round's BENCH_r*.json came back

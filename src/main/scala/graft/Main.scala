@@ -16,6 +16,13 @@ import graft.core.ValidationJob
   */
 object Main {
 
+  /** JSON string literal with `\`, `"` and the C0 control range escaped —
+    * a column NAME is user data too (a `"` in one would otherwise emit
+    * invalid JSON lines). */
+  private def jstr(v: String): String =
+    "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\x00-\\x1F]", " ") + "\""
+
   /** Run the config-driven lifecycle on an existing session; returns the
     * summary row (also printed). Factored out of [[main]] so tests and
     * embedding callers reuse their session. */
@@ -30,9 +37,10 @@ object Main {
       val cols = summary.columns
       rows.foreach { r =>
         println(cols.zipWithIndex
-          .map { case (c, i) => s""""$c":${
-            if (r.get(i).isInstanceOf[String]) s""""${r.get(i)}"""" else r.get(i)
-          }""" }
+          .map { case (c, i) => s"${jstr(c)}:${r.get(i) match {
+            case s: String => jstr(s)
+            case v => v
+          }}" }
           .mkString("{", ",", "}"))
       }
       println(s"reports written to ${cfg.outputDirectory}/multi_diff " +
@@ -42,7 +50,7 @@ object Main {
     val (_, summary) = ValidationJob.run(spark, cfg)
     val row = summary.collect()(0)
     val fields = summary.columns.zipWithIndex
-      .map { case (c, i) => s""""$c":${row.get(i)}""" }
+      .map { case (c, i) => s"${jstr(c)}:${row.get(i)}" }
     // one machine-readable line + a human echo of where the reports went
     println(fields.mkString("{", ",", "}"))
     println(s"reports written to ${cfg.outputDirectory} " +

@@ -66,6 +66,27 @@ object ConfigLoader {
     def specFor(name: String): SourceSpec =
       sources.getOrElse(name, jdbcSpec(m, name))
 
+    val checkAll = m.get("check_columns") match {
+      case Some(s: String) if s.equalsIgnoreCase("all") => true
+      case _ => false
+    }
+    val multiChecks: Seq[CheckSpec] = m.get("check_columns") match {
+      case Some(s: String) if s.equalsIgnoreCase("all") => Seq.empty
+      case Some(l: JList[_]) => l.asScala.toSeq.map {
+        case cm: JMap[_, _] =>
+          val c = cm.asScala.map { case (k, v) => k.toString -> v }
+            .toMap.asInstanceOf[Map[String, Object]]
+          CheckSpec(
+            column = str(c, "column").getOrElse(throw new
+              IllegalArgumentException("check_columns entries need `column`")),
+            dataType = str(c, "data_type").getOrElse("string"),
+            threshold = str(c, "threshold").map(_.toDouble).getOrElse(1.0))
+        case other => throw new IllegalArgumentException(
+          s"check_columns entries must be maps, got $other")
+      }
+      case _ => Seq.empty
+    }
+
     ValidationConfig(
       first = specFor(dbs.head),
       second = specFor(dbs(1)),
@@ -75,8 +96,17 @@ object ConfigLoader {
         case Some(l: JList[_]) => l.asScala.map(_.toString).toSeq
         case _ => Seq.empty
       },
-      checkColumn = str(m, "check_column").getOrElse(
-        throw new IllegalArgumentException("config needs `check_column`")),
+      // `check_column` is required only on the CLASSIC single-column path.
+      // A multi-column config (a `check_columns:` list or `all`) never
+      // reads it — default it from the first listed check so the field
+      // stays total, and demand it only when neither surface is present.
+      checkColumn = str(m, "check_column")
+        .orElse(multiChecks.headOption.map(_.column))
+        .getOrElse {
+          if (checkAll) "" // zero-config whole-row mode: resolved at run time
+          else throw new IllegalArgumentException(
+            "config needs `check_column` (or a `check_columns` list / `all`)")
+        },
       dataType = str(m, "data_type").getOrElse("string"),
       threshold = str(m, "threshold").map(_.toDouble).getOrElse(1.0),
       startDate = str(m, "start_date"),
@@ -84,26 +114,8 @@ object ConfigLoader {
       dateColumnFirst = str(m, s"${dbs.head}_database_date_column"),
       dateColumnSecond = str(m, s"${dbs(1)}_database_date_column"),
       outputDirectory = str(m, "output_directory").getOrElse("./output"),
-      checkAllColumns = m.get("check_columns") match {
-        case Some(s: String) if s.equalsIgnoreCase("all") => true
-        case _ => false
-      },
-      checkColumns = m.get("check_columns") match {
-        case Some(s: String) if s.equalsIgnoreCase("all") => Seq.empty
-        case Some(l: JList[_]) => l.asScala.toSeq.map {
-          case cm: JMap[_, _] =>
-            val c = cm.asScala.map { case (k, v) => k.toString -> v }
-              .toMap.asInstanceOf[Map[String, Object]]
-            CheckSpec(
-              column = str(c, "column").getOrElse(throw new
-                IllegalArgumentException("check_columns entries need `column`")),
-              dataType = str(c, "data_type").getOrElse("string"),
-              threshold = str(c, "threshold").map(_.toDouble).getOrElse(1.0))
-          case other => throw new IllegalArgumentException(
-            s"check_columns entries must be maps, got $other")
-        }
-        case _ => Seq.empty
-      })
+      checkAllColumns = checkAll,
+      checkColumns = multiChecks)
   }
 
   private def sourceSpec(s: Map[String, Object], root: Map[String, Object],

@@ -102,6 +102,12 @@ object ValidationJob {
       writeReports: Boolean = true): (DataFrame, DataFrame) = {
     require(cfg.checkColumns.nonEmpty || cfg.checkAllColumns,
       "runMulti needs a `check_columns` list (or `check_columns: all`)")
+    // without a key, compositeKey(Seq.empty) = concat_ws() = "" for every
+    // row — the whole table would silently collapse onto one id while all
+    // columns (including any natural key) were treated as checks
+    require(cfg.compositeIdColumns.nonEmpty,
+      "multi-column validation needs `composite_id_columns` — with no key " +
+        "every row would share the empty composite id")
     val rawFirst = rawSide(spark, cfg, cfg.first, cfg.dateColumnFirst)
     val rawSecond = rawSide(spark, cfg, cfg.second, cfg.dateColumnSecond)
     val checks: Seq[(String, CompareMode)] =

@@ -136,15 +136,19 @@ object Compaction {
     * ISOLATED child session carrying the packing confs — the caller's
     * session is never mutated.
     *
-    * Idempotent-cheap: when `srcDir` already has the shape this rewrite
-    * emits (see [[alreadyCompact]]) the call returns after ONE listing
-    * with `rewritten = false` and leaves `dstDir` untouched — re-running
-    * governance over an already-governed table costs metadata, not a
-    * byte-level rewrite. Returns a 1-row frame (files_in, bytes_in,
-    * files_out, bytes_out, files_planned, rewritten); `files_planned` is
-    * [[compactionPlan]]'s best-fit bin count for the same listing, so
-    * plan-vs-actual (best-fit vs the scan's first-fit) divergence is
-    * visible per run. */
+    * Contract: `dstDir` is ALWAYS a complete copy of the table on
+    * return. When `srcDir` already has the shape this rewrite emits (see
+    * [[alreadyCompact]]) the files are COPIED byte-for-byte instead of
+    * decoded and re-encoded (`rewritten = false` — no parquet decode, no
+    * recompression, no job), so callers that read `dstDir` afterwards
+    * always find the data. When the cheaper "do nothing at all on an
+    * already-governed table" is wanted, that is [[compactInPlace]] —
+    * there the no-op costs ONE listing and touches no file.
+    *
+    * Returns a 1-row frame (files_in, bytes_in, files_out, bytes_out,
+    * files_planned, rewritten); `files_planned` is [[compactionPlan]]'s
+    * best-fit bin count for the same listing, so plan-vs-actual
+    * (best-fit vs the scan's first-fit) divergence is visible per run. */
   def compact(spark: SparkSession, srcDir: String, dstDir: String,
       targetBytes: Long): DataFrame = {
     import spark.implicits._
@@ -158,10 +162,10 @@ object Compaction {
       if (in.isEmpty) 0L
       else packBins(in, targetBytes).map(_._3).distinct.size.toLong
     if (alreadyCompact(in, targetBytes)) {
-      // idempotent-cheap: a directory that is already ~targetBytes files
-      // (at most one sub-half-target tail file, nothing over 2x — the
-      // shape this rewrite itself emits) costs ONE listing to re-run,
-      // not a full read+write of every byte. dstDir is untouched.
+      // already governed: materialize dstDir by BYTE COPY (the contract
+      // is "dst holds the table", and a raw stream copy skips the decode/
+      // recompress/codegen cost of a parquet rewrite)
+      copyInto(spark, srcDir, dstDir, in)
       return Seq((fi, bi, fi, bi, planned, false))
         .toDF("files_in", "bytes_in", "files_out", "bytes_out",
           "files_planned", "rewritten")
@@ -171,6 +175,71 @@ object Compaction {
     Seq((fi, bi, out.size.toLong, out.map(_._2).sum, planned, true))
       .toDF("files_in", "bytes_in", "files_out", "bytes_out",
         "files_planned", "rewritten")
+  }
+
+  /** In-place governance — the surface a RE-RUN wants: govern the table
+    * at `dir` where it stands. When the directory is already compact the
+    * call returns after ONE listing and touches no file (re-running
+    * governance over a governed 100 TB table costs metadata, not bytes).
+    * Otherwise the data is rewritten through the same zero-shuffle path
+    * into a sibling staging directory (`<dir>__graft_compact_tmp`) and
+    * swapped in (delete + rename — same-filesystem metadata operations).
+    *
+    * The swap is NOT atomic (the window between delete and rename is the
+    * standard exposure of every rename-based OPTIMIZE outside a
+    * transactional table format); callers needing atomicity compact into
+    * a fresh directory via [[compact]] and flip their own pointer.
+    * Same stats frame as [[compact]]. */
+  def compactInPlace(spark: SparkSession, dir: String,
+      targetBytes: Long): DataFrame = {
+    import spark.implicits._
+    require(targetBytes > 0, "targetBytes must be positive")
+    val in = listDataFiles(spark, dir)
+    val (fi, bi) = (in.size.toLong, in.map(_._2).sum)
+    val planned =
+      if (in.isEmpty) 0L
+      else packBins(in, targetBytes).map(_._3).distinct.size.toLong
+    if (alreadyCompact(in, targetBytes))
+      return Seq((fi, bi, fi, bi, planned, false))
+        .toDF("files_in", "bytes_in", "files_out", "bytes_out",
+          "files_planned", "rewritten")
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      base.getParent, base.getName + "__graft_compact_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // a prior crash's leftovers
+    rewriteInto(rewriteSession(spark, targetBytes), dir, tmp.toString)
+    val out = listDataFiles(spark, tmp.toString)
+    fs.delete(base, true)
+    fs.rename(tmp, base)
+    Seq((fi, bi, out.size.toLong, out.map(_._2).sum, planned, true))
+      .toDF("files_in", "bytes_in", "files_out", "bytes_out",
+        "files_planned", "rewritten")
+  }
+
+  /** Raw byte-stream copy of `files` (absolute paths under `srcDir`)
+    * into `dstDir`, preserving names and relative layout — the no-op
+    * materialization path: no parquet decode, no recompression, no Spark
+    * job. Driver-side loop; it only runs over directories that are
+    * already compact (bounded file count by construction), and the
+    * listing-only alternative for a pure re-run is [[compactInPlace]]. */
+  private def copyInto(spark: SparkSession, srcDir: String, dstDir: String,
+      files: Seq[(String, Long)]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = src.getFileSystem(conf)
+    val srcUri = fs.makeQualified(src).toUri
+    val dst = new org.apache.hadoop.fs.Path(dstDir)
+    val dfs = dst.getFileSystem(conf)
+    dfs.mkdirs(dst)
+    for ((path, _) <- files) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val rel = srcUri.relativize(fs.makeQualified(p).toUri).getPath
+      val target = new org.apache.hadoop.fs.Path(dst, rel)
+      dfs.mkdirs(target.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(fs, p, dfs, target,
+        false /* keep source */, true /* overwrite dst */, conf)
+    }
   }
 
   /** The no-op criterion: nothing over 2x target (the rewrite's own
@@ -213,11 +282,17 @@ object Compaction {
     * `dstDir` (the flat packer would happily mix partitions, which a
     * `partitionBy` re-write would then re-split and shuffle). Leaves are
     * compacted independently — exactly the unit a partitioned table
-    * wants governed, and each leaf gets the same idempotent no-op check
-    * (an already-compact partition costs one listing; its dst dir is
-    * then left unwritten). Returns one row per leaf partition plus the
-    * `rewritten` flag; non-partitioned directories (no `key=value`
-    * segment) fall back to a single [[compact]] call labeled `/`.
+    * wants governed — and an already-compact leaf is BYTE-COPIED instead
+    * of re-encoded (`rewritten = false`), so under the default
+    * (all-leaves) filter `dstDir` is always a COMPLETE partition tree.
+    * With a narrowing `partitionFilter` only the selected leaves are
+    * materialized (the OPTIMIZE WHERE contract — the caller is swapping
+    * per-partition, keyed by the `partition` column). For the
+    * touch-nothing re-run, [[compactInPlace]] on a leaf (or the whole
+    * table when unpartitioned) is the one-listing path. Returns one row
+    * per selected leaf plus the `rewritten` flag; non-partitioned
+    * directories (no `key=value` segment) fall back to a single
+    * [[compact]]-shaped pass labeled `/`.
     *
     * Driver-side loop, one narrow job per rewritten leaf — at 10^4+
     * partitions prefer governing recent partitions only (the usual
@@ -248,8 +323,12 @@ object Compaction {
       val (src, dst) =
         if (part == "/") (srcDir, dstDir)
         else (s"$srcDir/$part", s"$dstDir/$part")
-      if (alreadyCompact(files, targetBytes)) (part, fi, bi, fi, bi, false)
-      else {
+      if (alreadyCompact(files, targetBytes)) {
+        // complete-tree contract: materialize the governed leaf by byte
+        // copy (see [[compact]]'s no-op path)
+        copyInto(spark, src, dst, files)
+        (part, fi, bi, fi, bi, false)
+      } else {
         rewriteInto(rw, src, dst)
         val out = listDataFiles(spark, dst)
         (part, fi, bi, out.size.toLong, out.map(_._2).sum, true)

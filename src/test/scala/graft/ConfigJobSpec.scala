@@ -66,7 +66,6 @@ class ConfigJobSpec extends AnyFunSuite with SparkSpec {
     val yaml =
       s"""databases: [left, right]
          |composite_id_columns: [pk]
-         |check_column: val
          |check_columns:
          |  - column: val
          |    data_type: string
@@ -81,7 +80,11 @@ class ConfigJobSpec extends AnyFunSuite with SparkSpec {
          |    format: parquet
          |    path: $pb
          |""".stripMargin
+    // deliberately NO `check_column:` — a multi-column config stands alone
+    // (it used to throw "config needs check_column"); the classic field
+    // defaults from the first listed check
     val cfg = ConfigLoader.fromYamlString(yaml)
+    assert(cfg.checkColumn == "val")
     assert(cfg.checkColumns == Seq(
       graft.config.CheckSpec("val", "string", 1.0),
       graft.config.CheckSpec("d", "date", 1.0)))
@@ -108,7 +111,6 @@ class ConfigJobSpec extends AnyFunSuite with SparkSpec {
     val yaml =
       s"""databases: [left, right]
          |composite_id_columns: [pk]
-         |check_column: val
          |check_columns: all
          |output_directory: $outDir
          |sources:
@@ -137,6 +139,30 @@ class ConfigJobSpec extends AnyFunSuite with SparkSpec {
     val n1 = a.selectExpr("pk", "CAST(pk AS DOUBLE) AS x")
     assert(ValidationJob.inferChecks(n1, n1, Seq("pk")) ==
       Seq("x" -> CompareMode.Numeric))
+  }
+
+  test("config guards: classic path still demands check_column; multi " +
+      "path demands a composite key") {
+    val (pa, pb) = writeSides()
+    def yaml(extra: String) =
+      s"""databases: [left, right]
+         |$extra
+         |sources:
+         |  left: { format: parquet, path: $pa }
+         |  right: { format: parquet, path: $pb }
+         |""".stripMargin
+    // no check surface at all -> the classic requirement still fires
+    val e1 = intercept[IllegalArgumentException] {
+      ConfigLoader.fromYamlString(yaml("composite_id_columns: [pk]"))
+    }
+    assert(e1.getMessage.contains("check_column"))
+    // `check_columns: all` with NO composite key: every row would share
+    // the empty composite id — must refuse loudly, not collapse silently
+    val cfg = ConfigLoader.fromYamlString(yaml("check_columns: all"))
+    val e2 = intercept[IllegalArgumentException] {
+      ValidationJob.runMulti(spark, cfg, writeReports = false)
+    }
+    assert(e2.getMessage.contains("composite_id_columns"))
   }
 
   test("graft.Main routes a check_columns config through runMulti") {

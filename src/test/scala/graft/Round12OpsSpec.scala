@@ -18,8 +18,8 @@ class Round12OpsSpec extends AnyFunSuite with SparkSpec {
     } finally s.close()
   }
 
-  test("compact is idempotent-cheap: a second run over its own output " +
-      "is a one-listing no-op that touches no file") {
+  test("compact always materializes dst: an already-compact source is " +
+      "byte-copied (rewritten=false), never re-encoded, source untouched") {
     import graft.ops.Compaction
     val a = java.nio.file.Files.createTempDirectory("graft_idem_a").toString
     val b = a.replace("_a", "_b")
@@ -36,12 +36,44 @@ class Round12OpsSpec extends AnyFunSuite with SparkSpec {
     val pinned = mtimes(b)
     val second = Compaction.compact(spark, b, c, 64L * 1024).head()
     assert(!second.getAs[Boolean]("rewritten"),
-      s"compact's own output must re-run as a no-op: $second")
+      s"compact's own output must re-run without re-encoding: $second")
     assert(second.getAs[Long]("files_out") == second.getAs[Long]("files_in"))
     assert(second.getAs[Long]("bytes_out") == second.getAs[Long]("bytes_in"))
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(c)),
-      "no-op must leave dstDir untouched")
-    assert(mtimes(b) == pinned, "no-op must not touch any source file")
+    // the contract callers rely on: dst holds the COMPLETE table even on
+    // the no-op path (byte copy, same file names and sizes)
+    assert(spark.read.parquet(c).count() == 20000,
+      "no-op path must still materialize dst as a complete table")
+    val bFiles = mtimes(b).keys.map(p => p.substring(p.lastIndexOf('/'))).toSet
+    val cFiles = mtimes(c).keys.map(p => p.substring(p.lastIndexOf('/'))).toSet
+    // only committer markers/crc sidecars may be absent from the copy —
+    // they are not data files (the listing's visibility rule)
+    assert((bFiles -- cFiles).forall(f =>
+      f.contains("crc") || f.contains("_SUCCESS")),
+      s"copied dst must carry the source's data files: $bFiles vs $cFiles")
+    assert(mtimes(b) == pinned, "copy must not touch any source file")
+  }
+
+  test("compactInPlace: fragmented dir is governed where it stands; " +
+      "a re-run is a one-listing no-op that touches no file") {
+    import graft.ops.Compaction
+    val d = java.nio.file.Files.createTempDirectory("graft_inpl").toString
+    spark.range(0, 20000).selectExpr("id",
+        "repeat(cast(id as string), 8) AS pad")
+      .repartition(40).write.mode("overwrite").parquet(d)
+    val before = spark.read.parquet(d).orderBy("id").collect().toSeq
+    val st = Compaction.compactInPlace(spark, d, 64L * 1024).head()
+    assert(st.getAs[Boolean]("rewritten"))
+    assert(st.getAs[Long]("files_out") < st.getAs[Long]("files_in"))
+    assert(spark.read.parquet(d).orderBy("id").collect().toSeq == before,
+      "in-place rewrite must preserve the data")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(d + "__graft_compact_tmp")),
+      "staging dir must be swapped away")
+    val pinned = mtimes(d)
+    val again = Compaction.compactInPlace(spark, d, 64L * 1024).head()
+    assert(!again.getAs[Boolean]("rewritten"),
+      s"re-run over governed dir must no-op: $again")
+    assert(mtimes(d) == pinned, "no-op must not touch any file")
   }
 
   test("compact still rewrites when files are oversized or many are tiny") {
@@ -101,13 +133,15 @@ class Round12OpsSpec extends AnyFunSuite with SparkSpec {
     val b = spark.read.parquet(dst).orderBy("id")
       .select("id", "pad", "lang").collect()
     assert(a.toSeq == b.toSeq)
-    // re-run over the governed output: every leaf no-ops, no file touched
+    // re-run over the governed output: every leaf is byte-copied, source
+    // untouched, and dst2 is a COMPLETE partition tree
     val pinned = mtimes(dst)
     val again = Compaction.compactPartitioned(spark, dst, dst2, 64L * 1024)
       .collect()
     assert(again.forall(!_.getAs[Boolean]("rewritten")),
-      s"second run must no-op per partition: ${again.toSeq}")
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dst2)))
+      s"second run must copy, not re-encode, per partition: ${again.toSeq}")
+    assert(spark.read.parquet(dst2).count() == 30000,
+      "copied leaves must make dst2 a complete table")
     assert(mtimes(dst) == pinned)
     // the OPTIMIZE WHERE analogue: filter governs a subset of leaves
     val some = Compaction.compactPartitioned(spark, src,
