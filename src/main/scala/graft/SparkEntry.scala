@@ -182,6 +182,34 @@ object SparkEntry {
       val (f, sec) = keyedPair(s, dir, "o_orderpriority")
       Validator.summaryFast(f, sec, CompareMode.Fuzzy(0.9))
     }),
+    "v_incremental_summary" -> ((s, dir) => {
+      // digest-pruned re-validation: seed the per-bucket state from a
+      // PRIOR snapshot (a restated low-orderkey batch: ids < 600 carry
+      // doubled prices and every 3rd of them is absent — id-LOCALIZED
+      // churn, the regime incremental validation exists for), then
+      // validate the current pair through the state. Only the restated
+      // ids' buckets re-enter the keyed shuffle (dirty buckets <= changed
+      // ids; nBuckets = 4096 >> the ~150 changed ids at every SF); the
+      // result must be bit-equal to summaryFast on the CURRENT inputs —
+      // the oracle is v_summary's full-join SQL, which never sees the
+      // state. Re-runs converge: a second invocation finds the final
+      // state and answers all-clean from stored terms.
+      val (f, sec) = keyedPair(s, dir, "o_totalprice")
+      val stateDir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_incval_${dirTag(dir)}"
+      val restated = col("id").cast("long") < 600
+      val prior1 = f
+        .withColumn("check",
+          when(restated, col("check") * 2).otherwise(col("check")))
+        .filter(!(restated && col("id").cast("long") % 3 === 0))
+      val prior2 = sec
+        .withColumn("check",
+          when(restated, col("check") + 7).otherwise(col("check")))
+      graft.core.IncrementalValidation.summaryIncremental(
+        prior1, prior2, CompareMode.Numeric, stateDir, nBuckets = 4096)
+      graft.core.IncrementalValidation.summaryIncremental(
+        f, sec, CompareMode.Numeric, stateDir, nBuckets = 4096)
+    }),
     "v_date_filter" -> ((s, dir) => {
       // P3: date-range predicate, exclusive on BOTH ends (reference
       // `running_validation.py:495-496`); pushed to the parquet scan
@@ -2360,6 +2388,24 @@ object SparkEntry {
          |WHERE db1.o_orderpriority IS DISTINCT FROM db2.o_orderpriority
          |ORDER BY 1""".stripMargin,
     "v_summary" ->
+      s"""$pairCte
+         |SELECT
+         |  (SELECT COUNT(*) FROM db1) AS n_first,
+         |  (SELECT COUNT(*) FROM db2) AS n_second,
+         |  (SELECT COUNT(*) FROM db2 WHERE NOT EXISTS
+         |     (SELECT 1 FROM db1 WHERE db1.id = db2.id)) AS missing_in_first,
+         |  (SELECT COUNT(*) FROM db1 WHERE NOT EXISTS
+         |     (SELECT 1 FROM db2 WHERE db2.id = db1.id)) AS missing_in_second,
+         |  (SELECT COUNT(*) FROM db1 JOIN db2 ON db1.id = db2.id
+         |     WHERE db1.o_totalprice IS DISTINCT FROM db2.o_totalprice) AS n_differing,
+         |  (SELECT COUNT(*) FROM db2 WHERE EXISTS
+         |     (SELECT 1 FROM db1 WHERE db1.id = db2.id)) AS n_matched""".stripMargin,
+    // incremental-summary oracle: the FULL six-metric computation over the
+    // CURRENT inputs — deliberately identical to v_summary's SQL. The
+    // oracle never sees the stored per-bucket state or the prior
+    // snapshot; if digest pruning carried a stale or wrong term forward,
+    // this comparison catches it
+    "v_incremental_summary" ->
       s"""$pairCte
          |SELECT
          |  (SELECT COUNT(*) FROM db1) AS n_first,

@@ -1,0 +1,339 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Incremental validation — the shape a DAILY 100 TB validation run
+  * actually wants.
+  *
+  * [[Validator.summaryFast]] is one keyed shuffle of |rows1|+|rows2| —
+  * optimal for a first validation, but a re-validation after a day of
+  * churn re-shuffles 100 TB to rediscover that 99% of it did not change.
+  * This surface splits the run into:
+  *
+  *  1. a DIGEST pass: each side is scanned once (column-pruned to
+  *     (id, check)) and aggregated into `nBuckets` per-bucket multiset
+  *     digests — row count plus two independent 64-bit wrap-around hash
+  *     sums per side. The aggregation is fully map-side combinable
+  *     (sum/count over `pmod(xxhash64(id), n)` groups), so the only
+  *     shuffle is ~`nBuckets` rows per task: the pass costs a scan,
+  *     never a data-sized exchange.
+  *  2. a PRUNE: the digests are compared with the stored state from the
+  *     previous run. A bucket whose six digest fields all match carries
+  *     its stored summary terms forward; only DIRTY buckets re-enter
+  *     the summaryFast algebra, with both sides filtered to the dirty
+  *     bucket set — the expensive keyed shuffle moves only the churned
+  *     slice of the data.
+  *  3. a MERGE: per-bucket summary terms are additive (buckets partition
+  *     the id space), so the global summary is a sum over the state
+  *     rows; the updated state is swapped in for the next run.
+  *
+  * On a table stored bucket- or range-clustered by key (the layout
+  * [[graft.ops.Compaction.compactClustered]] / `Layout.zBucket` emit),
+  * the dirty-bucket filter additionally prunes FILES; on an arbitrary
+  * layout the savings are the avoided shuffle + per-id aggregation,
+  * which dominate a wide validation run.
+  *
+  * Digest honesty: a bucket is declared clean when its (count, sum of
+  * xxhash64(id, value), sum of xxhash64(xxhash64(id, value))) triple
+  * matches per side. The sums are multiset-homomorphic (order- and
+  * partitioning-independent) and accumulate in DECIMAL(38,0) — exact in
+  * both ANSI and legacy modes, never a silent wrap difference between
+  * engines. A false "clean" requires a 128-bit coincidence across the
+  * two independent sums at equal counts (~2^-128 per bucket per run) —
+  * the same class of guarantee every checksum-based snapshot differ
+  * rests on. Any doubt is resolved toward DIRTY: digests hash the RAW
+  * string-cast value, so changes invisible to a mode's coercion (e.g.
+  * "1.0" -> "1.00" under Numeric) re-validate their bucket and get the
+  * same terms back.
+  *
+  * The state is a parquet directory (`<stateDir>/state` + a 1-row
+  * `<stateDir>/meta` carrying (n_buckets, mode, version)); a missing or
+  * parameter-mismatched state — or a run whose dirty fraction exceeds
+  * `dirtyFractionLimit` — falls back to a full rebuild, so a stale or
+  * foreign state can never silently answer. Updates write to a sibling
+  * staging directory and swap (delete + rename), the standard
+  * rename-based exposure outside transactional table formats.
+  */
+object IncrementalValidation {
+
+  /** One run's execution record: what the prune actually did. */
+  final case class IncrementalReport(
+      rebuilt: Boolean,      // full recompute (no state / params / too dirty)
+      totalBuckets: Long,    // buckets observed in the current inputs
+      dirtyBuckets: Long,    // buckets re-validated this run
+      cleanBuckets: Long)    // buckets answered from stored terms
+
+  private val STATE_VERSION = 1
+
+  private def modeKey(mode: CompareMode): String = mode match {
+    case CompareMode.Numeric  => "numeric"
+    case CompareMode.Date     => "date"
+    case CompareMode.Fuzzy(t) => s"fuzzy:$t"
+  }
+
+  /** Null ids live in their own sidecar bucket (-1): they never join, so
+    * their terms are count-only and derivable from the digest row alone. */
+  private def bucketExpr(nBuckets: Int): Column =
+    when(col("id").isNull, lit(-1L))
+      .otherwise(pmod(xxhash64(col("id").cast(StringType)), lit(nBuckets.toLong)))
+
+  private val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+
+  /** Per-bucket multiset digests of both sides in ONE aggregation over
+    * the tagged union: (bucket, n1, h1a, h1b, n2, h2a, h2b). Map-side
+    * combinable end to end; the exchange moves ~nBuckets rows per task.
+    * Exposed package-private so the plan spec can pin exactly that. */
+  private[graft] def digests(first: DataFrame, second: DataFrame,
+      nBuckets: Int): DataFrame = {
+    def side(df: DataFrame, tag: Int) = df.select(
+      bucketExpr(nBuckets).as("bucket"),
+      xxhash64(col("id").cast(StringType), col("check").cast(StringType))
+        .as("h"),
+      lit(tag).as("side"))
+    def s1(c: Column) = sum(when(col("side") === 1, c).otherwise(lit(0L))
+      .cast(dec))
+    def s0(c: Column) = sum(when(col("side") === 0, c).otherwise(lit(0L))
+      .cast(dec))
+    side(first, 1).unionByName(side(second, 0))
+      .withColumn("h2", xxhash64(col("h")))
+      .groupBy("bucket")
+      .agg(
+        s1(lit(1L)).cast("long").as("n1"),
+        s1(col("h")).as("h1a"), s1(col("h2")).as("h1b"),
+        s0(lit(1L)).cast("long").as("n2"),
+        s0(col("h")).as("h2a"), s0(col("h2")).as("h2b"))
+  }
+
+  /** summaryFast's per-id algebra with the bucket carried through,
+    * aggregated per BUCKET instead of globally — the additive unit the
+    * incremental merge needs. Same single tagged-union exchange, same
+    * modes, same dirty-key |V1|+|V2| bound (see [[Validator.summaryFast]]);
+    * null-id rows are excluded here (their sidecar bucket's terms come
+    * straight from the digest counts). */
+  private[graft] def perBucketTerms(first: DataFrame, second: DataFrame,
+      mode: CompareMode, nBuckets: Int): DataFrame = {
+    val coerce: Column => Column = mode match {
+      case CompareMode.Numeric  => Validator.toNumeric
+      case CompareMode.Date     => Validator.toTs
+      case CompareMode.Fuzzy(_) => c => c.cast(StringType)
+    }
+    def keyedSide(df: DataFrame) = df
+      .filter(col("id").isNotNull)
+      .select(col("id").cast(StringType).as("id"), coerce(col("check")).as("v"))
+    val combined = keyedSide(first).withColumn("side", lit(1))
+      .unionByName(keyedSide(second).withColumn("side", lit(0)))
+      .repartition(col("id"))
+      .withColumn("bucket", pmod(xxhash64(col("id")), lit(nBuckets.toLong)))
+    // bucket is a pure function of id, so grouping by (bucket, id, v)
+    // keeps the hashpartitioning(id) distribution valid — no new exchange
+    val counted = combined.groupBy("bucket", "id", "v").agg(
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("c2"))
+    val perId = mode match {
+      case CompareMode.Fuzzy(t) if t < 1.0 =>
+        val a = counted.filter(col("c1") > 0)
+          .select(col("bucket"), col("id"), col("v").as("v1"), col("c1"))
+        val b = counted.filter(col("c2") > 0)
+          .select(col("id"), col("v").as("v2"), col("c2"))
+        val eq = a.select(col("id"), col("v1"), col("c1"))
+          .join(b, Seq("id"))
+          .groupBy("id")
+          .agg(sum(when(Validator.differs(col("v1"), col("v2"), mode), lit(0L))
+            .otherwise(col("c1") * col("c2"))).as("eq_pairs"))
+        counted.groupBy("bucket", "id")
+          .agg(sum("c1").as("tot1"), sum("c2").as("tot2"))
+          .join(eq, Seq("id"), "left_outer")
+          .select(col("bucket"), col("tot1"),
+            coalesce(col("eq_pairs"), lit(0L)).as("eq_pairs"), col("tot2"))
+      case _ =>
+        counted.groupBy("bucket", "id")
+          .agg(sum("c1").as("tot1"),
+            sum(col("c1") * col("c2")).as("eq_pairs"),
+            sum("c2").as("tot2"))
+    }
+    perId.groupBy("bucket").agg(
+      sum(col("tot1")).as("n_first"),
+      sum(col("tot2")).as("n_second"),
+      sum(when(col("tot1") === 0L, col("tot2")).otherwise(0L)).as("missing_in_first"),
+      sum(when(col("tot2") === 0L, col("tot1")).otherwise(0L)).as("missing_in_second"),
+      sum(when(col("tot1") > 0L && col("tot2") > 0L,
+        col("tot1") * col("tot2") - col("eq_pairs")).otherwise(0L)).as("n_differing"),
+      sum(when(col("tot1") > 0L, col("tot2")).otherwise(0L)).as("n_matched"))
+  }
+
+  private val termCols = Seq("n_first", "n_second", "missing_in_first",
+    "missing_in_second", "n_differing", "n_matched")
+
+  /** The null-id sidecar bucket's terms, derived from its digest counts:
+    * n1 null-id rows on the first side count toward (n_first,
+    * missing_in_second), n2 toward (n_second, missing_in_first) — exactly
+    * [[Validator.summaryFast]]'s sidecar semantics. */
+  private def nullBucketTerms(cd: DataFrame): DataFrame =
+    cd.filter(col("bucket") === -1L).select(
+      col("bucket"),
+      col("n1").as("n_first"), col("n2").as("n_second"),
+      col("n2").as("missing_in_first"), col("n1").as("missing_in_second"),
+      lit(0L).as("n_differing"), lit(0L).as("n_matched"))
+
+  private def statePath(stateDir: String) = s"$stateDir/state"
+  private def metaPath(stateDir: String) = s"$stateDir/meta"
+
+  private def metaMatches(spark: SparkSession, stateDir: String,
+      nBuckets: Int, mode: CompareMode): Boolean =
+    try {
+      // existence pre-check: a first run has no state, and probing it
+      // through spark.read would log a scary (harmless) WARN per call
+      val p = new org.apache.hadoop.fs.Path(metaPath(stateDir))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && {
+        val m = spark.read.parquet(metaPath(stateDir)).head()
+        m.getAs[Int]("version") == STATE_VERSION &&
+          m.getAs[Int]("n_buckets") == nBuckets &&
+          m.getAs[String]("mode") == modeKey(mode)
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Swap-write `df` as the new state: stage to a sibling directory,
+    * then delete + rename — the staged write fully materializes before
+    * the old state (which the plan may be reading) is touched. */
+  private def swapWrite(spark: SparkSession, df: DataFrame,
+      target: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(target)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, p.getName + "__staging")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.rename(tmp, p)
+  }
+
+  /** Incremental [[Validator.summaryFast]]: identical one-row summary
+    * (same six columns, same semantics for every mode, duplicate ids and
+    * null ids included), but answered from the stored per-bucket state
+    * wherever the bucket digests prove the data unchanged. See the
+    * object doc for the three phases and the digest contract.
+    *
+    * @param dirtyFractionLimit above this dirty-bucket share the run
+    *        falls back to one full recompute — when most of the table
+    *        churned, one pass beats digest + filtered pass.
+    * @return (summary, report); [[summaryIncremental]] returns just the
+    *         summary. */
+  def run(first: DataFrame, second: DataFrame, mode: CompareMode,
+      stateDir: String, nBuckets: Int = 4096,
+      dirtyFractionLimit: Double = 0.25): (DataFrame, IncrementalReport) = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val spark = first.sparkSession
+    import spark.implicits._
+
+    // phase 1: current digests (one scan of each side, tiny exchange).
+    // localCheckpoint materializes the <= nBuckets+1 rows once — they
+    // steer pruning AND become the new state's digest columns, and must
+    // not recompute (= rescan both sides) per consumer.
+    val cdDf = digests(first, second, nBuckets).localCheckpoint()
+    val total = cdDf.count()
+
+    val haveState = metaMatches(spark, stateDir, nBuckets, mode)
+    val oldState: Option[DataFrame] =
+      if (haveState)
+        try Some(spark.read.parquet(statePath(stateDir)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      else None
+
+    // phase 2: dirty set = buckets whose six digest fields don't all
+    // match the stored row (one-sided buckets — appeared or fully
+    // drained — are dirty by the full-outer null mismatch). Collected
+    // alongside a present-in-current flag for the report; bounded by
+    // nBuckets + 1 rows.
+    val digestFields = Seq("n1", "h1a", "h1b", "n2", "h2a", "h2b")
+    val dirtyRows: Option[Seq[(Long, Boolean)]] = oldState.map { st =>
+      val sd = st.select(col("bucket") +:
+        digestFields.map(f => col(f).as(s"__s_$f")): _*)
+      cdDf.join(sd, Seq("bucket"), "full_outer")
+        .filter(digestFields
+          .map(f => !(col(f) <=> col(s"__s_$f")))
+          .reduce(_ || _))
+        .select(col("bucket"), col("n1").isNotNull.as("in_current"))
+        .as[(Long, Boolean)].collect().toSeq
+    }
+    val dirtyBuckets: Option[Seq[Long]] = dirtyRows.map(_.map(_._1))
+
+    val tooDirty = dirtyBuckets.exists(d =>
+      total > 0 && d.size.toDouble / total > dirtyFractionLimit)
+    val rebuild = oldState.isEmpty || tooDirty
+
+    val newState: DataFrame = {
+      val nullTerms = nullBucketTerms(cdDf)
+      if (rebuild) {
+        val terms = perBucketTerms(first, second, mode, nBuckets)
+          .unionByName(nullTerms)
+        cdDf.join(terms, Seq("bucket"), "left_outer")
+          .na.fill(0L, termCols)
+      } else {
+        val dirty = dirtyBuckets.get
+        val dirtyData = dirty.filter(_ >= 0L)
+        val recomputed =
+          if (dirtyData.isEmpty)
+            // zero data-bucket churn: nothing re-enters the keyed shuffle
+            spark.range(0).select(col("id").as("bucket") +:
+              termCols.map(c => col("id").as(c)): _*)
+          else {
+            val pred = bucketExpr(nBuckets).isin(dirtyData: _*)
+            perBucketTerms(first.filter(pred), second.filter(pred),
+              mode, nBuckets)
+          }
+        val carried0 = oldState.get
+          .select(col("bucket") +: termCols.map(col): _*)
+          .filter(col("bucket") =!= -1L)
+        val carried =
+          if (dirty.isEmpty) carried0
+          else carried0.filter(!col("bucket").isin(dirty: _*))
+        val terms = carried
+          .unionByName(recomputed)
+          .unionByName(nullTerms)
+        // current digests drive membership: a bucket that drained to
+        // zero rows has no cd row and drops out of the state entirely
+        cdDf.join(terms, Seq("bucket"), "left_outer")
+          .na.fill(0L, termCols)
+      }
+    }
+
+    swapWrite(spark, newState, statePath(stateDir))
+    if (!haveState)
+      swapWrite(spark,
+        Seq((STATE_VERSION, nBuckets, modeKey(mode)))
+          .toDF("version", "n_buckets", "mode"),
+        metaPath(stateDir))
+
+    // phase 3: the global summary is the column-sum over the stored
+    // per-bucket terms — read back from the swapped-in state so the
+    // returned frame is self-contained and re-executable
+    val summary = spark.read.parquet(statePath(stateDir))
+      .agg(
+        sum("n_first").as("n_first"),
+        sum("n_second").as("n_second"),
+        sum("missing_in_first").as("missing_in_first"),
+        sum("missing_in_second").as("missing_in_second"),
+        sum("n_differing").as("n_differing"),
+        sum("n_matched").as("n_matched"))
+      .na.fill(0L)
+    val dirtyInCurrent = dirtyRows
+      .map(_.count(_._2).toLong).getOrElse(0L)
+    val report = IncrementalReport(
+      rebuilt = rebuild,
+      totalBuckets = total,
+      dirtyBuckets =
+        if (rebuild) total else dirtyBuckets.map(_.size.toLong).getOrElse(0L),
+      cleanBuckets = if (rebuild) 0L else total - dirtyInCurrent)
+    (summary, report)
+  }
+
+  /** The summary-only surface — drop-in for [[Validator.summaryFast]]
+    * with a state directory. */
+  def summaryIncremental(first: DataFrame, second: DataFrame,
+      mode: CompareMode, stateDir: String, nBuckets: Int = 4096,
+      dirtyFractionLimit: Double = 0.25): DataFrame =
+    run(first, second, mode, stateDir, nBuckets, dirtyFractionLimit)._1
+}

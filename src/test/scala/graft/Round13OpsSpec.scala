@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{CompareMode, IncrementalValidation, Validator}
+
+/** Round-13 operators: incremental (digest-pruned) validation. */
+class Round13OpsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260815)
+
+  private def freshStateDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_incval").toString
+
+  /** Random keyed frame with duplicate ids, null ids, null and garbage
+    * values — the full summaryFast torture domain. */
+  private def randomKeyed(n: Int, keySpace: Int): DataFrame = {
+    val rows = Seq.fill(n) {
+      val id = if (rnd.nextDouble() < 0.04) null
+        else (rnd.nextInt(keySpace) + 1).toString
+      val v = if (rnd.nextDouble() < 0.25) null
+        else if (rnd.nextDouble() < 0.1) "garbage" + rnd.nextInt(3)
+        else (rnd.nextInt(60) + rnd.nextInt(2) * 1000).toString
+      (id, v)
+    }
+    rows.toDF("id", "check")
+  }
+
+  /** Write to parquet and read back: nullable columns, file-backed — the
+    * regime the digest/prune path runs in production. */
+  private def viaParquet(df: DataFrame): DataFrame = {
+    val p = java.nio.file.Files.createTempDirectory("graft_incin").toString
+    df.write.mode("overwrite").parquet(p)
+    spark.read.parquet(p)
+  }
+
+  /** Churn ~`rate` of the rows: drop some, perturb some values, add a few
+    * new ids — deterministic given the frame and salt. */
+  private def churn(df: DataFrame, salt: Int, rate: Double): DataFrame = {
+    val keep = df.filter(
+      pmod(xxhash64(col("id"), lit(salt)), lit(1000L)) >= lit((rate * 500).toLong))
+    val perturbed = keep.withColumn("check",
+      when(pmod(xxhash64(col("id"), lit(salt + 1)), lit(1000L)) <
+          lit((rate * 500).toLong), concat(coalesce(col("check"), lit("")), lit("~")))
+        .otherwise(col("check")))
+    val added = Seq.fill(3)((s"new_${salt}_${rnd.nextInt(100)}",
+      rnd.nextInt(60).toString)).toDF("id", "check")
+    perturbed.unionByName(added)
+  }
+
+  private val metricCols = Seq("n_first", "n_second", "missing_in_first",
+    "missing_in_second", "n_differing", "n_matched")
+
+  private def assertSummariesEqual(inc: DataFrame, ref: DataFrame,
+      ctx: String): Unit = {
+    val a = inc.collect()(0); val b = ref.collect()(0)
+    for (c <- metricCols)
+      assert(a.getAs[Long](c) == b.getAs[Long](c),
+        s"$ctx $c: incremental=${a.getAs[Long](c)} full=${b.getAs[Long](c)}")
+  }
+
+  test("summaryIncremental == summaryFast across randomized churn " +
+      "(build, mutate, no-change re-run), nulls and duplicate ids included") {
+    for (trial <- 1 to 6) {
+      val mode = trial % 3 match {
+        case 0 => CompareMode.Numeric
+        case 1 => CompareMode.Fuzzy(1.0)
+        case 2 => CompareMode.Fuzzy(0.7)
+      }
+      val stateDir = freshStateDir()
+      val f0 = viaParquet(randomKeyed(rnd.nextInt(250) + 50, 120))
+      val s0 = viaParquet(randomKeyed(rnd.nextInt(250) + 50, 120))
+      // run 1: no state -> full rebuild, result == summaryFast
+      val (sum1, rep1) = IncrementalValidation.run(f0, s0, mode, stateDir,
+        nBuckets = 64, dirtyFractionLimit = 1.0)
+      assert(rep1.rebuilt, s"trial $trial: first run must rebuild")
+      assertSummariesEqual(sum1, Validator.summaryFast(f0, s0, mode),
+        s"trial $trial run1 ($mode)")
+      // run 2: churned inputs -> pruned recompute, result == summaryFast
+      val f1 = viaParquet(churn(f0, salt = trial, rate = 0.05))
+      val s1 = viaParquet(churn(s0, salt = trial + 100, rate = 0.05))
+      val (sum2, rep2) = IncrementalValidation.run(f1, s1, mode, stateDir,
+        nBuckets = 64, dirtyFractionLimit = 1.0)
+      assert(!rep2.rebuilt, s"trial $trial: churn run must prune, not rebuild")
+      assert(rep2.dirtyBuckets > 0 && rep2.cleanBuckets > 0,
+        s"trial $trial: expected a mixed dirty/clean split, got $rep2")
+      assertSummariesEqual(sum2, Validator.summaryFast(f1, s1, mode),
+        s"trial $trial run2 ($mode)")
+      // run 3: identical inputs -> zero dirty buckets, answered from state
+      val (sum3, rep3) = IncrementalValidation.run(f1, s1, mode, stateDir,
+        nBuckets = 64, dirtyFractionLimit = 1.0)
+      assert(!rep3.rebuilt && rep3.dirtyBuckets == 0,
+        s"trial $trial: unchanged inputs must be all-clean, got $rep3")
+      assertSummariesEqual(sum3, Validator.summaryFast(f1, s1, mode),
+        s"trial $trial run3 ($mode)")
+    }
+  }
+
+  test("parameter changes and missing state rebuild; a too-dirty run " +
+      "falls back to one full pass") {
+    val stateDir = freshStateDir()
+    val f = viaParquet(randomKeyed(200, 80))
+    val s = viaParquet(randomKeyed(200, 80))
+    val (_, r1) = IncrementalValidation.run(f, s, CompareMode.Numeric,
+      stateDir, nBuckets = 32)
+    assert(r1.rebuilt)
+    // mode change -> meta mismatch -> rebuild (a numeric state must never
+    // answer a fuzzy question)
+    val (sumF, r2) = IncrementalValidation.run(f, s, CompareMode.Fuzzy(0.8),
+      stateDir, nBuckets = 32)
+    assert(r2.rebuilt, s"mode change must rebuild: $r2")
+    assertSummariesEqual(sumF,
+      Validator.summaryFast(f, s, CompareMode.Fuzzy(0.8)), "mode change")
+    // nBuckets change -> rebuild
+    val (_, r3) = IncrementalValidation.run(f, s, CompareMode.Fuzzy(0.8),
+      stateDir, nBuckets = 16)
+    assert(r3.rebuilt, s"bucket-count change must rebuild: $r3")
+    // replace most of one side -> dirty fraction above the limit -> full
+    val f2 = viaParquet(randomKeyed(200, 80))
+    val (sum4, r4) = IncrementalValidation.run(f2, s, CompareMode.Fuzzy(0.8),
+      stateDir, nBuckets = 16, dirtyFractionLimit = 0.25)
+    assert(r4.rebuilt, s"heavy churn must fall back to a full pass: $r4")
+    assertSummariesEqual(sum4,
+      Validator.summaryFast(f2, s, CompareMode.Fuzzy(0.8)), "too dirty")
+  }
+
+  test("empty and one-sided inputs: zeros row, never a crash; state " +
+      "tracks membership (drained buckets drop out)") {
+    val stateDir = freshStateDir()
+    val empty = Seq.empty[(String, String)].toDF("id", "check")
+    val (sum0, _) = IncrementalValidation.run(empty, empty,
+      CompareMode.Numeric, stateDir, nBuckets = 8)
+    val z = sum0.collect()(0)
+    for (c <- metricCols) assert(z.getAs[Long](c) == 0L, s"empty $c")
+    // one side appears
+    val f = viaParquet(Seq(("1", "a"), ("2", "b"), (null, "n")).toDF("id", "check"))
+    val (sum1, _) = IncrementalValidation.run(f, empty,
+      CompareMode.Fuzzy(1.0), stateDir, nBuckets = 8)
+    assertSummariesEqual(sum1,
+      Validator.summaryFast(f, empty, CompareMode.Fuzzy(1.0)), "one-sided")
+    // then drains again: state rows disappear with the data
+    val (sum2, _) = IncrementalValidation.run(empty, empty,
+      CompareMode.Fuzzy(1.0), stateDir, nBuckets = 8)
+    val z2 = sum2.collect()(0)
+    for (c <- metricCols) assert(z2.getAs[Long](c) == 0L, s"drained $c")
+    assert(spark.read.parquet(s"$stateDir/state").count() == 0,
+      "drained buckets must leave the state")
+  }
+
+  test("digest pass plan: ONE exchange, keyed by bucket — never an " +
+      "id-keyed shuffle; aggregation is partial (map-side combinable)") {
+    val f = viaParquet(randomKeyed(500, 200))
+    val s = viaParquet(randomKeyed(500, 200))
+    val d = IncrementalValidation.digests(f, s, 64)
+    d.collect()
+    val plan = d.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size == 1,
+      s"digest pass must shuffle once (bucket rollup only):\n$plan")
+    assert(exchanges.head.contains("bucket"),
+      s"the one exchange must be bucket-keyed:\n${exchanges.head}")
+    assert(plan.contains("partial_sum") || plan.contains("partial"),
+      s"bucket digests must pre-aggregate map-side:\n$plan")
+  }
+
+  test("per-bucket terms sum to summaryFast's global row (the additive " +
+      "merge identity the incremental path rests on)") {
+    for (mode <- Seq(CompareMode.Numeric, CompareMode.Fuzzy(0.7))) {
+      val f = viaParquet(randomKeyed(300, 100))
+      val s = viaParquet(randomKeyed(300, 100))
+      val terms = IncrementalValidation.perBucketTerms(f, s, mode, 32)
+        .agg(metricCols.map(c => sum(c).as(c)).head,
+          metricCols.map(c => sum(c).as(c)).tail: _*)
+        .na.fill(0L)
+      // perBucketTerms excludes null-id rows; compare against summaryFast
+      // over the null-id-free inputs
+      val fNN = f.filter(col("id").isNotNull)
+      val sNN = s.filter(col("id").isNotNull)
+      assertSummariesEqual(terms, Validator.summaryFast(fNN, sNN, mode),
+        s"bucket-sum identity ($mode)")
+    }
+  }
+}
