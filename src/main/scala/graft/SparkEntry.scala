@@ -1156,6 +1156,35 @@ object SparkEntry {
       TextAnalysis.corpusFreqScore(t(s, dir, "documents"))
         .orderBy("doc_id")
     }),
+    "t_bpe_pairs" -> ((s, dir) => {
+      // BPE training iteration 0's statistics: adjacent character-pair
+      // frequencies over the per-character tokenization, weighted by
+      // distinct-word corpus frequency (overlaps count — "aaa" yields
+      // (a,a) twice). The one training stage that is SQL-expressible, so
+      // the oracle replays it; the full iterative trainer is pinned
+      // against the committed Python-reference fixture in BpeSpec
+      val wf = graft.ops.Tokenize.wordFreqs(t(s, dir, "documents"), "text")
+      graft.ops.Tokenize.pairCounts(wf)
+        .select(col("left").as("pair_left"), col("right").as("pair_right"),
+          col("freq"))
+        .orderBy(desc("freq"), asc("pair_left"), asc("pair_right"))
+    }),
+    "t_bpe_encode" -> ((s, dir) => {
+      // subword tokenization of the corpus with the COMMITTED merge table
+      // (trained by the independent Python reference implementation,
+      // scripts/gen_bpe_fixture.py): one shuffle-free mapPartitions pass
+      // with a per-partition word->tokens memo. The oracle re-derives
+      // per-doc token counts by joining DuckDB-exploded words against the
+      // reference encoder's word->n_tokens fixture — any divergence in
+      // pre-tokenization, merge order or greedy-rewrite semantics
+      // surfaces as a hash mismatch
+      val merges = graft.ops.Tokenize.loadMerges(
+        s.read.parquet(s"$repoRoot/src/test/resources/bpe_merges.parquet"))
+      graft.ops.Tokenize.bpeEncode(t(s, dir, "documents"), "doc_id", "text",
+          merges)
+        .select(col("id").as("doc_id"), col("n_words"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
     "t_ngram_lm" -> ((s, dir) => {
       // bigram-LM surprisal (the CCNet corpus-LM quality-score shape):
       // add-one-smoothed p(w2|w1) from the corpus's own bigram counts,
@@ -3767,6 +3796,51 @@ object SparkEntry {
         |  CAST(SUM(c) AS BIGINT) AS freq_sum
         |FROM toks JOIN tc USING (term)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // BPE iteration-0 pair statistics: distinct-word frequencies, then
+    // every adjacent character pair per word (lateral index unnest), freq-
+    // weighted — overlaps included, matching the trainer's get_stats
+    "t_bpe_pairs" ->
+      """WITH wf AS (
+        |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS f FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+        |    FROM documents) t
+        |  WHERE w <> '' GROUP BY w
+        |), pairs AS (
+        |  SELECT substr(word, i, 1) AS pair_left,
+        |         substr(word, i + 1, 1) AS pair_right, f
+        |  FROM wf, LATERAL (SELECT unnest(generate_series(1,
+        |    length(word) - 1)) AS i) g
+        |)
+        |SELECT pair_left, pair_right, CAST(SUM(f) AS BIGINT) AS freq
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY freq DESC, pair_left, pair_right""".stripMargin,
+
+    // BPE encode replay: per-word token counts come from the committed
+    // word->n_tokens fixture (produced by the INDEPENDENT Python
+    // reference encoder); per-doc sums must match Spark's mapPartitions
+    // encoder bit for bit. LEFT JOIN from documents so a zero-word doc
+    // still yields a (0, 0) row, matching the Spark side
+    "t_bpe_encode" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id,
+         |      unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+         |    FROM documents) t
+         |  WHERE w <> ''
+         |), per_doc AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(r.n_tokens) AS BIGINT) AS n_tokens
+         |  FROM words
+         |  JOIN read_parquet('$repoRoot/src/test/resources/bpe_word_tokens.parquet') r
+         |    ON words.w = r.word
+         |  GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  COALESCE(p.n_words, 0) AS n_words,
+         |  COALESCE(p.n_tokens, 0) AS n_tokens
+         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // bigram-LM replay: corpus bigram/context counts, add-one smoothing,
     // surprisal = bitlen(c(w1)+V) - bitlen(c(w1,w2)+1) via length(bin(x))

@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Tokenize
+
+/** BPE trainer/encoder: pinned against the committed Python-reference
+  * fixtures (scripts/gen_bpe_fixture.py) and a sequential in-test
+  * reference on randomized corpora. */
+class BpeSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // ---- sequential reference (independent of the ops code paths) ----
+
+  private def seqStats(vocab: Seq[(List[String], Long)])
+      : Map[(String, String), Long] =
+    vocab.flatMap { case (t, f) =>
+      t.zip(t.tail).map(p => p -> f)
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+
+  private def seqMerge(toks: List[String], p: (String, String)): List[String] =
+    toks match {
+      case a :: b :: rest if (a, b) == p => (a + b) :: seqMerge(rest, p)
+      case a :: rest => a :: seqMerge(rest, p)
+      case Nil => Nil
+    }
+
+  private def seqTrain(freqs: Map[String, Long], numMerges: Int,
+      minFreq: Long): Seq[(Int, String, String, Long)] = {
+    var vocab = freqs.toSeq.sortBy(_._1)
+      .map { case (w, f) => (w.toList.map(_.toString), f) }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var go = true
+    while (go && rank < numMerges) {
+      val stats = seqStats(vocab.filter(_._1.length > 1))
+      if (stats.isEmpty) go = false
+      else {
+        val ((l, r), f) = stats.minBy { case ((l, r), f) => (-f, l, r) }
+        if (f < minFreq) go = false
+        else {
+          out += ((rank, l, r, f))
+          vocab = vocab.map { case (t, fq) => (seqMerge(t, (l, r)), fq) }
+          rank += 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def seqEncode(word: String,
+      ranks: Map[(String, String), Int]): List[String] = {
+    var toks = word.toList.map(_.toString)
+    var go = toks.length > 1
+    while (go) {
+      val present = toks.zip(toks.tail).distinct.filter(ranks.contains)
+      if (present.isEmpty) go = false
+      else {
+        val best = present.minBy(ranks)
+        toks = seqMerge(toks, best)
+        go = toks.length > 1
+      }
+    }
+    toks
+  }
+
+  private def wordFreqsOf(texts: Seq[String]): Map[String, Long] =
+    texts.flatMap(_.toLowerCase.split("[^a-z0-9]+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+
+  // ---- fixture pins ----
+
+  test("bpeTrain on the sf0.01 corpus reproduces the committed Python-" +
+      "reference merge table exactly (rank, pair and frequency)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val got = Tokenize.bpeTrain(docs, "text", numMerges = 24, minFreq = 2)
+      .orderBy("rank")
+      .collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("freq")))
+    val want = spark.read
+      .parquet("src/test/resources/bpe_merges.parquet")
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank").toInt, r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("freq")))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("encodeWord reproduces the committed reference tokens for every " +
+      "fixture word") {
+    val merges = Tokenize.loadMerges(
+      spark.read.parquet("src/test/resources/bpe_merges.parquet"))
+    val ranks = merges.zipWithIndex.toMap
+    val fixture = spark.read
+      .parquet("src/test/resources/bpe_word_tokens.parquet")
+      .collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[String]("tokens")))
+    assert(fixture.length >= 31)
+    for ((w, toks) <- fixture)
+      assert(Tokenize.encodeWord(w, ranks).mkString(" ") == toks,
+        s"word '$w'")
+  }
+
+  // ---- randomized cross-implementation equivalence ----
+
+  private val rnd = new scala.util.Random(20260813)
+
+  private def randomCorpus(nDocs: Int): Seq[String] = {
+    val alphabet = "abcdefg"
+    def word() = Seq.fill(rnd.nextInt(7) + 1)(
+      alphabet(rnd.nextInt(alphabet.length))).mkString
+    val vocabulary = Seq.fill(rnd.nextInt(30) + 5)(word())
+    Seq.fill(nDocs)(Seq.fill(rnd.nextInt(40) + 1)(
+      vocabulary(rnd.nextInt(vocabulary.size))).mkString(" "))
+  }
+
+  test("bpeTrain == sequential reference across 8 random corpora " +
+      "(repeated-character words stress the overlap rules)") {
+    for (trial <- 1 to 8) {
+      val texts = randomCorpus(rnd.nextInt(30) + 5)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val nm = rnd.nextInt(20) + 3
+      val got = Tokenize.bpeTrain(docs, "text", nm, minFreq = 2)
+        .orderBy("rank").collect()
+        .map(r => (r.getAs[Int]("rank"), r.getAs[String]("left"),
+          r.getAs[String]("right"), r.getAs[Long]("freq"))).toSeq
+      val want = seqTrain(wordFreqsOf(texts), nm, minFreq = 2)
+      assert(got == want, s"trial $trial (numMerges=$nm):\n$got\nvs\n$want")
+    }
+  }
+
+  test("bpeEncode == sequential per-word encode on random corpora; " +
+      "n_words/n_tokens consistent with the token arrays") {
+    for (trial <- 1 to 5) {
+      val texts = randomCorpus(rnd.nextInt(25) + 5)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val merges = Tokenize.loadMerges(
+        Tokenize.bpeTrain(docs, "text", rnd.nextInt(15) + 2))
+      val ranks = merges.zipWithIndex.toMap
+      val got = Tokenize.bpeEncode(docs, "doc_id", "text", merges)
+        .orderBy("id").collect()
+      assert(got.length == texts.length)
+      for (row <- got) {
+        val text = texts(row.getAs[Long]("id").toInt)
+        val words = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        val expect = words.flatMap(w => seqEncode(w, ranks))
+        val toks = row.getAs[scala.collection.Seq[String]]("tokens").toSeq
+        assert(toks == expect.toSeq, s"trial $trial doc ${row.get(0)}")
+        assert(row.getAs[Long]("n_words") == words.length.toLong)
+        assert(row.getAs[Long]("n_tokens") == expect.length.toLong)
+      }
+    }
+  }
+
+  test("semantics edges: greedy overlap merge, pair-count overlaps, " +
+      "null/empty text, early stop below minFreq") {
+    // "aaaa" under merge (a,a): greedy LTR -> (aa, aa); "aaa" -> (aa, a)
+    val ranks = Map(("a", "a") -> 0)
+    assert(Tokenize.encodeWord("aaaa", ranks).toSeq == Seq("aa", "aa"))
+    assert(Tokenize.encodeWord("aaa", ranks).toSeq == Seq("aa", "a"))
+    assert(Tokenize.encodeWord("x", ranks).toSeq == Seq("x"))
+    // pairCounts counts overlaps: "aaa" x2 docs -> (a,a) freq 4
+    val docs = Seq((1L, "aaa"), (2L, "aaa")).toDF("doc_id", "text")
+    val pc = Tokenize.pairCounts(Tokenize.wordFreqs(docs, "text")).collect()
+    assert(pc.length == 1 && pc(0).getAs[Long]("freq") == 4L)
+    // null text encodes to zero words, zero tokens
+    val withNull = Seq((1L, "a b"), (2L, null)).toDF("doc_id", "text")
+    val enc = Tokenize.bpeEncode(withNull, "doc_id", "text", Seq.empty)
+      .orderBy("id").collect()
+    assert(enc(1).getAs[Long]("n_words") == 0L &&
+      enc(1).getAs[Long]("n_tokens") == 0L)
+    // minFreq stops training: unique words only -> every pair freq 1
+    val uniq = Seq((1L, "abc def")).toDF("doc_id", "text")
+    assert(Tokenize.bpeTrain(uniq, "text", 10, minFreq = 2).count() == 0)
+  }
+}
