@@ -1185,6 +1185,15 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_words"), col("n_tokens"))
         .orderBy("doc_id")
     }),
+    "t_oov_rate" -> ((s, dir) => {
+      // out-of-vocabulary rate per doc against the corpus's own top-20
+      // terms (deterministic: count desc, term asc): vocab is a
+      // metadata-sized top-K broadcast, coverage is one scan — no
+      // data-sized shuffle; exact integer ppm
+      graft.ops.TextAnalysis.vocabCoverage(t(s, dir, "documents"),
+          vocabSize = 20)
+        .orderBy("doc_id")
+    }),
     "t_ngram_lm" -> ((s, dir) => {
       // bigram-LM surprisal (the CCNet corpus-LM quality-score shape):
       // add-one-smoothed p(w2|w1) from the corpus's own bigram counts,
@@ -3841,6 +3850,28 @@ object SparkEntry {
          |  COALESCE(p.n_tokens, 0) AS n_tokens
          |FROM documents d LEFT JOIN per_doc p USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // OOV replay: same tokenization, same deterministic top-20 vocab
+    // (count desc, term asc), integer-ppm rate via integer division
+    "t_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, w AS term FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+        |    FROM documents) t
+        |  WHERE w <> ''
+        |), vocab AS (
+        |  SELECT term FROM (
+        |    SELECT term, COUNT(*) AS c FROM toks GROUP BY term)
+        |  ORDER BY c DESC, term LIMIT 20
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS oov_ppm
+        |FROM toks LEFT JOIN vocab v USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // bigram-LM replay: corpus bigram/context counts, add-one smoothing,
     // surprisal = bitlen(c(w1)+V) - bitlen(c(w1,w2)+1) via length(bin(x))

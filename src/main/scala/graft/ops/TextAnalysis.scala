@@ -593,4 +593,37 @@ object TextAnalysis {
       punctCount(t).cast(LongType).as("n_punct"),
       fingerprint(t).as("fingerprint"))
   }
+
+  /** Per-document vocabulary coverage: how much of each document falls
+    * OUTSIDE the corpus's own top-`vocabSize` terms — the out-of-
+    * vocabulary rate a tokenizer/vocab decision is judged by before
+    * training starts. Output: (id, n_tokens, n_oov, oov_ppm) with
+    * oov_ppm an exact integer floor(n_oov * 1e6 / n_tokens).
+    *
+    * Two passes, both honest at 100 TB: the vocab build is a map-side-
+    * combinable term count whose result is top-K (metadata-sized, ties
+    * broken by term so the vocabulary is deterministic), and the
+    * coverage pass joins tokens against that vocabulary via BROADCAST —
+    * no data-sized shuffle anywhere; the per-doc rollup rides the
+    * token explode's partitioning with partial aggregation.
+    * Tokenization: lower(text) on `[^a-z0-9]+`, empties dropped (the
+    * [[graft.ops.Tokenize]] contract, shared with the DuckDB oracle). */
+  def vocabCoverage(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", vocabSize: Int = 20): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    def toks(df: DataFrame) = df
+      .select(col(idCol),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
+      .filter(col("term") =!= "")
+    val vocab = toks(docs)
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("term")).limit(vocabSize)
+      .select(col("term"), lit(1).as("__in_vocab"))
+    toks(docs)
+      .join(broadcast(vocab), Seq("term"), "left_outer")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000L DIV n_tokens"))
+  }
 }

@@ -168,6 +168,30 @@ class Round13OpsSpec extends AnyFunSuite with SparkSpec {
       s"bucket digests must pre-aggregate map-side:\n$plan")
   }
 
+  test("vocabCoverage: vocabulary joins as BROADCAST, rollup is partial-" +
+      "aggregated; deterministic across reruns") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.ops.TextAnalysis.vocabCoverage(docs, vocabSize = 10)
+    val rows1 = df.collect().map(_.toSeq).toSeq
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab membership must broadcast, not shuffle:\n$plan")
+    val keyed = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(keyed <= 2,
+      s"only the term count and the per-doc rollup may exchange:\n$plan")
+    assert(plan.contains("partial"), s"rollup must pre-aggregate:\n$plan")
+    val rows2 = graft.ops.TextAnalysis.vocabCoverage(docs, vocabSize = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(rows1.toSet == rows2.toSet, "tie-broken vocab must be stable")
+    // rate sanity: ppm bounded, tokens >= oov
+    for (r <- rows1) {
+      val Seq(_, n, oov, ppm) = r.map(_.asInstanceOf[Long]).toSeq
+      assert(oov <= n && ppm >= 0 && ppm <= 1000000L)
+    }
+  }
+
   test("per-bucket terms sum to summaryFast's global row (the additive " +
       "merge identity the incremental path rests on)") {
     for (mode <- Seq(CompareMode.Numeric, CompareMode.Fuzzy(0.7))) {
