@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Indexing, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Indexing, Multimodal, Similarity, TextAnalysis, Tokenize}
 
 /** Scale rehearsal: run the dedup / near-dup / ANN pipelines on a corpus
   * replicated N× from sf0.1, with a deliberately skewed boilerplate
@@ -278,6 +278,22 @@ object Rehearsal {
       // rows ~flat, time ~linear)
       val (nLm, tLm) = timed { TextAnalysis.ngramLmSurprisal(docs).count() }
       emit(s"""{"scale":$scale,"stage":"ngram_lm","input_rows":$nDocs,"output_rows":$nLm,"sec":$tLm}""")
+
+      // BPE legs: TRAINING iterates on the distinct-word set, which the
+      // replicated corpus keeps ~base-sized — train time must stay ~flat
+      // while the single wordFreqs corpus scan grows; ENCODING is the
+      // shuffle-free mapPartitions pass whose tokens/sec must stay ~flat
+      // (per-partition memo makes the merge loop once-per-distinct-word)
+      val (bpeMerges, tBpeTrain) = timed {
+        Tokenize.loadMerges(Tokenize.bpeTrain(docs, "text", numMerges = 24))
+      }
+      val ((nEncDocs, nTokens), tBpeEnc) = timed {
+        val r = Tokenize.bpeEncode(docs, "doc_id", "text", bpeMerges)
+          .agg(count(lit(1)), sum("n_tokens")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      emit(s"""{"scale":$scale,"stage":"bpe_train","input_rows":$nDocs,"merges":${bpeMerges.size},"sec":$tBpeTrain}""")
+      emit(s"""{"scale":$scale,"stage":"bpe_encode","input_rows":$nEncDocs,"tokens":$nTokens,"sec":$tBpeEnc,"tokens_per_sec":${(nTokens / math.max(tBpeEnc, 1e-9)).toLong}}""")
 
       // PageRank skew leg: a power-law hub — 10^5 sources all pointing at
       // one node ("hub") — on top of a sparse deterministic ring graph
@@ -570,6 +586,56 @@ object Rehearsal {
         }
         emit(s"""{"scale":$scale,"stage":"validate_multi_k3","input_rows":$rowsIn,"n_differing_total":$nDiffTotal,"sec":$tMulti,"sec_3_single_passes":$tSingles,"speedup":${(tSingles / math.max(tMulti, 1e-9) * 100).toLong / 100.0},"us_per_row":${tMulti * 1e6 / rowsIn},"id_keyed_exchanges":$idExchanges}""")
         f.unpersist(); s.unpersist()
+      }
+
+      // incremental validation leg — the daily re-run shape: build the
+      // per-bucket state once, then re-validate after a CONSTANT-SIZE
+      // restated batch (~200 ids, the honest churn model: the table grows,
+      // yesterday's correction does not). Dirty buckets <= changed ids, so
+      // the dirty fraction FALLS with scale and the incremental run's
+      // advantage over a full summaryFast must WIDEN. Equality of the two
+      // summaries is asserted here as well — a rehearsal that got a wrong
+      // answer fast would be worse than useless.
+      {
+        val n = 100000L * scale
+        val mode = graft.core.CompareMode.Fuzzy(0.9)
+        val f0 = validationSide(spark, n, skewed = false, dropMod = 97L,
+          perturb = false).localCheckpoint(true)
+        val s0 = validationSide(spark, n, skewed = false, dropMod = 89L,
+          perturb = true).localCheckpoint(true)
+        val rowsIn = f0.count() + s0.count()
+        // the restated batch: ids k1000..k1199 get a new value on the
+        // second side, ten of them disappear, ten new ids appear
+        val kNum = substring(col("id"), 2, 100).cast("long")
+        val s1 = s0
+          .withColumn("check",
+            when(kNum.between(1000, 1199), concat(col("check"), lit("X")))
+              .otherwise(col("check")))
+          .filter(!kNum.between(1190, 1199))
+          .unionByName(spark.range(10).selectExpr(
+            "concat('znew', CAST(id AS STRING)) AS id",
+            "substring(md5(CAST(id AS STRING)), 1, 24) AS check"))
+          .localCheckpoint(true)
+        val stateDir = java.nio.file.Files
+          .createTempDirectory(s"graft_incleg_$scale").toString
+        val (_, tBuild) = timed {
+          graft.core.IncrementalValidation.run(f0, s0, mode, stateDir,
+            nBuckets = 4096)
+        }
+        val ((incRow, rep), tInc) = timed {
+          val (df, r) = graft.core.IncrementalValidation.run(f0, s1, mode,
+            stateDir, nBuckets = 4096)
+          (df.collect().head, r)
+        }
+        val (fullRow, tFull) = timed {
+          graft.core.Validator.summaryFast(f0, s1, mode).collect().head
+        }
+        for (c <- Seq("n_first", "n_second", "missing_in_first",
+            "missing_in_second", "n_differing", "n_matched"))
+          require(incRow.getAs[Long](c) == fullRow.getAs[Long](c),
+            s"incremental leg summary mismatch on $c: $incRow vs $fullRow")
+        emit(s"""{"scale":$scale,"stage":"validate_incremental","input_rows":$rowsIn,"dirty_buckets":${rep.dirtyBuckets},"total_buckets":${rep.totalBuckets},"build_sec":$tBuild,"sec_incremental":$tInc,"sec_full":$tFull,"speedup_vs_full":${(tFull / math.max(tInc, 1e-9) * 100).toLong / 100.0}}""")
+        f0.unpersist(); s0.unpersist(); s1.unpersist()
       }
 
       // streaming legs — the last unrehearsed family: throughput and

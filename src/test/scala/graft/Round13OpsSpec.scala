@@ -168,6 +168,27 @@ class Round13OpsSpec extends AnyFunSuite with SparkSpec {
       s"bucket digests must pre-aggregate map-side:\n$plan")
   }
 
+  test("importanceScore single-pass == two ngramLmSurprisal passes " +
+      "(the formulation it replaced), bit for bit") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val target = docs.filter(col("lang") === "en")
+    val got = graft.ops.TextAnalysis.importanceScore(docs, target)
+      .collect().map(_.toSeq).toSet
+    // the two-pass reference formulation, inlined
+    val self = graft.ops.TextAnalysis.ngramLmSurprisal(docs)
+      .select(col("doc_id"), col("n_bigrams"),
+        col("avg_mbits").as("self_mbits"))
+    val tgt = graft.ops.TextAnalysis
+      .ngramLmSurprisal(docs, model = Some(target))
+      .select(col("doc_id"), col("avg_mbits").as("target_mbits"))
+    val want = self.join(tgt, Seq("doc_id"))
+      .select(col("doc_id"), col("n_bigrams"), col("self_mbits"),
+        col("target_mbits"),
+        (col("self_mbits") - col("target_mbits")).as("delta_mbits"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
   test("vocabCoverage: vocabulary joins as BROADCAST, rollup is partial-" +
       "aggregated; deterministic across reruns") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
