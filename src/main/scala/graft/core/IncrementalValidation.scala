@@ -300,7 +300,10 @@ object IncrementalValidation {
       }
     }
 
-    swapWrite(spark, newState, statePath(stateDir))
+    // a zero-dirty re-run (the daily no-change case) proves the state
+    // current — rewriting it would only churn bytes; leave it in place
+    val noChange = !rebuild && dirtyBuckets.exists(_.isEmpty)
+    if (!noChange) swapWrite(spark, newState, statePath(stateDir))
     if (!haveState)
       swapWrite(spark,
         Seq((STATE_VERSION, nBuckets, modeKey(mode)))

@@ -105,15 +105,44 @@ object Tokenize {
     toks.toArray
   }
 
+  /** One local training step over an in-memory working set: returns the
+    * best pair (same tie-break as the distributed argmax) or None. */
+  private def localBest(vocab: Iterable[(IndexedSeq[String], Long)])
+      : Option[((String, String), Long)] = {
+    val stats = new java.util.HashMap[(String, String), Long]()
+    for ((toks, f) <- vocab; i <- 0 until toks.length - 1)
+      stats.merge((toks(i), toks(i + 1)), f, java.lang.Long.sum(_, _))
+    if (stats.isEmpty) None
+    else {
+      var best: ((String, String), Long) = null
+      val it = stats.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = (e.getKey, e.getValue)
+        if (best == null || c._2 > best._2 ||
+          (c._2 == best._2 &&
+            Ordering[(String, String)].lt(c._1, best._1))) best = c
+      }
+      Some(best)
+    }
+  }
+
   /** Train `numMerges` BPE merges over the corpus. Returns (rank, left,
     * right, freq), rank 0 first. Stops early when the best remaining
     * pair's frequency falls below `minFreq` (or no pair remains).
     *
-    * Driver loop, one job per merge over the (persisted, shrinking)
-    * distinct-word set; the merge table itself is metadata-sized by
-    * construction (numMerges rows) — collecting it is the point. */
+    * Hybrid execution, same answer either way (spec-pinned): while the
+    * distinct-word working set exceeds `localThreshold` rows, each merge
+    * is one distributed job (partial pair counts + TakeOrdered(1) argmax
+    * + narrow rewrite, lineage cut by periodic localCheckpoint); once
+    * the shrinking set FITS THE DRIVER it is collected and the remaining
+    * merges run locally — per-merge cost drops from a Spark job (~0.1 s
+    * of fixed overhead regardless of data) to microseconds, which is
+    * what a 50k-merge production vocabulary needs once the tail is
+    * small. The collect is bounded by `localThreshold` rows of short
+    * token arrays — metadata-sized by construction. */
   def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
-      minFreq: Long = 2L): DataFrame = {
+      minFreq: Long = 2L, localThreshold: Long = 1L << 16): DataFrame = {
     require(numMerges >= 0, "numMerges must be >= 0")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -124,40 +153,61 @@ object Tokenize {
         }
         .filter(_._1.length > 1)
         .persist()
+    var workCount = work.count()
     val merges = ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 0
     var done = numMerges == 0
     while (!done) {
-      val top = work
-        .flatMap { case (toks, f) =>
-          (0 until toks.length - 1).iterator
-            .map(i => (toks(i), toks(i + 1), f))
-        }
-        .toDF("left", "right", "f")
-        .groupBy("left", "right").agg(sum("f").as("freq"))
-        .orderBy(desc("freq"), asc("left"), asc("right"))
-        .head(1) // TakeOrdered(1): partial top-1 per partition, no sort
-      if (top.isEmpty || top(0).getAs[Long]("freq") < minFreq) done = true
-      else {
-        val l = top(0).getAs[String]("left")
-        val r = top(0).getAs[String]("right")
-        merges += ((rank, l, r, top(0).getAs[Long]("freq")))
-        val next = work
-          .map { case (toks, f) => (mergeWord(toks, l, r), f) }
-          .filter(_._1.length > 1)
-        // persist the rewrite; cut lineage periodically so round r never
-        // replays rounds 0..r-1 through a tower of map closures
-        val mat =
-          if ((rank + 1) % 8 == 0) next.localCheckpoint()
-          else next.persist()
-        mat.count()
+      if (workCount <= localThreshold) {
+        // local finish: the set fits the driver — run the remaining
+        // merges in memory with the identical stats/tie-break/rewrite
+        var vocab = work.collect().toSeq
         work.unpersist()
-        work = mat
-        rank += 1
-        if (rank >= numMerges) done = true
+        var go = true
+        while (go && rank < numMerges) {
+          localBest(vocab) match {
+            case Some(((l, r), f)) if f >= minFreq =>
+              merges += ((rank, l, r, f))
+              vocab = vocab
+                .map { case (t, fq) => (mergeWord(t, l, r), fq) }
+                .filter(_._1.length > 1)
+              rank += 1
+            case _ => go = false
+          }
+        }
+        done = true
+      } else {
+        val top = work
+          .flatMap { case (toks, f) =>
+            (0 until toks.length - 1).iterator
+              .map(i => (toks(i), toks(i + 1), f))
+          }
+          .toDF("left", "right", "f")
+          .groupBy("left", "right").agg(sum("f").as("freq"))
+          .orderBy(desc("freq"), asc("left"), asc("right"))
+          .head(1) // TakeOrdered(1): partial top-1 per partition, no sort
+        if (top.isEmpty || top(0).getAs[Long]("freq") < minFreq) done = true
+        else {
+          val l = top(0).getAs[String]("left")
+          val r = top(0).getAs[String]("right")
+          merges += ((rank, l, r, top(0).getAs[Long]("freq")))
+          val next = work
+            .map { case (toks, f) => (mergeWord(toks, l, r), f) }
+            .filter(_._1.length > 1)
+          // persist the rewrite; cut lineage periodically so round r never
+          // replays rounds 0..r-1 through a tower of map closures
+          val mat =
+            if ((rank + 1) % 8 == 0) next.localCheckpoint()
+            else next.persist()
+          workCount = mat.count()
+          work.unpersist()
+          work = mat
+          rank += 1
+          if (rank >= numMerges) done = true
+        }
       }
     }
-    work.unpersist()
+    work.unpersist() // no-op when the local path already released it
     merges.toSeq.toDF("rank", "left", "right", "freq")
   }
 

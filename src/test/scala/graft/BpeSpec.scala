@@ -155,6 +155,26 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("hybrid execution: forcing the distributed loop (localThreshold=0) " +
+      "gives the same merges as the local finish, and as the reference") {
+    for (trial <- 1 to 4) {
+      val texts = randomCorpus(rnd.nextInt(25) + 5)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val nm = rnd.nextInt(14) + 3
+      def collectMerges(threshold: Long) =
+        Tokenize.bpeTrain(docs, "text", nm, minFreq = 2,
+            localThreshold = threshold)
+          .orderBy("rank").collect()
+          .map(r => (r.getAs[Int]("rank"), r.getAs[String]("left"),
+            r.getAs[String]("right"), r.getAs[Long]("freq"))).toSeq
+      val dist = collectMerges(0L)          // never collects: pure Spark loop
+      val local = collectMerges(1L << 20)   // collects immediately
+      assert(dist == local, s"trial $trial: hybrid paths disagree")
+      assert(dist == seqTrain(wordFreqsOf(texts), nm, 2), s"trial $trial")
+    }
+  }
+
   test("semantics edges: greedy overlap merge, pair-count overlaps, " +
       "null/empty text, early stop below minFreq") {
     // "aaaa" under merge (a,a): greedy LTR -> (aa, aa); "aaa" -> (aa, a)
