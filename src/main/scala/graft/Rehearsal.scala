@@ -589,42 +589,56 @@ object Rehearsal {
       }
 
       // incremental validation leg — the daily re-run shape: build the
-      // per-bucket state once, then re-validate after a CONSTANT-SIZE
-      // restated batch (~200 ids, the honest churn model: the table grows,
-      // yesterday's correction does not). Dirty buckets <= changed ids, so
-      // the dirty fraction FALLS with scale and the incremental run's
-      // advantage over a full summaryFast must WIDEN. Equality of the two
-      // summaries is asserted here as well — a rehearsal that got a wrong
-      // answer fast would be worse than useless.
+      // per-bucket state once over tables PARTITIONED BY THE BUCKET
+      // COLUMN (withBucket — the layout the op is designed to ride),
+      // then re-validate after a CONSTANT-SIZE restated batch (~20 ids:
+      // the table grows, yesterday's correction does not). Dirty buckets
+      // <= changed ids, so the dirty fraction falls with scale, the
+      // partition-pruned recompute touches only the churned FILES, and
+      // the advantage over a full summaryFast must WIDEN with scale.
+      // Equality of the two summaries is asserted in-leg — a rehearsal
+      // that got a wrong answer fast would be worse than useless.
       {
         val n = 100000L * scale
+        val nB = 512
         val mode = graft.core.CompareMode.Fuzzy(0.9)
-        val f0 = validationSide(spark, n, skewed = false, dropMod = 97L,
-          perturb = false).localCheckpoint(true)
-        val s0 = validationSide(spark, n, skewed = false, dropMod = 89L,
-          perturb = true).localCheckpoint(true)
-        val rowsIn = f0.count() + s0.count()
-        // the restated batch: ids k1000..k1199 get a new value on the
-        // second side, ten of them disappear, ten new ids appear
-        val kNum = substring(col("id"), 2, 100).cast("long")
-        val s1 = s0
-          .withColumn("check",
-            when(kNum.between(1000, 1199), concat(col("check"), lit("X")))
-              .otherwise(col("check")))
-          .filter(!kNum.between(1190, 1199))
-          .unionByName(spark.range(10).selectExpr(
-            "concat('znew', CAST(id AS STRING)) AS id",
-            "substring(md5(CAST(id AS STRING)), 1, 24) AS check"))
-          .localCheckpoint(true)
-        val stateDir = java.nio.file.Files
+        val legDir = java.nio.file.Files
           .createTempDirectory(s"graft_incleg_$scale").toString
+        // one file per bucket dir: repartition ON the bucket column before
+        // partitionBy, or every task writes a sliver into every dir and
+        // the layout becomes the small-files problem it exists to avoid
+        def writeBucketed(df: DataFrame, name: String): DataFrame = {
+          graft.core.IncrementalValidation.withBucket(df, nB)
+            .repartition(col("bucket"))
+            .write.partitionBy("bucket").mode("overwrite")
+            .parquet(s"$legDir/$name")
+          spark.read.parquet(s"$legDir/$name")
+        }
+        val f0 = writeBucketed(validationSide(spark, n, skewed = false,
+          dropMod = 97L, perturb = false), "f0")
+        val s0raw = validationSide(spark, n, skewed = false, dropMod = 89L,
+          perturb = true)
+        val s0 = writeBucketed(s0raw, "s0")
+        val rowsIn = f0.count() + s0.count()
+        // the restated batch: ids k1000..k1019 get a new value on the
+        // second side, two of them disappear, three new ids appear
+        val kNum = substring(col("id"), 2, 100).cast("long")
+        val s1 = writeBucketed(s0raw
+          .withColumn("check",
+            when(kNum.between(1000, 1019), concat(col("check"), lit("X")))
+              .otherwise(col("check")))
+          .filter(!kNum.between(1018, 1019))
+          .unionByName(spark.range(3).selectExpr(
+            "concat('znew', CAST(id AS STRING)) AS id",
+            "substring(md5(CAST(id AS STRING)), 1, 24) AS check")), "s1")
+        val stateDir = s"$legDir/state"
         val (_, tBuild) = timed {
           graft.core.IncrementalValidation.run(f0, s0, mode, stateDir,
-            nBuckets = 4096)
+            nBuckets = nB, bucketCol = Some("bucket"))
         }
         val ((incRow, rep), tInc) = timed {
           val (df, r) = graft.core.IncrementalValidation.run(f0, s1, mode,
-            stateDir, nBuckets = 4096)
+            stateDir, nBuckets = nB, bucketCol = Some("bucket"))
           (df.collect().head, r)
         }
         val (fullRow, tFull) = timed {
@@ -635,7 +649,6 @@ object Rehearsal {
           require(incRow.getAs[Long](c) == fullRow.getAs[Long](c),
             s"incremental leg summary mismatch on $c: $incRow vs $fullRow")
         emit(s"""{"scale":$scale,"stage":"validate_incremental","input_rows":$rowsIn,"dirty_buckets":${rep.dirtyBuckets},"total_buckets":${rep.totalBuckets},"build_sec":$tBuild,"sec_incremental":$tInc,"sec_full":$tFull,"speedup_vs_full":${(tFull / math.max(tInc, 1e-9) * 100).toLong / 100.0}}""")
-        f0.unpersist(); s0.unpersist(); s1.unpersist()
       }
 
       // streaming legs — the last unrehearsed family: throughput and

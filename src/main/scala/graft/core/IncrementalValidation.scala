@@ -79,6 +79,24 @@ object IncrementalValidation {
     when(col("id").isNull, lit(-1L))
       .otherwise(pmod(xxhash64(col("id").cast(StringType)), lit(nBuckets.toLong)))
 
+  /** Append the bucket column [[run]] computes internally — the LAYOUT
+    * hook: write the table partitioned (or clustered) by this column and
+    * pass its name as `run(..., bucketCol = Some(...))`, and the dirty-
+    * bucket filter becomes a partition-pruning predicate — a re-run
+    * after small churn then skips the clean buckets' FILES, not just
+    * their shuffle. The column MUST be produced by this method (or the
+    * identical expression): `run` trusts the labels, because verifying
+    * them would cost the very scan the layout exists to avoid.
+    *
+    * Layout discipline: `repartition(col(bucketCol))` BEFORE
+    * `partitionBy(bucketCol)` so each bucket directory holds one file —
+    * otherwise every writing task leaves a sliver in every directory
+    * and the layout becomes the small-files problem it exists to
+    * avoid (then govern with [[graft.ops.Compaction.compactPartitioned]]). */
+  def withBucket(df: DataFrame, nBuckets: Int,
+      bucketCol: String = "bucket"): DataFrame =
+    df.withColumn(bucketCol, bucketExpr(nBuckets))
+
   private val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
 
   /** Per-bucket multiset digests of both sides in ONE aggregation over
@@ -86,9 +104,13 @@ object IncrementalValidation {
     * combinable end to end; the exchange moves ~nBuckets rows per task.
     * Exposed package-private so the plan spec can pin exactly that. */
   private[graft] def digests(first: DataFrame, second: DataFrame,
-      nBuckets: Int): DataFrame = {
+      nBuckets: Int, bucketCol: Option[String] = None): DataFrame = {
+    // internal bucket ids are always LONG — a materialized partition
+    // column may read back as INT (partition-type inference), and the
+    // state/terms join must not depend on that
     def side(df: DataFrame, tag: Int) = df.select(
-      bucketExpr(nBuckets).as("bucket"),
+      bucketCol.map(c => col(c).cast("long"))
+        .getOrElse(bucketExpr(nBuckets)).as("bucket"),
       xxhash64(col("id").cast(StringType), col("check").cast(StringType))
         .as("h"),
       lit(tag).as("side"))
@@ -219,11 +241,18 @@ object IncrementalValidation {
     * @param dirtyFractionLimit above this dirty-bucket share the run
     *        falls back to one full recompute — when most of the table
     *        churned, one pass beats digest + filtered pass.
+    * @param bucketCol name of a PRE-MATERIALIZED bucket column on both
+    *        inputs (produced by [[withBucket]] with the same nBuckets —
+    *        trusted, see there). When the tables are partitioned or
+    *        clustered by it, the dirty filter prunes files, turning the
+    *        recompute's I/O proportional to the churn instead of the
+    *        table.
     * @return (summary, report); [[summaryIncremental]] returns just the
     *         summary. */
   def run(first: DataFrame, second: DataFrame, mode: CompareMode,
       stateDir: String, nBuckets: Int = 4096,
-      dirtyFractionLimit: Double = 0.25): (DataFrame, IncrementalReport) = {
+      dirtyFractionLimit: Double = 0.25,
+      bucketCol: Option[String] = None): (DataFrame, IncrementalReport) = {
     require(nBuckets > 0, "nBuckets must be positive")
     val spark = first.sparkSession
     import spark.implicits._
@@ -232,7 +261,7 @@ object IncrementalValidation {
     // localCheckpoint materializes the <= nBuckets+1 rows once — they
     // steer pruning AND become the new state's digest columns, and must
     // not recompute (= rescan both sides) per consumer.
-    val cdDf = digests(first, second, nBuckets).localCheckpoint()
+    val cdDf = digests(first, second, nBuckets, bucketCol).localCheckpoint()
     val total = cdDf.count()
 
     val haveState = metaMatches(spark, stateDir, nBuckets, mode)
@@ -280,7 +309,21 @@ object IncrementalValidation {
             spark.range(0).select(col("id").as("bucket") +:
               termCols.map(c => col("id").as(c)): _*)
           else {
-            val pred = bucketExpr(nBuckets).isin(dirtyData: _*)
+            // with a materialized bucket column the IN-list is a plain
+            // attribute predicate — partition/file pruning applies when
+            // the layout is bucket-aligned; otherwise it evaluates the
+            // hash per row (scan survives, the keyed shuffle still
+            // shrinks to the churn). The literals are typed to the RAW
+            // column (an inferred partition column reads back as INT) —
+            // a cast wrapped around the attribute could defeat pruning
+            def typedIn(c: String): Column =
+              first.schema(c).dataType match {
+                case org.apache.spark.sql.types.IntegerType =>
+                  col(c).isin(dirtyData.map(_.toInt): _*)
+                case _ => col(c).isin(dirtyData: _*)
+              }
+            val pred = bucketCol.map(typedIn)
+              .getOrElse(bucketExpr(nBuckets).isin(dirtyData: _*))
             perBucketTerms(first.filter(pred), second.filter(pred),
               mode, nBuckets)
           }
@@ -337,6 +380,8 @@ object IncrementalValidation {
     * with a state directory. */
   def summaryIncremental(first: DataFrame, second: DataFrame,
       mode: CompareMode, stateDir: String, nBuckets: Int = 4096,
-      dirtyFractionLimit: Double = 0.25): DataFrame =
-    run(first, second, mode, stateDir, nBuckets, dirtyFractionLimit)._1
+      dirtyFractionLimit: Double = 0.25,
+      bucketCol: Option[String] = None): DataFrame =
+    run(first, second, mode, stateDir, nBuckets, dirtyFractionLimit,
+      bucketCol)._1
 }

@@ -99,6 +99,47 @@ class Round13OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bucketCol path: tables hive-partitioned by withBucket's column " +
+      "give the same answers, and the dirty filter is a partition-" +
+      "pruning predicate") {
+    val stateDir = freshStateDir()
+    val legDir = java.nio.file.Files.createTempDirectory("graft_bcol").toString
+    def writeBucketed(df: DataFrame, name: String): DataFrame = {
+      IncrementalValidation.withBucket(df, 32)
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$legDir/$name")
+      spark.read.parquet(s"$legDir/$name")
+    }
+    val f = writeBucketed(randomKeyed(300, 150), "f")
+    val s0raw = randomKeyed(300, 150)
+    val s0 = writeBucketed(s0raw, "s0")
+    val (sum1, r1) = IncrementalValidation.run(f, s0, CompareMode.Fuzzy(1.0),
+      stateDir, nBuckets = 32, bucketCol = Some("bucket"))
+    assert(r1.rebuilt)
+    assertSummariesEqual(sum1,
+      Validator.summaryFast(f, s0, CompareMode.Fuzzy(1.0)), "bucketCol run1")
+    // churn a couple of ids, rewrite, re-run through the bucket column
+    val s1 = writeBucketed(s0raw.withColumn("check",
+      when(col("id") === "7", lit("CHANGED")).otherwise(col("check"))), "s1")
+    val (sum2, r2) = IncrementalValidation.run(f, s1, CompareMode.Fuzzy(1.0),
+      stateDir, nBuckets = 32, dirtyFractionLimit = 1.0,
+      bucketCol = Some("bucket"))
+    assert(!r2.rebuilt && r2.dirtyBuckets < r2.totalBuckets,
+      s"churned run must prune: $r2")
+    assertSummariesEqual(sum2,
+      Validator.summaryFast(f, s1, CompareMode.Fuzzy(1.0)), "bucketCol run2")
+    // the IN-list on the raw (INT-inferred) partition column must reach
+    // the scan as a partition filter — that is the whole point of the
+    // layout hook
+    val dtype = f.schema("bucket").dataType.simpleString
+    assert(dtype == "int" || dtype == "bigint", s"inferred as $dtype")
+    val pruned = f.filter(col("bucket").isin(3, 4))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("\\s+", " ").matches("(?s).*PartitionFilters: \\[[^\\]]*bucket.*"),
+      s"bucket IN-list must prune partitions:\n$scan")
+  }
+
   test("parameter changes and missing state rebuild; a too-dirty run " +
       "falls back to one full pass") {
     val stateDir = freshStateDir()
