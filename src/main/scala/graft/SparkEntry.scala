@@ -284,6 +284,31 @@ object SparkEntry {
           ("o_orderpriority", CompareMode.Fuzzy(0.9))))
         .orderBy("column_name")
     }),
+    "v_multi_incremental" -> ((s, dir) => {
+      // the multi-column twin of v_incremental_summary: whole-row digests
+      // over all three check columns, per-(bucket, column) stored terms,
+      // the same restated-batch seeding (ids < 600 perturbed on the
+      // second side's price, a third of them absent) — and the oracle is
+      // v_multi_validate's full per-column SQL over the CURRENT inputs,
+      // which never sees the state. Re-runs converge to all-clean.
+      val (db1, db2) = ordersPair(s, dir)
+      val checks = Seq(
+        ("o_totalprice", CompareMode.Numeric),
+        ("o_orderdate", CompareMode.Date),
+        ("o_orderpriority", CompareMode.Fuzzy(0.9)))
+      val stateDir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_incvalm_${dirTag(dir)}"
+      val restated = col("id").cast("long") < 600
+      val prior2 = db2
+        .withColumn("o_totalprice",
+          when(restated, col("o_totalprice") + 7).otherwise(col("o_totalprice")))
+        .filter(!(restated && col("id").cast("long") % 3 === 0))
+      graft.core.IncrementalValidation.summaryMultiIncremental(
+        db1, prior2, checks, stateDir, nBuckets = 4096)
+      graft.core.IncrementalValidation.summaryMultiIncremental(
+          db1, db2, checks, stateDir, nBuckets = 4096)
+        .orderBy("column_name")
+    }),
     "v_multi_diff" -> ((s, dir) => {
       // the tidy per-column differing pairs behind v_multi_validate's
       // counts — k columns from ONE inner join on id. totalprice rides
@@ -2376,6 +2401,53 @@ object SparkEntry {
   /** DuckDB-runnable ANSI equivalents (driver's correctness oracle).
     * Omitted for ops whose semantics aren't SQL-expressible (difflib ratio,
     * LSH, UDF hashes) — the driver records a weaker rows-only check there. */
+  /** The per-column six-metric SQL over the current inputs — shared by
+    * the v_multi_validate oracle and (as an identity oracle) by
+    * v_multi_incremental, whose stored state it never sees. */
+  private lazy val multiValidateSql: String =
+    s"""$pairCte
+         |SELECT 'o_orderdate' AS column_name,
+         |  (SELECT COUNT(*) FROM db1) AS n_first,
+         |  (SELECT COUNT(*) FROM db2) AS n_second,
+         |  (SELECT COUNT(*) FROM db2 WHERE NOT EXISTS
+         |     (SELECT 1 FROM db1 WHERE db1.id = db2.id)) AS missing_in_first,
+         |  (SELECT COUNT(*) FROM db1 WHERE NOT EXISTS
+         |     (SELECT 1 FROM db2 WHERE db2.id = db1.id)) AS missing_in_second,
+         |  (SELECT COUNT(*) FROM db1 JOIN db2 ON db1.id = db2.id
+         |     WHERE db1.o_orderdate IS DISTINCT FROM db2.o_orderdate) AS n_differing,
+         |  (SELECT COUNT(*) FROM db2 WHERE EXISTS
+         |     (SELECT 1 FROM db1 WHERE db1.id = db2.id)) AS n_matched
+         |UNION ALL
+         |SELECT 'o_orderpriority',
+         |  (SELECT COUNT(*) FROM db1),
+         |  (SELECT COUNT(*) FROM db2),
+         |  (SELECT COUNT(*) FROM db2 WHERE NOT EXISTS
+         |     (SELECT 1 FROM db1 WHERE db1.id = db2.id)),
+         |  (SELECT COUNT(*) FROM db1 WHERE NOT EXISTS
+         |     (SELECT 1 FROM db2 WHERE db2.id = db1.id)),
+         |  (SELECT COUNT(*) FROM db1 JOIN db2 ON db1.id = db2.id
+         |     LEFT JOIN read_parquet('$repoRoot/src/test/resources/difflib_ratios.parquet') r
+         |       ON db1.o_orderpriority = r.a AND db2.o_orderpriority = r.b
+         |     WHERE CASE
+         |       WHEN db1.o_orderpriority IS NULL AND db2.o_orderpriority IS NULL THEN FALSE
+         |       WHEN db1.o_orderpriority IS NULL OR db2.o_orderpriority IS NULL THEN TRUE
+         |       ELSE r.ratio < CAST(0.9 AS DOUBLE) END),
+         |  (SELECT COUNT(*) FROM db2 WHERE EXISTS
+         |     (SELECT 1 FROM db1 WHERE db1.id = db2.id))
+         |UNION ALL
+         |SELECT 'o_totalprice',
+         |  (SELECT COUNT(*) FROM db1),
+         |  (SELECT COUNT(*) FROM db2),
+         |  (SELECT COUNT(*) FROM db2 WHERE NOT EXISTS
+         |     (SELECT 1 FROM db1 WHERE db1.id = db2.id)),
+         |  (SELECT COUNT(*) FROM db1 WHERE NOT EXISTS
+         |     (SELECT 1 FROM db2 WHERE db2.id = db1.id)),
+         |  (SELECT COUNT(*) FROM db1 JOIN db2 ON db1.id = db2.id
+         |     WHERE db1.o_totalprice IS DISTINCT FROM db2.o_totalprice),
+         |  (SELECT COUNT(*) FROM db2 WHERE EXISTS
+         |     (SELECT 1 FROM db1 WHERE db1.id = db2.id))
+         |ORDER BY column_name""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "v_missing_first" ->
       s"""$pairCte
@@ -2479,49 +2551,12 @@ object SparkEntry {
          |       ELSE r.ratio < CAST(0.9 AS DOUBLE) END) AS n_differing,
          |  (SELECT COUNT(*) FROM db2 WHERE EXISTS
          |     (SELECT 1 FROM db1 WHERE db1.id = db2.id)) AS n_matched""".stripMargin,
-    "v_multi_validate" ->
-      s"""$pairCte
-         |SELECT 'o_orderdate' AS column_name,
-         |  (SELECT COUNT(*) FROM db1) AS n_first,
-         |  (SELECT COUNT(*) FROM db2) AS n_second,
-         |  (SELECT COUNT(*) FROM db2 WHERE NOT EXISTS
-         |     (SELECT 1 FROM db1 WHERE db1.id = db2.id)) AS missing_in_first,
-         |  (SELECT COUNT(*) FROM db1 WHERE NOT EXISTS
-         |     (SELECT 1 FROM db2 WHERE db2.id = db1.id)) AS missing_in_second,
-         |  (SELECT COUNT(*) FROM db1 JOIN db2 ON db1.id = db2.id
-         |     WHERE db1.o_orderdate IS DISTINCT FROM db2.o_orderdate) AS n_differing,
-         |  (SELECT COUNT(*) FROM db2 WHERE EXISTS
-         |     (SELECT 1 FROM db1 WHERE db1.id = db2.id)) AS n_matched
-         |UNION ALL
-         |SELECT 'o_orderpriority',
-         |  (SELECT COUNT(*) FROM db1),
-         |  (SELECT COUNT(*) FROM db2),
-         |  (SELECT COUNT(*) FROM db2 WHERE NOT EXISTS
-         |     (SELECT 1 FROM db1 WHERE db1.id = db2.id)),
-         |  (SELECT COUNT(*) FROM db1 WHERE NOT EXISTS
-         |     (SELECT 1 FROM db2 WHERE db2.id = db1.id)),
-         |  (SELECT COUNT(*) FROM db1 JOIN db2 ON db1.id = db2.id
-         |     LEFT JOIN read_parquet('$repoRoot/src/test/resources/difflib_ratios.parquet') r
-         |       ON db1.o_orderpriority = r.a AND db2.o_orderpriority = r.b
-         |     WHERE CASE
-         |       WHEN db1.o_orderpriority IS NULL AND db2.o_orderpriority IS NULL THEN FALSE
-         |       WHEN db1.o_orderpriority IS NULL OR db2.o_orderpriority IS NULL THEN TRUE
-         |       ELSE r.ratio < CAST(0.9 AS DOUBLE) END),
-         |  (SELECT COUNT(*) FROM db2 WHERE EXISTS
-         |     (SELECT 1 FROM db1 WHERE db1.id = db2.id))
-         |UNION ALL
-         |SELECT 'o_totalprice',
-         |  (SELECT COUNT(*) FROM db1),
-         |  (SELECT COUNT(*) FROM db2),
-         |  (SELECT COUNT(*) FROM db2 WHERE NOT EXISTS
-         |     (SELECT 1 FROM db1 WHERE db1.id = db2.id)),
-         |  (SELECT COUNT(*) FROM db1 WHERE NOT EXISTS
-         |     (SELECT 1 FROM db2 WHERE db2.id = db1.id)),
-         |  (SELECT COUNT(*) FROM db1 JOIN db2 ON db1.id = db2.id
-         |     WHERE db1.o_totalprice IS DISTINCT FROM db2.o_totalprice),
-         |  (SELECT COUNT(*) FROM db2 WHERE EXISTS
-         |     (SELECT 1 FROM db1 WHERE db1.id = db2.id))
-         |ORDER BY column_name""".stripMargin,
+    "v_multi_validate" -> multiValidateSql,
+    // identity oracle for the multi-column INCREMENTAL path: the exact
+    // same per-column SQL over the current inputs — the stored state and
+    // the prior snapshot are invisible to it, so a stale carried term or
+    // a missed dirty bucket is a value mismatch
+    "v_multi_incremental" -> multiValidateSql,
     "v_multi_diff" ->
       s"""$pairCte
          |SELECT * FROM (

@@ -115,7 +115,15 @@ object ConfigLoader {
       dateColumnSecond = str(m, s"${dbs(1)}_database_date_column"),
       outputDirectory = str(m, "output_directory").getOrElse("./output"),
       checkAllColumns = checkAll,
-      checkColumns = multiChecks)
+      checkColumns = multiChecks,
+      incremental = m.get("incremental") match {
+        case Some(b: java.lang.Boolean) => b.booleanValue()
+        case Some(s) => s.toString.equalsIgnoreCase("true")
+        case None => false
+      },
+      stateDirectory = str(m, "state_directory"),
+      incrementalBuckets =
+        str(m, "incremental_buckets").map(_.toInt).getOrElse(4096))
   }
 
   private def sourceSpec(s: Map[String, Object], root: Map[String, Object],

@@ -51,4 +51,12 @@ final case class ValidationConfig(
     checkColumns: Seq[CheckSpec] = Seq.empty, // multi-column extension
     // `check_columns: all` — infer the whole-row check list from the two
     // sources' shared schema at run time (ValidationJob.inferChecks)
-    checkAllColumns: Boolean = false)
+    checkAllColumns: Boolean = false,
+    // `incremental: true` — answer the summary through
+    // [[graft.core.IncrementalValidation]]'s stored per-bucket state
+    // (digest-pruned re-validation); the state lives at
+    // `state_directory` (default `<output_directory>/validation_state`)
+    // with `incremental_buckets` buckets
+    incremental: Boolean = false,
+    stateDirectory: Option[String] = None,
+    incrementalBuckets: Int = 4096)

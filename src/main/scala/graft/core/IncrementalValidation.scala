@@ -99,19 +99,31 @@ object IncrementalValidation {
 
   private val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
 
+  /** Whole-row digest payload for a k-column check list: one 64-bit
+    * value combining every check column, POSITION-SALTED — each column
+    * hashes with its index first (`xxhash64(lit(j), c_j)`), so a null
+    * column can never make two different rows collide by letting a
+    * value slide into another column's position (bare multi-arg
+    * xxhash64 skips nulls, which would do exactly that). */
+  private def multiValueExpr(checkCols: Seq[String]): Column =
+    xxhash64(checkCols.zipWithIndex.map { case (c, j) =>
+      xxhash64(lit(j), col(c).cast(StringType))
+    }: _*)
+
   /** Per-bucket multiset digests of both sides in ONE aggregation over
     * the tagged union: (bucket, n1, h1a, h1b, n2, h2a, h2b). Map-side
     * combinable end to end; the exchange moves ~nBuckets rows per task.
     * Exposed package-private so the plan spec can pin exactly that. */
   private[graft] def digests(first: DataFrame, second: DataFrame,
-      nBuckets: Int, bucketCol: Option[String] = None): DataFrame = {
+      nBuckets: Int, bucketCol: Option[String] = None,
+      valueExpr: Column = col("check").cast(StringType)): DataFrame = {
     // internal bucket ids are always LONG — a materialized partition
     // column may read back as INT (partition-type inference), and the
     // state/terms join must not depend on that
     def side(df: DataFrame, tag: Int) = df.select(
       bucketCol.map(c => col(c).cast("long"))
         .getOrElse(bucketExpr(nBuckets)).as("bucket"),
-      xxhash64(col("id").cast(StringType), col("check").cast(StringType))
+      xxhash64(col("id").cast(StringType), valueExpr)
         .as("h"),
       lit(tag).as("side"))
     def s1(c: Column) = sum(when(col("side") === 1, c).otherwise(lit(0L))
@@ -201,9 +213,65 @@ object IncrementalValidation {
 
   private def statePath(stateDir: String) = s"$stateDir/state"
   private def metaPath(stateDir: String) = s"$stateDir/meta"
+  private def termsPath(stateDir: String) = s"$stateDir/terms"
+
+  /** [[Validator.summaryMulti]]'s per-(id, column) algebra with the
+    * bucket carried through, aggregated per (BUCKET, column position) —
+    * the additive unit of the multi-column incremental merge. One
+    * id-keyed exchange regardless of k (post-shuffle posexplode, the
+    * summaryMulti shape); null-id rows excluded (sidecar from digest
+    * counts, identical for every column). */
+  private[graft] def perBucketTermsMulti(first: DataFrame,
+      second: DataFrame, checks: Seq[(String, CompareMode)],
+      nBuckets: Int): DataFrame = {
+    def keyedSide(df: DataFrame, sideTag: Int) = df
+      .filter(col("id").isNotNull)
+      .select(col("id").cast(StringType).as("id") +:
+        checks.zipWithIndex.map { case ((c, m), j) =>
+          Validator.multiGroupKey(col(c), m).as(s"__v$j") } :+
+        lit(sideTag).as("side"): _*)
+    val exploded = keyedSide(first, 1).unionByName(keyedSide(second, 0))
+      .repartition(col("id"))
+      .withColumn("bucket", pmod(xxhash64(col("id")), lit(nBuckets.toLong)))
+      .select(col("bucket"), col("id"),
+        posexplode(array(checks.indices.map(j => col(s"__v$j")): _*))
+          .as(Seq("pos", "v")),
+        col("side"))
+    val grouped = exploded.groupBy("bucket", "id", "pos", "v").agg(
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("c2"))
+    var perIdPos = grouped.groupBy("bucket", "id", "pos").agg(
+      sum("c1").as("tot1"),
+      sum(col("c1") * col("c2")).as("eq_pairs"),
+      sum("c2").as("tot2"))
+    for (((_, m), j) <- checks.zipWithIndex) m match {
+      case CompareMode.Fuzzy(t) if t < 1.0 =>
+        val a = grouped.filter(col("pos") === j && col("c1") > 0)
+          .select(col("id"), col("v").as("v1"), col("c1"))
+        val b = grouped.filter(col("pos") === j && col("c2") > 0)
+          .select(col("id"), col("v").as("v2"), col("c2"))
+        val eqj = a.join(b, Seq("id")).groupBy("id").agg(
+          sum(when(Validator.differs(col("v1"), col("v2"), m), lit(0L))
+            .otherwise(col("c1") * col("c2"))).as("__eqf"))
+        perIdPos = perIdPos.join(eqj, Seq("id"), "left_outer")
+          .withColumn("eq_pairs",
+            when(col("pos") === j, coalesce(col("__eqf"), lit(0L)))
+              .otherwise(col("eq_pairs")))
+          .drop("__eqf")
+      case _ => ()
+    }
+    perIdPos.groupBy("bucket", "pos").agg(
+      sum(col("tot1")).as("n_first"),
+      sum(col("tot2")).as("n_second"),
+      sum(when(col("tot1") === 0L, col("tot2")).otherwise(0L)).as("missing_in_first"),
+      sum(when(col("tot2") === 0L, col("tot1")).otherwise(0L)).as("missing_in_second"),
+      sum(when(col("tot1") > 0L && col("tot2") > 0L,
+        col("tot1") * col("tot2") - col("eq_pairs")).otherwise(0L)).as("n_differing"),
+      sum(when(col("tot1") > 0L, col("tot2")).otherwise(0L)).as("n_matched"))
+  }
 
   private def metaMatches(spark: SparkSession, stateDir: String,
-      nBuckets: Int, mode: CompareMode): Boolean =
+      nBuckets: Int, modeStr: String): Boolean =
     try {
       // existence pre-check: a first run has no state, and probing it
       // through spark.read would log a scary (harmless) WARN per call
@@ -213,7 +281,7 @@ object IncrementalValidation {
         val m = spark.read.parquet(metaPath(stateDir)).head()
         m.getAs[Int]("version") == STATE_VERSION &&
           m.getAs[Int]("n_buckets") == nBuckets &&
-          m.getAs[String]("mode") == modeKey(mode)
+          m.getAs[String]("mode") == modeStr
       }
     } catch { case scala.util.control.NonFatal(_) => false }
 
@@ -264,7 +332,7 @@ object IncrementalValidation {
     val cdDf = digests(first, second, nBuckets, bucketCol).localCheckpoint()
     val total = cdDf.count()
 
-    val haveState = metaMatches(spark, stateDir, nBuckets, mode)
+    val haveState = metaMatches(spark, stateDir, nBuckets, modeKey(mode))
     val oldState: Option[DataFrame] =
       if (haveState)
         try Some(spark.read.parquet(statePath(stateDir)))
@@ -384,4 +452,159 @@ object IncrementalValidation {
       bucketCol: Option[String] = None): DataFrame =
     run(first, second, mode, stateDir, nBuckets, dirtyFractionLimit,
       bucketCol)._1
+
+  /** Multi-column incremental validation — [[Validator.summaryMulti]]'s
+    * per-column summary answered through stored per-(bucket, column)
+    * terms: the WHOLE-ROW digest (one position-salted 64-bit value over
+    * all k check columns — see [[multiValueExpr]]) decides dirtiness per
+    * bucket, clean buckets carry all k columns' terms forward, and only
+    * dirty buckets re-enter the one-exchange summaryMulti algebra. A
+    * change in ANY check column dirties its bucket for ALL columns —
+    * per-column digests would multiply digest state by k to save
+    * recomputing columns that share the same dirty rows anyway.
+    *
+    * State layout: `<stateDir>/state` (per-bucket digests),
+    * `<stateDir>/terms` (per-(bucket, pos) metric rows), `<stateDir>/meta`
+    * (version, n_buckets, the full check list as the mode key — a state
+    * built for different columns/modes/thresholds never answers).
+    * Same fallback/no-change/swap discipline as [[run]]; same
+    * [[withBucket]]/`bucketCol` layout hook. Null-id rows contribute the
+    * count-only sidecar identically for every column (summaryMulti's
+    * contract). Output schema and row-per-column contract are exactly
+    * [[Validator.summaryMulti]]'s. */
+  def runMulti(first: DataFrame, second: DataFrame,
+      checks: Seq[(String, CompareMode)], stateDir: String,
+      nBuckets: Int = 4096, dirtyFractionLimit: Double = 0.25,
+      bucketCol: Option[String] = None): (DataFrame, IncrementalReport) = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    require(checks.nonEmpty, "runMulti needs at least one check column")
+    val spark = first.sparkSession
+    import spark.implicits._
+    val modeStr = "multi:" + checks
+      .map { case (c, m) => s"$c=${modeKey(m)}" }.mkString(",")
+
+    val cdDf = digests(first, second, nBuckets, bucketCol,
+      valueExpr = multiValueExpr(checks.map(_._1))).localCheckpoint()
+    val total = cdDf.count()
+
+    val haveState = metaMatches(spark, stateDir, nBuckets, modeStr)
+    val oldTerms: Option[DataFrame] =
+      if (haveState)
+        try {
+          // both halves must load; a torn state rebuilds
+          spark.read.parquet(statePath(stateDir)).schema
+          Some(spark.read.parquet(termsPath(stateDir)))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      else None
+    val oldDigests: Option[DataFrame] = oldTerms.map(_ =>
+      spark.read.parquet(statePath(stateDir)))
+
+    val digestFields = Seq("n1", "h1a", "h1b", "n2", "h2a", "h2b")
+    val dirtyRows: Option[Seq[(Long, Boolean)]] = oldDigests.map { st =>
+      val sd = st.select(col("bucket") +:
+        digestFields.map(f => col(f).as(s"__s_$f")): _*)
+      cdDf.join(sd, Seq("bucket"), "full_outer")
+        .filter(digestFields
+          .map(f => !(col(f) <=> col(s"__s_$f")))
+          .reduce(_ || _))
+        .select(col("bucket"), col("n1").isNotNull.as("in_current"))
+        .as[(Long, Boolean)].collect().toSeq
+    }
+    val dirtyBuckets: Option[Seq[Long]] = dirtyRows.map(_.map(_._1))
+    val tooDirty = dirtyBuckets.exists(d =>
+      total > 0 && d.size.toDouble / total > dirtyFractionLimit)
+    val rebuild = oldTerms.isEmpty || tooDirty
+
+    // null sidecar: one row PER COLUMN POSITION off the -1 digest counts
+    val posSeed = spark.range(checks.size).select(col("id").cast("int").as("pos"))
+    val nullTerms = cdDf.filter(col("bucket") === -1L)
+      .crossJoin(broadcast(posSeed))
+      .select(col("bucket"), col("pos"),
+        col("n1").as("n_first"), col("n2").as("n_second"),
+        col("n2").as("missing_in_first"), col("n1").as("missing_in_second"),
+        lit(0L).as("n_differing"), lit(0L).as("n_matched"))
+
+    val newTerms: DataFrame = {
+      if (rebuild)
+        perBucketTermsMulti(first, second, checks, nBuckets)
+          .unionByName(nullTerms)
+      else {
+        val dirty = dirtyBuckets.get
+        val dirtyData = dirty.filter(_ >= 0L)
+        val recomputed =
+          if (dirtyData.isEmpty)
+            spark.range(0).select(col("id").as("bucket") +:
+              (col("id").cast("int").as("pos") +:
+                termCols.map(c => col("id").as(c))): _*)
+          else {
+            def typedIn(c: String): Column =
+              first.schema(c).dataType match {
+                case org.apache.spark.sql.types.IntegerType =>
+                  col(c).isin(dirtyData.map(_.toInt): _*)
+                case _ => col(c).isin(dirtyData: _*)
+              }
+            val pred = bucketCol.map(typedIn)
+              .getOrElse(bucketExpr(nBuckets).isin(dirtyData: _*))
+            perBucketTermsMulti(first.filter(pred), second.filter(pred),
+              checks, nBuckets)
+          }
+        val carried0 = oldTerms.get
+          .select(col("bucket") +: col("pos") +: termCols.map(col): _*)
+          .filter(col("bucket") =!= -1L)
+        val carried =
+          if (dirty.isEmpty) carried0
+          else carried0.filter(!col("bucket").isin(dirty: _*))
+        // membership tracks the current digests: drained buckets drop
+        carried.unionByName(recomputed).unionByName(nullTerms)
+          .join(cdDf.select("bucket"), Seq("bucket"), "left_semi")
+      }
+    }
+
+    val noChange = !rebuild && dirtyBuckets.exists(_.isEmpty)
+    if (!noChange) {
+      // terms first, then digests: a crash between the two leaves the
+      // NEW terms with the OLD digests, which over-marks buckets dirty
+      // on the next run (safe direction); the reverse order could mark
+      // stale terms clean
+      swapWrite(spark, newTerms, termsPath(stateDir))
+      swapWrite(spark, cdDf, statePath(stateDir))
+    }
+    if (!haveState)
+      swapWrite(spark,
+        Seq((STATE_VERSION, nBuckets, modeStr))
+          .toDF("version", "n_buckets", "mode"),
+        metaPath(stateDir))
+
+    val names = array(checks.map { case (c, _) => lit(c) }: _*)
+    val perCol = spark.read.parquet(termsPath(stateDir))
+      .groupBy("pos").agg(
+        sum("n_first").as("n_first"),
+        sum("n_second").as("n_second"),
+        sum("missing_in_first").as("missing_in_first"),
+        sum("missing_in_second").as("missing_in_second"),
+        sum("n_differing").as("n_differing"),
+        sum("n_matched").as("n_matched"))
+    val summary = broadcast(posSeed).join(perCol, Seq("pos"), "left_outer")
+      .na.fill(0L, termCols)
+      .select(element_at(names, col("pos").cast("int") + 1).as("column_name") +:
+        termCols.map(col): _*)
+    val dirtyInCurrent = dirtyRows
+      .map(_.count(_._2).toLong).getOrElse(0L)
+    val report = IncrementalReport(
+      rebuilt = rebuild,
+      totalBuckets = total,
+      dirtyBuckets =
+        if (rebuild) total else dirtyBuckets.map(_.size.toLong).getOrElse(0L),
+      cleanBuckets = if (rebuild) 0L else total - dirtyInCurrent)
+    (summary, report)
+  }
+
+  /** The summary-only multi-column surface — drop-in for
+    * [[Validator.summaryMulti]] with a state directory. */
+  def summaryMultiIncremental(first: DataFrame, second: DataFrame,
+      checks: Seq[(String, CompareMode)], stateDir: String,
+      nBuckets: Int = 4096, dirtyFractionLimit: Double = 0.25,
+      bucketCol: Option[String] = None): DataFrame =
+    runMulti(first, second, checks, stateDir, nBuckets,
+      dirtyFractionLimit, bucketCol)._1
 }

@@ -122,7 +122,11 @@ object ValidationJob {
       "no shared non-key columns to validate between the two sources")
     val first = keyedMulti(rawFirst, cfg, checks.map(_._1))
     val second = keyedMulti(rawSecond, cfg, checks.map(_._1))
-    val summary = Validator.summaryMulti(first, second, checks)
+    val summary =
+      if (cfg.incremental)
+        IncrementalValidation.summaryMultiIncremental(first, second, checks,
+          stateDir(cfg), nBuckets = cfg.incrementalBuckets)
+      else Validator.summaryMulti(first, second, checks)
     val diff = Validator.diffMulti(first, second, checks)
     if (writeReports)
       ReportWriter.writePartitioned(diff, s"${cfg.outputDirectory}/multi_diff",
@@ -130,7 +134,16 @@ object ValidationJob {
     (summary, diff)
   }
 
-  /** Run the validation; write tidy + compat reports; return the output. */
+  /** The config's incremental-state location: explicit `state_directory`
+    * or a `validation_state` dir beside the reports. */
+  private def stateDir(cfg: ValidationConfig): String =
+    cfg.stateDirectory.getOrElse(s"${cfg.outputDirectory}/validation_state")
+
+  /** Run the validation; write tidy + compat reports; return the output.
+    * With `incremental: true` the summary answers through the stored
+    * per-bucket digest state (only churned buckets recompute on a
+    * re-run); the row-level reports still reflect the full current
+    * inputs. */
   def run(spark: SparkSession, cfg: ValidationConfig,
       writeReports: Boolean = true): (ValidationOutput, DataFrame) = {
     val first = side(spark, cfg, cfg.first, cfg.dateColumnFirst)
@@ -142,7 +155,11 @@ object ValidationJob {
       ReportWriter.writeCompat(out, s"${cfg.outputDirectory}/result",
         cfg.firstName, cfg.secondName, cfg.checkColumn)
     }
-    val summary = Validator.summaryFast(first, second, compareMode(cfg)) // single job, all modes
+    val summary =
+      if (cfg.incremental)
+        IncrementalValidation.summaryIncremental(first, second,
+          compareMode(cfg), stateDir(cfg), nBuckets = cfg.incrementalBuckets)
+      else Validator.summaryFast(first, second, compareMode(cfg)) // single job, all modes
     (out, summary)
   }
 }

@@ -386,16 +386,23 @@ object Validator {
     * (post-partial-agg: ~numPartitions x k rows — metadata-sized).
     * Null-id rows contribute through the same count-only sidecar
     * semantics as [[summaryFast]], identically for every column. */
-  def summaryMulti(first: DataFrame, second: DataFrame,
-      checks: Seq[(String, CompareMode)]): DataFrame = {
-    require(checks.nonEmpty, "summaryMulti needs at least one check column")
-    def groupKey(c: Column, mode: CompareMode): Column = mode match {
+  /** The per-mode STRING group key whose equality agrees with the mode's
+    * `<=>` over coerced values (zero-normalized doubles; injective
+    * double/timestamp -> string casts) — shared by [[summaryMulti]] and
+    * [[IncrementalValidation]]'s multi-column terms. */
+  private[core] def multiGroupKey(c: Column, mode: CompareMode): Column =
+    mode match {
       case CompareMode.Numeric =>
         val d = toNumeric(c)
         when(d === lit(0.0), lit(0.0)).otherwise(d).cast(StringType)
       case CompareMode.Date     => toTs(c).cast(StringType)
       case CompareMode.Fuzzy(_) => c.cast(StringType)
     }
+
+  def summaryMulti(first: DataFrame, second: DataFrame,
+      checks: Seq[(String, CompareMode)]): DataFrame = {
+    require(checks.nonEmpty, "summaryMulti needs at least one check column")
+    def groupKey(c: Column, mode: CompareMode): Column = multiGroupKey(c, mode)
     // single side tag + explicit isnotnull(id): both load-bearing for
     // exchange reuse across the fuzzy legs' consumers — see summaryFast
     def keyedSide(df: DataFrame, sideTag: Int) = df

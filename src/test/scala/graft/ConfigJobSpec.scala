@@ -141,6 +141,62 @@ class ConfigJobSpec extends AnyFunSuite with SparkSpec {
       Seq("x" -> CompareMode.Numeric))
   }
 
+  test("incremental: true routes the summary through the stored digest " +
+      "state — same numbers as the direct path, state persisted, " +
+      "re-runs answer all-clean") {
+    val (pa, pb) = writeSides()
+    val outDir = Files.createTempDirectory("cfginc").toString
+    def yaml(incremental: Boolean) =
+      s"""databases: [left, right]
+         |data_type: string
+         |threshold: 1
+         |composite_id_columns: [pk]
+         |check_column: val
+         |output_directory: $outDir
+         |incremental: $incremental
+         |incremental_buckets: 16
+         |sources:
+         |  left: { format: parquet, path: $pa }
+         |  right: { format: parquet, path: $pb }
+         |""".stripMargin
+    val cfgInc = ConfigLoader.fromYamlString(yaml(true))
+    assert(cfgInc.incremental && cfgInc.incrementalBuckets == 16)
+    val (_, sumInc) = ValidationJob.run(spark, cfgInc, writeReports = false)
+    val (_, sumDirect) = ValidationJob.run(spark,
+      ConfigLoader.fromYamlString(yaml(false)), writeReports = false)
+    val a = sumInc.collect()(0); val b = sumDirect.collect()(0)
+    for (c <- Seq("n_first", "n_second", "missing_in_first",
+        "missing_in_second", "n_differing", "n_matched"))
+      assert(a.getAs[Long](c) == b.getAs[Long](c), s"col $c")
+    assert(new java.io.File(s"$outDir/validation_state/state").isDirectory,
+      "default state location must be <output>/validation_state")
+    // second run: unchanged inputs answer from the state, same numbers
+    val (_, sum2) = ValidationJob.run(spark, cfgInc, writeReports = false)
+    assert(sum2.collect()(0).toSeq == a.toSeq)
+    // multi path: check_columns + incremental uses the multi state
+    val yamlMulti =
+      s"""databases: [left, right]
+         |composite_id_columns: [pk]
+         |check_columns:
+         |  - column: val
+         |  - column: d
+         |    data_type: date
+         |incremental: true
+         |state_directory: $outDir/multi_state
+         |output_directory: $outDir
+         |sources:
+         |  left: { format: parquet, path: $pa }
+         |  right: { format: parquet, path: $pb }
+         |""".stripMargin
+    val cfgM = ConfigLoader.fromYamlString(yamlMulti)
+    val (sumM, _) = ValidationJob.runMulti(spark, cfgM, writeReports = false)
+    val byCol = sumM.collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(byCol("val").getAs[Long]("n_differing") == 1)
+    assert(byCol("d").getAs[Long]("n_differing") == 0)
+    assert(new java.io.File(s"$outDir/multi_state/terms").isDirectory)
+  }
+
   test("config guards: classic path still demands check_column; multi " +
       "path demands a composite key") {
     val (pa, pb) = writeSides()

@@ -99,6 +99,103 @@ class Round13OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  /** Multi-column random frame: numeric-ish, date-ish and fuzzy-domain
+    * string columns with nulls, garbage and dup/null ids. */
+  private def randomMulti(n: Int, keySpace: Int): DataFrame = {
+    val fuzzy = Seq("alpha one", "alpha two", "beta", "gamma ray", "delta")
+    val rows = Seq.fill(n) {
+      val id = if (rnd.nextDouble() < 0.04) null
+        else (rnd.nextInt(keySpace) + 1).toString
+      def maybe[T >: Null](v: T): T = if (rnd.nextDouble() < 0.25) null else v
+      (id,
+        maybe(if (rnd.nextDouble() < 0.1) "garbage"
+          else (rnd.nextInt(40) + rnd.nextInt(2) * 500).toString),
+        maybe(f"2024-01-${rnd.nextInt(5) + 1}%02d"),
+        maybe(fuzzy(rnd.nextInt(fuzzy.length))))
+    }
+    rows.toDF("id", "num", "dt", "fz")
+  }
+
+  private val multiChecks = Seq(
+    ("num", CompareMode.Numeric),
+    ("dt", CompareMode.Date),
+    ("fz", CompareMode.Fuzzy(0.6)))
+
+  test("runMulti (multi-column incremental) == summaryMulti across " +
+      "randomized churn: build, per-column mutate, no-change re-run") {
+    def assertMultiEqual(inc: DataFrame, ref: DataFrame, ctx: String): Unit = {
+      val a = inc.collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+      val b = ref.collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+      assert(a == b, s"$ctx:\n$a\nvs\n$b")
+    }
+    for (trial <- 1 to 4) {
+      val stateDir = freshStateDir()
+      val f0 = viaParquet(randomMulti(rnd.nextInt(200) + 50, 100))
+      val s0 = viaParquet(randomMulti(rnd.nextInt(200) + 50, 100))
+      val (sum1, r1) = IncrementalValidation.runMulti(f0, s0, multiChecks,
+        stateDir, nBuckets = 64, dirtyFractionLimit = 1.0)
+      assert(r1.rebuilt)
+      assertMultiEqual(sum1, Validator.summaryMulti(f0, s0, multiChecks),
+        s"trial $trial run1")
+      // churn ONE column's values on a few ids + drop/add rows — a
+      // whole-row digest must catch all of it
+      val s1 = viaParquet(s0
+        .withColumn("fz", when(pmod(xxhash64(col("id"), lit(trial)),
+          lit(12L)) === 0, lit("MUTATED")).otherwise(col("fz")))
+        .filter(pmod(xxhash64(col("id"), lit(trial + 7)), lit(25L)) =!= 0)
+        .unionByName(Seq((s"zz_$trial", "7", "2024-01-03", "beta"))
+          .toDF("id", "num", "dt", "fz")))
+      val (sum2, r2) = IncrementalValidation.runMulti(f0, s1, multiChecks,
+        stateDir, nBuckets = 64, dirtyFractionLimit = 1.0)
+      assert(!r2.rebuilt && r2.dirtyBuckets > 0 && r2.cleanBuckets > 0,
+        s"trial $trial: expected pruned rerun, got $r2")
+      assertMultiEqual(sum2, Validator.summaryMulti(f0, s1, multiChecks),
+        s"trial $trial run2")
+      // unchanged re-run: all clean, still equal
+      val (sum3, r3) = IncrementalValidation.runMulti(f0, s1, multiChecks,
+        stateDir, nBuckets = 64, dirtyFractionLimit = 1.0)
+      assert(!r3.rebuilt && r3.dirtyBuckets == 0, s"trial $trial: $r3")
+      assertMultiEqual(sum3, Validator.summaryMulti(f0, s1, multiChecks),
+        s"trial $trial run3")
+    }
+    // a changed check LIST (different threshold) must rebuild, never
+    // answer from a state built for other semantics
+    val stateDir = freshStateDir()
+    val f = viaParquet(randomMulti(100, 50))
+    val s = viaParquet(randomMulti(100, 50))
+    IncrementalValidation.runMulti(f, s, multiChecks, stateDir, nBuckets = 16)
+    val altered = multiChecks.updated(2, ("fz", CompareMode.Fuzzy(0.9)))
+    val (sumA, rA) = IncrementalValidation.runMulti(f, s, altered, stateDir,
+      nBuckets = 16)
+    assert(rA.rebuilt, s"check-list change must rebuild: $rA")
+    val a = sumA.collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val b = Validator.summaryMulti(f, s, altered).collect()
+      .map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(a == b)
+  }
+
+  test("multi digest is position-salted: a value moving between columns " +
+      "around a null is always dirty") {
+    // (num=null, fz="x") vs (num="x", fz=null) must DIFFER in digest:
+    // with a naive multi-arg hash both collapse to hash(id, "x")
+    val stateDir = freshStateDir()
+    val f = viaParquet(Seq(("1", "x", null: String))
+      .toDF("id", "num", "fz"))
+    val s = f
+    val checks = Seq(("num", CompareMode.Fuzzy(1.0)),
+      ("fz", CompareMode.Fuzzy(1.0)))
+    IncrementalValidation.runMulti(f, s, checks, stateDir, nBuckets = 8)
+    val s2 = viaParquet(Seq(("1", null: String, "x"))
+      .toDF("id", "num", "fz"))
+    val (sum2, r2) = IncrementalValidation.runMulti(f, s2, checks, stateDir,
+      nBuckets = 8, dirtyFractionLimit = 1.0)
+    assert(r2.dirtyBuckets > 0,
+      s"column swap around a null must dirty the bucket: $r2")
+    val byCol = sum2.collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_differing")).toMap
+    assert(byCol("num") == 1L && byCol("fz") == 1L, s"got $byCol")
+  }
+
   test("bucketCol path: tables hive-partitioned by withBucket's column " +
       "give the same answers, and the dirty filter is a partition-" +
       "pruning predicate") {
