@@ -284,6 +284,31 @@ object SparkEntry {
           ("o_orderpriority", CompareMode.Fuzzy(0.9))))
         .orderBy("column_name")
     }),
+    "v_incremental_diff" -> ((s, dir) => {
+      // the incrementally-MAINTAINED row-level report: missing ids both
+      // ways + differing pairs stored bucket-partitioned, dirty buckets'
+      // partitions rewritten per run (here seeded from the same restated
+      // prior as v_incremental_summary). totalprice rides as
+      // DECIMAL(18,2) for engine-portable strings (v_multi_diff
+      // precedent). Oracle = the full three-frame SQL over the CURRENT
+      // inputs — the stored report it answers from is invisible to it
+      val (f0, sec0) = keyedPair(s, dir, "o_totalprice")
+      val dec = (df: DataFrame) => df.withColumn("check",
+        col("check").cast("decimal(18,2)"))
+      val f = dec(f0); val sec = dec(sec0)
+      val stateDir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_increp_${dirTag(dir)}"
+      val restated = col("id").cast("long") < 600
+      val prior2 = sec
+        .withColumn("check",
+          when(restated, col("check") + 7).otherwise(col("check")))
+        .filter(!(restated && col("id").cast("long") % 3 === 0))
+      graft.core.IncrementalValidation.reportIncremental(
+        f, prior2, CompareMode.Numeric, stateDir, nBuckets = 4096)
+      graft.core.IncrementalValidation.reportIncremental(
+          f, sec, CompareMode.Numeric, stateDir, nBuckets = 4096)
+        ._1.orderBy("kind", "id")
+    }),
     "v_multi_incremental" -> ((s, dir) => {
       // the multi-column twin of v_incremental_summary: whole-row digests
       // over all three check columns, per-(bucket, column) stored terms,
@@ -2557,6 +2582,29 @@ object SparkEntry {
     // the prior snapshot are invisible to it, so a stale carried term or
     // a missed dirty bucket is a value mismatch
     "v_multi_incremental" -> multiValidateSql,
+    // identity oracle for the incrementally-maintained ROW-LEVEL report:
+    // the full three-frame computation over the current inputs; a stale
+    // or torn report partition is a row/hash mismatch
+    "v_incremental_diff" ->
+      s"""$pairCte
+         |SELECT * FROM (
+         |  SELECT 'missing_in_first' AS kind, db2.id,
+         |    CAST(NULL AS VARCHAR) AS check_first,
+         |    CAST(NULL AS VARCHAR) AS check_second
+         |  FROM db2 WHERE NOT EXISTS
+         |    (SELECT 1 FROM db1 WHERE db1.id = db2.id)
+         |  UNION ALL
+         |  SELECT 'missing_in_second', db1.id, NULL, NULL
+         |  FROM db1 WHERE NOT EXISTS
+         |    (SELECT 1 FROM db2 WHERE db2.id = db1.id)
+         |  UNION ALL
+         |  SELECT 'differing', db1.id,
+         |    CAST(CAST(db1.o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+         |    CAST(CAST(db2.o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+         |  FROM db1 JOIN db2 ON db1.id = db2.id
+         |  WHERE db1.o_totalprice IS DISTINCT FROM db2.o_totalprice
+         |)
+         |ORDER BY kind, id""".stripMargin,
     "v_multi_diff" ->
       s"""$pairCte
          |SELECT * FROM (

@@ -300,6 +300,59 @@ object IncrementalValidation {
     fs.rename(tmp, p)
   }
 
+  /** The digest-compare phase shared by every incremental surface:
+    * current digests (localCheckpointed), meta check, dirty set vs the
+    * stored digest frame at `digestPath`. */
+  private final case class PruneResult(
+      cd: DataFrame, total: Long, haveState: Boolean,
+      dirtyRows: Option[Seq[(Long, Boolean)]]) {
+    def dirty: Option[Seq[Long]] = dirtyRows.map(_.map(_._1))
+    def dirtyInCurrent: Long = dirtyRows.map(_.count(_._2).toLong).getOrElse(0L)
+  }
+
+  private val digestFields = Seq("n1", "h1a", "h1b", "n2", "h2a", "h2b")
+
+  private def prune(first: DataFrame, second: DataFrame, nBuckets: Int,
+      bucketCol: Option[String], valueExpr: Column, stateDir: String,
+      modeStr: String, digestPath: String): PruneResult = {
+    val spark = first.sparkSession
+    import spark.implicits._
+    val cdDf = digests(first, second, nBuckets, bucketCol, valueExpr)
+      .localCheckpoint()
+    val total = cdDf.count()
+    val haveState = metaMatches(spark, stateDir, nBuckets, modeStr)
+    val old: Option[DataFrame] =
+      if (haveState)
+        try Some(spark.read.parquet(digestPath))
+        catch { case scala.util.control.NonFatal(_) => None }
+      else None
+    val dirtyRows = old.map { st =>
+      val sd = st.select(col("bucket") +:
+        digestFields.map(f => col(f).as(s"__s_$f")): _*)
+      cdDf.join(sd, Seq("bucket"), "full_outer")
+        .filter(digestFields
+          .map(f => !(col(f) <=> col(s"__s_$f")))
+          .reduce(_ || _))
+        .select(col("bucket"), col("n1").isNotNull.as("in_current"))
+        .as[(Long, Boolean)].collect().toSeq
+    }
+    PruneResult(cdDf, total, haveState && old.isDefined, dirtyRows)
+  }
+
+  /** The dirty-bucket row predicate: a plain attribute IN-list when a
+    * materialized bucket column exists (typed to the RAW column so a
+    * cast never wraps the attribute and defeats partition pruning),
+    * else the hash expression per row. */
+  private def dirtyPred(first: DataFrame, bucketCol: Option[String],
+      nBuckets: Int, dirty: Seq[Long]): Column =
+    bucketCol.map { c =>
+      first.schema(c).dataType match {
+        case org.apache.spark.sql.types.IntegerType =>
+          col(c).isin(dirty.map(_.toInt): _*)
+        case _ => col(c).isin(dirty: _*)
+      }
+    }.getOrElse(bucketExpr(nBuckets).isin(dirty: _*))
+
   /** Incremental [[Validator.summaryFast]]: identical one-row summary
     * (same six columns, same semantics for every mode, duplicate ids and
     * null ids included), but answered from the stored per-bucket state
@@ -325,37 +378,20 @@ object IncrementalValidation {
     val spark = first.sparkSession
     import spark.implicits._
 
-    // phase 1: current digests (one scan of each side, tiny exchange).
-    // localCheckpoint materializes the <= nBuckets+1 rows once — they
-    // steer pruning AND become the new state's digest columns, and must
-    // not recompute (= rescan both sides) per consumer.
-    val cdDf = digests(first, second, nBuckets, bucketCol).localCheckpoint()
-    val total = cdDf.count()
-
-    val haveState = metaMatches(spark, stateDir, nBuckets, modeKey(mode))
+    // phases 1+2: current digests (one scan of each side, tiny
+    // exchange; localCheckpointed — they steer pruning AND become the
+    // new state's digest columns) compared with the stored row per
+    // bucket; one-sided buckets (appeared or fully drained) are dirty
+    // by the full-outer null mismatch
+    val pr = prune(first, second, nBuckets, bucketCol,
+      col("check").cast(StringType), stateDir, modeKey(mode),
+      statePath(stateDir))
+    val cdDf = pr.cd
+    val total = pr.total
     val oldState: Option[DataFrame] =
-      if (haveState)
-        try Some(spark.read.parquet(statePath(stateDir)))
-        catch { case scala.util.control.NonFatal(_) => None }
+      if (pr.haveState) Some(spark.read.parquet(statePath(stateDir)))
       else None
-
-    // phase 2: dirty set = buckets whose six digest fields don't all
-    // match the stored row (one-sided buckets — appeared or fully
-    // drained — are dirty by the full-outer null mismatch). Collected
-    // alongside a present-in-current flag for the report; bounded by
-    // nBuckets + 1 rows.
-    val digestFields = Seq("n1", "h1a", "h1b", "n2", "h2a", "h2b")
-    val dirtyRows: Option[Seq[(Long, Boolean)]] = oldState.map { st =>
-      val sd = st.select(col("bucket") +:
-        digestFields.map(f => col(f).as(s"__s_$f")): _*)
-      cdDf.join(sd, Seq("bucket"), "full_outer")
-        .filter(digestFields
-          .map(f => !(col(f) <=> col(s"__s_$f")))
-          .reduce(_ || _))
-        .select(col("bucket"), col("n1").isNotNull.as("in_current"))
-        .as[(Long, Boolean)].collect().toSeq
-    }
-    val dirtyBuckets: Option[Seq[Long]] = dirtyRows.map(_.map(_._1))
+    val dirtyBuckets: Option[Seq[Long]] = pr.dirty
 
     val tooDirty = dirtyBuckets.exists(d =>
       total > 0 && d.size.toDouble / total > dirtyFractionLimit)
@@ -377,21 +413,7 @@ object IncrementalValidation {
             spark.range(0).select(col("id").as("bucket") +:
               termCols.map(c => col("id").as(c)): _*)
           else {
-            // with a materialized bucket column the IN-list is a plain
-            // attribute predicate — partition/file pruning applies when
-            // the layout is bucket-aligned; otherwise it evaluates the
-            // hash per row (scan survives, the keyed shuffle still
-            // shrinks to the churn). The literals are typed to the RAW
-            // column (an inferred partition column reads back as INT) —
-            // a cast wrapped around the attribute could defeat pruning
-            def typedIn(c: String): Column =
-              first.schema(c).dataType match {
-                case org.apache.spark.sql.types.IntegerType =>
-                  col(c).isin(dirtyData.map(_.toInt): _*)
-                case _ => col(c).isin(dirtyData: _*)
-              }
-            val pred = bucketCol.map(typedIn)
-              .getOrElse(bucketExpr(nBuckets).isin(dirtyData: _*))
+            val pred = dirtyPred(first, bucketCol, nBuckets, dirtyData)
             perBucketTerms(first.filter(pred), second.filter(pred),
               mode, nBuckets)
           }
@@ -415,7 +437,7 @@ object IncrementalValidation {
     // current — rewriting it would only churn bytes; leave it in place
     val noChange = !rebuild && dirtyBuckets.exists(_.isEmpty)
     if (!noChange) swapWrite(spark, newState, statePath(stateDir))
-    if (!haveState)
+    if (!pr.haveState)
       swapWrite(spark,
         Seq((STATE_VERSION, nBuckets, modeKey(mode)))
           .toDF("version", "n_buckets", "mode"),
@@ -433,14 +455,12 @@ object IncrementalValidation {
         sum("n_differing").as("n_differing"),
         sum("n_matched").as("n_matched"))
       .na.fill(0L)
-    val dirtyInCurrent = dirtyRows
-      .map(_.count(_._2).toLong).getOrElse(0L)
     val report = IncrementalReport(
       rebuilt = rebuild,
       totalBuckets = total,
       dirtyBuckets =
         if (rebuild) total else dirtyBuckets.map(_.size.toLong).getOrElse(0L),
-      cleanBuckets = if (rebuild) 0L else total - dirtyInCurrent)
+      cleanBuckets = if (rebuild) 0L else total - pr.dirtyInCurrent)
     (summary, report)
   }
 
@@ -483,34 +503,18 @@ object IncrementalValidation {
     val modeStr = "multi:" + checks
       .map { case (c, m) => s"$c=${modeKey(m)}" }.mkString(",")
 
-    val cdDf = digests(first, second, nBuckets, bucketCol,
-      valueExpr = multiValueExpr(checks.map(_._1))).localCheckpoint()
-    val total = cdDf.count()
-
-    val haveState = metaMatches(spark, stateDir, nBuckets, modeStr)
+    val pr = prune(first, second, nBuckets, bucketCol,
+      multiValueExpr(checks.map(_._1)), stateDir, modeStr,
+      statePath(stateDir))
+    val cdDf = pr.cd
+    val total = pr.total
     val oldTerms: Option[DataFrame] =
-      if (haveState)
-        try {
-          // both halves must load; a torn state rebuilds
-          spark.read.parquet(statePath(stateDir)).schema
-          Some(spark.read.parquet(termsPath(stateDir)))
-        } catch { case scala.util.control.NonFatal(_) => None }
+      if (pr.haveState)
+        try Some(spark.read.parquet(termsPath(stateDir)))
+        catch { case scala.util.control.NonFatal(_) => None } // torn state
       else None
-    val oldDigests: Option[DataFrame] = oldTerms.map(_ =>
-      spark.read.parquet(statePath(stateDir)))
-
-    val digestFields = Seq("n1", "h1a", "h1b", "n2", "h2a", "h2b")
-    val dirtyRows: Option[Seq[(Long, Boolean)]] = oldDigests.map { st =>
-      val sd = st.select(col("bucket") +:
-        digestFields.map(f => col(f).as(s"__s_$f")): _*)
-      cdDf.join(sd, Seq("bucket"), "full_outer")
-        .filter(digestFields
-          .map(f => !(col(f) <=> col(s"__s_$f")))
-          .reduce(_ || _))
-        .select(col("bucket"), col("n1").isNotNull.as("in_current"))
-        .as[(Long, Boolean)].collect().toSeq
-    }
-    val dirtyBuckets: Option[Seq[Long]] = dirtyRows.map(_.map(_._1))
+    val dirtyBuckets: Option[Seq[Long]] =
+      if (oldTerms.isEmpty) None else pr.dirty
     val tooDirty = dirtyBuckets.exists(d =>
       total > 0 && d.size.toDouble / total > dirtyFractionLimit)
     val rebuild = oldTerms.isEmpty || tooDirty
@@ -537,14 +541,7 @@ object IncrementalValidation {
               (col("id").cast("int").as("pos") +:
                 termCols.map(c => col("id").as(c))): _*)
           else {
-            def typedIn(c: String): Column =
-              first.schema(c).dataType match {
-                case org.apache.spark.sql.types.IntegerType =>
-                  col(c).isin(dirtyData.map(_.toInt): _*)
-                case _ => col(c).isin(dirtyData: _*)
-              }
-            val pred = bucketCol.map(typedIn)
-              .getOrElse(bucketExpr(nBuckets).isin(dirtyData: _*))
+            val pred = dirtyPred(first, bucketCol, nBuckets, dirtyData)
             perBucketTermsMulti(first.filter(pred), second.filter(pred),
               checks, nBuckets)
           }
@@ -569,7 +566,7 @@ object IncrementalValidation {
       swapWrite(spark, newTerms, termsPath(stateDir))
       swapWrite(spark, cdDf, statePath(stateDir))
     }
-    if (!haveState)
+    if (!pr.haveState)
       swapWrite(spark,
         Seq((STATE_VERSION, nBuckets, modeStr))
           .toDF("version", "n_buckets", "mode"),
@@ -588,14 +585,12 @@ object IncrementalValidation {
       .na.fill(0L, termCols)
       .select(element_at(names, col("pos").cast("int") + 1).as("column_name") +:
         termCols.map(col): _*)
-    val dirtyInCurrent = dirtyRows
-      .map(_.count(_._2).toLong).getOrElse(0L)
     val report = IncrementalReport(
       rebuilt = rebuild,
       totalBuckets = total,
       dirtyBuckets =
         if (rebuild) total else dirtyBuckets.map(_.size.toLong).getOrElse(0L),
-      cleanBuckets = if (rebuild) 0L else total - dirtyInCurrent)
+      cleanBuckets = if (rebuild) 0L else total - pr.dirtyInCurrent)
     (summary, report)
   }
 
@@ -607,4 +602,124 @@ object IncrementalValidation {
       bucketCol: Option[String] = None): DataFrame =
     runMulti(first, second, checks, stateDir, nBuckets,
       dirtyFractionLimit, bucketCol)._1
+
+  private def reportRowsPath(stateDir: String) = s"$stateDir/report"
+  private def reportDigestsPath(stateDir: String) = s"$stateDir/report_digests"
+
+  private val reportSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("kind", StringType),
+    org.apache.spark.sql.types.StructField("id", StringType),
+    org.apache.spark.sql.types.StructField("check_first", StringType),
+    org.apache.spark.sql.types.StructField("check_second", StringType)))
+
+  /** Incrementally-maintained ROW-LEVEL report — the reference's actual
+    * outputs (missing ids both ways + differing value pairs,
+    * `running_validation.py:262-275`) as a STORED, bucket-partitioned
+    * table where a re-run rewrites only the churned buckets'
+    * partitions:
+    *
+    * the long frame (kind ∈ {missing_in_first, missing_in_second,
+    * differing}, id, check_first, check_second) lives at
+    * `<stateDir>/report` hive-partitioned by the id's bucket (null ids
+    * in bucket -1 — they appear in the missing frames, never the join,
+    * exactly [[Validator.validate]]'s semantics). Anti-joins and the
+    * diff join are per-id, and buckets partition ids, so the full
+    * report is EXACTLY the union of per-bucket reports — a dirty
+    * bucket's partition is recomputed by running validate() over both
+    * sides filtered to the dirty set (pruning files on a
+    * [[withBucket]]-partitioned layout), clean partitions are never
+    * touched, and report I/O is proportional to the churn.
+    *
+    * Crash discipline: the digest witness is DELETED before the report
+    * partitions are mutated and swapped back in only after — a crash
+    * mid-mutation leaves no witness, so the next run rebuilds the
+    * report wholesale instead of trusting torn partitions. Use a
+    * DEDICATED stateDir per surface (the meta file is shared; pointing
+    * two surfaces at one directory degrades to rebuild-every-run, never
+    * to a wrong answer).
+    *
+    * @return (current full report — a read of the stored table, so
+    *         collect it before the next maintenance run — and the
+    *         prune record). */
+  def reportIncremental(first: DataFrame, second: DataFrame,
+      mode: CompareMode, stateDir: String, nBuckets: Int = 4096,
+      dirtyFractionLimit: Double = 0.25,
+      bucketCol: Option[String] = None): (DataFrame, IncrementalReport) = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val spark = first.sparkSession
+    import spark.implicits._
+    val rowsPath = reportRowsPath(stateDir)
+    val digPath = reportDigestsPath(stateDir)
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val pr = prune(first, second, nBuckets, bucketCol,
+      col("check").cast(StringType), stateDir, s"report:${modeKey(mode)}",
+      digPath)
+
+    def reportRows(f: DataFrame, s: DataFrame): DataFrame = {
+      val out = Validator.validate(f, s, mode)
+      def shaped(df: DataFrame, kind: String, cf: Column, cs: Column) =
+        df.select(lit(kind).as("kind"), col("id").cast(StringType).as("id"),
+          cf.cast(StringType).as("check_first"),
+          cs.cast(StringType).as("check_second"))
+      shaped(out.missingInFirst, "missing_in_first", lit(null), lit(null))
+        .unionByName(shaped(out.missingInSecond, "missing_in_second",
+          lit(null), lit(null)))
+        .unionByName(shaped(out.differing, "differing",
+          col("check_first"), col("check_second")))
+        .withColumn("bucket", bucketExpr(nBuckets))
+    }
+
+    val dirty = pr.dirty
+    val tooDirty = dirty.exists(d =>
+      pr.total > 0 && d.size.toDouble / pr.total > dirtyFractionLimit)
+    val rebuild = !pr.haveState || tooDirty
+
+    if (rebuild) {
+      // invalidate the witness first: torn output must never read clean
+      if (fs.exists(new org.apache.hadoop.fs.Path(digPath)))
+        fs.delete(new org.apache.hadoop.fs.Path(digPath), true)
+      reportRows(first, second)
+        .repartition(col("bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        .parquet(rowsPath)
+      swapWrite(spark, pr.cd, digPath)
+      if (!pr.haveState)
+        swapWrite(spark,
+          Seq((STATE_VERSION, nBuckets, s"report:${modeKey(mode)}"))
+            .toDF("version", "n_buckets", "mode"),
+          metaPath(stateDir))
+    } else if (dirty.get.nonEmpty) {
+      val d = dirty.get
+      fs.delete(new org.apache.hadoop.fs.Path(digPath), true)
+      for (b <- d)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$rowsPath/bucket=$b"), true)
+      val pred = dirtyPred(first, bucketCol, nBuckets, d)
+      reportRows(first.filter(pred), second.filter(pred))
+        .repartition(col("bucket"))
+        .write.mode(SaveMode.Append).partitionBy("bucket")
+        .parquet(rowsPath)
+      swapWrite(spark, pr.cd, digPath)
+    } // zero dirty: report and witness both stand untouched
+
+    // an all-clean table pair can leave an empty report directory —
+    // parquet cannot infer a schema from zero files, so shape it by hand
+    val current =
+      try spark.read.parquet(rowsPath)
+        .select("kind", "id", "check_first", "check_second")
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            reportSchema)
+      }
+    val report = IncrementalReport(
+      rebuilt = rebuild,
+      totalBuckets = pr.total,
+      dirtyBuckets =
+        if (rebuild) pr.total else dirty.map(_.size.toLong).getOrElse(0L),
+      cleanBuckets = if (rebuild) 0L else pr.total - pr.dirtyInCurrent)
+    (current, report)
+  }
 }

@@ -174,6 +174,109 @@ class Round13OpsSpec extends AnyFunSuite with SparkSpec {
     assert(a == b)
   }
 
+  test("reportIncremental == validate()'s three frames across randomized " +
+      "churn; clean report partitions are never touched") {
+    def expectRows(f: DataFrame, s: DataFrame,
+        mode: CompareMode): Set[Seq[Any]] = {
+      val out = Validator.validate(f, s, mode)
+      val m1 = out.missingInFirst.collect()
+        .map(r => Seq[Any]("missing_in_first",
+          Option(r.get(0)).map(_.toString).orNull, null, null))
+      val m2 = out.missingInSecond.collect()
+        .map(r => Seq[Any]("missing_in_second",
+          Option(r.get(0)).map(_.toString).orNull, null, null))
+      val d = out.differing.collect()
+        .map(r => Seq[Any]("differing", r.getString(0),
+          Option(r.get(1)).map(_.toString).orNull,
+          Option(r.get(2)).map(_.toString).orNull))
+      (m1 ++ m2 ++ d).toSet
+    }
+    for (trial <- 1 to 4) {
+      val mode = if (trial % 2 == 0) CompareMode.Numeric
+        else CompareMode.Fuzzy(0.7)
+      val stateDir = freshStateDir()
+      val f = viaParquet(randomKeyed(rnd.nextInt(200) + 50, 100))
+      val s0 = viaParquet(randomKeyed(rnd.nextInt(200) + 50, 100))
+      val (rep1, r1) = IncrementalValidation.reportIncremental(f, s0, mode,
+        stateDir, nBuckets = 32, dirtyFractionLimit = 1.0)
+      assert(r1.rebuilt)
+      assert(rep1.collect().map(_.toSeq).toSet == expectRows(f, s0, mode),
+        s"trial $trial build")
+      val s1 = viaParquet(churn(s0, salt = trial + 40, rate = 0.06))
+      // pin: partitions of buckets that stay clean must not be rewritten
+      val partMtimes = {
+        val base = java.nio.file.Paths.get(s"$stateDir/report")
+        val st = java.nio.file.Files.list(base)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.filter(_.getFileName.toString.startsWith("bucket="))
+            .map(p => p.getFileName.toString ->
+              java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+        } finally st.close()
+      }
+      val (rep2, r2) = IncrementalValidation.reportIncremental(f, s1, mode,
+        stateDir, nBuckets = 32, dirtyFractionLimit = 1.0)
+      assert(!r2.rebuilt && r2.dirtyBuckets > 0, s"trial $trial: $r2")
+      assert(rep2.collect().map(_.toSeq).toSet == expectRows(f, s1, mode),
+        s"trial $trial churn")
+      val dirtyNames = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$stateDir/report"))
+      // every pre-existing partition either survived untouched or was a
+      // dirty bucket; count of touched dirs <= dirty buckets
+      val after = {
+        val st = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$stateDir/report"))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.filter(_.getFileName.toString.startsWith("bucket="))
+            .map(p => p.getFileName.toString ->
+              java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+        } finally st.close()
+      }
+      dirtyNames.close()
+      val touched = partMtimes.keySet.intersect(after.keySet)
+        .count(k => partMtimes(k) != after(k))
+      assert(touched <= r2.dirtyBuckets,
+        s"trial $trial: $touched rewritten dirs > ${r2.dirtyBuckets} dirty")
+      // unchanged re-run: zero dirty, nothing moves
+      val pinned = {
+        val st = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$stateDir/report"))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.map(p => p.toString ->
+            java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+        } finally st.close()
+      }
+      val (rep3, r3) = IncrementalValidation.reportIncremental(f, s1, mode,
+        stateDir, nBuckets = 32, dirtyFractionLimit = 1.0)
+      assert(!r3.rebuilt && r3.dirtyBuckets == 0, s"trial $trial: $r3")
+      assert(rep3.collect().map(_.toSeq).toSet == expectRows(f, s1, mode))
+      val pinned2 = {
+        val st = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$stateDir/report"))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.map(p => p.toString ->
+            java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+        } finally st.close()
+      }
+      assert(pinned == pinned2, "no-change re-run must not touch the report")
+    }
+    // identical inputs -> empty report, still well-typed. Unique,
+    // non-null ids: duplicate ids yield legitimate differing CROSS pairs
+    // even same-vs-same (m x n semantics), and null ids always land in
+    // the missing frames
+    val stateDir = freshStateDir()
+    val same = viaParquet(randomKeyed(50, 30)
+      .filter(col("id").isNotNull).dropDuplicates("id"))
+    val (repE, _) = IncrementalValidation.reportIncremental(same, same,
+      CompareMode.Fuzzy(1.0), stateDir, nBuckets = 8)
+    assert(repE.columns.toSeq ==
+      Seq("kind", "id", "check_first", "check_second"))
+    assert(repE.count() == 0)
+  }
+
   test("multi digest is position-salted: a value moving between columns " +
       "around a null is always dirty") {
     // (num=null, fz="x") vs (num="x", fz=null) must DIFFER in digest:
