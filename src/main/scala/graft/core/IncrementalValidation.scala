@@ -638,6 +638,12 @@ object IncrementalValidation {
     * two surfaces at one directory degrades to rebuild-every-run, never
     * to a wrong answer).
     *
+    * Size `nBuckets` for the REPORT table, not the inputs: the stored
+    * table has one partition directory per bucket, and a report is tiny
+    * next to its inputs — hundreds of buckets usually suffice, while
+    * thousands of near-empty directories cost more in listing/footer
+    * overhead than the finer recompute granularity buys.
+    *
     * @return (current full report — a read of the stored table, so
     *         collect it before the next maintenance run — and the
     *         prune record). */
@@ -696,10 +702,18 @@ object IncrementalValidation {
       for (b <- d)
         fs.delete(new org.apache.hadoop.fs.Path(s"$rowsPath/bucket=$b"), true)
       val pred = dirtyPred(first, bucketCol, nBuckets, d)
-      reportRows(first.filter(pred), second.filter(pred))
-        .repartition(col("bucket"))
-        .write.mode(SaveMode.Append).partitionBy("bucket")
-        .parquet(rowsPath)
+      // persist the CHURN-SIZED slices: the report is three joins (two
+      // anti, one inner) and each would otherwise rescan + re-filter
+      // both inputs — six passes for data that is, by definition of the
+      // dirty set, a small fraction of the table
+      val fD = first.filter(pred).persist()
+      val sD = second.filter(pred).persist()
+      try {
+        reportRows(fD, sD)
+          .repartition(col("bucket"))
+          .write.mode(SaveMode.Append).partitionBy("bucket")
+          .parquet(rowsPath)
+      } finally { fD.unpersist(); sD.unpersist() }
       swapWrite(spark, pr.cd, digPath)
     } // zero dirty: report and witness both stand untouched
 
