@@ -123,7 +123,14 @@ object ConfigLoader {
       },
       stateDirectory = str(m, "state_directory"),
       incrementalBuckets =
-        str(m, "incremental_buckets").map(_.toInt).getOrElse(4096))
+        str(m, "incremental_buckets").map(_.toInt).getOrElse(4096),
+      reportIncremental = m.get("report_incremental") match {
+        case Some(b: java.lang.Boolean) => b.booleanValue()
+        case Some(s) => s.toString.equalsIgnoreCase("true")
+        case None => true
+      },
+      reportBuckets =
+        str(m, "report_buckets").map(_.toInt).getOrElse(256))
   }
 
   private def sourceSpec(s: Map[String, Object], root: Map[String, Object],

@@ -59,4 +59,16 @@ final case class ValidationConfig(
     // with `incremental_buckets` buckets
     incremental: Boolean = false,
     stateDirectory: Option[String] = None,
-    incrementalBuckets: Int = 4096)
+    incrementalBuckets: Int = 4096,
+    // `report_incremental: false` — escape hatch: under `incremental:
+    // true` the row-level reports are maintained incrementally (stored
+    // bucket-partitioned, only churned buckets' partitions rewritten);
+    // set false to keep the classic full-input report computation while
+    // still answering the summary through the digest state
+    reportIncremental: Boolean = true,
+    // `report_buckets` — bucket count for the STORED report tables. The
+    // report table has one partition directory per bucket and is tiny
+    // next to its inputs: hundreds suffice, thousands of near-empty
+    // directories cost more in listing/footer overhead than the finer
+    // recompute granularity buys (measured in v_incremental_diff)
+    reportBuckets: Int = 256)

@@ -36,14 +36,18 @@ import org.apache.spark.sql.types.StringType
   * which dominate a wide validation run.
   *
   * Digest honesty: a bucket is declared clean when its (count, sum of
-  * xxhash64(id, value), sum of xxhash64(xxhash64(id, value))) triple
-  * matches per side. The sums are multiset-homomorphic (order- and
-  * partitioning-independent) and accumulate in DECIMAL(38,0) — exact in
+  * xxhash64(id, value), sum of xxhash64(SALT, id, value)) triple
+  * matches per side. The two hashes are INDEPENDENTLY computed over the
+  * row (the second is salted with a distinct leading literal, not
+  * derived from the first — a collision in one says nothing about the
+  * other), and the sums are multiset-homomorphic (order- and
+  * partitioning-independent), accumulating in DECIMAL(38,0) — exact in
   * both ANSI and legacy modes, never a silent wrap difference between
-  * engines. A false "clean" requires a 128-bit coincidence across the
-  * two independent sums at equal counts (~2^-128 per bucket per run) —
-  * the same class of guarantee every checksum-based snapshot differ
-  * rests on. Any doubt is resolved toward DIRTY: digests hash the RAW
+  * engines. A false "clean" requires a simultaneous coincidence across
+  * both 64-bit sums at equal counts (~2^-128 per bucket per run under
+  * the standard independent-hash heuristic) — the same class of
+  * guarantee every checksum-based snapshot differ rests on. Any doubt
+  * is resolved toward DIRTY: digests hash the RAW
   * string-cast value, so changes invisible to a mode's coercion (e.g.
   * "1.0" -> "1.00" under Numeric) re-validate their bucket and get the
   * same terms back.
@@ -65,7 +69,10 @@ object IncrementalValidation {
       dirtyBuckets: Long,    // buckets re-validated this run
       cleanBuckets: Long)    // buckets answered from stored terms
 
-  private val STATE_VERSION = 1
+  // v2: second digest sum independently salted (was derived from the
+  // first — a single-row xxhash64 collision used to fool both sums);
+  // a v1 state mismatches on version and rebuilds, the safe direction
+  private val STATE_VERSION = 2
 
   private def modeKey(mode: CompareMode): String = mode match {
     case CompareMode.Numeric  => "numeric"
@@ -120,18 +127,23 @@ object IncrementalValidation {
     // internal bucket ids are always LONG — a materialized partition
     // column may read back as INT (partition-type inference), and the
     // state/terms join must not depend on that
+    // the two row hashes are independently salted (the second leads with
+    // a literal), never derived from each other: a collision of one for
+    // a substituted row does not imply a collision of the other, which
+    // is what the 2^-128 false-clean claim rests on
     def side(df: DataFrame, tag: Int) = df.select(
       bucketCol.map(c => col(c).cast("long"))
         .getOrElse(bucketExpr(nBuckets)).as("bucket"),
       xxhash64(col("id").cast(StringType), valueExpr)
         .as("h"),
+      xxhash64(lit(1L), col("id").cast(StringType), valueExpr)
+        .as("h2"),
       lit(tag).as("side"))
     def s1(c: Column) = sum(when(col("side") === 1, c).otherwise(lit(0L))
       .cast(dec))
     def s0(c: Column) = sum(when(col("side") === 0, c).otherwise(lit(0L))
       .cast(dec))
     side(first, 1).unionByName(side(second, 0))
-      .withColumn("h2", xxhash64(col("h")))
       .groupBy("bucket")
       .agg(
         s1(lit(1L)).cast("long").as("n1"),
@@ -300,6 +312,97 @@ object IncrementalValidation {
     fs.rename(tmp, p)
   }
 
+  private def leasePath(stateDir: String) = s"$stateDir/lease"
+
+  /** Single-writer guard on a state directory. The swap-write discipline
+    * is crash-safe for ONE writer; two concurrent runs could interleave
+    * delete/rename (or, on the report surface, partition deletes with
+    * appends) — so every mutating surface takes this lease at run start
+    * and re-verifies it before each mutation. The lease is an
+    * exclusively-created file whose body is (nonce, pid, epoch-millis):
+    * a second run fails fast on the create, and a run whose lease was
+    * broken mid-flight aborts BEFORE its next mutation instead of
+    * tearing a state another writer now owns.
+    *
+    * A crashed run leaves its lease behind by design (auto-expiry would
+    * steal the lease out from under a legitimately long run) — the error
+    * message carries the holder's pid/timestamp and the recovery action
+    * is [[breakLease]]. Exclusive-create atomicity is the filesystem's:
+    * HDFS and local FS give it outright; on S3-style stores front this
+    * with an external coordinator if two schedulers can race. */
+  private final class Lease(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path,
+      nonce: String) {
+    private def holder(): String =
+      try {
+        val in = fs.open(path)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+          buf.toString("UTF-8")
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => "" }
+    /** Abort unless the lease file still carries OUR nonce — called
+      * before every state mutation. */
+    def check(): Unit =
+      if (!holder().startsWith(nonce))
+        throw new IllegalStateException(
+          s"incremental-state lease at $path is no longer held by this " +
+            "run (broken or taken by another writer); aborting before " +
+            "any state mutation")
+    def release(): Unit =
+      // delete only if still ours: never remove a successor's lease
+      if (holder().startsWith(nonce))
+        try fs.delete(path, false)
+        catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  private def acquireLease(spark: SparkSession, stateDir: String): Lease = {
+    val p = new org.apache.hadoop.fs.Path(leasePath(stateDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val nonce = java.util.UUID.randomUUID().toString
+    val payload = nonce + "\n" +
+      ProcessHandle.current().pid() + "\n" +
+      System.currentTimeMillis() + "\n"
+    val out =
+      try fs.create(p, /* overwrite = */ false)
+      catch {
+        case e: java.io.IOException =>
+          val held = try {
+            val in = fs.open(p)
+            try {
+              val buf = new java.io.ByteArrayOutputStream()
+              org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+              buf.toString("UTF-8").trim.replace('\n', ' ')
+            } finally in.close()
+          } catch { case scala.util.control.NonFatal(_) => "<unreadable>" }
+          throw new IllegalStateException(
+            s"incremental state at $stateDir is locked by another " +
+              s"validation run (lease nonce/pid/epoch-ms: $held); " +
+              "concurrent writers would tear the stored state. If the " +
+              "holder crashed, clear it with IncrementalValidation" +
+              ".breakLease(spark, stateDir) and re-run.", e)
+      }
+    try out.write(payload.getBytes("UTF-8")) finally out.close()
+    new Lease(fs, p, nonce)
+  }
+
+  /** Operator recovery: remove a lease a CRASHED run left behind. Never
+    * call while the holder may still be alive — that reintroduces the
+    * concurrent-writer exposure the lease exists to close. */
+  def breakLease(spark: SparkSession, stateDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(leasePath(stateDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  /** Test seam: invoked after the read-only prune phase, before the
+    * first state mutation — lets a spec interleave a second run at the
+    * exact point a concurrent writer would be most destructive. */
+  private[graft] var beforeMutationHook: () => Unit = () => ()
+
   /** The digest-compare phase shared by every incremental surface:
     * current digests (localCheckpointed), meta check, dirty set vs the
     * stored digest frame at `digestPath`. */
@@ -339,16 +442,23 @@ object IncrementalValidation {
     PruneResult(cdDf, total, haveState && old.isDefined, dirtyRows)
   }
 
-  /** The dirty-bucket row predicate: a plain attribute IN-list when a
-    * materialized bucket column exists (typed to the RAW column so a
-    * cast never wraps the attribute and defeats partition pruning),
-    * else the hash expression per row. */
-  private def dirtyPred(first: DataFrame, bucketCol: Option[String],
+  /** The dirty-bucket row predicate FOR ONE SIDE: a plain attribute
+    * IN-list when a materialized bucket column exists — typed to THAT
+    * side's raw column type, so a cast never wraps the attribute and
+    * defeats partition pruning. The two sides can legitimately disagree
+    * on the type (partition inference reads small values as INT, an
+    * explicit reader schema as LONG, inference-off as STRING) — build
+    * the predicate per DataFrame, never share one across sides.
+    * Falls back to the hash expression per row when no bucket column
+    * is materialized. */
+  private[graft] def dirtyPred(df: DataFrame, bucketCol: Option[String],
       nBuckets: Int, dirty: Seq[Long]): Column =
     bucketCol.map { c =>
-      first.schema(c).dataType match {
+      df.schema(c).dataType match {
         case org.apache.spark.sql.types.IntegerType =>
           col(c).isin(dirty.map(_.toInt): _*)
+        case org.apache.spark.sql.types.StringType =>
+          col(c).isin(dirty.map(_.toString): _*)
         case _ => col(c).isin(dirty: _*)
       }
     }.getOrElse(bucketExpr(nBuckets).isin(dirty: _*))
@@ -359,24 +469,53 @@ object IncrementalValidation {
     * wherever the bucket digests prove the data unchanged. See the
     * object doc for the three phases and the digest contract.
     *
+    * The state is FILTER-AGNOSTIC by construction: digests are computed
+    * over the inputs AS GIVEN, so changing an upstream predicate (e.g.
+    * the YAML `start_date`/`end_date` range) changes the filtered inputs
+    * and every bucket whose filtered content moved reads dirty — the
+    * summary self-corrects to the new range, it never answers the old
+    * one (spec-pinned).
+    *
     * @param dirtyFractionLimit above this dirty-bucket share the run
     *        falls back to one full recompute — when most of the table
-    *        churned, one pass beats digest + filtered pass.
+    *        churned, one pass beats digest + filtered pass. Expectation
+    *        for operators: a fallback run costs the digest scan PLUS the
+    *        full pass, i.e. slightly MORE than a plain summaryFast — the
+    *        limit bounds the worst case near full-churn, it does not
+    *        make heavy-churn runs free.
     * @param bucketCol name of a PRE-MATERIALIZED bucket column on both
     *        inputs (produced by [[withBucket]] with the same nBuckets —
     *        trusted, see there). When the tables are partitioned or
     *        clustered by it, the dirty filter prunes files, turning the
     *        recompute's I/O proportional to the churn instead of the
     *        table.
+    * @param minRowsForIncremental opt-in size floor: when > 0 and the
+    *        two inputs together hold fewer rows, skip the digest
+    *        machinery entirely and answer with one plain
+    *        [[Validator.summaryFast]] pass (the 1x rehearsal leg shows
+    *        full winning below ~1M rows — fixed digest/state costs
+    *        dominate there). Any stored state is left untouched; the
+    *        next above-floor run's digest compare simply marks churned
+    *        buckets dirty against it, the safe direction. The floor
+    *        check itself counts both inputs (empty-projection scans) —
+    *        leave it 0 on genuinely large tables.
     * @return (summary, report); [[summaryIncremental]] returns just the
     *         summary. */
   def run(first: DataFrame, second: DataFrame, mode: CompareMode,
       stateDir: String, nBuckets: Int = 4096,
       dirtyFractionLimit: Double = 0.25,
-      bucketCol: Option[String] = None): (DataFrame, IncrementalReport) = {
+      bucketCol: Option[String] = None,
+      minRowsForIncremental: Long = 0L): (DataFrame, IncrementalReport) = {
     require(nBuckets > 0, "nBuckets must be positive")
     val spark = first.sparkSession
     import spark.implicits._
+    if (minRowsForIncremental > 0 &&
+        first.count() + second.count() < minRowsForIncremental)
+      return (Validator.summaryFast(first, second, mode),
+        IncrementalReport(rebuilt = true, totalBuckets = 0L,
+          dirtyBuckets = 0L, cleanBuckets = 0L))
+    val lease = acquireLease(spark, stateDir)
+    try {
 
     // phases 1+2: current digests (one scan of each side, tiny
     // exchange; localCheckpointed — they steer pruning AND become the
@@ -412,11 +551,10 @@ object IncrementalValidation {
             // zero data-bucket churn: nothing re-enters the keyed shuffle
             spark.range(0).select(col("id").as("bucket") +:
               termCols.map(c => col("id").as(c)): _*)
-          else {
-            val pred = dirtyPred(first, bucketCol, nBuckets, dirtyData)
-            perBucketTerms(first.filter(pred), second.filter(pred),
-              mode, nBuckets)
-          }
+          else perBucketTerms(
+            first.filter(dirtyPred(first, bucketCol, nBuckets, dirtyData)),
+            second.filter(dirtyPred(second, bucketCol, nBuckets, dirtyData)),
+            mode, nBuckets)
         val carried0 = oldState.get
           .select(col("bucket") +: termCols.map(col): _*)
           .filter(col("bucket") =!= -1L)
@@ -436,6 +574,8 @@ object IncrementalValidation {
     // a zero-dirty re-run (the daily no-change case) proves the state
     // current — rewriting it would only churn bytes; leave it in place
     val noChange = !rebuild && dirtyBuckets.exists(_.isEmpty)
+    beforeMutationHook()
+    lease.check()
     if (!noChange) swapWrite(spark, newState, statePath(stateDir))
     if (!pr.haveState)
       swapWrite(spark,
@@ -462,6 +602,7 @@ object IncrementalValidation {
         if (rebuild) total else dirtyBuckets.map(_.size.toLong).getOrElse(0L),
       cleanBuckets = if (rebuild) 0L else total - pr.dirtyInCurrent)
     (summary, report)
+    } finally lease.release()
   }
 
   /** The summary-only surface — drop-in for [[Validator.summaryFast]]
@@ -495,13 +636,21 @@ object IncrementalValidation {
   def runMulti(first: DataFrame, second: DataFrame,
       checks: Seq[(String, CompareMode)], stateDir: String,
       nBuckets: Int = 4096, dirtyFractionLimit: Double = 0.25,
-      bucketCol: Option[String] = None): (DataFrame, IncrementalReport) = {
+      bucketCol: Option[String] = None,
+      minRowsForIncremental: Long = 0L): (DataFrame, IncrementalReport) = {
     require(nBuckets > 0, "nBuckets must be positive")
     require(checks.nonEmpty, "runMulti needs at least one check column")
     val spark = first.sparkSession
     import spark.implicits._
+    if (minRowsForIncremental > 0 &&
+        first.count() + second.count() < minRowsForIncremental)
+      return (Validator.summaryMulti(first, second, checks),
+        IncrementalReport(rebuilt = true, totalBuckets = 0L,
+          dirtyBuckets = 0L, cleanBuckets = 0L))
     val modeStr = "multi:" + checks
       .map { case (c, m) => s"$c=${modeKey(m)}" }.mkString(",")
+    val lease = acquireLease(spark, stateDir)
+    try {
 
     val pr = prune(first, second, nBuckets, bucketCol,
       multiValueExpr(checks.map(_._1)), stateDir, modeStr,
@@ -540,11 +689,10 @@ object IncrementalValidation {
             spark.range(0).select(col("id").as("bucket") +:
               (col("id").cast("int").as("pos") +:
                 termCols.map(c => col("id").as(c))): _*)
-          else {
-            val pred = dirtyPred(first, bucketCol, nBuckets, dirtyData)
-            perBucketTermsMulti(first.filter(pred), second.filter(pred),
-              checks, nBuckets)
-          }
+          else perBucketTermsMulti(
+            first.filter(dirtyPred(first, bucketCol, nBuckets, dirtyData)),
+            second.filter(dirtyPred(second, bucketCol, nBuckets, dirtyData)),
+            checks, nBuckets)
         val carried0 = oldTerms.get
           .select(col("bucket") +: col("pos") +: termCols.map(col): _*)
           .filter(col("bucket") =!= -1L)
@@ -558,6 +706,8 @@ object IncrementalValidation {
     }
 
     val noChange = !rebuild && dirtyBuckets.exists(_.isEmpty)
+    beforeMutationHook()
+    lease.check()
     if (!noChange) {
       // terms first, then digests: a crash between the two leaves the
       // NEW terms with the OLD digests, which over-marks buckets dirty
@@ -592,6 +742,7 @@ object IncrementalValidation {
         if (rebuild) total else dirtyBuckets.map(_.size.toLong).getOrElse(0L),
       cleanBuckets = if (rebuild) 0L else total - pr.dirtyInCurrent)
     (summary, report)
+    } finally lease.release()
   }
 
   /** The summary-only multi-column surface — drop-in for
@@ -658,6 +809,8 @@ object IncrementalValidation {
     val digPath = reportDigestsPath(stateDir)
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = acquireLease(spark, stateDir)
+    try {
 
     val pr = prune(first, second, nBuckets, bucketCol,
       col("check").cast(StringType), stateDir, s"report:${modeKey(mode)}",
@@ -681,6 +834,8 @@ object IncrementalValidation {
     val tooDirty = dirty.exists(d =>
       pr.total > 0 && d.size.toDouble / pr.total > dirtyFractionLimit)
     val rebuild = !pr.haveState || tooDirty
+    beforeMutationHook()
+    lease.check()
 
     if (rebuild) {
       // invalidate the witness first: torn output must never read clean
@@ -701,13 +856,12 @@ object IncrementalValidation {
       fs.delete(new org.apache.hadoop.fs.Path(digPath), true)
       for (b <- d)
         fs.delete(new org.apache.hadoop.fs.Path(s"$rowsPath/bucket=$b"), true)
-      val pred = dirtyPred(first, bucketCol, nBuckets, d)
       // persist the CHURN-SIZED slices: the report is three joins (two
       // anti, one inner) and each would otherwise rescan + re-filter
       // both inputs — six passes for data that is, by definition of the
       // dirty set, a small fraction of the table
-      val fD = first.filter(pred).persist()
-      val sD = second.filter(pred).persist()
+      val fD = first.filter(dirtyPred(first, bucketCol, nBuckets, d)).persist()
+      val sD = second.filter(dirtyPred(second, bucketCol, nBuckets, d)).persist()
       try {
         reportRows(fD, sD)
           .repartition(col("bucket"))
@@ -735,5 +889,133 @@ object IncrementalValidation {
         if (rebuild) pr.total else dirty.map(_.size.toLong).getOrElse(0L),
       cleanBuckets = if (rebuild) 0L else pr.total - pr.dirtyInCurrent)
     (current, report)
+    } finally lease.release()
+  }
+
+  private val multiReportSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id", StringType),
+    org.apache.spark.sql.types.StructField("column_name", StringType),
+    org.apache.spark.sql.types.StructField("check_first", StringType),
+    org.apache.spark.sql.types.StructField("check_second", StringType)))
+
+  /** Incrementally-maintained MULTI-COLUMN row-level report —
+    * [[Validator.diffMulti]]'s long frame (id, column_name, check_first,
+    * check_second — one row per differing (row-pair, column), m-by-n
+    * duplicate-key multiplicity) as a stored, bucket-partitioned table
+    * where a re-run rewrites only the churned buckets' partitions.
+    *
+    * Dirtiness comes from the WHOLE-ROW digest ([[multiValueExpr]]'s
+    * position-salted hash over all k check columns — one witness decides
+    * all columns, exactly [[runMulti]]'s discipline): a change in any
+    * check column dirties its id's bucket, the bucket's partition is
+    * deleted and recomputed from both sides filtered to the dirty set
+    * (file-pruning on a [[withBucket]] layout), clean partitions are
+    * never touched. diffMulti is per-id (inner join on id), and buckets
+    * partition ids, so the full report is exactly the union of
+    * per-bucket reports; null ids never join, so they never appear here
+    * (diffMulti's own contract) and the null sidecar bucket carries no
+    * partition.
+    *
+    * Crash discipline is [[reportIncremental]]'s, verified by the same
+    * torn-state spec shape: the digest witness is DELETED before any
+    * partition is mutated and swapped back only after, so a crash
+    * mid-mutation leaves no witness and the next run rebuilds wholesale.
+    * Use a DEDICATED stateDir per surface; size `nBuckets` for the
+    * report table (hundreds, not thousands — see [[reportIncremental]]).
+    *
+    * @return (current full report — a read of the stored table — and
+    *         the prune record). */
+  def reportIncrementalMulti(first: DataFrame, second: DataFrame,
+      checks: Seq[(String, CompareMode)], stateDir: String,
+      nBuckets: Int = 4096, dirtyFractionLimit: Double = 0.25,
+      bucketCol: Option[String] = None): (DataFrame, IncrementalReport) = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    require(checks.nonEmpty,
+      "reportIncrementalMulti needs at least one check column")
+    val spark = first.sparkSession
+    import spark.implicits._
+    val rowsPath = reportRowsPath(stateDir)
+    val digPath = reportDigestsPath(stateDir)
+    val modeStr = "multireport:" + checks
+      .map { case (c, m) => s"$c=${modeKey(m)}" }.mkString(",")
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = acquireLease(spark, stateDir)
+    try {
+
+    val pr = prune(first, second, nBuckets, bucketCol,
+      multiValueExpr(checks.map(_._1)), stateDir, modeStr, digPath)
+
+    // diffMulti emits id already string-cast; bucketExpr hashes the same
+    // string cast, so a report row's bucket equals its input rows' bucket
+    def reportRows(f: DataFrame, s: DataFrame): DataFrame =
+      Validator.diffMulti(f, s, checks)
+        .withColumn("bucket", bucketExpr(nBuckets))
+
+    val dirty = pr.dirty
+    val tooDirty = dirty.exists(d =>
+      pr.total > 0 && d.size.toDouble / pr.total > dirtyFractionLimit)
+    val rebuild = !pr.haveState || tooDirty
+    beforeMutationHook()
+    lease.check()
+
+    if (rebuild) {
+      // invalidate the witness first: torn output must never read clean
+      if (fs.exists(new org.apache.hadoop.fs.Path(digPath)))
+        fs.delete(new org.apache.hadoop.fs.Path(digPath), true)
+      reportRows(first, second)
+        .repartition(col("bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        .parquet(rowsPath)
+      swapWrite(spark, pr.cd, digPath)
+      if (!pr.haveState)
+        swapWrite(spark,
+          Seq((STATE_VERSION, nBuckets, modeStr))
+            .toDF("version", "n_buckets", "mode"),
+          metaPath(stateDir))
+    } else if (dirty.get.nonEmpty) {
+      val d = dirty.get
+      // the null sidecar bucket (-1) holds no report partition (null ids
+      // never join) — its churn only refreshes the witness
+      val dData = d.filter(_ >= 0L)
+      fs.delete(new org.apache.hadoop.fs.Path(digPath), true)
+      for (b <- dData)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$rowsPath/bucket=$b"), true)
+      if (dData.nonEmpty) {
+        // churn-sized slices persisted: the k-column diff join would
+        // otherwise rescan + re-filter both inputs once per side
+        val fD = first.filter(dirtyPred(first, bucketCol, nBuckets, dData))
+          .persist()
+        val sD = second.filter(dirtyPred(second, bucketCol, nBuckets, dData))
+          .persist()
+        try {
+          reportRows(fD, sD)
+            .repartition(col("bucket"))
+            .write.mode(SaveMode.Append).partitionBy("bucket")
+            .parquet(rowsPath)
+        } finally { fD.unpersist(); sD.unpersist() }
+      }
+      swapWrite(spark, pr.cd, digPath)
+    } // zero dirty: report and witness both stand untouched
+
+    val current =
+      try spark.read.parquet(rowsPath)
+        .select("id", "column_name", "check_first", "check_second")
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          // an all-equal table pair leaves an empty report directory —
+          // parquet cannot infer a schema from zero files
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            multiReportSchema)
+      }
+    val report = IncrementalReport(
+      rebuilt = rebuild,
+      totalBuckets = pr.total,
+      dirtyBuckets =
+        if (rebuild) pr.total else dirty.map(_.size.toLong).getOrElse(0L),
+      cleanBuckets = if (rebuild) 0L else pr.total - pr.dirtyInCurrent)
+    (current, report)
+    } finally lease.release()
   }
 }

@@ -127,7 +127,16 @@ object ValidationJob {
         IncrementalValidation.summaryMultiIncremental(first, second, checks,
           stateDir(cfg), nBuckets = cfg.incrementalBuckets)
       else Validator.summaryMulti(first, second, checks)
-    val diff = Validator.diffMulti(first, second, checks)
+    val diff =
+      // as in [[run]]: maintenance only when reports are asked for
+      if (cfg.incremental && cfg.reportIncremental && writeReports)
+        // maintain the stored per-bucket diff table: a churned re-run
+        // rewrites only dirty buckets' partitions; the returned frame
+        // reads from the store (string-typed columns, diffMulti's own
+        // output convention)
+        IncrementalValidation.reportIncrementalMulti(first, second, checks,
+          multiReportStateDir(cfg), nBuckets = cfg.reportBuckets)._1
+      else Validator.diffMulti(first, second, checks)
     if (writeReports)
       ReportWriter.writePartitioned(diff, s"${cfg.outputDirectory}/multi_diff",
         Seq("column_name"))
@@ -139,17 +148,58 @@ object ValidationJob {
   private def stateDir(cfg: ValidationConfig): String =
     cfg.stateDirectory.getOrElse(s"${cfg.outputDirectory}/validation_state")
 
+  // each incremental surface gets a DEDICATED subdirectory (the meta
+  // file inside a state dir is per-surface; sharing one dir would
+  // degrade every run to a rebuild — IncrementalValidation's contract)
+  private def reportStateDir(cfg: ValidationConfig): String =
+    s"${stateDir(cfg)}/report_surface"
+  private def multiReportStateDir(cfg: ValidationConfig): String =
+    s"${stateDir(cfg)}/multi_report_surface"
+
+  /** Rebuild [[ValidationOutput]]'s three frames from the STORED
+    * incremental report (kind, id, check_first, check_second — all
+    * string-typed, the report store's convention, matching the
+    * reference's own all-string CSV outputs). */
+  private def outputFromStored(rep: DataFrame, db1: String, db2: String,
+      check: String): ValidationOutput = {
+    import org.apache.spark.sql.functions.col
+    ValidationOutput(
+      missingInFirst = rep.filter(col("kind") === "missing_in_first")
+        .select("id"),
+      missingInSecond = rep.filter(col("kind") === "missing_in_second")
+        .select("id"),
+      differing = rep.filter(col("kind") === "differing").select(
+        col("id"),
+        col("check_first").as(s"${check}_$db1"),
+        col("check_second").as(s"${check}_$db2")))
+  }
+
   /** Run the validation; write tidy + compat reports; return the output.
-    * With `incremental: true` the summary answers through the stored
-    * per-bucket digest state (only churned buckets recompute on a
-    * re-run); the row-level reports still reflect the full current
-    * inputs. */
+    *
+    * With `incremental: true` BOTH surfaces answer through stored
+    * per-bucket state: the summary through the digest-pruned terms, and
+    * the row-level reports through the incrementally-maintained report
+    * table (only churned buckets' partitions rewritten per run — the
+    * tidy/compat files are then re-derived from that store, a
+    * report-sized write, never a table-sized recompute). Set
+    * `report_incremental: false` to keep the classic full-input report
+    * path while the summary stays incremental. */
   def run(spark: SparkSession, cfg: ValidationConfig,
       writeReports: Boolean = true): (ValidationOutput, DataFrame) = {
     val first = side(spark, cfg, cfg.first, cfg.dateColumnFirst)
     val second = side(spark, cfg, cfg.second, cfg.dateColumnSecond)
-    val out = Validator.validate(first, second, compareMode(cfg),
-      cfg.firstName, cfg.secondName, cfg.checkColumn)
+    val mode = compareMode(cfg)
+    val out =
+      // report maintenance only runs when reports are asked for — a
+      // summary-only caller (writeReports = false) never pays it
+      if (cfg.incremental && cfg.reportIncremental && writeReports) {
+        val (current, _) = IncrementalValidation.reportIncremental(
+          first, second, mode, reportStateDir(cfg),
+          nBuckets = cfg.reportBuckets)
+        outputFromStored(current, cfg.firstName, cfg.secondName,
+          cfg.checkColumn)
+      } else Validator.validate(first, second, mode,
+        cfg.firstName, cfg.secondName, cfg.checkColumn)
     if (writeReports) {
       ReportWriter.writeTidy(out, s"${cfg.outputDirectory}/tidy")
       ReportWriter.writeCompat(out, s"${cfg.outputDirectory}/result",
@@ -158,8 +208,8 @@ object ValidationJob {
     val summary =
       if (cfg.incremental)
         IncrementalValidation.summaryIncremental(first, second,
-          compareMode(cfg), stateDir(cfg), nBuckets = cfg.incrementalBuckets)
-      else Validator.summaryFast(first, second, compareMode(cfg)) // single job, all modes
+          mode, stateDir(cfg), nBuckets = cfg.incrementalBuckets)
+      else Validator.summaryFast(first, second, mode) // single job, all modes
     (out, summary)
   }
 }

@@ -187,13 +187,25 @@ object Compaction {
     *
     * The swap is NOT atomic (the window between delete and rename is the
     * standard exposure of every rename-based OPTIMIZE outside a
-    * transactional table format); callers needing atomicity compact into
-    * a fresh directory via [[compact]] and flip their own pointer.
-    * Same stats frame as [[compact]]. */
+    * transactional table format), but it IS self-healing: a crash inside
+    * that window strands the only copy in the staging sibling, and the
+    * next call detects (base missing, staging present) and renames the
+    * staging copy back into place before proceeding. Callers needing
+    * true atomicity compact into a fresh directory via [[compact]] and
+    * flip their own pointer. Same stats frame as [[compact]]. */
   def compactInPlace(spark: SparkSession, dir: String,
       targetBytes: Long): DataFrame = {
     import spark.implicits._
     require(targetBytes > 0, "targetBytes must be positive")
+    val base0 = new org.apache.hadoop.fs.Path(dir)
+    val fs0 = base0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp0 = new org.apache.hadoop.fs.Path(
+      base0.getParent, base0.getName + "__graft_compact_tmp")
+    // crash recovery: a prior run that died between its delete(base) and
+    // rename(tmp, base) left the ONLY copy stranded in the staging
+    // sibling — rename it back into place before anything else, so a
+    // re-run heals instead of throwing FileNotFound at the listing
+    if (!fs0.exists(base0) && fs0.exists(tmp0)) fs0.rename(tmp0, base0)
     val in = listDataFiles(spark, dir)
     val (fi, bi) = (in.size.toLong, in.map(_._2).sum)
     val planned =
@@ -203,11 +215,11 @@ object Compaction {
       return Seq((fi, bi, fi, bi, planned, false))
         .toDF("files_in", "bytes_in", "files_out", "bytes_out",
           "files_planned", "rewritten")
-    val base = new org.apache.hadoop.fs.Path(dir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(
-      base.getParent, base.getName + "__graft_compact_tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true) // a prior crash's leftovers
+    val base = base0; val fs = fs0; val tmp = tmp0
+    // a prior crash's PARTIAL staging leftovers — only safe to discard
+    // because the base dir exists (verified by the listing above); when
+    // base is missing the staging copy is the data and was renamed back
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     rewriteInto(rewriteSession(spark, targetBytes), dir, tmp.toString)
     val out = listDataFiles(spark, tmp.toString)
     fs.delete(base, true)

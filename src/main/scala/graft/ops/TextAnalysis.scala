@@ -409,7 +409,12 @@ object TextAnalysis {
     * replaces paid the corpus-sized per-doc grouping twice for the same
     * answer (measured ~2x on the t_dsir bench query). Everything keyed
     * or broadcast, nothing corpus-sized on the driver; bit-identical to
-    * the two-pass form (pinned in OpsSpec). */
+    * the two-pass form for UNIQUE `idCol` values (pinned in spec,
+    * duplicate-id case included). On a duplicated id the two forms
+    * legitimately diverge: the old inner self-join emitted n^2 rows per
+    * doc_id where this emits n — one score row per input row, the
+    * duplicates' bigram stats merged into their shared id's score,
+    * arguably the behavior a scorer should have had all along. */
   def importanceScore(docs: DataFrame, target: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     def tokenize(df: DataFrame) = df.select(col(idCol).as("__id"),
