@@ -344,6 +344,39 @@ object SparkEntry {
           db1, db2, checks, stateDir, nBuckets = 4096)
         .orderBy("column_name")
     }),
+    "v_multi_incremental_diff" -> ((s, dir) => {
+      // the incrementally-maintained MULTI-COLUMN row-level report:
+      // diffMulti's long frame stored bucket-partitioned, dirtiness per
+      // bucket decided by the whole-row digest (one witness for all k
+      // columns), churned buckets' partitions rewritten per run. Seeded
+      // from a v_incremental_diff-style restated prior (ids < 30
+      // perturbed on the second side's price, every 3rd absent); the
+      // oracle is v_multi_diff's per-column SQL over the CURRENT inputs
+      // — the stored report it answers from is invisible to it.
+      // 256 buckets for the same directory-count economics as
+      // v_incremental_diff
+      val (db1, db2) = ordersPair(s, dir)
+      val dec = (df: DataFrame) => df.withColumn("o_totalprice",
+        col("o_totalprice").cast("decimal(18,2)"))
+      val f = dec(db1); val sec = dec(db2)
+      val checks = Seq(
+        ("o_totalprice", CompareMode.Numeric),
+        ("o_orderdate", CompareMode.Date),
+        ("o_orderpriority", CompareMode.Fuzzy(0.9)))
+      val stateDir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_increpm_${dirTag(dir)}"
+      val restated = col("id").cast("long") < 30
+      val prior2 = sec
+        .withColumn("o_totalprice",
+          when(restated, col("o_totalprice") + 7)
+            .otherwise(col("o_totalprice")))
+        .filter(!(restated && col("id").cast("long") % 3 === 0))
+      graft.core.IncrementalValidation.reportIncrementalMulti(
+        f, prior2, checks, stateDir, nBuckets = 256)
+      graft.core.IncrementalValidation.reportIncrementalMulti(
+          f, sec, checks, stateDir, nBuckets = 256)
+        ._1.orderBy("column_name", "id")
+    }),
     "v_multi_diff" -> ((s, dir) => {
       // the tidy per-column differing pairs behind v_multi_validate's
       // counts — k columns from ONE inner join on id. totalprice rides
@@ -2436,6 +2469,35 @@ object SparkEntry {
   /** DuckDB-runnable ANSI equivalents (driver's correctness oracle).
     * Omitted for ops whose semantics aren't SQL-expressible (difflib ratio,
     * LSH, UDF hashes) — the driver records a weaker rows-only check there. */
+  /** The per-column differing-pairs SQL over the current inputs —
+    * shared by the v_multi_diff oracle and (as an identity oracle) by
+    * v_multi_incremental_diff, whose stored per-bucket report it never
+    * sees. */
+  private lazy val multiDiffSql: String =
+    s"""$pairCte
+       |SELECT * FROM (
+       |  SELECT db1.id, 'o_orderdate' AS column_name,
+       |    strftime(db1.o_orderdate, '%Y-%m-%d %H:%M:%S') AS check_first,
+       |    strftime(db2.o_orderdate, '%Y-%m-%d %H:%M:%S') AS check_second
+       |  FROM db1 JOIN db2 ON db1.id = db2.id
+       |  WHERE db1.o_orderdate IS DISTINCT FROM db2.o_orderdate
+       |  UNION ALL
+       |  SELECT db1.id, 'o_orderpriority', db1.o_orderpriority, db2.o_orderpriority
+       |  FROM db1 JOIN db2 ON db1.id = db2.id
+       |    LEFT JOIN read_parquet('$repoRoot/src/test/resources/difflib_ratios.parquet') r
+       |      ON db1.o_orderpriority = r.a AND db2.o_orderpriority = r.b
+       |  WHERE CASE
+       |    WHEN db1.o_orderpriority IS NULL AND db2.o_orderpriority IS NULL THEN FALSE
+       |    WHEN db1.o_orderpriority IS NULL OR db2.o_orderpriority IS NULL THEN TRUE
+       |    ELSE r.ratio < CAST(0.9 AS DOUBLE) END
+       |  UNION ALL
+       |  SELECT db1.id, 'o_totalprice',
+       |    CAST(CAST(db1.o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+       |    CAST(CAST(db2.o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+       |  FROM db1 JOIN db2 ON db1.id = db2.id
+       |  WHERE db1.o_totalprice IS DISTINCT FROM db2.o_totalprice
+       |) ORDER BY column_name, id""".stripMargin
+
   /** The per-column six-metric SQL over the current inputs — shared by
     * the v_multi_validate oracle and (as an identity oracle) by
     * v_multi_incremental, whose stored state it never sees. */
@@ -2615,30 +2677,13 @@ object SparkEntry {
          |  WHERE db1.o_totalprice IS DISTINCT FROM db2.o_totalprice
          |)
          |ORDER BY kind, id""".stripMargin,
-    "v_multi_diff" ->
-      s"""$pairCte
-         |SELECT * FROM (
-         |  SELECT db1.id, 'o_orderdate' AS column_name,
-         |    strftime(db1.o_orderdate, '%Y-%m-%d %H:%M:%S') AS check_first,
-         |    strftime(db2.o_orderdate, '%Y-%m-%d %H:%M:%S') AS check_second
-         |  FROM db1 JOIN db2 ON db1.id = db2.id
-         |  WHERE db1.o_orderdate IS DISTINCT FROM db2.o_orderdate
-         |  UNION ALL
-         |  SELECT db1.id, 'o_orderpriority', db1.o_orderpriority, db2.o_orderpriority
-         |  FROM db1 JOIN db2 ON db1.id = db2.id
-         |    LEFT JOIN read_parquet('$repoRoot/src/test/resources/difflib_ratios.parquet') r
-         |      ON db1.o_orderpriority = r.a AND db2.o_orderpriority = r.b
-         |  WHERE CASE
-         |    WHEN db1.o_orderpriority IS NULL AND db2.o_orderpriority IS NULL THEN FALSE
-         |    WHEN db1.o_orderpriority IS NULL OR db2.o_orderpriority IS NULL THEN TRUE
-         |    ELSE r.ratio < CAST(0.9 AS DOUBLE) END
-         |  UNION ALL
-         |  SELECT db1.id, 'o_totalprice',
-         |    CAST(CAST(db1.o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
-         |    CAST(CAST(db2.o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
-         |  FROM db1 JOIN db2 ON db1.id = db2.id
-         |  WHERE db1.o_totalprice IS DISTINCT FROM db2.o_totalprice
-         |) ORDER BY column_name, id""".stripMargin,
+    "v_multi_diff" -> multiDiffSql,
+    // identity oracle for the multi-column incrementally-maintained
+    // row-level report: the exact per-column diff SQL over the CURRENT
+    // inputs — the stored per-bucket report and the prior snapshot are
+    // invisible to it, so a stale carried partition or a missed dirty
+    // bucket is a row/hash mismatch
+    "v_multi_incremental_diff" -> multiDiffSql,
     "v_date_filter" ->
       """SELECT o_orderkey AS id,
         |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date

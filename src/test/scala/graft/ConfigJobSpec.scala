@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.config.ConfigLoader
-import graft.core.{CompareMode, ValidationJob}
+import graft.core.{CompareMode, ValidationJob, Validator}
 import graft.sources.SourceReader
 
 /** Config surface -> full job lifecycle (reference `config.py` +
@@ -195,6 +195,114 @@ class ConfigJobSpec extends AnyFunSuite with SparkSpec {
     assert(byCol("val").getAs[Long]("n_differing") == 1)
     assert(byCol("d").getAs[Long]("n_differing") == 0)
     assert(new java.io.File(s"$outDir/multi_state/terms").isDirectory)
+  }
+
+  test("incremental: true maintains the ROW-LEVEL report through the " +
+      "stored bucket-partitioned table: a churned re-run rewrites only " +
+      "dirty buckets' partitions, the written reports equal the full " +
+      "validate() frames, and report_incremental: false keeps the " +
+      "classic path") {
+    import org.apache.spark.sql.functions.col
+    val d = Files.createTempDirectory("cfgincrep")
+    val outDir = s"$d/out"
+    // 400 ids; the right side starts with 8 differing values (pk%50==0)
+    val a = spark.range(400).selectExpr("id AS pk",
+      "CAST(id % 37 AS STRING) AS val")
+    val b0 = a.selectExpr("pk",
+      "CASE WHEN pk % 50 = 0 THEN concat(val, 'x') ELSE val END AS val")
+    // churn: 10 more ids change (390..399), one id disappears (17)
+    val b1 = b0.selectExpr("pk",
+      "CASE WHEN pk >= 390 THEN concat(val, 'y') ELSE val END AS val")
+      .filter("pk <> 17")
+    a.write.mode("overwrite").parquet(s"$d/a")
+    b0.write.mode("overwrite").parquet(s"$d/b0")
+    b1.write.mode("overwrite").parquet(s"$d/b1")
+    def yaml(right: String, extra: String = "") =
+      s"""databases: [left, right]
+         |data_type: string
+         |threshold: 1
+         |composite_id_columns: [pk]
+         |check_column: val
+         |output_directory: $outDir
+         |incremental: true
+         |$extra
+         |sources:
+         |  left: { format: parquet, path: $d/a }
+         |  right: { format: parquet, path: $right }
+         |""".stripMargin
+    val reportStore = s"$outDir/validation_state/report_surface/report"
+    ValidationJob.run(spark, ConfigLoader.fromYamlString(yaml(s"$d/b0")))
+    assert(new java.io.File(reportStore).isDirectory,
+      "incremental run must materialize the stored report table")
+    def mtimes(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(reportStore))
+      try st.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("bucket="))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+      finally st.close()
+    }
+    val before = mtimes()
+    assert(before.nonEmpty, "run 1 must write differing-row partitions")
+    val (out2, _) = ValidationJob.run(spark,
+      ConfigLoader.fromYamlString(yaml(s"$d/b1")))
+    val after = mtimes()
+    val survivors = before.keySet.intersect(after.keySet)
+    val untouched = survivors.count(k => before(k) == after(k))
+    assert(untouched * 2 >= survivors.size,
+      s"churned YAML re-run must leave clean partitions alone " +
+        s"($untouched/${survivors.size} untouched)")
+    // the returned frames AND the tidy files equal a full validate()
+    val want = Validator.validate(
+      a.selectExpr("CAST(pk AS STRING) AS id", "val AS check"),
+      b1.selectExpr("CAST(pk AS STRING) AS id", "val AS check"),
+      CompareMode.Fuzzy(1.0))
+    assert(out2.differing.collect().map(_.toSeq).toSet ==
+      want.differing.collect().map(_.toSeq).toSet)
+    assert(out2.missingInSecond.as[String].collect().toSet ==
+      want.missingInSecond.collect().map(_.getString(0)).toSet)
+    val tidyDiff = spark.read.parquet(s"$outDir/tidy/differing_values")
+    assert(tidyDiff.columns.toSeq == Seq("id", "val_left", "val_right"))
+    assert(tidyDiff.collect().map(_.toSeq).toSet ==
+      want.differing.collect().map(_.toSeq).toSet,
+      "tidy report written from the store must equal full validate()")
+    // escape hatch: report_incremental: false never touches the store
+    val outDir2 = s"$d/out2"
+    val cfgOff = ConfigLoader.fromYamlString(
+      yaml(s"$d/b1", "report_incremental: false")
+        .replace(outDir, outDir2))
+    assert(!cfgOff.reportIncremental)
+    ValidationJob.run(spark, cfgOff)
+    assert(!new java.io.File(
+      s"$outDir2/validation_state/report_surface").exists(),
+      "report_incremental: false must keep the classic full-report path")
+    assert(new java.io.File(s"$outDir2/tidy/differing_values").isDirectory)
+    // multi path: check_columns + incremental maintains the multi store
+    // and writes multi_diff from it
+    val yamlM =
+      s"""databases: [left, right]
+         |composite_id_columns: [pk]
+         |check_columns:
+         |  - column: val
+         |incremental: true
+         |output_directory: $outDir/m
+         |sources:
+         |  left: { format: parquet, path: $d/a }
+         |  right: { format: parquet, path: $d/b1 }
+         |""".stripMargin
+    val (_, diffM) = ValidationJob.runMulti(spark,
+      ConfigLoader.fromYamlString(yamlM))
+    assert(new java.io.File(
+      s"$outDir/m/validation_state/multi_report_surface/report").isDirectory)
+    val wantM = Validator.diffMulti(
+      a.selectExpr("CAST(pk AS STRING) AS id", "val"),
+      b1.selectExpr("CAST(pk AS STRING) AS id", "val"),
+      Seq(("val", CompareMode.Fuzzy(1.0))))
+    assert(diffM.collect().map(_.toSeq).toSet ==
+      wantM.collect().map(_.toSeq).toSet)
+    assert(new java.io.File(
+      s"$outDir/m/multi_diff/column_name=val").isDirectory)
   }
 
   test("config guards: classic path still demands check_column; multi " +
