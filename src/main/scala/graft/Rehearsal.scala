@@ -295,6 +295,44 @@ object Rehearsal {
       emit(s"""{"scale":$scale,"stage":"bpe_train","input_rows":$nDocs,"merges":${bpeMerges.size},"sec":$tBpeTrain}""")
       emit(s"""{"scale":$scale,"stage":"bpe_encode","input_rows":$nEncDocs,"tokens":$nTokens,"sec":$tBpeEnc,"tokens_per_sec":${(nTokens / math.max(tBpeEnc, 1e-9)).toLong}}""")
 
+      // BPE delta-maintenance leg: FORCED-distributed training over a
+      // vocabulary that actually GROWS with the run (30k x scale
+      // distinct hash-derived words) — the regime the distributed merge
+      // loop exists for (the replicated docs corpus keeps its
+      // distinct-word set ~flat, which the hybrid local finish handles
+      // without any distributed merges at all). The per-merge trace
+      // emits affected vs working per merge: the delta path's shuffle
+      // carries only the affected words' ±pairs (~1-2% of the set for
+      // hash-random words), so its per-merge cost must track AFFECTED
+      // while the recount twin re-explodes the ENTIRE working set's
+      // pairs every merge and tracks |working|. (traced per-merge secs
+      // include the trace's own filter-count job; headline totals are
+      // untraced)
+      {
+        val vocabDocs = spark.range(scale.toLong * 30000)
+          .selectExpr("id AS doc_id",
+            "lower(conv(substring(md5(cast(id AS string)), 1, 13), 16, 36)) AS text")
+          .localCheckpoint(true)
+        val perMerge =
+          scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Double)]
+        Tokenize.bpeTrain(vocabDocs, "text", numMerges = 12,
+          localThreshold = 0L,
+          trace = Some((r, a, w, s) => perMerge += ((r, a, w, s))))
+        val (_, tDelta) = timed {
+          Tokenize.bpeTrain(vocabDocs, "text", numMerges = 12,
+            localThreshold = 0L).count()
+        }
+        val (_, tRecount) = timed {
+          Tokenize.bpeTrain(vocabDocs, "text", numMerges = 12,
+            localThreshold = 0L, deltaCounts = false).count()
+        }
+        val aArr = perMerge.map(_._2).mkString("[", ",", "]")
+        val wArr = perMerge.map(_._3).mkString("[", ",", "]")
+        val sArr = perMerge.map(m => f"${m._4}%.3f").mkString("[", ",", "]")
+        emit(s"""{"scale":$scale,"stage":"bpe_train_delta","distinct_words":${scale.toLong * 30000},"merges":${perMerge.size},"affected_per_merge":$aArr,"working_per_merge":$wArr,"sec_per_merge_traced":$sArr,"sec_delta":$tDelta,"sec_recount":$tRecount}""")
+        vocabDocs.unpersist()
+      }
+
       // PageRank skew leg: a power-law hub — 10^5 sources all pointing at
       // one node ("hub") — on top of a sparse deterministic ring graph
       // whose node count scales with the run. Per iteration the cost is

@@ -892,6 +892,48 @@ object IncrementalValidation {
     } finally lease.release()
   }
 
+  /** The six-metric summary derived from a MAINTAINED report store —
+    * call after [[reportIncremental]] has run for the same inputs. Row
+    * counts come from the digest witness (per-bucket n1/n2 sums),
+    * mismatch counts from the stored report rows; the identities
+    *
+    *   n_matched    = n_second - missing_in_first
+    *   n_differing  = |differing report rows|   (m-by-n pair multiplicity)
+    *
+    * hold exactly for [[Validator.summaryFast]]'s semantics (a
+    * second-side row either matches some first id or is missing from
+    * first; null ids sit in the missing frames and the digest counts on
+    * both sides). So a YAML run that maintains the report gets its
+    * summary for a metadata-sized read — ONE digest scan prices the
+    * whole daily run, no second state surface, no third pass over the
+    * inputs. */
+  def summaryFromStoredReport(spark: SparkSession,
+      stateDir: String): DataFrame = {
+    val dig = spark.read.parquet(reportDigestsPath(stateDir))
+      .agg(sum(col("n1")).as("n_first"), sum(col("n2")).as("n_second"))
+      .na.fill(0L)
+    val rep =
+      try spark.read.parquet(reportRowsPath(stateDir)).select("kind")
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            reportSchema).select("kind")
+      }
+    val kinds = rep.agg(
+      sum(when(col("kind") === "missing_in_first", 1L).otherwise(0L))
+        .as("missing_in_first"),
+      sum(when(col("kind") === "missing_in_second", 1L).otherwise(0L))
+        .as("missing_in_second"),
+      sum(when(col("kind") === "differing", 1L).otherwise(0L))
+        .as("n_differing")).na.fill(0L)
+    dig.crossJoin(broadcast(kinds)).select(
+      col("n_first"), col("n_second"),
+      col("missing_in_first"), col("missing_in_second"),
+      col("n_differing"),
+      (col("n_second") - col("missing_in_first")).as("n_matched"))
+  }
+
   private val multiReportSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("id", StringType),
     org.apache.spark.sql.types.StructField("column_name", StringType),

@@ -176,40 +176,54 @@ object ValidationJob {
 
   /** Run the validation; write tidy + compat reports; return the output.
     *
-    * With `incremental: true` BOTH surfaces answer through stored
-    * per-bucket state: the summary through the digest-pruned terms, and
-    * the row-level reports through the incrementally-maintained report
-    * table (only churned buckets' partitions rewritten per run — the
-    * tidy/compat files are then re-derived from that store, a
-    * report-sized write, never a table-sized recompute). Set
-    * `report_incremental: false` to keep the classic full-input report
-    * path while the summary stays incremental. */
+    * With `incremental: true` BOTH surfaces answer through ONE stored
+    * state: the row-level report is maintained as a bucket-partitioned
+    * table (only churned buckets' partitions rewritten per run; the
+    * tidy/compat files re-derive from that store — report-sized writes,
+    * never a table-sized recompute), and the summary derives from the
+    * same store's digest witness + report rows
+    * ([[IncrementalValidation.summaryFromStoredReport]]) — the whole
+    * daily run costs one digest scan of each input plus churn-sized
+    * work. Set `report_incremental: false` to keep the classic
+    * full-input report path while the summary answers through the
+    * digest-pruned term state instead. */
   def run(spark: SparkSession, cfg: ValidationConfig,
       writeReports: Boolean = true): (ValidationOutput, DataFrame) = {
     val first = side(spark, cfg, cfg.first, cfg.dateColumnFirst)
     val second = side(spark, cfg, cfg.second, cfg.dateColumnSecond)
     val mode = compareMode(cfg)
-    val out =
-      // report maintenance only runs when reports are asked for — a
-      // summary-only caller (writeReports = false) never pays it
-      if (cfg.incremental && cfg.reportIncremental && writeReports) {
-        val (current, _) = IncrementalValidation.reportIncremental(
-          first, second, mode, reportStateDir(cfg),
-          nBuckets = cfg.reportBuckets)
-        outputFromStored(current, cfg.firstName, cfg.secondName,
-          cfg.checkColumn)
-      } else Validator.validate(first, second, mode,
-        cfg.firstName, cfg.secondName, cfg.checkColumn)
-    if (writeReports) {
+    // report maintenance only runs when reports are asked for — a
+    // summary-only caller (writeReports = false) never pays it
+    if (cfg.incremental && cfg.reportIncremental && writeReports) {
+      // the fully-incremental daily run: ONE digest scan steers the
+      // report maintenance, and the summary derives from the store
+      // (digest row counts + report mismatch counts) — no second state
+      // surface, no third pass over the inputs
+      val (current, _) = IncrementalValidation.reportIncremental(
+        first, second, mode, reportStateDir(cfg),
+        nBuckets = cfg.reportBuckets)
+      val out = outputFromStored(current, cfg.firstName, cfg.secondName,
+        cfg.checkColumn)
       ReportWriter.writeTidy(out, s"${cfg.outputDirectory}/tidy")
       ReportWriter.writeCompat(out, s"${cfg.outputDirectory}/result",
         cfg.firstName, cfg.secondName, cfg.checkColumn)
+      val summary = IncrementalValidation.summaryFromStoredReport(
+        spark, reportStateDir(cfg))
+      (out, summary)
+    } else {
+      val out = Validator.validate(first, second, mode,
+        cfg.firstName, cfg.secondName, cfg.checkColumn)
+      if (writeReports) {
+        ReportWriter.writeTidy(out, s"${cfg.outputDirectory}/tidy")
+        ReportWriter.writeCompat(out, s"${cfg.outputDirectory}/result",
+          cfg.firstName, cfg.secondName, cfg.checkColumn)
+      }
+      val summary =
+        if (cfg.incremental)
+          IncrementalValidation.summaryIncremental(first, second,
+            mode, stateDir(cfg), nBuckets = cfg.incrementalBuckets)
+        else Validator.summaryFast(first, second, mode) // one job, all modes
+      (out, summary)
     }
-    val summary =
-      if (cfg.incremental)
-        IncrementalValidation.summaryIncremental(first, second,
-          mode, stateDir(cfg), nBuckets = cfg.incrementalBuckets)
-      else Validator.summaryFast(first, second, mode) // single job, all modes
-    (out, summary)
   }
 }

@@ -23,15 +23,29 @@ import org.apache.spark.sql.functions._
   *    WORD working set (Heaps' law: sublinear in corpus size — millions
   *    of rows where the corpus has trillions of tokens), which also
   *    SHRINKS during training as fully-merged words retire.
-  *  - each training iteration is one shuffle-light job over that working
-  *    set: adjacent-pair counts partially aggregate map-side, and the
-  *    argmax is a TakeOrdered(1), never a full sort. The merge rewrite
-  *    is a narrow map; lineage is cut by localCheckpoint every few
-  *    rounds so iteration r never replays rounds 0..r-1.
+  *  - pair statistics are DELTA-MAINTAINED across merges (the classic
+  *    fast-BPE bookkeeping, distributed): a merge of (l, r) changes the
+  *    adjacent-pair multiset ONLY of words that contain that pair, so
+  *    each iteration filters the working set to the affected words,
+  *    emits their old pairs negative / new pairs positive, and folds
+  *    that delta into a persisted running count — per-merge shuffle is
+  *    delta-sized (affected words' pairs), not working-set-sized, and
+  *    the recount-from-scratch path survives behind `deltaCounts =
+  *    false` with a spec pinning exact equality. The argmax stays a
+  *    TakeOrdered(1) over the (pair-vocabulary-sized) running counts,
+  *    never a full sort. The merge rewrite is a narrow map; lineage is
+  *    cut by localCheckpoint every few rounds so iteration r never
+  *    replays rounds 0..r-1.
   *  - encoding never shuffles at all: a mapPartitions pass with a
   *    per-partition word -> tokens memo (words repeat massively, so the
   *    merge loop runs once per DISTINCT word per partition, bounded by a
   *    cache cap against adversarial vocabularies).
+  *
+  * Scope: this is WORD-LEVEL BPE by declared contract — byte-level
+  * pre-tokenization (GPT-2's regex over raw bytes) and special-token
+  * handling (<|endoftext|> etc.) are outside it; the distributed
+  * machinery (delta-maintained counts, hybrid finish, memoized encode)
+  * is tokenization-scheme-agnostic and would carry over unchanged.
   *
   * Pre-tokenization contract (shared with the DuckDB oracles and the
   * committed fixtures): `lower(text)` split on `[^a-z0-9]+`, empties
@@ -63,6 +77,23 @@ object Tokenize {
       }
       .toDF("left", "right", "f")
       .groupBy("left", "right").agg(sum("f").as("freq"))
+  }
+
+  /** Adjacent token pairs of one word, in order (overlaps included). */
+  private def pairsOf(toks: IndexedSeq[String]): Iterator[(String, String)] =
+    (0 until toks.length - 1).iterator.map(i => (toks(i), toks(i + 1)))
+
+  /** Does `toks` contain the adjacent pair (l, r)? The affected-word
+    * filter of the delta maintenance — words failing it keep their pair
+    * multiset unchanged through a merge of (l, r). */
+  private def hasAdjacent(toks: IndexedSeq[String], l: String,
+      r: String): Boolean = {
+    var i = 0
+    while (i < toks.length - 1) {
+      if (toks(i) == l && toks(i + 1) == r) return true
+      i += 1
+    }
+    false
   }
 
   /** Merge every occurrence of (l, r) in `toks`, greedy left-to-right —
@@ -131,18 +162,31 @@ object Tokenize {
     * right, freq), rank 0 first. Stops early when the best remaining
     * pair's frequency falls below `minFreq` (or no pair remains).
     *
-    * Hybrid execution, same answer either way (spec-pinned): while the
+    * Hybrid execution, same answer every way (spec-pinned): while the
     * distinct-word working set exceeds `localThreshold` rows, each merge
-    * is one distributed job (partial pair counts + TakeOrdered(1) argmax
-    * + narrow rewrite, lineage cut by periodic localCheckpoint); once
-    * the shrinking set FITS THE DRIVER it is collected and the remaining
-    * merges run locally — per-merge cost drops from a Spark job (~0.1 s
-    * of fixed overhead regardless of data) to microseconds, which is
-    * what a 50k-merge production vocabulary needs once the tail is
-    * small. The collect is bounded by `localThreshold` rows of short
-    * token arrays — metadata-sized by construction. */
+    * runs distributed (delta-maintained pair counts by default — see the
+    * object doc — with `deltaCounts = false` keeping the
+    * recount-from-scratch formulation); once the shrinking set FITS THE
+    * DRIVER it is collected and the remaining merges run locally —
+    * per-merge cost drops from a Spark job (~0.1 s of fixed overhead
+    * regardless of data) to microseconds, which is what a 50k-merge
+    * production vocabulary needs once the tail is small. The collect is
+    * bounded by `localThreshold` rows of short token arrays —
+    * metadata-sized by construction.
+    *
+    * @param deltaCounts maintain pair counts by ±delta from the words a
+    *        merge actually touches (default) instead of recounting the
+    *        working set per merge — same merges, same frequencies,
+    *        per-merge shuffle proportional to the CHURN of the pair
+    *        multiset rather than its size.
+    * @param trace rehearsal/diagnostic hook, called once per DISTRIBUTED
+    *        merge with (rank, affectedWords, workingSetWords, seconds);
+    *        computing affectedWords costs one extra filter-count job per
+    *        merge, so leave it None outside measurement runs. */
   def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
-      minFreq: Long = 2L, localThreshold: Long = 1L << 16): DataFrame = {
+      minFreq: Long = 2L, localThreshold: Long = 1L << 16,
+      deltaCounts: Boolean = true,
+      trace: Option[(Int, Long, Long, Double) => Unit] = None): DataFrame = {
     require(numMerges >= 0, "numMerges must be >= 0")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -154,6 +198,11 @@ object Tokenize {
         .filter(_._1.length > 1)
         .persist()
     var workCount = work.count()
+    // running (left, right, freq) for the delta path — built once from
+    // the initial working set, then folded forward by ±deltas; pair-
+    // vocabulary-sized (distinct adjacent pairs), far below the working
+    // set's token volume
+    var counts: DataFrame = null
     val merges = ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 0
     var done = numMerges == 0
@@ -163,6 +212,7 @@ object Tokenize {
         // merges in memory with the identical stats/tie-break/rewrite
         var vocab = work.collect().toSeq
         work.unpersist()
+        if (counts != null) { counts.unpersist(); counts = null }
         var go = true
         while (go && rank < numMerges) {
           localBest(vocab) match {
@@ -177,13 +227,26 @@ object Tokenize {
         }
         done = true
       } else {
-        val top = work
-          .flatMap { case (toks, f) =>
-            (0 until toks.length - 1).iterator
-              .map(i => (toks(i), toks(i + 1), f))
-          }
-          .toDF("left", "right", "f")
-          .groupBy("left", "right").agg(sum("f").as("freq"))
+        val t0 = System.nanoTime()
+        if (deltaCounts && counts == null) {
+          counts = work
+            .flatMap { case (toks, f) =>
+              pairsOf(toks).map(p => (p._1, p._2, f))
+            }
+            .toDF("left", "right", "f")
+            .groupBy("left", "right").agg(sum("f").as("freq"))
+            .persist()
+          counts.count()
+        }
+        val stats =
+          if (deltaCounts) counts
+          else work
+            .flatMap { case (toks, f) =>
+              pairsOf(toks).map(p => (p._1, p._2, f))
+            }
+            .toDF("left", "right", "f")
+            .groupBy("left", "right").agg(sum("f").as("freq"))
+        val top = stats
           .orderBy(desc("freq"), asc("left"), asc("right"))
           .head(1) // TakeOrdered(1): partial top-1 per partition, no sort
         if (top.isEmpty || top(0).getAs[Long]("freq") < minFreq) done = true
@@ -191,6 +254,30 @@ object Tokenize {
           val l = top(0).getAs[String]("left")
           val r = top(0).getAs[String]("right")
           merges += ((rank, l, r, top(0).getAs[Long]("freq")))
+          if (deltaCounts) {
+            // only words CONTAINING (l, r) change their pair multiset:
+            // emit their old pairs negative, their post-merge pairs
+            // positive (a word retiring to one token emits no positives
+            // — its pairs simply leave the count), fold into the running
+            // total, drop zeroed pairs
+            val delta = work
+              .filter(w => hasAdjacent(w._1, l, r))
+              .flatMap { case (toks, f) =>
+                pairsOf(toks).map(p => (p._1, p._2, -f)) ++
+                  pairsOf(mergeWord(toks, l, r)).map(p => (p._1, p._2, f))
+              }
+              .toDF("left", "right", "freq")
+            val nc = counts.unionByName(delta)
+              .groupBy("left", "right").agg(sum("freq").as("freq"))
+              .filter(col("freq") > 0)
+            // localCheckpoint EVERY merge: counts is pair-vocabulary-
+            // sized (tiny next to the working set), and cutting its
+            // lineage per merge keeps the union tower from inflating
+            // Catalyst planning time as ranks accumulate
+            val matC = nc.localCheckpoint() // eager: forced off the OLD
+            counts.unpersist()              // counts/work before release
+            counts = matC
+          }
           val next = work
             .map { case (toks, f) => (mergeWord(toks, l, r), f) }
             .filter(_._1.length > 1)
@@ -199,15 +286,20 @@ object Tokenize {
           val mat =
             if ((rank + 1) % 8 == 0) next.localCheckpoint()
             else next.persist()
+          val affected = trace.map(_ =>
+            work.filter(w => hasAdjacent(w._1, l, r)).count())
           workCount = mat.count()
           work.unpersist()
           work = mat
+          trace.foreach(_(rank, affected.get, workCount,
+            (System.nanoTime() - t0) / 1e9))
           rank += 1
           if (rank >= numMerges) done = true
         }
       }
     }
     work.unpersist() // no-op when the local path already released it
+    if (counts != null) counts.unpersist()
     merges.toSeq.toDF("rank", "left", "right", "freq")
   }
 

@@ -175,6 +175,42 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("delta-maintained pair counts == recount-from-scratch, both " +
+      "forced distributed, across random corpora (and == the reference)") {
+    for (trial <- 1 to 6) {
+      val texts = randomCorpus(rnd.nextInt(30) + 5)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val nm = rnd.nextInt(14) + 3
+      def collectMerges(delta: Boolean) =
+        Tokenize.bpeTrain(docs, "text", nm, minFreq = 2,
+            localThreshold = 0L, deltaCounts = delta)
+          .orderBy("rank").collect()
+          .map(r => (r.getAs[Int]("rank"), r.getAs[String]("left"),
+            r.getAs[String]("right"), r.getAs[Long]("freq"))).toSeq
+      val viaDelta = collectMerges(true)
+      val viaRecount = collectMerges(false)
+      assert(viaDelta == viaRecount,
+        s"trial $trial: delta and recount paths disagree:\n" +
+          s"$viaDelta\nvs\n$viaRecount")
+      assert(viaDelta == seqTrain(wordFreqsOf(texts), nm, 2),
+        s"trial $trial vs sequential reference")
+    }
+    // trace hook fires once per distributed merge with affected <= working
+    val docs = Seq((1L, "ab ab ab abc abc bc xyz xyz xyz xyz"))
+      .toDF("doc_id", "text")
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long, Double)]
+    Tokenize.bpeTrain(docs, "text", 3, minFreq = 1, localThreshold = 0L,
+      trace = Some((r, a, w, s) => seen += ((r, a, w, s))))
+    assert(seen.map(_._1).toSeq == Seq(0, 1, 2))
+    // working set: ab(3) abc(2) bc(1) xyz(4). merge 0 = (a,b) freq 5
+    // affects ab+abc; merge 1 = (x,y) freq 4 (lexicographic tie-break
+    // over (y,z)) affects xyz; merge 2 = (xy,z) affects xyz
+    assert(seen.map(_._2).toSeq == Seq(2L, 1L, 1L),
+      s"affected counts wrong: $seen")
+  }
+
   test("semantics edges: greedy overlap merge, pair-count overlaps, " +
       "null/empty text, early stop below minFreq") {
     // "aaaa" under merge (a,a): greedy LTR -> (aa, aa); "aaa" -> (aa, a)

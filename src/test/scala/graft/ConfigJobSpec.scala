@@ -245,7 +245,7 @@ class ConfigJobSpec extends AnyFunSuite with SparkSpec {
     }
     val before = mtimes()
     assert(before.nonEmpty, "run 1 must write differing-row partitions")
-    val (out2, _) = ValidationJob.run(spark,
+    val (out2, sum2) = ValidationJob.run(spark,
       ConfigLoader.fromYamlString(yaml(s"$d/b1")))
     val after = mtimes()
     val survivors = before.keySet.intersect(after.keySet)
@@ -267,6 +267,16 @@ class ConfigJobSpec extends AnyFunSuite with SparkSpec {
     assert(tidyDiff.collect().map(_.toSeq).toSet ==
       want.differing.collect().map(_.toSeq).toSet,
       "tidy report written from the store must equal full validate()")
+    // the summary DERIVES from the same store (one digest scan prices
+    // the run) and must equal the direct six-metric computation
+    val wantSum = Validator.summaryFast(
+      a.selectExpr("CAST(pk AS STRING) AS id", "val AS check"),
+      b1.selectExpr("CAST(pk AS STRING) AS id", "val AS check"),
+      CompareMode.Fuzzy(1.0)).collect()(0)
+    assert(sum2.columns.toSeq == Seq("n_first", "n_second",
+      "missing_in_first", "missing_in_second", "n_differing", "n_matched"))
+    assert(sum2.collect()(0).toSeq == wantSum.toSeq,
+      "summary derived from the report store must equal summaryFast")
     // escape hatch: report_incremental: false never touches the store
     val outDir2 = s"$d/out2"
     val cfgOff = ConfigLoader.fromYamlString(

@@ -357,6 +357,41 @@ class Round14OpsSpec extends AnyFunSuite with SparkSpec {
     assert(sumM.collect().length == 1)
   }
 
+  test("summaryFromStoredReport == summaryFast across randomized churn " +
+      "(duplicate ids, null ids, garbage values, all modes) — the " +
+      "derivation identities hold on the torture domain") {
+    def keyed(n: Int) = randomMulti(n, 60)
+      .select(col("id"), col("num").as("check"))
+    for (trial <- 1 to 4) {
+      val mode = Seq(CompareMode.Numeric, CompareMode.Date,
+        CompareMode.Fuzzy(1.0), CompareMode.Fuzzy(0.7))(trial % 4)
+      val stateDir = freshStateDir()
+      val f = viaParquet(keyed(rnd.nextInt(150) + 60))
+      val s0 = viaParquet(keyed(rnd.nextInt(150) + 60))
+      IncrementalValidation.reportIncremental(f, s0, mode, stateDir,
+        nBuckets = 16, dirtyFractionLimit = 1.0)
+      val got1 = IncrementalValidation
+        .summaryFromStoredReport(spark, stateDir).collect()(0)
+      val want1 = Validator.summaryFast(f, s0, mode).collect()(0)
+      assert(got1.toSeq == want1.toSeq, s"trial $trial build: " +
+        s"${got1.toSeq} vs ${want1.toSeq}")
+      // after a churned MAINTENANCE run the derivation must still hold
+      val s1 = viaParquet(churnMulti(
+        s0.withColumnRenamed("check", "num")
+          .withColumn("dt", lit(null).cast("string"))
+          .withColumn("fz", lit(null).cast("string")),
+        salt = trial + 90, rate = 0.1)
+        .select(col("id"), col("num").as("check")))
+      IncrementalValidation.reportIncremental(f, s1, mode, stateDir,
+        nBuckets = 16, dirtyFractionLimit = 1.0)
+      val got2 = IncrementalValidation
+        .summaryFromStoredReport(spark, stateDir).collect()(0)
+      val want2 = Validator.summaryFast(f, s1, mode).collect()(0)
+      assert(got2.toSeq == want2.toSeq, s"trial $trial churn: " +
+        s"${got2.toSeq} vs ${want2.toSeq}")
+    }
+  }
+
   test("compactInPlace self-heals from a crash between delete(base) and " +
       "rename(tmp): the re-run renames the staging copy back and proceeds") {
     val dir = java.nio.file.Files.createTempDirectory("graft_heal").toString
