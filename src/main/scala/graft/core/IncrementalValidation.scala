@@ -934,15 +934,63 @@ object IncrementalValidation {
       (col("n_second") - col("missing_in_first")).as("n_matched"))
   }
 
+  /** The per-column six-metric summary derived from a MAINTAINED
+    * multi-column report store — call after [[reportIncrementalMulti]]
+    * has run for the same inputs. Row counts come from the digest
+    * witness; the id-level missing counts (identical for every column)
+    * and the per-column differing-pair counts come from the stored
+    * report rows; n_matched = n_second - missing_in_first. Exactly
+    * [[Validator.summaryMulti]]'s output contract (one row per check
+    * column, zeros when a column never differs), for a metadata-sized
+    * read — the multi-column daily run needs ONE digest scan, total. */
+  def summaryMultiFromStoredReport(spark: SparkSession, stateDir: String,
+      columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "need the check-column list (names, in order)")
+    val dig = spark.read.parquet(reportDigestsPath(stateDir))
+      .agg(sum(col("n1")).as("n_first"), sum(col("n2")).as("n_second"))
+      .na.fill(0L)
+    val rep =
+      try spark.read.parquet(reportRowsPath(stateDir))
+        .select("kind", "column_name")
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            multiReportSchema).select("kind", "column_name")
+      }
+    val missing = rep.agg(
+      sum(when(col("kind") === "missing_in_first", 1L).otherwise(0L))
+        .as("missing_in_first"),
+      sum(when(col("kind") === "missing_in_second", 1L).otherwise(0L))
+        .as("missing_in_second")).na.fill(0L)
+    val perCol = rep.filter(col("kind") === "differing")
+      .groupBy("column_name").agg(count(lit(1)).as("n_differing"))
+    import spark.implicits._
+    val seed = columns.toDF("column_name")
+    // broadcast the RIGHT side: left-outer cannot build left
+    seed.join(broadcast(perCol), Seq("column_name"), "left_outer")
+      .na.fill(0L, Seq("n_differing"))
+      .crossJoin(broadcast(dig))
+      .crossJoin(broadcast(missing))
+      .select(col("column_name"), col("n_first"), col("n_second"),
+        col("missing_in_first"), col("missing_in_second"),
+        col("n_differing"),
+        (col("n_second") - col("missing_in_first")).as("n_matched"))
+  }
+
   private val multiReportSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("kind", StringType),
     org.apache.spark.sql.types.StructField("id", StringType),
     org.apache.spark.sql.types.StructField("column_name", StringType),
     org.apache.spark.sql.types.StructField("check_first", StringType),
     org.apache.spark.sql.types.StructField("check_second", StringType)))
 
-  /** Incrementally-maintained MULTI-COLUMN row-level report —
-    * [[Validator.diffMulti]]'s long frame (id, column_name, check_first,
-    * check_second — one row per differing (row-pair, column), m-by-n
+  /** Incrementally-maintained MULTI-COLUMN row-level report: the two
+    * id-level missing frames (kind ∈ {missing_in_first,
+    * missing_in_second} — one row per unmatched input row, null ids
+    * included, column_name null: missingness is a property of the id,
+    * not of any one column) PLUS [[Validator.diffMulti]]'s long frame
+    * (kind = differing; one row per differing (row-pair, column), m-by-n
     * duplicate-key multiplicity) as a stored, bucket-partitioned table
     * where a re-run rewrites only the churned buckets' partitions.
     *
@@ -952,11 +1000,15 @@ object IncrementalValidation {
     * check column dirties its id's bucket, the bucket's partition is
     * deleted and recomputed from both sides filtered to the dirty set
     * (file-pruning on a [[withBucket]] layout), clean partitions are
-    * never touched. diffMulti is per-id (inner join on id), and buckets
-    * partition ids, so the full report is exactly the union of
-    * per-bucket reports; null ids never join, so they never appear here
-    * (diffMulti's own contract) and the null sidecar bucket carries no
-    * partition.
+    * never touched. All three frames are per-id, and buckets partition
+    * ids, so the full report is exactly the union of per-bucket reports;
+    * null ids ride the -1 sidecar bucket's partition (they appear in the
+    * missing frames, never the join).
+    *
+    * Because the store carries the missing rows AND the digest witness
+    * carries the per-bucket row counts, the per-column summary is
+    * DERIVABLE from the store ([[summaryMultiFromStoredReport]]) — the
+    * multi-column daily run needs one digest scan, total.
     *
     * Crash discipline is [[reportIncremental]]'s, verified by the same
     * torn-state spec shape: the digest witness is DELETED before any
@@ -965,8 +1017,9 @@ object IncrementalValidation {
     * Use a DEDICATED stateDir per surface; size `nBuckets` for the
     * report table (hundreds, not thousands — see [[reportIncremental]]).
     *
-    * @return (current full report — a read of the stored table — and
-    *         the prune record). */
+    * @return (current DIFFERING long frame — diffMulti's shape, read
+    *         from the stored table — and the prune record); the missing
+    *         frames are in the store under their kinds. */
   def reportIncrementalMulti(first: DataFrame, second: DataFrame,
       checks: Seq[(String, CompareMode)], stateDir: String,
       nBuckets: Int = 4096, dirtyFractionLimit: Double = 0.25,
@@ -978,7 +1031,9 @@ object IncrementalValidation {
     import spark.implicits._
     val rowsPath = reportRowsPath(stateDir)
     val digPath = reportDigestsPath(stateDir)
-    val modeStr = "multireport:" + checks
+    // ".v2": the store gained the kind column + missing rows — a
+    // prior-format state mismatches on meta and rebuilds, never misreads
+    val modeStr = "multireport.v2:" + checks
       .map { case (c, m) => s"$c=${modeKey(m)}" }.mkString(",")
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -988,11 +1043,24 @@ object IncrementalValidation {
     val pr = prune(first, second, nBuckets, bucketCol,
       multiValueExpr(checks.map(_._1)), stateDir, modeStr, digPath)
 
-    // diffMulti emits id already string-cast; bucketExpr hashes the same
-    // string cast, so a report row's bucket equals its input rows' bucket
-    def reportRows(f: DataFrame, s: DataFrame): DataFrame =
-      Validator.diffMulti(f, s, checks)
+    // all three frames emit the id string-cast; bucketExpr hashes the
+    // same cast, so a report row's bucket equals its input rows' bucket
+    def reportRows(f: DataFrame, s: DataFrame): DataFrame = {
+      val fid = f.select(col("id").cast(StringType).as("id"))
+      val sid = s.select(col("id").cast(StringType).as("id"))
+      def missing(kind: String, probe: DataFrame, build: DataFrame) =
+        probe.join(build, Seq("id"), "left_anti").select(
+          lit(kind).as("kind"), col("id"),
+          lit(null).cast(StringType).as("column_name"),
+          lit(null).cast(StringType).as("check_first"),
+          lit(null).cast(StringType).as("check_second"))
+      missing("missing_in_first", sid, fid)
+        .unionByName(missing("missing_in_second", fid, sid))
+        .unionByName(Validator.diffMulti(f, s, checks)
+          .select(lit("differing").as("kind"), col("id"),
+            col("column_name"), col("check_first"), col("check_second")))
         .withColumn("bucket", bucketExpr(nBuckets))
+    }
 
     val dirty = pr.dirty
     val tooDirty = dirty.exists(d =>
@@ -1017,31 +1085,27 @@ object IncrementalValidation {
           metaPath(stateDir))
     } else if (dirty.get.nonEmpty) {
       val d = dirty.get
-      // the null sidecar bucket (-1) holds no report partition (null ids
-      // never join) — its churn only refreshes the witness
-      val dData = d.filter(_ >= 0L)
       fs.delete(new org.apache.hadoop.fs.Path(digPath), true)
-      for (b <- dData)
+      for (b <- d)
         fs.delete(new org.apache.hadoop.fs.Path(s"$rowsPath/bucket=$b"), true)
-      if (dData.nonEmpty) {
-        // churn-sized slices persisted: the k-column diff join would
-        // otherwise rescan + re-filter both inputs once per side
-        val fD = first.filter(dirtyPred(first, bucketCol, nBuckets, dData))
-          .persist()
-        val sD = second.filter(dirtyPred(second, bucketCol, nBuckets, dData))
-          .persist()
-        try {
-          reportRows(fD, sD)
-            .repartition(col("bucket"))
-            .write.mode(SaveMode.Append).partitionBy("bucket")
-            .parquet(rowsPath)
-        } finally { fD.unpersist(); sD.unpersist() }
-      }
+      // churn-sized slices persisted: two anti-joins + the k-column diff
+      // join would otherwise rescan + re-filter both inputs per frame
+      val fD = first.filter(dirtyPred(first, bucketCol, nBuckets, d))
+        .persist()
+      val sD = second.filter(dirtyPred(second, bucketCol, nBuckets, d))
+        .persist()
+      try {
+        reportRows(fD, sD)
+          .repartition(col("bucket"))
+          .write.mode(SaveMode.Append).partitionBy("bucket")
+          .parquet(rowsPath)
+      } finally { fD.unpersist(); sD.unpersist() }
       swapWrite(spark, pr.cd, digPath)
     } // zero dirty: report and witness both stand untouched
 
     val current =
       try spark.read.parquet(rowsPath)
+        .filter(col("kind") === "differing")
         .select("id", "column_name", "check_first", "check_second")
       catch {
         case scala.util.control.NonFatal(_) =>
@@ -1050,6 +1114,7 @@ object IncrementalValidation {
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             multiReportSchema)
+            .select("id", "column_name", "check_first", "check_second")
       }
     val report = IncrementalReport(
       rebuilt = rebuild,

@@ -122,25 +122,32 @@ object ValidationJob {
       "no shared non-key columns to validate between the two sources")
     val first = keyedMulti(rawFirst, cfg, checks.map(_._1))
     val second = keyedMulti(rawSecond, cfg, checks.map(_._1))
-    val summary =
-      if (cfg.incremental)
-        IncrementalValidation.summaryMultiIncremental(first, second, checks,
-          stateDir(cfg), nBuckets = cfg.incrementalBuckets)
-      else Validator.summaryMulti(first, second, checks)
-    val diff =
-      // as in [[run]]: maintenance only when reports are asked for
-      if (cfg.incremental && cfg.reportIncremental && writeReports)
-        // maintain the stored per-bucket diff table: a churned re-run
-        // rewrites only dirty buckets' partitions; the returned frame
-        // reads from the store (string-typed columns, diffMulti's own
-        // output convention)
-        IncrementalValidation.reportIncrementalMulti(first, second, checks,
-          multiReportStateDir(cfg), nBuckets = cfg.reportBuckets)._1
-      else Validator.diffMulti(first, second, checks)
-    if (writeReports)
-      ReportWriter.writePartitioned(diff, s"${cfg.outputDirectory}/multi_diff",
-        Seq("column_name"))
-    (summary, diff)
+    if (cfg.incremental && cfg.reportIncremental && writeReports) {
+      // the fully-incremental multi-column daily run: ONE digest scan
+      // steers the stored report (missing rows + per-column differing
+      // pairs, churned buckets' partitions rewritten only) and the
+      // per-column summary DERIVES from the same store — no second
+      // state surface, no third pass over the inputs
+      val (diff, _) = IncrementalValidation.reportIncrementalMulti(
+        first, second, checks, multiReportStateDir(cfg),
+        nBuckets = cfg.reportBuckets)
+      val summary = IncrementalValidation.summaryMultiFromStoredReport(
+        spark, multiReportStateDir(cfg), checks.map(_._1))
+      ReportWriter.writePartitioned(diff,
+        s"${cfg.outputDirectory}/multi_diff", Seq("column_name"))
+      (summary, diff)
+    } else {
+      val summary =
+        if (cfg.incremental)
+          IncrementalValidation.summaryMultiIncremental(first, second,
+            checks, stateDir(cfg), nBuckets = cfg.incrementalBuckets)
+        else Validator.summaryMulti(first, second, checks)
+      val diff = Validator.diffMulti(first, second, checks)
+      if (writeReports)
+        ReportWriter.writePartitioned(diff,
+          s"${cfg.outputDirectory}/multi_diff", Seq("column_name"))
+      (summary, diff)
+    }
   }
 
   /** The config's incremental-state location: explicit `state_directory`

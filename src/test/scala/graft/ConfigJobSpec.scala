@@ -301,7 +301,7 @@ class ConfigJobSpec extends AnyFunSuite with SparkSpec {
          |  left: { format: parquet, path: $d/a }
          |  right: { format: parquet, path: $d/b1 }
          |""".stripMargin
-    val (_, diffM) = ValidationJob.runMulti(spark,
+    val (sumMulti, diffM) = ValidationJob.runMulti(spark,
       ConfigLoader.fromYamlString(yamlM))
     assert(new java.io.File(
       s"$outDir/m/validation_state/multi_report_surface/report").isDirectory)
@@ -313,6 +313,14 @@ class ConfigJobSpec extends AnyFunSuite with SparkSpec {
       wantM.collect().map(_.toSeq).toSet)
     assert(new java.io.File(
       s"$outDir/m/multi_diff/column_name=val").isDirectory)
+    // the per-column summary DERIVES from the same store and must equal
+    // the direct computation
+    val wantSumM = Validator.summaryMulti(
+      a.selectExpr("CAST(pk AS STRING) AS id", "val"),
+      b1.selectExpr("CAST(pk AS STRING) AS id", "val"),
+      Seq(("val", CompareMode.Fuzzy(1.0)))).collect()(0)
+    assert(sumMulti.collect()(0).toSeq == wantSumM.toSeq,
+      "multi summary derived from the report store must equal summaryMulti")
   }
 
   test("config guards: classic path still demands check_column; multi " +

@@ -357,6 +357,31 @@ class Round14OpsSpec extends AnyFunSuite with SparkSpec {
     assert(sumM.collect().length == 1)
   }
 
+  test("summaryMultiFromStoredReport == summaryMulti across randomized " +
+      "churn — per-column derivation identities on the torture domain") {
+    for (trial <- 1 to 3) {
+      val stateDir = freshStateDir()
+      val f = viaParquet(randomMulti(rnd.nextInt(150) + 60, 60))
+      val s0 = viaParquet(randomMulti(rnd.nextInt(150) + 60, 60))
+      def check(s: DataFrame, ctx: String): Unit = {
+        val got = IncrementalValidation
+          .summaryMultiFromStoredReport(spark, stateDir,
+            multiChecks.map(_._1)).collect()
+          .map(r => r.getString(0) -> r.toSeq.tail).toMap
+        val want = Validator.summaryMulti(f, s, multiChecks).collect()
+          .map(r => r.getString(0) -> r.toSeq.tail).toMap
+        assert(got == want, s"trial $trial $ctx: $got vs $want")
+      }
+      IncrementalValidation.reportIncrementalMulti(f, s0, multiChecks,
+        stateDir, nBuckets = 16, dirtyFractionLimit = 1.0)
+      check(s0, "build")
+      val s1 = viaParquet(churnMulti(s0, salt = trial + 120, rate = 0.1))
+      IncrementalValidation.reportIncrementalMulti(f, s1, multiChecks,
+        stateDir, nBuckets = 16, dirtyFractionLimit = 1.0)
+      check(s1, "churn")
+    }
+  }
+
   test("summaryFromStoredReport == summaryFast across randomized churn " +
       "(duplicate ids, null ids, garbage values, all modes) — the " +
       "derivation identities hold on the torture domain") {
