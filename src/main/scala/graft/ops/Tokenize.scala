@@ -41,17 +41,25 @@ import org.apache.spark.sql.functions._
   *    merge loop runs once per DISTINCT word per partition, bounded by a
   *    cache cap against adversarial vocabularies).
   *
-  * Scope: this is WORD-LEVEL BPE by declared contract — byte-level
-  * pre-tokenization (GPT-2's regex over raw bytes) and special-token
-  * handling (<|endoftext|> etc.) are outside it; the distributed
-  * machinery (delta-maintained counts, hybrid finish, memoized encode)
-  * is tokenization-scheme-agnostic and would carry over unchanged.
+  * Two pre-tokenization schemes share ALL of that machinery (the
+  * trainer takes a prepared (word, freq) frame — [[bpeTrainFreqs]]):
   *
-  * Pre-tokenization contract (shared with the DuckDB oracles and the
-  * committed fixtures): `lower(text)` split on `[^a-z0-9]+`, empties
-  * dropped. Cross-checked against an independent Python reference
-  * implementation via `src/test/resources/bpe_{merges,word_tokens}
-  * .parquet` (scripts/gen_bpe_fixture.py).
+  *  - WORD-LEVEL (the original contract): `lower(text)` split on
+  *    `[^a-z0-9]+`, empties dropped — shared with the DuckDB oracles
+  *    and the committed fixtures (`src/test/resources/bpe_{merges,
+  *    word_tokens}.parquet`, scripts/gen_bpe_fixture.py).
+  *  - BYTE-LEVEL (the GPT-2 scheme): case-preserved, whitespace-aware
+  *    pre-tokens from the GPT-2 regex semantics (contractions,
+  *    optional-leading-space letter/number/punctuation runs, the
+  *    trailing-whitespace lookahead — [[pretokenize]] implements the
+  *    pattern as an explicit scanner, code-point-correct beyond the
+  *    BMP), each pre-token's UTF-8 bytes mapped through the standard
+  *    byte-to-printable-unicode table ([[byteMap]]) so every possible
+  *    byte is a symbol and encoding is LOSSLESS — [[byteUnmap]] inverts
+  *    it exactly. No <unk>, no dropped text, any script. Special-token
+  *    handling (<|endoftext|>) remains out of scope. Anchored to the
+  *    same independent Python reference (fixtures
+  *    `bpe_bytes_{merges,pretoken_tokens}.parquet`).
   */
 object Tokenize {
 
@@ -77,6 +85,136 @@ object Tokenize {
       }
       .toDF("left", "right", "f")
       .groupBy("left", "right").agg(sum("f").as("freq"))
+  }
+
+  // ---- byte-level (GPT-2) pre-tokenization ----------------------------
+
+  /** The standard GPT-2 byte-to-printable-unicode table: the 188
+    * visually-printable latin-1 bytes map to themselves, the rest
+    * (controls, space, DEL, 0xAD...) to 256+k in first-gap order — so a
+    * mapped string is one printable char per BYTE and the space-glued
+    * "Ġword" tokens fall out naturally. Public-knowledge construction
+    * (Radford et al. 2019 tokenizer). */
+  private[graft] val byteToUnicode: Array[Char] = {
+    val direct = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val arr = new Array[Char](256)
+    var n = 0
+    for (b <- 0 until 256) {
+      if (direct(b)) arr(b) = b.toChar
+      else { arr(b) = (256 + n).toChar; n += 1 }
+    }
+    arr
+  }
+  private[graft] val unicodeToByte: Map[Char, Byte] =
+    (0 until 256).map(b => byteToUnicode(b) -> b.toByte).toMap
+
+  /** One printable symbol per UTF-8 byte of `s` — the byte-level symbol
+    * space BPE trains and encodes in. Total and injective over all byte
+    * strings; [[byteUnmap]] is its exact inverse. */
+  private[graft] def byteMap(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) { sb.append(byteToUnicode(bytes(i) & 0xff)); i += 1 }
+    sb.toString
+  }
+
+  /** Inverse of [[byteMap]]: mapped symbols back to UTF-8 text — the
+    * losslessness witness (spec-pinned round trip). */
+  private[graft] def byteUnmap(s: String): String = {
+    val out = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) { out(i) = unicodeToByte(s.charAt(i)); i += 1 }
+    new String(out, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  // GPT-2's \s is the ASCII whitespace set (the pattern is compiled
+  // without unicode flags in the reference); pinned explicitly so the
+  // Scala scanner and the Python fixture generator agree byte for byte
+  private def isSpaceCp(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' ||
+      cp == 0x0b || cp == 0x0c
+  private def isLetterCp(cp: Int): Boolean = Character.isLetter(cp)
+  private def isNumCp(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+      t == Character.OTHER_NUMBER
+  }
+  private val contractions = Array("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+
+  /** GPT-2 pre-tokenization — the pattern
+    * `'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|
+    * \s+(?!\S)|\s+` as an explicit code-point scanner (no regex engine
+    * disagreement across the Scala side, the Python fixture and the
+    * oracle; correct for non-BMP code points where a char-indexed Java
+    * regex would split surrogate pairs). Case-preserved; whitespace
+    * becomes part of tokens (the leading-space "Ġ" discipline). */
+  private[graft] def pretokenize(text: String): ArrayBuffer[String] = {
+    val out = new ArrayBuffer[String]()
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      val c = text.codePointAt(i)
+      var matched = false
+      if (c == '\'') {
+        var k = 0
+        while (!matched && k < contractions.length) {
+          val suf = contractions(k)
+          if (text.regionMatches(i, suf, 0, suf.length)) {
+            out += suf; i += suf.length; matched = true
+          }
+          k += 1
+        }
+      }
+      if (!matched) {
+        // after an optional single literal space, a letter / number /
+        // other run claims the span; otherwise whitespace rules apply
+        val hasSp = c == ' ' && i + 1 < n
+        val j = if (hasSp) i + 1 else i
+        val d = if (j < n) text.codePointAt(j) else -1
+        if (d >= 0 && isLetterCp(d) && (hasSp || !isSpaceCp(c))) {
+          var e = j
+          while (e < n && isLetterCp(text.codePointAt(e)))
+            e += Character.charCount(text.codePointAt(e))
+          out += text.substring(i, e); i = e
+        } else if (d >= 0 && isNumCp(d) && (hasSp || !isSpaceCp(c))) {
+          var e = j
+          while (e < n && isNumCp(text.codePointAt(e)))
+            e += Character.charCount(text.codePointAt(e))
+          out += text.substring(i, e); i = e
+        } else if (d >= 0 && !isSpaceCp(d) && (hasSp || !isSpaceCp(c))) {
+          var e = j
+          var go = true
+          while (go && e < n) {
+            val x = text.codePointAt(e)
+            if (isSpaceCp(x) || isLetterCp(x) || isNumCp(x)) go = false
+            else e += Character.charCount(x)
+          }
+          out += text.substring(i, e); i = e
+        } else {
+          // whitespace run: `\s+(?!\S)` keeps the LAST whitespace char
+          // for the next token when a non-space follows; a bare `\s+`
+          // takes the lone char otherwise
+          var e = i
+          while (e < n && isSpaceCp(text.codePointAt(e))) e += 1
+          if (e < n && e - i > 1) { out += text.substring(i, e - 1); i = e - 1 }
+          else { out += text.substring(i, e); i = e }
+        }
+      }
+    }
+    out
+  }
+
+  /** Distinct byte-level pre-tokens with corpus frequencies, already in
+    * the mapped symbol space — the byte-level twin of [[wordFreqs]],
+    * same one-pass map-side-combinable shape. */
+  def byteWordFreqs(docs: DataFrame, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(coalesce(col(textCol), lit("")).as("t")).as[String]
+      .flatMap(t => pretokenize(t).iterator.map(byteMap))
+      .toDF("word")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
   }
 
   /** Adjacent token pairs of one word, in order (overlaps included). */
@@ -186,12 +324,36 @@ object Tokenize {
   def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
       minFreq: Long = 2L, localThreshold: Long = 1L << 16,
       deltaCounts: Boolean = true,
+      trace: Option[(Int, Long, Long, Double) => Unit] = None): DataFrame =
+    bpeTrainFreqs(wordFreqs(docs, textCol), numMerges, minFreq,
+      localThreshold, deltaCounts, trace)
+
+  /** BYTE-LEVEL training: GPT-2 pre-tokens ([[pretokenize]]) in the
+    * mapped byte-symbol space ([[byteMap]]), through the identical
+    * hybrid delta-maintained trainer. Case, whitespace and punctuation
+    * all carry signal; the learned merges build "Ġword"-style tokens.
+    * Merge table rows are mapped symbols — feed them unchanged to
+    * [[bpeEncodeBytes]]. */
+  def bpeTrainBytes(docs: DataFrame, textCol: String, numMerges: Int,
+      minFreq: Long = 2L, localThreshold: Long = 1L << 16,
+      deltaCounts: Boolean = true,
+      trace: Option[(Int, Long, Long, Double) => Unit] = None): DataFrame =
+    bpeTrainFreqs(byteWordFreqs(docs, textCol), numMerges, minFreq,
+      localThreshold, deltaCounts, trace)
+
+  /** The trainer proper, over a prepared (word, freq) frame whose words
+    * are already in the final symbol space — [[bpeTrain]] and
+    * [[bpeTrainBytes]] differ only in the frame they pass. See
+    * [[bpeTrain]] for the hybrid/delta contract. */
+  def bpeTrainFreqs(freqs: DataFrame, numMerges: Int,
+      minFreq: Long = 2L, localThreshold: Long = 1L << 16,
+      deltaCounts: Boolean = true,
       trace: Option[(Int, Long, Long, Double) => Unit] = None): DataFrame = {
     require(numMerges >= 0, "numMerges must be >= 0")
-    val spark = docs.sparkSession
+    val spark = freqs.sparkSession
     import spark.implicits._
     var work: Dataset[(IndexedSeq[String], Long)] =
-      wordFreqs(docs, textCol).as[(String, Long)]
+      freqs.as[(String, Long)]
         .map { case (w, f) =>
           ((0 until w.length).map(i => w.substring(i, i + 1)), f)
         }
@@ -347,5 +509,99 @@ object Tokenize {
         }
       }
       .toDF("id", "n_words", "n_tokens", "tokens")
+  }
+
+  /** The byte-level VOCABULARY a merge table induces, in GPT-2 id
+    * order: ids 0..255 are the mapped byte symbols (in byte order),
+    * id 256+rank is merge `rank`'s concatenation — the integer-id space
+    * a training pipeline stores and embeds. Metadata-sized. */
+  def bpeVocab(merges: Seq[(String, String)]): Seq[(String, Int)] =
+    ((0 until 256).map(b => byteToUnicode(b).toString) ++
+      merges.map { case (l, r) => l + r }).zipWithIndex
+
+  /** BYTE-LEVEL encode to INTEGER IDS: (id, n_pretokens, n_tokens,
+    * token_ids, ids_sum) — the form a training run actually consumes.
+    * Same shuffle-free memoized pass as [[bpeEncodeBytes]]; every
+    * symbol has an id by construction (the 256 byte symbols are the
+    * base alphabet — no <unk> exists in a byte-level vocabulary).
+    * `ids_sum` is the plain sum of the ids, the checksum the oracle
+    * replays per pre-token. */
+  def bpeEncodeIds(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], cacheCap: Int = 1 << 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bcRanks = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
+    val bcIds = spark.sparkContext.broadcast(bpeVocab(merges).toMap)
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ranks = bcRanks.value
+        val ids = bcIds.value
+        val cache = new java.util.HashMap[String, Array[Int]]()
+        it.map { case (id, text) =>
+          val pres = pretokenize(text)
+          var sum = 0L
+          val out = Array.newBuilder[Int]
+          var n = 0L
+          var i = 0
+          while (i < pres.length) {
+            val w = byteMap(pres(i))
+            var enc = cache.get(w)
+            if (enc == null) {
+              enc = encodeWord(w, ranks).map(ids(_))
+              if (cache.size < cacheCap) cache.put(w, enc)
+            }
+            var j = 0
+            while (j < enc.length) { sum += enc(j); j += 1 }
+            n += enc.length
+            out ++= enc
+            i += 1
+          }
+          (id, pres.length.toLong, n, out.result(), sum)
+        }
+      }
+      .toDF("id", "n_pretokens", "n_tokens", "token_ids", "ids_sum")
+  }
+
+  /** BYTE-LEVEL encode: (id, n_pretokens, n_tokens, tokens). The same
+    * shuffle-free memoized mapPartitions pass as [[bpeEncode]], over
+    * GPT-2 pre-tokens in the mapped byte space — tokens are mapped
+    * symbols, and concatenating them through [[byteUnmap]] reproduces
+    * the input text EXACTLY (spec-pinned): no normalization, no <unk>,
+    * no dropped bytes. `idCol` must be integral. */
+  def bpeEncodeBytes(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], cacheCap: Int = 1 << 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ranks = bc.value
+        val cache = new java.util.HashMap[String, Array[String]]()
+        it.map { case (id, text) =>
+          val pres = pretokenize(text)
+          var nTok = 0L
+          val toks = Array.newBuilder[String]
+          var i = 0
+          while (i < pres.length) {
+            val w = byteMap(pres(i))
+            var enc = cache.get(w)
+            if (enc == null) {
+              enc = encodeWord(w, ranks)
+              if (cache.size < cacheCap) cache.put(w, enc)
+            }
+            nTok += enc.length
+            toks ++= enc
+            i += 1
+          }
+          (id, pres.length.toLong, nTok, toks.result())
+        }
+      }
+      .toDF("id", "n_pretokens", "n_tokens", "tokens")
   }
 }

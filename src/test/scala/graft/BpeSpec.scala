@@ -232,4 +232,147 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     val uniq = Seq((1L, "abc def")).toDF("doc_id", "text")
     assert(Tokenize.bpeTrain(uniq, "text", 10, minFreq = 2).count() == 0)
   }
+
+  // ---- byte-level (GPT-2 scheme) ----
+
+  test("byteMap/byteUnmap: bijective over all 256 bytes; round-trips " +
+      "arbitrary unicode incl. non-BMP") {
+    assert(Tokenize.byteToUnicode.distinct.length == 256)
+    for (b <- 0 until 256)
+      assert(Tokenize.unicodeToByte(Tokenize.byteToUnicode(b)) == b.toByte)
+    // the space symbol is the GPT-2 'Ġ' (space=0x20 is not directly
+    // printable, so it maps into the 256+ block)
+    assert(Tokenize.byteMap(" ") == "Ġ")
+    val gnarly = Seq("", " ", "héllo wörld", "日本語", "a\tb\nc",
+      "emoji 😀 pair", "mixed ASCII + ümlaut + 中文 + 🚀")
+    for (s <- gnarly)
+      assert(Tokenize.byteUnmap(Tokenize.byteMap(s)) == s, s"round trip '$s'")
+  }
+
+  test("pretokenize: GPT-2 pattern semantics (contractions case-" +
+      "sensitive, leading-space glue, trailing-whitespace lookahead)") {
+    def pt(s: String) = Tokenize.pretokenize(s).toSeq
+    assert(pt("Hello world") == Seq("Hello", " world"))
+    assert(pt("don't") == Seq("don", "'t"))
+    assert(pt("DON'T") == Seq("DON", "'", "T")) // contractions are lowercase
+    assert(pt("it's they'll we're") ==
+      Seq("it", "'s", " they", "'ll", " we", "'re"))
+    // multi-space: \s+(?!\S) leaves ONE space to glue onto the next token
+    assert(pt("a   b") == Seq("a", "  ", " b"))
+    assert(pt("a  b") == Seq("a", " ", " b"))
+    assert(pt("trailing  ") == Seq("trailing", "  "))
+    assert(pt("  leading") == Seq(" ", " leading"))
+    assert(pt("tab\there") == Seq("tab", "\t", "here"))
+    assert(pt("x!!, y") == Seq("x", "!!,", " y"))
+    assert(pt("3rd 42nd") == Seq("3", "rd", " 42", "nd"))
+    assert(pt("") == Seq.empty)
+    assert(pt(" ") == Seq(" "))
+    // reassembly is lossless by construction
+    val texts = Seq("She said: \"don't!\"  (twice)", "a\t\t b", "x  ")
+    for (t <- texts) assert(pt(t).mkString == t, s"lossless '$t'")
+  }
+
+  test("bpeTrainBytes on the sf0.01 corpus reproduces the committed " +
+      "Python-reference byte-level merge table exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val got = Tokenize.bpeTrainBytes(docs, "text", numMerges = 24,
+        minFreq = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("freq")))
+    val want = spark.read
+      .parquet("src/test/resources/bpe_bytes_merges.parquet")
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank").toInt, r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("freq")))
+    assert(got.toSeq == want.toSeq)
+    // the top merge is the space-glue: 'Ġ' + 's' (corpus words are
+    // space-joined, so Ġ-prefixed symbols dominate)
+    assert(got.head._2 == "Ġ")
+  }
+
+  test("bpeEncodeBytes reproduces the committed reference encodings on " +
+      "the gnarly spec corpus (case, punctuation, unicode, non-BMP) and " +
+      "round-trips every text losslessly") {
+    val merges = Tokenize.loadMerges(spark.read
+      .parquet("src/test/resources/bpe_bytes_spec_merges.parquet"))
+    val fixture = spark.read
+      .parquet("src/test/resources/bpe_bytes_spec.parquet")
+      .orderBy("text_id").collect()
+    assert(fixture.length >= 20)
+    val docs = fixture.map(r =>
+      (r.getAs[Long]("text_id"), r.getAs[String]("text")))
+      .toSeq.toDF("text_id", "text")
+    val got = Tokenize.bpeEncodeBytes(docs, "text_id", "text", merges)
+      .orderBy("id").collect()
+    for ((want, g) <- fixture.zip(got)) {
+      val text = want.getAs[String]("text")
+      assert(g.getAs[Long]("n_pretokens") == want.getAs[Long]("n_pretokens"),
+        s"n_pretokens of '$text'")
+      assert(g.getAs[Long]("n_tokens") == want.getAs[Long]("n_tokens"),
+        s"n_tokens of '$text'")
+      val toks = g.getAs[scala.collection.Seq[String]]("tokens")
+      assert(toks.mkString(" ") == want.getAs[String]("tokens"),
+        s"tokens of '$text'")
+      // losslessness: unmapping the concatenated tokens IS the text
+      assert(Tokenize.byteUnmap(toks.mkString) == text,
+        s"round trip of '$text'")
+    }
+  }
+
+  test("bpeVocab / bpeEncodeIds: GPT-2 id order (256 byte symbols then " +
+      "merges by rank); ids decode back to the byte-level tokens and " +
+      "the text, checksum consistent") {
+    val merges = Tokenize.loadMerges(spark.read
+      .parquet("src/test/resources/bpe_bytes_spec_merges.parquet"))
+    val vocab = Tokenize.bpeVocab(merges)
+    assert(vocab.length == 256 + merges.length)
+    for (b <- 0 until 256)
+      assert(vocab(b) == (Tokenize.byteToUnicode(b).toString, b))
+    assert(vocab(256) == (merges.head._1 + merges.head._2, 256))
+    val byId = vocab.map(_.swap).toMap
+    val fixture = spark.read
+      .parquet("src/test/resources/bpe_bytes_spec.parquet")
+      .orderBy("text_id").collect()
+    val docs = fixture.map(r =>
+      (r.getAs[Long]("text_id"), r.getAs[String]("text")))
+      .toSeq.toDF("text_id", "text")
+    val got = Tokenize.bpeEncodeIds(docs, "text_id", "text", merges)
+      .orderBy("id").collect()
+    for ((want, g) <- fixture.zip(got)) {
+      val text = want.getAs[String]("text")
+      val ids = g.getAs[scala.collection.Seq[Int]]("token_ids")
+      assert(g.getAs[Long]("n_tokens") == want.getAs[Long]("n_tokens"),
+        s"n_tokens of '$text'")
+      assert(g.getAs[Long]("ids_sum") == ids.map(_.toLong).sum,
+        s"checksum of '$text'")
+      // ids decode to the byte-level token strings, and through
+      // byteUnmap back to the exact text
+      assert(ids.map(byId).mkString(" ") == want.getAs[String]("tokens"),
+        s"decoded tokens of '$text'")
+      assert(Tokenize.byteUnmap(ids.map(byId).mkString) == text,
+        s"round trip of '$text'")
+    }
+  }
+
+  test("byte-level hybrid == forced-distributed == delta-off, on a " +
+      "random cased/punctuated corpus") {
+    val words = Seq("The", "quick", "Brown", "fox!", "it's", "42nd",
+      "jumps,", "over", "THE", "lazy")
+    val texts = Seq.fill(60)(Seq.fill(rnd.nextInt(20) + 1)(
+      words(rnd.nextInt(words.size))).mkString(" "))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def table(df: org.apache.spark.sql.DataFrame) = df.orderBy("rank")
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("freq"))).toSeq
+    val hybrid = table(Tokenize.bpeTrainBytes(docs, "text", 30))
+    val dist = table(Tokenize.bpeTrainBytes(docs, "text", 30,
+      localThreshold = 0))
+    val recount = table(Tokenize.bpeTrainBytes(docs, "text", 30,
+      localThreshold = 0, deltaCounts = false))
+    assert(hybrid == dist, "hybrid vs forced-distributed")
+    assert(dist == recount, "delta vs recount")
+    assert(hybrid.nonEmpty)
+  }
 }
