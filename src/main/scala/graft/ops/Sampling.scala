@@ -153,6 +153,47 @@ object Sampling {
       .drop("__w")
   }
 
+  /** Deterministic GLOBAL SHUFFLE + shard assignment — the export step
+    * that turns a curated corpus into the N randomized shards a training
+    * run streams. Appends (`shard` 0..nShards-1, `pos` 0..|shard|-1):
+    * shard = `pmod(xxhash64(id), n)`, position = rank of the row's full
+    * hash WITHIN its shard (tie-broken by id). Reading the shards in
+    * (shard, pos) order is therefore a pseudorandom permutation of the
+    * corpus that is REPRODUCIBLE from the ids alone — no RNG state, no
+    * sampling pass, identical across reruns and engines (the oracle
+    * replays it in DuckDB HUGEINT arithmetic).
+    *
+    * Scale: ONE hash-partitioned exchange on `shard` plus a per-shard
+    * sort (spill-aware, never global): the alternative global
+    * orderBy(hash) + modulo-rownum costs a range exchange AND a global
+    * sort for the same permutation. Shard sizes concentrate tightly
+    * around |corpus|/n (hashing is law-of-large-numbers balanced; no
+    * planned skew because ids don't repeat at export time). `idCol`
+    * should be unique per row — duplicate ids receive a deterministic
+    * position MULTISET, but which duplicate takes which position is
+    * plan-dependent. */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+    df.withColumn("shard", pmod(xxhash64(col(idCol)), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+  }
+
+  /** Materialize [[shuffleShards]] as an export directory: one
+    * `shard=K/` partition per shard, each holding ONE file whose row
+    * order is the shard's `pos` order — a training loader can stream
+    * `shard=K` sequentially and see the permuted corpus. The
+    * repartition carries the window's exchange (same key), so the write
+    * costs the one shuffle the assignment already needed. */
+  def shardWrite(df: DataFrame, idCol: String, nShards: Int,
+      dir: String): Unit =
+    shuffleShards(df, idCol, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+
   def largestRemainderAllocate(df: DataFrame, groupCol: String,
       budget: Long): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
