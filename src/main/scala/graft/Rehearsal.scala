@@ -689,6 +689,57 @@ object Rehearsal {
         emit(s"""{"scale":$scale,"stage":"validate_incremental","input_rows":$rowsIn,"dirty_buckets":${rep.dirtyBuckets},"total_buckets":${rep.totalBuckets},"build_sec":$tBuild,"sec_incremental":$tInc,"sec_full":$tFull,"speedup_vs_full":${(tFull / math.max(tInc, 1e-9) * 100).toLong / 100.0}}""")
       }
 
+      // churn-priced materialized-aggregate leg (IncrementalAgg.vocab):
+      // a FIXED-SIZE churn (20 docs re-texted, 3 dropped) against a
+      // corpus that grows with scale — dirty buckets stay flat, the
+      // incremental cost tracks the digest scan while the full
+      // word-count pays its explode + corpus-wide shuffle every run.
+      // Answer equality vs the full count is asserted in-leg.
+      {
+        val nB = 512
+        val legDir = java.nio.file.Files
+          .createTempDirectory(s"graft_aggleg_$scale").toString
+        def bucketed(df: DataFrame, name: String): DataFrame = {
+          df.withColumn("bucket",
+              when(col("doc_id").isNull, lit(-1L))
+                .otherwise(pmod(xxhash64(col("doc_id").cast("string")),
+                  lit(nB.toLong))))
+            .repartition(col("bucket"))
+            .write.partitionBy("bucket").mode("overwrite")
+            .parquet(s"$legDir/$name")
+          spark.read.parquet(s"$legDir/$name")
+        }
+        val d0raw = scaledDocs(spark, dir, scale)
+        val d0 = bucketed(d0raw, "d0")
+        val rowsIn = d0.count()
+        val d1 = bucketed(d0raw
+          .withColumn("text",
+            when(col("doc_id").between(100, 119),
+              concat(col("text"), lit(" restated leg token")))
+              .otherwise(col("text")))
+          .filter(!col("doc_id").between(120, 122)), "d1")
+        val stateDir = s"$legDir/state"
+        val (_, tBuild) = timed {
+          graft.ops.IncrementalAgg.vocab(d0, stateDir, nBuckets = nB,
+            bucketCol = Some("bucket"))._1.collect()
+        }
+        val ((incMap, rep), tInc) = timed {
+          val (df, r) = graft.ops.IncrementalAgg.vocab(d1, stateDir,
+            nBuckets = nB, bucketCol = Some("bucket"))
+          (df.collect().map(x => x.getString(0) -> x.getLong(1)).toMap, r)
+        }
+        val (fullMap, tFull) = timed {
+          d1.select(explode(split(lower(col("text")), "[^a-z0-9]+"))
+              .as("term"))
+            .filter(col("term") =!= "")
+            .groupBy("term").agg(count(lit(1)).as("n"))
+            .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+        }
+        require(incMap == fullMap,
+          s"agg_incremental leg answer mismatch at scale $scale")
+        emit(s"""{"scale":$scale,"stage":"agg_incremental","input_rows":$rowsIn,"dirty_buckets":${rep.dirtyBuckets},"total_buckets":${rep.totalBuckets},"build_sec":$tBuild,"sec_incremental":$tInc,"sec_full":$tFull,"speedup_vs_full":${(tFull / math.max(tInc, 1e-9) * 100).toLong / 100.0}}""")
+      }
+
       // streaming legs — the last unrehearsed family: throughput and
       // STATE-SIZE-vs-scale for the two continuous monitors, driven
       // through multi-file parquet streams replayed in disordered

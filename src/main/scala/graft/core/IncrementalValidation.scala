@@ -82,7 +82,7 @@ object IncrementalValidation {
 
   /** Null ids live in their own sidecar bucket (-1): they never join, so
     * their terms are count-only and derivable from the digest row alone. */
-  private def bucketExpr(nBuckets: Int): Column =
+  private[graft] def bucketExpr(nBuckets: Int): Column =
     when(col("id").isNull, lit(-1L))
       .otherwise(pmod(xxhash64(col("id").cast(StringType)), lit(nBuckets.toLong)))
 
@@ -112,7 +112,7 @@ object IncrementalValidation {
     * column can never make two different rows collide by letting a
     * value slide into another column's position (bare multi-arg
     * xxhash64 skips nulls, which would do exactly that). */
-  private def multiValueExpr(checkCols: Seq[String]): Column =
+  private[graft] def multiValueExpr(checkCols: Seq[String]): Column =
     xxhash64(checkCols.zipWithIndex.map { case (c, j) =>
       xxhash64(lit(j), col(c).cast(StringType))
     }: _*)
@@ -300,7 +300,7 @@ object IncrementalValidation {
   /** Swap-write `df` as the new state: stage to a sibling directory,
     * then delete + rename — the staged write fully materializes before
     * the old state (which the plan may be reading) is touched. */
-  private def swapWrite(spark: SparkSession, df: DataFrame,
+  private[graft] def swapWrite(spark: SparkSession, df: DataFrame,
       target: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(target)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -330,7 +330,7 @@ object IncrementalValidation {
     * is [[breakLease]]. Exclusive-create atomicity is the filesystem's:
     * HDFS and local FS give it outright; on S3-style stores front this
     * with an external coordinator if two schedulers can race. */
-  private final class Lease(
+  private[graft] final class Lease(
       fs: org.apache.hadoop.fs.FileSystem,
       path: org.apache.hadoop.fs.Path,
       nonce: String) {
@@ -358,7 +358,8 @@ object IncrementalValidation {
         catch { case scala.util.control.NonFatal(_) => () }
   }
 
-  private def acquireLease(spark: SparkSession, stateDir: String): Lease = {
+  private[graft] def acquireLease(spark: SparkSession,
+      stateDir: String): Lease = {
     val p = new org.apache.hadoop.fs.Path(leasePath(stateDir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(p.getParent)

@@ -1,0 +1,328 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.core.IncrementalValidation
+
+/** Churn-priced MATERIALIZED AGGREGATES over one table — the
+  * incremental-validation discipline ([[graft.core.IncrementalValidation]])
+  * generalized from "compare two tables" to "maintain any bucket-local
+  * grouped aggregate of one table".
+  *
+  * A daily corpus-statistics job (vocabulary counts feeding
+  * [[TextAnalysis.corpusFreqScore]]/[[TextAnalysis.vocabCoverage]], token
+  * histograms, per-slice quality tallies) re-aggregates 100 TB to
+  * rediscover that 99% of it did not change. This surface stores the
+  * PER-BUCKET PARTIALS of the aggregate as a hive-partitioned parquet
+  * table and re-prices each run by the churn:
+  *
+  *  1. DIGEST: one column-pruned scan of (id, depends-on columns) folds
+  *     into `nBuckets` multiset digests — row count plus two
+  *     independently-salted 64-bit hash sums in DECIMAL(38,0), map-side
+  *     combinable, so the only exchange is ~nBuckets rows per task
+  *     (the [[IncrementalValidation.digests]] contract, one side).
+  *  2. PRUNE: buckets whose digest triple matches the stored witness
+  *     keep their stored partial partition untouched; only DIRTY buckets
+  *     re-run the caller's partial aggregation, with the input filtered
+  *     to the dirty set — a partition-pruning predicate when the table
+  *     is laid out by [[IncrementalValidation.withBucket]]'s column.
+  *  3. MERGE: the caller's final merge runs over the STORE (partial-
+  *     sized, e.g. vocabulary x buckets), never the table.
+  *
+  * Contract on `partial`: it receives the table slice with an appended
+  * `__bucket` column and must return one frame of partial rows carrying
+  * `__bucket`, where (a) every output row derives only from input rows
+  * of its own bucket (any groupBy that includes `__bucket` qualifies),
+  * and (b) the full-table result is the bucket-union of per-bucket
+  * results — i.e. the aggregate is algebraic with buckets as the
+  * partition. Sums, counts, min/max, grouped variants thereof, and any
+  * composition that groups by (__bucket, keys) all qualify; a global
+  * median does not (store its countable partials instead).
+  *
+  * Crash discipline is [[IncrementalValidation.reportIncremental]]'s,
+  * verbatim: the digest witness is DELETED before any store partition is
+  * mutated and swapped back only after, so a torn store can never read
+  * clean; the single-writer lease guards every mutating run; a missing /
+  * version-skewed / `aggKey`-mismatched state rebuilds wholesale (the
+  * safe direction). `aggKey` must encode the aggregate's identity AND
+  * parameters — two different aggregates pointed at one stateDir must
+  * never answer from each other's partials.
+  */
+object IncrementalAgg {
+
+  /** One run's execution record (same shape as validation's). */
+  type IncrementalReport = IncrementalValidation.IncrementalReport
+  private val STATE_VERSION = 1
+
+  private def storePath(stateDir: String) = s"$stateDir/agg"
+  private def digestsPath(stateDir: String) = s"$stateDir/agg_digests"
+  private def metaPath(stateDir: String) = s"$stateDir/meta"
+
+  /** Test seam — fired after the read-only prune, before the first
+    * mutation (the [[IncrementalValidation.beforeMutationHook]] twin). */
+  private[graft] var beforeMutationHook: () => Unit = () => ()
+
+  /** Per-bucket single-table digests: (bucket, n, ha, hb). Map-side
+    * combinable end to end; the two row hashes are independently salted
+    * (see [[IncrementalValidation.digests]] — same 2^-128 false-clean
+    * argument at matching counts). Package-private for the plan spec. */
+  private[graft] def digests(table: DataFrame, idCol: String,
+      dependsOn: Seq[String], nBuckets: Int,
+      bucketCol: Option[String]): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val id = col(idCol).cast(StringType)
+    val v = IncrementalValidation.multiValueExpr(dependsOn)
+    table.select(
+        bucketCol.map(c => col(c).cast("long")).getOrElse(
+          when(col(idCol).isNull, lit(-1L))
+            .otherwise(pmod(xxhash64(id), lit(nBuckets.toLong)))).as("bucket"),
+        xxhash64(id, v).as("h"),
+        xxhash64(lit(1L), id, v).as("h2"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(col("h").cast(dec)).as("ha"),
+        sum(col("h2").cast(dec)).as("hb"))
+  }
+
+  private def metaMatches(spark: SparkSession, stateDir: String,
+      nBuckets: Int, aggKey: String): Boolean =
+    try {
+      val p = new org.apache.hadoop.fs.Path(metaPath(stateDir))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && {
+        val m = spark.read.parquet(metaPath(stateDir)).head()
+        m.getAs[Int]("version") == STATE_VERSION &&
+          m.getAs[Int]("n_buckets") == nBuckets &&
+          m.getAs[String]("agg_key") == aggKey
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Maintain the partial store for `table` and return (a read of the
+    * current store with `__bucket` dropped, the prune record). Run the
+    * final merge (e.g. `groupBy(keys).agg(sum...)`) on the returned
+    * frame — it is store-sized, never table-sized.
+    *
+    * @param idCol      bucketing key (duplicates and nulls fine — nulls
+    *                   ride the -1 sidecar bucket)
+    * @param dependsOn  every column the aggregate reads; the digest
+    *                   hashes exactly these (position-salted), so a
+    *                   change outside them is invisible BY CONTRACT
+    * @param partial    bucket-local partial aggregation, see object doc
+    * @param aggKey     state signature: aggregate name + parameters
+    * @param bucketCol  a materialized [[IncrementalValidation.withBucket]]
+    *                   column — makes the dirty filter partition-pruning
+    * @param dirtyFractionLimit above this dirty-bucket fraction a full
+    *                   rebuild is cheaper than per-partition surgery
+    *                   (that run costs digest + full pass, by design) */
+  def run(table: DataFrame, idCol: String, dependsOn: Seq[String],
+      partial: DataFrame => DataFrame, aggKey: String, stateDir: String,
+      nBuckets: Int = 256, dirtyFractionLimit: Double = 0.5,
+      bucketCol: Option[String] = None): (DataFrame, IncrementalReport) = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    require(dependsOn.nonEmpty, "dependsOn must name the columns read")
+    val spark = table.sparkSession
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = IncrementalValidation.acquireLease(spark, stateDir)
+    try {
+      val cd = digests(table, idCol, dependsOn, nBuckets, bucketCol)
+        .localCheckpoint()
+      val total = cd.count()
+      val haveState = metaMatches(spark, stateDir, nBuckets, aggKey)
+      val old: Option[DataFrame] =
+        if (haveState)
+          try Some(spark.read.parquet(digestsPath(stateDir)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        else None
+      val digestFields = Seq("n", "ha", "hb")
+      // (bucket, present-in-current): a bucket can go dirty by VANISHING
+      // (every row deleted) — its store partition must still be dropped
+      val dirtyRows: Option[Seq[(Long, Boolean)]] = old.map { st =>
+        val sd = st.select(col("bucket") +:
+          digestFields.map(f => col(f).as(s"__s_$f")): _*)
+        cd.join(sd, Seq("bucket"), "full_outer")
+          .filter(digestFields.map(f => !(col(f) <=> col(s"__s_$f")))
+            .reduce(_ || _))
+          .select(col("bucket"), col("n").isNotNull.as("in_current"))
+          .as[(Long, Boolean)].collect().toSeq
+      }
+      val dirty: Option[Seq[Long]] = dirtyRows.map(_.map(_._1))
+
+      def bucketOf(df: DataFrame): Column =
+        bucketCol.map(c => col(c).cast("long")).getOrElse(
+          when(col(idCol).isNull, lit(-1L)).otherwise(
+            pmod(xxhash64(col(idCol).cast(StringType)),
+              lit(nBuckets.toLong))))
+      def withBucketCol(df: DataFrame) = df.withColumn("__bucket", bucketOf(df))
+      // dirty-row predicate: a typed attribute IN-list (partition-pruning
+      // on a withBucket layout) when materialized, else the hash expr
+      def dirtySlice(d: Seq[Long]): DataFrame = bucketCol match {
+        case Some(_) => table.filter(
+          IncrementalValidation.dirtyPred(table, bucketCol, nBuckets, d))
+        case None => table.filter(bucketOf(table).isin(d: _*))
+      }
+
+      val tooDirty = dirty.exists(d =>
+        total > 0 && d.size.toDouble / total > dirtyFractionLimit)
+      val rebuild = dirty.isEmpty || tooDirty
+      beforeMutationHook()
+      lease.check()
+
+      if (rebuild) {
+        // witness first: torn store must never read clean
+        if (fs.exists(new org.apache.hadoop.fs.Path(digestsPath(stateDir))))
+          fs.delete(new org.apache.hadoop.fs.Path(digestsPath(stateDir)), true)
+        partial(withBucketCol(table))
+          .repartition(col("__bucket"))
+          .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+          .parquet(storePath(stateDir))
+        IncrementalValidation.swapWrite(spark, cd, digestsPath(stateDir))
+        if (!haveState)
+          IncrementalValidation.swapWrite(spark,
+            Seq((STATE_VERSION, nBuckets, aggKey))
+              .toDF("version", "n_buckets", "agg_key"),
+            metaPath(stateDir))
+      } else if (dirty.get.nonEmpty) {
+        val d = dirty.get
+        fs.delete(new org.apache.hadoop.fs.Path(digestsPath(stateDir)), true)
+        for (b <- d)
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"${storePath(stateDir)}/__bucket=$b"), true)
+        partial(withBucketCol(dirtySlice(d)))
+          .repartition(col("__bucket"))
+          .write.mode(SaveMode.Append).partitionBy("__bucket")
+          .parquet(storePath(stateDir))
+        IncrementalValidation.swapWrite(spark, cd, digestsPath(stateDir))
+      } // zero dirty: store and witness both stand untouched
+
+      val current =
+        try spark.read.parquet(storePath(stateDir)).drop("__bucket")
+        catch {
+          // an empty table yields an empty store dir; surface the
+          // partial's shape by running it on the (empty) input
+          case scala.util.control.NonFatal(_) =>
+            partial(withBucketCol(table.limit(0))).drop("__bucket")
+        }
+      val dirtyInCurrent =
+        dirtyRows.map(_.count(_._2).toLong).getOrElse(0L)
+      val report = IncrementalValidation.IncrementalReport(
+        rebuilt = rebuild,
+        totalBuckets = total,
+        dirtyBuckets =
+          if (rebuild) total else dirty.map(_.size.toLong).getOrElse(0L),
+        cleanBuckets = if (rebuild) 0L else total - dirtyInCurrent)
+      (current, report)
+    } finally lease.release()
+  }
+
+  // ---- append-only (streaming) maintenance ---------------------------
+
+  /** The vocabulary partial of one slice: (__bucket, term, n). Shared by
+    * the churn-priced batch surface and the append-only fold. */
+  private def vocabPartial(textCol: String)(slice: DataFrame): DataFrame =
+    slice
+      .select(col("__bucket"),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("__bucket", "term").agg(count(lit(1)).as("n"))
+
+  /** Append-only fold for streaming (foreachBatch) callers: add one
+    * micro-batch's per-bucket vocabulary partials to the store WITHOUT
+    * digest pricing — over an APPEND-ONLY source nothing already stored
+    * can change, so addition is the whole maintenance and each batch
+    * costs exactly its own partial aggregation plus a write into the
+    * touched buckets' partitions.
+    *
+    * Idempotent under Structured Streaming's at-least-once foreachBatch
+    * retries: partials land under a `__batch=<id>` partition level and
+    * the write is a DYNAMIC partition overwrite, so a replayed batch
+    * REPLACES its own partitions instead of double-counting. The store
+    * accumulates one partial row-set per batch (LSM-ish);
+    * [[vocabFromStore]] sums across them and [[compactVocabStore]]
+    * folds the store back to one row per (bucket, term) under the
+    * reserved base batch -1, bounding read amplification.
+    *
+    * Use a DEDICATED stateDir: the churn-priced [[run]]/[[vocab]]
+    * surface must never share one (its digest witness cannot account
+    * for streamed appends — it would detect the mismatch and rebuild,
+    * the safe direction, but the stream's appended history would be
+    * overwritten). */
+  def vocabAppend(batch: DataFrame, batchId: Long, stateDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      nBuckets: Int = 256): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    require(batchId >= 0, "batch ids are non-negative (-1 is the base)")
+    val withB = batch.withColumn("__bucket",
+      when(col(idCol).isNull, lit(-1L)).otherwise(
+        pmod(xxhash64(col(idCol).cast(StringType)), lit(nBuckets.toLong))))
+    vocabPartial(textCol)(withB)
+      .withColumn("__batch", lit(batchId))
+      .repartition(col("__bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch", "__bucket")
+      .parquet(storePath(stateDir))
+  }
+
+  /** The current vocabulary from a store maintained by [[vocabAppend]]
+    * and/or [[compactVocabStore]]: (term, n), store-sized work. */
+  def vocabFromStore(spark: SparkSession, stateDir: String): DataFrame =
+    try spark.read.parquet(storePath(stateDir))
+      .groupBy("term").agg(sum(col("n")).as("n"))
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        import spark.implicits._
+        Seq.empty[(String, Long)].toDF("term", "n")
+    }
+
+  /** Fold the append-only store back to ONE row per (bucket, term),
+    * stored under the reserved base batch -1 — call every K batches to
+    * bound read amplification. Takes the single-writer lease (it
+    * rewrites history a concurrent append could interleave with) and
+    * swap-writes, the same discipline as the batch state. */
+  def compactVocabStore(spark: SparkSession, stateDir: String): Unit = {
+    val lease = IncrementalValidation.acquireLease(spark, stateDir)
+    try {
+      val p = new org.apache.hadoop.fs.Path(storePath(stateDir))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(
+        p.getParent, p.getName + "__staging")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      // stage FULLY (partition layout preserved — later appends land in
+      // __batch=K dirs next to the compacted __batch=-1), then swap:
+      // the same staged delete+rename discipline as the batch state
+      spark.read.parquet(storePath(stateDir))
+        .groupBy("__bucket", "term").agg(sum(col("n")).as("n"))
+        .withColumn("__batch", lit(-1L))
+        .repartition(col("__bucket"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("__batch", "__bucket")
+        .parquet(tmp.toString)
+      lease.check()
+      fs.delete(p, true)
+      fs.rename(tmp, p)
+    } finally lease.release()
+  }
+
+  /** Named instance: churn-priced CORPUS VOCABULARY — per-term token
+    * counts over a document table, maintained at churn price. The store
+    * holds per-(bucket, term) counts (Heaps-sublinear in the corpus);
+    * the merge is a store-sized groupBy(term). Tokenization is the
+    * engine contract shared with the DuckDB oracle: lower(text) split
+    * on `[^a-z0-9]+`, empties dropped. Feeds the same places
+    * [[TextAnalysis.vocabCoverage]]/[[TextAnalysis.corpusFreqScore]]
+    * derive their vocabularies from — but a daily re-count of a churned
+    * corpus prices at the churn, not the corpus. */
+  def vocab(docs: DataFrame, stateDir: String, idCol: String = "doc_id",
+      textCol: String = "text", nBuckets: Int = 256,
+      dirtyFractionLimit: Double = 0.5,
+      bucketCol: Option[String] = None): (DataFrame, IncrementalReport) = {
+    val (store, rep) = run(docs, idCol, Seq(textCol), vocabPartial(textCol),
+      aggKey = s"vocab:$textCol", stateDir, nBuckets,
+      dirtyFractionLimit, bucketCol)
+    (store.groupBy("term").agg(sum(col("n")).as("n")), rep)
+  }
+}

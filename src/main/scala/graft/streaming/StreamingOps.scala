@@ -600,6 +600,30 @@ object StreamingOps {
       fpCol: String): DataFrame =
     stream.join(corpusFps.select(col(fpCol)).distinct(), Seq(fpCol), "left_anti")
 
+  /** CONTINUOUS materialized aggregate: fold an append-only document
+    * stream into the [[graft.ops.IncrementalAgg]] vocabulary store via
+    * foreachBatch — each micro-batch appends its own (bucket, term,
+    * count) partials under a `__batch=<id>` partition (a dynamic
+    * partition overwrite, so foreachBatch's at-least-once replays are
+    * IDEMPOTENT: a retried batch replaces its partitions, never
+    * double-counts). The batch surface prices CHURN through digests;
+    * this surface prices ARRIVAL — an append-only stream can never
+    * dirty stored rows, so addition is the whole maintenance.
+    * [[graft.ops.IncrementalAgg.vocabFromStore]] answers at any point;
+    * [[graft.ops.IncrementalAgg.compactVocabStore]] bounds read
+    * amplification every K batches. Caller stops the query. */
+  def maintainVocab(docs: DataFrame, stateDir: String, nBuckets: Int = 256,
+      idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$stateDir/checkpoint")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.IncrementalAgg.vocabAppend(batch, batchId, stateDir,
+          idCol, textCol, nBuckets)
+      }
+      .start()
+
   /** Run a streaming frame to completion against currently-available data
     * (test/driver harness: memory sink, processAllAvailable). */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Append()): DataFrame = {
