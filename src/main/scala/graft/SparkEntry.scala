@@ -806,6 +806,23 @@ object SparkEntry {
         .select(col("event_id"), col("fp"))
         .orderBy("event_id")
     }),
+    "s_incremental_vocab" -> ((s, dir) => {
+      // CONTINUOUS materialized aggregate: the document stream folds
+      // into the IncrementalAgg vocabulary store via foreachBatch (one
+      // batch-id-partitioned idempotent append per micro-batch — the
+      // ARRIVAL-priced twin of t_incremental_vocab's churn pricing).
+      // Fresh store per run: the append surface is cumulative by
+      // design, so a rerun must not double-fold the same corpus. Oracle
+      // = the same full word-count SQL; the store is invisible to it
+      val stateDir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_svocab_${System.nanoTime()}"
+      val stream = StreamingOps.readEvents(s, s"$dir/documents.parquet")
+      val q = StreamingOps.withShufflePartitions(s, 8) {
+        StreamingOps.maintainVocab(stream, stateDir)
+      }
+      try q.processAllAvailable() finally q.stop()
+      graft.ops.IncrementalAgg.vocabFromStore(s, stateDir).orderBy("term")
+    }),
     "s_table_diff" -> ((s, dir) => {
       // continuous TABLE DIFF: the full missing/differing truth table of
       // the batch validate() as a streaming op — an observed event stream
@@ -1249,6 +1266,18 @@ object SparkEntry {
       TextAnalysis.corpusFreqScore(t(s, dir, "documents"))
         .orderBy("doc_id")
     }),
+    "t_shards" -> ((s, dir) => {
+      // deterministic global shuffle + shard assignment (the training-
+      // export step): shard = hashed id mod 8, position = within-shard
+      // rank of the full hash — one shard-keyed exchange plus per-shard
+      // sorts, never a global sort; reading shards in (shard, pos)
+      // order is a reproducible pseudorandom permutation of the corpus.
+      // The oracle replays Spark's xxhash64 in HUGEINT arithmetic
+      graft.ops.Sampling.shuffleShards(
+          t(s, dir, "documents").select("doc_id"), "doc_id", 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("doc_id")
+    }),
     "t_bpe_pairs" -> ((s, dir) => {
       // BPE training iteration 0's statistics: adjacent character-pair
       // frequencies over the per-character tokenization, weighted by
@@ -1278,6 +1307,39 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_words"), col("n_tokens"))
         .orderBy("doc_id")
     }),
+    "t_bpe_bytes" -> ((s, dir) => {
+      // BYTE-LEVEL (GPT-2 scheme) subword tokenization with the
+      // COMMITTED byte-level merge table (trained by the independent
+      // Python reference, scripts/gen_bpe_bytes_fixture.py):
+      // case-preserved, whitespace-glued "Ġword" tokens, LOSSLESS by
+      // construction (byteUnmap of the concatenated tokens is the
+      // text — spec-pinned). Same shuffle-free memoized mapPartitions
+      // shape as t_bpe_encode. The oracle re-derives per-doc counts by
+      // extracting pre-tokens in DuckDB (on this single-spaced
+      // lowercase-ASCII corpus ' ?[a-z]+' IS the GPT-2 pattern's
+      // behavior; the full pattern's edges are fixture-pinned in
+      // BpeSpec) and joining the reference encoder's
+      // pretoken -> n_tokens fixture
+      val merges = graft.ops.Tokenize.loadMerges(s.read.parquet(
+        s"$repoRoot/src/test/resources/bpe_bytes_merges.parquet"))
+      graft.ops.Tokenize.bpeEncodeBytes(t(s, dir, "documents"), "doc_id",
+          "text", merges)
+        .select(col("id").as("doc_id"), col("n_pretokens"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+    "t_bpe_ids" -> ((s, dir) => {
+      // byte-level encode to INTEGER token ids (GPT-2 vocabulary order:
+      // the 256 byte symbols, then merges by rank) — the representation
+      // a training run actually embeds; no <unk> exists by construction.
+      // The oracle replays per-doc (token count, id checksum) through
+      // the reference fixture's per-pretoken ids
+      val merges = graft.ops.Tokenize.loadMerges(s.read.parquet(
+        s"$repoRoot/src/test/resources/bpe_bytes_merges.parquet"))
+      graft.ops.Tokenize.bpeEncodeIds(t(s, dir, "documents"), "doc_id",
+          "text", merges)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("ids_sum"))
+        .orderBy("doc_id")
+    }),
     "t_oov_rate" -> ((s, dir) => {
       // out-of-vocabulary rate per doc against the corpus's own top-20
       // terms (deterministic: count desc, term asc): vocab is a
@@ -1286,6 +1348,28 @@ object SparkEntry {
       graft.ops.TextAnalysis.vocabCoverage(t(s, dir, "documents"),
           vocabSize = 20)
         .orderBy("doc_id")
+    }),
+    "t_incremental_vocab" -> ((s, dir) => {
+      // churn-priced MATERIALIZED AGGREGATE (IncrementalAgg): the corpus
+      // vocabulary stored as per-bucket partials, seeded from a restated
+      // prior corpus (docs < 30 re-texted, a third of them absent), then
+      // maintained to the CURRENT corpus — only the restated ids'
+      // buckets re-aggregate; clean buckets' partitions stand untouched.
+      // Oracle = the full word-count SQL over current documents, which
+      // never sees the state. doc_ids are dense, so the churn stays a
+      // bounded bucket set at every SF (~30 of 256)
+      val docs = t(s, dir, "documents")
+      val stateDir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_incvocab_${dirTag(dir)}"
+      val restated = col("doc_id") < 30
+      val prior = docs
+        .withColumn("text", when(restated,
+          concat(coalesce(col("text"), lit("")), lit(" restated prior")))
+          .otherwise(col("text")))
+        .filter(!(restated && col("doc_id") % 3 === 0))
+      graft.ops.IncrementalAgg.vocab(prior, stateDir, nBuckets = 256)
+      graft.ops.IncrementalAgg.vocab(docs, stateDir, nBuckets = 256)
+        ._1.orderBy("term")
     }),
     "t_ngram_lm" -> ((s, dir) => {
       // bigram-LM surprisal (the CCNet corpus-LM quality-score shape):
@@ -3046,6 +3130,17 @@ object SparkEntry {
         |SELECT event_id, fp FROM batch b
         |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
         |ORDER BY event_id""".stripMargin,
+    // streaming-vocab replay: the stream folds the whole corpus into the
+    // store, so the answer is the same full word count over documents
+    // as t_incremental_vocab's — arrival-priced vs churn-priced, one
+    // identity
+    "s_incremental_vocab" ->
+      """SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+        |    AS w
+        |  FROM documents) t
+        |WHERE w <> ''
+        |GROUP BY w ORDER BY term""".stripMargin,
     // streaming table diff replay: the batch full-outer diff — streaming
     // equals batch because the per-key state is distributive counts+maxes
     "s_table_diff" ->
@@ -3859,6 +3954,16 @@ object SparkEntry {
          |       ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
 
+    // shard replay: the same xxhash64 HUGEINT chain as t_split; shard =
+    // pmod(h, 8), position = within-shard (h, doc_id) rank
+    "t_shards" ->
+      s"""WITH ${xxhash64Ctes("doc_id", "documents")},
+         |b AS (SELECT doc_id, ((h % 8) + 8) % 8 AS shard, h FROM xxh)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |    - 1 AS BIGINT) AS pos
+         |FROM b ORDER BY doc_id""".stripMargin,
+
     // corpus-drift replay: same raw-space tokenization, per-source TVD
     // vs the corpus distribution in HUGEINT (absent terms folded in via
     // the N_s*(N - sum nct) closed form, exactly as the Spark side);
@@ -3989,6 +4094,52 @@ object SparkEntry {
          |FROM documents d LEFT JOIN per_doc p USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 
+    // byte-level BPE replay: DuckDB extracts the GPT-2 pre-tokens (the
+    // corpus is single-spaced lowercase ASCII, so ' ?[a-z]+' is exactly
+    // the pattern's behavior on it — richer inputs are fixture-pinned
+    // in BpeSpec) and joins the INDEPENDENT Python reference encoder's
+    // pretoken -> n_tokens table; per-doc sums must match Spark's
+    // byte-level mapPartitions encoder bit for bit
+    "t_bpe_bytes" ->
+      s"""WITH pres AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(text, ' ?[a-z]+')) AS pretoken
+         |  FROM documents
+         |), per_doc AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+         |    CAST(SUM(r.n_tokens) AS BIGINT) AS n_tokens
+         |  FROM pres
+         |  JOIN read_parquet('$repoRoot/src/test/resources/bpe_bytes_pretoken_tokens.parquet') r
+         |    USING (pretoken)
+         |  GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  COALESCE(p.n_pretokens, 0) AS n_pretokens,
+         |  COALESCE(p.n_tokens, 0) AS n_tokens
+         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // byte-level id replay: same pre-token extraction, summing the
+    // reference fixture's per-pretoken (token count, id checksum)
+    "t_bpe_ids" ->
+      s"""WITH pres AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(text, ' ?[a-z]+')) AS pretoken
+         |  FROM documents
+         |), per_doc AS (
+         |  SELECT doc_id, CAST(SUM(r.n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(r.ids_sum) AS BIGINT) AS ids_sum
+         |  FROM pres
+         |  JOIN read_parquet('$repoRoot/src/test/resources/bpe_bytes_pretoken_tokens.parquet') r
+         |    USING (pretoken)
+         |  GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  COALESCE(p.n_tokens, 0) AS n_tokens,
+         |  COALESCE(p.ids_sum, 0) AS ids_sum
+         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
     // OOV replay: same tokenization, same deterministic top-20 vocab
     // (count desc, term asc), integer-ppm rate via integer division
     "t_oov_rate" ->
@@ -4010,6 +4161,17 @@ object SparkEntry {
         |    // COUNT(*) AS BIGINT) AS oov_ppm
         |FROM toks LEFT JOIN vocab v USING (term)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // incremental-vocabulary replay: the full word count over CURRENT
+    // documents — the stored per-bucket state the Spark side answers
+    // from is invisible here, which is exactly the identity under test
+    "t_incremental_vocab" ->
+      """SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+        |    AS w
+        |  FROM documents) t
+        |WHERE w <> ''
+        |GROUP BY w ORDER BY term""".stripMargin,
 
     // bigram-LM replay: corpus bigram/context counts, add-one smoothing,
     // surprisal = bitlen(c(w1)+V) - bitlen(c(w1,w2)+1) via length(bin(x))
