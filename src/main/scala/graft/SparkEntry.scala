@@ -1648,6 +1648,30 @@ object SparkEntry {
       graft.ops.Chunking.packBins(d, "source", "doc_id", "n_tokens", capacity = 2048L)
         .orderBy("source", "doc_id")
     }),
+    "t_export_packed" -> ((s, dir) => {
+      // the END-TO-END pretraining export, composed from this round's
+      // pieces: byte-level BPE token counts (t_bpe_ids' encoder) →
+      // deterministic hash shuffle into 8 shards (t_shards' assignment)
+      // → greedy contiguous packing into 2048-token sequences within
+      // each shard in hash (i.e. shuffled) order. One narrow encode
+      // pass + one shard-keyed exchange + a per-shard window: the whole
+      // export costs two shuffles at any corpus size. The oracle
+      // replays every stage (reference fixture token counts, HUGEINT
+      // xxhash64, window cumsum)
+      val merges = graft.ops.Tokenize.loadMerges(s.read.parquet(
+        s"$repoRoot/src/test/resources/bpe_bytes_merges.parquet"))
+      val enc = graft.ops.Tokenize.bpeEncodeIds(t(s, dir, "documents"),
+          "doc_id", "text", merges)
+        .select(col("id").as("doc_id"), col("n_tokens"))
+      val sharded = enc
+        .withColumn("h", xxhash64(col("doc_id")))
+        .withColumn("shard", pmod(col("h"), lit(8L)))
+      graft.ops.Chunking.packBins(sharded, "shard", "h", "n_tokens", 2048L)
+        .join(sharded.select("h", "doc_id"), Seq("h"))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("bin_id"), col("bin_offset_tokens"))
+        .orderBy("doc_id")
+    }),
     "t_quantiles" -> ((s, dir) => {
       // HDR-style quantile sketch (ops/Quantile.scala): exact bit-math
       // buckets (no libm), distributive groupBy sketch, integer rank
@@ -4821,6 +4845,37 @@ object SparkEntry {
         |  CAST(prev // 2048 AS BIGINT) AS bin_id,
         |  CAST(prev AS BIGINT) AS bin_offset_tokens
         |FROM c ORDER BY source, doc_id""".stripMargin,
+
+    // packed-export replay: fixture token counts -> xxhash64 shard ->
+    // within-shard cumsum packing, every stage in exact integer SQL
+    "t_export_packed" ->
+      s"""WITH ${xxhash64Ctes("doc_id", "documents")},
+         |pres AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(text, ' ?[a-z]+')) AS pretoken
+         |  FROM documents
+         |), tok AS (
+         |  SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens FROM
+         |  documents d LEFT JOIN (
+         |    SELECT doc_id, CAST(SUM(r.n_tokens) AS BIGINT) AS n_tokens
+         |    FROM pres
+         |    JOIN read_parquet('$repoRoot/src/test/resources/bpe_bytes_pretoken_tokens.parquet') r
+         |      USING (pretoken)
+         |    GROUP BY doc_id) s USING (doc_id)
+         |), d AS (
+         |  SELECT t.doc_id, x.h, ((x.h % 8) + 8) % 8 AS shard, t.n_tokens
+         |  FROM tok t JOIN xxh x USING (doc_id)
+         |), c AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - n_tokens AS prev
+         |  FROM d
+         |)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+         |  CAST(prev // 2048 AS BIGINT) AS bin_id,
+         |  CAST(prev AS BIGINT) AS bin_offset_tokens
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // quantile-sketch replay: bin() string length = exact floor(log2)+1
     // in both engines; every other op is integer shift/div/mod
