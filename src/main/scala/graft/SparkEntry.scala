@@ -1260,6 +1260,13 @@ object SparkEntry {
       TextAnalysis.corpusDrift(t(s, dir, "documents"), topOverUnion = true)
         .orderBy("source")
     }),
+    "t_gopher" -> ((s, dir) => {
+      // the published Gopher quality rule set (Rae et al. 2021 A1.1) as
+      // per-rule boolean columns + the conjunction — every ratio test
+      // cross-multiplied into integer arithmetic (engine-exact, no
+      // float thresholds), one scan, zero shuffles
+      TextAnalysis.gopherRules(t(s, dir, "documents")).orderBy("doc_id")
+    }),
     "t_corpus_freq" -> ((s, dir) => {
       // log-free perplexity proxy: per-doc integer sum of corpus-wide
       // token occurrence counts — rare-token-heavy (noisy) docs score low
@@ -3987,6 +3994,71 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
          |    - 1 AS BIGINT) AS pos
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Gopher-rule replay: the same cross-multiplied integer tests over
+    // DuckDB list ops (boundaries inclusive on the passing side)
+    "t_gopher" ->
+      """WITH d AS (
+        |  SELECT doc_id, COALESCE(text, '') AS t FROM documents
+        |), w AS (
+        |  SELECT doc_id, t,
+        |    list_filter(regexp_split_to_array(t, '\s+'),
+        |      x -> x <> '') AS words,
+        |    list_filter(regexp_split_to_array(t, '\n'),
+        |      l -> trim(l) <> '') AS lines
+        |  FROM d
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(COALESCE(list_sum(list_transform(words,
+        |      x -> length(x))), 0) AS BIGINT) AS total_chars,
+        |    CAST(length(t) - length(replace(t, '#', '')) +
+        |      (length(t) - length(replace(t, '...', ''))) // 3
+        |      AS BIGINT) AS symbols,
+        |    CAST(len(list_filter(lines, l -> starts_with(trim(l), '-')
+        |      OR starts_with(trim(l), '*') OR starts_with(trim(l), '•')))
+        |      AS BIGINT) AS bullet_lines,
+        |    CAST(len(list_filter(lines, l -> ends_with(trim(l), '...')))
+        |      AS BIGINT) AS ellipsis_lines,
+        |    CAST(len(list_filter(words, x -> regexp_matches(x,
+        |      '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        |    (CASE WHEN list_contains(list_transform(words,
+        |       x -> lower(x)), 'the') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(list_transform(words,
+        |       x -> lower(x)), 'be') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(list_transform(words,
+        |       x -> lower(x)), 'to') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(list_transform(words,
+        |       x -> lower(x)), 'of') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(list_transform(words,
+        |       x -> lower(x)), 'and') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(list_transform(words,
+        |       x -> lower(x)), 'that') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(list_transform(words,
+        |       x -> lower(x)), 'have') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(list_transform(words,
+        |       x -> lower(x)), 'with') THEN 1 ELSE 0 END) AS stop_hits
+        |  FROM w
+        |)
+        |SELECT doc_id, n_words, n_lines,
+        |  n_words >= 50 AND n_words <= 100000 AS r_word_count,
+        |  n_words > 0 AND 3 * n_words <= total_chars
+        |    AND total_chars <= 10 * n_words AS r_mean_word_len,
+        |  symbols * 10 <= n_words AS r_symbol_ratio,
+        |  bullet_lines * 10 <= n_lines AS r_bullet_lines,
+        |  ellipsis_lines * 10 <= n_lines * 3 AS r_ellipsis_lines,
+        |  alpha_words * 5 >= n_words * 4 AS r_alpha_words,
+        |  stop_hits >= 2 AS r_stopwords,
+        |  (n_words >= 50 AND n_words <= 100000)
+        |    AND (n_words > 0 AND 3 * n_words <= total_chars
+        |      AND total_chars <= 10 * n_words)
+        |    AND symbols * 10 <= n_words
+        |    AND bullet_lines * 10 <= n_lines
+        |    AND ellipsis_lines * 10 <= n_lines * 3
+        |    AND alpha_words * 5 >= n_words * 4
+        |    AND stop_hits >= 2 AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // corpus-drift replay: same raw-space tokenization, per-source TVD
     // vs the corpus distribution in HUGEINT (absent terms folded in via

@@ -64,6 +64,68 @@ object TextAnalysis {
       digitScore * 0.15 + stopScore * 0.15)
   }
 
+  /** The published GOPHER quality rules (Rae et al. 2021, A1.1) as one
+    * pure expression chain — the named rule set web-corpus pipelines
+    * actually quote, complementing the blended [[qualityScore]]. Every
+    * ratio test is cross-multiplied into INTEGER arithmetic (mean word
+    * length in [3,10] becomes `3*n_words <= total_chars <= 10*n_words`),
+    * so the verdicts are engine-exact — no float thresholds, and the
+    * whole row stays in whole-stage codegen. Boundary convention: all
+    * comparisons are inclusive on the passing side.
+    *
+    * Rules (one boolean column each, `pass` = conjunction):
+    *  r_word_count        minWords <= n_words <= maxWords
+    *  r_mean_word_len     3 <= mean word length <= 10
+    *  r_symbol_ratio      (# of '#' + '...' occurrences) <= n_words/10
+    *  r_bullet_lines      lines starting with a bullet <= 10% of lines
+    *  r_ellipsis_lines    lines ending with '...' <= 30% of lines
+    *  r_alpha_words       words containing a letter >= 80% of words
+    *  r_stopwords         >= 2 distinct of the 8 Gopher stopwords
+    *
+    * Output: (idCol, n_words, n_lines, r_* x7, pass). Scale: one scan,
+    * zero shuffles, no UDF. */
+  def gopherRules(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minWords: Long = 50,
+      maxWords: Long = 100000): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val words = filter(split(t, "\\s+"), w => w =!= "")
+    val nWords = size(words).cast("long")
+    val totalChars = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val occurrences = (needle: String, needleLen: Int) =>
+      ((length(t) - length(regexp_replace(t, java.util.regex.Pattern
+        .quote(needle), ""))) / needleLen).cast("long")
+    val symbols = occurrences("#", 1) + occurrences("...", 3)
+    val lines = filter(split(t, "\n"), l => trim(l) =!= "")
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines, l =>
+      trim(l).startsWith("-") || trim(l).startsWith("*") ||
+        trim(l).startsWith("•"))).cast("long")
+    val ellipsisLines = size(filter(lines, l =>
+      trim(l).endsWith("..."))).cast("long")
+    val alphaWords = size(filter(words,
+      w => w.rlike("[A-Za-z]"))).cast("long")
+    val gopherStops = Seq("the", "be", "to", "of", "and",
+      "that", "have", "with")
+    val lowered = transform(words, w => lower(w))
+    val stopHits = gopherStops.map(s =>
+      when(array_contains(lowered, s), 1L).otherwise(0L)).reduce(_ + _)
+    docs.select(
+      col(idCol), nWords.as("n_words"), nLines.as("n_lines"),
+      (nWords >= minWords && nWords <= maxWords).as("r_word_count"),
+      (nWords > 0 && lit(3L) * nWords <= totalChars &&
+        totalChars <= lit(10L) * nWords).as("r_mean_word_len"),
+      (symbols * 10L <= nWords).as("r_symbol_ratio"),
+      (bulletLines * 10L <= nLines).as("r_bullet_lines"),
+      (ellipsisLines * 10L <= nLines * 3L).as("r_ellipsis_lines"),
+      (alphaWords * 5L >= nWords * 4L).as("r_alpha_words"),
+      (stopHits >= 2L).as("r_stopwords"))
+      .withColumn("pass",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_symbol_ratio") && col("r_bullet_lines") &&
+          col("r_ellipsis_lines") && col("r_alpha_words") &&
+          col("r_stopwords"))
+  }
+
   /** Canonical text normalization for fingerprinting: lowercase, collapse
     * whitespace runs to single spaces, trim. */
   def normalized(text: Column): Column =

@@ -441,6 +441,56 @@ class Round14OpsSpec extends AnyFunSuite with SparkSpec {
     assert(stats.getAs[Long]("files_in") > 0)
   }
 
+  test("gopherRules: every published rule trips on its own " +
+      "counterexample; a clean document passes all seven") {
+    val stopRich = Seq.fill(26)("the with have that be").mkString(" ")
+    val docs = Seq(
+      (1L, stopRich),                                   // 130 words, clean
+      (2L, "short doc only"),                           // word count
+      (3L, Seq.fill(60)("a").mkString(" ") + " the with"), // mean len < 3
+      (4L, stopRich + " ####################"),         // symbol ratio
+      (5L, Seq.fill(11)("- the with have that be xx yy zz qq")
+        .mkString("\n")),                               // bullet lines
+      (6L, (Seq.fill(4)("the with have that be xx yy zz qq vv ...") ++
+        Seq.fill(6)("the with have that be xx yy zz qq vv ww"))
+        .mkString("\n")),                               // ellipsis lines
+      (7L, Seq.fill(60)("1234").mkString(" ") + " the be"), // alpha words
+      (8L, Seq.fill(60)("word").mkString(" ")),         // stopwords
+      (9L, ""),                                         // empty
+      (10L, null.asInstanceOf[String]))                 // null
+      .toDF("doc_id", "text")
+    val rows = graft.ops.TextAnalysis.gopherRules(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def flag(id: Long, c: String) = rows(id).getAs[Boolean](c)
+    assert(flag(1, "pass"), s"clean doc must pass: ${rows(1)}")
+    assert(!flag(2, "r_word_count") && !flag(2, "pass"))
+    assert(!flag(3, "r_mean_word_len") && flag(3, "r_word_count") &&
+      !flag(3, "pass"))
+    assert(!flag(4, "r_symbol_ratio") && flag(4, "r_word_count") &&
+      !flag(4, "pass"))
+    assert(!flag(5, "r_bullet_lines") && flag(5, "r_word_count") &&
+      !flag(5, "pass"))
+    assert(!flag(6, "r_ellipsis_lines") && flag(6, "r_stopwords") &&
+      !flag(6, "pass"))
+    assert(!flag(7, "r_alpha_words") && flag(7, "r_mean_word_len") &&
+      !flag(7, "pass"))
+    assert(!flag(8, "r_stopwords") && flag(8, "r_alpha_words") &&
+      !flag(8, "pass"))
+    for (id <- Seq(9L, 10L)) {
+      assert(rows(id).getAs[Long]("n_words") == 0L)
+      assert(!flag(id, "r_word_count") && !flag(id, "pass"))
+    }
+    // integer boundary: exactly 50 words of mean length exactly 3 is
+    // inclusive on the passing side for both rules
+    val boundary = Seq((11L,
+      (Seq.fill(48)("abc") ++ Seq("the", "and")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val b = graft.ops.TextAnalysis.gopherRules(boundary).collect().head
+    assert(b.getAs[Long]("n_words") == 50L)
+    assert(b.getAs[Boolean]("r_word_count") &&
+      b.getAs[Boolean]("r_mean_word_len"), s"$b")
+  }
+
   test("importanceScore on duplicated ids: one row per input row, the " +
       "duplicates' bigram stats merged (documented divergence from the " +
       "n^2-row two-pass form)") {
