@@ -229,6 +229,23 @@ object IncrementalAgg {
       .filter(col("term") =!= "")
       .groupBy("__bucket", "term").agg(count(lit(1)).as("n"))
 
+  /** Crash recovery for the append-only store: [[compactVocabStore]]'s
+    * swap (delete + rename) has a window where the ONLY copy of the
+    * streamed history sits in the staging sibling — and unlike the
+    * digest-witnessed batch state, an append store cannot rebuild
+    * itself (the stream's past batches are gone from the source). So
+    * every entry point self-heals: (store missing, staging present) →
+    * rename the staging copy back into place; staging leftovers are
+    * only discarded when the store exists (the
+    * [[Compaction.compactInPlace]] discipline). */
+  private def recoverStore(spark: SparkSession, stateDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(storePath(stateDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, p.getName + "__staging")
+    if (!fs.exists(p) && fs.exists(tmp)) fs.rename(tmp, p)
+  }
+
   /** Append-only fold for streaming (foreachBatch) callers: add one
     * micro-batch's per-bucket vocabulary partials to the store WITHOUT
     * digest pricing — over an APPEND-ONLY source nothing already stored
@@ -255,6 +272,7 @@ object IncrementalAgg {
       nBuckets: Int = 256): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     require(batchId >= 0, "batch ids are non-negative (-1 is the base)")
+    recoverStore(batch.sparkSession, stateDir)
     val withB = batch.withColumn("__bucket",
       when(col(idCol).isNull, lit(-1L)).otherwise(
         pmod(xxhash64(col(idCol).cast(StringType)), lit(nBuckets.toLong))))
@@ -269,7 +287,8 @@ object IncrementalAgg {
 
   /** The current vocabulary from a store maintained by [[vocabAppend]]
     * and/or [[compactVocabStore]]: (term, n), store-sized work. */
-  def vocabFromStore(spark: SparkSession, stateDir: String): DataFrame =
+  def vocabFromStore(spark: SparkSession, stateDir: String): DataFrame = {
+    recoverStore(spark, stateDir)
     try spark.read.parquet(storePath(stateDir))
       .groupBy("term").agg(sum(col("n")).as("n"))
     catch {
@@ -277,6 +296,7 @@ object IncrementalAgg {
         import spark.implicits._
         Seq.empty[(String, Long)].toDF("term", "n")
     }
+  }
 
   /** Fold the append-only store back to ONE row per (bucket, term),
     * stored under the reserved base batch -1 — call every K batches to
@@ -286,10 +306,12 @@ object IncrementalAgg {
   def compactVocabStore(spark: SparkSession, stateDir: String): Unit = {
     val lease = IncrementalValidation.acquireLease(spark, stateDir)
     try {
+      recoverStore(spark, stateDir) // a prior crash's stranded swap
       val p = new org.apache.hadoop.fs.Path(storePath(stateDir))
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val tmp = new org.apache.hadoop.fs.Path(
         p.getParent, p.getName + "__staging")
+      // store exists here (recovered or live): leftovers are partial
       if (fs.exists(tmp)) fs.delete(tmp, true)
       // stage FULLY (partition layout preserved — later appends land in
       // __batch=K dirs next to the compacted __batch=-1), then swap:

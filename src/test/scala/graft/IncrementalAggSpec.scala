@@ -314,6 +314,40 @@ class IncrementalAggSpec extends AnyFunSuite with SparkSpec {
       == fullVocab(b0.unionByName(b1).unionByName(b2)))
   }
 
+  test("append-store compaction self-heals from a crash between " +
+      "delete(store) and rename(staging): no streamed history lost") {
+    val stateDir = freshStateDir()
+    val b0 = viaParquet(randomDocs(100, 60))
+    val b1 = viaParquet(randomDocs(100, 60))
+    import graft.ops.IncrementalAgg
+    IncrementalAgg.vocabAppend(b0, 0L, stateDir, nBuckets = 16)
+    IncrementalAgg.vocabAppend(b1, 1L, stateDir, nBuckets = 16)
+    val want = fullVocab(b0.unionByName(b1))
+    // simulate the crash window: the only copy sits in the staging
+    // sibling, the store path is gone
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$stateDir/agg"),
+      new org.apache.hadoop.fs.Path(s"$stateDir/agg__staging")))
+    // every entry point recovers: reads answer, appends don't silently
+    // start a fresh store, compaction completes
+    assert(asMap(IncrementalAgg.vocabFromStore(spark, stateDir)) == want,
+      "read-side recovery")
+    fs.rename(new org.apache.hadoop.fs.Path(s"$stateDir/agg"),
+      new org.apache.hadoop.fs.Path(s"$stateDir/agg__staging"))
+    val b2 = viaParquet(randomDocs(100, 60))
+    IncrementalAgg.vocabAppend(b2, 2L, stateDir, nBuckets = 16)
+    assert(asMap(IncrementalAgg.vocabFromStore(spark, stateDir))
+      == fullVocab(b0.unionByName(b1).unionByName(b2)),
+      "append-side recovery must keep prior history")
+    fs.rename(new org.apache.hadoop.fs.Path(s"$stateDir/agg"),
+      new org.apache.hadoop.fs.Path(s"$stateDir/agg__staging"))
+    IncrementalAgg.compactVocabStore(spark, stateDir)
+    assert(asMap(IncrementalAgg.vocabFromStore(spark, stateDir))
+      == fullVocab(b0.unionByName(b1).unionByName(b2)),
+      "compact-side recovery")
+  }
+
   test("empty table: empty answer with the partial's schema, no throw") {
     val stateDir = freshStateDir()
     val d = viaParquet(randomDocs(50, 20).filter(lit(false)))

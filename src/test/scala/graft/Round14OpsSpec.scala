@@ -489,6 +489,10 @@ class Round14OpsSpec extends AnyFunSuite with SparkSpec {
     assert(b.getAs[Long]("n_words") == 50L)
     assert(b.getAs[Boolean]("r_word_count") &&
       b.getAs[Boolean]("r_mean_word_len"), s"$b")
+    // the whole rule set is one scan-side expression chain: no exchange
+    val plan = graft.ops.TextAnalysis.gopherRules(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gopherRules must not shuffle:\n$plan")
   }
 
   test("importanceScore on duplicated ids: one row per input row, the " +
