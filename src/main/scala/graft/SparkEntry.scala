@@ -1378,6 +1378,25 @@ object SparkEntry {
       graft.ops.IncrementalAgg.vocab(docs, stateDir, nBuckets = 256)
         ._1.orderBy("term")
     }),
+    "t_incremental_bigrams" -> ((s, dir) => {
+      // the churn-priced BIGRAM MODEL TABLE (the ngramLmSurprisal /
+      // DSIR count-table workload — the aggregate where incremental
+      // maintenance actually pays, rehearsal-measured 1.94x at 50x):
+      // same restated-prior seeding as t_incremental_vocab, oracle =
+      // the full bigram-count SQL over current documents
+      val docs = t(s, dir, "documents")
+      val stateDir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_incbigram_${dirTag(dir)}"
+      val restated = col("doc_id") < 30
+      val prior = docs
+        .withColumn("text", when(restated,
+          concat(coalesce(col("text"), lit("")), lit(" restated prior")))
+          .otherwise(col("text")))
+        .filter(!(restated && col("doc_id") % 3 === 0))
+      graft.ops.IncrementalAgg.bigrams(prior, stateDir, nBuckets = 256)
+      graft.ops.IncrementalAgg.bigrams(docs, stateDir, nBuckets = 256)
+        ._1.orderBy("w1", "w2")
+    }),
     "t_ngram_lm" -> ((s, dir) => {
       // bigram-LM surprisal (the CCNet corpus-LM quality-score shape):
       // add-one-smoothed p(w2|w1) from the corpus's own bigram counts,
@@ -4268,6 +4287,24 @@ object SparkEntry {
         |  FROM documents) t
         |WHERE w <> ''
         |GROUP BY w ORDER BY term""".stripMargin,
+
+    // incremental-bigram replay: the full bigram count over CURRENT
+    // documents (1-indexed adjacent pairs == Spark's 0-indexed
+    // transform; boundary pairs touching an empty token dropped on
+    // both engines)
+    "t_incremental_bigrams" ->
+      """WITH d AS (
+        |  SELECT regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr
+        |  FROM documents
+        |), p AS (
+        |  SELECT arr[i] AS w1, arr[i + 1] AS w2
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1,
+        |    len(arr) - 1)) AS i) g
+        |  WHERE len(arr) >= 2
+        |)
+        |SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM p
+        |WHERE w1 <> '' AND w2 <> ''
+        |GROUP BY w1, w2 ORDER BY w1, w2""".stripMargin,
 
     // bigram-LM replay: corpus bigram/context counts, add-one smoothing,
     // surprisal = bitlen(c(w1)+V) - bitlen(c(w1,w2)+1) via length(bin(x))

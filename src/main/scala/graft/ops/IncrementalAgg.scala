@@ -347,4 +347,36 @@ object IncrementalAgg {
       dirtyFractionLimit, bucketCol)
     (store.groupBy("term").agg(sum(col("n")).as("n")), rep)
   }
+
+  /** Named instance: churn-priced BIGRAM MODEL TABLE — the corpus
+    * count table that [[TextAnalysis.ngramLmSurprisal]] / DSIR-style
+    * scoring builds, maintained at churn price. This is the workload
+    * where incremental aggregation actually pays (rehearsal leg:
+    * incremental cost flat while the full recompute-and-rewrite grows
+    * with the corpus — 1.94x at 50x under a fixed churn): the bigram
+    * key space is data-sized, so map-side combine cannot collapse the
+    * full pass the way it does for a small vocabulary. Tokenization is
+    * the engine contract (lower, split `[^a-z0-9]+`); pairs touching
+    * an empty token are dropped (they only arise at text boundaries).
+    * Output: ((w1, w2, n) merged from the store, prune record). */
+  def bigrams(docs: DataFrame, stateDir: String, idCol: String = "doc_id",
+      textCol: String = "text", nBuckets: Int = 256,
+      dirtyFractionLimit: Double = 0.5,
+      bucketCol: Option[String] = None): (DataFrame, IncrementalReport) = {
+    val partial = (slice: DataFrame) => slice
+      .select(col("__bucket"),
+        split(lower(col(textCol)), "[^a-z0-9]+").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("__bucket"), explode(expr(
+        "filter(transform(sequence(0, size(t)-2), " +
+          "i -> struct(t[i] AS w1, t[i+1] AS w2)), " +
+          "p -> p.w1 <> '' AND p.w2 <> '')")).as("bg"))
+      .groupBy(col("__bucket"), col("bg.w1").as("w1"),
+        col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+    val (store, rep) = run(docs, idCol, Seq(textCol), partial,
+      aggKey = s"bigrams:$textCol", stateDir, nBuckets,
+      dirtyFractionLimit, bucketCol)
+    (store.groupBy("w1", "w2").agg(sum(col("n")).as("n")), rep)
+  }
 }

@@ -257,6 +257,45 @@ class IncrementalAggSpec extends AnyFunSuite with SparkSpec {
       s"exactly one bucket-keyed exchange:\n$plan")
   }
 
+  test("bigrams (the model-table instance) == full bigram count across " +
+      "churn; converges; foreign-aggKey state never answers it") {
+    val stateDir = freshStateDir()
+    def fullBigrams(df: DataFrame): Map[(String, String), Long] = df
+      .select(split(lower(col("text")), "[^a-z0-9]+").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "filter(transform(sequence(0, size(t)-2), " +
+          "i -> struct(t[i] AS w1, t[i+1] AS w2)), " +
+          "p -> p.w1 <> '' AND p.w2 <> '')")).as("bg"))
+      .groupBy("bg.w1", "bg.w2").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    def got(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val d0 = viaParquet(randomDocs(400, 200))
+    val (b1, r1) = graft.ops.IncrementalAgg.bigrams(d0, stateDir,
+      nBuckets = 32)
+    assert(r1.rebuilt && got(b1) == fullBigrams(d0))
+    val churned = viaParquet(d0
+      .withColumn("text",
+        when(col("doc_id") % 29 === 0,
+          concat(coalesce(col("text"), lit("")), lit(" churned pair")))
+          .otherwise(col("text")))
+      .filter(col("doc_id").isNull || col("doc_id") % 31 =!= 0))
+    val (b2, r2) = graft.ops.IncrementalAgg.bigrams(churned, stateDir,
+      nBuckets = 32, dirtyFractionLimit = 1.0)
+    assert(!r2.rebuilt && r2.dirtyBuckets > 0 &&
+      r2.dirtyBuckets < r2.totalBuckets, s"$r2")
+    assert(got(b2) == fullBigrams(churned))
+    val (_, r3) = graft.ops.IncrementalAgg.bigrams(churned, stateDir,
+      nBuckets = 32)
+    assert(!r3.rebuilt && r3.dirtyBuckets == 0, s"$r3")
+    // the vocab surface pointed at this state must rebuild, not answer
+    val (_, r4) = graft.ops.IncrementalAgg.vocab(churned, stateDir,
+      nBuckets = 32)
+    assert(r4.rebuilt, "foreign aggKey must rebuild")
+  }
+
   test("append-only streaming maintenance: a multi-batch document " +
       "stream folds into the store and answers the full word count") {
     val stateDir = freshStateDir()
