@@ -514,7 +514,11 @@ object Tokenize {
   /** The byte-level VOCABULARY a merge table induces, in GPT-2 id
     * order: ids 0..255 are the mapped byte symbols (in byte order),
     * id 256+rank is merge `rank`'s concatenation — the integer-id space
-    * a training pipeline stores and embeds. Metadata-sized. */
+    * a training pipeline stores and embeds. Metadata-sized. Two merges
+    * CAN produce the same string (("a","bc") and ("ab","c") both yield
+    * "abc"); [[bpeEncodeIds]] maps such a string to the LAST id
+    * (Scala `toMap` semantics, mirrored by the Python reference's dict
+    * build), so the id stream stays deterministic either way. */
   def bpeVocab(merges: Seq[(String, String)]): Seq[(String, Int)] =
     ((0 until 256).map(b => byteToUnicode(b).toString) ++
       merges.map { case (l, r) => l + r }).zipWithIndex
