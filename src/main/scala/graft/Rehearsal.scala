@@ -731,28 +731,25 @@ object Rehearsal {
               .otherwise(col("text")))
           .filter(!col("doc_id").between(120, 122)), "d1")
         val stateDir = s"$legDir/state"
-        def bigrams(df: DataFrame): DataFrame = df
-          .select(col("__bucket"),
-            split(lower(col("text")), "[^a-z0-9]+").as("t"))
-          .filter(size(col("t")) >= 2)
-          .select(col("__bucket"), explode(expr(
-            "filter(transform(sequence(0, size(t)-2), " +
-              "i -> struct(t[i] AS w1, t[i+1] AS w2)), " +
-              "p -> p.w1 <> '' AND p.w2 <> '')")).as("bg"))
-          .groupBy(col("__bucket"), col("bg.w1").as("w1"),
-            col("bg.w2").as("w2"))
-          .agg(count(lit(1)).as("n"))
-        def maintain(t: DataFrame) = graft.ops.IncrementalAgg.run(
-          t, "doc_id", Seq("text"), bigrams, aggKey = "bigram_lm",
-          stateDir, nBuckets = nB, bucketCol = Some("bucket"))
+        // the SHIPPED named instance, not a leg-local re-implementation
+        // — the benchmark must measure the aggregate users run
+        def maintain(t: DataFrame) = graft.ops.IncrementalAgg.bigrams(
+          t, stateDir, nBuckets = nB, bucketCol = Some("bucket"))
         val (_, tBuild) = timed { maintain(d0) }
         // the daily job: bring the stored model table up to date
-        val ((store, rep), tInc) = timed { maintain(d1) }
+        val ((merged, rep), tInc) = timed { maintain(d1) }
         // the non-incremental twin: recompute AND re-materialize the
-        // whole table (a pipeline's model table is a stored artifact)
+        // whole table (a pipeline's model table is a stored artifact);
+        // written independently of the op under test
         val (_, tFull) = timed {
-          d1.withColumn("__bucket", lit(0L)).transform(bigrams)
-            .drop("__bucket")
+          d1.select(split(lower(col("text")), "[^a-z0-9]+").as("t"))
+            .filter(size(col("t")) >= 2)
+            .select(explode(expr(
+              "filter(transform(sequence(0, size(t)-2), " +
+                "i -> struct(t[i] AS w1, t[i+1] AS w2)), " +
+                "p -> p.w1 <> '' AND p.w2 <> '')")).as("bg"))
+            .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+            .agg(count(lit(1)).as("n"))
             .write.mode("overwrite").parquet(s"$legDir/full_model")
         }
         def chk(df: DataFrame): (Long, java.math.BigDecimal) = {
@@ -761,8 +758,7 @@ object Rehearsal {
               .cast("decimal(38,0)"))).collect().head
           (r.getLong(0), r.getDecimal(1))
         }
-        val got = chk(store.groupBy("w1", "w2")
-          .agg(sum(col("n")).as("n")))
+        val got = chk(merged)
         val want = chk(spark.read.parquet(s"$legDir/full_model"))
         require(got == want,
           s"agg_incremental leg model mismatch at scale $scale: " +

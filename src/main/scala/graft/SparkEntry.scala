@@ -4032,9 +4032,10 @@ object SparkEntry {
         |    CAST(len(lines) AS BIGINT) AS n_lines,
         |    CAST(COALESCE(list_sum(list_transform(words,
         |      x -> length(x))), 0) AS BIGINT) AS total_chars,
-        |    CAST(length(t) - length(replace(t, '#', '')) +
-        |      (length(t) - length(replace(t, '...', ''))) // 3
-        |      AS BIGINT) AS symbols,
+        |    CAST(length(t) - length(replace(t, '#', ''))
+        |      AS BIGINT) AS hashes,
+        |    CAST((length(t) - length(replace(t, '...', ''))) // 3
+        |      AS BIGINT) AS ellipses,
         |    CAST(len(list_filter(lines, l -> starts_with(trim(l), '-')
         |      OR starts_with(trim(l), '*') OR starts_with(trim(l), '•')))
         |      AS BIGINT) AS bullet_lines,
@@ -4064,16 +4065,17 @@ object SparkEntry {
         |  n_words >= 50 AND n_words <= 100000 AS r_word_count,
         |  n_words > 0 AND 3 * n_words <= total_chars
         |    AND total_chars <= 10 * n_words AS r_mean_word_len,
-        |  symbols * 10 <= n_words AS r_symbol_ratio,
-        |  bullet_lines * 10 <= n_lines AS r_bullet_lines,
+        |  hashes * 10 <= n_words AND ellipses * 10 <= n_words
+        |    AS r_symbol_ratio,
+        |  bullet_lines * 10 <= n_lines * 9 AS r_bullet_lines,
         |  ellipsis_lines * 10 <= n_lines * 3 AS r_ellipsis_lines,
         |  alpha_words * 5 >= n_words * 4 AS r_alpha_words,
         |  stop_hits >= 2 AS r_stopwords,
         |  (n_words >= 50 AND n_words <= 100000)
         |    AND (n_words > 0 AND 3 * n_words <= total_chars
         |      AND total_chars <= 10 * n_words)
-        |    AND symbols * 10 <= n_words
-        |    AND bullet_lines * 10 <= n_lines
+        |    AND hashes * 10 <= n_words AND ellipses * 10 <= n_words
+        |    AND bullet_lines * 10 <= n_lines * 9
         |    AND ellipsis_lines * 10 <= n_lines * 3
         |    AND alpha_words * 5 >= n_words * 4
         |    AND stop_hits >= 2 AS pass

@@ -164,11 +164,20 @@ object ValidationJob {
     s"${stateDir(cfg)}/multi_report_surface"
 
   /** Rebuild [[ValidationOutput]]'s three frames from the STORED
-    * incremental report (kind, id, check_first, check_second — all
-    * string-typed, the report store's convention, matching the
-    * reference's own all-string CSV outputs). */
+    * incremental report (kind, id, check_first, check_second — the
+    * store keeps strings). The differing frame's check columns are cast
+    * BACK to each side's input `check` type, so the tidy parquet's
+    * schema and values match the classic [[Validator.validate]] path
+    * exactly (the stored strings are `cast(StringType)` of those very
+    * values — double/timestamp/decimal round-trip losslessly through
+    * Spark's string form; a schema flip on upgrade to
+    * `incremental: true` would break type-sensitive downstream
+    * readers). */
   private def outputFromStored(rep: DataFrame, db1: String, db2: String,
-      check: String): ValidationOutput = {
+      check: String,
+      checkTypeFirst: org.apache.spark.sql.types.DataType,
+      checkTypeSecond: org.apache.spark.sql.types.DataType)
+      : ValidationOutput = {
     import org.apache.spark.sql.functions.col
     ValidationOutput(
       missingInFirst = rep.filter(col("kind") === "missing_in_first")
@@ -177,8 +186,8 @@ object ValidationJob {
         .select("id"),
       differing = rep.filter(col("kind") === "differing").select(
         col("id"),
-        col("check_first").as(s"${check}_$db1"),
-        col("check_second").as(s"${check}_$db2")))
+        col("check_first").cast(checkTypeFirst).as(s"${check}_$db1"),
+        col("check_second").cast(checkTypeSecond).as(s"${check}_$db2")))
   }
 
   /** Run the validation; write tidy + compat reports; return the output.
@@ -210,7 +219,8 @@ object ValidationJob {
         first, second, mode, reportStateDir(cfg),
         nBuckets = cfg.reportBuckets)
       val out = outputFromStored(current, cfg.firstName, cfg.secondName,
-        cfg.checkColumn)
+        cfg.checkColumn, first.schema("check").dataType,
+        second.schema("check").dataType)
       ReportWriter.writeTidy(out, s"${cfg.outputDirectory}/tidy")
       ReportWriter.writeCompat(out, s"${cfg.outputDirectory}/result",
         cfg.firstName, cfg.secondName, cfg.checkColumn)

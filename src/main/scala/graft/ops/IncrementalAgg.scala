@@ -60,6 +60,25 @@ object IncrementalAgg {
   private def digestsPath(stateDir: String) = s"$stateDir/agg_digests"
   private def metaPath(stateDir: String) = s"$stateDir/meta"
 
+  /** Does the store hold at least one data file? An empty-table
+    * maintenance pass writes only markers (_SUCCESS), which parquet
+    * cannot infer a schema from — that case falls back to an empty
+    * frame; any OTHER read failure (corrupt footer, transient FS
+    * error) must PROPAGATE, not silently answer empty. */
+  private def storeHasData(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val name = it.next().getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) found = true
+      }
+      found
+    }
+  }
+
   /** Test seam — fired after the read-only prune, before the first
     * mutation (the [[IncrementalValidation.beforeMutationHook]] twin). */
   private[graft] var beforeMutationHook: () => Unit = () => ()
@@ -198,14 +217,13 @@ object IncrementalAgg {
         IncrementalValidation.swapWrite(spark, cd, digestsPath(stateDir))
       } // zero dirty: store and witness both stand untouched
 
+      // empty-table passes leave a data-less store dir (schema
+      // uninferable) — only THAT case answers empty; real read
+      // failures propagate
       val current =
-        try spark.read.parquet(storePath(stateDir)).drop("__bucket")
-        catch {
-          // an empty table yields an empty store dir; surface the
-          // partial's shape by running it on the (empty) input
-          case scala.util.control.NonFatal(_) =>
-            partial(withBucketCol(table.limit(0))).drop("__bucket")
-        }
+        if (storeHasData(fs, storePath(stateDir)))
+          spark.read.parquet(storePath(stateDir)).drop("__bucket")
+        else partial(withBucketCol(table.limit(0))).drop("__bucket")
       val dirtyInCurrent =
         dirtyRows.map(_.count(_._2).toLong).getOrElse(0L)
       val report = IncrementalValidation.IncrementalReport(
@@ -229,21 +247,33 @@ object IncrementalAgg {
       .filter(col("term") =!= "")
       .groupBy("__bucket", "term").agg(count(lit(1)).as("n"))
 
-  /** Crash recovery for the append-only store: [[compactVocabStore]]'s
-    * swap (delete + rename) has a window where the ONLY copy of the
-    * streamed history sits in the staging sibling — and unlike the
-    * digest-witnessed batch state, an append store cannot rebuild
-    * itself (the stream's past batches are gone from the source). So
-    * every entry point self-heals: (store missing, staging present) →
-    * rename the staging copy back into place; staging leftovers are
-    * only discarded when the store exists (the
-    * [[Compaction.compactInPlace]] discipline). */
+  /** Crash recovery for the append-only store. [[compactVocabStore]]
+    * swaps by RENAMES ONLY (stage → rename store aside → rename staged
+    * copy in → delete the old copy): the store path is never
+    * recursively deleted while it is the only copy, so every crash
+    * window leaves at least one COMPLETE copy under a known name — and
+    * unlike the digest-witnessed batch state, an append store cannot
+    * rebuild itself (the stream's past batches are gone from the
+    * source). Recovery, on every entry point, when the store path is
+    * missing: prefer the staged compacted copy (complete by the swap
+    * order — the aside-rename only happens after staging finishes),
+    * else restore the aside copy. Leftover siblings are only discarded
+    * when the store exists. */
   private def recoverStore(spark: SparkSession, stateDir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(storePath(stateDir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(
       p.getParent, p.getName + "__staging")
-    if (!fs.exists(p) && fs.exists(tmp)) fs.rename(tmp, p)
+    val old = new org.apache.hadoop.fs.Path(
+      p.getParent, p.getName + "__old")
+    if (!fs.exists(p)) {
+      if (fs.exists(tmp) && fs.exists(old)) {
+        // crash between the two swap renames: tmp is the complete
+        // compacted copy, old the complete pre-compaction copy
+        fs.rename(tmp, p); fs.delete(old, true)
+      } else if (fs.exists(tmp)) fs.rename(tmp, p)
+      else if (fs.exists(old)) fs.rename(old, p)
+    }
   }
 
   /** Append-only fold for streaming (foreachBatch) callers: add one
@@ -272,29 +302,45 @@ object IncrementalAgg {
       nBuckets: Int = 256): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     require(batchId >= 0, "batch ids are non-negative (-1 is the base)")
-    recoverStore(batch.sparkSession, stateDir)
-    val withB = batch.withColumn("__bucket",
-      when(col(idCol).isNull, lit(-1L)).otherwise(
-        pmod(xxhash64(col(idCol).cast(StringType)), lit(nBuckets.toLong))))
-    vocabPartial(textCol)(withB)
-      .withColumn("__batch", lit(batchId))
-      .repartition(col("__bucket"))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__batch", "__bucket")
-      .parquet(storePath(stateDir))
+    // the append IS a store mutation: it must hold the same lease
+    // compaction takes, or a compact that staged its copy before this
+    // batch's partitions landed would swap them away (the streaming
+    // checkpoint has already recorded the batch — it never replays).
+    // Per-batch acquire/release: micro-batches are sequential within a
+    // query, and a concurrent compact now fails fast instead of racing.
+    val lease = IncrementalValidation.acquireLease(batch.sparkSession,
+      stateDir)
+    try {
+      recoverStore(batch.sparkSession, stateDir)
+      val withB = batch.withColumn("__bucket",
+        when(col(idCol).isNull, lit(-1L)).otherwise(
+          pmod(xxhash64(col(idCol).cast(StringType)),
+            lit(nBuckets.toLong))))
+      val out = vocabPartial(textCol)(withB)
+        .withColumn("__batch", lit(batchId))
+        .repartition(col("__bucket"))
+      lease.check()
+      out.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch", "__bucket")
+        .parquet(storePath(stateDir))
+    } finally lease.release()
   }
 
   /** The current vocabulary from a store maintained by [[vocabAppend]]
     * and/or [[compactVocabStore]]: (term, n), store-sized work. */
   def vocabFromStore(spark: SparkSession, stateDir: String): DataFrame = {
     recoverStore(spark, stateDir)
-    try spark.read.parquet(storePath(stateDir))
-      .groupBy("term").agg(sum(col("n")).as("n"))
-    catch {
-      case scala.util.control.NonFatal(_) =>
-        import spark.implicits._
-        Seq.empty[(String, Long)].toDF("term", "n")
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // nothing folded yet (or only empty batches) => empty vocabulary;
+    // real read failures propagate (see storeHasData)
+    if (storeHasData(fs, storePath(stateDir)))
+      spark.read.parquet(storePath(stateDir))
+        .groupBy("term").agg(sum(col("n")).as("n"))
+    else {
+      import spark.implicits._
+      Seq.empty[(String, Long)].toDF("term", "n")
     }
   }
 
@@ -311,11 +357,18 @@ object IncrementalAgg {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val tmp = new org.apache.hadoop.fs.Path(
         p.getParent, p.getName + "__staging")
-      // store exists here (recovered or live): leftovers are partial
+      val old = new org.apache.hadoop.fs.Path(
+        p.getParent, p.getName + "__old")
+      // store exists here (recovered or live): siblings are garbage
+      // (a partial staging, or an already-swapped-out old copy)
       if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (fs.exists(old)) fs.delete(old, true)
       // stage FULLY (partition layout preserved — later appends land in
-      // __batch=K dirs next to the compacted __batch=-1), then swap:
-      // the same staged delete+rename discipline as the batch state
+      // __batch=K dirs next to the compacted __batch=-1), then swap by
+      // RENAMES ONLY: the store is never recursively deleted while it
+      // is the only copy, so no crash point can truncate the history
+      // (a mid-delete crash under the delete+rename discipline would
+      // leave a TORN store that later entries would trust)
       spark.read.parquet(storePath(stateDir))
         .groupBy("__bucket", "term").agg(sum(col("n")).as("n"))
         .withColumn("__batch", lit(-1L))
@@ -324,8 +377,9 @@ object IncrementalAgg {
         .partitionBy("__batch", "__bucket")
         .parquet(tmp.toString)
       lease.check()
-      fs.delete(p, true)
+      fs.rename(p, old)
       fs.rename(tmp, p)
+      fs.delete(old, true)
     } finally lease.release()
   }
 

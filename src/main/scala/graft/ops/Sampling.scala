@@ -181,17 +181,33 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long") - 1L)
   }
 
-  /** Materialize [[shuffleShards]] as an export directory: one
+  /** The export frame [[shardWrite]] materializes: repartitioned to
+    * `nShards` tasks BEFORE the position window, so the window's
+    * ClusteredDistribution(shard) is satisfied by the repartition and
+    * the whole export plan carries exactly ONE exchange (spec-pinned —
+    * windowing first and repartitioning after would shuffle the corpus
+    * twice whenever nShards != spark.sql.shuffle.partitions, i.e.
+    * always). */
+  private[graft] def shardFrame(df: DataFrame, idCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+    df.withColumn("shard", pmod(xxhash64(col(idCol)), lit(nShards.toLong)))
+      .repartition(nShards, col("shard"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .sortWithinPartitions(col("shard"), col("pos"))
+  }
+
+  /** Materialize the shard assignment as an export directory: one
     * `shard=K/` partition per shard, each holding ONE file whose row
     * order is the shard's `pos` order — a training loader can stream
-    * `shard=K` sequentially and see the permuted corpus. The
-    * repartition carries the window's exchange (same key), so the write
-    * costs the one shuffle the assignment already needed. */
+    * `shard=K` sequentially and see the permuted corpus. One exchange
+    * total (see [[shardFrame]]); row-identical to [[shuffleShards]]. */
   def shardWrite(df: DataFrame, idCol: String, nShards: Int,
       dir: String): Unit =
-    shuffleShards(df, idCol, nShards)
-      .repartition(nShards, col("shard"))
-      .sortWithinPartitions(col("shard"), col("pos"))
+    shardFrame(df, idCol, nShards)
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
 
   def largestRemainderAllocate(df: DataFrame, groupCol: String,

@@ -76,8 +76,12 @@ object TextAnalysis {
     * Rules (one boolean column each, `pass` = conjunction):
     *  r_word_count        minWords <= n_words <= maxWords
     *  r_mean_word_len     3 <= mean word length <= 10
-    *  r_symbol_ratio      (# of '#' + '...' occurrences) <= n_words/10
-    *  r_bullet_lines      lines starting with a bullet <= 10% of lines
+    *  r_symbol_ratio      EACH of '#' and '...' occurs <= n_words/10
+    *                      (the paper applies 0.1 to either symbol
+    *                      separately, not to their sum)
+    *  r_bullet_lines      lines starting with a bullet <= 90% of lines
+    *                      (the paper removes docs where MORE than 90%
+    *                      of lines are bulleted)
     *  r_ellipsis_lines    lines ending with '...' <= 30% of lines
     *  r_alpha_words       words containing a letter >= 80% of words
     *  r_stopwords         >= 2 distinct of the 8 Gopher stopwords
@@ -94,7 +98,8 @@ object TextAnalysis {
     val occurrences = (needle: String, needleLen: Int) =>
       ((length(t) - length(regexp_replace(t, java.util.regex.Pattern
         .quote(needle), ""))) / needleLen).cast("long")
-    val symbols = occurrences("#", 1) + occurrences("...", 3)
+    val hashes = occurrences("#", 1)
+    val ellipses = occurrences("...", 3)
     val lines = filter(split(t, "\n"), l => trim(l) =!= "")
     val nLines = size(lines).cast("long")
     val bulletLines = size(filter(lines, l =>
@@ -114,8 +119,9 @@ object TextAnalysis {
       (nWords >= minWords && nWords <= maxWords).as("r_word_count"),
       (nWords > 0 && lit(3L) * nWords <= totalChars &&
         totalChars <= lit(10L) * nWords).as("r_mean_word_len"),
-      (symbols * 10L <= nWords).as("r_symbol_ratio"),
-      (bulletLines * 10L <= nLines).as("r_bullet_lines"),
+      (hashes * 10L <= nWords && ellipses * 10L <= nWords)
+        .as("r_symbol_ratio"),
+      (bulletLines * 10L <= nLines * 9L).as("r_bullet_lines"),
       (ellipsisLines * 10L <= nLines * 3L).as("r_ellipsis_lines"),
       (alphaWords * 5L >= nWords * 4L).as("r_alpha_words"),
       (stopHits >= 2L).as("r_stopwords"))

@@ -197,6 +197,45 @@ class ConfigJobSpec extends AnyFunSuite with SparkSpec {
     assert(new java.io.File(s"$outDir/multi_state/terms").isDirectory)
   }
 
+  test("incremental tidy report carries the CLASSIC column types: a " +
+      "numeric check column reads back double, not the store's string") {
+    import org.apache.spark.sql.types.{DoubleType, StringType}
+    val d = Files.createTempDirectory("cfgtyped")
+    val a = spark.range(300).selectExpr("id AS pk",
+      "CAST(id AS DOUBLE) / 4 AS val")
+    val b = a.selectExpr("pk",
+      "CASE WHEN pk % 7 = 0 THEN val + 0.5 ELSE val END AS val")
+    a.write.mode("overwrite").parquet(s"$d/a")
+    b.write.mode("overwrite").parquet(s"$d/b")
+    def yaml(out: String, extra: String) =
+      s"""databases: [left, right]
+         |data_type: numeric
+         |threshold: 1
+         |composite_id_columns: [pk]
+         |check_column: val
+         |output_directory: $out
+         |$extra
+         |sources:
+         |  left: { format: parquet, path: $d/a }
+         |  right: { format: parquet, path: $d/b }
+         |""".stripMargin
+    ValidationJob.run(spark, ConfigLoader.fromYamlString(
+      yaml(s"$d/inc", "incremental: true")))
+    ValidationJob.run(spark, ConfigLoader.fromYamlString(
+      yaml(s"$d/classic", "")))
+    val inc = spark.read.parquet(s"$d/inc/tidy/differing_values")
+    val classic = spark.read.parquet(s"$d/classic/tidy/differing_values")
+    assert(classic.schema("val_left").dataType == DoubleType)
+    assert(inc.schema.fields.map(f => f.name -> f.dataType).toSeq ==
+      classic.schema.fields.map(f => f.name -> f.dataType).toSeq,
+      s"incremental tidy schema must match classic:\n${inc.schema}\n" +
+        s"${classic.schema}")
+    assert(inc.schema("id").dataType == StringType)
+    assert(inc.collect().map(_.toSeq).toSet ==
+      classic.collect().map(_.toSeq).toSet,
+      "typed values must round-trip the store's strings exactly")
+  }
+
   test("incremental: true maintains the ROW-LEVEL report through the " +
       "stored bucket-partitioned table: a churned re-run rewrites only " +
       "dirty buckets' partitions, the written reports equal the full " +

@@ -489,6 +489,22 @@ class Round14OpsSpec extends AnyFunSuite with SparkSpec {
     assert(b.getAs[Long]("n_words") == 50L)
     assert(b.getAs[Boolean]("r_word_count") &&
       b.getAs[Boolean]("r_mean_word_len"), s"$b")
+    // the paper's thresholds, not stricter ones: a 15%-bulleted doc
+    // passes (the rule only drops >90% bulleted), and '#'/'...' ratios
+    // apply to EACH symbol separately, not to their sum
+    val lenient = Seq(
+      (12L, (Seq.fill(3)("- the with have that be") ++
+        Seq.fill(17)("the with have that be")).mkString("\n")),
+      (13L, stopRich + " " + Seq.fill(8)("#").mkString(" ") + " " +
+        Seq.fill(7)("...").mkString(" ")))
+      .toDF("doc_id", "text")
+    val lrows = graft.ops.TextAnalysis.gopherRules(lenient)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(lrows(12L).getAs[Boolean]("r_bullet_lines"),
+      s"15% bullets must pass the 90% rule: ${lrows(12L)}")
+    assert(lrows(13L).getAs[Boolean]("r_symbol_ratio"),
+      s"8 hashes + 7 ellipses over 145 words pass per-symbol 0.1: " +
+        s"${lrows(13L)}")
     // the whole rule set is one scan-side expression chain: no exchange
     val plan = graft.ops.TextAnalysis.gopherRules(docs)
       .queryExecution.executedPlan.toString

@@ -52,13 +52,28 @@ class ShardingSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("plan shape: ONE exchange (hash on shard), per-shard sort — " +
-      "never a global range sort") {
+      "never a global range sort; the WRITE frame adds no second " +
+      "exchange") {
     val plan = Sampling.shuffleShards(ids(1000), "id", 8)
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning\\(shard".r.findAllIn(plan).size == 1,
       s"one shard-keyed exchange:\n$plan")
     assert(!plan.contains("rangepartitioning"),
       s"no global sort exchange:\n$plan")
+    // the export path: repartition BEFORE the window, so the window
+    // reuses that distribution — exactly one Exchange in total
+    val wplan = Sampling.shardFrame(ids(1000), "id", 8)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(wplan).size == 1,
+      s"shardFrame must carry exactly one exchange:\n$wplan")
+    // and it is row-identical to shuffleShards' assignment
+    val a = Sampling.shuffleShards(ids(500), "id", 4)
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val b = Sampling.shardFrame(ids(500), "id", 4)
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
   }
 
   test("shardWrite: one file per shard directory; reading a shard in " +
