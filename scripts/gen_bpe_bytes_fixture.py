@@ -4,10 +4,11 @@
 Independent reference implementation of the GPT-2 byte-level tokenizer
 discipline — the byte-to-printable-unicode table, the pre-tokenization
 pattern `'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|
-\\s+(?!\\S)|\\s+` (implemented as an explicit code-point scanner, the same
-way graft.ops.Tokenize.pretokenize does, so the two implementations are
-independent but contract-identical), and the canonical BPE train/encode
-loops. Emits:
+\\s+(?!\\S)|\\s+` executed by the ACTUAL Python `regex` module (the
+engine the published GPT-2 tokenizer uses — `regex.findall` on the
+published pattern, so the cross-check against the Scala code-point
+scanner is genuinely independent: a shared scanner bug cannot hide),
+and the canonical BPE train/encode loops. Emits:
 
  - src/test/resources/bpe_bytes_merges.parquet (rank, left, right, freq)
      byte-level merge table trained on the sf0.01 documents corpus
@@ -30,9 +31,8 @@ loops. Emits:
 
 Run from the repo root: python3 scripts/gen_bpe_bytes_fixture.py
 """
-import unicodedata
-
 import duckdb
+import regex
 
 NUM_MERGES = 24
 SPEC_MERGES = 40
@@ -61,73 +61,18 @@ def byte_map(s):
     return "".join(B2U[b] for b in s.encode("utf-8"))
 
 
-# ---- pre-tokenization scanner (contract shared with the Scala side) --
-ASCII_WS = set(" \t\n\r\x0b\x0c")  # GPT-2's \s (no unicode flag)
-CONTRACTIONS = ["'s", "'t", "'re", "'ve", "'m", "'ll", "'d"]
-
-
-def is_letter(ch):
-    return unicodedata.category(ch).startswith("L")
-
-
-def is_num(ch):
-    return unicodedata.category(ch).startswith("N")
-
-
-def is_space(ch):
-    return ch in ASCII_WS
+# ---- pre-tokenization: the ACTUAL published GPT-2 pattern, run by the
+# ---- actual `regex` engine (Radford et al. 2019 tokenizer) — NOT a
+# ---- port of the Scala scanner, so the fixture cross-check is a
+# ---- genuinely independent second implementation
+GPT2_PAT = regex.compile(
+    r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+|"""
+    r""" ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+)
 
 
 def pretokenize(text):
-    out, i, n = [], 0, len(text)
-    while i < n:
-        c = text[i]
-        matched = False
-        if c == "'":
-            for suf in CONTRACTIONS:
-                if text.startswith(suf, i):
-                    out.append(suf)
-                    i += len(suf)
-                    matched = True
-                    break
-        if matched:
-            continue
-        has_sp = c == " " and i + 1 < n
-        j = i + 1 if has_sp else i
-        d = text[j] if j < n else None
-        if d is not None and is_letter(d) and (has_sp or not is_space(c)):
-            e = j
-            while e < n and is_letter(text[e]):
-                e += 1
-            out.append(text[i:e])
-            i = e
-        elif d is not None and is_num(d) and (has_sp or not is_space(c)):
-            e = j
-            while e < n and is_num(text[e]):
-                e += 1
-            out.append(text[i:e])
-            i = e
-        elif d is not None and not is_space(d) and (has_sp or not is_space(c)):
-            e = j
-            while e < n and not (
-                is_space(text[e]) or is_letter(text[e]) or is_num(text[e])
-            ):
-                e += 1
-            out.append(text[i:e])
-            i = e
-        else:
-            # whitespace run: \s+(?!\S) leaves the LAST whitespace char
-            # to glue onto the following token when a non-space follows
-            e = i
-            while e < n and is_space(text[e]):
-                e += 1
-            if e < n and e - i > 1:
-                out.append(text[i : e - 1])
-                i = e - 1
-            else:
-                out.append(text[i:e])
-                i = e
-    return out
+    return GPT2_PAT.findall(text)
 
 
 # ---- canonical BPE train/encode (same loops as gen_bpe_fixture.py) ---
@@ -215,6 +160,14 @@ SPEC_TEXTS = [
     " ",
     "  ",
     "hello   world",
+    # Unicode whitespace — \s in the regex module is the Unicode
+    # White_Space property, NOT the ASCII set: NBSP (HTML corpora),
+    # ideographic space, NEL, thin/em spaces must pre-tokenize as
+    # whitespace on both engines
+    "nbsp glued here",
+    "ideographic　space　run",
+    "nelline and thin space",
+    "mix     ws !",
 ]
 
 

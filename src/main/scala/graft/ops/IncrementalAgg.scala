@@ -59,6 +59,62 @@ object IncrementalAgg {
   private def storePath(stateDir: String) = s"$stateDir/agg"
   private def digestsPath(stateDir: String) = s"$stateDir/agg_digests"
   private def metaPath(stateDir: String) = s"$stateDir/meta"
+  private def watermarkPath(stateDir: String) = s"$stateDir/agg_compact_watermark"
+
+  /** Hadoop FileSystems report rename failure by RETURNING FALSE, not by
+    * throwing — an unchecked rename(p, old) that failed would let the
+    * following rename(tmp, p) move the staging directory INSIDE the
+    * still-present store (rename-into-existing-dir semantics), nesting a
+    * `__staging` subtree that corrupts partition discovery. Every swap
+    * rename goes through this: a false ABORTS the swap, leaving the
+    * recoverable tmp/old layout for [[recoverStore]]. */
+  private def mustRename(fs: org.apache.hadoop.fs.FileSystem,
+      from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(from, to))
+      throw new java.io.IOException(
+        s"rename $from -> $to failed (filesystem returned false); " +
+          "store left in its recoverable pre-swap layout")
+
+  /** Highest batch id COMPACTION has folded into the base partition
+    * (-1 when none) — the replay fence: a micro-batch whose store write
+    * committed but whose streaming checkpoint did not is replayed by
+    * Structured Streaming after restart, and if compaction ran in
+    * between, its `__batch=<id>` partitions no longer exist for the
+    * dynamic overwrite to replace — the replay would APPEND a second
+    * copy of already-folded counts. [[vocabAppend]] therefore skips any
+    * batch id at or below this watermark: the batch's counts are
+    * guaranteed present (folded into the base, or still in their own
+    * partitions if the fold's swap hasn't landed — the watermark is
+    * written BEFORE the swap, so it can only over-fence, never
+    * under-fence). */
+  private def readWatermark(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(watermarkPath(stateDir))
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](256)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        new String(buf.toByteArray, "UTF-8").trim.toLong
+      } finally in.close()
+    }
+  }
+
+  private def writeWatermark(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String, value: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(watermarkPath(stateDir))
+    val tmp = new org.apache.hadoop.fs.Path(watermarkPath(stateDir) + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(value.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    // a crash inside this window only LOWERS the fence (no watermark /
+    // the old one) — replays then fall back to the dynamic-overwrite
+    // idempotency, which is still correct pre-swap
+    mustRename(fs, tmp, p)
+  }
 
   /** Does the store hold at least one data file? An empty-table
     * maintenance pass writes only markers (_SUCCESS), which parquet
@@ -270,9 +326,9 @@ object IncrementalAgg {
       if (fs.exists(tmp) && fs.exists(old)) {
         // crash between the two swap renames: tmp is the complete
         // compacted copy, old the complete pre-compaction copy
-        fs.rename(tmp, p); fs.delete(old, true)
-      } else if (fs.exists(tmp)) fs.rename(tmp, p)
-      else if (fs.exists(old)) fs.rename(old, p)
+        mustRename(fs, tmp, p); fs.delete(old, true)
+      } else if (fs.exists(tmp)) mustRename(fs, tmp, p)
+      else if (fs.exists(old)) mustRename(fs, old, p)
     }
   }
 
@@ -286,7 +342,10 @@ object IncrementalAgg {
     * Idempotent under Structured Streaming's at-least-once foreachBatch
     * retries: partials land under a `__batch=<id>` partition level and
     * the write is a DYNAMIC partition overwrite, so a replayed batch
-    * REPLACES its own partitions instead of double-counting. The store
+    * REPLACES its own partitions instead of double-counting — and a
+    * replay arriving AFTER a compaction folded the batch away (its
+    * partitions no longer exist to replace) is fenced by the compaction
+    * watermark: batch ids at or below it are skipped outright. The store
     * accumulates one partial row-set per batch (LSM-ish);
     * [[vocabFromStore]] sums across them and [[compactVocabStore]]
     * folds the store back to one row per (bucket, term) under the
@@ -312,6 +371,14 @@ object IncrementalAgg {
       stateDir)
     try {
       recoverStore(batch.sparkSession, stateDir)
+      val wmFs = new org.apache.hadoop.fs.Path(stateDir)
+        .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+      // replay fence: a batch at or below the compaction watermark has
+      // already been FOLDED into the base partition — its own
+      // `__batch=<id>` partitions are gone, so the dynamic overwrite
+      // would append a second copy instead of replacing. Skip; the
+      // counts are provably present (see [[readWatermark]]).
+      if (batchId <= readWatermark(wmFs, stateDir)) return
       val withB = batch.withColumn("__bucket",
         when(col(idCol).isNull, lit(-1L)).otherwise(
           pmod(xxhash64(col(idCol).cast(StringType)),
@@ -369,7 +436,17 @@ object IncrementalAgg {
       // is the only copy, so no crash point can truncate the history
       // (a mid-delete crash under the delete+rename discipline would
       // leave a TORN store that later entries would trust)
-      spark.read.parquet(storePath(stateDir))
+      val store = spark.read.parquet(storePath(stateDir))
+      // the replay fence: the highest batch id this fold consumes —
+      // monotone across compactions (an already-compacted store's max
+      // is the base -1, which never lowers a previous fence)
+      // partition discovery infers `__batch=<k>` directories as INT —
+      // cast, or getLong throws on the boxed Integer
+      val maxBatch = store.agg(max(col("__batch").cast("long"))).head() match {
+        case r if r.isNullAt(0) => -1L
+        case r => r.getLong(0)
+      }
+      store
         .groupBy("__bucket", "term").agg(sum(col("n")).as("n"))
         .withColumn("__batch", lit(-1L))
         .repartition(col("__bucket"))
@@ -377,10 +454,39 @@ object IncrementalAgg {
         .partitionBy("__batch", "__bucket")
         .parquet(tmp.toString)
       lease.check()
-      fs.rename(p, old)
-      fs.rename(tmp, p)
+      // fence BEFORE the swap: if the crash lands between fence and
+      // swap, fenced batches' partitions still exist (over-fencing is
+      // safe — their counts remain present either way); fencing after
+      // the swap would leave a window where a replay re-appends
+      // already-folded counts
+      if (maxBatch > readWatermark(fs, stateDir))
+        writeWatermark(fs, stateDir, maxBatch)
+      mustRename(fs, p, old)
+      mustRename(fs, tmp, p)
       fs.delete(old, true)
     } finally lease.release()
+  }
+
+  /** Compact iff the store has accumulated more than `maxBatchParts`
+    * batch partitions (the base `__batch=-1` does not count) — the
+    * bounded-read-amplification policy a long-running stream needs
+    * without an operator remembering to call [[compactVocabStore]].
+    * The partition count is one driver-side directory listing; the
+    * compaction itself takes the lease as always. Returns whether a
+    * compaction ran. */
+  def maybeCompactVocabStore(spark: SparkSession, stateDir: String,
+      maxBatchParts: Int): Boolean = {
+    require(maxBatchParts >= 1, "maxBatchParts must be >= 1")
+    val p = new org.apache.hadoop.fs.Path(storePath(stateDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nBatches =
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count { st =>
+        val n = st.getPath.getName
+        n.startsWith("__batch=") && n != "__batch=-1"
+      }
+    if (nBatches > maxBatchParts) { compactVocabStore(spark, stateDir); true }
+    else false
   }
 
   /** Named instance: churn-priced CORPUS VOCABULARY — per-term token

@@ -201,14 +201,29 @@ object Sampling {
   }
 
   /** Materialize the shard assignment as an export directory: one
-    * `shard=K/` partition per shard, each holding ONE file whose row
-    * order is the shard's `pos` order — a training loader can stream
-    * `shard=K` sequentially and see the permuted corpus. One exchange
-    * total (see [[shardFrame]]); row-identical to [[shuffleShards]]. */
+    * `shard=K/` partition per shard, each holding ONE file (or a rolled
+    * sequence, below) whose row order is the shard's `pos` order — a
+    * training loader can stream `shard=K` sequentially and see the
+    * permuted corpus. One exchange total (see [[shardFrame]]);
+    * row-identical to [[shuffleShards]].
+    *
+    * SCALE: write parallelism equals `nShards` — one task and one sort
+    * per shard, by design (sequential loaders read a shard as one
+    * ordered stream). Size `nShards` to the corpus: at 100 TB the demo
+    * constant 8 means 12.5 TB per task; hundreds-to-thousands is the
+    * production range. `maxRecordsPerFile` > 0 additionally ROLLS each
+    * shard's output into multiple files without breaking order — Spark
+    * splits a task's output sequentially, so `part-...c000, c001, ...`
+    * within `shard=K/` concatenate in `pos` order (loaders that accept
+    * rolled files stream them lexicographically; spec-pinned). */
   def shardWrite(df: DataFrame, idCol: String, nShards: Int,
-      dir: String): Unit =
+      dir: String, maxRecordsPerFile: Long = 0L): Unit = {
+    require(maxRecordsPerFile >= 0, "maxRecordsPerFile must be >= 0")
     shardFrame(df, idCol, nShards)
-      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard").parquet(dir)
+  }
 
   def largestRemainderAllocate(df: DataFrame, groupCol: String,
       budget: Long): DataFrame = {

@@ -128,12 +128,16 @@ object Tokenize {
     new String(out, java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  // GPT-2's \s is the ASCII whitespace set (the pattern is compiled
-  // without unicode flags in the reference); pinned explicitly so the
-  // Scala scanner and the Python fixture generator agree byte for byte
+  // GPT-2's \s is UNICODE whitespace: the reference tokenizer compiles
+  // its pattern with the Python `regex` module over str, whose \s is the
+  // Unicode White_Space property — the Zs/Zl/Zp separator categories
+  // (Java's Character.isSpaceChar) plus TAB..CR (0x09-0x0D) and NEL
+  // (0x85). NBSP and friends, ubiquitous in HTML-derived corpora, are
+  // whitespace here; pinned against a regex-module enumeration and the
+  // regex.findall-based fixture generator (gen_bpe_bytes_fixture.py)
   private def isSpaceCp(cp: Int): Boolean =
-    cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' ||
-      cp == 0x0b || cp == 0x0c
+    cp == ' ' || (cp >= 0x09 && cp <= 0x0d) || cp == 0x85 ||
+      Character.isSpaceChar(cp)
   private def isLetterCp(cp: Int): Boolean = Character.isLetter(cp)
   private def isNumCp(cp: Int): Boolean = {
     val t = Character.getType(cp)

@@ -609,11 +609,20 @@ object StreamingOps {
     * double-counts). The batch surface prices CHURN through digests;
     * this surface prices ARRIVAL — an append-only stream can never
     * dirty stored rows, so addition is the whole maintenance.
-    * [[graft.ops.IncrementalAgg.vocabFromStore]] answers at any point;
-    * [[graft.ops.IncrementalAgg.compactVocabStore]] bounds read
-    * amplification every K batches. Caller stops the query. */
+    * [[graft.ops.IncrementalAgg.vocabFromStore]] answers at any point.
+    *
+    * Read amplification is bounded AUTOMATICALLY: with `maxBatchParts`
+    * > 0 (default 16), whenever the store exceeds that many batch
+    * partitions the fold compacts them into the base partition inside
+    * the same foreachBatch turn
+    * ([[graft.ops.IncrementalAgg.maybeCompactVocabStore]] — one driver
+    * directory listing per batch; the compaction holds the store lease,
+    * and its replay watermark fences any batch it folds away). Set 0 to
+    * manage [[graft.ops.IncrementalAgg.compactVocabStore]] manually.
+    * Caller stops the query. */
   def maintainVocab(docs: DataFrame, stateDir: String, nBuckets: Int = 256,
-      idCol: String = "doc_id", textCol: String = "text")
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBatchParts: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
@@ -621,6 +630,10 @@ object StreamingOps {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.ops.IncrementalAgg.vocabAppend(batch, batchId, stateDir,
           idCol, textCol, nBuckets)
+        if (maxBatchParts > 0)
+          graft.ops.IncrementalAgg.maybeCompactVocabStore(
+            batch.sparkSession, stateDir, maxBatchParts)
+        ()
       }
       .start()
 

@@ -353,6 +353,61 @@ class IncrementalAggSpec extends AnyFunSuite with SparkSpec {
       == fullVocab(b0.unionByName(b1).unionByName(b2)))
   }
 
+  test("compaction watermark fences a replay of an already-folded " +
+      "batch: no double count after the batch's partitions are gone") {
+    val stateDir = freshStateDir()
+    val b0 = viaParquet(randomDocs(100, 60))
+    val b1 = viaParquet(randomDocs(100, 60))
+    val b2 = viaParquet(randomDocs(100, 60))
+    import graft.ops.IncrementalAgg
+    IncrementalAgg.vocabAppend(b0, 0L, stateDir, nBuckets = 16)
+    IncrementalAgg.vocabAppend(b1, 1L, stateDir, nBuckets = 16)
+    IncrementalAgg.compactVocabStore(spark, stateDir)
+    val want01 = fullVocab(b0.unionByName(b1))
+    // the crash scenario ADVICE flagged: store write committed, the
+    // streaming checkpoint did not, compaction ran, THEN the query
+    // restarts and replays the batch — its __batch=1 partitions no
+    // longer exist for the dynamic overwrite to replace, so without
+    // the fence this append would add a second copy of b1's counts
+    IncrementalAgg.vocabAppend(b1, 1L, stateDir, nBuckets = 16)
+    assert(asMap(IncrementalAgg.vocabFromStore(spark, stateDir)) == want01,
+      "replay of a folded batch must be fenced, not re-appended")
+    // fresh batches above the watermark still land
+    IncrementalAgg.vocabAppend(b2, 2L, stateDir, nBuckets = 16)
+    val want012 = fullVocab(b0.unionByName(b1).unionByName(b2))
+    assert(asMap(IncrementalAgg.vocabFromStore(spark, stateDir)) == want012)
+    // the fence is monotone across compactions: fold batch 2, replay it
+    IncrementalAgg.compactVocabStore(spark, stateDir)
+    IncrementalAgg.vocabAppend(b2, 2L, stateDir, nBuckets = 16)
+    assert(asMap(IncrementalAgg.vocabFromStore(spark, stateDir)) == want012,
+      "second compaction must raise the fence to batch 2")
+  }
+
+  test("auto-compaction policy: maybeCompactVocabStore bounds the " +
+      "store's batch partitions under a stream of appends") {
+    val stateDir = freshStateDir()
+    import graft.ops.IncrementalAgg
+    val waves = Seq.fill(5)(viaParquet(randomDocs(80, 50)))
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def batchParts(): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$stateDir/agg"))
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("__batch=") && n != "__batch=-1").toSeq
+    var compactions = 0
+    waves.zipWithIndex.foreach { case (w, i) =>
+      IncrementalAgg.vocabAppend(w, i.toLong, stateDir, nBuckets = 16)
+      if (IncrementalAgg.maybeCompactVocabStore(spark, stateDir,
+        maxBatchParts = 2)) compactions += 1
+      assert(batchParts().size <= 2,
+        s"after batch $i: ${batchParts().mkString(",")}")
+    }
+    assert(compactions >= 1, "the threshold must have triggered")
+    val all = waves.reduce(_ unionByName _)
+    assert(asMap(IncrementalAgg.vocabFromStore(spark, stateDir))
+      == fullVocab(all), "auto-compacted store answers the full count")
+  }
+
   test("append-store compaction self-heals from a crash between " +
       "delete(store) and rename(staging): no streamed history lost") {
     val stateDir = freshStateDir()

@@ -100,4 +100,36 @@ class ShardingSpec extends AnyFunSuite with SparkSpec {
         r.getLong(2)))).toMap
     assert(stored == fresh)
   }
+
+  test("shardWrite with file rolling: each shard splits into multiple " +
+      "files that concatenate lexicographically in pos order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shroll").toString
+    val df = ids(2000).withColumn("payload", col("id") * 3)
+    Sampling.shardWrite(df, "id", 4, dir, maxRecordsPerFile = 150L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (k <- 0 until 4) {
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/shard=$k"))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      assert(files.length >= 2,
+        s"shard $k (~500 rows) must roll at 150 records/file")
+      // a loader streaming the rolled files in name order sees the
+      // shard's rows in contiguous ascending pos order
+      val posSeq = files.flatMap(f =>
+        spark.read.parquet(f.toString).select("pos")
+          .collect().map(_.getLong(0)))
+      assert(posSeq.toSeq == posSeq.indices.map(_.toLong),
+        s"shard $k rolled files must concatenate in pos order")
+    }
+    // row set identical to the unrolled export
+    val fresh = Sampling.shuffleShards(df, "id", 4)
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val stored = spark.read.parquet(dir).select("id", "shard", "pos")
+      .collect()
+      .map(r => (r.getLong(0), (r.getAs[Number]("shard").longValue(),
+        r.getLong(2)))).toMap
+    assert(stored == fresh)
+  }
 }
