@@ -28,6 +28,12 @@ and the canonical BPE train/encode loops. Emits:
  - src/test/resources/bpe_bytes_spec_merges.parquet
      (rank, left, right, freq): merge table trained on the gnarly corpus
      itself (num_merges=40), so merges cross case/space/punct boundaries
+ - src/test/resources/bpe_bytes_special_spec.parquet
+     (text_id, n_tokens, ids_sum, last_id): the same gnarly texts encoded
+     WITH a document-boundary special token (<|endoftext|>, reserved id
+     256 + num_spec_merges) appended — pins the Scala encoder's
+     `boundary` insertion and id arithmetic; a text containing the
+     special's literal spelling must still encode it as plain bytes
 
 Run from the repo root: python3 scripts/gen_bpe_bytes_fixture.py
 """
@@ -160,6 +166,9 @@ SPEC_TEXTS = [
     " ",
     "  ",
     "hello   world",
+    # the special's literal spelling INSIDE data — must encode as plain
+    # bytes (data can never inject a control token)
+    "injected <|endoftext|> literal",
     # Unicode whitespace — \s in the regex module is the Unicode
     # White_Space property, NOT the ASCII set: NBSP (HTML corpora),
     # ideographic space, NEL, thin/em spaces must pre-tokenize as
@@ -246,6 +255,32 @@ def main():
     con.executemany("INSERT INTO st VALUES (?,?,?,?,?)", srows)
     con.execute(
         "COPY st TO 'src/test/resources/bpe_bytes_spec.parquet'"
+        " (FORMAT PARQUET)"
+    )
+
+    # special-token expectations: document boundary <|endoftext|>
+    # appended to every text; its reserved id sits after the merge ids.
+    # Independent arithmetic (ids rebuilt here, not derived from srows).
+    stok_ids = {}
+    for i in range(256):
+        stok_ids[B2U[i]] = i
+    for k, l, r, _ in smerges:
+        stok_ids[l + r] = 256 + k
+    eot_id = 256 + len(smerges)
+    sprows = []
+    for tid, t in enumerate(SPEC_TEXTS):
+        ids = []
+        for p in pretokenize(t):
+            ids.extend(stok_ids[x] for x in encode(byte_map(p), sranks))
+        ids.append(eot_id)
+        sprows.append((tid, len(ids), sum(ids), ids[-1]))
+    con.execute(
+        "CREATE TABLE sp (text_id BIGINT, n_tokens BIGINT,"
+        " ids_sum BIGINT, last_id BIGINT)"
+    )
+    con.executemany("INSERT INTO sp VALUES (?,?,?,?)", sprows)
+    con.execute(
+        "COPY sp TO 'src/test/resources/bpe_bytes_special_spec.parquet'"
         " (FORMAT PARQUET)"
     )
     print(f"corpus merges: {len(merges)}; pretokens: {len(pre_rows)}")

@@ -27,6 +27,20 @@ object Main {
     * summary row (also printed). Factored out of [[main]] so tests and
     * embedding callers reuse their session. */
   def run(spark: SparkSession, configPath: String): Row = {
+    // a `pipeline:` root key dispatches to the curation/tokenize/export
+    // lifecycle (PipelineJob); everything else is the classic
+    // validation surface
+    if (ConfigLoader.isPipeline(configPath)) {
+      val pcfg = ConfigLoader.pipelineFromYamlFile(configPath)
+      val (summary, _) = graft.core.PipelineJob.run(spark, pcfg)
+      val rows = summary.collect()
+      rows.foreach { r =>
+        println(s"""{"stage":${jstr(r.getString(0))},"rows_in":${r.getLong(1)},"rows_out":${r.getLong(2)}}""")
+      }
+      pcfg.export.foreach(e => println(
+        s"packed export written to ${e.outputDirectory}/packed"))
+      return rows.head
+    }
     val cfg = ConfigLoader.fromYamlFile(configPath)
     // a config with `check_columns:` (a list or `all`) opts into the
     // one-pass whole-row validation; the classic single-column lifecycle
@@ -58,9 +72,36 @@ object Main {
     row
   }
 
+  /** Operational recovery after a CRASHED incremental run: break the
+    * stale single-writer lease on a state directory so the next run can
+    * proceed — the action the lease error message names, now reachable
+    * without writing Scala. Refuses nothing: breaking a LIVE run's
+    * lease is the operator's call (the abandoned run aborts before its
+    * next mutation). */
+  def runBreakLease(spark: SparkSession, stateDir: String): Unit = {
+    graft.core.IncrementalValidation.breakLease(spark, stateDir)
+    println(s"lease broken at $stateDir")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.length == 2 && args(0) == "--break-lease") {
+      val spark = SparkSession.builder()
+        .appName("graft-break-lease")
+        .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[2]"))
+        .getOrCreate()
+      try runBreakLease(spark, args(1))
+      catch {
+        case e: Exception =>
+          System.err.println(s"break-lease failed: ${e.getMessage}")
+          spark.stop()
+          sys.exit(1)
+      }
+      spark.stop()
+      return
+    }
     if (args.length != 1) {
-      System.err.println("Usage: graft.Main <config.yaml>")
+      System.err.println(
+        "Usage: graft.Main <config.yaml> | --break-lease <stateDir>")
       sys.exit(1)
     }
     val spark = SparkSession.builder()

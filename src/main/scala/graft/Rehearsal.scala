@@ -766,6 +766,120 @@ object Rehearsal {
         emit(s"""{"scale":$scale,"stage":"agg_incremental","input_rows":$rowsIn,"dirty_buckets":${rep.dirtyBuckets},"total_buckets":${rep.totalBuckets},"model_rows":${got._1},"build_sec":$tBuild,"sec_incremental":$tInc,"sec_full_recompute":$tFull,"speedup_vs_full":${(tFull / math.max(tInc, 1e-9) * 100).toLong / 100.0}}""")
       }
 
+      // incremental STORED-INDEX legs (round 15): the daily-churn price
+      // of the posting store and the PQ code store vs their full-rebuild
+      // twins (what the stamp-guarded indexWrite/pqIndexWrite do on ANY
+      // churn). Fixed small churn while the corpus grows with scale —
+      // the incremental cost must stay flat while the rebuild grows.
+      {
+        val nB = 512
+        val legDir = java.nio.file.Files
+          .createTempDirectory(s"graft_idxleg_$scale").toString
+        def bucketed(df: DataFrame, name: String): DataFrame = {
+          df.withColumn("bucket",
+              when(col("doc_id").isNull, lit(-1L))
+                .otherwise(pmod(xxhash64(col("doc_id").cast("string")),
+                  lit(nB.toLong))))
+            .repartition(col("bucket"))
+            .write.partitionBy("bucket").mode("overwrite")
+            .parquet(s"$legDir/$name")
+          spark.read.parquet(s"$legDir/$name")
+        }
+        val d0raw = spark.range(20000L * scale).select(
+          col("id").as("doc_id"),
+          expr("concat_ws(' ', transform(sequence(0, 23), " +
+            "i -> concat('w', pmod(xxhash64(id, i), 5000))))").as("text"))
+        val d0 = bucketed(d0raw, "d0")
+        val rowsIn = d0.count()
+        val d1 = bucketed(d0raw
+          .withColumn("text",
+            when(col("doc_id").between(100, 119),
+              concat(col("text"), lit(" restated leg token")))
+              .otherwise(col("text")))
+          .filter(!col("doc_id").between(120, 122)), "d1")
+        val stateDir = s"$legDir/state"
+        def maintain(t: DataFrame) = graft.ops.Indexing.indexIncremental(
+          t, stateDir, nBuckets = nB, bucketCol = Some("bucket"))
+        val (_, tBuild) = timed { maintain(d0) }
+        val ((_, rep), tInc) = timed { maintain(d1) }
+        // the non-incremental daily twin: re-tokenize and re-materialize
+        // the WHOLE posting index (what a stamp mismatch forces)
+        val (_, tFull) = timed {
+          graft.ops.Indexing.invertedIndex(d1, "doc_id", "text")
+            .write.mode("overwrite").parquet(s"$legDir/full_index")
+        }
+        // correctness in-leg: the store answers the same retrieval as
+        // the freshly built index
+        val terms = Seq("w17", "w4242", "w999")
+        val got = graft.ops.Indexing.searchIndexIncremental(
+          spark, stateDir, terms, 20).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        val want = graft.ops.Indexing.searchIndex(
+          spark.read.parquet(s"$legDir/full_index"), d1.count(), terms, 20)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        require(got == want,
+          s"index_incremental leg retrieval mismatch at scale $scale")
+        emit(s"""{"scale":$scale,"stage":"index_incremental","input_rows":$rowsIn,"dirty_buckets":${rep.dirtyBuckets},"total_buckets":${rep.totalBuckets},"build_sec":$tBuild,"sec_incremental":$tInc,"sec_full_recompute":$tFull,"speedup_vs_full":${(tFull / math.max(tInc, 1e-9) * 100).toLong / 100.0}}""")
+      }
+
+      {
+        val nB = 512
+        val legDir = java.nio.file.Files
+          .createTempDirectory(s"graft_pqleg_$scale").toString
+        def bucketed(df: DataFrame, name: String): DataFrame = {
+          df.withColumn("bucket",
+              pmod(xxhash64(col("vec_id").cast("string")), lit(nB.toLong)))
+            .repartition(col("bucket"))
+            .write.partitionBy("bucket").mode("overwrite")
+            .parquet(s"$legDir/$name")
+          spark.read.parquet(s"$legDir/$name")
+        }
+        // production-shaped embeddings: dim 64, m=8 subspaces, ksub=32
+        // codewords — encode cost per row must be REAL (a dim-16/m=4 toy
+        // makes the full re-encode so cheap the churn pricing can never
+        // show; the op exists for corpora where encode dominates)
+        val e0raw = spark.range(20000L * scale).select(
+          col("id").as("vec_id"),
+          expr("transform(sequence(0, 63), i -> " +
+            "float(pmod(xxhash64(id, i), 1000)) / float(500.0) - " +
+            "float(1.0))").as("embedding"))
+        val e0 = bucketed(e0raw, "e0")
+        val rowsIn = e0.count()
+        val e1 = bucketed(e0raw
+          .withColumn("embedding",
+            when(col("vec_id").between(100, 119),
+              expr("transform(embedding, x -> float(-x))"))
+              .otherwise(col("embedding")))
+          .filter(!col("vec_id").between(120, 122)), "e1")
+        val stateDir = s"$legDir/state"
+        def maintain(t: DataFrame) = graft.ops.Similarity.pqIndexIncremental(
+          t, stateDir, m = 8, ksub = 32, nBuckets = nB,
+          bucketCol = Some("bucket"))
+        val (_, tBuild) = timed { maintain(e0) } // includes the one-time fit
+        val ((codes, rep), tInc) = timed { maintain(e1) }
+        // the non-incremental daily twin: re-encode and re-materialize
+        // the WHOLE code table under the same frozen books (fit-once
+        // applies to both sides; the stamp-guarded path would pay it too)
+        val books = spark.read.parquet(s"$stateDir/books")
+        val (_, tFull) = timed {
+          graft.ops.Similarity.pqEncode(e1, books, m = 4,
+              idCol = "vec_id", vecCol = "embedding")
+            .write.mode("overwrite").parquet(s"$legDir/full_codes")
+        }
+        def chk(df: DataFrame): (Long, java.math.BigDecimal) = {
+          val r = df.agg(count(lit(1)),
+            sum(xxhash64(col("vec_id"), col("sub"), col("code"))
+              .cast("decimal(38,0)"))).collect().head
+          (r.getLong(0), r.getDecimal(1))
+        }
+        val got = chk(codes.select("vec_id", "sub", "code"))
+        val want = chk(spark.read.parquet(s"$legDir/full_codes"))
+        require(got == want,
+          s"pq_incremental leg code mismatch at scale $scale: $got vs $want")
+        emit(s"""{"scale":$scale,"stage":"pq_incremental","input_rows":$rowsIn,"dirty_buckets":${rep.dirtyBuckets},"total_buckets":${rep.totalBuckets},"build_sec":$tBuild,"sec_incremental":$tInc,"sec_full_recompute":$tFull,"speedup_vs_full":${(tFull / math.max(tInc, 1e-9) * 100).toLong / 100.0}}""")
+      }
+
       // streaming legs — the last unrehearsed family: throughput and
       // STATE-SIZE-vs-scale for the two continuous monitors, driven
       // through multi-file parquet streams replayed in disordered

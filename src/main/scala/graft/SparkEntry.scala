@@ -1096,6 +1096,39 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    "t_ann_pq_incremental" -> ((s, dir) => {
+      // CHURN-PRICED stored PQ index (Similarity.pqIndexIncremental):
+      // where t_ann_pq_indexed's stamp-guarded artifact rebuilds
+      // WHOLESALE on any churn, this state stores per-document codes as
+      // per-bucket partials and re-prices each run by the churn. The
+      // query seeds books + codes on the CURRENT corpus, churns a
+      // bounded id slice (re-vectored + deleted) and maintains, then
+      // maintains BACK to the current corpus — two digest-pruned
+      // surgeries with the codebooks frozen throughout — and answers
+      // the same ADC search from the stored state. Oracle = the same
+      // fit+encode+LUT replay as t_ann_pq (state invisible; books were
+      // fit on the current corpus, which the oracle re-derives)
+      val e = t(s, dir, "embeddings")
+      val stateDir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_incpq_${dirTag(dir)}"
+      graft.ops.Similarity.pqIndexIncremental(e, stateDir,
+        m = 4, ksub = 16, nBuckets = 256)
+      val churned = e
+        .withColumn("embedding",
+          when(col("vec_id") % 31 === 3,
+            expr("transform(embedding, x -> float(-x))"))
+            .otherwise(col("embedding")))
+        .filter(col("vec_id") % 43 =!= 11)
+      graft.ops.Similarity.pqIndexIncremental(churned, stateDir,
+        m = 4, ksub = 16, nBuckets = 256, dirtyFractionLimit = 1.0)
+      graft.ops.Similarity.pqIndexIncremental(e, stateDir,
+        m = 4, ksub = 16, nBuckets = 256, dirtyFractionLimit = 1.0)
+      graft.ops.Similarity.pqSearchIncremental(s, stateDir,
+          e.filter(col("vec_id") < 10), k = 5, m = 4)
+        .select(col("query_id"), col("corpus_id"), col("adist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     "t_ann_pq_rerank" -> ((s, dir) => {
       // two-stage PQ retrieval THROUGH THE STORED INDEX: pqIndexWrite
       // persists the m=8/ksub=32 codebooks + code table once, the ADC
@@ -1674,6 +1707,42 @@ object SparkEntry {
       graft.ops.Chunking.packBins(d, "source", "doc_id", "n_tokens", capacity = 2048L)
         .orderBy("source", "doc_id")
     }),
+    "t_bpe_ids_special" -> ((s, dir) => {
+      // byte-level encode WITH a document-boundary special token:
+      // <|endoftext|> holds the reserved id 256 + |merges| (= 280 for
+      // the 24-merge corpus table), is appended by the PIPELINE after
+      // each document (never parsed out of data), and rides the token
+      // count and checksum. Oracle = the t_bpe_ids replay plus the
+      // boundary constants
+      val merges = graft.ops.Tokenize.loadMerges(s.read.parquet(
+        s"$repoRoot/src/test/resources/bpe_bytes_merges.parquet"))
+      graft.ops.Tokenize.bpeEncodeIds(t(s, dir, "documents"),
+          "doc_id", "text", merges,
+          specials = Seq("<|endoftext|>"), boundary = Some("<|endoftext|>"))
+        .select(col("id").as("doc_id"), col("n_tokens"), col("ids_sum"))
+        .orderBy("doc_id")
+    }),
+    "t_export_packed_eot" -> ((s, dir) => {
+      // the packed pretraining export WITH boundary tokens: every
+      // document's stream ends in <|endoftext|> and the packer counts
+      // it — the form a real training loader consumes (it needs the
+      // boundary to reset context). Same two-shuffle plan as
+      // t_export_packed; n_tokens is simply one larger per document
+      val merges = graft.ops.Tokenize.loadMerges(s.read.parquet(
+        s"$repoRoot/src/test/resources/bpe_bytes_merges.parquet"))
+      val enc = graft.ops.Tokenize.bpeEncodeIds(t(s, dir, "documents"),
+          "doc_id", "text", merges,
+          specials = Seq("<|endoftext|>"), boundary = Some("<|endoftext|>"))
+        .select(col("id").as("doc_id"), col("n_tokens"))
+      val sharded = enc
+        .withColumn("h", xxhash64(col("doc_id")))
+        .withColumn("shard", pmod(col("h"), lit(8L)))
+      graft.ops.Chunking.packBins(sharded, "shard", "h", "n_tokens", 2048L)
+        .join(sharded.select("h", "doc_id"), Seq("h"))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("bin_id"), col("bin_offset_tokens"))
+        .orderBy("doc_id")
+    }),
     "t_export_packed" -> ((s, dir) => {
       // the END-TO-END pretraining export, composed from this round's
       // pieces: byte-level BPE token counts (t_bpe_ids' encoder) →
@@ -1990,6 +2059,30 @@ object SparkEntry {
       val idx = s"text_verify_idx_${dirTag(dir)}"
       graft.ops.Indexing.indexWrite(docs, idx)
       graft.ops.Indexing.searchIndexStored(s, idx,
+        terms = Seq("scan", "merge", "window"), k = 20)
+    }),
+    "t_index_search_incremental" -> ((s, dir) => {
+      // CHURN-PRICED stored text index (Indexing.indexIncremental):
+      // the posting store lives as per-document-bucket (term, doc, tf)
+      // partials + per-bucket doc-count sentinels; a churned corpus
+      // re-tokenizes only its dirty buckets (t_index_search_stored's
+      // stamp-guarded artifact would rebuild wholesale). Seeded from a
+      // restated prior corpus, maintained to the CURRENT one, then the
+      // same whole-bit TF-IDF retrieval answers from the store alone —
+      // df and nDocs derive store-sized at read. Identical output to
+      // t_index_search means the same oracle
+      val docs = t(s, dir, "documents")
+      val stateDir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_incidx_${dirTag(dir)}"
+      val restated = col("doc_id") < 30
+      val prior = docs
+        .withColumn("text", when(restated,
+          concat(coalesce(col("text"), lit("")), lit(" restated prior")))
+          .otherwise(col("text")))
+        .filter(!(restated && col("doc_id") % 3 === 0))
+      graft.ops.Indexing.indexIncremental(prior, stateDir, nBuckets = 256)
+      graft.ops.Indexing.indexIncremental(docs, stateDir, nBuckets = 256)
+      graft.ops.Indexing.searchIndexIncremental(s, stateDir,
         terms = Seq("scan", "merge", "window"), k = 20)
     }),
     "t_kcore" -> ((s, dir) => {
@@ -3798,6 +3891,10 @@ object SparkEntry {
     // trained artifact searched from tables instead of in-flight frames —
     // byte-identical output by construction, so the oracle is identical
     "t_ann_pq_indexed" -> pqAdcQuerySql(4, 16, 16),
+    // the churn-priced state answers for the CURRENT corpus under books
+    // fit on the current corpus — exactly what this replay re-derives;
+    // the intermediate churn/maintain cycles are invisible by identity
+    "t_ann_pq_incremental" -> pqAdcQuerySql(4, 16, 16),
 
     // PQ re-rank replay: the same trained index at m=8/ksub=32, the ADC
     // 200-candidate shortlist, then the exact cosine top-5 over ONLY the
@@ -4959,6 +5056,58 @@ object SparkEntry {
 
     // packed-export replay: fixture token counts -> xxhash64 shard ->
     // within-shard cumsum packing, every stage in exact integer SQL
+    // t_bpe_ids plus the boundary constants: +1 token, +280 (the
+    // reserved <|endoftext|> id = 256 + 24 corpus merges) per document
+    "t_bpe_ids_special" ->
+      s"""WITH pres AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(text, ' ?[a-z]+')) AS pretoken
+         |  FROM documents
+         |), per_doc AS (
+         |  SELECT doc_id, CAST(SUM(r.n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(r.ids_sum) AS BIGINT) AS ids_sum
+         |  FROM pres
+         |  JOIN read_parquet('$repoRoot/src/test/resources/bpe_bytes_pretoken_tokens.parquet') r
+         |    USING (pretoken)
+         |  GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  COALESCE(p.n_tokens, 0) + 1 AS n_tokens,
+         |  COALESCE(p.ids_sum, 0) + 280 AS ids_sum
+         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // the t_export_packed replay with every document one boundary
+    // token longer (the packer must count the inserted <|endoftext|>)
+    "t_export_packed_eot" ->
+      s"""WITH ${xxhash64Ctes("doc_id", "documents")},
+         |pres AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(text, ' ?[a-z]+')) AS pretoken
+         |  FROM documents
+         |), tok AS (
+         |  SELECT d.doc_id, COALESCE(s.n_tokens, 0) + 1 AS n_tokens FROM
+         |  documents d LEFT JOIN (
+         |    SELECT doc_id, CAST(SUM(r.n_tokens) AS BIGINT) AS n_tokens
+         |    FROM pres
+         |    JOIN read_parquet('$repoRoot/src/test/resources/bpe_bytes_pretoken_tokens.parquet') r
+         |      USING (pretoken)
+         |    GROUP BY doc_id) s USING (doc_id)
+         |), d AS (
+         |  SELECT t.doc_id, x.h, ((x.h % 8) + 8) % 8 AS shard, t.n_tokens
+         |  FROM tok t JOIN xxh x USING (doc_id)
+         |), c AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - n_tokens AS prev
+         |  FROM d
+         |)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+         |  CAST(prev // 2048 AS BIGINT) AS bin_id,
+         |  CAST(prev AS BIGINT) AS bin_offset_tokens
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     "t_export_packed" ->
       s"""WITH ${xxhash64Ctes("doc_id", "documents")},
          |pres AS (
@@ -5481,6 +5630,9 @@ object SparkEntry {
     // by construction, so the oracle text is shared
     "t_index_search" -> indexSearchSql,
     "t_index_search_stored" -> indexSearchSql,
+    // the churn-priced posting store converges to the CURRENT corpus's
+    // postings/df/nDocs — the stored state is invisible to this replay
+    "t_index_search_incremental" -> indexSearchSql,
 
     "t_kcore" -> kCoreSql(k = 2, rounds = 12),
 

@@ -129,8 +129,105 @@ object ConfigLoader {
         case Some(s) => s.toString.equalsIgnoreCase("true")
         case None => true
       },
+      minRowsForIncremental =
+        str(m, "min_rows_for_incremental").map(_.toLong).getOrElse(0L),
       reportBuckets =
         str(m, "report_buckets").map(_.toInt).getOrElse(256))
+  }
+
+  // ---- pipeline surface (`pipeline:` root key) -----------------------
+
+  /** Does this YAML declare a pipeline (vs a validation)? [[graft.Main]]
+    * dispatches on it. */
+  def isPipeline(path: String): Boolean = {
+    val in = new FileInputStream(path)
+    try Option(new Yaml().load[JMap[String, Object]](in))
+      .exists(_.asScala.contains("pipeline"))
+    finally in.close()
+  }
+
+  def pipelineFromYamlFile(path: String): PipelineConfig = {
+    val in = new FileInputStream(path)
+    try pipelineFromMap(new Yaml().load[JMap[String, Object]](in)
+      .asScala.toMap)
+    finally in.close()
+  }
+
+  def pipelineFromYamlString(yaml: String): PipelineConfig =
+    pipelineFromMap(new Yaml().load[JMap[String, Object]](yaml).asScala.toMap)
+
+  private def sub(m: Map[String, Object], k: String): Option[Map[String, Object]] =
+    m.get(k).map {
+      case s: JMap[_, _] =>
+        s.asScala.map { case (a, b) => a.toString -> b.asInstanceOf[Object] }.toMap
+      case other => throw new IllegalArgumentException(
+        s"`$k` must be a map, got $other")
+    }
+
+  /** A pipeline source is a PLAIN Spark source map (format/path/options/
+    * query) — no `{db}_table_name` / credential merging, which are the
+    * validation surface's reference-parity conventions. */
+  private def plainSourceSpec(s: Map[String, Object]): SourceSpec = {
+    val opts = s.get("options") match {
+      case Some(o: JMap[_, _]) =>
+        o.asScala.map { case (k, v) => k.toString -> v.toString }.toMap
+      case _ => Map.empty[String, String]
+    }
+    SourceSpec(
+      format = s.get("format").map(_.toString).getOrElse("parquet"),
+      options = opts,
+      path = s.get("path").map(_.toString),
+      query = s.get("query").map(_.toString))
+  }
+
+  def pipelineFromMap(root: Map[String, Object]): PipelineConfig = {
+    val m = sub(root, "pipeline").getOrElse(throw new
+      IllegalArgumentException("config needs a `pipeline:` map"))
+    val source = sub(m, "source").map(plainSourceSpec).getOrElse(throw new
+      IllegalArgumentException("pipeline needs `source:`"))
+    val quality = sub(m, "quality_filter").map { q =>
+      QualitySpec(
+        ruleSet = str(q, "rule_set").getOrElse("gopher"),
+        minWords = str(q, "min_words").map(_.toLong).getOrElse(50L),
+        maxWords = str(q, "max_words").map(_.toLong).getOrElse(100000L),
+        minScore = str(q, "min_score").map(_.toDouble).getOrElse(0.5))
+    }
+    val dedup = sub(m, "dedup").map(d =>
+      DedupSpec(method = str(d, "method").getOrElse("exact")))
+    val decont = sub(m, "decontaminate").map { d =>
+      DecontaminateSpec(
+        source = sub(d, "source").map(plainSourceSpec).getOrElse(throw new
+          IllegalArgumentException("decontaminate needs `source:`")),
+        ngram = str(d, "ngram").map(_.toInt).getOrElse(8))
+    }
+    val tokenize = sub(m, "tokenize").map { t =>
+      TokenizeSpec(
+        scheme = str(t, "scheme").getOrElse("bytes"),
+        mergesPath = str(t, "merges_path"),
+        numMerges = str(t, "num_merges").map(_.toInt).getOrElse(24),
+        minFreq = str(t, "min_freq").map(_.toLong).getOrElse(2L))
+    }
+    val export = sub(m, "export").map { e =>
+      ExportSpec(
+        shards = str(e, "shards").map(_.toInt).getOrElse(8),
+        packCapacity =
+          str(e, "pack_capacity").map(_.toLong).getOrElse(2048L),
+        outputDirectory = str(e, "output_directory").getOrElse(throw new
+          IllegalArgumentException("export needs `output_directory`")),
+        maxRecordsPerFile =
+          str(e, "max_records_per_file").map(_.toLong).getOrElse(0L))
+    }
+    require(export.isEmpty || tokenize.nonEmpty,
+      "`export:` packs token counts — it requires `tokenize:`")
+    PipelineConfig(
+      source = source,
+      idColumn = str(m, "id_column").getOrElse("doc_id"),
+      textColumn = str(m, "text_column").getOrElse("text"),
+      quality = quality,
+      dedup = dedup,
+      decontaminate = decont,
+      tokenize = tokenize,
+      export = export)
   }
 
   private def sourceSpec(s: Map[String, Object], root: Map[String, Object],

@@ -66,6 +66,13 @@ final case class ValidationConfig(
     // set false to keep the classic full-input report computation while
     // still answering the summary through the digest state
     reportIncremental: Boolean = true,
+    // `min_rows_for_incremental` — size floor for the incremental path:
+    // when > 0 and the two inputs together hold fewer rows, the job
+    // runs the CLASSIC full computation and leaves the stored state
+    // untouched (below the floor a direct pass is cheaper than digest
+    // scans + state IO; the library surfaces take the same floor as a
+    // parameter)
+    minRowsForIncremental: Long = 0L,
     // `report_buckets` — bucket count for the STORED report tables. The
     // report table has one partition directory per bucket and is tiny
     // next to its inputs: hundreds suffice, thousands of near-empty

@@ -122,7 +122,8 @@ object ValidationJob {
       "no shared non-key columns to validate between the two sources")
     val first = keyedMulti(rawFirst, cfg, checks.map(_._1))
     val second = keyedMulti(rawSecond, cfg, checks.map(_._1))
-    if (cfg.incremental && cfg.reportIncremental && writeReports) {
+    val incremental = incrementalEffective(cfg, first, second)
+    if (incremental && cfg.reportIncremental && writeReports) {
       // the fully-incremental multi-column daily run: ONE digest scan
       // steers the stored report (missing rows + per-column differing
       // pairs, churned buckets' partitions rewritten only) and the
@@ -138,7 +139,7 @@ object ValidationJob {
       (summary, diff)
     } else {
       val summary =
-        if (cfg.incremental)
+        if (incremental)
           IncrementalValidation.summaryMultiIncremental(first, second,
             checks, stateDir(cfg), nBuckets = cfg.incrementalBuckets)
         else Validator.summaryMulti(first, second, checks)
@@ -149,6 +150,19 @@ object ValidationJob {
       (summary, diff)
     }
   }
+
+  /** The `min_rows_for_incremental` floor: with `incremental: true` and
+    * a positive floor, inputs SMALLER than the floor run the classic
+    * full computation and leave the stored state untouched (below the
+    * floor one direct pass beats digest scans + state IO — the library
+    * surfaces' `minRowsForIncremental` contract, lifted to the YAML
+    * lifecycle where it gates EVERY incremental surface the job uses).
+    * The two counts are column-pruned scans, paid only when a floor is
+    * actually configured. */
+  private def incrementalEffective(cfg: ValidationConfig,
+      first: DataFrame, second: DataFrame): Boolean =
+    cfg.incremental && (cfg.minRowsForIncremental <= 0L ||
+      first.count() + second.count() >= cfg.minRowsForIncremental)
 
   /** The config's incremental-state location: explicit `state_directory`
     * or a `validation_state` dir beside the reports. */
@@ -208,9 +222,10 @@ object ValidationJob {
     val first = side(spark, cfg, cfg.first, cfg.dateColumnFirst)
     val second = side(spark, cfg, cfg.second, cfg.dateColumnSecond)
     val mode = compareMode(cfg)
+    val incremental = incrementalEffective(cfg, first, second)
     // report maintenance only runs when reports are asked for — a
     // summary-only caller (writeReports = false) never pays it
-    if (cfg.incremental && cfg.reportIncremental && writeReports) {
+    if (incremental && cfg.reportIncremental && writeReports) {
       // the fully-incremental daily run: ONE digest scan steers the
       // report maintenance, and the summary derives from the store
       // (digest row counts + report mismatch counts) — no second state
@@ -236,7 +251,7 @@ object ValidationJob {
           cfg.firstName, cfg.secondName, cfg.checkColumn)
       }
       val summary =
-        if (cfg.incremental)
+        if (incremental)
           IncrementalValidation.summaryIncremental(first, second,
             mode, stateDir(cfg), nBuckets = cfg.incrementalBuckets)
         else Validator.summaryFast(first, second, mode) // one job, all modes

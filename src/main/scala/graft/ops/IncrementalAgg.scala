@@ -467,6 +467,21 @@ object IncrementalAgg {
     } finally lease.release()
   }
 
+  /** Read-only access to a store maintained by [[run]] — the search-side
+    * entry point for derived-index surfaces
+    * ([[Indexing.searchIndexIncremental]], [[Similarity.pqSearchIncremental]]):
+    * answer FROM the stored partials without paying a maintenance pass.
+    * `__bucket` is dropped (it is layout, not data). Throws when no
+    * store exists — a missing state must never silently answer empty. */
+  def readStore(spark: SparkSession, stateDir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(storeHasData(fs, storePath(stateDir)),
+      s"no incremental store at $stateDir — run the maintenance " +
+        "surface first")
+    spark.read.parquet(storePath(stateDir)).drop("__bucket")
+  }
+
   /** Compact iff the store has accumulated more than `maxBatchParts`
     * batch partitions (the base `__batch=-1` does not count) — the
     * bounded-read-amplification policy a long-running stream needs

@@ -552,7 +552,17 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
-    val sv = qSubvectors(corpus, "vid", "qsv", m, dim / m, idCol, vecCol)
+    pqEncodeSd(corpus, codebooks, m, dim / m, idCol, vecCol)
+  }
+
+  /** [[pqEncode]] with the subspace dimension supplied by the CALLER
+    * (derived from the codebooks, not the corpus) — the form the
+    * incremental surface needs, where the slice being encoded may be
+    * EMPTY (a fresh store's schema probe) and a corpus head() would
+    * throw. */
+  private def pqEncodeSd(corpus: DataFrame, codebooks: DataFrame, m: Int,
+      subDim: Int, idCol: String, vecCol: String): DataFrame = {
+    val sv = qSubvectors(corpus, "vid", "qsv", m, subDim, idCol, vecCol)
     sv.join(broadcast(codebooks), Seq("sub"))
       .withColumn("d", intSqDistFused(col("qsv"), col("qcsv")))
       .groupBy("vid", "sub")
@@ -667,6 +677,119 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     pqSearch(spark.table(s"${name}_books"), spark.table(s"${name}_codes"),
       queries, k, m, idCol, vecCol)
+
+  // ---- churn-priced incremental PQ index ------------------------------
+
+  private def booksPath(stateDir: String) = s"$stateDir/books"
+
+  /** Deterministic content signature of a stored codebook — folded into
+    * the code store's `aggKey`, so codes encoded under one codebook can
+    * NEVER answer for another: replacing the books (a re-fit) changes
+    * the signature, the aggKey mismatches, and the code store rebuilds
+    * wholesale (the safe direction). Metadata-sized work. */
+  private def booksSignature(books: DataFrame): String = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val r = books.agg(coalesce(
+      sum(xxhash64(col("sub"), col("cent_id"), col("qcsv").cast("string"))
+        .cast(dec)),
+      lit(0).cast(dec)).cast("string")).head()
+    r.getString(0)
+  }
+
+  /** CHURN-PRICED maintenance of a stored PQ code table — the
+    * [[graft.ops.IncrementalAgg]] discipline applied to [[pqIndexWrite]]'s
+    * workload. Where the stamp-guarded stored index re-fits and
+    * re-encodes the WHOLE corpus when one vector changes
+    * (`StoredArtifacts.stamp` is all-or-nothing), this surface stores
+    * the per-document PQ codes as per-bucket partials and re-prices
+    * every run by the churn: one column-pruned digest scan of
+    * (id, embedding) decides dirtiness, only dirty buckets' vectors
+    * re-encode against the codebooks, clean buckets' code partitions
+    * stand untouched on disk. Codes are per-document (m rows per
+    * vector, a groupBy that includes the document), so the bucket-union
+    * contract is exact. At 100 TB a daily-churned embedding corpus pays
+    * ~churn × encode instead of corpus × (fit + encode).
+    *
+    * CODEBOOKS ARE FROZEN UNDER CHURN — the published IVFADC/PQ
+    * operating practice: the codebook is fit ONCE (on the corpus the
+    * first maintenance run sees, stored at `{stateDir}/books`) and
+    * later runs only re-encode against it; quantization error drifts
+    * gradually as the corpus distribution moves, it never becomes
+    * wrong. RE-FIT POLICY: delete `{stateDir}/books` (or the whole
+    * stateDir) to re-fit on the next run — the new books' content
+    * signature is folded into the code store's aggKey, so stale codes
+    * can never answer under new books (they rebuild wholesale).
+    *
+    * Returns (current code store: (idCol, sub, code), prune record).
+    * Search via [[pqSearchIncremental]]. */
+  def pqIndexIncremental(corpus: DataFrame, stateDir: String, m: Int = 4,
+      ksub: Int = 16, nBuckets: Int = 256,
+      dirtyFractionLimit: Double = 0.5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bucketCol: Option[String] = None)
+      : (DataFrame, IncrementalAgg.IncrementalReport) = {
+    val spark = corpus.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bp = new org.apache.hadoop.fs.Path(booksPath(stateDir))
+    if (!fs.exists(bp)) {
+      // first build: fit on the current corpus, store under the same
+      // single-writer lease every other state mutation takes
+      val lease = graft.core.IncrementalValidation.acquireLease(spark,
+        stateDir)
+      try {
+        if (!fs.exists(bp)) {
+          val fit = pqFit(corpus, m, ksub, idCol, vecCol)
+          val rows = fit.collect().toSeq // m*ksub codewords — metadata
+          require(rows.nonEmpty,
+            "cannot fit a PQ codebook on an empty corpus")
+          val b = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), fit.schema)
+          lease.check()
+          graft.core.IncrementalValidation.swapWrite(spark, b,
+            booksPath(stateDir))
+        }
+      } finally lease.release()
+    }
+    val books = spark.read.parquet(booksPath(stateDir))
+    val bookRows = books.collect().toSeq
+    val bBooks = spark.createDataFrame(
+      spark.sparkContext.parallelize(bookRows, 1), books.schema)
+    val subDim = bookRows.head.getAs[scala.collection.Seq[Long]]("qcsv").size
+    val sig = booksSignature(bBooks)
+    // the encode partial CARRIES the slice's `__bucket` label through
+    // the per-vector argmin groupBy (bucket is functionally dependent
+    // on the id, so including it neither changes groups nor breaks
+    // bucket-locality) — this honors ANY bucketCol labeling the caller
+    // materialized, instead of re-deriving a hash that must match it
+    val partial = (sl: DataFrame) => {
+      val sv = sl.select(col(idCol).as("vid"), col("__bucket"),
+          posexplode(array((0 until m).map(s0 =>
+            slice(q24Vec(col(vecCol)), s0 * subDim + 1, subDim)): _*)))
+        .withColumnRenamed("pos", "sub").withColumnRenamed("col", "qsv")
+      sv.join(broadcast(bBooks), Seq("sub"))
+        .withColumn("d", intSqDistFused(col("qsv"), col("qcsv")))
+        .groupBy("vid", "__bucket", "sub")
+        .agg(min(struct(col("d"), col("cent_id"))).as("best"))
+        .select(col("vid").as(idCol), col("__bucket"), col("sub"),
+          col("best.cent_id").as("code"))
+    }
+    IncrementalAgg.run(corpus, idCol, Seq(vecCol), partial,
+      aggKey = s"pqcodes:m=$m,ksub=$ksub,vec=$vecCol,books=$sig",
+      stateDir, nBuckets, dirtyFractionLimit, bucketCol)
+  }
+
+  /** [[pqSearch]] answered from an [[pqIndexIncremental]] state WITHOUT
+    * a maintenance pass: codebooks from `{stateDir}/books` (broadcast),
+    * codes from the incremental store — never the raw embedding corpus.
+    * Byte-identical to [[pqSearch]] over [[pqEncode]] of the same
+    * corpus under the same books (spec-pinned identity under churn). */
+  def pqSearchIncremental(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, queries: DataFrame, k: Int, m: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqSearch(spark.read.parquet(booksPath(stateDir)),
+      IncrementalAgg.readStore(spark, stateDir), queries, k, m,
+      idCol, vecCol)
 
   /** Convenience fit+encode+search in one call (bench/test path — each
     * invocation re-fits; production should [[pqIndexWrite]] once and

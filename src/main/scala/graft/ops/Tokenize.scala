@@ -527,6 +527,28 @@ object Tokenize {
     ((0 until 256).map(b => byteToUnicode(b).toString) ++
       merges.map { case (l, r) => l + r }).zipWithIndex
 
+  /** [[bpeVocab]] extended with RESERVED special tokens (the
+    * `<|endoftext|>` class): specials take ids 256+|merges|+k, AFTER
+    * every merge id, and are NEVER produced by the byte-level encoder —
+    * text that happens to contain a special's literal spelling encodes
+    * as ordinary bytes (the training-data-safe contract: data cannot
+    * inject control tokens; only the pipeline inserts them, via
+    * [[bpeEncodeIds]]' `boundary`). Each special's id entry is its RAW
+    * string; a special whose raw spelling equals some byte/merge vocab
+    * string would shadow that entry in the id map, so such a collision
+    * is rejected outright rather than assumed away. */
+  def bpeVocabWithSpecial(merges: Seq[(String, String)],
+      specials: Seq[String]): Seq[(String, Int)] = {
+    require(specials.distinct == specials, "special tokens must be distinct")
+    val base = bpeVocab(merges)
+    val baseStrings = base.map(_._1).toSet
+    specials.foreach(s => require(!baseStrings.contains(s),
+      s"special token '$s' collides with a byte/merge vocabulary string"))
+    base ++ specials.zipWithIndex.map { case (s, k) =>
+      (s, 256 + merges.length + k)
+    }
+  }
+
   /** BYTE-LEVEL encode to INTEGER IDS: (id, n_pretokens, n_tokens,
     * token_ids, ids_sum) — the form a training run actually consumes.
     * Same shuffle-free memoized pass as [[bpeEncodeBytes]]; every
@@ -535,11 +557,24 @@ object Tokenize {
     * `ids_sum` is the plain sum of the ids, the checksum the oracle
     * replays per pre-token. */
   def bpeEncodeIds(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)], cacheCap: Int = 1 << 20): DataFrame = {
+      merges: Seq[(String, String)], cacheCap: Int = 1 << 20,
+      specials: Seq[String] = Nil,
+      boundary: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val vocab = if (specials.isEmpty) bpeVocab(merges)
+      else bpeVocabWithSpecial(merges, specials)
+    val vocabMap = vocab.toMap
+    // the boundary id resolves ONCE, on the driver: document-boundary
+    // insertion is the PIPELINE's act, never the data's — text spelling
+    // a special literally still encodes as plain bytes
+    val boundaryId = boundary.map { b =>
+      require(specials.contains(b),
+        s"boundary token '$b' must be declared in specials")
+      vocabMap(b)
+    }
     val bcRanks = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
-    val bcIds = spark.sparkContext.broadcast(bpeVocab(merges).toMap)
+    val bcIds = spark.sparkContext.broadcast(vocabMap)
     docs
       .select(col(idCol).cast("long").as("id"),
         coalesce(col(textCol), lit("")).as("text"))
@@ -567,10 +602,30 @@ object Tokenize {
             out ++= enc
             i += 1
           }
+          boundaryId.foreach { eot =>
+            out += eot; n += 1; sum += eot
+          }
           (id, pres.length.toLong, n, out.result(), sum)
         }
       }
       .toDF("id", "n_pretokens", "n_tokens", "token_ids", "ids_sum")
+  }
+
+  /** Decode an id stream from [[bpeEncodeIds]] back to text: special-
+    * token ids are DROPPED (they are pipeline markers, not text) and the
+    * remaining byte-level vocabulary strings concatenate through
+    * [[byteUnmap]] — with a boundary special this inverts the encode
+    * exactly (losslessness spec-pinned). Driver-side helper for tests
+    * and loaders; the distributed inverse is a mapPartitions twin. */
+  def bpeDecodeIds(tokenIds: Seq[Int], merges: Seq[(String, String)],
+      specials: Seq[String] = Nil): String = {
+    val vocab = (if (specials.isEmpty) bpeVocab(merges)
+      else bpeVocabWithSpecial(merges, specials))
+      .map { case (s, i) => i -> s }.toMap
+    val specialIds = (256 + merges.length until
+      256 + merges.length + specials.length).toSet
+    byteUnmap(tokenIds.filterNot(specialIds)
+      .map(vocab(_)).mkString)
   }
 
   /** BYTE-LEVEL encode: (id, n_pretokens, n_tokens, tokens). The same

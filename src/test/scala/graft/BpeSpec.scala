@@ -375,4 +375,53 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(dist == recount, "delta vs recount")
     assert(hybrid.nonEmpty)
   }
+
+  test("special tokens: reserved ids after merges, boundary insertion " +
+      "matches the Python fixture, decode round-trips losslessly, and " +
+      "a literal special inside data encodes as plain bytes") {
+    val eot = "<|endoftext|>"
+    val merges = Tokenize.loadMerges(spark.read
+      .parquet("src/test/resources/bpe_bytes_spec_merges.parquet"))
+    // id geometry: specials AFTER every merge id
+    val vocab = Tokenize.bpeVocabWithSpecial(merges, Seq(eot))
+    assert(vocab.length == 256 + merges.length + 1)
+    assert(vocab.last == (eot, 256 + merges.length))
+    // collision rejection: a special equal to a vocab string must throw
+    intercept[IllegalArgumentException] {
+      Tokenize.bpeVocabWithSpecial(merges, Seq("a"))
+    }
+    val fixture = spark.read
+      .parquet("src/test/resources/bpe_bytes_special_spec.parquet")
+      .orderBy("text_id").collect()
+    val texts = spark.read
+      .parquet("src/test/resources/bpe_bytes_spec.parquet")
+      .orderBy("text_id").collect()
+      .map(r => (r.getAs[Long]("text_id"), r.getAs[String]("text")))
+    assert(fixture.length == texts.length)
+    val docs = texts.toSeq.toDF("text_id", "text")
+    val got = Tokenize.bpeEncodeIds(docs, "text_id", "text", merges,
+        specials = Seq(eot), boundary = Some(eot))
+      .orderBy("id").collect()
+    for (((want, (_, text)), g) <- fixture.zip(texts).zip(got)) {
+      val ids = g.getAs[scala.collection.Seq[Int]]("token_ids")
+      assert(g.getAs[Long]("n_tokens") == want.getAs[Long]("n_tokens"),
+        s"n_tokens of '$text'")
+      assert(g.getAs[Long]("ids_sum") == want.getAs[Long]("ids_sum"),
+        s"ids_sum of '$text'")
+      assert(ids.last.toLong == want.getAs[Long]("last_id"),
+        s"boundary id of '$text'")
+      // decode drops the boundary and round-trips the text exactly —
+      // including the text that SPELLS the special literally (whose
+      // body ids must all be ordinary, below the reserved range)
+      assert(Tokenize.bpeDecodeIds(ids.toSeq, merges, Seq(eot)) == text,
+        s"round trip of '$text'")
+      assert(ids.init.forall(_ < 256 + merges.length),
+        s"no data-injected special in '$text'")
+    }
+    // the boundary rides into packing: n_tokens includes the +1
+    val plain = Tokenize.bpeEncodeIds(docs, "text_id", "text", merges)
+      .orderBy("id").collect()
+    for ((p, g) <- plain.zip(got))
+      assert(g.getAs[Long]("n_tokens") == p.getAs[Long]("n_tokens") + 1)
+  }
 }

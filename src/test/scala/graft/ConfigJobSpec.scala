@@ -483,6 +483,75 @@ class ConfigJobSpec extends AnyFunSuite with SparkSpec {
     assert(df.count() == 2 && df.columns.toSeq == Seq("k", "v"))
   }
 
+  test("min_rows_for_incremental floor: below it the job runs the " +
+      "classic path and touches NO state; at/above it the state engages") {
+    val (pa, pb) = writeSides() // 3 + 3 rows
+    val outDir = Files.createTempDirectory("cfgfloor").toString
+    def yaml(floor: Long) =
+      s"""databases: [left, right]
+         |data_type: string
+         |threshold: 1
+         |composite_id_columns: [pk]
+         |check_column: val
+         |output_directory: $outDir
+         |incremental: true
+         |incremental_buckets: 16
+         |min_rows_for_incremental: $floor
+         |sources:
+         |  left: { format: parquet, path: $pa }
+         |  right: { format: parquet, path: $pb }
+         |""".stripMargin
+    val cfgHigh = ConfigLoader.fromYamlString(yaml(100))
+    assert(cfgHigh.minRowsForIncremental == 100L)
+    val (_, sumHigh) = ValidationJob.run(spark, cfgHigh,
+      writeReports = false)
+    assert(!new java.io.File(s"$outDir/validation_state").exists(),
+      "below the floor no state may be created")
+    // same numbers as the classic path by construction; floor at the
+    // exact input size (6) engages the incremental state
+    val (_, sumAt) = ValidationJob.run(spark,
+      ConfigLoader.fromYamlString(yaml(6)), writeReports = false)
+    assert(new java.io.File(s"$outDir/validation_state/state").isDirectory,
+      "at the floor the state must engage")
+    assert(sumAt.collect()(0).toSeq == sumHigh.collect()(0).toSeq,
+      "floor routing must never change the numbers")
+    // the multi-column lifecycle honors the same floor
+    val outM = Files.createTempDirectory("cfgfloorm").toString
+    val yamlM =
+      s"""databases: [left, right]
+         |composite_id_columns: [pk]
+         |check_columns:
+         |  - column: val
+         |incremental: true
+         |min_rows_for_incremental: 100
+         |state_directory: $outM/state
+         |output_directory: $outM
+         |sources:
+         |  left: { format: parquet, path: $pa }
+         |  right: { format: parquet, path: $pb }
+         |""".stripMargin
+    ValidationJob.runMulti(spark, ConfigLoader.fromYamlString(yamlM))
+    assert(!new java.io.File(s"$outM/state").exists(),
+      "multi path below the floor must not create state")
+  }
+
+  test("--break-lease recovery surface: a crashed run's lease unlocks " +
+      "without writing Scala") {
+    val stateDir = Files.createTempDirectory("cfglease").toString
+    // simulate the crashed run: lease acquired, never released
+    graft.core.IncrementalValidation.acquireLease(spark, stateDir)
+    // a second writer fails fast, as the lease contract demands
+    val e = intercept[IllegalStateException] {
+      graft.core.IncrementalValidation.acquireLease(spark, stateDir)
+    }
+    assert(e.getMessage.contains("lease"))
+    // the CLI recovery action (graft.Main --break-lease <dir>)
+    Main.runBreakLease(spark, stateDir)
+    // now a fresh run proceeds
+    graft.core.IncrementalValidation.acquireLease(spark, stateDir)
+      .release()
+  }
+
   test("SourceReader reads json-lines (the raw-crawl interchange format) " +
       "through the same generic format path") {
     val d = Files.createTempDirectory("jsonl")

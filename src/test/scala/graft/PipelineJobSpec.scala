@@ -1,0 +1,167 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.ConfigLoader
+import graft.core.PipelineJob
+
+/** Declarative `pipeline:` surface ([[graft.config.PipelineConfig]] /
+  * [[PipelineJob]] / the [[graft.Main]] dispatch): YAML-driven
+  * quality-filter → dedup → decontaminate → tokenize → shard/pack, each
+  * stage row-identical to the direct library composition it wraps — the
+  * end-to-end pin is byte-parity of the packed export with
+  * `t_export_packed`'s frame. */
+class PipelineJobSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val mergesPath = new java.io.File(
+    "src/test/resources/bpe_bytes_merges.parquet").getAbsolutePath
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("yaml pipeline (tokenize bytes + export) reproduces " +
+      "t_export_packed's frame exactly") {
+    val outDir = Files.createTempDirectory("plout").toString
+    val yaml =
+      s"""pipeline:
+         |  source:
+         |    format: parquet
+         |    path: $sfDir/documents.parquet
+         |  id_column: doc_id
+         |  text_column: text
+         |  tokenize:
+         |    scheme: bytes
+         |    merges_path: $mergesPath
+         |  export:
+         |    shards: 8
+         |    pack_capacity: 2048
+         |    output_directory: $outDir
+         |""".stripMargin
+    val cfg = ConfigLoader.pipelineFromYamlString(yaml)
+    val (summary, packed) = PipelineJob.run(spark, cfg)
+    val stages = summary.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(stages.map(_._1).toSeq ==
+      Seq("source", "tokenize_bytes", "export_packed"))
+    assert(stages.forall { case (_, i, o) => i > 0 && o > 0 })
+    // the END-TO-END identity: the declarative surface must emit the
+    // exact frame the oracle-gated t_export_packed query emits
+    val want = rows(SparkEntry.queries("t_export_packed")(spark, sfDir)
+      .select("doc_id", "shard", "n_tokens", "bin_id", "bin_offset_tokens"))
+    assert(rows(packed) == want, "packed export == t_export_packed frame")
+    // and the written artifact is that same frame
+    assert(rows(spark.read.parquet(s"$outDir/packed")) == want)
+  }
+
+  test("quality/dedup/decontaminate stages match their direct library " +
+      "compositions; summary counts are the real row counts") {
+    val d = Files.createTempDirectory("plsyn")
+    // 30 docs: ids 0-9 long clean text (pass gopher), 10-14 exact dups
+    // of doc 10's text, 15-19 too short (fail gopher), 20-24 contain the
+    // benchmark phrase (contaminated), 25-29 clean
+    val phrase = ("the quick brown fox jumps over the lazy dog and then " +
+      "runs far away to the deep green forest where it lives in peace")
+    // must PASS all gopher rules: >= 50 words, stopword hits ("the",
+    // "and", "with"), mean word length in 3..10, alpha words, no bullets
+    val longText = (1 to 40)
+      .map(i => s"the steady word$i flows and turns with ease").mkString(" ")
+    val rows0 = (0 to 9).map(i => (i.toLong, s"$longText variant$i")) ++
+      (10 to 14).map(i => (i.toLong, s"$longText duplicated body")) ++
+      (15 to 19).map(i => (i.toLong, "too short")) ++
+      (20 to 24).map(i => (i.toLong, s"$longText $phrase tail$i")) ++
+      (25 to 29).map(i => (i.toLong, s"$longText clean$i tail"))
+    rows0.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$d/docs")
+    Seq((1L, phrase)).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$d/bench")
+    val yaml =
+      s"""pipeline:
+         |  source: {format: parquet, path: $d/docs}
+         |  quality_filter: {rule_set: gopher, min_words: 50}
+         |  dedup: {method: exact}
+         |  decontaminate:
+         |    source: {format: parquet, path: $d/bench}
+         |    ngram: 8
+         |""".stripMargin
+    val cfg = ConfigLoader.pipelineFromYamlString(yaml)
+    val (summary, out) = PipelineJob.run(spark, cfg)
+    val byStage = summary.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byStage("source") == ((30L, 30L)))
+    // gopher: ids 15-19 fail the word-count floor
+    assert(byStage("quality_gopher") == ((30L, 25L)))
+    // exact dedup: 11-14 are byte-dups of 10 (min id survives)
+    assert(byStage("dedup_exact") == ((25L, 21L)))
+    // decontamination: 20-24 share the benchmark's 8-gram shingles
+    assert(byStage("decontaminate") == ((21L, 16L)))
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == ((0L to 10L) ++ (25L to 29L)).toSet)
+  }
+
+  test("minhash dedup method: duplicate groups collapse to their root") {
+    val d = Files.createTempDirectory("plmh")
+    val body = (1 to 40).map(i => s"token$i body flows").mkString(" ")
+    val rows0 = (0L to 5L).map(i => (i, s"$body shared near duplicate")) ++
+      (6L to 9L).map(i => (i, s"totally different text $i " +
+        (1 to 30).map(j => s"w$i$j").mkString(" ")))
+    rows0.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$d/docs")
+    val yaml =
+      s"""pipeline:
+         |  source: {format: parquet, path: $d/docs}
+         |  dedup: {method: minhash}
+         |""".stripMargin
+    val (summary, out) = PipelineJob.run(spark,
+      ConfigLoader.pipelineFromYamlString(yaml))
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 6L, 7L, 8L, 9L),
+      s"group 0-5 must collapse to its root 0; got $kept")
+    assert(summary.filter($"stage" === "dedup_minhash")
+      .head().getLong(2) == 5L)
+  }
+
+  test("tokenize trains its own merges when merges_path is absent") {
+    val d = Files.createTempDirectory("pltr")
+    (0L to 19L).map(i => (i, "alpha beta gamma delta " * 5))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$d/docs")
+    val yaml =
+      s"""pipeline:
+         |  source: {format: parquet, path: $d/docs}
+         |  tokenize: {scheme: word, num_merges: 8}
+         |""".stripMargin
+    val (_, out) = PipelineJob.run(spark,
+      ConfigLoader.pipelineFromYamlString(yaml))
+    assert(out.columns.contains("n_tokens"))
+    assert(out.count() == 20)
+    // 8 merges over a 4-word vocabulary: every word fully merges
+    assert(out.agg(org.apache.spark.sql.functions.max("n_tokens"))
+      .head().getLong(0) <= 20L * 4L)
+  }
+
+  test("graft.Main dispatches a pipeline: yaml to PipelineJob") {
+    val outDir = Files.createTempDirectory("plmain").toString
+    val f = Files.createTempFile("plcfg", ".yaml")
+    java.nio.file.Files.writeString(f,
+      s"""pipeline:
+         |  source:
+         |    format: parquet
+         |    path: $sfDir/documents.parquet
+         |  tokenize:
+         |    scheme: bytes
+         |    merges_path: $mergesPath
+         |  export:
+         |    shards: 4
+         |    pack_capacity: 1024
+         |    output_directory: $outDir
+         |""".stripMargin)
+    assert(ConfigLoader.isPipeline(f.toString))
+    val first = Main.run(spark, f.toString)
+    assert(first.getString(0) == "source")
+    assert(spark.read.parquet(s"$outDir/packed").count() > 0)
+  }
+}
