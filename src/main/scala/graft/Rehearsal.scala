@@ -863,7 +863,7 @@ object Rehearsal {
         // applies to both sides; the stamp-guarded path would pay it too)
         val books = spark.read.parquet(s"$stateDir/books")
         val (_, tFull) = timed {
-          graft.ops.Similarity.pqEncode(e1, books, m = 4,
+          graft.ops.Similarity.pqEncode(e1, books, m = 8,
               idCol = "vec_id", vecCol = "embedding")
             .write.mode("overwrite").parquet(s"$legDir/full_codes")
         }

@@ -1707,6 +1707,30 @@ object SparkEntry {
       graft.ops.Chunking.packBins(d, "source", "doc_id", "n_tokens", capacity = 2048L)
         .orderBy("source", "doc_id")
     }),
+    "t_pipeline_packed" -> ((s, dir) => {
+      // the DECLARATIVE pipeline surface itself under the driver gate:
+      // a pipeline: config (source -> byte-BPE tokenize -> 8-shard
+      // 2048-token pack) built exactly as the YAML loader would and
+      // executed by PipelineJob — its packed frame must equal
+      // t_export_packed's, so the same oracle replays every stage. The
+      // config-as-API layer adds zero semantics of its own; this row
+      // proves it
+      val outDir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_pipeline_${dirTag(dir)}"
+      val cfg = graft.config.PipelineConfig(
+        source = graft.config.SourceSpec("parquet",
+          path = Some(s"$dir/documents.parquet")),
+        idColumn = "doc_id", textColumn = "text",
+        tokenize = Some(graft.config.TokenizeSpec(scheme = "bytes",
+          mergesPath = Some(
+            s"$repoRoot/src/test/resources/bpe_bytes_merges.parquet"))),
+        export = Some(graft.config.ExportSpec(shards = 8,
+          packCapacity = 2048L, outputDirectory = outDir)))
+      graft.core.PipelineJob.run(s, cfg)._2
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("bin_id"), col("bin_offset_tokens"))
+        .orderBy("doc_id")
+    }),
     "t_bpe_ids_special" -> ((s, dir) => {
       // byte-level encode WITH a document-boundary special token:
       // <|endoftext|> holds the reserved id 256 + |merges| (= 280 for
@@ -2548,6 +2572,39 @@ object SparkEntry {
     * the in-flight (`t_index_search`) and stored-bucketed-index
     * (`t_index_search_stored`) rows, which produce identical output by
     * construction. */
+  /** The packed-pretraining-export replay (fixture token counts →
+    * HUGEINT xxhash64 shards → per-shard packing cumsum) — shared by
+    * `t_export_packed` and the declarative `t_pipeline_packed`, which
+    * must emit the identical frame by contract. */
+  private def exportPackedSql: String =
+    s"""WITH ${xxhash64Ctes("doc_id", "documents")},
+       |pres AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(text, ' ?[a-z]+')) AS pretoken
+       |  FROM documents
+       |), tok AS (
+       |  SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens FROM
+       |  documents d LEFT JOIN (
+       |    SELECT doc_id, CAST(SUM(r.n_tokens) AS BIGINT) AS n_tokens
+       |    FROM pres
+       |    JOIN read_parquet('$repoRoot/src/test/resources/bpe_bytes_pretoken_tokens.parquet') r
+       |      USING (pretoken)
+       |    GROUP BY doc_id) s USING (doc_id)
+       |), d AS (
+       |  SELECT t.doc_id, x.h, ((x.h % 8) + 8) % 8 AS shard, t.n_tokens
+       |  FROM tok t JOIN xxh x USING (doc_id)
+       |), c AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - n_tokens AS prev
+       |  FROM d
+       |)
+       |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+       |  CAST(prev // 2048 AS BIGINT) AS bin_id,
+       |  CAST(prev AS BIGINT) AS bin_offset_tokens
+       |FROM c ORDER BY doc_id""".stripMargin
+
   private def indexSearchSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id,
@@ -5056,6 +5113,10 @@ object SparkEntry {
 
     // packed-export replay: fixture token counts -> xxhash64 shard ->
     // within-shard cumsum packing, every stage in exact integer SQL
+    // the declarative pipeline emits t_export_packed's frame by
+    // contract — same replay, stage for stage
+    "t_pipeline_packed" -> exportPackedSql,
+
     // t_bpe_ids plus the boundary constants: +1 token, +280 (the
     // reserved <|endoftext|> id = 256 + 24 corpus merges) per document
     "t_bpe_ids_special" ->
@@ -5108,34 +5169,7 @@ object SparkEntry {
          |  CAST(prev AS BIGINT) AS bin_offset_tokens
          |FROM c ORDER BY doc_id""".stripMargin,
 
-    "t_export_packed" ->
-      s"""WITH ${xxhash64Ctes("doc_id", "documents")},
-         |pres AS (
-         |  SELECT doc_id,
-         |    unnest(regexp_extract_all(text, ' ?[a-z]+')) AS pretoken
-         |  FROM documents
-         |), tok AS (
-         |  SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens FROM
-         |  documents d LEFT JOIN (
-         |    SELECT doc_id, CAST(SUM(r.n_tokens) AS BIGINT) AS n_tokens
-         |    FROM pres
-         |    JOIN read_parquet('$repoRoot/src/test/resources/bpe_bytes_pretoken_tokens.parquet') r
-         |      USING (pretoken)
-         |    GROUP BY doc_id) s USING (doc_id)
-         |), d AS (
-         |  SELECT t.doc_id, x.h, ((x.h % 8) + 8) % 8 AS shard, t.n_tokens
-         |  FROM tok t JOIN xxh x USING (doc_id)
-         |), c AS (
-         |  SELECT doc_id, shard, n_tokens,
-         |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |      - n_tokens AS prev
-         |  FROM d
-         |)
-         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
-         |  CAST(prev // 2048 AS BIGINT) AS bin_id,
-         |  CAST(prev AS BIGINT) AS bin_offset_tokens
-         |FROM c ORDER BY doc_id""".stripMargin,
+    "t_export_packed" -> exportPackedSql,
 
     // quantile-sketch replay: bin() string length = exact floor(log2)+1
     // in both engines; every other op is integer shift/div/mod

@@ -753,6 +753,9 @@ object Similarity {
     }
     val books = spark.read.parquet(booksPath(stateDir))
     val bookRows = books.collect().toSeq
+    require(bookRows.nonEmpty,
+      s"stored codebook at ${booksPath(stateDir)} is empty/damaged — " +
+        "delete it to re-fit on the next run")
     val bBooks = spark.createDataFrame(
       spark.sparkContext.parallelize(bookRows, 1), books.schema)
     val subDim = bookRows.head.getAs[scala.collection.Seq[Long]]("qcsv").size
