@@ -215,7 +215,8 @@ object ConfigLoader {
         outputDirectory = str(e, "output_directory").getOrElse(throw new
           IllegalArgumentException("export needs `output_directory`")),
         maxRecordsPerFile =
-          str(e, "max_records_per_file").map(_.toLong).getOrElse(0L))
+          str(e, "max_records_per_file").map(_.toLong).getOrElse(0L),
+        writeTokens = str(e, "write_tokens").exists(_.toBoolean))
     }
     require(export.isEmpty || tokenize.nonEmpty,
       "`export:` packs token counts — it requires `tokenize:`")

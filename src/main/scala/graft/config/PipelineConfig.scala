@@ -33,12 +33,18 @@ final case class TokenizeSpec(
 /** Export stage: deterministic hash shuffle into `shards`, greedy
   * contiguous packing into `pack_capacity`-token bins within each shard
   * (the [[graft.ops.Chunking.packBins]] discipline), written to
-  * `output_directory/packed`. */
+  * `output_directory/packed`. With `write_tokens: true` the encoded
+  * documents themselves (token ids and all) are ALSO materialized as a
+  * loader-consumable `output_directory/tokens` shard layout
+  * ([[graft.ops.Sampling.shardWrite]] — same hash assignment as the
+  * packed frame, `shard=K/` files in pos order, rolled at
+  * `max_records_per_file`). */
 final case class ExportSpec(
     shards: Int = 8,
     packCapacity: Long = 2048L,
     outputDirectory: String,
-    maxRecordsPerFile: Long = 0L)
+    maxRecordsPerFile: Long = 0L,
+    writeTokens: Boolean = false)
 
 /** Typed `pipeline:` YAML surface — the reference's config-as-API idea
   * (SURVEY §1.5) generalized from validation to the curation/tokenize/

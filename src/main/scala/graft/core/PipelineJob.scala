@@ -144,6 +144,13 @@ object PipelineJob {
       packed.write.mode("overwrite")
         .option("maxRecordsPerFile", ex.maxRecordsPerFile)
         .parquet(s"${ex.outputDirectory}/packed")
+      if (ex.writeTokens)
+        // the loader-consumable corpus itself: token ids in the SAME
+        // hash-shard assignment as the packed frame, one `shard=K/`
+        // directory streamed in pos order (rolled files allowed)
+        graft.ops.Sampling.shardWrite(out.withColumnRenamed("id", id),
+          id, ex.shards, s"${ex.outputDirectory}/tokens",
+          ex.maxRecordsPerFile)
       out = spark.read.parquet(s"${ex.outputDirectory}/packed")
       stages += StageReport("export_packed", nDocs, out.count())
     }

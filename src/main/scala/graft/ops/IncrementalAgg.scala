@@ -190,11 +190,20 @@ object IncrementalAgg {
     *                   column — makes the dirty filter partition-pruning
     * @param dirtyFractionLimit above this dirty-bucket fraction a full
     *                   rebuild is cheaper than per-partition surgery
-    *                   (that run costs digest + full pass, by design) */
+    *                   (that run costs digest + full pass, by design)
+    * @param storeSortCols sort the stored partials WITHIN each bucket
+    *                   file by these columns — read-side layout: parquet
+    *                   row-group min/max stats over a sorted column are
+    *                   tight, so a reader filtering on it (e.g. the
+    *                   query terms of [[Indexing.searchIndexIncremental]])
+    *                   skips row groups instead of scanning the store;
+    *                   costs one per-task sort at write time, zero
+    *                   exchanges */
   def run(table: DataFrame, idCol: String, dependsOn: Seq[String],
       partial: DataFrame => DataFrame, aggKey: String, stateDir: String,
       nBuckets: Int = 256, dirtyFractionLimit: Double = 0.5,
-      bucketCol: Option[String] = None): (DataFrame, IncrementalReport) = {
+      bucketCol: Option[String] = None,
+      storeSortCols: Seq[String] = Nil): (DataFrame, IncrementalReport) = {
     require(nBuckets > 0, "nBuckets must be positive")
     require(dependsOn.nonEmpty, "dependsOn must name the columns read")
     val spark = table.sparkSession
@@ -246,12 +255,18 @@ object IncrementalAgg {
       beforeMutationHook()
       lease.check()
 
+      def laidOut(df: DataFrame): DataFrame = {
+        val rep = df.repartition(col("__bucket"))
+        if (storeSortCols.isEmpty) rep
+        else rep.sortWithinPartitions(
+          (col("__bucket") +: storeSortCols.map(col)): _*)
+      }
+
       if (rebuild) {
         // witness first: torn store must never read clean
         if (fs.exists(new org.apache.hadoop.fs.Path(digestsPath(stateDir))))
           fs.delete(new org.apache.hadoop.fs.Path(digestsPath(stateDir)), true)
-        partial(withBucketCol(table))
-          .repartition(col("__bucket"))
+        laidOut(partial(withBucketCol(table)))
           .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
           .parquet(storePath(stateDir))
         IncrementalValidation.swapWrite(spark, cd, digestsPath(stateDir))
@@ -266,8 +281,7 @@ object IncrementalAgg {
         for (b <- d)
           fs.delete(new org.apache.hadoop.fs.Path(
             s"${storePath(stateDir)}/__bucket=$b"), true)
-        partial(withBucketCol(dirtySlice(d)))
-          .repartition(col("__bucket"))
+        laidOut(partial(withBucketCol(dirtySlice(d))))
           .write.mode(SaveMode.Append).partitionBy("__bucket")
           .parquet(storePath(stateDir))
         IncrementalValidation.swapWrite(spark, cd, digestsPath(stateDir))

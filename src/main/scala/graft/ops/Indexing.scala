@@ -313,7 +313,11 @@ object Indexing {
     IncrementalAgg.run(docs, idCol, Seq(textCol),
       postingsPartial(idCol, textCol),
       aggKey = s"textindex:id=$idCol,text=$textCol", stateDir, nBuckets,
-      dirtyFractionLimit, bucketCol)
+      dirtyFractionLimit, bucketCol,
+      // term-sorted bucket files: row-group min/max stats over `term`
+      // are tight, so the search side's term filter SKIPS row groups —
+      // the read-layout answer to the store being document-bucketed
+      storeSortCols = Seq("term"))
 
   /** [[searchIndex]] semantics answered from an [[indexIncremental]]
     * store WITHOUT a maintenance pass: identical whole-bit TF-IDF

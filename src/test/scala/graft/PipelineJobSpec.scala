@@ -143,6 +143,33 @@ class PipelineJobSpec extends AnyFunSuite with SparkSpec {
       .head().getLong(0) <= 20L * 4L)
   }
 
+  test("write_tokens: the export also materializes the token-id corpus " +
+      "in the same shard assignment, files in pos order") {
+    val outDir = Files.createTempDirectory("pltok").toString
+    val yaml =
+      s"""pipeline:
+         |  source: {format: parquet, path: $sfDir/documents.parquet}
+         |  tokenize: {scheme: bytes, merges_path: $mergesPath}
+         |  export:
+         |    shards: 4
+         |    pack_capacity: 2048
+         |    output_directory: $outDir
+         |    write_tokens: true
+         |""".stripMargin
+    val (_, packed) = PipelineJob.run(spark,
+      ConfigLoader.pipelineFromYamlString(yaml))
+    val tokens = spark.read.parquet(s"$outDir/tokens")
+    assert(tokens.columns.contains("token_ids") &&
+      tokens.columns.contains("doc_id"))
+    assert(tokens.count() == packed.count())
+    // same hash assignment as the packed frame
+    val packShard = packed.select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue()).toMap
+    val tokShard = tokens.select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue()).toMap
+    assert(tokShard == packShard, "token shards == packed shards")
+  }
+
   test("graft.Main dispatches a pipeline: yaml to PipelineJob") {
     val outDir = Files.createTempDirectory("plmain").toString
     val f = Files.createTempFile("plcfg", ".yaml")

@@ -98,6 +98,34 @@ class Round15OpsSpec extends AnyFunSuite with SparkSpec {
     assert(!r3.rebuilt && r3.dirtyBuckets == 0, s"must converge: $r3")
   }
 
+  test("posting store files are term-sorted within each bucket: tight " +
+      "row-group stats for the search side's term filter") {
+    val stateDir = freshStateDir()
+    val d = viaParquet(docCorpus(400))
+    Indexing.indexIncremental(d, stateDir, nBuckets = 8)
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketDirs = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$stateDir/agg"))
+      .filter(_.getPath.getName.startsWith("__bucket="))
+    assert(bucketDirs.nonEmpty)
+    var checked = 0
+    for (bd <- bucketDirs; f <- fs.listStatus(bd.getPath)
+        if f.getPath.getName.endsWith(".parquet")) {
+      val terms = spark.read.parquet(f.getPath.toString)
+        .select("term").collect().map(_.getString(0))
+      // nulls (the doc-count sentinels) sort FIRST under Spark's
+      // ascending null ordering; the rest must be non-decreasing
+      val nonNull = terms.filter(_ != null)
+      assert(terms.takeWhile(_ == null).length ==
+        terms.count(_ == null), s"sentinels lead in ${f.getPath}")
+      assert(nonNull.sameElements(nonNull.sorted),
+        s"terms must be sorted within ${f.getPath}")
+      checked += 1
+    }
+    assert(checked > 0)
+  }
+
   test("incremental text index: nDocs sentinel counts every document " +
       "(null/empty text included), matching docs.count()") {
     val stateDir = freshStateDir()
