@@ -823,6 +823,24 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       graft.ops.IncrementalAgg.vocabFromStore(s, stateDir).orderBy("term")
     }),
+    "s_index_search" -> ((s, dir) => {
+      // CONTINUOUS index maintenance: the document stream folds into an
+      // append-only posting store (per-batch (term, doc, tf) partials +
+      // doc-count sentinels — the ARRIVAL-priced twin of
+      // t_index_search_incremental's churn pricing), and the SAME
+      // whole-bit TF-IDF retrieval answers from the store. Fresh store
+      // per run (the append surface is cumulative). Oracle = the
+      // t_index_search replay — the store shape is invisible to it
+      val stateDir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_sindex_${System.nanoTime()}"
+      val stream = StreamingOps.readEvents(s, s"$dir/documents.parquet")
+      val q = StreamingOps.withShufflePartitions(s, 8) {
+        StreamingOps.maintainIndex(stream, stateDir)
+      }
+      try q.processAllAvailable() finally q.stop()
+      graft.ops.Indexing.searchIndexIncremental(s, stateDir,
+        terms = Seq("scan", "merge", "window"), k = 20)
+    }),
     "s_table_diff" -> ((s, dir) => {
       // continuous TABLE DIFF: the full missing/differing truth table of
       // the batch validate() as a streaming op — an observed event stream
@@ -5667,6 +5685,9 @@ object SparkEntry {
     // the churn-priced posting store converges to the CURRENT corpus's
     // postings/df/nDocs — the stored state is invisible to this replay
     "t_index_search_incremental" -> indexSearchSql,
+    // the STREAMED append-only posting store answers the same retrieval
+    // over everything that has arrived — same replay, state invisible
+    "s_index_search" -> indexSearchSql,
 
     "t_kcore" -> kCoreSql(k = 2, rounds = 12),
 

@@ -372,7 +372,23 @@ object IncrementalAgg {
     * overwritten). */
   def vocabAppend(batch: DataFrame, batchId: Long, stateDir: String,
       idCol: String = "doc_id", textCol: String = "text",
-      nBuckets: Int = 256): Unit = {
+      nBuckets: Int = 256): Unit =
+    appendFold(batch, batchId, stateDir, vocabPartial(textCol), idCol,
+      nBuckets)
+
+  /** The GENERIC append-only fold [[vocabAppend]] instantiates: add one
+    * micro-batch's per-bucket partials (any summable partial under the
+    * [[run]] bucket-locality contract) to the LSM-ish store. Same
+    * idempotency (dynamic `__batch=<id>` overwrite), same compaction
+    * replay fence, same lease, same crash recovery — see
+    * [[vocabAppend]]'s contract; only the partial varies.
+    * [[Indexing]]'s posting partial under
+    * [[graft.streaming.StreamingOps.maintainIndex]] is the second
+    * instance: CONTINUOUS index maintenance over an append-only
+    * document stream. */
+  def appendFold(batch: DataFrame, batchId: Long, stateDir: String,
+      partial: DataFrame => DataFrame, idCol: String,
+      nBuckets: Int): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     require(batchId >= 0, "batch ids are non-negative (-1 is the base)")
     // the append IS a store mutation: it must hold the same lease
@@ -397,7 +413,7 @@ object IncrementalAgg {
         when(col(idCol).isNull, lit(-1L)).otherwise(
           pmod(xxhash64(col(idCol).cast(StringType)),
             lit(nBuckets.toLong))))
-      val out = vocabPartial(textCol)(withB)
+      val out = partial(withB)
         .withColumn("__batch", lit(batchId))
         .repartition(col("__bucket"))
       lease.check()
@@ -411,18 +427,51 @@ object IncrementalAgg {
   /** The current vocabulary from a store maintained by [[vocabAppend]]
     * and/or [[compactVocabStore]]: (term, n), store-sized work. */
   def vocabFromStore(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    fromAppendStore(spark, stateDir, Seq("term"), "n",
+      Seq.empty[(String, Long)].toDF("term", "n"))
+  }
+
+  /** Read an append store maintained by [[appendFold]] and merge across
+    * batches: groupBy(keyCols).sum(valCol), store-sized work. `empty`
+    * supplies the result schema when nothing has been folded yet (a
+    * data-less store cannot infer one). */
+  def fromAppendStore(spark: SparkSession, stateDir: String,
+      keyCols: Seq[String], valCol: String, empty: => DataFrame): DataFrame = {
     recoverStore(spark, stateDir)
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // nothing folded yet (or only empty batches) => empty vocabulary;
-    // real read failures propagate (see storeHasData)
     if (storeHasData(fs, storePath(stateDir)))
       spark.read.parquet(storePath(stateDir))
-        .groupBy("term").agg(sum(col("n")).as("n"))
-    else {
-      import spark.implicits._
-      Seq.empty[(String, Long)].toDF("term", "n")
-    }
+        .groupBy(keyCols.map(col): _*).agg(sum(col(valCol)).as(valCol))
+    else empty
+  }
+
+  /** Generic compaction for an [[appendFold]] store: fold back to ONE
+    * row per (bucket, keyCols), under the reserved base batch -1 —
+    * call every K batches to bound read amplification. Lease, replay
+    * watermark and renames-only swap are [[compactVocabStore]]'s
+    * verbatim (that surface now delegates here). */
+  def compactAppendStore(spark: SparkSession, stateDir: String,
+      keyCols: Seq[String], valCol: String): Unit =
+    compactWith(spark, stateDir, keyCols, valCol)
+
+  /** Compact iff the store holds more than `maxBatchParts` batch
+    * partitions — the generic [[maybeCompactVocabStore]]. */
+  def maybeCompactAppendStore(spark: SparkSession, stateDir: String,
+      maxBatchParts: Int, keyCols: Seq[String], valCol: String): Boolean = {
+    require(maxBatchParts >= 1, "maxBatchParts must be >= 1")
+    val p = new org.apache.hadoop.fs.Path(storePath(stateDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nBatches =
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count { st =>
+        val n = st.getPath.getName
+        n.startsWith("__batch=") && n != "__batch=-1"
+      }
+    if (nBatches > maxBatchParts) {
+      compactAppendStore(spark, stateDir, keyCols, valCol); true
+    } else false
   }
 
   /** Fold the append-only store back to ONE row per (bucket, term),
@@ -430,7 +479,11 @@ object IncrementalAgg {
     * bound read amplification. Takes the single-writer lease (it
     * rewrites history a concurrent append could interleave with) and
     * swap-writes, the same discipline as the batch state. */
-  def compactVocabStore(spark: SparkSession, stateDir: String): Unit = {
+  def compactVocabStore(spark: SparkSession, stateDir: String): Unit =
+    compactWith(spark, stateDir, Seq("term"), "n")
+
+  private def compactWith(spark: SparkSession, stateDir: String,
+      keyCols: Seq[String], valCol: String): Unit = {
     val lease = IncrementalValidation.acquireLease(spark, stateDir)
     try {
       recoverStore(spark, stateDir) // a prior crash's stranded swap
@@ -461,7 +514,8 @@ object IncrementalAgg {
         case r => r.getLong(0)
       }
       store
-        .groupBy("__bucket", "term").agg(sum(col("n")).as("n"))
+        .groupBy(("__bucket" +: keyCols).map(col): _*)
+        .agg(sum(col(valCol)).as(valCol))
         .withColumn("__batch", lit(-1L))
         .repartition(col("__bucket"))
         .write.mode(SaveMode.Overwrite)
@@ -485,15 +539,21 @@ object IncrementalAgg {
     * entry point for derived-index surfaces
     * ([[Indexing.searchIndexIncremental]], [[Similarity.pqSearchIncremental]]):
     * answer FROM the stored partials without paying a maintenance pass.
-    * `__bucket` is dropped (it is layout, not data). Throws when no
-    * store exists — a missing state must never silently answer empty. */
+    * `__bucket` (and, for append stores, `__batch`) are dropped — they
+    * are layout, not data. Works over BOTH store shapes: the
+    * churn-priced [[run]] store and the [[appendFold]] LSM store (whose
+    * un-compacted batches simply contribute more partial rows — readers
+    * that aggregate, like the index search, are shape-oblivious).
+    * Throws when no store exists — a missing state must never silently
+    * answer empty. */
   def readStore(spark: SparkSession, stateDir: String): DataFrame = {
+    recoverStore(spark, stateDir)
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(storeHasData(fs, storePath(stateDir)),
       s"no incremental store at $stateDir — run the maintenance " +
         "surface first")
-    spark.read.parquet(storePath(stateDir)).drop("__bucket")
+    spark.read.parquet(storePath(stateDir)).drop("__bucket", "__batch")
   }
 
   /** Compact iff the store has accumulated more than `maxBatchParts`
@@ -504,19 +564,9 @@ object IncrementalAgg {
     * compaction itself takes the lease as always. Returns whether a
     * compaction ran. */
   def maybeCompactVocabStore(spark: SparkSession, stateDir: String,
-      maxBatchParts: Int): Boolean = {
-    require(maxBatchParts >= 1, "maxBatchParts must be >= 1")
-    val p = new org.apache.hadoop.fs.Path(storePath(stateDir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val nBatches =
-      if (!fs.exists(p)) 0
-      else fs.listStatus(p).count { st =>
-        val n = st.getPath.getName
-        n.startsWith("__batch=") && n != "__batch=-1"
-      }
-    if (nBatches > maxBatchParts) { compactVocabStore(spark, stateDir); true }
-    else false
-  }
+      maxBatchParts: Int): Boolean =
+    maybeCompactAppendStore(spark, stateDir, maxBatchParts,
+      Seq("term"), "n")
 
   /** Named instance: churn-priced CORPUS VOCABULARY — per-term token
     * counts over a document table, maintained at churn price. The store

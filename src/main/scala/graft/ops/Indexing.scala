@@ -265,7 +265,7 @@ object Indexing {
     * derives store-sized at read with no second digest scan. Every
     * output row derives only from its own bucket's documents, so the
     * [[IncrementalAgg]] bucket-union contract holds. */
-  private def postingsPartial(idCol: String, textCol: String)(
+  private[graft] def postingsPartial(idCol: String, textCol: String)(
       slice: DataFrame): DataFrame = {
     val tf = slice
       .select(col("__bucket"), col(idCol).as("__id"),

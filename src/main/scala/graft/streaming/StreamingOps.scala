@@ -637,6 +637,42 @@ object StreamingOps {
       }
       .start()
 
+  /** CONTINUOUS inverted-index maintenance: fold an APPEND-ONLY document
+    * stream into an [[graft.ops.Indexing.searchIndexIncremental]]-servable
+    * posting store via foreachBatch — each micro-batch appends its own
+    * per-bucket (term, doc, tf) partials + doc-count sentinels under a
+    * `__batch=<id>` partition (the [[graft.ops.IncrementalAgg.appendFold]]
+    * discipline: dynamic-overwrite idempotent under replays, compaction
+    * replay fence, single-writer lease, auto-compaction past
+    * `maxBatchParts`). The search side is the SAME
+    * `searchIndexIncremental` the churn-priced batch store serves — df
+    * and the corpus size sum across batch partials, so retrieval at any
+    * point equals a fresh index over everything that has arrived.
+    *
+    * Append-only contract: a document id arrives AT MOST ONCE across
+    * the stream's lifetime (arrivals add postings; re-sending an id
+    * would double its tf — that workload is the CHURN-priced
+    * [[graft.ops.Indexing.indexIncremental]]'s). Use a dedicated
+    * stateDir, never shared with a churn-priced state. */
+  def maintainIndex(docs: DataFrame, stateDir: String, nBuckets: Int = 256,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBatchParts: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$stateDir/checkpoint")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.IncrementalAgg.appendFold(batch, batchId, stateDir,
+          graft.ops.Indexing.postingsPartial(idCol, textCol), idCol,
+          nBuckets)
+        if (maxBatchParts > 0)
+          graft.ops.IncrementalAgg.maybeCompactAppendStore(
+            batch.sparkSession, stateDir, maxBatchParts,
+            Seq("term", "__id"), "tf")
+        ()
+      }
+      .start()
+
   /** Run a streaming frame to completion against currently-available data
     * (test/driver harness: memory sink, processAllAvailable). */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Append()): DataFrame = {

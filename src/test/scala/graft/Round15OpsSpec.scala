@@ -137,6 +137,33 @@ class Round15OpsSpec extends AnyFunSuite with SparkSpec {
     assert(nDocs == d.count(), "sentinel == corpus cardinality")
   }
 
+  test("streamed append-only posting store: multi-batch maintainIndex " +
+      "answers the same retrieval as a fresh index over all arrivals; " +
+      "auto-compaction keeps counts; replay of a folded batch is fenced") {
+    val stateDir = freshStateDir()
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_r15si")
+      .toString
+    // three arrival waves with DISJOINT id ranges (the append-only
+    // contract: an id arrives at most once)
+    val waves = Seq(0, 1, 2).map(w => docCorpus(120)
+      .withColumn("doc_id", col("doc_id") + lit(w * 1000L)))
+    waves.foreach(_.coalesce(1).write.mode("append").parquet(srcDir))
+    val all = spark.read.parquet(srcDir)
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = graft.streaming.StreamingOps.maintainIndex(stream, stateDir,
+      nBuckets = 16, maxBatchParts = 1)
+    try q.processAllAvailable() finally q.stop()
+    assert(gotSearch(stateDir, 20) == wantSearch(all, 20),
+      "streamed store == fresh index over all arrivals")
+    // maxBatchParts=1 forced compactions along the way — and a replay
+    // of a folded batch must be fenced, not re-appended
+    IncrementalAgg.appendFold(waves.head, 0L, stateDir,
+      graft.ops.Indexing.postingsPartial("doc_id", "text"), "doc_id", 16)
+    assert(gotSearch(stateDir, 20) == wantSearch(all, 20),
+      "replayed folded batch must not double postings")
+  }
+
   // ---- PQ index ------------------------------------------------------
 
   test("incremental PQ index: codes == pqEncode under the stored books " +
