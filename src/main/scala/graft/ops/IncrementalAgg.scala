@@ -143,12 +143,31 @@ object IncrementalAgg {
     * combinable end to end; the two row hashes are independently salted
     * (see [[IncrementalValidation.digests]] — same 2^-128 false-clean
     * argument at matching counts). Package-private for the plan spec. */
+  /** Position-salted row-value hash over `dependsOn` — the
+    * [[IncrementalValidation.multiValueExpr]] contract, with ONE digest
+    * refinement: ARRAY columns (embeddings) hash natively instead of
+    * through a cast to string. Stringifying a dim-64 float array per
+    * row made the digest scan cost a material fraction of a full
+    * re-encode (rehearsal-measured); the native XxHash64 over the array
+    * is a few fused multiplies per element and equally
+    * session/partition-stable. Scalar columns keep the string cast —
+    * their digest values (and every committed vocab/bigram/posting
+    * state) are unchanged. */
+  private def valueExpr(table: DataFrame, dependsOn: Seq[String]): Column =
+    xxhash64(dependsOn.zipWithIndex.map { case (c, j) =>
+      val base = table.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.ArrayType => col(c)
+        case _ => col(c).cast(StringType)
+      }
+      xxhash64(lit(j), base)
+    }: _*)
+
   private[graft] def digests(table: DataFrame, idCol: String,
       dependsOn: Seq[String], nBuckets: Int,
       bucketCol: Option[String]): DataFrame = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val id = col(idCol).cast(StringType)
-    val v = IncrementalValidation.multiValueExpr(dependsOn)
+    val v = valueExpr(table, dependsOn)
     table.select(
         bucketCol.map(c => col(c).cast("long")).getOrElse(
           when(col(idCol).isNull, lit(-1L))
