@@ -823,6 +823,28 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       graft.ops.IncrementalAgg.vocabFromStore(s, stateDir).orderBy("term")
     }),
+    "s_ann_pq" -> ((s, dir) => {
+      // CONTINUOUS ANN-index maintenance: frozen codebooks bootstrap-fit
+      // on the corpus (exactly what the oracle re-derives), then the
+      // embedding stream's arrivals encode against them and their codes
+      // append batch-partitioned (the arrival-priced twin of
+      // t_ann_pq_incremental's churn pricing); the stored state answers
+      // the same ADC search. Fresh store per run (cumulative surface)
+      val stateDir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_spq_${System.nanoTime()}"
+      val e = t(s, dir, "embeddings")
+      graft.ops.Similarity.pqBooksWrite(e, stateDir, m = 4, ksub = 16)
+      val stream = StreamingOps.readEvents(s, s"$dir/embeddings.parquet")
+      val q = StreamingOps.withShufflePartitions(s, 8) {
+        StreamingOps.maintainPqIndex(stream, stateDir, m = 4)
+      }
+      try q.processAllAvailable() finally q.stop()
+      graft.ops.Similarity.pqSearchIncremental(s, stateDir,
+          e.filter(col("vec_id") < 10), k = 5, m = 4)
+        .select(col("query_id"), col("corpus_id"), col("adist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     "s_index_search" -> ((s, dir) => {
       // CONTINUOUS index maintenance: the document stream folds into an
       // append-only posting store (per-batch (term, doc, tf) partials +
@@ -3970,6 +3992,9 @@ object SparkEntry {
     // fit on the current corpus — exactly what this replay re-derives;
     // the intermediate churn/maintain cycles are invisible by identity
     "t_ann_pq_incremental" -> pqAdcQuerySql(4, 16, 16),
+    // the STREAMED code store under bootstrap-fit books answers the
+    // same ADC search — same replay, the append state is invisible
+    "s_ann_pq" -> pqAdcQuerySql(4, 16, 16),
 
     // PQ re-rank replay: the same trained index at m=8/ksub=32, the ADC
     // 200-candidate shortlist, then the exact cosine top-5 over ONLY the

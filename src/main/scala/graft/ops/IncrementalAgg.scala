@@ -535,6 +535,12 @@ object IncrementalAgg {
       store
         .groupBy(("__bucket" +: keyCols).map(col): _*)
         .agg(sum(col(valCol)).as(valCol))
+        // sum() widens (int -> long): cast back to the store's column
+        // type, or post-compaction batch appends would mix parquet
+        // physical types across files and break reads. Lossless for
+        // count stores (already long) and for fact stores (one row per
+        // key group — the "sum" IS the value)
+        .withColumn(valCol, col(valCol).cast(store.schema(valCol).dataType))
         .withColumn("__batch", lit(-1L))
         .repartition(col("__bucket"))
         .write.mode(SaveMode.Overwrite)

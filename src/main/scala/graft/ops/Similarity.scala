@@ -729,28 +729,50 @@ object Similarity {
       bucketCol: Option[String] = None)
       : (DataFrame, IncrementalAgg.IncrementalReport) = {
     val spark = corpus.sparkSession
+    pqBooksWrite(corpus, stateDir, m, ksub, idCol, vecCol)
+    val (bBooks, subDim) = loadBooks(spark, stateDir)
+    val sig = booksSignature(bBooks)
+    IncrementalAgg.run(corpus, idCol, Seq(vecCol),
+      encodePartial(bBooks, m, subDim, idCol, vecCol),
+      aggKey = s"pqcodes:m=$m,ksub=$ksub,vec=$vecCol,books=$sig",
+      stateDir, nBuckets, dirtyFractionLimit, bucketCol)
+  }
+
+  /** Fit-if-missing the FROZEN codebooks under `stateDir/books` — the
+    * one-time act both incremental code surfaces (churn-priced [[run]]
+    * store via [[pqIndexIncremental]], append-only stream via
+    * [[pqAppend]]/[[graft.streaming.StreamingOps.maintainPqIndex]])
+    * share. Held under the state's single-writer lease; a present
+    * codebook is NEVER re-fit (delete it to re-fit). */
+  def pqBooksWrite(corpus: DataFrame, stateDir: String, m: Int = 4,
+      ksub: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bp = new org.apache.hadoop.fs.Path(booksPath(stateDir))
-    if (!fs.exists(bp)) {
-      // first build: fit on the current corpus, store under the same
-      // single-writer lease every other state mutation takes
-      val lease = graft.core.IncrementalValidation.acquireLease(spark,
-        stateDir)
-      try {
-        if (!fs.exists(bp)) {
-          val fit = pqFit(corpus, m, ksub, idCol, vecCol)
-          val rows = fit.collect().toSeq // m*ksub codewords — metadata
-          require(rows.nonEmpty,
-            "cannot fit a PQ codebook on an empty corpus")
-          val b = spark.createDataFrame(
-            spark.sparkContext.parallelize(rows, 1), fit.schema)
-          lease.check()
-          graft.core.IncrementalValidation.swapWrite(spark, b,
-            booksPath(stateDir))
-        }
-      } finally lease.release()
-    }
+    if (fs.exists(bp)) return
+    val lease = graft.core.IncrementalValidation.acquireLease(spark,
+      stateDir)
+    try {
+      if (!fs.exists(bp)) {
+        val fit = pqFit(corpus, m, ksub, idCol, vecCol)
+        val rows = fit.collect().toSeq // m*ksub codewords — metadata
+        require(rows.nonEmpty,
+          "cannot fit a PQ codebook on an empty corpus")
+        val b = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), fit.schema)
+        lease.check()
+        graft.core.IncrementalValidation.swapWrite(spark, b,
+          booksPath(stateDir))
+      }
+    } finally lease.release()
+  }
+
+  /** Stored books as a 1-partition broadcastable frame + the subspace
+    * dimension they encode. */
+  private def loadBooks(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): (DataFrame, Int) = {
     val books = spark.read.parquet(booksPath(stateDir))
     val bookRows = books.collect().toSeq
     require(bookRows.nonEmpty,
@@ -758,28 +780,45 @@ object Similarity {
         "delete it to re-fit on the next run")
     val bBooks = spark.createDataFrame(
       spark.sparkContext.parallelize(bookRows, 1), books.schema)
-    val subDim = bookRows.head.getAs[scala.collection.Seq[Long]]("qcsv").size
-    val sig = booksSignature(bBooks)
-    // the encode partial CARRIES the slice's `__bucket` label through
-    // the per-vector argmin groupBy (bucket is functionally dependent
-    // on the id, so including it neither changes groups nor breaks
-    // bucket-locality) — this honors ANY bucketCol labeling the caller
-    // materialized, instead of re-deriving a hash that must match it
-    val partial = (sl: DataFrame) => {
-      val sv = sl.select(col(idCol).as("vid"), col("__bucket"),
-          posexplode(array((0 until m).map(s0 =>
-            slice(q24Vec(col(vecCol)), s0 * subDim + 1, subDim)): _*)))
-        .withColumnRenamed("pos", "sub").withColumnRenamed("col", "qsv")
-      sv.join(broadcast(bBooks), Seq("sub"))
-        .withColumn("d", intSqDistFused(col("qsv"), col("qcsv")))
-        .groupBy("vid", "__bucket", "sub")
-        .agg(min(struct(col("d"), col("cent_id"))).as("best"))
-        .select(col("vid").as(idCol), col("__bucket"), col("sub"),
-          col("best.cent_id").as("code"))
-    }
-    IncrementalAgg.run(corpus, idCol, Seq(vecCol), partial,
-      aggKey = s"pqcodes:m=$m,ksub=$ksub,vec=$vecCol,books=$sig",
-      stateDir, nBuckets, dirtyFractionLimit, bucketCol)
+    (bBooks, bookRows.head.getAs[scala.collection.Seq[Long]]("qcsv").size)
+  }
+
+  /** The shared encode partial: CARRIES the slice's `__bucket` label
+    * through the per-vector argmin groupBy (bucket is functionally
+    * dependent on the id, so including it neither changes groups nor
+    * breaks bucket-locality) — honors ANY bucketCol labeling the caller
+    * materialized, instead of re-deriving a hash that must match it. */
+  private def encodePartial(bBooks: DataFrame, m: Int, subDim: Int,
+      idCol: String, vecCol: String)(sl: DataFrame): DataFrame = {
+    val sv = sl.select(col(idCol).as("vid"), col("__bucket"),
+        posexplode(array((0 until m).map(s0 =>
+          slice(q24Vec(col(vecCol)), s0 * subDim + 1, subDim)): _*)))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "qsv")
+    sv.join(broadcast(bBooks), Seq("sub"))
+      .withColumn("d", intSqDistFused(col("qsv"), col("qcsv")))
+      .groupBy("vid", "__bucket", "sub")
+      .agg(min(struct(col("d"), col("cent_id"))).as("best"))
+      .select(col("vid").as(idCol), col("__bucket"), col("sub"),
+        col("best.cent_id").as("code"))
+  }
+
+  /** ARRIVAL-priced code maintenance: append one micro-batch of NEW
+    * vectors' PQ codes (encoded against the frozen stored books) to an
+    * [[IncrementalAgg.appendFold]] store — the streaming twin of
+    * [[pqIndexIncremental]], for append-only embedding streams where
+    * nothing stored can change and addition is the whole maintenance.
+    * Codes are per-(id, sub) FACTS: compaction's sum over the
+    * exactly-one-row groups is the identity, so the generic store
+    * machinery (idempotent replays, fence, lease, auto-compaction)
+    * applies verbatim. Books must exist ([[pqBooksWrite]] on a
+    * bootstrap corpus first). Searched by [[pqSearchIncremental]] — the
+    * same entry point the churn-priced store serves. */
+  def pqAppend(batch: DataFrame, batchId: Long, stateDir: String,
+      m: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding",
+      nBuckets: Int = 256): Unit = {
+    val (bBooks, subDim) = loadBooks(batch.sparkSession, stateDir)
+    IncrementalAgg.appendFold(batch, batchId, stateDir,
+      encodePartial(bBooks, m, subDim, idCol, vecCol), idCol, nBuckets)
   }
 
   /** [[pqSearch]] answered from an [[pqIndexIncremental]] state WITHOUT

@@ -673,6 +673,36 @@ object StreamingOps {
       }
       .start()
 
+  /** CONTINUOUS ANN-index maintenance: fold an APPEND-ONLY embedding
+    * stream into a PQ code store — each micro-batch's vectors encode
+    * against the FROZEN stored codebooks
+    * ([[graft.ops.Similarity.pqBooksWrite]] on a bootstrap corpus
+    * first) and their codes append under the
+    * [[graft.ops.IncrementalAgg.appendFold]] discipline (idempotent
+    * replays, compaction replay fence, lease, auto-compaction past
+    * `maxBatchParts` — code compaction is an identity fold, one fact
+    * row per (id, sub)). [[graft.ops.Similarity.pqSearchIncremental]]
+    * answers at any point over everything that has arrived. Same
+    * append-only contract as [[maintainIndex]]: an id arrives at most
+    * once; churn belongs to [[graft.ops.Similarity.pqIndexIncremental]]. */
+  def maintainPqIndex(vecs: DataFrame, stateDir: String, m: Int = 4,
+      nBuckets: Int = 256, idCol: String = "vec_id",
+      vecCol: String = "embedding", maxBatchParts: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$stateDir/checkpoint")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Similarity.pqAppend(batch, batchId, stateDir, m,
+          idCol, vecCol, nBuckets)
+        if (maxBatchParts > 0)
+          graft.ops.IncrementalAgg.maybeCompactAppendStore(
+            batch.sparkSession, stateDir, maxBatchParts,
+            Seq(idCol, "sub"), "code")
+        ()
+      }
+      .start()
+
   /** Run a streaming frame to completion against currently-available data
     * (test/driver harness: memory sink, processAllAvailable). */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Append()): DataFrame = {

@@ -259,6 +259,43 @@ class Round15OpsSpec extends AnyFunSuite with SparkSpec {
       Similarity.pqEncode(e1.drop("bucket"), books, m = 4)))
   }
 
+  test("streamed append-only PQ code store: multi-batch maintainPqIndex " +
+      "answers the same ADC search as encode-over-all-arrivals; code " +
+      "compaction is an identity fold (schema type stable)") {
+    val stateDir = freshStateDir()
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_r15sp")
+      .toString
+    val waves = Seq(0, 1, 2).map(w => embCorpus(150, salt = w)
+      .withColumn("vec_id", col("vec_id") + lit(w * 1000L)))
+    val all0 = waves.reduce(_ unionByName _)
+    // frozen books bootstrap-fit on the FULL corpus (what the oracle
+    // would see), then the stream folds arrivals' codes against them
+    Similarity.pqBooksWrite(viaParquet(all0), stateDir, m = 4, ksub = 8)
+    waves.foreach(_.coalesce(1).write.mode("append").parquet(srcDir))
+    val all = spark.read.parquet(srcDir)
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = graft.streaming.StreamingOps.maintainPqIndex(stream, stateDir,
+      m = 4, nBuckets = 16, maxBatchParts = 1)
+    try q.processAllAvailable() finally q.stop()
+    val books = spark.read.parquet(s"$stateDir/books")
+    // compaction ran (maxBatchParts=1) — codes must keep their original
+    // type, or post-compaction appends would mix parquet physical types
+    val store = IncrementalAgg.readStore(spark, stateDir)
+    assert(store.schema("code").dataType ==
+      Similarity.pqEncode(all, books, m = 4).schema("code").dataType,
+      "compaction must not widen the code column")
+    def s(df: DataFrame): Set[(Long, Long, Long, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    val queries = all.filter(col("vec_id") < 10)
+    assert(s(Similarity.pqSearchIncremental(spark, stateDir, queries,
+        k = 5, m = 4)) ==
+      s(Similarity.pqSearch(books, Similarity.pqEncode(all, books, m = 4),
+        queries, k = 5, m = 4)),
+      "streamed code store == encode over all arrivals")
+  }
+
   test("PQ re-fit policy: deleting the stored books re-fits on the next " +
       "run and the changed signature rebuilds the code store wholesale") {
     val stateDir = freshStateDir()
