@@ -1786,6 +1786,32 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_tokens"), col("ids_sum"))
         .orderBy("doc_id")
     }),
+    "t_sequences" -> ((s, dir) => {
+      // FIXED-LENGTH sequence construction — the terminal loader step:
+      // byte-BPE encode with <|endoftext|> boundaries, hash-shard into
+      // 8 streams, concatenate each shard's id stream in hash order and
+      // cut exact 2048-token rows (docs split across boundaries; each
+      // shard's trailing partial row flagged incomplete). One shard
+      // exchange + a lazy per-partition sweep — the token stream never
+      // shuffles a second time. The oracle replays every boundary from
+      // per-doc token counts alone (sequence cuts are pure cumsum
+      // arithmetic); the token ARRAYS are spec-pinned against a
+      // reference sweep instead (a mid-pretoken cut has no SQL replay)
+      val merges = graft.ops.Tokenize.loadMerges(s.read.parquet(
+        s"$repoRoot/src/test/resources/bpe_bytes_merges.parquet"))
+      val enc = graft.ops.Tokenize.bpeEncodeIds(t(s, dir, "documents"),
+          "doc_id", "text", merges,
+          specials = Seq("<|endoftext|>"), boundary = Some("<|endoftext|>"))
+        .select(col("id").as("doc_id"), col("token_ids"))
+        .withColumn("h", xxhash64(col("doc_id")))
+        .withColumn("shard", pmod(col("h"), lit(8L)))
+      graft.ops.Chunking.fixedSequences(enc, "shard", "h", "doc_id",
+          "token_ids", 2048)
+        .select(col("shard"), col("seq_id"), col("n_tokens"),
+          col("n_docs"), col("first_doc"), col("last_doc"),
+          col("complete").cast("long").as("complete"))
+        .orderBy("shard", "seq_id")
+    }),
     "t_export_packed_eot" -> ((s, dir) => {
       // the packed pretraining export WITH boundary tokens: every
       // document's stream ends in <|endoftext|> and the packer counts
@@ -5180,6 +5206,55 @@ object SparkEntry {
          |  COALESCE(p.ids_sum, 0) + 280 AS ids_sum
          |FROM documents d LEFT JOIN per_doc p USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // fixed-length sequence boundaries replayed from per-doc token
+    // counts alone: doc spans [off, off+n) vs sequence spans
+    // [k*2048, (k+1)*2048) — overlap join; stream order is (h, doc_id)
+    // with off strictly increasing (every doc carries >= 1 token, the
+    // boundary), so arg_min/arg_max on off are unambiguous
+    "t_sequences" ->
+      s"""WITH ${xxhash64Ctes("doc_id", "documents")},
+         |pres AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(text, ' ?[a-z]+')) AS pretoken
+         |  FROM documents
+         |), tok AS (
+         |  SELECT d.doc_id, COALESCE(s.n_tokens, 0) + 1 AS n_tokens FROM
+         |  documents d LEFT JOIN (
+         |    SELECT doc_id, CAST(SUM(r.n_tokens) AS BIGINT) AS n_tokens
+         |    FROM pres
+         |    JOIN read_parquet('$repoRoot/src/test/resources/bpe_bytes_pretoken_tokens.parquet') r
+         |      USING (pretoken)
+         |    GROUP BY doc_id) s USING (doc_id)
+         |), d AS (
+         |  SELECT t.doc_id, x.h, ((x.h % 8) + 8) % 8 AS shard,
+         |    t.n_tokens,
+         |    SUM(t.n_tokens) OVER (PARTITION BY ((x.h % 8) + 8) % 8
+         |      ORDER BY x.h, t.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - t.n_tokens AS off
+         |  FROM tok t JOIN xxh x USING (doc_id)
+         |), totals AS (
+         |  SELECT shard, SUM(n_tokens) AS total FROM d GROUP BY shard
+         |), seqs AS (
+         |  SELECT shard, total,
+         |    unnest(generate_series(CAST(0 AS BIGINT),
+         |      CAST((total - 1) // 2048 AS BIGINT))) AS k
+         |  FROM totals WHERE total > 0
+         |)
+         |SELECT s.shard, CAST(s.k AS BIGINT) AS seq_id,
+         |  CAST(LEAST(s.total, (s.k + 1) * 2048) - s.k * 2048 AS BIGINT)
+         |    AS n_tokens,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  arg_min(d.doc_id, d.off) AS first_doc,
+         |  arg_max(d.doc_id, d.off) AS last_doc,
+         |  CAST(LEAST(s.total, (s.k + 1) * 2048) - s.k * 2048 = 2048
+         |    AS BIGINT) AS complete
+         |FROM seqs s JOIN d
+         |  ON d.shard = s.shard
+         | AND d.off < (s.k + 1) * 2048 AND d.off + d.n_tokens > s.k * 2048
+         |GROUP BY s.shard, s.k, s.total
+         |ORDER BY s.shard, seq_id""".stripMargin,
 
     // the t_export_packed replay with every document one boundary
     // token longer (the packer must count the inserted <|endoftext|>)

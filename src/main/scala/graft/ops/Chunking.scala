@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -15,6 +17,11 @@ import org.apache.spark.sql.functions._
   * one task, so the API requires a pack key.
   */
 object Chunking {
+
+  /** One emitted row of [[fixedSequences]]' per-partition sweep. */
+  private[graft] final case class FixedSeq(shard: Long, seq_id: Long,
+      n_tokens: Long, n_docs: Long, first_doc: Long, last_doc: Long,
+      token_ids: Array[Int], ids_sum: Long, complete: Boolean)
 
   /** Fixed-size character chunks with overlap. Chunk k (0-based) covers
     * `[k*stride, k*stride + size)` of the text where
@@ -59,5 +66,101 @@ object Chunking {
         // integer division: `/` on longs is double division in Spark SQL
         expr(s"__prev DIV $capacity").as("bin_id"),
         col("__prev").as("bin_offset_tokens"))
+  }
+
+  /** FIXED-LENGTH training sequences — the terminal step a real loader
+    * consumes: within each shard, concatenate the documents' token-id
+    * streams in `orderCol` order and cut EXACT `seqLen`-token rows,
+    * documents splitting across sequence boundaries (the standard
+    * pretraining "pack everything, cut every 2048" discipline — which
+    * is why the export inserts `<|endoftext|>` boundaries first:
+    * sequences need them to mark where documents end). The trailing
+    * partial sequence of each shard is emitted with `complete = false`
+    * so the caller chooses drop-or-pad.
+    *
+    * Output: (shard, seq_id, n_tokens, n_docs, first_doc, last_doc,
+    * token_ids, ids_sum, complete) — seq_id is the 0-based sequence
+    * index within the shard; n_docs counts the documents CONTRIBUTING
+    * at least one token; first_doc/last_doc are their `idCol` values in
+    * stream order.
+    *
+    * Scale: ONE hash exchange on the shard key + a per-partition sorted
+    * sweep (mapPartitions — genuinely per-partition imperative state:
+    * the carry buffer between documents; a (shard, seq)-keyed groupBy
+    * would shuffle the full token stream a second time). Multiple
+    * shards hashing into one partition are handled by the (shard,
+    * order) sort + a carry reset on shard change. Each emitted row
+    * holds seqLen ints — bounded regardless of document length. The
+    * result is a pure function of (rows, orderCol) — partitioning
+    * cannot perturb it (spec-pinned across partitionings). */
+  def fixedSequences(enc: DataFrame, shardCol: String, orderCol: String,
+      idCol: String, idsCol: String, seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val spark = enc.sparkSession
+    import spark.implicits._
+    enc
+      .select(col(shardCol).cast("long").as("shard"),
+        col(orderCol).cast("long").as("ord"),
+        col(idCol).cast("long").as("doc"),
+        coalesce(col(idsCol),
+          typedLit(Array.empty[Int])).as("ids"))
+      .repartition(col("shard"))
+      // idCol as the final sort key: orderCol ties (hash collisions)
+      // would otherwise leave the stream order plan-dependent
+      .sortWithinPartitions(col("shard"), col("ord"), col("doc"))
+      .as[(Long, Long, Long, Array[Int])]
+      .mapPartitions { it =>
+        // LAZY sweep: memory is one seqLen buffer + the pending-output
+        // queue of the current input row (never a shard's worth) — a
+        // 12.5 TB shard streams through a constant-size carry
+        new Iterator[FixedSeq] {
+          private val pending = scala.collection.mutable.Queue.empty[FixedSeq]
+          private var shard = Long.MinValue
+          private var seqId = 0L
+          private var buf = new ArrayBuffer[Int](seqLen)
+          private var docs = ArrayBuffer.empty[Long]
+          private var drained = false
+          private def flush(complete: Boolean): Unit = {
+            if (buf.nonEmpty) {
+              val arr = buf.toArray
+              pending += FixedSeq(shard, seqId, arr.length.toLong,
+                docs.length.toLong, docs.head, docs.last, arr,
+                arr.map(_.toLong).sum, complete)
+              seqId += 1
+            }
+            buf = new ArrayBuffer[Int](seqLen)
+            docs = ArrayBuffer.empty[Long]
+          }
+          private def advance(): Unit = {
+            while (pending.isEmpty && it.hasNext) {
+              val (s, _, doc, ids) = it.next()
+              if (s != shard) {
+                if (shard != Long.MinValue) flush(complete = false)
+                shard = s; seqId = 0L
+              }
+              if (ids.nonEmpty) {
+                var i = 0
+                var counted = false
+                while (i < ids.length) {
+                  if (!counted) { docs += doc; counted = true }
+                  buf += ids(i)
+                  if (buf.length == seqLen) {
+                    flush(complete = true); counted = false
+                  }
+                  i += 1
+                }
+              }
+            }
+            if (pending.isEmpty && !it.hasNext && !drained) {
+              drained = true
+              if (shard != Long.MinValue) flush(complete = false)
+            }
+          }
+          override def hasNext: Boolean = { advance(); pending.nonEmpty }
+          override def next(): FixedSeq = { advance(); pending.dequeue() }
+        }
+      }
+      .toDF("shard", "seq_id", "n_tokens", "n_docs", "first_doc",
+        "last_doc", "token_ids", "ids_sum", "complete")
   }
 }

@@ -164,6 +164,48 @@ class Round15OpsSpec extends AnyFunSuite with SparkSpec {
       "replayed folded batch must not double postings")
   }
 
+  test("fixedSequences: exact-length rows, docs split across " +
+      "boundaries, token arrays equal a reference sweep, result " +
+      "partitioning-independent, trailing partial flagged") {
+    import graft.ops.Chunking
+    val rnd2 = new scala.util.Random(99)
+    val rows = (0L until 60L).map { i =>
+      (i % 3, i * 10, i, Array.fill(1 + rnd2.nextInt(40))(rnd2.nextInt(300)))
+    }
+    val df = rows.toDF("shard", "ord", "doc", "ids")
+    def collectSeqs(d: org.apache.spark.sql.DataFrame) =
+      Chunking.fixedSequences(d, "shard", "ord", "doc", "ids", 16)
+        .orderBy("shard", "seq_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5),
+          r.getAs[scala.collection.Seq[Int]](6).toSeq, r.getLong(7),
+          r.getBoolean(8)))
+    val got = collectSeqs(df)
+    // reference sweep, driver-side
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (shard, rs) =>
+        val stream = rs.sortBy(r => (r._2, r._3))
+          .flatMap(r => r._4.map(t => (r._3, t)))
+        stream.grouped(16).zipWithIndex.map { case (g, k) =>
+          (shard, k.toLong, g.length.toLong,
+            g.map(_._1).distinct.length.toLong, g.head._1, g.last._1,
+            g.map(_._2), g.map(_._2.toLong).sum, g.length == 16)
+        }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.length == want.length)
+    for ((g, w) <- got.zip(want)) assert(g == w, s"\n$g\nvs\n$w")
+    // exact-length invariant: every complete row is 16 tokens; at most
+    // one incomplete row per shard, and it is the LAST
+    for ((shard, ss) <- got.groupBy(_._1)) {
+      assert(ss.init.forall(s => s._9 && s._3 == 16L), s"shard $shard")
+      assert(ss.count(!_._9) <= 1)
+    }
+    // partitioning independence: forcing different upstream layouts
+    // yields the identical result
+    assert(collectSeqs(df.repartition(13)).toSeq == got.toSeq)
+    assert(collectSeqs(df.repartition(1)).toSeq == got.toSeq)
+  }
+
   // ---- PQ index ------------------------------------------------------
 
   test("incremental PQ index: codes == pqEncode under the stored books " +
