@@ -216,7 +216,9 @@ object ConfigLoader {
           IllegalArgumentException("export needs `output_directory`")),
         maxRecordsPerFile =
           str(e, "max_records_per_file").map(_.toLong).getOrElse(0L),
-        writeTokens = str(e, "write_tokens").exists(_.toBoolean))
+        writeTokens = str(e, "write_tokens").exists(_.toBoolean),
+        sequenceLength =
+          str(e, "sequence_length").map(_.toInt).getOrElse(0))
     }
     require(export.isEmpty || tokenize.nonEmpty,
       "`export:` packs token counts — it requires `tokenize:`")

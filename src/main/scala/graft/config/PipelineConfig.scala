@@ -44,7 +44,12 @@ final case class ExportSpec(
     packCapacity: Long = 2048L,
     outputDirectory: String,
     maxRecordsPerFile: Long = 0L,
-    writeTokens: Boolean = false)
+    writeTokens: Boolean = false,
+    // `sequence_length` > 0 additionally cuts each shard's concatenated
+    // id stream into exact fixed-length rows
+    // ([[graft.ops.Chunking.fixedSequences]]) at
+    // `output_directory/sequences` — the loader-final form
+    sequenceLength: Int = 0)
 
 /** Typed `pipeline:` YAML surface — the reference's config-as-API idea
   * (SURVEY §1.5) generalized from validation to the curation/tokenize/

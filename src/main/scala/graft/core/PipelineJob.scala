@@ -151,6 +151,21 @@ object PipelineJob {
         graft.ops.Sampling.shardWrite(out.withColumnRenamed("id", id),
           id, ex.shards, s"${ex.outputDirectory}/tokens",
           ex.maxRecordsPerFile)
+      if (ex.sequenceLength > 0) {
+        // loader-final form: each shard's id stream cut into exact
+        // fixed-length rows (docs split across boundaries) — requires
+        // the byte scheme (token_ids), where boundary tokens mark the
+        // document ends the cut rows rely on
+        require(out.columns.contains("token_ids"),
+          "sequence_length needs `tokenize: {scheme: bytes}` (token_ids)")
+        Chunking.fixedSequences(sharded
+            .join(out.select(col("id").as(id), col("token_ids")), Seq(id)),
+            "shard", "h", id, "token_ids", ex.sequenceLength)
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", ex.maxRecordsPerFile)
+          .partitionBy("shard")
+          .parquet(s"${ex.outputDirectory}/sequences")
+      }
       out = spark.read.parquet(s"${ex.outputDirectory}/packed")
       stages += StageReport("export_packed", nDocs, out.count())
     }

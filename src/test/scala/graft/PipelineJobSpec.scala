@@ -155,6 +155,7 @@ class PipelineJobSpec extends AnyFunSuite with SparkSpec {
          |    pack_capacity: 2048
          |    output_directory: $outDir
          |    write_tokens: true
+         |    sequence_length: 512
          |""".stripMargin
     val (_, packed) = PipelineJob.run(spark,
       ConfigLoader.pipelineFromYamlString(yaml))
@@ -168,6 +169,15 @@ class PipelineJobSpec extends AnyFunSuite with SparkSpec {
     val tokShard = tokens.select("doc_id", "shard").collect()
       .map(r => r.getLong(0) -> r.getAs[Number](1).longValue()).toMap
     assert(tokShard == packShard, "token shards == packed shards")
+    // loader-final sequences: exact 512-token rows, total token mass
+    // conserved (sum over sequences == sum over docs)
+    val seqs = spark.read.parquet(s"$outDir/sequences")
+    import org.apache.spark.sql.functions.{col => c, sum => su}
+    assert(seqs.filter(c("complete")).filter(c("n_tokens") =!= 512)
+      .count() == 0, "complete rows must be exactly 512 tokens")
+    val seqTokens = seqs.agg(su("n_tokens")).head().getLong(0)
+    val docTokens = tokens.agg(su("n_tokens")).head().getLong(0)
+    assert(seqTokens == docTokens, "token mass conserved")
   }
 
   test("graft.Main dispatches a pipeline: yaml to PipelineJob") {
