@@ -128,6 +128,10 @@ object PipelineJob {
     }
 
     cfg.export.foreach { ex =>
+      // the YAML loader enforces this too — repeated here for
+      // programmatically built configs
+      require(cfg.tokenize.nonEmpty,
+        "`export` packs token counts — it requires `tokenize`")
       // t_export_packed's exact composition: deterministic hash shuffle
       // into shards, greedy contiguous packing within each shard in
       // hash order — one narrow encode pass upstream + one shard-keyed
