@@ -83,6 +83,24 @@ object Main {
     println(s"lease broken at $stateDir")
   }
 
+  /** Operational recovery after a streaming CHECKPOINT RESET over a kept
+    * append store — the action [[graft.ops.IncrementalAgg]]'s fence-
+    * ownership error names, reachable without writing Scala:
+    * `--rebase-append <stateDir> <keyCol[,keyCol...]> <valCol>` folds
+    * all history into the base partition, resets the replay fence and
+    * clears the fence owner + stale checkpoint, so a NEW streaming
+    * query (batch ids restarting at 0) can safely feed the store. Run
+    * OFFLINE, between stopping the old query and starting the new one.
+    * Key/value columns name the store's fold shape (vocab: `term n`;
+    * text index: `term,__id tf`; PQ codes: `vec_id,sub code`). */
+  def runRebaseAppend(spark: SparkSession, stateDir: String,
+      keyCols: Seq[String], valCol: String): Unit = {
+    graft.ops.IncrementalAgg.rebaseAppendStore(spark, stateDir, keyCols,
+      valCol)
+    println(s"append store rebased at $stateDir (fence reset; a new " +
+      "streaming query may start at batch 0)")
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length == 2 && args(0) == "--break-lease") {
       val spark = SparkSession.builder()
@@ -99,9 +117,29 @@ object Main {
       spark.stop()
       return
     }
+    if (args.length == 4 && args(0) == "--rebase-append") {
+      val spark = SparkSession.builder()
+        .appName("graft-rebase-append")
+        .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try runRebaseAppend(spark, args(1),
+        args(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq, args(3))
+      catch {
+        case e: Exception =>
+          System.err.println(s"rebase-append failed: ${e.getMessage}")
+          spark.stop()
+          sys.exit(1)
+      }
+      spark.stop()
+      return
+    }
     if (args.length != 1) {
       System.err.println(
-        "Usage: graft.Main <config.yaml> | --break-lease <stateDir>")
+        "Usage: graft.Main <config.yaml> | --break-lease <stateDir> | " +
+          "--rebase-append <stateDir> <keyCol[,keyCol...]> <valCol>")
       sys.exit(1)
     }
     val spark = SparkSession.builder()

@@ -1771,6 +1771,34 @@ object SparkEntry {
           col("bin_id"), col("bin_offset_tokens"))
         .orderBy("doc_id")
     }),
+    "t_pipeline_sequences" -> ((s, dir) => {
+      // the declarative pipeline's LOADER-FINAL output under the gate:
+      // a pipeline: config with boundary-tokened byte-BPE tokenize +
+      // sequence_length export must emit exactly the t_sequences frame
+      // (same merges, same <|endoftext|> boundary, same 8-shard hash
+      // assignment, same 2048 cut) — the YAML surface can now declare
+      // the specials/boundary the sequences contract requires
+      val outDir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_pipeline_seq_${dirTag(dir)}"
+      val cfg = graft.config.PipelineConfig(
+        source = graft.config.SourceSpec("parquet",
+          path = Some(s"$dir/documents.parquet")),
+        idColumn = "doc_id", textColumn = "text",
+        tokenize = Some(graft.config.TokenizeSpec(scheme = "bytes",
+          mergesPath = Some(
+            s"$repoRoot/src/test/resources/bpe_bytes_merges.parquet"),
+          specials = Seq("<|endoftext|>"),
+          boundary = Some("<|endoftext|>"))),
+        export = Some(graft.config.ExportSpec(shards = 8,
+          packCapacity = 2048L, outputDirectory = outDir,
+          sequenceLength = 2048)))
+      graft.core.PipelineJob.run(s, cfg)
+      s.read.parquet(s"$outDir/sequences")
+        .select(col("shard").cast("long").as("shard"), col("seq_id"),
+          col("n_tokens"), col("n_docs"), col("first_doc"),
+          col("last_doc"), col("complete").cast("long").as("complete"))
+        .orderBy("shard", "seq_id")
+    }),
     "t_bpe_ids_special" -> ((s, dir) => {
       // byte-level encode WITH a document-boundary special token:
       // <|endoftext|> holds the reserved id 256 + |merges| (= 280 for
@@ -1784,6 +1812,24 @@ object SparkEntry {
           "doc_id", "text", merges,
           specials = Seq("<|endoftext|>"), boundary = Some("<|endoftext|>"))
         .select(col("id").as("doc_id"), col("n_tokens"), col("ids_sum"))
+        .orderBy("doc_id")
+    }),
+    "t_bpe_decode" -> ((s, dir) => {
+      // DISTRIBUTED round trip: encode with <|endoftext|> boundaries,
+      // decode with the mapPartitions twin — specials drop, byte-level
+      // vocabulary strings unmap, and every document's text returns
+      // EXACTLY (the oracle is the identity: md5 of the original text;
+      // null text encodes as '' — the encoder's own coalesce). The
+      // detok-QA pass a loader debugger runs over an exported corpus
+      val merges = graft.ops.Tokenize.loadMerges(s.read.parquet(
+        s"$repoRoot/src/test/resources/bpe_bytes_merges.parquet"))
+      val enc = graft.ops.Tokenize.bpeEncodeIds(t(s, dir, "documents"),
+          "doc_id", "text", merges,
+          specials = Seq("<|endoftext|>"), boundary = Some("<|endoftext|>"))
+      graft.ops.Tokenize.bpeDecodeIdsDf(enc, "id", "token_ids", merges,
+          specials = Seq("<|endoftext|>"))
+        .select(col("id").as("doc_id"),
+          md5(col("text").cast("binary")).as("text_md5"))
         .orderBy("doc_id")
     }),
     "t_sequences" -> ((s, dir) => {
@@ -1812,6 +1858,27 @@ object SparkEntry {
           col("complete").cast("long").as("complete"))
         .orderBy("shard", "seq_id")
     }),
+    "t_sequences_padded" -> ((s, dir) => {
+      // t_sequences WITH the pad policy: each shard's trailing partial
+      // right-pads with the <|endoftext|> id (280 = 256 + 24 corpus
+      // merges — GPT-2 practice pads with the eot token) to exactly
+      // 2048, keeps complete = false, and reports the pad count. The
+      // oracle replays n_tokens/n_pad from the same cumsum arithmetic
+      val merges = graft.ops.Tokenize.loadMerges(s.read.parquet(
+        s"$repoRoot/src/test/resources/bpe_bytes_merges.parquet"))
+      val enc = graft.ops.Tokenize.bpeEncodeIds(t(s, dir, "documents"),
+          "doc_id", "text", merges,
+          specials = Seq("<|endoftext|>"), boundary = Some("<|endoftext|>"))
+        .select(col("id").as("doc_id"), col("token_ids"))
+        .withColumn("h", xxhash64(col("doc_id")))
+        .withColumn("shard", pmod(col("h"), lit(8L)))
+      graft.ops.Chunking.fixedSequences(enc, "shard", "h", "doc_id",
+          "token_ids", 2048, padTokenId = Some(280))
+        .select(col("shard"), col("seq_id"), col("n_tokens"),
+          col("n_docs"), col("first_doc"), col("last_doc"),
+          col("complete").cast("long").as("complete"), col("n_pad"))
+        .orderBy("shard", "seq_id")
+    }),
     "t_export_packed_eot" -> ((s, dir) => {
       // the packed pretraining export WITH boundary tokens: every
       // document's stream ends in <|endoftext|> and the packer counts
@@ -1827,8 +1894,11 @@ object SparkEntry {
       val sharded = enc
         .withColumn("h", xxhash64(col("doc_id")))
         .withColumn("shard", pmod(col("h"), lit(8L)))
-      graft.ops.Chunking.packBins(sharded, "shard", "h", "n_tokens", 2048L)
-        .join(sharded.select("h", "doc_id"), Seq("h"))
+      // (h, doc_id) order: the id tiebreak keeps a 64-bit hash collision
+      // (near-certain at 10^10 docs) deterministic, and carrying the id
+      // through the pack window removes the join back entirely
+      graft.ops.Chunking.packBins(sharded, "shard", Seq("h", "doc_id"),
+          "n_tokens", 2048L)
         .select(col("doc_id"), col("shard"), col("n_tokens"),
           col("bin_id"), col("bin_offset_tokens"))
         .orderBy("doc_id")
@@ -1851,8 +1921,11 @@ object SparkEntry {
       val sharded = enc
         .withColumn("h", xxhash64(col("doc_id")))
         .withColumn("shard", pmod(col("h"), lit(8L)))
-      graft.ops.Chunking.packBins(sharded, "shard", "h", "n_tokens", 2048L)
-        .join(sharded.select("h", "doc_id"), Seq("h"))
+      // (h, doc_id) order: the id tiebreak keeps a 64-bit hash collision
+      // (near-certain at 10^10 docs) deterministic, and carrying the id
+      // through the pack window removes the join back entirely
+      graft.ops.Chunking.packBins(sharded, "shard", Seq("h", "doc_id"),
+          "n_tokens", 2048L)
         .select(col("doc_id"), col("shard"), col("n_tokens"),
           col("bin_id"), col("bin_offset_tokens"))
         .orderBy("doc_id")
@@ -2661,7 +2734,7 @@ object SparkEntry {
        |  FROM tok t JOIN xxh x USING (doc_id)
        |), c AS (
        |  SELECT doc_id, shard, n_tokens,
-       |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h
+       |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |      - n_tokens AS prev
        |  FROM d
@@ -2670,6 +2743,68 @@ object SparkEntry {
        |  CAST(prev // 2048 AS BIGINT) AS bin_id,
        |  CAST(prev AS BIGINT) AS bin_offset_tokens
        |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Fixed-length sequence boundaries replayed from per-doc token
+    * counts alone: doc spans [off, off+n) vs sequence spans
+    * [k*2048, (k+1)*2048) — overlap join; stream order is (h, doc_id)
+    * with off strictly increasing (every doc carries >= 1 token, the
+    * boundary), so arg_min/arg_max on off are unambiguous. Shared by
+    * `t_sequences` and the declarative `t_pipeline_sequences` (identical
+    * frame by contract); `padded = true` is the pad-policy twin — every
+    * emitted row reports 2048 tokens (trailing partials right-pad) plus
+    * its pad count. */
+  private def sequencesSql(padded: Boolean): String = {
+    val nTok =
+      if (padded) "CAST(2048 AS BIGINT) AS n_tokens"
+      else "CAST(LEAST(s.total, (s.k + 1) * 2048) - s.k * 2048 AS BIGINT)" +
+        " AS n_tokens"
+    val pad =
+      if (padded)
+        ",\n  CAST((s.k + 1) * 2048 - LEAST(s.total, (s.k + 1) * 2048)" +
+          " AS BIGINT) AS n_pad"
+      else ""
+    s"""WITH ${xxhash64Ctes("doc_id", "documents")},
+       |pres AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(text, ' ?[a-z]+')) AS pretoken
+       |  FROM documents
+       |), tok AS (
+       |  SELECT d.doc_id, COALESCE(s.n_tokens, 0) + 1 AS n_tokens FROM
+       |  documents d LEFT JOIN (
+       |    SELECT doc_id, CAST(SUM(r.n_tokens) AS BIGINT) AS n_tokens
+       |    FROM pres
+       |    JOIN read_parquet('$repoRoot/src/test/resources/bpe_bytes_pretoken_tokens.parquet') r
+       |      USING (pretoken)
+       |    GROUP BY doc_id) s USING (doc_id)
+       |), d AS (
+       |  SELECT t.doc_id, x.h, ((x.h % 8) + 8) % 8 AS shard,
+       |    t.n_tokens,
+       |    SUM(t.n_tokens) OVER (PARTITION BY ((x.h % 8) + 8) % 8
+       |      ORDER BY x.h, t.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - t.n_tokens AS off
+       |  FROM tok t JOIN xxh x USING (doc_id)
+       |), totals AS (
+       |  SELECT shard, SUM(n_tokens) AS total FROM d GROUP BY shard
+       |), seqs AS (
+       |  SELECT shard, total,
+       |    unnest(generate_series(CAST(0 AS BIGINT),
+       |      CAST((total - 1) // 2048 AS BIGINT))) AS k
+       |  FROM totals WHERE total > 0
+       |)
+       |SELECT s.shard, CAST(s.k AS BIGINT) AS seq_id,
+       |  $nTok,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  arg_min(d.doc_id, d.off) AS first_doc,
+       |  arg_max(d.doc_id, d.off) AS last_doc,
+       |  CAST(LEAST(s.total, (s.k + 1) * 2048) - s.k * 2048 = 2048
+       |    AS BIGINT) AS complete$pad
+       |FROM seqs s JOIN d
+       |  ON d.shard = s.shard
+       | AND d.off < (s.k + 1) * 2048 AND d.off + d.n_tokens > s.k * 2048
+       |GROUP BY s.shard, s.k, s.total
+       |ORDER BY s.shard, seq_id""".stripMargin
+  }
 
   private def indexSearchSql: String =
     s"""WITH toks AS (
@@ -5208,53 +5343,20 @@ object SparkEntry {
          |ORDER BY d.doc_id""".stripMargin,
 
     // fixed-length sequence boundaries replayed from per-doc token
-    // counts alone: doc spans [off, off+n) vs sequence spans
-    // [k*2048, (k+1)*2048) — overlap join; stream order is (h, doc_id)
-    // with off strictly increasing (every doc carries >= 1 token, the
-    // boundary), so arg_min/arg_max on off are unambiguous
-    "t_sequences" ->
-      s"""WITH ${xxhash64Ctes("doc_id", "documents")},
-         |pres AS (
-         |  SELECT doc_id,
-         |    unnest(regexp_extract_all(text, ' ?[a-z]+')) AS pretoken
-         |  FROM documents
-         |), tok AS (
-         |  SELECT d.doc_id, COALESCE(s.n_tokens, 0) + 1 AS n_tokens FROM
-         |  documents d LEFT JOIN (
-         |    SELECT doc_id, CAST(SUM(r.n_tokens) AS BIGINT) AS n_tokens
-         |    FROM pres
-         |    JOIN read_parquet('$repoRoot/src/test/resources/bpe_bytes_pretoken_tokens.parquet') r
-         |      USING (pretoken)
-         |    GROUP BY doc_id) s USING (doc_id)
-         |), d AS (
-         |  SELECT t.doc_id, x.h, ((x.h % 8) + 8) % 8 AS shard,
-         |    t.n_tokens,
-         |    SUM(t.n_tokens) OVER (PARTITION BY ((x.h % 8) + 8) % 8
-         |      ORDER BY x.h, t.doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |      - t.n_tokens AS off
-         |  FROM tok t JOIN xxh x USING (doc_id)
-         |), totals AS (
-         |  SELECT shard, SUM(n_tokens) AS total FROM d GROUP BY shard
-         |), seqs AS (
-         |  SELECT shard, total,
-         |    unnest(generate_series(CAST(0 AS BIGINT),
-         |      CAST((total - 1) // 2048 AS BIGINT))) AS k
-         |  FROM totals WHERE total > 0
-         |)
-         |SELECT s.shard, CAST(s.k AS BIGINT) AS seq_id,
-         |  CAST(LEAST(s.total, (s.k + 1) * 2048) - s.k * 2048 AS BIGINT)
-         |    AS n_tokens,
-         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  arg_min(d.doc_id, d.off) AS first_doc,
-         |  arg_max(d.doc_id, d.off) AS last_doc,
-         |  CAST(LEAST(s.total, (s.k + 1) * 2048) - s.k * 2048 = 2048
-         |    AS BIGINT) AS complete
-         |FROM seqs s JOIN d
-         |  ON d.shard = s.shard
-         | AND d.off < (s.k + 1) * 2048 AND d.off + d.n_tokens > s.k * 2048
-         |GROUP BY s.shard, s.k, s.total
-         |ORDER BY s.shard, seq_id""".stripMargin,
+    // counts alone (see sequencesSql); the declarative pipeline with a
+    // boundary-tokened tokenize + sequence_length export must emit the
+    // identical frame — same replay
+    "t_sequences" -> sequencesSql(padded = false),
+    "t_pipeline_sequences" -> sequencesSql(padded = false),
+    // the pad-policy twin: trailing partials report 2048 emitted
+    // tokens and their pad count
+    "t_sequences_padded" -> sequencesSql(padded = true),
+
+    // decode(encode(text)) identity: the oracle is the original text
+    // itself (md5 over UTF-8 bytes; null text encodes as '')
+    "t_bpe_decode" ->
+      """SELECT doc_id, md5(COALESCE(text, '')) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the t_export_packed replay with every document one boundary
     // token longer (the packer must count the inserted <|endoftext|>)
@@ -5277,7 +5379,7 @@ object SparkEntry {
          |  FROM tok t JOIN xxh x USING (doc_id)
          |), c AS (
          |  SELECT doc_id, shard, n_tokens,
-         |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h
+         |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |      - n_tokens AS prev
          |  FROM d

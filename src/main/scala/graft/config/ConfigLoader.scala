@@ -160,8 +160,19 @@ object ConfigLoader {
     m.get(k).map {
       case s: JMap[_, _] =>
         s.asScala.map { case (a, b) => a.toString -> b.asInstanceOf[Object] }.toMap
+      // a bare `redact:` key (YAML null) declares the stage with all
+      // defaults — same meaning as `redact: {}`
+      case null => Map.empty[String, Object]
       case other => throw new IllegalArgumentException(
         s"`$k` must be a map, got $other")
+    }
+
+  /** A YAML string list (`keep: [en, de]` / block form) as Seq[String]. */
+  private def strSeq(m: Map[String, Object], k: String): Option[Seq[String]] =
+    m.get(k).map {
+      case l: java.util.List[_] => l.asScala.map(_.toString).toSeq
+      case other => throw new IllegalArgumentException(
+        s"`$k` must be a list, got $other")
     }
 
   /** A pipeline source is a PLAIN Spark source map (format/path/options/
@@ -200,12 +211,42 @@ object ConfigLoader {
           IllegalArgumentException("decontaminate needs `source:`")),
         ngram = str(d, "ngram").map(_.toInt).getOrElse(8))
     }
+    val langFilter = sub(m, "lang_filter").map { l =>
+      LangFilterSpec(keep = strSeq(l, "keep").getOrElse(throw new
+        IllegalArgumentException("lang_filter needs `keep: [lang, ...]`")))
+    }
+    val redact = sub(m, "redact").map(_ => RedactSpec())
+    val lineDd = sub(m, "line_dedup").map { l =>
+      LineDedupSpec(minCount = str(l, "min_count").map(_.toLong).getOrElse(2L))
+    }
+    val spanDd = sub(m, "span_dedup").map { sd =>
+      SpanDedupSpec(
+        k = str(sd, "k").map(_.toInt).getOrElse(5),
+        minCount = str(sd, "min_count").map(_.toLong).getOrElse(2L))
+    }
+    val sourceCap = sub(m, "source_cap").map { sc =>
+      SourceCapSpec(
+        domainColumn = str(sc, "domain_column").getOrElse("source"),
+        cap = str(sc, "cap").map(_.toInt).getOrElse(throw new
+          IllegalArgumentException("source_cap needs `cap`")))
+    }
+    val mixture = sub(m, "mixture").map { mx =>
+      MixtureSpec(
+        domainColumn = str(mx, "domain_column").getOrElse(throw new
+          IllegalArgumentException("mixture needs `domain_column`")),
+        shares = sub(mx, "shares").getOrElse(throw new
+            IllegalArgumentException(
+              "mixture needs `shares: {domain: share, ...}`"))
+          .toSeq.map { case (k, v) => k -> v.toString.toDouble }.sortBy(_._1))
+    }
     val tokenize = sub(m, "tokenize").map { t =>
       TokenizeSpec(
         scheme = str(t, "scheme").getOrElse("bytes"),
         mergesPath = str(t, "merges_path"),
         numMerges = str(t, "num_merges").map(_.toInt).getOrElse(24),
-        minFreq = str(t, "min_freq").map(_.toLong).getOrElse(2L))
+        minFreq = str(t, "min_freq").map(_.toLong).getOrElse(2L),
+        specials = strSeq(t, "specials").getOrElse(Nil),
+        boundary = str(t, "boundary"))
     }
     val export = sub(m, "export").map { e =>
       ExportSpec(
@@ -218,17 +259,34 @@ object ConfigLoader {
           str(e, "max_records_per_file").map(_.toLong).getOrElse(0L),
         writeTokens = str(e, "write_tokens").exists(_.toBoolean),
         sequenceLength =
-          str(e, "sequence_length").map(_.toInt).getOrElse(0))
+          str(e, "sequence_length").map(_.toInt).getOrElse(0),
+        padTokenId = str(e, "pad_token_id").map(_.toInt))
     }
     require(export.isEmpty || tokenize.nonEmpty,
       "`export:` packs token counts — it requires `tokenize:`")
+    // the sequences contract (Chunking.fixedSequences): fixed-length
+    // rows concatenate documents, so the stream MUST carry boundary
+    // markers — a boundary-less sequence export would be unusable for
+    // training (consecutive documents indistinguishable)
+    require(export.forall(_.sequenceLength <= 0) ||
+        tokenize.exists(t => t.boundary.nonEmpty),
+      "`export.sequence_length` needs `tokenize.boundary` (e.g. " +
+        "specials: ['<|endoftext|>'], boundary: '<|endoftext|>') — " +
+        "fixed-length sequences concatenate documents and rely on the " +
+        "boundary token to mark where each ends")
     PipelineConfig(
       source = source,
       idColumn = str(m, "id_column").getOrElse("doc_id"),
       textColumn = str(m, "text_column").getOrElse("text"),
+      langFilter = langFilter,
       quality = quality,
+      redact = redact,
+      lineDedup = lineDd,
+      spanDedup = spanDd,
       dedup = dedup,
       decontaminate = decont,
+      sourceCap = sourceCap,
+      mixture = mixture,
       tokenize = tokenize,
       export = export)
   }

@@ -20,15 +20,65 @@ final case class DedupSpec(method: String = "exact")
   * `ngram`-shingle with the benchmark corpus read from `source`. */
 final case class DecontaminateSpec(source: SourceSpec, ngram: Int = 8)
 
+/** Language filter stage: keep documents whose
+  * [[graft.ops.TextAnalysis.langId]] prediction is in `keep` — the
+  * standard first cut of a web-corpus pipeline (drop everything not in
+  * the target language set before paying any deeper stage). */
+final case class LangFilterSpec(keep: Seq[String])
+
+/** PII redaction stage ([[graft.ops.Curation.redactPii]]): emails and
+  * IPv4 literals masked IN the text column, so nothing downstream —
+  * dedup fingerprints, tokenizer, export — ever sees the raw PII. */
+final case class RedactSpec()
+
+/** Line-dedup stage ([[graft.ops.Curation.lineDedup]]): every
+  * occurrence of any line repeated >= `min_count` times corpus-wide is
+  * removed (nav menus, cookie banners, licence footers); the text
+  * column is replaced by the cleaned reassembly. */
+final case class LineDedupSpec(minCount: Long = 2)
+
+/** Span-dedup stage ([[graft.ops.Curation.spanDedup]]): any `k`-token
+  * window repeated >= `min_count` times corpus-wide marks its tokens
+  * for removal (Lee et al. 2022 at token-window granularity). NOTE the
+  * operator's contract: the cleaned text is the NORMALIZED
+  * (lowercased, single-spaced) surviving token stream — declare this
+  * stage only when that normalization is acceptable downstream. */
+final case class SpanDedupSpec(k: Int = 5, minCount: Long = 2)
+
+/** Per-source cap stage ([[graft.ops.Curation.perDomainCap]]): at most
+  * `cap` documents per `domain_column` value, deterministic by id
+  * order — the anti-domination guard of corpus assembly. */
+final case class SourceCapSpec(domainColumn: String = "source", cap: Int)
+
+/** Mixture stage ([[graft.ops.Curation.mixtureWeights]] +
+  * [[graft.ops.Curation.applyMixture]]): downsample each
+  * `domain_column` value to the largest corpus hitting the target
+  * token `shares` (which must sum to 1) without upsampling any domain;
+  * domains absent from `shares` drop entirely. The draw is the
+  * deterministic per-id Bernoulli — stable under reruns and
+  * partitioning. */
+final case class MixtureSpec(
+    domainColumn: String,
+    shares: Seq[(String, Double)])
+
 /** Tokenize stage: `scheme: bytes` (GPT-2 byte-level) or `scheme: word`.
   * `merges_path` points at a pre-trained (rank, left, right, freq)
   * parquet merge table; absent, the stage TRAINS `num_merges` merges on
-  * the pipeline's own (already filtered) corpus. */
+  * the pipeline's own (already filtered) corpus.
+  *
+  * `specials` reserves control-token ids AFTER the merge ids
+  * ([[graft.ops.Tokenize.bpeVocabWithSpecial]] — data spelling a
+  * special literally still encodes as plain bytes), and `boundary`
+  * names the special the encoder appends after every document — the
+  * `<|endoftext|>` marker fixed-length sequence cutting relies on.
+  * Both are byte-scheme only (the word scheme has no id space). */
 final case class TokenizeSpec(
     scheme: String = "bytes",
     mergesPath: Option[String] = None,
     numMerges: Int = 24,
-    minFreq: Long = 2L)
+    minFreq: Long = 2L,
+    specials: Seq[String] = Nil,
+    boundary: Option[String] = None)
 
 /** Export stage: deterministic hash shuffle into `shards`, greedy
   * contiguous packing into `pack_capacity`-token bins within each shard
@@ -48,22 +98,44 @@ final case class ExportSpec(
     // `sequence_length` > 0 additionally cuts each shard's concatenated
     // id stream into exact fixed-length rows
     // ([[graft.ops.Chunking.fixedSequences]]) at
-    // `output_directory/sequences` — the loader-final form
-    sequenceLength: Int = 0)
+    // `output_directory/sequences` — the loader-final form. REQUIRES a
+    // tokenize `boundary` (the sequences contract: cut rows need the
+    // markers to know where documents end)
+    sequenceLength: Int = 0,
+    // `pad_token_id` right-pads each shard's trailing partial sequence
+    // to exactly `sequence_length` tokens (GPT-2 practice: pad with the
+    // <|endoftext|> id); absent, the partial row is emitted short with
+    // `complete = false` and the loader chooses
+    padTokenId: Option[Int] = None)
 
 /** Typed `pipeline:` YAML surface — the reference's config-as-API idea
   * (SURVEY §1.5) generalized from validation to the curation/tokenize/
-  * export side: a training-data pipeline (quality filter → dedup →
-  * decontaminate → tokenize → shard/pack) declared as configuration and
-  * executed by [[graft.core.PipelineJob]], no Scala required. Stages are
-  * all optional and run in the fixed order above; the export stage
-  * requires tokenize (it packs token counts). */
+  * export side: a training-data pipeline declared as configuration and
+  * executed by [[graft.core.PipelineJob]], no Scala required. Stages
+  * are all optional and run in the FIXED curation order below (each
+  * wraps one already-oracle-gated library operator — the declarative
+  * surface adds zero new semantics):
+  *
+  *   lang_filter → quality_filter → redact → line_dedup → span_dedup →
+  *   dedup → decontaminate → source_cap → mixture → tokenize → export
+  *
+  * (cheap scan filters first; PII masked before any fingerprint is
+  * taken; line/span boilerplate removed before document-level dedup
+  * fingerprints the text, the RefinedWeb ordering; caps and mixture on
+  * the final curated set.) The export stage requires tokenize (it
+  * packs token counts). */
 final case class PipelineConfig(
     source: SourceSpec,
     idColumn: String = "doc_id",
     textColumn: String = "text",
+    langFilter: Option[LangFilterSpec] = None,
     quality: Option[QualitySpec] = None,
+    redact: Option[RedactSpec] = None,
+    lineDedup: Option[LineDedupSpec] = None,
+    spanDedup: Option[SpanDedupSpec] = None,
     dedup: Option[DedupSpec] = None,
     decontaminate: Option[DecontaminateSpec] = None,
+    sourceCap: Option[SourceCapSpec] = None,
+    mixture: Option[MixtureSpec] = None,
     tokenize: Option[TokenizeSpec] = None,
     export: Option[ExportSpec] = None)

@@ -67,7 +67,11 @@ object IncrementalValidation {
       rebuilt: Boolean,      // full recompute (no state / params / too dirty)
       totalBuckets: Long,    // buckets observed in the current inputs
       dirtyBuckets: Long,    // buckets re-validated this run
-      cleanBuckets: Long)    // buckets answered from stored terms
+      cleanBuckets: Long,    // buckets answered from stored terms
+      // surface-specific operator signals (e.g. the PQ index's frozen-
+      // codebook seed error — the baseline its re-fit drift measure,
+      // graft.ops.Similarity.pqDrift, compares against)
+      meta: Map[String, String] = Map.empty)
 
   // v2: second digest sum independently salted (was derived from the
   // first — a single-row xxhash64 collision used to fool both sums);

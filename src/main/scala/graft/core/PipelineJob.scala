@@ -10,13 +10,15 @@ import graft.sources.SourceReader
 /** Executes a declarative `pipeline:` config ([[graft.config.PipelineConfig]])
   * — the [[ValidationJob]] twin for the curation/tokenize/export side: a
   * user writes YAML, `graft.Main pipeline.yaml` runs the full
-  * quality-filter → dedup → decontaminate → tokenize → shard/pack
-  * lifecycle with the SAME library operators a Scala caller composes
-  * (`TextAnalysis.gopherRules`, `Dedup.exact`/LSH+CC,
-  * `Curation.contamination`, `Tokenize.bpeEncodeIds`,
-  * `Chunking.packBins` over the `shuffleShards` assignment — each
-  * individually oracle-gated), so the declarative surface adds zero new
-  * semantics to verify.
+  * lang-filter → quality → redact → line/span-dedup → dedup →
+  * decontaminate → cap/mixture → tokenize → shard/pack lifecycle with
+  * the SAME library operators a Scala caller composes
+  * (`TextAnalysis.langId`/`gopherRules`, `Curation.redactPii`/
+  * `lineDedup`/`spanDedup`/`perDomainCap`/`mixtureWeights`/
+  * `contamination`, `Dedup.exact`/LSH+CC, `Tokenize.bpeEncodeIds`,
+  * `Chunking.packBins`/`fixedSequences` over the `shuffleShards`
+  * assignment — each individually oracle-gated), so the declarative
+  * surface adds zero new semantics to verify.
   *
   * Scale shape is the operators': every stage is one of the library's
   * audited plans (one-scan expression filters, capped-bucket LSH,
@@ -45,63 +47,122 @@ object PipelineJob {
     var nDocs = docs.count()
     stages += StageReport("source", nDocs, nDocs)
 
-    cfg.quality.foreach { q =>
+    // advance one stage: checkpoint (stages are reused by everything
+    // downstream), recount, record
+    def step(name: String)(next: DataFrame): Unit = {
       val before = nDocs
-      docs = q.ruleSet match {
-        case "gopher" =>
-          // gopherRules emits (id, stats, per-rule flags, pass) — keep
-          // passing ids with a semi join, so the doc payload columns
-          // survive untouched
-          docs.join(
-            TextAnalysis.gopherRules(docs, id, text, q.minWords, q.maxWords)
-              .filter(col("pass")).select(col(id)),
-            Seq(id), "left_semi")
-        case "score" =>
-          docs.filter(TextAnalysis.qualityScore(col(text)) >= q.minScore)
-        case other => throw new IllegalArgumentException(
-          s"unknown quality rule_set `$other` (gopher | score)")
-      }
-      docs = docs.localCheckpoint()
+      docs = next.localCheckpoint()
       nDocs = docs.count()
-      stages += StageReport(s"quality_${q.ruleSet}", before, nDocs)
+      stages += StageReport(name, before, nDocs)
+    }
+
+    cfg.langFilter.foreach { lf =>
+      require(lf.keep.nonEmpty, "lang_filter needs a non-empty keep set")
+      step("lang_filter") {
+        docs.filter(TextAnalysis.langId(col(text)).isin(lf.keep: _*))
+      }
+    }
+
+    cfg.quality.foreach { q =>
+      step(s"quality_${q.ruleSet}") {
+        q.ruleSet match {
+          case "gopher" =>
+            // gopherRules emits (id, stats, per-rule flags, pass) — keep
+            // passing ids with a semi join, so the doc payload columns
+            // survive untouched
+            docs.join(
+              TextAnalysis.gopherRules(docs, id, text, q.minWords, q.maxWords)
+                .filter(col("pass")).select(col(id)),
+              Seq(id), "left_semi")
+          case "score" =>
+            docs.filter(TextAnalysis.qualityScore(col(text)) >= q.minScore)
+          case other => throw new IllegalArgumentException(
+            s"unknown quality rule_set `$other` (gopher | score)")
+        }
+      }
+    }
+
+    cfg.redact.foreach { _ =>
+      // mask BEFORE any fingerprint/tokenizer touches the text — nothing
+      // downstream ever sees the raw PII
+      step("redact") {
+        Curation.redactPii(docs, text)
+          .withColumn(text, col("redacted"))
+          .drop("redacted", "n_emails", "n_ips")
+      }
+    }
+
+    cfg.lineDedup.foreach { ld =>
+      // lineDedup emits (id, clean_text, line counts) — rejoin so the
+      // doc payload columns survive, with the cleaned text in place
+      step("line_dedup") {
+        docs.drop(text).join(
+          Curation.lineDedup(docs, id, text, ld.minCount)
+            .select(col(id), col("clean_text").as(text)),
+          Seq(id))
+      }
+    }
+
+    cfg.spanDedup.foreach { sd =>
+      step("span_dedup") {
+        docs.drop(text).join(
+          Curation.spanDedup(docs, id, text, sd.k, sd.minCount)
+            .select(col(id), col("clean_text").as(text)),
+          Seq(id))
+      }
     }
 
     cfg.dedup.foreach { d =>
-      val before = nDocs
-      docs = d.method match {
-        case "exact" =>
-          // min-id survivor per exact normalized-text fingerprint
-          Dedup.exact(
-            docs.withColumn("__fp", TextAnalysis.fingerprint(col(text))),
-            id, Seq("__fp")).drop("__fp")
-        case "minhash" =>
-          // LSH candidates -> connected components; each duplicate
-          // group's ROOT (its min id) survives, non-candidates pass
-          val labels = Dedup.connectedComponentsStar(
-            Dedup.minhashCandidates(
-              Dedup.minhashSignatures(docs, id, text)))
-          docs.join(
-            labels.filter(col("id") =!= col("component"))
-              .select(col("id").as(id)),
-            Seq(id), "left_anti")
-        case other => throw new IllegalArgumentException(
-          s"unknown dedup method `$other` (exact | minhash)")
+      step(s"dedup_${d.method}") {
+        d.method match {
+          case "exact" =>
+            // min-id survivor per exact normalized-text fingerprint
+            Dedup.exact(
+              docs.withColumn("__fp", TextAnalysis.fingerprint(col(text))),
+              id, Seq("__fp")).drop("__fp")
+          case "minhash" =>
+            // LSH candidates -> connected components; each duplicate
+            // group's ROOT (its min id) survives, non-candidates pass
+            val labels = Dedup.connectedComponentsStar(
+              Dedup.minhashCandidates(
+                Dedup.minhashSignatures(docs, id, text)))
+            docs.join(
+              labels.filter(col("id") =!= col("component"))
+                .select(col("id").as(id)),
+              Seq(id), "left_anti")
+          case other => throw new IllegalArgumentException(
+            s"unknown dedup method `$other` (exact | minhash)")
+        }
       }
-      docs = docs.localCheckpoint()
-      nDocs = docs.count()
-      stages += StageReport(s"dedup_${d.method}", before, nDocs)
     }
 
     cfg.decontaminate.foreach { dc =>
-      val before = nDocs
-      val bench = SourceReader.read(spark, dc.source)
-      val contaminated = Curation.contamination(docs, bench, id, text,
-          dc.ngram)
-        .filter(col("contaminated") === 1L)
-        .select(col("id").as(id))
-      docs = docs.join(contaminated, Seq(id), "left_anti").localCheckpoint()
-      nDocs = docs.count()
-      stages += StageReport("decontaminate", before, nDocs)
+      step("decontaminate") {
+        val bench = SourceReader.read(spark, dc.source)
+        val contaminated = Curation.contamination(docs, bench, id, text,
+            dc.ngram)
+          .filter(col("contaminated") === 1L)
+          .select(col("id").as(id))
+        docs.join(contaminated, Seq(id), "left_anti")
+      }
+    }
+
+    cfg.sourceCap.foreach { sc =>
+      step("source_cap") {
+        Curation.perDomainCap(docs, sc.domainColumn, id, sc.cap)
+          .drop("domain_rank")
+      }
+    }
+
+    cfg.mixture.foreach { mx =>
+      step("mixture") {
+        val weights = Curation.mixtureWeights(
+          docs.select(col(mx.domainColumn),
+            TextAnalysis.tokenEstimate(col(text)).as("__toks")),
+          mx.domainColumn, "__toks", mx.shares)
+        Curation.applyMixture(docs, mx.domainColumn, id, weights)
+          .drop("rate_q20")
+      }
     }
 
     var out = docs
@@ -119,8 +180,13 @@ object PipelineJob {
       }
       val merges = Tokenize.loadMerges(mergesDf)
       out = tk.scheme match {
-        case "bytes" => Tokenize.bpeEncodeIds(docs, id, text, merges)
-        case "word" => Tokenize.bpeEncode(docs, id, text, merges)
+        case "bytes" => Tokenize.bpeEncodeIds(docs, id, text, merges,
+          specials = tk.specials, boundary = tk.boundary)
+        case "word" =>
+          require(tk.specials.isEmpty && tk.boundary.isEmpty,
+            "specials/boundary are byte-scheme only (the word scheme " +
+              "has no reserved-id space)")
+          Tokenize.bpeEncode(docs, id, text, merges)
         case other => throw new IllegalArgumentException(
           s"unknown tokenize scheme `$other` (bytes | word)")
       }
@@ -128,21 +194,29 @@ object PipelineJob {
     }
 
     cfg.export.foreach { ex =>
-      // the YAML loader enforces this too — repeated here for
+      // the YAML loader enforces these too — repeated here for
       // programmatically built configs
       require(cfg.tokenize.nonEmpty,
         "`export` packs token counts — it requires `tokenize`")
+      require(ex.sequenceLength <= 0 ||
+          cfg.tokenize.exists(_.boundary.nonEmpty),
+        "`sequence_length` needs `tokenize.boundary` — fixed-length " +
+          "sequences concatenate documents and rely on the boundary " +
+          "token to mark where each ends")
+      require(ex.padTokenId.isEmpty || ex.sequenceLength > 0,
+        "`pad_token_id` only applies with `sequence_length`")
       // t_export_packed's exact composition: deterministic hash shuffle
       // into shards, greedy contiguous packing within each shard in
-      // hash order — one narrow encode pass upstream + one shard-keyed
-      // exchange here
+      // (hash, id) order — one narrow encode pass upstream + one
+      // shard-keyed exchange here. The id tiebreak keeps a 64-bit hash
+      // collision (near-certain at 10^10 docs) deterministic, and
+      // carrying the id through the pack window removes the join back
       val enc = out.select(col("id").as(id), col("n_tokens"))
       val sharded = enc
         .withColumn("h", xxhash64(col(id)))
         .withColumn("shard", pmod(col("h"), lit(ex.shards.toLong)))
-      val packed = Chunking.packBins(sharded, "shard", "h", "n_tokens",
-          ex.packCapacity)
-        .join(sharded.select("h", id), Seq("h"))
+      val packed = Chunking.packBins(sharded, "shard", Seq("h", id),
+          "n_tokens", ex.packCapacity)
         .select(col(id), col("shard"), col("n_tokens"),
           col("bin_id"), col("bin_offset_tokens"))
       packed.write.mode("overwrite")
@@ -164,7 +238,8 @@ object PipelineJob {
           "sequence_length needs `tokenize: {scheme: bytes}` (token_ids)")
         Chunking.fixedSequences(sharded
             .join(out.select(col("id").as(id), col("token_ids")), Seq(id)),
-            "shard", "h", id, "token_ids", ex.sequenceLength)
+            "shard", "h", id, "token_ids", ex.sequenceLength,
+            ex.padTokenId)
           .write.mode("overwrite")
           .option("maxRecordsPerFile", ex.maxRecordsPerFile)
           .partitionBy("shard")

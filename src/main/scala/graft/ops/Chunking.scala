@@ -21,7 +21,8 @@ object Chunking {
   /** One emitted row of [[fixedSequences]]' per-partition sweep. */
   private[graft] final case class FixedSeq(shard: Long, seq_id: Long,
       n_tokens: Long, n_docs: Long, first_doc: Long, last_doc: Long,
-      token_ids: Array[Int], ids_sum: Long, complete: Boolean)
+      token_ids: Array[Int], ids_sum: Long, complete: Boolean,
+      n_pad: Long)
 
   /** Fixed-size character chunks with overlap. Chunk k (0-based) covers
     * `[k*stride, k*stride + size)` of the text where
@@ -46,27 +47,43 @@ object Chunking {
   }
 
   /** Greedy contiguous sequence packing: within each `packKey` partition,
-    * documents are taken in `orderCol` order and assigned to bins by the
+    * documents are taken in `orderCols` order and assigned to bins by the
     * running token count — a document opens a new bin when the PREVIOUS
     * cumulative count has reached the next capacity boundary
     * (`bin = floor(prev_cumsum / capacity)`). Bins are contiguous runs;
     * a document straddling a boundary stays in the earlier bin (the
     * standard pack-then-truncate shape for context-window filling).
-    * Output: one row per doc with its bin assignment and offset.
-    */
-  def packBins(docs: DataFrame, packKey: String, orderCol: String,
+    * Output: one row per doc — `orderCols` all carry through, so a
+    * caller ordering by (hash, id) gets the id back WITHOUT a join —
+    * with its bin assignment and offset.
+    *
+    * `orderCols` must be a total order (include the document id as the
+    * final tiebreak when the leading key is a hash): two ids colliding
+    * on a 64-bit hash are a near-certainty at 10^10 documents, and an
+    * under-specified order would leave their bin assignment
+    * plan-dependent. */
+  def packBins(docs: DataFrame, packKey: String, orderCols: Seq[String],
       tokenCountCol: String, capacity: Long): DataFrame = {
     require(capacity > 0, "capacity must be positive")
-    val w = Window.partitionBy(packKey).orderBy(orderCol)
+    require(orderCols.nonEmpty, "need at least one order column")
+    val w = Window.partitionBy(packKey).orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("__cum", sum(col(tokenCountCol)).over(w))
       .withColumn("__prev", col("__cum") - col(tokenCountCol))
-      .select(col(packKey), col(orderCol), col(tokenCountCol),
+      .select(col(packKey) +: orderCols.map(col) :+ col(tokenCountCol) :+
         // integer division: `/` on longs is double division in Spark SQL
-        expr(s"__prev DIV $capacity").as("bin_id"),
-        col("__prev").as("bin_offset_tokens"))
+        expr(s"__prev DIV $capacity").as("bin_id") :+
+        col("__prev").as("bin_offset_tokens"): _*)
   }
+
+  /** Single order-column form of [[packBins]] — sound only when
+    * `orderCol` is already unique within each pack key (e.g. a document
+    * id); hash orderings must use the multi-column form with the id as
+    * tiebreak. */
+  def packBins(docs: DataFrame, packKey: String, orderCol: String,
+      tokenCountCol: String, capacity: Long): DataFrame =
+    packBins(docs, packKey, Seq(orderCol), tokenCountCol, capacity)
 
   /** FIXED-LENGTH training sequences — the terminal step a real loader
     * consumes: within each shard, concatenate the documents' token-id
@@ -76,13 +93,21 @@ object Chunking {
     * is why the export inserts `<|endoftext|>` boundaries first:
     * sequences need them to mark where documents end). The trailing
     * partial sequence of each shard is emitted with `complete = false`
-    * so the caller chooses drop-or-pad.
+    * so the caller chooses drop-or-pad — and `padTokenId` IS the pad
+    * choice: when set, the trailing partial is right-padded with that
+    * id to exactly `seqLen` tokens (the standard loader contract:
+    * every row the same length; GPT-2 practice pads with the
+    * `<|endoftext|>` id itself). The padded row keeps
+    * `complete = false` and reports the pad count in `n_pad`;
+    * `n_tokens` and `ids_sum` describe the EMITTED array, pads
+    * included, so the checksum still replays from the row alone.
     *
     * Output: (shard, seq_id, n_tokens, n_docs, first_doc, last_doc,
-    * token_ids, ids_sum, complete) — seq_id is the 0-based sequence
-    * index within the shard; n_docs counts the documents CONTRIBUTING
-    * at least one token; first_doc/last_doc are their `idCol` values in
-    * stream order.
+    * token_ids, ids_sum, complete, n_pad) — seq_id is the 0-based
+    * sequence index within the shard; n_docs counts the documents
+    * CONTRIBUTING at least one token; first_doc/last_doc are their
+    * `idCol` values in stream order; n_pad is 0 everywhere except a
+    * padded trailing partial.
     *
     * Scale: ONE hash exchange on the shard key + a per-partition sorted
     * sweep (mapPartitions — genuinely per-partition imperative state:
@@ -94,7 +119,8 @@ object Chunking {
     * result is a pure function of (rows, orderCol) — partitioning
     * cannot perturb it (spec-pinned across partitionings). */
   def fixedSequences(enc: DataFrame, shardCol: String, orderCol: String,
-      idCol: String, idsCol: String, seqLen: Int): DataFrame = {
+      idCol: String, idsCol: String, seqLen: Int,
+      padTokenId: Option[Int] = None): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val spark = enc.sparkSession
     import spark.implicits._
@@ -122,10 +148,15 @@ object Chunking {
           private var drained = false
           private def flush(complete: Boolean): Unit = {
             if (buf.nonEmpty) {
+              var nPad = 0L
+              if (!complete) padTokenId.foreach { pad =>
+                nPad = (seqLen - buf.length).toLong
+                while (buf.length < seqLen) buf += pad
+              }
               val arr = buf.toArray
               pending += FixedSeq(shard, seqId, arr.length.toLong,
                 docs.length.toLong, docs.head, docs.last, arr,
-                arr.map(_.toLong).sum, complete)
+                arr.map(_.toLong).sum, complete, nPad)
               seqId += 1
             }
             buf = new ArrayBuffer[Int](seqLen)
@@ -161,6 +192,6 @@ object Chunking {
         }
       }
       .toDF("shard", "seq_id", "n_tokens", "n_docs", "first_doc",
-        "last_doc", "token_ids", "ids_sum", "complete")
+        "last_doc", "token_ids", "ids_sum", "complete", "n_pad")
   }
 }

@@ -87,10 +87,11 @@ object IncrementalAgg {
     * partitions if the fold's swap hasn't landed — the watermark is
     * written BEFORE the swap, so it can only over-fence, never
     * under-fence). */
-  private def readWatermark(fs: org.apache.hadoop.fs.FileSystem,
-      stateDir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(watermarkPath(stateDir))
-    if (!fs.exists(p)) -1L
+  /** Small marker file, read fully; None when absent. */
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       try {
@@ -98,23 +99,47 @@ object IncrementalAgg {
         val chunk = new Array[Byte](256)
         var n = in.read(chunk)
         while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        new String(buf.toByteArray, "UTF-8").trim.toLong
+        Some(new String(buf.toByteArray, "UTF-8").trim)
       } finally in.close()
     }
   }
 
-  private def writeWatermark(fs: org.apache.hadoop.fs.FileSystem,
-      stateDir: String, value: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(watermarkPath(stateDir))
-    val tmp = new org.apache.hadoop.fs.Path(watermarkPath(stateDir) + ".tmp")
+  /** Atomic (write-tmp + rename) small marker write. */
+  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, value: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write(value.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(value.getBytes("UTF-8")) finally out.close()
     if (fs.exists(p)) fs.delete(p, false)
-    // a crash inside this window only LOWERS the fence (no watermark /
-    // the old one) — replays then fall back to the dynamic-overwrite
-    // idempotency, which is still correct pre-swap
     mustRename(fs, tmp, p)
   }
+
+  private def readWatermark(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String): Long =
+    readMarker(fs, watermarkPath(stateDir)).map(_.toLong).getOrElse(-1L)
+
+  private def writeWatermark(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String, value: Long): Unit =
+    // a crash inside writeMarker's delete+rename window only LOWERS the
+    // fence (no watermark / the old one) — replays then fall back to
+    // the dynamic-overwrite idempotency, which is still correct pre-swap
+    writeMarker(fs, watermarkPath(stateDir), value.toString)
+
+  private def fenceOwnerPath(stateDir: String) = s"$stateDir/agg_fence_owner"
+
+  /** The streaming query that feeds this store, when one is co-located:
+    * Structured Streaming writes `{"id":"<uuid>"}` to `metadata` at the
+    * checkpoint root before any batch runs — stable across restarts of
+    * the SAME checkpoint, fresh when the checkpoint is reset. The
+    * [[graft.streaming.StreamingOps]] maintainers put the checkpoint at
+    * `{stateDir}/checkpoint`, so the identity is readable here without
+    * any API plumbing; direct batch callers have none. */
+  private def streamIdentity(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String): Option[String] =
+    readMarker(fs, s"$stateDir/checkpoint/metadata").flatMap { s =>
+      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(s).map(_.group(1))
+    }
 
   /** Does the store hold at least one data file? An empty-table
     * maintenance pass writes only markers (_SUCCESS), which parquet
@@ -422,12 +447,59 @@ object IncrementalAgg {
       recoverStore(batch.sparkSession, stateDir)
       val wmFs = new org.apache.hadoop.fs.Path(stateDir)
         .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+      // fence OWNERSHIP before the fence: batch ids are only comparable
+      // within ONE streaming query's lifetime. If the checkpoint was
+      // reset while the store was kept, ids restart at 0 — the fence
+      // would silently swallow real data and the dynamic overwrite
+      // would replace the OLD stream's same-numbered partitions. The
+      // co-located checkpoint's query uuid is the identity; a mismatch
+      // with the recorded owner fails LOUDLY (recover with
+      // [[rebaseAppendStore]], the deliberate act).
+      val streamId = streamIdentity(wmFs, stateDir)
+      val wm = readWatermark(wmFs, stateDir)
+      streamId.foreach { sid =>
+        readMarker(wmFs, fenceOwnerPath(stateDir)) match {
+          case Some(owner) if owner != sid =>
+            throw new IllegalStateException(
+              s"append store at $stateDir was built by streaming query " +
+                s"$owner but this batch comes from query $sid — the " +
+                "checkpoint was reset (or a different stream points " +
+                "here) while the store was kept; batch ids are not " +
+                "comparable across query lifetimes, so appending would " +
+                "silently lose or double-count data. To keep the store " +
+                "and feed it from a new stream, run " +
+                "IncrementalAgg.rebaseAppendStore first; to start over, " +
+                "delete the state directory.")
+          case None =>
+            if (wm >= 0)
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"adopting streaming query $sid as fence owner of the " +
+                  s"existing append store at $stateDir (watermark $wm " +
+                  "predates ownership tracking — earlier batches cannot " +
+                  "be verified against this query's id space)")
+            writeMarker(wmFs, fenceOwnerPath(stateDir), sid)
+          case _ => ()
+        }
+      }
       // replay fence: a batch at or below the compaction watermark has
       // already been FOLDED into the base partition — its own
       // `__batch=<id>` partitions are gone, so the dynamic overwrite
       // would append a second copy instead of replacing. Skip; the
       // counts are provably present (see [[readWatermark]]).
-      if (batchId <= readWatermark(wmFs, stateDir)) return
+      if (batchId <= wm) {
+        if (streamId.isEmpty && wm >= 0)
+          // a direct batch caller has no verifiable identity — the skip
+          // is correct for a same-run replay but silent data loss if
+          // the caller restarted its own id sequence; say so
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"append store at $stateDir: skipping batch $batchId at or " +
+              s"below the compaction watermark $wm (no co-located " +
+              "streaming checkpoint to verify the caller's id space — " +
+              "if this batch is NOT a replay of the fenced one, its " +
+              "data is being dropped; rebaseAppendStore resets the " +
+              "fence for a new id sequence)")
+        return
+      }
       val withB = batch.withColumn("__bucket",
         when(col(idCol).isNull, lit(-1L)).otherwise(
           pmod(xxhash64(col(idCol).cast(StringType)),
@@ -474,6 +546,37 @@ object IncrementalAgg {
   def compactAppendStore(spark: SparkSession, stateDir: String,
       keyCols: Seq[String], valCol: String): Unit =
     compactWith(spark, stateDir, keyCols, valCol)
+
+  /** Point a NEW streaming query (fresh checkpoint, batch ids restarting
+    * at 0) at a KEPT append store — the deliberate recovery from the
+    * ownership mismatch [[appendFold]] throws on: fold every batch
+    * partition into the base (`__batch=-1`), reset the replay fence to
+    * -1, clear the fence owner, and delete the stale co-located
+    * checkpoint so the next [[graft.streaming.StreamingOps]] maintainer
+    * starts a genuinely fresh query. After the rebase the new stream's
+    * batch 0 is above the fence (nothing skipped) and no old
+    * `__batch=K` partition remains for it to collide with (nothing
+    * double-counted or overwritten).
+    *
+    * OFFLINE admin operation: run between stopping the old query and
+    * starting the new one — the history rewrite and fence reset are one
+    * logical act, serialized against appends by the store lease but not
+    * atomic against a stream started mid-rebase. */
+  def rebaseAppendStore(spark: SparkSession, stateDir: String,
+      keyCols: Seq[String], valCol: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (storeHasData(fs, storePath(stateDir)))
+      compactWith(spark, stateDir, keyCols, valCol)
+    val lease = IncrementalValidation.acquireLease(spark, stateDir)
+    try {
+      writeWatermark(fs, stateDir, -1L)
+      fs.delete(new org.apache.hadoop.fs.Path(fenceOwnerPath(stateDir)),
+        false)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/checkpoint"),
+        true)
+    } finally lease.release()
+  }
 
   /** Compact iff the store holds more than `maxBatchParts` batch
     * partitions — the generic [[maybeCompactVocabStore]]. */

@@ -732,10 +732,23 @@ object Similarity {
     pqBooksWrite(corpus, stateDir, m, ksub, idCol, vecCol)
     val (bBooks, subDim) = loadBooks(spark, stateDir)
     val sig = booksSignature(bBooks)
-    IncrementalAgg.run(corpus, idCol, Seq(vecCol),
+    val (codes, report) = IncrementalAgg.run(corpus, idCol, Seq(vecCol),
       encodePartial(bBooks, m, subDim, idCol, vecCol),
       aggKey = s"pqcodes:m=$m,ksub=$ksub,vec=$vecCol,books=$sig",
       stateDir, nBuckets, dirtyFractionLimit, bucketCol)
+    // surface the frozen books' re-fit baseline in the run record: the
+    // seed quantization error [[pqDrift]] measures churn slices against
+    // (metadata read — one 1-row parquet, no corpus work)
+    val meta = readSeedError(spark, stateDir)
+      .map { case (n, errSum) =>
+        Map(
+          "pq_books_signature" -> sig,
+          "pq_seed_n" -> n.toString,
+          "pq_seed_mean_err" ->
+            (if (n == 0) "0" else (errSum / BigDecimal(n)).toString))
+      }
+      .getOrElse(Map("pq_books_signature" -> sig))
+    (codes, report.copy(meta = report.meta ++ meta))
   }
 
   /** Fit-if-missing the FROZEN codebooks under `stateDir/books` — the
@@ -765,8 +778,91 @@ object Similarity {
         lease.check()
         graft.core.IncrementalValidation.swapWrite(spark, b,
           booksPath(stateDir))
+        // record the seed quantization error NEXT to the books — the
+        // fit-time baseline [[pqDrift]]'s re-fit signal compares churn
+        // slices against. One extra corpus pass, paid exactly when the
+        // fit itself is (the corpus-priced seed run)
+        val subDim = rows.head
+          .getAs[scala.collection.Seq[Long]]("qcsv").size
+        graft.core.IncrementalValidation.swapWrite(spark,
+          quantErrorAgg(corpus, b, m, subDim, idCol, vecCol),
+          booksErrPath(stateDir))
       }
     } finally lease.release()
+  }
+
+  private def booksErrPath(stateDir: String) = s"$stateDir/books_err"
+
+  /** ADC quantization error of `corpus` under `bBooks`, aggregated to
+    * ONE row (n, err_sum): per vector, the sum over subspaces of the
+    * integer squared distance to its chosen (argmin) codeword — exactly
+    * what the stored code loses vs the raw vector. err_sum is
+    * DECIMAL(38,0) (q24 squared distances overflow a BIGINT sum at
+    * corpus scale); work scales with the frame passed in. */
+  private def quantErrorAgg(corpus: DataFrame, bBooks: DataFrame, m: Int,
+      subDim: Int, idCol: String, vecCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    corpus.select(col(idCol).as("vid"),
+        posexplode(array((0 until m).map(s0 =>
+          slice(q24Vec(col(vecCol)), s0 * subDim + 1, subDim)): _*)))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "qsv")
+      .join(broadcast(bBooks), Seq("sub"))
+      .groupBy("vid", "sub")
+      .agg(min(intSqDistFused(col("qsv"), col("qcsv"))).as("d"))
+      .agg((count(lit(1)) / m).cast("long").as("n"),
+        coalesce(sum(col("d").cast(dec)), lit(0).cast(dec)).as("err_sum"))
+  }
+
+  /** The stored seed (n, err_sum) from fit time, None when the state
+    * predates the baseline (books written by an older build). */
+  private def readSeedError(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Option[(Long, BigDecimal)] = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(booksErrPath(stateDir))))
+      None
+    else {
+      val r = spark.read.parquet(booksErrPath(stateDir)).head()
+      Some((r.getAs[Long]("n"),
+        BigDecimal(r.getAs[java.math.BigDecimal]("err_sum"))))
+    }
+  }
+
+  /** RE-FIT SIGNAL for the frozen codebooks: mean per-vector ADC
+    * quantization error of `slice` under the stored books, against the
+    * seed corpus's error recorded at fit time. As the corpus
+    * distribution drifts away from what the books were fit on, new
+    * vectors land farther from every codeword and the ratio climbs —
+    * that is the operator's cue to re-fit (delete `{stateDir}/books`;
+    * wholesale rebuild stays a DELIBERATE act, the frozen-codebook
+    * contract). The threshold is the operator's call: ~1 means the
+    * slice quantizes as well as the seed corpus did; sustained drift
+    * well above 1 means recall is degrading.
+    *
+    * Pass the churned/arriving rows (or any sample) as `slice` — work
+    * scales with it, never the corpus. Returns one row: (seed_n,
+    * seed_mean_err, slice_n, slice_mean_err, drift_ratio). Requires a
+    * state whose books were written with the fit-time baseline. */
+  def pqDrift(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+      slice: DataFrame, m: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (bBooks, subDim) = loadBooks(spark, stateDir)
+    val (seedN, seedSum) = readSeedError(spark, stateDir).getOrElse(
+      throw new IllegalStateException(
+        s"no seed-error baseline at ${booksErrPath(stateDir)} — the " +
+          "books predate drift tracking; delete the books to re-fit " +
+          "(the next maintenance run records the baseline)"))
+    require(seedN > 0, "seed baseline is empty — re-fit the books")
+    val seedMean = (seedSum / BigDecimal(seedN)).toDouble
+    quantErrorAgg(slice, bBooks, m, subDim, idCol, vecCol)
+      .select(
+        lit(seedN).as("seed_n"),
+        lit(seedMean).as("seed_mean_err"),
+        col("n").as("slice_n"),
+        (col("err_sum").cast("double") / col("n")).as("slice_mean_err"),
+        when(lit(seedMean) > 0d,
+            col("err_sum").cast("double") / col("n") / seedMean)
+          .as("drift_ratio"))
   }
 
   /** Stored books as a 1-partition broadcastable frame + the subspace

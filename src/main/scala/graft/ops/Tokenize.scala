@@ -616,7 +616,7 @@ object Tokenize {
     * remaining byte-level vocabulary strings concatenate through
     * [[byteUnmap]] — with a boundary special this inverts the encode
     * exactly (losslessness spec-pinned). Driver-side helper for tests
-    * and loaders; the distributed inverse is a mapPartitions twin. */
+    * and loaders; the distributed inverse is [[bpeDecodeIdsDf]]. */
   def bpeDecodeIds(tokenIds: Seq[Int], merges: Seq[(String, String)],
       specials: Seq[String] = Nil): String = {
     val vocab = (if (specials.isEmpty) bpeVocab(merges)
@@ -626,6 +626,51 @@ object Tokenize {
       256 + merges.length + specials.length).toSet
     byteUnmap(tokenIds.filterNot(specialIds)
       .map(vocab(_)).mkString)
+  }
+
+  /** DISTRIBUTED decode — the mapPartitions twin of [[bpeDecodeIds]],
+    * for detok QA and loader debugging over a whole exported corpus:
+    * (id, token_ids) rows back to (id, text). The id->string vocabulary
+    * is a broadcast ARRAY (dense ids by construction: 0..255 bytes,
+    * merges, specials — O(1) lookup, no per-token hashing); special ids
+    * decode to NOTHING (pipeline markers, not text), so
+    * `bpeDecodeIdsDf(bpeEncodeIds(docs, ..., boundary=...))` returns
+    * each document's text exactly (null text encoded as '' — the
+    * encoder's own coalesce). One narrow pass, no shuffle; work and
+    * output scale with the token stream, like the encode. An id outside
+    * the vocabulary throws — decoding with the wrong merge table must
+    * fail loudly, not emit garbage text. */
+  def bpeDecodeIdsDf(enc: DataFrame, idCol: String, idsCol: String,
+      merges: Seq[(String, String)],
+      specials: Seq[String] = Nil): DataFrame = {
+    val spark = enc.sparkSession
+    import spark.implicits._
+    val vocabArr = (if (specials.isEmpty) bpeVocab(merges)
+      else bpeVocabWithSpecial(merges, specials)).map(_._1).toArray
+    val nonSpecial = 256 + merges.length // ids below this are text
+    val bc = spark.sparkContext.broadcast(vocabArr)
+    enc
+      .select(col(idCol).cast("long").as("id"),
+        coalesce(col(idsCol), typedLit(Array.empty[Int])).as("ids"))
+      .as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val vocab = bc.value
+        it.map { case (id, ids) =>
+          val sb = new java.lang.StringBuilder
+          var i = 0
+          while (i < ids.length) {
+            val t = ids(i)
+            if (t < 0 || t >= vocab.length)
+              throw new IllegalArgumentException(
+                s"token id $t out of vocabulary range [0, ${vocab.length})" +
+                  " — wrong merge table or specials list for this corpus")
+            if (t < nonSpecial) sb.append(vocab(t))
+            i += 1
+          }
+          (id, byteUnmap(sb.toString))
+        }
+      }
+      .toDF("id", "text")
   }
 
   /** BYTE-LEVEL encode: (id, n_pretokens, n_tokens, tokens). The same

@@ -149,7 +149,11 @@ class PipelineJobSpec extends AnyFunSuite with SparkSpec {
     val yaml =
       s"""pipeline:
          |  source: {format: parquet, path: $sfDir/documents.parquet}
-         |  tokenize: {scheme: bytes, merges_path: $mergesPath}
+         |  tokenize:
+         |    scheme: bytes
+         |    merges_path: $mergesPath
+         |    specials: ['<|endoftext|>']
+         |    boundary: '<|endoftext|>'
          |  export:
          |    shards: 4
          |    pack_capacity: 2048
@@ -178,6 +182,183 @@ class PipelineJobSpec extends AnyFunSuite with SparkSpec {
     val seqTokens = seqs.agg(su("n_tokens")).head().getLong(0)
     val docTokens = tokens.agg(su("n_tokens")).head().getLong(0)
     assert(seqTokens == docTokens, "token mass conserved")
+  }
+
+  test("tokenize specials/boundary parse from YAML and flow to the " +
+      "encoder; sequence_length without a boundary is refused by the " +
+      "loader AND the job") {
+    val outDir = Files.createTempDirectory("plsq").toString
+    val yaml =
+      s"""pipeline:
+         |  source: {format: parquet, path: $sfDir/documents.parquet}
+         |  tokenize:
+         |    scheme: bytes
+         |    merges_path: $mergesPath
+         |    specials: ['<|endoftext|>']
+         |    boundary: '<|endoftext|>'
+         |  export:
+         |    shards: 8
+         |    pack_capacity: 2048
+         |    output_directory: $outDir
+         |    sequence_length: 2048
+         |""".stripMargin
+    val cfg = ConfigLoader.pipelineFromYamlString(yaml)
+    assert(cfg.tokenize.get.specials == Seq("<|endoftext|>"))
+    assert(cfg.tokenize.get.boundary.contains("<|endoftext|>"))
+    assert(cfg.export.get.sequenceLength == 2048)
+    // boundary-less sequence export: the loader refuses it outright
+    val bad = yaml.replace("    specials: ['<|endoftext|>']\n", "")
+      .replace("    boundary: '<|endoftext|>'\n", "")
+    val exL = intercept[IllegalArgumentException] {
+      ConfigLoader.pipelineFromYamlString(bad)
+    }
+    assert(exL.getMessage.contains("boundary"))
+    // ... and so does the job, for programmatically built configs
+    val exJ = intercept[IllegalArgumentException] {
+      PipelineJob.run(spark, cfg.copy(
+        tokenize = cfg.tokenize.map(_.copy(boundary = None, specials = Nil))))
+    }
+    assert(exJ.getMessage.contains("boundary"))
+  }
+
+  test("pipeline sequences output equals the direct t_sequences " +
+      "composition (same merges, boundary, shards, cut) — the gated " +
+      "contract") {
+    val got = rows(SparkEntry.queries("t_pipeline_sequences")(spark, sfDir))
+    val want = rows(SparkEntry.queries("t_sequences")(spark, sfDir))
+    assert(got == want, "pipeline sequences == direct composition")
+    assert(got.nonEmpty)
+  }
+
+  test("pad_token_id parses and pads the trailing partials to exactly " +
+      "sequence_length") {
+    val outDir = Files.createTempDirectory("plpad").toString
+    val yaml =
+      s"""pipeline:
+         |  source: {format: parquet, path: $sfDir/documents.parquet}
+         |  tokenize:
+         |    scheme: bytes
+         |    merges_path: $mergesPath
+         |    specials: ['<|endoftext|>']
+         |    boundary: '<|endoftext|>'
+         |  export:
+         |    shards: 8
+         |    pack_capacity: 2048
+         |    output_directory: $outDir
+         |    sequence_length: 2048
+         |    pad_token_id: 280
+         |""".stripMargin
+    val cfg = ConfigLoader.pipelineFromYamlString(yaml)
+    assert(cfg.export.get.padTokenId.contains(280))
+    PipelineJob.run(spark, cfg)
+    val seqs = spark.read.parquet(s"$outDir/sequences")
+    import org.apache.spark.sql.functions.{col => c}
+    assert(seqs.filter(c("n_tokens") =!= 2048).count() == 0,
+      "every emitted row is exactly sequence_length tokens")
+    assert(seqs.filter(!c("complete")).count() ==
+      seqs.filter(c("n_pad") > 0).count(),
+      "pads appear exactly on the incomplete trailing rows")
+    assert(seqs.filter(c("n_pad") > 0).count() > 0,
+      "the sf0.001 corpus has at least one padded trailing row")
+  }
+
+  test("new curation stages run in the fixed order and each equals its " +
+      "direct library composition") {
+    import org.apache.spark.sql.functions.{col => c}
+    val d = Files.createTempDirectory("plstg")
+    val en = "the cat and the dog walk to the park and it is good " * 3
+    val de = "der hund und die katze gehen nicht zu dem park und das ist " * 3
+    val boiler = "subscribe to our newsletter now"
+    val rows0 = (0 until 24).map { i =>
+      val lang = if (i % 3 == 0) "de" else "en"
+      val body = if (i % 3 == 0) de else en
+      val mail = if (i % 4 == 0) s" contact admin$i@example.com now" else ""
+      val lines = s"$body$mail variant$i\n$boiler"
+      (i.toLong, s"src${i % 2}", lang, lines)
+    }
+    rows0.toDF("doc_id", "source", "lang", "text").write
+      .mode("overwrite").parquet(s"$d/docs")
+    val yaml =
+      s"""pipeline:
+         |  source: {format: parquet, path: $d/docs}
+         |  lang_filter: {keep: [en]}
+         |  redact: {}
+         |  line_dedup: {min_count: 2}
+         |  source_cap: {domain_column: source, cap: 5}
+         |""".stripMargin
+    val cfg = ConfigLoader.pipelineFromYamlString(yaml)
+    val (summary, out) = PipelineJob.run(spark, cfg)
+    val stages = summary.collect().map(_.getString(0)).toSeq
+    assert(stages == Seq("source", "lang_filter", "redact", "line_dedup",
+      "source_cap"), s"fixed stage order, got $stages")
+    // direct composition of the same four stages
+    var want = spark.read.parquet(s"$d/docs")
+    want = want.filter(graft.ops.TextAnalysis.langId(c("text")) === "en")
+    want = graft.ops.Curation.redactPii(want, "text")
+      .withColumn("text", c("redacted"))
+      .drop("redacted", "n_emails", "n_ips")
+    want = want.drop("text").join(
+      graft.ops.Curation.lineDedup(want, "doc_id", "text", 2L)
+        .select(c("doc_id"), c("clean_text").as("text")), Seq("doc_id"))
+    want = graft.ops.Curation.perDomainCap(want, "source", "doc_id", 5)
+      .drop("domain_rank")
+    val gotRows = rows(out.select("doc_id", "source", "lang", "text"))
+    val wantRows = rows(want.select("doc_id", "source", "lang", "text"))
+    assert(gotRows == wantRows, "pipeline == direct composition")
+    // each stage did real work on this corpus
+    val byStage = summary.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byStage("lang_filter")._2 == 16L, "de docs dropped")
+    assert(byStage("source_cap")._2 == 10L, "capped at 5 per source")
+    assert(out.filter(c("text").contains("@example.com")).count() == 0,
+      "emails masked")
+    assert(out.filter(c("text").contains(boiler)).count() == 0,
+      "boilerplate lines removed")
+  }
+
+  test("span_dedup and mixture stages equal their direct compositions") {
+    import org.apache.spark.sql.functions.{col => c}
+    val d = Files.createTempDirectory("plmx")
+    val span = "copied verbatim span of many tokens repeated"
+    val rows0 = (0 until 30).map { i =>
+      val dom = if (i % 5 == 0) "web" else "books"
+      val uniq = (1 to 10).map(j => s"u$i$j").mkString(" ")
+      (i.toLong, dom, s"$uniq $span tail$i")
+    }
+    rows0.toDF("doc_id", "domain", "text").write
+      .mode("overwrite").parquet(s"$d/docs")
+    val yaml =
+      s"""pipeline:
+         |  source: {format: parquet, path: $d/docs}
+         |  span_dedup: {k: 5, min_count: 2}
+         |  mixture:
+         |    domain_column: domain
+         |    shares: {books: 0.5, web: 0.5}
+         |""".stripMargin
+    val (summary, out) = PipelineJob.run(spark,
+      ConfigLoader.pipelineFromYamlString(yaml))
+    assert(summary.collect().map(_.getString(0)).toSeq ==
+      Seq("source", "span_dedup", "mixture"))
+    // direct composition
+    var want = spark.read.parquet(s"$d/docs")
+    want = want.drop("text").join(
+      graft.ops.Curation.spanDedup(want, "doc_id", "text", 5, 2L)
+        .select(c("doc_id"), c("clean_text").as("text")), Seq("doc_id"))
+    val weights = graft.ops.Curation.mixtureWeights(
+      want.select(c("domain"),
+        graft.ops.TextAnalysis.tokenEstimate(c("text")).as("__toks")),
+      "domain", "__toks", Seq("books" -> 0.5, "web" -> 0.5))
+    want = graft.ops.Curation.applyMixture(want, "domain", "doc_id",
+      weights).drop("rate_q20")
+    assert(rows(out.select("doc_id", "domain", "text")) ==
+      rows(want.select("doc_id", "domain", "text")))
+    // the repeated span is gone from every surviving doc
+    assert(out.filter(c("text").contains(span)).count() == 0)
+    // mixture downsampled the majority domain (web is the scarce one
+    // relative to a 50/50 target, so books must shed rows)
+    val kept = out.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.getOrElse("books", 0L) < 24L, s"books downsampled: $kept")
   }
 
   test("graft.Main dispatches a pipeline: yaml to PipelineJob") {

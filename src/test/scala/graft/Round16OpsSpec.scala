@@ -1,0 +1,225 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Chunking, IncrementalAgg, Similarity, Tokenize}
+
+/** Round-16 surfaces: hash-collision-proof packing order, the
+  * fixed-sequence pad policy, the distributed BPE decode, the append
+  * store's fence OWNERSHIP (checkpoint-reset detection + rebase), and
+  * the frozen-codebook drift signal. */
+class Round16OpsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def freshStateDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_r16").toString
+
+  private def viaParquet(df: DataFrame): DataFrame = {
+    val p = java.nio.file.Files.createTempDirectory("graft_r16in").toString
+    df.write.mode("overwrite").parquet(p)
+    spark.read.parquet(p)
+  }
+
+  // ---- packBins (h, id) order ------------------------------------------
+
+  test("packBins multi-column order: equal leading keys (a forced 64-bit " +
+      "hash collision) tie-break on the id — deterministic bins, ids " +
+      "carried through, partitioning-independent") {
+    // two rows share h=5 (the collision); id breaks the tie
+    val df = Seq((0L, 5L, 2L, 3L), (0L, 5L, 1L, 3L), (0L, 1L, 9L, 3L))
+      .toDF("k", "h", "id", "n")
+    def run(d: DataFrame) =
+      Chunking.packBins(d, "k", Seq("h", "id"), "n", 4L)
+        .select("id", "bin_id", "bin_offset_tokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val got = run(df)
+    // stream order (h, id): (1,9) -> (5,1) -> (5,2); prev cumsums 0,3,6
+    assert(got == Seq((1L, 0L, 3L), (2L, 1L, 6L), (9L, 0L, 0L)),
+      s"got $got")
+    // exactly one output row per input row — no collision fan-out (the
+    // old join-on-h-alone shape emitted 4 rows for 2 colliding inputs)
+    assert(got.length == 3)
+    // plan/partitioning cannot perturb the tie
+    assert(run(df.repartition(7)) == got)
+    assert(run(df.orderBy(desc("id"))) == got)
+    // the single-order-column overload still stands (t_pack's shape)
+    val one = Chunking.packBins(df, "k", "id", "n", 4L)
+    assert(one.columns.toSeq ==
+      Seq("k", "id", "n", "bin_id", "bin_offset_tokens"))
+  }
+
+  // ---- fixedSequences pad policy ----------------------------------------
+
+  test("fixedSequences padTokenId: trailing partial right-pads to exactly " +
+      "seqLen with n_pad counted, complete stays false, checksum covers " +
+      "the pads; exact-fit shards emit no padded row; None is unchanged") {
+    val d = Seq(
+      (0L, 0L, 1L, (1 to 11).toArray),  // 11 tokens: one full + 3-token tail
+      (1L, 0L, 2L, (1 to 8).toArray))   // exactly one full sequence
+      .toDF("shard", "ord", "doc", "ids")
+    def collect(pad: Option[Int]) =
+      Chunking.fixedSequences(d, "shard", "ord", "doc", "ids", 8, pad)
+        .orderBy("shard", "seq_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getAs[scala.collection.Seq[Int]]("token_ids").toSeq,
+          r.getLong(r.fieldIndex("ids_sum")), r.getBoolean(8),
+          r.getLong(r.fieldIndex("n_pad"))))
+    val padded = collect(Some(99))
+    assert(padded.length == 3)
+    // shard 0 row 0: complete, untouched
+    assert(padded(0) == (0L, 0L, 8L, (1 to 8).toSeq, 36L, true, 0L))
+    // shard 0 row 1: 3 real tokens + 5 pads; n_tokens/ids_sum describe
+    // the EMITTED array; complete stays false
+    assert(padded(1) == (0L, 1L, 8L,
+      Seq(9, 10, 11, 99, 99, 99, 99, 99), 30L + 5 * 99L, false, 5L))
+    // shard 1: exact fit — complete, NO padded trailing row
+    assert(padded(2) == (1L, 0L, 8L, (1 to 8).toSeq, 36L, true, 0L))
+    // None: the legacy short-tail shape, n_pad uniformly 0
+    val bare = collect(None)
+    assert(bare(1) == (0L, 1L, 3L, Seq(9, 10, 11), 30L, false, 0L))
+    assert(bare.forall(_._7 == 0L))
+  }
+
+  // ---- distributed BPE decode -------------------------------------------
+
+  test("bpeDecodeIdsDf round-trips the gnarly spec corpus (case, " +
+      "punctuation, unicode, non-BMP, literal-special rows) and agrees " +
+      "with the driver-side decode; out-of-vocabulary ids fail loudly") {
+    val eot = "<|endoftext|>"
+    val merges = Tokenize.loadMerges(spark.read
+      .parquet("src/test/resources/bpe_bytes_spec_merges.parquet"))
+    val texts = spark.read
+      .parquet("src/test/resources/bpe_bytes_spec.parquet")
+      .select("text_id", "text")
+    val want = texts.collect()
+      .map(r => r.getAs[Long]("text_id") -> r.getAs[String]("text")).toMap
+    val enc = Tokenize.bpeEncodeIds(texts, "text_id", "text", merges,
+      specials = Seq(eot), boundary = Some(eot))
+    val got = Tokenize.bpeDecodeIdsDf(enc, "id", "token_ids", merges,
+        specials = Seq(eot))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == want.keySet)
+    for ((id, text) <- want)
+      assert(got(id) == text, s"round trip of '$text' (id $id)")
+    // the distributed decode IS the driver-side decode
+    val encRows = enc.select("id", "token_ids").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Int]](1).toSeq).toMap
+    for ((id, ids) <- encRows)
+      assert(got(id) == Tokenize.bpeDecodeIds(ids, merges, Seq(eot)))
+    // decoding with the wrong vocabulary must throw, not emit garbage
+    val bad = Seq((1L, Array(0, 999999))).toDF("id", "token_ids")
+    val ex = intercept[Exception] {
+      Tokenize.bpeDecodeIdsDf(bad, "id", "token_ids", merges).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  // ---- fence ownership ---------------------------------------------------
+
+  private def writeCheckpointIdentity(stateDir: String, id: String): Unit = {
+    val dir = java.nio.file.Paths.get(stateDir, "checkpoint")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("metadata"),
+      s"""{"id":"$id"}""")
+  }
+
+  private def vocabCounts(stateDir: String): Map[String, Long] =
+    IncrementalAgg.vocabFromStore(spark, stateDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("append-store fence ownership: a reset checkpoint (new query id) " +
+      "fails loudly instead of silently swallowing below-fence batches; " +
+      "same-id replays still skip; rebaseAppendStore recovers") {
+    val stateDir = freshStateDir()
+    val b0 = Seq((1L, "alpha beta"), (2L, "beta")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "alpha")).toDF("doc_id", "text")
+    val b2 = Seq((4L, "gamma alpha")).toDF("doc_id", "text")
+
+    // stream A builds the store
+    writeCheckpointIdentity(stateDir, "query-A")
+    IncrementalAgg.vocabAppend(b0, 0L, stateDir, nBuckets = 8)
+    IncrementalAgg.vocabAppend(b1, 1L, stateDir, nBuckets = 8)
+    assert(vocabCounts(stateDir) ==
+      Map("alpha" -> 2L, "beta" -> 2L))
+    // ownership was adopted on first append
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(stateDir, "agg_fence_owner")))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(stateDir, "agg_fence_owner")) == "query-A")
+
+    // compaction raises the fence to 1; a same-query replay of batch 1
+    // (foreachBatch at-least-once) skips silently — counts unchanged
+    IncrementalAgg.compactVocabStore(spark, stateDir)
+    IncrementalAgg.vocabAppend(b1, 1L, stateDir, nBuckets = 8)
+    assert(vocabCounts(stateDir) == Map("alpha" -> 2L, "beta" -> 2L),
+      "same-query replay of a folded batch must not double-count")
+
+    // the checkpoint resets (new uuid) while the store is kept: batch
+    // ids restart at 0 — appending MUST throw, both below the fence
+    // (would be silently swallowed) and at any id (the old stream's
+    // partitions are not this stream's to overwrite)
+    writeCheckpointIdentity(stateDir, "query-B")
+    val ex = intercept[IllegalStateException] {
+      IncrementalAgg.vocabAppend(b2, 0L, stateDir, nBuckets = 8)
+    }
+    assert(ex.getMessage.contains("rebaseAppendStore"))
+    assert(vocabCounts(stateDir) == Map("alpha" -> 2L, "beta" -> 2L),
+      "the refused append must not have touched the store")
+
+    // the deliberate recovery: rebase folds history to the base, resets
+    // the fence and clears owner + stale checkpoint; the new stream's
+    // batch 0 then lands (neither skipped nor double-counted)
+    // through the CLI recovery surface (graft.Main --rebase-append)
+    Main.runRebaseAppend(spark, stateDir, Seq("term"), "n")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(stateDir, "checkpoint")),
+      "rebase must retire the stale checkpoint")
+    writeCheckpointIdentity(stateDir, "query-B")
+    IncrementalAgg.vocabAppend(b2, 0L, stateDir, nBuckets = 8)
+    assert(vocabCounts(stateDir) ==
+      Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 1L),
+      "post-rebase appends fold on top of the kept history")
+  }
+
+  // ---- PQ drift signal ---------------------------------------------------
+
+  private def embCorpus(n: Int, lo: Float = -1f, hi: Float = 1f,
+      salt: Int = 0): DataFrame =
+    (0 until n).map { i =>
+      val r = new scala.util.Random(i * 7919 + salt)
+      (i.toLong, Array.fill(8)(lo + r.nextFloat() * (hi - lo)))
+    }.toDF("vec_id", "embedding")
+
+  test("pqDrift: the seed corpus measures ~1 against its own fit-time " +
+      "baseline; a distribution-shifted slice raises the measure; the " +
+      "maintenance report surfaces the baseline") {
+    val stateDir = freshStateDir()
+    val seed = viaParquet(embCorpus(300))
+    val (_, report) = Similarity.pqIndexIncremental(seed, stateDir,
+      m = 4, ksub = 8, nBuckets = 32)
+    // the run record carries the re-fit baseline
+    assert(report.meta.contains("pq_seed_mean_err"), report.meta.toString)
+    assert(report.meta.contains("pq_books_signature"))
+    val seedMean = BigDecimal(report.meta("pq_seed_mean_err"))
+    assert(seedMean > 0)
+    // the seed corpus against its own books: EXACTLY the baseline
+    // (same integer arithmetic) -> ratio 1
+    val self = Similarity.pqDrift(spark, stateDir, seed, m = 4).head()
+    assert(self.getAs[Long]("seed_n") == 300L)
+    assert(self.getAs[Long]("slice_n") == 300L)
+    assert(math.abs(self.getAs[Double]("drift_ratio") - 1.0) < 1e-12,
+      s"self-drift must be 1, got $self")
+    // a shifted slice (fit range was [-1,1]; these live in [2,4])
+    // quantizes far worse under the frozen books — the re-fit cue
+    val shifted = viaParquet(embCorpus(100, lo = 2f, hi = 4f, salt = 7))
+    val drift = Similarity.pqDrift(spark, stateDir, shifted, m = 4).head()
+    assert(drift.getAs[Double]("drift_ratio") > 2.0,
+      s"shifted slice must raise the measure, got $drift")
+    // work scales with the slice: the frame passed in is what's scanned
+    assert(drift.getAs[Long]("slice_n") == 100L)
+  }
+}
