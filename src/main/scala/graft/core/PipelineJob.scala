@@ -166,6 +166,12 @@ object PipelineJob {
     }
 
     var out = docs
+    // the byte-scheme tokenizer's artifacts, held for the export stage:
+    // (merge table, loaded merges, specials) — a trained merge table
+    // would otherwise be LOST with the job, leaving the exported corpus
+    // undecodable
+    var tokArtifacts: Option[(DataFrame, Seq[(String, String)], Seq[String])] =
+      None
     cfg.tokenize.foreach { tk =>
       val mergesDf = tk.mergesPath match {
         case Some(p) => spark.read.parquet(p)
@@ -180,8 +186,10 @@ object PipelineJob {
       }
       val merges = Tokenize.loadMerges(mergesDf)
       out = tk.scheme match {
-        case "bytes" => Tokenize.bpeEncodeIds(docs, id, text, merges,
-          specials = tk.specials, boundary = tk.boundary)
+        case "bytes" =>
+          tokArtifacts = Some((mergesDf, merges, tk.specials))
+          Tokenize.bpeEncodeIds(docs, id, text, merges,
+            specials = tk.specials, boundary = tk.boundary)
         case "word" =>
           require(tk.specials.isEmpty && tk.boundary.isEmpty,
             "specials/boundary are byte-scheme only (the word scheme " +
@@ -198,6 +206,14 @@ object PipelineJob {
       // programmatically built configs
       require(cfg.tokenize.nonEmpty,
         "`export` packs token counts — it requires `tokenize`")
+      // the export consumes the encoded corpus up to three times (pack
+      // counts, token-shard write, sequence ids) and the BPE encode is
+      // the expensive pass — materialize it ONCE. localCheckpoint is
+      // executor-disk-backed and bounded by the token stream; at
+      // extreme scale prefer `write_tokens: true` and point loaders at
+      // that artifact (the checkpoint then saves the same recomputes
+      // during this job)
+      out = out.localCheckpoint()
       require(ex.sequenceLength <= 0 ||
           cfg.tokenize.exists(_.boundary.nonEmpty),
         "`sequence_length` needs `tokenize.boundary` — fixed-length " +
@@ -222,6 +238,17 @@ object PipelineJob {
       packed.write.mode("overwrite")
         .option("maxRecordsPerFile", ex.maxRecordsPerFile)
         .parquet(s"${ex.outputDirectory}/packed")
+      // tokenizer artifacts ride the export: the merge table (trained
+      // ones exist nowhere else) and the induced id→token vocabulary —
+      // everything an external decoder / a later encode job needs.
+      // Metadata-sized, one file each
+      tokArtifacts.foreach { case (mergesDf, merges, specials) =>
+        mergesDf.coalesce(1).write.mode("overwrite")
+          .parquet(s"${ex.outputDirectory}/merges")
+        Tokenize.vocabDf(spark, merges, specials).coalesce(1)
+          .write.mode("overwrite")
+          .parquet(s"${ex.outputDirectory}/vocab")
+      }
       if (ex.writeTokens)
         // the loader-consumable corpus itself: token ids in the SAME
         // hash-shard assignment as the packed frame, one `shard=K/`

@@ -549,6 +549,23 @@ object Tokenize {
     }
   }
 
+  /** The id→token VOCABULARY TABLE as a frame — the loader-consumable
+    * `vocab.json` equivalent of [[bpeVocab]]/[[bpeVocabWithSpecial]]:
+    * (id, token, is_special), ids dense from 0 (256 byte symbols,
+    * merges by rank, then reserved specials). Metadata-sized; paired
+    * with the merge table it is everything an external decoder or an
+    * encode-more-data job needs. */
+  def vocabDf(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)],
+      specials: Seq[String] = Nil): DataFrame = {
+    import spark.implicits._
+    val base = if (specials.isEmpty) bpeVocab(merges)
+      else bpeVocabWithSpecial(merges, specials)
+    val nText = 256 + merges.length
+    base.map { case (tok, id) => (id, tok, id >= nText) }
+      .toDF("id", "token", "is_special")
+  }
+
   /** BYTE-LEVEL encode to INTEGER IDS: (id, n_pretokens, n_tokens,
     * token_ids, ids_sum) — the form a training run actually consumes.
     * Same shuffle-free memoized pass as [[bpeEncodeBytes]]; every

@@ -182,6 +182,26 @@ class PipelineJobSpec extends AnyFunSuite with SparkSpec {
     val seqTokens = seqs.agg(su("n_tokens")).head().getLong(0)
     val docTokens = tokens.agg(su("n_tokens")).head().getLong(0)
     assert(seqTokens == docTokens, "token mass conserved")
+    // the export carries the tokenizer artifacts, and they are
+    // SUFFICIENT: decoding the written corpus with ONLY the written
+    // merge table + vocab round-trips the source text
+    val wMerges = graft.ops.Tokenize.loadMerges(
+      spark.read.parquet(s"$outDir/merges"))
+    val vocab = spark.read.parquet(s"$outDir/vocab")
+    val specials = vocab.filter(c("is_special")).orderBy("id")
+      .collect().map(_.getString(1)).toSeq
+    assert(specials == Seq("<|endoftext|>"))
+    assert(vocab.count() == 256 + wMerges.length + 1)
+    val decoded = graft.ops.Tokenize.bpeDecodeIdsDf(tokens, "doc_id",
+        "token_ids", wMerges, specials)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val source = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getString(1)).getOrElse("")).toMap
+    assert(decoded.keySet == source.keySet)
+    for ((id, text) <- source)
+      assert(decoded(id) == text, s"artifact-only round trip of doc $id")
   }
 
   test("tokenize specials/boundary parse from YAML and flow to the " +

@@ -82,6 +82,27 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"packing shuffle must be on the pack key:\n$pack")
   }
 
+  test("packed export: order columns carry through the pack window — " +
+      "NO join anywhere, one shard-keyed exchange") {
+    // the (h, id) multi-order packBins returns the id with the bin
+    // assignment, so the old join-back-on-hash (a second corpus-sized
+    // shuffle + collision fan-out) must be GONE from the plan
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("h", xxhash64(col("doc_id")))
+      .withColumn("shard", pmod(col("h"), lit(8L)))
+    val p = graft.ops.Chunking.packBins(docs, "shard",
+        Seq("h", "doc_id"), "n_tokens", 2048L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"pack must not join the id back:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"pack must shuffle exactly once (the shard-keyed window):\n$p")
+    assert(p.contains("hashpartitioning(shard"),
+      s"the one exchange must be on the pack key:\n$p")
+  }
+
   test("partition pruning: a filter on the partition column prunes files") {
     // at 100 TB the first line of defense is never opening the file: a
     // hive-partitioned layout + partition-column predicate must show up

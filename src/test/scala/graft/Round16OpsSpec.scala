@@ -118,6 +118,21 @@ class Round16OpsSpec extends AnyFunSuite with SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("vocabDf: dense GPT-2 id order, specials flagged, identical to " +
+      "bpeVocabWithSpecial") {
+    val eot = "<|endoftext|>"
+    val merges = Tokenize.loadMerges(spark.read
+      .parquet("src/test/resources/bpe_bytes_spec_merges.parquet"))
+    val got = Tokenize.vocabDf(spark, merges, Seq(eot))
+      .orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getBoolean(2)))
+    val want = Tokenize.bpeVocabWithSpecial(merges, Seq(eot))
+      .map { case (tok, id) => (id, tok, id >= 256 + merges.length) }
+    assert(got.toSeq == want)
+    assert(got.length == 256 + merges.length + 1)
+    assert(got.count(_._3) == 1 && got.last == ((got.length - 1, eot, true)))
+  }
+
   // ---- fence ownership ---------------------------------------------------
 
   private def writeCheckpointIdentity(stateDir: String, id: String): Unit = {
