@@ -1879,6 +1879,28 @@ object SparkEntry {
           col("complete").cast("long").as("complete"), col("n_pad"))
         .orderBy("shard", "seq_id")
     }),
+    "t_sequences_shuffled" -> ((s, dir) => {
+      // GLOBAL SAMPLE SHUFFLE — the step after the cut a loader wants:
+      // fixed sequences sit in stream order (consecutive rows are
+      // consecutive documents), so each sequence reassigns to one of 16
+      // output shards by hashing its identity (shard * 2^40 + seq_id,
+      // injective) and takes its within-shard position from the same
+      // hash. Deterministic permutation, one exchange; the oracle
+      // replays the identity hash and the rank
+      val merges = graft.ops.Tokenize.loadMerges(s.read.parquet(
+        s"$repoRoot/src/test/resources/bpe_bytes_merges.parquet"))
+      val enc = graft.ops.Tokenize.bpeEncodeIds(t(s, dir, "documents"),
+          "doc_id", "text", merges,
+          specials = Seq("<|endoftext|>"), boundary = Some("<|endoftext|>"))
+        .select(col("id").as("doc_id"), col("token_ids"))
+        .withColumn("h", xxhash64(col("doc_id")))
+        .withColumn("shard", pmod(col("h"), lit(8L)))
+      val cut = graft.ops.Chunking.fixedSequences(enc, "shard", "h",
+        "doc_id", "token_ids", 2048)
+      graft.ops.Chunking.shuffleSequences(cut, "shard", "seq_id", 16)
+        .select(col("shard"), col("seq_id"), col("out_shard"), col("pos"))
+        .orderBy("shard", "seq_id")
+    }),
     "t_export_packed_eot" -> ((s, dir) => {
       // the packed pretraining export WITH boundary tokens: every
       // document's stream ends in <|endoftext|> and the packer counts
@@ -2753,17 +2775,11 @@ object SparkEntry {
     * frame by contract); `padded = true` is the pad-policy twin — every
     * emitted row reports 2048 tokens (trailing partials right-pad) plus
     * its pad count. */
-  private def sequencesSql(padded: Boolean): String = {
-    val nTok =
-      if (padded) "CAST(2048 AS BIGINT) AS n_tokens"
-      else "CAST(LEAST(s.total, (s.k + 1) * 2048) - s.k * 2048 AS BIGINT)" +
-        " AS n_tokens"
-    val pad =
-      if (padded)
-        ",\n  CAST((s.k + 1) * 2048 - LEAST(s.total, (s.k + 1) * 2048)" +
-          " AS BIGINT) AS n_pad"
-      else ""
-    s"""WITH ${xxhash64Ctes("doc_id", "documents")},
+  /** The WITH chain deriving each shard's sequence boundaries (CTE
+    * `seqs`: one row per (shard, total, k)) — shared by
+    * [[sequencesSql]] and the shuffled-permutation replay. */
+  private def sequencesCtes: String =
+    s"""${xxhash64Ctes("doc_id", "documents")},
        |pres AS (
        |  SELECT doc_id,
        |    unnest(regexp_extract_all(text, ' ?[a-z]+')) AS pretoken
@@ -2791,7 +2807,19 @@ object SparkEntry {
        |    unnest(generate_series(CAST(0 AS BIGINT),
        |      CAST((total - 1) // 2048 AS BIGINT))) AS k
        |  FROM totals WHERE total > 0
-       |)
+       |)""".stripMargin
+
+  private def sequencesSql(padded: Boolean): String = {
+    val nTok =
+      if (padded) "CAST(2048 AS BIGINT) AS n_tokens"
+      else "CAST(LEAST(s.total, (s.k + 1) * 2048) - s.k * 2048 AS BIGINT)" +
+        " AS n_tokens"
+    val pad =
+      if (padded)
+        ",\n  CAST((s.k + 1) * 2048 - LEAST(s.total, (s.k + 1) * 2048)" +
+          " AS BIGINT) AS n_pad"
+      else ""
+    s"""WITH $sequencesCtes
        |SELECT s.shard, CAST(s.k AS BIGINT) AS seq_id,
        |  $nTok,
        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -2805,6 +2833,25 @@ object SparkEntry {
        |GROUP BY s.shard, s.k, s.total
        |ORDER BY s.shard, seq_id""".stripMargin
   }
+
+  /** The shuffled-sample permutation replayed end-to-end: the sequence
+    * identity packs into one BIGINT (shard * 2^40 + seq_id), a SECOND
+    * xxhash64 replay (prefixed CTEs) derives the output shard and the
+    * within-shard position is the rank by (hash, key). */
+  private def sequencesShuffledSql: String =
+    s"""WITH $sequencesCtes,
+       |sk AS (
+       |  SELECT shard, CAST(k AS BIGINT) AS seq_id,
+       |    CAST(shard * 1099511627776 + k AS BIGINT) AS skey
+       |  FROM seqs
+       |),
+       |${xxhash64Ctes("skey", "sk", "s")}
+       |SELECT k2.shard, k2.seq_id,
+       |  ((x.h % 16) + 16) % 16 AS out_shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY ((x.h % 16) + 16) % 16
+       |    ORDER BY x.h, k2.skey) - 1 AS BIGINT) AS pos
+       |FROM sk k2 JOIN sxxh x USING (skey)
+       |ORDER BY k2.shard, k2.seq_id""".stripMargin
 
   private def indexSearchSql: String =
     s"""WITH toks AS (
@@ -2844,18 +2891,21 @@ object SparkEntry {
   /** Spark `xxhash64` of a BIGINT column (XXH64.hashLong, seed 42),
     * replayed stage by stage over CTEs; `in` names the id column. P1/P2/P4
     * multiplies use 32-bit-half decomposition (both factors ~2^64); the
-    * P3 multiply fits int128 directly (P3 < 2^61). */
-  private def xxhash64Ctes(in: String, from: String): String =
-    s"""x1 AS (SELECT $in, ${mulModSql(s"CAST($in AS HUGEINT)", 3266489917L, 668265295L)} AS k1a FROM $from),
-       |x2 AS (SELECT $in, ${rotlSql("k1a", 31)} AS k1b FROM x1),
-       |x3 AS (SELECT $in, ${mulModSql("k1b", 2654435761L, 2246822535L)} AS k1c FROM x2),
-       |x4 AS (SELECT $in, xor(CAST(2870177450012600311 AS HUGEINT), k1c) AS h1 FROM x3),
-       |x5 AS (SELECT $in, (${mulModSql(rotlSql("h1", 27), 2654435761L, 2246822535L)} + 9650029242287828579) % $P64 AS h2 FROM x4),
-       |x6 AS (SELECT $in, xor(h2, h2 // 8589934592) AS f1 FROM x5),
-       |x7 AS (SELECT $in, ${mulModSql("f1", 3266489917L, 668265295L)} AS f2 FROM x6),
-       |x8 AS (SELECT $in, xor(f2, f2 // 536870912) AS f3 FROM x7),
-       |x9 AS (SELECT $in, (f3 * 1609587929392839161) % $P64 AS f4 FROM x8),
-       |xxh AS (SELECT $in, ${signedSql("xor(f4, f4 // 4294967296)")} AS h FROM x9)""".stripMargin
+    * P3 multiply fits int128 directly (P3 < 2^61). `prefix` renames the
+    * internal CTEs (and the final `{prefix}xxh`) so two hash replays can
+    * coexist in one query. */
+  private def xxhash64Ctes(in: String, from: String,
+      prefix: String = ""): String =
+    s"""${prefix}x1 AS (SELECT $in, ${mulModSql(s"CAST($in AS HUGEINT)", 3266489917L, 668265295L)} AS k1a FROM $from),
+       |${prefix}x2 AS (SELECT $in, ${rotlSql("k1a", 31)} AS k1b FROM ${prefix}x1),
+       |${prefix}x3 AS (SELECT $in, ${mulModSql("k1b", 2654435761L, 2246822535L)} AS k1c FROM ${prefix}x2),
+       |${prefix}x4 AS (SELECT $in, xor(CAST(2870177450012600311 AS HUGEINT), k1c) AS h1 FROM ${prefix}x3),
+       |${prefix}x5 AS (SELECT $in, (${mulModSql(rotlSql("h1", 27), 2654435761L, 2246822535L)} + 9650029242287828579) % $P64 AS h2 FROM ${prefix}x4),
+       |${prefix}x6 AS (SELECT $in, xor(h2, h2 // 8589934592) AS f1 FROM ${prefix}x5),
+       |${prefix}x7 AS (SELECT $in, ${mulModSql("f1", 3266489917L, 668265295L)} AS f2 FROM ${prefix}x6),
+       |${prefix}x8 AS (SELECT $in, xor(f2, f2 // 536870912) AS f3 FROM ${prefix}x7),
+       |${prefix}x9 AS (SELECT $in, (f3 * 1609587929392839161) % $P64 AS f4 FROM ${prefix}x8),
+       |${prefix}xxh AS (SELECT $in, ${signedSql("xor(f4, f4 // 4294967296)")} AS h FROM ${prefix}x9)""".stripMargin
 
   /** Root of this checkout, for the two committed CPython-difflib fixture
     * parquets referenced by oracle SQL. Resolution order: explicit
@@ -5351,6 +5401,8 @@ object SparkEntry {
     // the pad-policy twin: trailing partials report 2048 emitted
     // tokens and their pad count
     "t_sequences_padded" -> sequencesSql(padded = true),
+    // the shuffled-sample permutation: identity-hash shard + rank
+    "t_sequences_shuffled" -> sequencesShuffledSql,
 
     // decode(encode(text)) identity: the oracle is the original text
     // itself (md5 over UTF-8 bytes; null text encodes as '')

@@ -260,8 +260,12 @@ object ConfigLoader {
         writeTokens = str(e, "write_tokens").exists(_.toBoolean),
         sequenceLength =
           str(e, "sequence_length").map(_.toInt).getOrElse(0),
-        padTokenId = str(e, "pad_token_id").map(_.toInt))
+        padTokenId = str(e, "pad_token_id").map(_.toInt),
+        shuffleSequences = str(e, "shuffle_sequences").exists(_.toBoolean))
     }
+    require(export.forall(e => !e.shuffleSequences || e.sequenceLength > 0),
+      "`shuffle_sequences` permutes the fixed-length rows — it requires " +
+        "`sequence_length`")
     require(export.isEmpty || tokenize.nonEmpty,
       "`export:` packs token counts — it requires `tokenize:`")
     // the sequences contract (Chunking.fixedSequences): fixed-length

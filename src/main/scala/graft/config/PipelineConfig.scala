@@ -106,7 +106,13 @@ final case class ExportSpec(
     // to exactly `sequence_length` tokens (GPT-2 practice: pad with the
     // <|endoftext|> id); absent, the partial row is emitted short with
     // `complete = false` and the loader chooses
-    padTokenId: Option[Int] = None)
+    padTokenId: Option[Int] = None,
+    // `shuffle_sequences: true` additionally permutes the cut rows
+    // globally ([[graft.ops.Chunking.shuffleSequences]] — stream order
+    // is document order, i.e. correlated samples; training wants them
+    // shuffled) and writes `output_directory/sequences` partitioned by
+    // the OUTPUT shard in permuted `pos` order
+    shuffleSequences: Boolean = false)
 
 /** Typed `pipeline:` YAML surface — the reference's config-as-API idea
   * (SURVEY §1.5) generalized from validation to the curation/tokenize/

@@ -263,13 +263,19 @@ object PipelineJob {
         // document ends the cut rows rely on
         require(out.columns.contains("token_ids"),
           "sequence_length needs `tokenize: {scheme: bytes}` (token_ids)")
-        Chunking.fixedSequences(sharded
+        val cut = Chunking.fixedSequences(sharded
             .join(out.select(col("id").as(id), col("token_ids")), Seq(id)),
             "shard", "h", id, "token_ids", ex.sequenceLength,
             ex.padTokenId)
-          .write.mode("overwrite")
+        // shuffled: the rows leave shuffleSequences already repartitioned
+        // + sorted by (out_shard, pos), so the partitioned write streams
+        // each output shard in permuted order
+        val seqOut = if (ex.shuffleSequences)
+          Chunking.shuffleSequences(cut, "shard", "seq_id", ex.shards)
+        else cut
+        seqOut.write.mode("overwrite")
           .option("maxRecordsPerFile", ex.maxRecordsPerFile)
-          .partitionBy("shard")
+          .partitionBy(if (ex.shuffleSequences) "out_shard" else "shard")
           .parquet(s"${ex.outputDirectory}/sequences")
       }
       out = spark.read.parquet(s"${ex.outputDirectory}/packed")

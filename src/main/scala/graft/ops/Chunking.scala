@@ -194,4 +194,38 @@ object Chunking {
       .toDF("shard", "seq_id", "n_tokens", "n_docs", "first_doc",
         "last_doc", "token_ids", "ids_sum", "complete", "n_pad")
   }
+
+  /** GLOBAL SAMPLE SHUFFLE of fixed-length sequences — the step after
+    * [[fixedSequences]] a training loader actually wants: the cut rows
+    * sit in STREAM order (consecutive rows are consecutive documents —
+    * highly correlated samples), so reassign each sequence to one of
+    * `nOut` output shards by hashing its identity and position it
+    * within the shard by the same hash. The permutation is a pure
+    * function of (shardCol, seqIdCol) — stable under reruns,
+    * partitioning and engines (the [[graft.ops.Sampling.shuffleShards]]
+    * discipline over the composite sequence identity, packed
+    * injectively into one BIGINT: `shard * 2^40 + seq_id`; 2^40
+    * sequences/shard = 2^51 tokens at seqLen 2048, beyond any real
+    * shard, and shard ids stay below 2^23).
+    *
+    * Output adds (out_shard, pos); rows leave sorted by (out_shard,
+    * pos) with the repartition BEFORE the position window, so the whole
+    * shuffle is ONE exchange and a write partitioned by `out_shard`
+    * streams each shard in pos order. */
+  def shuffleSequences(seqs: DataFrame, shardCol: String,
+      seqIdCol: String, nOut: Int): DataFrame = {
+    require(nOut > 0, "nOut must be positive")
+    val w = Window.partitionBy(col("out_shard"))
+      .orderBy(col("__h"), col("__seq_key"))
+    seqs
+      .withColumn("__seq_key",
+        col(shardCol).cast("long") * lit(1L << 40) +
+          col(seqIdCol).cast("long"))
+      .withColumn("__h", xxhash64(col("__seq_key")))
+      .withColumn("out_shard", pmod(col("__h"), lit(nOut.toLong)))
+      .repartition(nOut, col("out_shard"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .sortWithinPartitions(col("out_shard"), col("pos"))
+      .drop("__h", "__seq_key")
+  }
 }

@@ -282,6 +282,56 @@ class PipelineJobSpec extends AnyFunSuite with SparkSpec {
       "the sf0.001 corpus has at least one padded trailing row")
   }
 
+  test("shuffle_sequences: parses, requires sequence_length, and the " +
+      "written artifact is the deterministic permutation (pos-dense per " +
+      "output shard, token mass conserved)") {
+    import org.apache.spark.sql.functions.{col => c, sum => su}
+    val outDir = Files.createTempDirectory("plshuf").toString
+    val yaml =
+      s"""pipeline:
+         |  source: {format: parquet, path: $sfDir/documents.parquet}
+         |  tokenize:
+         |    scheme: bytes
+         |    merges_path: $mergesPath
+         |    specials: ['<|endoftext|>']
+         |    boundary: '<|endoftext|>'
+         |  export:
+         |    shards: 8
+         |    pack_capacity: 2048
+         |    output_directory: $outDir
+         |    sequence_length: 512
+         |    shuffle_sequences: true
+         |""".stripMargin
+    val cfg = ConfigLoader.pipelineFromYamlString(yaml)
+    assert(cfg.export.get.shuffleSequences)
+    // shuffle without the cut is refused
+    intercept[IllegalArgumentException] {
+      ConfigLoader.pipelineFromYamlString(
+        yaml.replace("    sequence_length: 512\n", ""))
+    }
+    PipelineJob.run(spark, cfg)
+    val seqs = spark.read.parquet(s"$outDir/sequences")
+    assert(seqs.columns.contains("out_shard") &&
+      seqs.columns.contains("pos"), "artifact partitioned by out_shard")
+    // pos dense per output shard; identity columns survive
+    val perShard = seqs.groupBy("out_shard")
+      .agg(org.apache.spark.sql.functions.count(c("pos")).as("n"),
+        org.apache.spark.sql.functions.max(c("pos")).as("mx"))
+      .collect()
+    assert(perShard.nonEmpty)
+    for (r <- perShard)
+      assert(r.getAs[Long]("mx") == r.getAs[Long]("n") - 1,
+        s"pos must be dense in out_shard ${r.get(0)}")
+    // same rows as the unshuffled cut — mass conserved
+    val plainDir = Files.createTempDirectory("plshuf0").toString
+    PipelineJob.run(spark, cfg.copy(export = cfg.export.map(_.copy(
+      outputDirectory = plainDir, shuffleSequences = false))))
+    val plain = spark.read.parquet(s"$plainDir/sequences")
+    assert(seqs.count() == plain.count())
+    assert(seqs.agg(su("n_tokens")).head().getLong(0) ==
+      plain.agg(su("n_tokens")).head().getLong(0))
+  }
+
   test("new curation stages run in the fixed order and each equals its " +
       "direct library composition") {
     import org.apache.spark.sql.functions.{col => c}

@@ -83,6 +83,44 @@ class Round16OpsSpec extends AnyFunSuite with SparkSpec {
     assert(bare.forall(_._7 == 0L))
   }
 
+  test("shuffleSequences: deterministic bijection — every row keeps its " +
+      "payload, (out_shard, pos) is dense per shard, the permutation is " +
+      "partitioning-independent and actually decorrelates stream order") {
+    val rows = for (s <- 0L to 3L; k <- 0L until 50L)
+      yield (s, k, s * 1000 + k) // payload encodes the identity
+    val df = rows.toDF("shard", "seq_id", "payload")
+    def run(d: DataFrame) =
+      Chunking.shuffleSequences(d, "shard", "seq_id", nOut = 8)
+        .select("shard", "seq_id", "payload", "out_shard", "pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
+    val got = run(df)
+    assert(got.length == rows.length, "bijection: no row lost or duplicated")
+    assert(got.forall { case (s, k, p, _, _) => p == s * 1000 + k },
+      "payload rides the permutation untouched")
+    // (out_shard, pos) unique, and pos dense 0..n-1 within each shard
+    val byOut = got.groupBy(_._4)
+    assert(byOut.values.map(_.length).sum == rows.length)
+    for ((o, g) <- byOut)
+      assert(g.map(_._5).sorted == (0L until g.length).toVector,
+        s"positions in out_shard $o must be dense from 0")
+    // pure function of (shard, seq_id): layout cannot perturb it
+    assert(run(df.repartition(13)) == got)
+    assert(run(df.orderBy(desc("seq_id"))) == got)
+    // decorrelation: consecutive stream rows (same shard, k and k+1) do
+    // NOT stay adjacent — in any out_shard, the share of adjacent pairs
+    // that were stream-consecutive is small
+    val posOf = got.map(t => (t._4, t._5) -> (t._1, t._2)).toMap
+    val adjacentStreamPairs = byOut.toSeq.flatMap { case (o, g) =>
+      (0L until (g.length - 1).toLong).map { p =>
+        val (s1, k1) = posOf((o, p)); val (s2, k2) = posOf((o, p + 1))
+        if (s1 == s2 && math.abs(k1 - k2) == 1) 1 else 0
+      }
+    }.sum
+    assert(adjacentStreamPairs < rows.length / 10,
+      s"shuffle left $adjacentStreamPairs stream-adjacent pairs adjacent")
+  }
+
   // ---- distributed BPE decode -------------------------------------------
 
   test("bpeDecodeIdsDf round-trips the gnarly spec corpus (case, " +
