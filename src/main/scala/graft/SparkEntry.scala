@@ -1879,6 +1879,38 @@ object SparkEntry {
           col("complete").cast("long").as("complete"), col("n_pad"))
         .orderBy("shard", "seq_id")
     }),
+    "t_sequences_incremental" -> ((s, dir) => {
+      // CONTINUOUS LOADER FEED: fixed-length sequences cut
+      // INCREMENTALLY over arriving batches — each batch's token
+      // streams concatenate onto the stored per-shard carry, complete
+      // rows append to the store, the new tail becomes the carry. The
+      // feed is exercised with three deterministic batches
+      // (doc_id % 3 in order); the store must then hold exactly the
+      // complete sequences a single cut over the concatenated stream
+      // emits (seq_id continuous across batches), which the oracle
+      // replays with the batch key prefixed to the stream order
+      val merges = graft.ops.Tokenize.loadMerges(s.read.parquet(
+        s"$repoRoot/src/test/resources/bpe_bytes_merges.parquet"))
+      val stateDir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_seqfeed_${System.nanoTime()}"
+      val docs = t(s, dir, "documents")
+      for (b <- 0L to 2L) {
+        val enc = graft.ops.Tokenize.bpeEncodeIds(
+            docs.filter(pmod(col("doc_id"), lit(3L)) === b),
+            "doc_id", "text", merges,
+            specials = Seq("<|endoftext|>"),
+            boundary = Some("<|endoftext|>"))
+          .select(col("id").as("doc_id"), col("token_ids"))
+          .withColumn("h", xxhash64(col("doc_id")))
+          .withColumn("shard", pmod(col("h"), lit(8L)))
+        graft.ops.SequenceFeed.sequencesAppend(enc, b, stateDir,
+          "shard", "h", "doc_id", "token_ids", 2048)
+      }
+      graft.ops.SequenceFeed.sequencesFromStore(s, stateDir)
+        .select(col("shard"), col("seq_id"), col("n_tokens"),
+          col("n_docs"), col("first_doc"), col("last_doc"))
+        .orderBy("shard", "seq_id")
+    }),
     "t_sequences_shuffled" -> ((s, dir) => {
       // GLOBAL SAMPLE SHUFFLE — the step after the cut a loader wants:
       // fixed sequences sit in stream order (consecutive rows are
@@ -2777,8 +2809,11 @@ object SparkEntry {
     * its pad count. */
   /** The WITH chain deriving each shard's sequence boundaries (CTE
     * `seqs`: one row per (shard, total, k)) — shared by
-    * [[sequencesSql]] and the shuffled-permutation replay. */
-  private def sequencesCtes: String =
+    * [[sequencesSql]], the shuffled-permutation replay and the
+    * incremental-feed replay. `orderExtra` prepends columns to the
+    * stream order (the feed concatenates batches in arrival order, so
+    * its replay orders by the batch key first). */
+  private def sequencesCtes(orderExtra: String = ""): String =
     s"""${xxhash64Ctes("doc_id", "documents")},
        |pres AS (
        |  SELECT doc_id,
@@ -2796,7 +2831,7 @@ object SparkEntry {
        |  SELECT t.doc_id, x.h, ((x.h % 8) + 8) % 8 AS shard,
        |    t.n_tokens,
        |    SUM(t.n_tokens) OVER (PARTITION BY ((x.h % 8) + 8) % 8
-       |      ORDER BY x.h, t.doc_id
+       |      ORDER BY ${orderExtra}x.h, t.doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |      - t.n_tokens AS off
        |  FROM tok t JOIN xxh x USING (doc_id)
@@ -2819,7 +2854,7 @@ object SparkEntry {
         ",\n  CAST((s.k + 1) * 2048 - LEAST(s.total, (s.k + 1) * 2048)" +
           " AS BIGINT) AS n_pad"
       else ""
-    s"""WITH $sequencesCtes
+    s"""WITH ${sequencesCtes()}
        |SELECT s.shard, CAST(s.k AS BIGINT) AS seq_id,
        |  $nTok,
        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -2839,7 +2874,7 @@ object SparkEntry {
     * xxhash64 replay (prefixed CTEs) derives the output shard and the
     * within-shard position is the rank by (hash, key). */
   private def sequencesShuffledSql: String =
-    s"""WITH $sequencesCtes,
+    s"""WITH ${sequencesCtes()},
        |sk AS (
        |  SELECT shard, CAST(k AS BIGINT) AS seq_id,
        |    CAST(shard * 1099511627776 + k AS BIGINT) AS skey
@@ -2852,6 +2887,30 @@ object SparkEntry {
        |    ORDER BY x.h, k2.skey) - 1 AS BIGINT) AS pos
        |FROM sk k2 JOIN sxxh x USING (skey)
        |ORDER BY k2.shard, k2.seq_id""".stripMargin
+
+  /** The incremental feed replayed: batches arrive as doc_id % 3 in
+    * order, so the per-shard stream is the concatenation ordered by
+    * (batch, h, doc_id); the store holds COMPLETE sequences only (the
+    * trailing partial lives in the carry), so k ranges over the full
+    * multiples of 2048. */
+  private def sequencesIncrementalSql: String =
+    s"""WITH ${sequencesCtes("t.doc_id % 3, ")},
+       |ck AS (
+       |  SELECT shard, total,
+       |    unnest(generate_series(CAST(0 AS BIGINT),
+       |      CAST(total // 2048 - 1 AS BIGINT))) AS k
+       |  FROM totals WHERE total >= 2048
+       |)
+       |SELECT c.shard, CAST(c.k AS BIGINT) AS seq_id,
+       |  CAST(2048 AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  arg_min(d.doc_id, d.off) AS first_doc,
+       |  arg_max(d.doc_id, d.off) AS last_doc
+       |FROM ck c JOIN d
+       |  ON d.shard = c.shard
+       | AND d.off < (c.k + 1) * 2048 AND d.off + d.n_tokens > c.k * 2048
+       |GROUP BY c.shard, c.k
+       |ORDER BY c.shard, seq_id""".stripMargin
 
   private def indexSearchSql: String =
     s"""WITH toks AS (
@@ -5403,6 +5462,9 @@ object SparkEntry {
     "t_sequences_padded" -> sequencesSql(padded = true),
     // the shuffled-sample permutation: identity-hash shard + rank
     "t_sequences_shuffled" -> sequencesShuffledSql,
+    // the incremental feed: batch-order-prefixed stream replay,
+    // complete rows only (the tail lives in the carry)
+    "t_sequences_incremental" -> sequencesIncrementalSql,
 
     // decode(encode(text)) identity: the oracle is the original text
     // itself (md5 over UTF-8 bytes; null text encodes as '')

@@ -221,6 +221,13 @@ object PipelineJob {
           "token to mark where each ends")
       require(ex.padTokenId.isEmpty || ex.sequenceLength > 0,
         "`pad_token_id` only applies with `sequence_length`")
+      // a pad id outside the declared vocabulary would poison every
+      // trailing sequence with an id no decoder or embedding table has
+      for ((_, merges, specials) <- tokArtifacts; p <- ex.padTokenId)
+        require(p >= 0 && p < 256 + merges.length + specials.length,
+          s"pad_token_id $p is outside the vocabulary " +
+            s"[0, ${256 + merges.length + specials.length}) induced by " +
+            "this merge table + specials")
       // t_export_packed's exact composition: deterministic hash shuffle
       // into shards, greedy contiguous packing within each shard in
       // (hash, id) order — one narrow encode pass upstream + one

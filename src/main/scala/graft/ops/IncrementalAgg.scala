@@ -75,20 +75,8 @@ object IncrementalAgg {
         s"rename $from -> $to failed (filesystem returned false); " +
           "store left in its recoverable pre-swap layout")
 
-  /** Highest batch id COMPACTION has folded into the base partition
-    * (-1 when none) — the replay fence: a micro-batch whose store write
-    * committed but whose streaming checkpoint did not is replayed by
-    * Structured Streaming after restart, and if compaction ran in
-    * between, its `__batch=<id>` partitions no longer exist for the
-    * dynamic overwrite to replace — the replay would APPEND a second
-    * copy of already-folded counts. [[vocabAppend]] therefore skips any
-    * batch id at or below this watermark: the batch's counts are
-    * guaranteed present (folded into the base, or still in their own
-    * partitions if the fold's swap hasn't landed — the watermark is
-    * written BEFORE the swap, so it can only over-fence, never
-    * under-fence). */
   /** Small marker file, read fully; None when absent. */
-  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+  private[ops] def readMarker(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(p)) None
@@ -105,7 +93,7 @@ object IncrementalAgg {
   }
 
   /** Atomic (write-tmp + rename) small marker write. */
-  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem,
+  private[ops] def writeMarker(fs: org.apache.hadoop.fs.FileSystem,
       path: String, value: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
@@ -115,6 +103,18 @@ object IncrementalAgg {
     mustRename(fs, tmp, p)
   }
 
+  /** Highest batch id COMPACTION has folded into the base partition
+    * (-1 when none) — the replay fence: a micro-batch whose store write
+    * committed but whose streaming checkpoint did not is replayed by
+    * Structured Streaming after restart, and if compaction ran in
+    * between, its `__batch=<id>` partitions no longer exist for the
+    * dynamic overwrite to replace — the replay would APPEND a second
+    * copy of already-folded counts. [[vocabAppend]] therefore skips any
+    * batch id at or below this watermark: the batch's counts are
+    * guaranteed present (folded into the base, or still in their own
+    * partitions if the fold's swap hasn't landed — the watermark is
+    * written BEFORE the swap, so it can only over-fence, never
+    * under-fence). */
   private def readWatermark(fs: org.apache.hadoop.fs.FileSystem,
       stateDir: String): Long =
     readMarker(fs, watermarkPath(stateDir)).map(_.toLong).getOrElse(-1L)
@@ -135,7 +135,7 @@ object IncrementalAgg {
     * [[graft.streaming.StreamingOps]] maintainers put the checkpoint at
     * `{stateDir}/checkpoint`, so the identity is readable here without
     * any API plumbing; direct batch callers have none. */
-  private def streamIdentity(fs: org.apache.hadoop.fs.FileSystem,
+  private[ops] def streamIdentity(fs: org.apache.hadoop.fs.FileSystem,
       stateDir: String): Option[String] =
     readMarker(fs, s"$stateDir/checkpoint/metadata").flatMap { s =>
       """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(s).map(_.group(1))

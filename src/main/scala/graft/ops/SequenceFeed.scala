@@ -1,0 +1,274 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.IncrementalValidation
+
+/** CONTINUOUS LOADER FEED — incremental fixed-length sequence
+  * construction over an arriving document stream: the streaming twin of
+  * [[Chunking.fixedSequences]]. Each batch's token streams concatenate
+  * onto the per-shard STORED CARRY (the tail of the previous batch's
+  * stream that didn't fill a sequence), complete `seqLen`-token rows cut
+  * off and append to the store, and the new tail becomes the carry —
+  * so at any point the store holds exactly the complete sequences
+  * `fixedSequences` would emit over everything that has arrived, in
+  * arrival order, with per-shard `seq_id` continuous across batches.
+  * Training can consume the feed while ingestion runs; nothing is ever
+  * re-cut.
+  *
+  * State (tiny — per shard: one < seqLen id buffer + its doc list):
+  *  - `{stateDir}/carry/batch=<K>`: the carry AFTER batch K, one row per
+  *    shard (shard, next_seq, ids, docs). EVERY batch's carry is kept
+  *    (metadata-sized), which is what makes replays recomputable.
+  *  - `{stateDir}/seqstore/__batch=<K>/__bucket=<shard>`: batch K's
+  *    complete sequences (the [[Chunking.fixedSequences]] row shape,
+  *    always `complete = true` — the incomplete tail lives in the
+  *    carry, never the store).
+  *
+  * Discipline (the [[IncrementalAgg.appendFold]] family):
+  *  - single-writer lease around every mutation;
+  *  - batch ids must arrive IN SEQUENCE (`lastBatch + 1`): unlike a
+  *    summable fold, the cut is order-dependent, so a gap is an error,
+  *    not a skip;
+  *  - replays (batchId <= lastBatch) recompute from the RETAINED
+  *    carry of batchId-1 and dynamic-overwrite their own `__batch`
+  *    partition — byte-identical rows, at-least-once safe. A crash
+  *    between the store write and the carry write heals the same way:
+  *    re-deliver the batch;
+  *  - fence ownership: batch ids are only comparable within one
+  *    streaming query's lifetime, so the co-located checkpoint's query
+  *    uuid is adopted on first append and a mismatch (reset checkpoint
+  *    over a kept feed) throws — recovery is a fresh stateDir (the
+  *    carry cannot be rebased: sequence identity IS the arrival order).
+  *
+  * Scale: each batch pays one shard-keyed exchange of ITS OWN rows plus
+  * a per-partition sweep with a constant-size buffer (the
+  * [[Chunking.fixedSequences]] memory shape); the carry round-trips
+  * through the driver but is nShards × seqLen ints. Reads
+  * ([[sequencesFromStore]]) scan only the store.
+  */
+object SequenceFeed {
+
+  private def storePath(stateDir: String) = s"$stateDir/seqstore"
+  private def carryDir(stateDir: String) = s"$stateDir/carry"
+  private def carryPath(stateDir: String, batchId: Long) =
+    s"${carryDir(stateDir)}/batch=$batchId"
+  private def ownerPath(stateDir: String) = s"$stateDir/feed_owner"
+
+  /** One stored carry row / one shard's in-flight tail. */
+  private final case class Carry(shard: Long, next_seq: Long,
+      ids: Array[Int], docs: Array[Long])
+
+  /** One emitted complete sequence (the fixedSequences shape; always
+    * complete here, pads never apply mid-stream). */
+  private final case class FeedSeq(shard: Long, seq_id: Long,
+      n_tokens: Long, n_docs: Long, first_doc: Long, last_doc: Long,
+      token_ids: Array[Int], ids_sum: Long)
+
+  /** One sweep output row: a complete sequence (is_carry = false,
+    * docs empty) or a shard's new tail (is_carry = true, docs = the
+    * buffer's contributing doc ids — the carry needs the full list so
+    * n_docs/first_doc stay exact across the batch boundary). */
+  private final case class SweepRow(is_carry: Boolean, shard: Long,
+      seq_id: Long, n_tokens: Long, n_docs: Long, first_doc: Long,
+      last_doc: Long, token_ids: Array[Int], ids_sum: Long,
+      docs: Array[Long])
+
+  /** Highest batch id this feed has processed (-1 when none): the max
+    * retained carry. One driver-side directory listing. */
+  def lastBatch(spark: SparkSession, stateDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(carryDir(stateDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Append one batch of encoded documents to the feed. `enc` carries
+    * (shardCol, orderCol, idCol, idsCol) — the same contract as
+    * [[Chunking.fixedSequences]] (orderCol orders the stream WITHIN the
+    * batch per shard, ties broken by the id; across batches the order
+    * is arrival order, which is the point). Empty-shard batches carry
+    * the previous tail forward untouched. */
+  def sequencesAppend(enc: DataFrame, batchId: Long, stateDir: String,
+      shardCol: String, orderCol: String, idCol: String, idsCol: String,
+      seqLen: Int): Unit = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(batchId >= 0, "batch ids are non-negative")
+    val spark = enc.sparkSession
+    import spark.implicits._
+    val lease = IncrementalValidation.acquireLease(spark, stateDir)
+    try {
+      val fs = new org.apache.hadoop.fs.Path(stateDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // fence ownership (the IncrementalAgg discipline): a reset
+      // checkpoint restarts batch ids — over an order-dependent feed
+      // that is unrecoverable in place, so it must throw, never skip
+      IncrementalAgg.streamIdentity(fs, stateDir).foreach { sid =>
+        IncrementalAgg.readMarker(fs, ownerPath(stateDir)) match {
+          case Some(owner) if owner != sid =>
+            throw new IllegalStateException(
+              s"sequence feed at $stateDir was built by streaming query " +
+                s"$owner but this batch comes from query $sid — the " +
+                "checkpoint was reset while the feed was kept. Batch ids " +
+                "are not comparable across query lifetimes and the cut " +
+                "is arrival-order-dependent, so the feed cannot be " +
+                "rebased; start a fresh stateDir (the exported store " +
+                "remains readable).")
+          case None =>
+            IncrementalAgg.writeMarker(fs, ownerPath(stateDir), sid)
+          case _ => ()
+        }
+      }
+      val last = lastBatch(spark, stateDir)
+      require(batchId <= last + 1,
+        s"batch $batchId arrived over a feed at batch $last — a GAP in " +
+          "an order-dependent feed loses stream content; deliver " +
+          s"batch ${last + 1} first")
+      // replay or first delivery: either way the cut derives from the
+      // carry BEFORE this batch, which is always retained
+      val prev: Map[Long, Carry] =
+        if (batchId == 0) Map.empty
+        else spark.read.parquet(carryPath(stateDir, batchId - 1))
+          .as[Carry].collect().map(c => c.shard -> c).toMap
+      val bc = spark.sparkContext.broadcast(prev)
+      val cut = enc
+        .select(col(shardCol).cast("long").as("shard"),
+          col(orderCol).cast("long").as("ord"),
+          col(idCol).cast("long").as("doc"),
+          coalesce(col(idsCol), typedLit(Array.empty[Int])).as("ids"))
+        .repartition(col("shard"))
+        .sortWithinPartitions(col("shard"), col("ord"), col("doc"))
+        .as[(Long, Long, Long, Array[Int])]
+        .mapPartitions { it =>
+          // the LAZY fixedSequences sweep, seeded per shard from the
+          // carry — memory is one seqLen buffer + the pending queue of
+          // the current input row, never a batch's worth
+          new Iterator[SweepRow] {
+            private val carries = bc.value
+            private val pending =
+              scala.collection.mutable.Queue.empty[SweepRow]
+            private var shard = Long.MinValue
+            private var seqId = 0L
+            private var buf = new ArrayBuffer[Int]()
+            private var docs = ArrayBuffer.empty[Long]
+            private var drained = false
+            private def seed(s: Long): Unit = {
+              shard = s
+              carries.get(s) match {
+                case Some(c) =>
+                  seqId = c.next_seq
+                  buf = ArrayBuffer.from(c.ids)
+                  docs = ArrayBuffer.from(c.docs)
+                case None =>
+                  seqId = 0L
+                  buf = new ArrayBuffer[Int]()
+                  docs = ArrayBuffer.empty[Long]
+              }
+            }
+            private def emitCarry(): Unit =
+              if (shard != Long.MinValue)
+                pending += SweepRow(is_carry = true, shard, seqId,
+                  buf.length.toLong, docs.length.toLong,
+                  if (docs.isEmpty) -1L else docs.head,
+                  if (docs.isEmpty) -1L else docs.last,
+                  buf.toArray, buf.map(_.toLong).sum, docs.toArray)
+            private def advance(): Unit = {
+              while (pending.isEmpty && it.hasNext) {
+                val (s, _, doc, ids) = it.next()
+                if (s != shard) { emitCarry(); seed(s) }
+                if (ids.nonEmpty) {
+                  var i = 0
+                  var counted = false
+                  while (i < ids.length) {
+                    if (!counted) { docs += doc; counted = true }
+                    buf += ids(i)
+                    if (buf.length == seqLen) {
+                      val arr = buf.toArray
+                      pending += SweepRow(is_carry = false, shard, seqId,
+                        seqLen.toLong, docs.length.toLong, docs.head,
+                        docs.last, arr, arr.map(_.toLong).sum,
+                        Array.empty[Long])
+                      seqId += 1
+                      buf = new ArrayBuffer[Int]()
+                      docs = ArrayBuffer.empty[Long]
+                      counted = false
+                    }
+                    i += 1
+                  }
+                }
+              }
+              if (pending.isEmpty && !it.hasNext && !drained) {
+                drained = true
+                emitCarry()
+              }
+            }
+            override def hasNext: Boolean = { advance(); pending.nonEmpty }
+            override def next(): SweepRow = { advance(); pending.dequeue() }
+          }
+        }
+        .persist()
+      try {
+        lease.check()
+        cut.filter(!col("is_carry")).drop("is_carry", "docs")
+          .withColumn("__batch", lit(batchId))
+          .withColumn("__bucket", col("shard"))
+          .repartition(col("__bucket"))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch", "__bucket")
+          .parquet(storePath(stateDir))
+        // the new carry: shards touched this batch take their fresh
+        // tail; untouched shards carry the previous one forward —
+        // nShards rows, driver-merged (metadata-sized by contract)
+        val fresh = cut.filter(col("is_carry"))
+          .collect()
+          .map(r => Carry(r.shard, r.seq_id, r.token_ids, r.docs))
+        val freshShards = fresh.map(_.shard).toSet
+        val rows = fresh.toSeq ++
+          prev.view.filterKeys(s => !freshShards.contains(s)).values.toSeq
+        spark.createDataset(rows).coalesce(1)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(carryPath(stateDir, batchId))
+      } finally cut.unpersist()
+    } finally lease.release()
+  }
+
+  /** Every COMPLETE sequence the feed has cut so far, the
+    * [[Chunking.fixedSequences]] row shape minus the
+    * `complete`/`n_pad` columns (always true / 0 here). Store-sized
+    * scan; empty frame when nothing has been cut. */
+  def sequencesFromStore(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(storePath(stateDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) found = true
+      }
+      found
+    }
+    if (hasData)
+      spark.read.parquet(storePath(stateDir)).drop("__batch", "__bucket")
+    else
+      Seq.empty[FeedSeq].toDF()
+  }
+
+  /** The current incomplete per-shard tails (shard, next_seq, ids,
+    * docs) — what a final [[Chunking.fixedSequences]]-style flush would
+    * emit as `complete = false` rows. */
+  def carrySnapshot(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    val last = lastBatch(spark, stateDir)
+    if (last < 0) Seq.empty[Carry].toDF()
+    else spark.read.parquet(carryPath(stateDir, last))
+  }
+}

@@ -703,6 +703,44 @@ object StreamingOps {
       }
       .start()
 
+  /** CONTINUOUS LOADER FEED: cut fixed-length training sequences from an
+    * APPEND-ONLY document stream as it arrives — each micro-batch
+    * byte-BPE encodes its documents (with the boundary special — the
+    * sequences contract), hash-shards them, and appends the complete
+    * `seqLen`-token rows to the [[graft.ops.SequenceFeed]] store, the
+    * incomplete per-shard tails carrying to the next batch. At any
+    * point [[graft.ops.SequenceFeed.sequencesFromStore]] serves exactly
+    * what a single [[graft.ops.Chunking.fixedSequences]] cut over
+    * everything arrived (in arrival order) would emit — training can
+    * consume the feed while ingestion runs.
+    *
+    * Disciplines: single-writer lease, in-sequence batch ids (a GAP
+    * throws — the cut is order-dependent), idempotent replays from
+    * retained carries, fence ownership (a reset checkpoint over a kept
+    * feed throws; a feed cannot be rebased — start a fresh stateDir).
+    * Same append-only contract as the other maintainers: an id arrives
+    * at most once. */
+  def maintainSequences(docs: DataFrame, stateDir: String,
+      merges: Seq[(String, String)], seqLen: Int, nShards: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text",
+      specials: Seq[String] = Seq("<|endoftext|>"),
+      boundary: Option[String] = Some("<|endoftext|>"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$stateDir/checkpoint")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val enc = graft.ops.Tokenize.bpeEncodeIds(batch, idCol, textCol,
+            merges, specials = specials, boundary = boundary)
+          .select(col("id"), col("token_ids"))
+          .withColumn("h", xxhash64(col("id")))
+          .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+        graft.ops.SequenceFeed.sequencesAppend(enc, batchId, stateDir,
+          "shard", "h", "id", "token_ids", seqLen)
+        ()
+      }
+      .start()
+
   /** Run a streaming frame to completion against currently-available data
     * (test/driver harness: memory sink, processAllAvailable). */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Append()): DataFrame = {

@@ -103,6 +103,26 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"the one exchange must be on the pack key:\n$p")
   }
 
+  test("sequence shuffle: exactly two exchanges end-to-end (the cut's " +
+      "shard key + the permutation's out_shard key), no join") {
+    // fixedSequences repartitions on the stream shard; shuffleSequences
+    // repartitions BEFORE its position window so the window consumes
+    // that layout — nothing else may shuffle
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val enc = (0L until 200L)
+      .map(i => (i % 4, i, i, Array.fill(32)((i % 97).toInt)))
+      .toDF("shard", "ord", "doc", "ids")
+    val p = graft.ops.Chunking.shuffleSequences(
+        graft.ops.Chunking.fixedSequences(enc, "shard", "ord", "doc",
+          "ids", 64),
+        "shard", "seq_id", 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"shuffle must not join:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 2,
+      s"expected exactly 2 exchanges (cut + permutation):\n$p")
+  }
+
   test("partition pruning: a filter on the partition column prunes files") {
     // at 100 TB the first line of defense is never opening the file: a
     // hive-partitioned layout + partition-column predicate must show up

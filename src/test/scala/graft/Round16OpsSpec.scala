@@ -238,6 +238,124 @@ class Round16OpsSpec extends AnyFunSuite with SparkSpec {
       "post-rebase appends fold on top of the kept history")
   }
 
+  // ---- continuous loader feed ---------------------------------------------
+
+  private def feedCorpus(n: Int): Seq[(Long, Long, Long, Array[Int])] = {
+    val rnd = new scala.util.Random(20260816)
+    (0L until n.toLong).map { i =>
+      (i % 3, i * 10, i, Array.fill(1 + rnd.nextInt(40))(rnd.nextInt(300)))
+    }
+  }
+
+  test("sequence feed: three batches cut exactly what one fixedSequences " +
+      "pass over the concatenated stream cuts (seq_id continuous, carry " +
+      "== the trailing partials); replay idempotent; gaps rejected") {
+    import graft.ops.SequenceFeed
+    val stateDir = freshStateDir()
+    val rows = feedCorpus(60)
+    // batches by doc % 3, IN ORDER — the arrival order the feed defines
+    for (b <- 0L to 2L) {
+      val batch = rows.filter(_._3 % 3 == b)
+        .toDF("shard", "ord", "doc", "ids")
+      SequenceFeed.sequencesAppend(batch, b, stateDir,
+        "shard", "ord", "doc", "ids", seqLen = 16)
+    }
+    // reference: ONE cut over the concatenated stream — arrival order
+    // is (batch, ord, doc), emulated as ord2 = batch * 2^32 + ord
+    val concat = rows.map { case (s, o, d, ids) =>
+      (s, (d % 3) * 4294967296L + o, d, ids)
+    }.toDF("shard", "ord", "doc", "ids")
+    val ref = Chunking.fixedSequences(concat, "shard", "ord", "doc",
+      "ids", 16)
+    def key(df: DataFrame) = df
+      .select("shard", "seq_id", "n_tokens", "n_docs", "first_doc",
+        "last_doc", "token_ids", "ids_sum")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getAs[scala.collection.Seq[Int]](6).toSeq, r.getLong(7)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val got = key(SequenceFeed.sequencesFromStore(spark, stateDir))
+    val want = key(ref.filter(col("complete")))
+    assert(got == want, "feed == single-pass cut, complete rows")
+    // the carry is exactly the reference's trailing partials
+    val carry = SequenceFeed.carrySnapshot(spark, stateDir)
+      .collect().map(r => r.getAs[Long]("shard") ->
+        ((r.getAs[Long]("next_seq"),
+          r.getAs[scala.collection.Seq[Int]]("ids").toSeq))).toMap
+    val tails = ref.filter(!col("complete"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getAs[scala.collection.Seq[Int]](6).toSeq))).toMap
+    for ((s, (seqId, ids)) <- tails) {
+      assert(carry.contains(s), s"carry missing shard $s")
+      assert(carry(s) == ((seqId, ids)), s"carry of shard $s")
+    }
+    // replay of the last batch: byte-identical store (idempotent)
+    SequenceFeed.sequencesAppend(
+      rows.filter(_._3 % 3 == 2).toDF("shard", "ord", "doc", "ids"),
+      2L, stateDir, "shard", "ord", "doc", "ids", seqLen = 16)
+    assert(key(SequenceFeed.sequencesFromStore(spark, stateDir)) == want,
+      "replayed batch must not change the store")
+    // a GAP is an error, never a skip: order-dependence means a missing
+    // batch loses stream content silently otherwise
+    val ex = intercept[IllegalArgumentException] {
+      SequenceFeed.sequencesAppend(
+        rows.take(1).toDF("shard", "ord", "doc", "ids"),
+        5L, stateDir, "shard", "ord", "doc", "ids", seqLen = 16)
+    }
+    assert(ex.getMessage.toLowerCase.contains("gap"))
+  }
+
+  test("sequence feed fence ownership: a reset checkpoint over a kept " +
+      "feed throws (a feed cannot be rebased)") {
+    import graft.ops.SequenceFeed
+    val stateDir = freshStateDir()
+    writeCheckpointIdentity(stateDir, "query-A")
+    val batch = feedCorpus(12).toDF("shard", "ord", "doc", "ids")
+    SequenceFeed.sequencesAppend(batch, 0L, stateDir,
+      "shard", "ord", "doc", "ids", seqLen = 16)
+    writeCheckpointIdentity(stateDir, "query-B")
+    val ex = intercept[IllegalStateException] {
+      SequenceFeed.sequencesAppend(batch, 0L, stateDir,
+        "shard", "ord", "doc", "ids", seqLen = 16)
+    }
+    assert(ex.getMessage.contains("fresh stateDir"))
+  }
+
+  test("maintainSequences: the streaming wrapper feeds the store through " +
+      "foreachBatch; a one-batch run equals the direct fixedSequences cut") {
+    import graft.ops.{SequenceFeed, Tokenize}
+    val stateDir = freshStateDir()
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Tokenize.loadMerges(spark.read
+      .parquet("src/test/resources/bpe_bytes_merges.parquet"))
+    val src = java.nio.file.Files.createTempDirectory("sfeed").toString
+    docs.write.mode("overwrite").parquet(src)
+    val stream = graft.streaming.StreamingOps.readEvents(spark, src)
+    val q = graft.streaming.StreamingOps.withShufflePartitions(spark, 8) {
+      graft.streaming.StreamingOps.maintainSequences(stream, stateDir,
+        merges, seqLen = 512, nShards = 4)
+    }
+    try q.processAllAvailable() finally q.stop()
+    val got = SequenceFeed.sequencesFromStore(spark, stateDir)
+      .select("shard", "seq_id", "n_tokens", "ids_sum")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(t => (t._1, t._2)).toSeq
+    val enc = Tokenize.bpeEncodeIds(docs, "doc_id", "text", merges,
+        specials = Seq("<|endoftext|>"), boundary = Some("<|endoftext|>"))
+      .select(col("id").as("doc_id"), col("token_ids"))
+      .withColumn("h", xxhash64(col("doc_id")))
+      .withColumn("shard", pmod(col("h"), lit(4L)))
+    val want = Chunking.fixedSequences(enc, "shard", "h", "doc_id",
+        "token_ids", 512)
+      .filter(col("complete"))
+      .select("shard", "seq_id", "n_tokens", "ids_sum")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(got == want, "one-batch stream == direct cut (complete rows)")
+    assert(got.nonEmpty)
+  }
+
   // ---- PQ drift signal ---------------------------------------------------
 
   private def embCorpus(n: Int, lo: Float = -1f, hi: Float = 1f,
