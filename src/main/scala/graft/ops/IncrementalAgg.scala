@@ -68,7 +68,7 @@ object IncrementalAgg {
     * `__staging` subtree that corrupts partition discovery. Every swap
     * rename goes through this: a false ABORTS the swap, leaving the
     * recoverable tmp/old layout for [[recoverStore]]. */
-  private def mustRename(fs: org.apache.hadoop.fs.FileSystem,
+  private[ops] def mustRename(fs: org.apache.hadoop.fs.FileSystem,
       from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
     if (!fs.rename(from, to))
       throw new java.io.IOException(

@@ -57,6 +57,8 @@ object SequenceFeed {
   private def carryPath(stateDir: String, batchId: Long) =
     s"${carryDir(stateDir)}/batch=$batchId"
   private def ownerPath(stateDir: String) = s"$stateDir/feed_owner"
+  private def watermarkPath(stateDir: String) =
+    s"$stateDir/feed_compact_watermark"
 
   /** One stored carry row / one shard's in-flight tail. */
   private final case class Carry(shard: Long, next_seq: Long,
@@ -104,6 +106,7 @@ object SequenceFeed {
     import spark.implicits._
     val lease = IncrementalValidation.acquireLease(spark, stateDir)
     try {
+      recoverFeedStore(spark, stateDir)
       val fs = new org.apache.hadoop.fs.Path(stateDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       // fence ownership (the IncrementalAgg discipline): a reset
@@ -130,6 +133,22 @@ object SequenceFeed {
         s"batch $batchId arrived over a feed at batch $last — a GAP in " +
           "an order-dependent feed loses stream content; deliver " +
           s"batch ${last + 1} first")
+      // compaction replay fence: a batch at or below the watermark was
+      // FOLDED into the base partition — a replay's dynamic overwrite
+      // would create a second copy next to it. Its rows are provably
+      // present (fenced before the swap, same as IncrementalAgg) and
+      // its carry was written when it first processed; skip.
+      val wm = IncrementalAgg.readMarker(fs, watermarkPath(stateDir))
+        .map(_.toLong).getOrElse(-1L)
+      if (batchId <= wm) {
+        require(fs.exists(new org.apache.hadoop.fs.Path(
+            carryPath(stateDir, batchId))),
+          s"batch $batchId is under the compaction fence ($wm) but its " +
+            "carry is missing — the feed state is torn; this should be " +
+            "unreachable (carries are retained and written before any " +
+            "compaction can fence the batch)")
+        return
+      }
       // replay or first delivery: either way the cut derives from the
       // carry BEFORE this batch, which is always retained
       val prev: Map[Long, Carry] =
@@ -239,12 +258,103 @@ object SequenceFeed {
     } finally lease.release()
   }
 
+  /** Heal a stranded compaction swap — the [[IncrementalAgg]]
+    * recoverStore discipline: a crash can leave the store absent with
+    * `__old`/`__staging` siblings. A staging NEXT TO an absent store is
+    * complete by construction (it is fully written before the first
+    * swap rename), so it promotes — its fence was written first, which
+    * only over-fences; otherwise the old copy restores. With a live
+    * store, siblings are garbage. Idempotent; every entry point calls
+    * it. */
+  private def recoverFeedStore(spark: SparkSession, stateDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(storePath(stateDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, p.getName + "__staging")
+    val old = new org.apache.hadoop.fs.Path(
+      p.getParent, p.getName + "__old")
+    if (fs.exists(p)) {
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    } else if (fs.exists(tmp) && fs.exists(old)) {
+      IncrementalAgg.mustRename(fs, tmp, p)
+      fs.delete(old, true)
+    } else if (fs.exists(old)) {
+      IncrementalAgg.mustRename(fs, old, p)
+    }
+  }
+
+  /** Fold every `__batch=K` partition into the base (`__batch=-1`) —
+    * the read-amplification bound for a LONG-RUNNING feed (a month of
+    * minute-batches is ~43k partitions; readers merge across all of
+    * them). Rows are immutable unique facts, so the fold is a plain
+    * rewrite (no aggregation); the swap is RENAMES-ONLY with the
+    * replay watermark written BEFORE it (over-fencing is safe — a
+    * fenced replay's rows are in the base either way), the
+    * [[IncrementalAgg]] compaction discipline verbatim. Carries are
+    * untouched (they are the cut state, not the history). */
+  def compactFeedStore(spark: SparkSession, stateDir: String): Unit = {
+    val lease = IncrementalValidation.acquireLease(spark, stateDir)
+    try {
+      recoverFeedStore(spark, stateDir) // a prior crash's stranded swap
+      val p = new org.apache.hadoop.fs.Path(storePath(stateDir))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) return
+      val tmp = new org.apache.hadoop.fs.Path(
+        p.getParent, p.getName + "__staging")
+      val old = new org.apache.hadoop.fs.Path(
+        p.getParent, p.getName + "__old")
+      val store = spark.read.parquet(storePath(stateDir))
+      val maxBatch = store.agg(max(col("__batch").cast("long"))).head() match {
+        case r if r.isNullAt(0) => -1L
+        case r => r.getLong(0)
+      }
+      store
+        .withColumn("__batch", lit(-1L))
+        .repartition(col("__bucket"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("__batch", "__bucket")
+        .parquet(tmp.toString)
+      lease.check()
+      val prevWm = IncrementalAgg.readMarker(fs, watermarkPath(stateDir))
+        .map(_.toLong).getOrElse(-1L)
+      if (maxBatch > prevWm)
+        IncrementalAgg.writeMarker(fs, watermarkPath(stateDir),
+          maxBatch.toString)
+      if (!fs.rename(p, old) || !fs.rename(tmp, p))
+        throw new java.io.IOException(
+          s"feed store swap rename failed at $stateDir — store left in " +
+            "its recoverable pre-swap layout")
+      fs.delete(old, true)
+    } finally lease.release()
+  }
+
+  /** Compact iff more than `maxBatchParts` batch partitions have
+    * accumulated (the base `__batch=-1` does not count) — one
+    * driver-side listing per call; see INCREMENTAL.md for sizing. */
+  def maybeCompactFeedStore(spark: SparkSession, stateDir: String,
+      maxBatchParts: Int): Boolean = {
+    require(maxBatchParts >= 1, "maxBatchParts must be >= 1")
+    val p = new org.apache.hadoop.fs.Path(storePath(stateDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nBatches =
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count { st =>
+        val n = st.getPath.getName
+        n.startsWith("__batch=") && n != "__batch=-1"
+      }
+    if (nBatches > maxBatchParts) {
+      compactFeedStore(spark, stateDir); true
+    } else false
+  }
+
   /** Every COMPLETE sequence the feed has cut so far, the
     * [[Chunking.fixedSequences]] row shape minus the
     * `complete`/`n_pad` columns (always true / 0 here). Store-sized
     * scan; empty frame when nothing has been cut. */
   def sequencesFromStore(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
+    recoverFeedStore(spark, stateDir)
     val p = new org.apache.hadoop.fs.Path(storePath(stateDir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasData = fs.exists(p) && {

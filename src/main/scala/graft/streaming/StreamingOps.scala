@@ -724,7 +724,8 @@ object StreamingOps {
       merges: Seq[(String, String)], seqLen: Int, nShards: Int = 8,
       idCol: String = "doc_id", textCol: String = "text",
       specials: Seq[String] = Seq("<|endoftext|>"),
-      boundary: Option[String] = Some("<|endoftext|>"))
+      boundary: Option[String] = Some("<|endoftext|>"),
+      maxBatchParts: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
@@ -737,6 +738,9 @@ object StreamingOps {
           .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
         graft.ops.SequenceFeed.sequencesAppend(enc, batchId, stateDir,
           "shard", "h", "id", "token_ids", seqLen)
+        if (maxBatchParts > 0)
+          graft.ops.SequenceFeed.maybeCompactFeedStore(
+            batch.sparkSession, stateDir, maxBatchParts)
         ()
       }
       .start()

@@ -305,6 +305,53 @@ class Round16OpsSpec extends AnyFunSuite with SparkSpec {
     assert(ex.getMessage.toLowerCase.contains("gap"))
   }
 
+  test("sequence feed compaction: folds batch partitions into the base " +
+      "with rows unchanged, fences folded replays, accepts the next " +
+      "batch, and heals a stranded swap") {
+    import graft.ops.SequenceFeed
+    val stateDir = freshStateDir()
+    val rows = feedCorpus(60)
+    def batchDf(b: Long) =
+      rows.filter(_._3 % 3 == b).toDF("shard", "ord", "doc", "ids")
+    for (b <- 0L to 1L)
+      SequenceFeed.sequencesAppend(batchDf(b), b, stateDir,
+        "shard", "ord", "doc", "ids", seqLen = 16)
+    def snap() = SequenceFeed.sequencesFromStore(spark, stateDir)
+      .select("shard", "seq_id", "ids_sum")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val before = snap()
+    SequenceFeed.compactFeedStore(spark, stateDir)
+    assert(snap() == before, "compaction must not change the rows")
+    // the store now holds only the base partition
+    val storeDirs = new java.io.File(s"$stateDir/seqstore").listFiles()
+      .map(_.getName).filter(_.startsWith("__batch=")).toSeq
+    assert(storeDirs == Seq("__batch=-1"), s"got $storeDirs")
+    // a replay of a FOLDED batch is fenced (its rows are in the base)
+    SequenceFeed.sequencesAppend(batchDf(1L), 1L, stateDir,
+      "shard", "ord", "doc", "ids", seqLen = 16)
+    assert(snap() == before, "fenced replay must not duplicate rows")
+    // the next batch continues normally on top of the base
+    SequenceFeed.sequencesAppend(batchDf(2L), 2L, stateDir,
+      "shard", "ord", "doc", "ids", seqLen = 16)
+    val after = snap()
+    assert(after.length > before.length)
+    // stranded swap: simulate the crash window (store renamed aside,
+    // complete staging present) — the next read must heal by promoting
+    // the staging
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/seqstore")
+    val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/seqstore__staging")
+    val old = new org.apache.hadoop.fs.Path(s"$stateDir/seqstore__old")
+    // staging := a full copy (what a completed staging write leaves)
+    org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, tmp, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(p, old))
+    assert(snap() == after, "reader must promote the stranded staging")
+    assert(!fs.exists(old) && !fs.exists(tmp) && fs.exists(p))
+  }
+
   test("sequence feed fence ownership: a reset checkpoint over a kept " +
       "feed throws (a feed cannot be rebased)") {
     import graft.ops.SequenceFeed
