@@ -166,11 +166,12 @@ object PipelineJob {
     }
 
     var out = docs
-    // the byte-scheme tokenizer's artifacts, held for the export stage:
-    // (merge table, loaded merges, specials) — a trained merge table
+    // the tokenizer's artifacts, held for the export stage: (merge
+    // table, loaded merges, specials, scheme) — a trained merge table
     // would otherwise be LOST with the job, leaving the exported corpus
     // undecodable
-    var tokArtifacts: Option[(DataFrame, Seq[(String, String)], Seq[String])] =
+    var tokArtifacts
+        : Option[(DataFrame, Seq[(String, String)], Seq[String], String)] =
       None
     cfg.tokenize.foreach { tk =>
       val mergesDf = tk.mergesPath match {
@@ -187,13 +188,15 @@ object PipelineJob {
       val merges = Tokenize.loadMerges(mergesDf)
       out = tk.scheme match {
         case "bytes" =>
-          tokArtifacts = Some((mergesDf, merges, tk.specials))
+          tokArtifacts = Some((mergesDf, merges, tk.specials, "bytes"))
           Tokenize.bpeEncodeIds(docs, id, text, merges,
             specials = tk.specials, boundary = tk.boundary)
         case "word" =>
           require(tk.specials.isEmpty && tk.boundary.isEmpty,
             "specials/boundary are byte-scheme only (the word scheme " +
               "has no reserved-id space)")
+          // a TRAINED word-scheme merge table must survive the job too
+          tokArtifacts = Some((mergesDf, merges, Nil, "word"))
           Tokenize.bpeEncode(docs, id, text, merges)
         case other => throw new IllegalArgumentException(
           s"unknown tokenize scheme `$other` (bytes | word)")
@@ -202,18 +205,11 @@ object PipelineJob {
     }
 
     cfg.export.foreach { ex =>
-      // the YAML loader enforces these too — repeated here for
-      // programmatically built configs
+      // config validation FIRST — the YAML loader enforces these too,
+      // repeated here for programmatically built configs; they must all
+      // fire before the (expensive, eager) encode materialization below
       require(cfg.tokenize.nonEmpty,
         "`export` packs token counts — it requires `tokenize`")
-      // the export consumes the encoded corpus up to three times (pack
-      // counts, token-shard write, sequence ids) and the BPE encode is
-      // the expensive pass — materialize it ONCE. localCheckpoint is
-      // executor-disk-backed and bounded by the token stream; at
-      // extreme scale prefer `write_tokens: true` and point loaders at
-      // that artifact (the checkpoint then saves the same recomputes
-      // during this job)
-      out = out.localCheckpoint()
       require(ex.sequenceLength <= 0 ||
           cfg.tokenize.exists(_.boundary.nonEmpty),
         "`sequence_length` needs `tokenize.boundary` — fixed-length " +
@@ -223,11 +219,20 @@ object PipelineJob {
         "`pad_token_id` only applies with `sequence_length`")
       // a pad id outside the declared vocabulary would poison every
       // trailing sequence with an id no decoder or embedding table has
-      for ((_, merges, specials) <- tokArtifacts; p <- ex.padTokenId)
+      for ((_, merges, specials, "bytes") <- tokArtifacts;
+          p <- ex.padTokenId)
         require(p >= 0 && p < 256 + merges.length + specials.length,
           s"pad_token_id $p is outside the vocabulary " +
             s"[0, ${256 + merges.length + specials.length}) induced by " +
             "this merge table + specials")
+      // the export consumes the encoded corpus up to three times (pack
+      // counts, token-shard write, sequence ids) and the BPE encode is
+      // the expensive pass — materialize it ONCE. localCheckpoint is
+      // executor-disk-backed and bounded by the token stream; at
+      // extreme scale prefer `write_tokens: true` and point loaders at
+      // that artifact (the checkpoint then saves the same recomputes
+      // during this job)
+      out = out.localCheckpoint()
       // t_export_packed's exact composition: deterministic hash shuffle
       // into shards, greedy contiguous packing within each shard in
       // (hash, id) order — one narrow encode pass upstream + one
@@ -246,15 +251,17 @@ object PipelineJob {
         .option("maxRecordsPerFile", ex.maxRecordsPerFile)
         .parquet(s"${ex.outputDirectory}/packed")
       // tokenizer artifacts ride the export: the merge table (trained
-      // ones exist nowhere else) and the induced id→token vocabulary —
-      // everything an external decoder / a later encode job needs.
-      // Metadata-sized, one file each
-      tokArtifacts.foreach { case (mergesDf, merges, specials) =>
+      // ones exist nowhere else — both schemes) and, for the byte
+      // scheme, the induced id→token vocabulary — everything an
+      // external decoder / a later encode job needs. Metadata-sized,
+      // one file each
+      tokArtifacts.foreach { case (mergesDf, merges, specials, scheme) =>
         mergesDf.coalesce(1).write.mode("overwrite")
           .parquet(s"${ex.outputDirectory}/merges")
-        Tokenize.vocabDf(spark, merges, specials).coalesce(1)
-          .write.mode("overwrite")
-          .parquet(s"${ex.outputDirectory}/vocab")
+        if (scheme == "bytes")
+          Tokenize.vocabDf(spark, merges, specials).coalesce(1)
+            .write.mode("overwrite")
+            .parquet(s"${ex.outputDirectory}/vocab")
       }
       if (ex.writeTokens)
         // the loader-consumable corpus itself: token ids in the SAME

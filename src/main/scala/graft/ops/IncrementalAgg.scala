@@ -564,17 +564,26 @@ object IncrementalAgg {
     * atomic against a stream started mid-rebase. */
   def rebaseAppendStore(spark: SparkSession, stateDir: String,
       keyCols: Seq[String], valCol: String): Unit = {
+    require(keyCols.nonEmpty,
+      "rebase needs the store's key columns — an empty key list would " +
+        "fold the keys away and destroy the store")
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (storeHasData(fs, storePath(stateDir)))
       compactWith(spark, stateDir, keyCols, valCol)
     val lease = IncrementalValidation.acquireLease(spark, stateDir)
     try {
+      // ORDER MATTERS across crash windows: the stale checkpoint dies
+      // FIRST — once the fence is reset, a resumed OLD stream's replay
+      // of a folded batch would land next to the base (double-count).
+      // With the checkpoint gone first, every intermediate crash is
+      // LOUD instead: a new stream against the still-present old owner
+      // marker throws, and the operator re-runs the rebase.
+      fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/checkpoint"),
+        true)
       writeWatermark(fs, stateDir, -1L)
       fs.delete(new org.apache.hadoop.fs.Path(fenceOwnerPath(stateDir)),
         false)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/checkpoint"),
-        true)
     } finally lease.release()
   }
 

@@ -136,19 +136,12 @@ object SequenceFeed {
       // compaction replay fence: a batch at or below the watermark was
       // FOLDED into the base partition — a replay's dynamic overwrite
       // would create a second copy next to it. Its rows are provably
-      // present (fenced before the swap, same as IncrementalAgg) and
-      // its carry was written when it first processed; skip.
+      // present: the fold only ever covers batches whose carry landed
+      // (see [[compactFeedStore]]), so everything fenced completed its
+      // full append. Skip.
       val wm = IncrementalAgg.readMarker(fs, watermarkPath(stateDir))
         .map(_.toLong).getOrElse(-1L)
-      if (batchId <= wm) {
-        require(fs.exists(new org.apache.hadoop.fs.Path(
-            carryPath(stateDir, batchId))),
-          s"batch $batchId is under the compaction fence ($wm) but its " +
-            "carry is missing — the feed state is torn; this should be " +
-            "unreachable (carries are retained and written before any " +
-            "compaction can fence the batch)")
-        return
-      }
+      if (batchId <= wm) return
       // replay or first delivery: either way the cut derives from the
       // carry BEFORE this batch, which is always retained
       val prev: Map[Long, Carry] =
@@ -284,15 +277,24 @@ object SequenceFeed {
     }
   }
 
-  /** Fold every `__batch=K` partition into the base (`__batch=-1`) —
-    * the read-amplification bound for a LONG-RUNNING feed (a month of
+  /** Fold batch partitions into the base (`__batch=-1`) — the
+    * read-amplification bound for a LONG-RUNNING feed (a month of
     * minute-batches is ~43k partitions; readers merge across all of
     * them). Rows are immutable unique facts, so the fold is a plain
     * rewrite (no aggregation); the swap is RENAMES-ONLY with the
     * replay watermark written BEFORE it (over-fencing is safe — a
     * fenced replay's rows are in the base either way), the
-    * [[IncrementalAgg]] compaction discipline verbatim. Carries are
-    * untouched (they are the cut state, not the history). */
+    * [[IncrementalAgg]] compaction discipline verbatim.
+    *
+    * The fold covers ONLY batches whose carry landed: a batch whose
+    * store write committed but whose carry write crashed heals by
+    * REPLAY (recompute + dynamic overwrite), which fencing would
+    * forbid — so its partition passes through un-folded and un-fenced,
+    * and the restarted stream's replay completes it. Carries at or
+    * below the new fence (minus the one the next batch seeds from) are
+    * PRUNED — they can never be read again (fenced replays skip
+    * without recomputing), and without pruning the per-append
+    * `lastBatch` listing would grow with feed age forever. */
   def compactFeedStore(spark: SparkSession, stateDir: String): Unit = {
     val lease = IncrementalValidation.acquireLease(spark, stateDir)
     try {
@@ -304,13 +306,13 @@ object SequenceFeed {
         p.getParent, p.getName + "__staging")
       val old = new org.apache.hadoop.fs.Path(
         p.getParent, p.getName + "__old")
+      val lastCarried = lastBatch(spark, stateDir)
+      if (lastCarried < 0) return
       val store = spark.read.parquet(storePath(stateDir))
-      val maxBatch = store.agg(max(col("__batch").cast("long"))).head() match {
-        case r if r.isNullAt(0) => -1L
-        case r => r.getLong(0)
-      }
       store
-        .withColumn("__batch", lit(-1L))
+        .withColumn("__batch",
+          when(col("__batch").cast("long") <= lastCarried, lit(-1L))
+            .otherwise(col("__batch").cast("long")))
         .repartition(col("__bucket"))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("__batch", "__bucket")
@@ -318,14 +320,25 @@ object SequenceFeed {
       lease.check()
       val prevWm = IncrementalAgg.readMarker(fs, watermarkPath(stateDir))
         .map(_.toLong).getOrElse(-1L)
-      if (maxBatch > prevWm)
+      if (lastCarried > prevWm)
         IncrementalAgg.writeMarker(fs, watermarkPath(stateDir),
-          maxBatch.toString)
+          lastCarried.toString)
       if (!fs.rename(p, old) || !fs.rename(tmp, p))
         throw new java.io.IOException(
           s"feed store swap rename failed at $stateDir — store left in " +
             "its recoverable pre-swap layout")
       fs.delete(old, true)
+      // prune dead carries: a fenced batch never recomputes, so only
+      // carry(lastCarried) (the next batch's seed / replay base) and
+      // above can ever be read again
+      val cd = new org.apache.hadoop.fs.Path(carryDir(stateDir))
+      if (fs.exists(cd))
+        fs.listStatus(cd).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("batch=") &&
+              n.stripPrefix("batch=").toLong < lastCarried)
+            fs.delete(st.getPath, true)
+        }
     } finally lease.release()
   }
 

@@ -842,11 +842,15 @@ object Similarity {
     * Pass the churned/arriving rows (or any sample) as `slice` — work
     * scales with it, never the corpus. Returns one row: (seed_n,
     * seed_mean_err, slice_n, slice_mean_err, drift_ratio). Requires a
-    * state whose books were written with the fit-time baseline. */
+    * state whose books were written with the fit-time baseline. The
+    * subspace count m derives from the STORED books — a caller-supplied
+    * m that disagreed with the books would silently bias the measure
+    * (half the subspaces = half the error). */
   def pqDrift(spark: org.apache.spark.sql.SparkSession, stateDir: String,
-      slice: DataFrame, m: Int = 4,
+      slice: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val (bBooks, subDim) = loadBooks(spark, stateDir)
+    val m = bBooks.agg(max(col("sub").cast("int"))).head().getInt(0) + 1
     val (seedN, seedSum) = readSeedError(spark, stateDir).getOrElse(
       throw new IllegalStateException(
         s"no seed-error baseline at ${booksErrPath(stateDir)} — the " +

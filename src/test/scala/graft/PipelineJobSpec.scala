@@ -125,7 +125,8 @@ class PipelineJobSpec extends AnyFunSuite with SparkSpec {
       .head().getLong(2) == 5L)
   }
 
-  test("tokenize trains its own merges when merges_path is absent") {
+  test("tokenize trains its own merges when merges_path is absent; a " +
+      "word-scheme export persists the trained merge table") {
     val d = Files.createTempDirectory("pltr")
     (0L to 19L).map(i => (i, "alpha beta gamma delta " * 5))
       .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$d/docs")
@@ -141,6 +142,18 @@ class PipelineJobSpec extends AnyFunSuite with SparkSpec {
     // 8 merges over a 4-word vocabulary: every word fully merges
     assert(out.agg(org.apache.spark.sql.functions.max("n_tokens"))
       .head().getLong(0) <= 20L * 4L)
+    // with an export, the TRAINED merge table must survive the job —
+    // it exists nowhere else and the corpus is undecodable without it
+    val outDir = Files.createTempDirectory("pltrx").toString
+    PipelineJob.run(spark, ConfigLoader.pipelineFromYamlString(
+      s"""pipeline:
+         |  source: {format: parquet, path: $d/docs}
+         |  tokenize: {scheme: word, num_merges: 8}
+         |  export: {shards: 2, pack_capacity: 64, output_directory: $outDir}
+         |""".stripMargin))
+    val persisted = spark.read.parquet(s"$outDir/merges")
+    assert(persisted.count() > 0 &&
+      persisted.columns.toSet.contains("rank"))
   }
 
   test("write_tokens: the export also materializes the token-id corpus " +

@@ -223,6 +223,10 @@ class Round16OpsSpec extends AnyFunSuite with SparkSpec {
     assert(vocabCounts(stateDir) == Map("alpha" -> 2L, "beta" -> 2L),
       "the refused append must not have touched the store")
 
+    // an empty key list would fold the store's keys away — refused
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.rebaseAppendStore(spark, stateDir, Nil, "n")
+    }
     // the deliberate recovery: rebase folds history to the base, resets
     // the fence and clears owner + stale checkpoint; the new stream's
     // batch 0 then lands (neither skipped nor double-counted)
@@ -425,8 +429,9 @@ class Round16OpsSpec extends AnyFunSuite with SparkSpec {
     val seedMean = BigDecimal(report.meta("pq_seed_mean_err"))
     assert(seedMean > 0)
     // the seed corpus against its own books: EXACTLY the baseline
-    // (same integer arithmetic) -> ratio 1
-    val self = Similarity.pqDrift(spark, stateDir, seed, m = 4).head()
+    // (same integer arithmetic) -> ratio 1. m derives from the STORED
+    // books — no caller parameter to get wrong
+    val self = Similarity.pqDrift(spark, stateDir, seed).head()
     assert(self.getAs[Long]("seed_n") == 300L)
     assert(self.getAs[Long]("slice_n") == 300L)
     assert(math.abs(self.getAs[Double]("drift_ratio") - 1.0) < 1e-12,
@@ -434,7 +439,7 @@ class Round16OpsSpec extends AnyFunSuite with SparkSpec {
     // a shifted slice (fit range was [-1,1]; these live in [2,4])
     // quantizes far worse under the frozen books — the re-fit cue
     val shifted = viaParquet(embCorpus(100, lo = 2f, hi = 4f, salt = 7))
-    val drift = Similarity.pqDrift(spark, stateDir, shifted, m = 4).head()
+    val drift = Similarity.pqDrift(spark, stateDir, shifted).head()
     assert(drift.getAs[Double]("drift_ratio") > 2.0,
       s"shifted slice must raise the measure, got $drift")
     // work scales with the slice: the frame passed in is what's scanned
