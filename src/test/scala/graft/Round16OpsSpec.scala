@@ -309,6 +309,57 @@ class Round16OpsSpec extends AnyFunSuite with SparkSpec {
     assert(ex.getMessage.toLowerCase.contains("gap"))
   }
 
+  test("sequence feed randomized equivalence: across 8 random corpora, " +
+      "batch counts and split points — with auto-compaction interleaved " +
+      "— the feed always equals the single-pass cut") {
+    import graft.ops.SequenceFeed
+    val rnd = new scala.util.Random(816)
+    for (trial <- 0 until 8) {
+      val stateDir = freshStateDir()
+      val n = 20 + rnd.nextInt(60)
+      val rows = (0L until n.toLong).map { i =>
+        (i % (1 + rnd.nextInt(4)), i, i,
+          Array.fill(1 + rnd.nextInt(30))(rnd.nextInt(500)))
+      }
+      // random contiguous split into 2..5 arrival batches
+      val nBatches = 2 + rnd.nextInt(4)
+      val cuts = (Seq(0, rows.length) ++
+        Seq.fill(nBatches - 1)(rnd.nextInt(rows.length + 1)))
+        .sorted.distinct
+      val batches = cuts.zip(cuts.tail)
+        .map { case (a, b) => rows.slice(a, b) }
+      val seqLen = 8 + rnd.nextInt(24)
+      val maxParts = 1 + rnd.nextInt(2)
+      for ((b, k) <- batches.zipWithIndex) {
+        SequenceFeed.sequencesAppend(
+          b.toDF("shard", "ord", "doc", "ids"), k.toLong, stateDir,
+          "shard", "ord", "doc", "ids", seqLen)
+        // interleave the auto-compaction policy a live stream runs
+        SequenceFeed.maybeCompactFeedStore(spark, stateDir, maxParts)
+      }
+      // the single-pass reference: arrival order = (batch, ord)
+      val withBatch = batches.zipWithIndex.flatMap { case (b, k) =>
+        b.map { case (s, o, d, ids) =>
+          (s, k.toLong * (1L << 32) + o, d, ids)
+        }
+      }
+      val want = Chunking.fixedSequences(
+          withBatch.toDF("shard", "ord", "doc", "ids"),
+          "shard", "ord", "doc", "ids", seqLen)
+        .filter(col("complete"))
+        .select("shard", "seq_id", "n_docs", "first_doc", "last_doc",
+          "token_ids", "ids_sum")
+        .collect().map(_.toString).sorted.toSeq
+      val got = SequenceFeed.sequencesFromStore(spark, stateDir)
+        .select("shard", "seq_id", "n_docs", "first_doc", "last_doc",
+          "token_ids", "ids_sum")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want,
+        s"trial $trial (n=$n batches=${batches.length} seqLen=$seqLen " +
+          s"maxParts=$maxParts)")
+    }
+  }
+
   test("sequence feed compaction: folds batch partitions into the base " +
       "with rows unchanged, fences folded replays, accepts the next " +
       "batch, and heals a stranded swap") {
