@@ -863,6 +863,40 @@ object SparkEntry {
       graft.ops.Indexing.searchIndexIncremental(s, stateDir,
         terms = Seq("scan", "merge", "window"), k = 20)
     }),
+    "s_minhash_pairs" -> ((s, dir) => {
+      // CONTINUOUS near-dup signature maintenance: the (near-dup
+      // augmented) document stream folds into an append-only MinHash
+      // signature store — per-batch (id, h, sigv) facts, the
+      // ARRIVAL-priced twin of t_minhash_incremental's churn pricing —
+      // and the SAME store-sized LSH candidate chain answers from it.
+      // Fresh store per run (the append surface is cumulative). The
+      // near-dup derivation (perturbed copies of doc_id < 20) runs
+      // INSIDE the stream, so arrivals carry originals and their
+      // near-dups alike. Oracle = the t_minhash_pairs replay — the
+      // store shape is invisible to it
+      val stateDir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_smh_${System.nanoTime()}"
+      val stream = StreamingOps.readEvents(s, s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val perturbed = stream.filter(col("doc_id") < 20).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        array_join(
+          filter(split(col("text"), " "), (w, i) => i % 7 =!= 3),
+          " ").as("text"))
+      val q = StreamingOps.withShufflePartitions(s, 8) {
+        StreamingOps.maintainSignatures(stream.unionByName(perturbed),
+          stateDir)
+      }
+      try q.processAllAvailable() finally q.stop()
+      val sigs = Dedup.signaturesFromStore(s, stateDir).localCheckpoint(true)
+      Dedup.minhashCandidates(sigs)
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Dedup.sigJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    }),
     "s_table_diff" -> ((s, dir) => {
       // continuous TABLE DIFF: the full missing/differing truth table of
       // the batch validate() as a streaming op — an observed event stream
@@ -1010,6 +1044,35 @@ object SparkEntry {
       val sigs = Dedup.minhashSignatures(docs, "doc_id", "text").localCheckpoint(true)
       val cands = Dedup.minhashCandidates(sigs)
       cands
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Dedup.sigJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+    "t_minhash_incremental" -> ((s, dir) => {
+      // CHURN-PRICED stored MinHash signatures (Dedup.minhashIncremental):
+      // the signature table lives as per-document-bucket (id, h, sigv)
+      // facts; a churned corpus re-shingles only its dirty buckets —
+      // completing the stored-state trio (text index, PQ codes, now
+      // near-dup signatures). Seeded from a restated prior corpus,
+      // maintained to the CURRENT near-dup corpus, then the SAME LSH
+      // candidate chain answers from the store alone. Identical output
+      // to t_minhash_pairs means the same oracle (state invisible)
+      val docs = docsWithNearDups(s, dir)
+      val stateDir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_incmh_${dirTag(dir)}"
+      val restated = col("doc_id") < 30
+      val prior = docs
+        .withColumn("text", when(restated,
+          concat(coalesce(col("text"), lit("")), lit(" restated prior")))
+          .otherwise(col("text")))
+        .filter(!(restated && col("doc_id") % 3 === 0))
+      Dedup.minhashIncremental(prior, stateDir, nBuckets = 256)
+      Dedup.minhashIncremental(docs, stateDir, nBuckets = 256)
+      val sigs = Dedup.signaturesFromStore(s, stateDir).localCheckpoint(true)
+      Dedup.minhashCandidates(sigs)
         .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
         .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
         .select(col("id_a"), col("id_b"),
@@ -2521,6 +2584,20 @@ object SparkEntry {
        |            FROM shingle s CROSS JOIN params p) q1) q2) q3
        |)""".stripMargin
 
+  /** The t_minhash_pairs oracle, shared by every surface that emits the
+    * LSH candidate pair set with estimated jaccard >= 0.5 — the direct
+    * batch chain and both stored-signature lifecycles. */
+  private lazy val minhashPairsSql: String =
+    s"""WITH $minhashCtes
+       |SELECT id_a, id_b, est_jaccard FROM (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_filter(range(1, 65), i -> sa.arr[CAST(i AS INTEGER)] = sb.arr[CAST(i AS INTEGER)])) AS DOUBLE) / 64 AS est_jaccard
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.id_a
+       |  JOIN sig sb ON sb.doc_id = c.id_b) j
+       |WHERE est_jaccard >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Full minhash LSH replay up to candidate pairs: signatures (empty docs
     * get all-Long.Max), 16 bands x 4 rows FNV band hashes over the 8
     * little-endian bytes of each component, size-capped buckets with the
@@ -3942,16 +4019,13 @@ object SparkEntry {
 
     // full LSH replay: signatures, banding, capped buckets, candidate
     // pairs, then estimated jaccard = agreeing components / 64
-    "t_minhash_pairs" ->
-      s"""WITH $minhashCtes
-         |SELECT id_a, id_b, est_jaccard FROM (
-         |  SELECT c.id_a, c.id_b,
-         |    CAST(len(list_filter(range(1, 65), i -> sa.arr[CAST(i AS INTEGER)] = sb.arr[CAST(i AS INTEGER)])) AS DOUBLE) / 64 AS est_jaccard
-         |  FROM cand c
-         |  JOIN sig sa ON sa.doc_id = c.id_a
-         |  JOIN sig sb ON sb.doc_id = c.id_b) j
-         |WHERE est_jaccard >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin,
+    "t_minhash_pairs" -> minhashPairsSql,
+    // the stored-signature surfaces emit the identical pair set — the
+    // churn-priced store (seeded from a restated prior corpus, then
+    // maintained to the current one) and the arrival-priced append
+    // store are both invisible to the oracle
+    "t_minhash_incremental" -> minhashPairsSql,
+    "s_minhash_pairs" -> minhashPairsSql,
 
     // exact word-3-gram jaccard over the LSH candidates: shingle-hash SETS
     // of the RAW text (Dedup.ngramJaccard shingles unnormalized input;

@@ -287,6 +287,94 @@ object Dedup {
     out.toSeq
   }
 
+  // --- incremental MinHash signature store ----------------------------------
+
+  /** The per-bucket signature partial both incremental surfaces store:
+    * one FACT row per (doc, hash index) — (id, h, sigv), the minhash
+    * signature exploded component-wise. Scalar rows keep the generic
+    * store machinery applicable verbatim (compaction's sum over the
+    * exactly-one-row (id, h) groups is the identity, parquet physical
+    * types stay scalar); `h` is a 0..numHashes-1 run so it columnar-
+    * compresses to near nothing. Every output row derives only from its
+    * own document's row, so the [[IncrementalAgg]] bucket-union
+    * contract is trivially exact. */
+  private def signaturePartial(idCol: String, textCol: String,
+      shingleLen: Int, numHashes: Int)(slice: DataFrame): DataFrame =
+    slice
+      .select(col("__bucket"), col(idCol).as("id"),
+        posexplode(minhashUdf(shingleLen, numHashes)(normalized(col(textCol)))))
+      .select(col("__bucket"), col("id"), col("pos").as("h"),
+        col("col").as("sigv"))
+
+  /** CHURN-PRICED maintenance of a stored MinHash signature table — the
+    * [[IncrementalAgg]] discipline applied to near-dup dedup's dominant
+    * cost. The shingle -> permute -> min signature pass is the
+    * tokenize-priced stage of LSH dedup (everything after it works on
+    * 64 longs per doc); re-running it over a 100 TB corpus because 0.1%
+    * of documents changed is the same wholesale rebuild the stored text
+    * index ([[Indexing.indexIncremental]]) and PQ code store
+    * ([[Similarity.pqIndexIncremental]]) already price at churn. This
+    * surface completes the trio: signatures live as per-document-bucket
+    * (id, h, sigv) facts, one column-pruned digest scan of (id, text)
+    * decides dirtiness, only dirty buckets re-shingle, and candidate
+    * generation ([[minhashCandidates]] over [[signaturesFromStore]])
+    * runs store-sized — never corpus-sized.
+    *
+    * `idCol` must be integral (the [[minhashSignatures]] contract — the
+    * pair stages type ids as Long). `aggKey` encodes shingle length and
+    * hash count, so a parameter change rebuilds instead of mixing
+    * incomparable signatures. Lease, witness-before-mutation and crash
+    * discipline are [[IncrementalAgg.run]]'s verbatim.
+    *
+    * Returns (current signature facts (id, h, sigv), prune record). */
+  def minhashIncremental(docs: DataFrame, stateDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleLen: Int = 3, numHashes: Int = 64,
+      nBuckets: Int = 256, dirtyFractionLimit: Double = 0.5,
+      bucketCol: Option[String] = None)
+      : (DataFrame, IncrementalAgg.IncrementalReport) =
+    IncrementalAgg.run(docs, idCol, Seq(textCol),
+      signaturePartial(idCol, textCol, shingleLen, numHashes),
+      aggKey = s"minhash:id=$idCol,text=$textCol," +
+        s"shingle=$shingleLen,hashes=$numHashes",
+      stateDir, nBuckets, dirtyFractionLimit, bucketCol)
+
+  /** ARRIVAL-priced signature maintenance: append one micro-batch of
+    * NEW documents' minhash signatures to an
+    * [[IncrementalAgg.appendFold]] store — the streaming twin of
+    * [[minhashIncremental]], for append-only document streams where
+    * nothing stored can change and addition is the whole maintenance
+    * (idempotent replays, compaction replay fence, fence ownership,
+    * lease — the generic store contract, verbatim). Same append-only
+    * contract as the other maintainers: an id arrives AT MOST ONCE;
+    * churn belongs to the batch surface. Searched by
+    * [[signaturesFromStore]] — the same entry point the churn-priced
+    * store serves. */
+  def minhashAppend(batch: DataFrame, batchId: Long, stateDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleLen: Int = 3, numHashes: Int = 64,
+      nBuckets: Int = 256): Unit =
+    IncrementalAgg.appendFold(batch, batchId, stateDir,
+      signaturePartial(idCol, textCol, shingleLen, numHashes), idCol,
+      nBuckets)
+
+  /** The current (id, sig) signature table from a store maintained by
+    * [[minhashIncremental]] and/or [[minhashAppend]] — identical to
+    * [[minhashSignatures]] over the same corpus (spec-pinned identity
+    * under churn and across batch splits), ready for
+    * [[minhashCandidates]] / [[sigJaccard]]. One store-sized keyed
+    * exchange reassembles the component facts into signature arrays
+    * (the store holds ~numHashes thin long rows per doc — at 100 TB of
+    * TEXT that is gigabytes, not terabytes); work never touches the
+    * corpus. Shape-oblivious across both store layouts: un-compacted
+    * append batches simply contribute their own (id, h) facts. */
+  def signaturesFromStore(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame =
+    IncrementalAgg.readStore(spark, stateDir)
+      .groupBy("id")
+      .agg(expr("transform(array_sort(collect_list(struct(h, sigv))), " +
+        "x -> x.sigv)").as("sig"))
+
   /** Estimated Jaccard from two minhash signatures (fraction of agreeing
     * components). */
   val sigJaccard = udf { (a: Seq[Long], b: Seq[Long]) =>

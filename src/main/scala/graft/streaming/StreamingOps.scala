@@ -703,6 +703,45 @@ object StreamingOps {
       }
       .start()
 
+  /** CONTINUOUS near-dup SIGNATURE maintenance: fold an APPEND-ONLY
+    * document stream into a [[graft.ops.Dedup.signaturesFromStore]]-
+    * servable MinHash signature store — each micro-batch shingles and
+    * signs its own documents and appends the (id, h, sigv) facts under
+    * a `__batch=<id>` partition (the
+    * [[graft.ops.IncrementalAgg.appendFold]] discipline: idempotent
+    * replays, compaction replay fence, fence ownership, single-writer
+    * lease, auto-compaction past `maxBatchParts` — signature compaction
+    * is an identity fold, one fact row per (id, h)). The read side is
+    * the SAME `signaturesFromStore` the churn-priced
+    * [[graft.ops.Dedup.minhashIncremental]] store serves, so LSH
+    * candidate generation / dedup at any point equals a fresh
+    * [[graft.ops.Dedup.minhashSignatures]] pass over everything that
+    * has arrived — while only ever paying the shingle cost of each
+    * batch once, at arrival.
+    *
+    * Append-only contract: a document id arrives AT MOST ONCE across
+    * the stream's lifetime (re-sending an id would stack a second
+    * signature onto it); churn is the batch surface's workload. Use a
+    * dedicated stateDir, never shared with a churn-priced state. */
+  def maintainSignatures(docs: DataFrame, stateDir: String,
+      nBuckets: Int = 256, idCol: String = "doc_id",
+      textCol: String = "text", shingleLen: Int = 3, numHashes: Int = 64,
+      maxBatchParts: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$stateDir/checkpoint")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Dedup.minhashAppend(batch, batchId, stateDir,
+          idCol, textCol, shingleLen, numHashes, nBuckets)
+        if (maxBatchParts > 0)
+          graft.ops.IncrementalAgg.maybeCompactAppendStore(
+            batch.sparkSession, stateDir, maxBatchParts,
+            Seq("id", "h"), "sigv")
+        ()
+      }
+      .start()
+
   /** CONTINUOUS LOADER FEED: cut fixed-length training sequences from an
     * APPEND-ONLY document stream as it arrives — each micro-batch
     * byte-BPE encodes its documents (with the boundary special — the

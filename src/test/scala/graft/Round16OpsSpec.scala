@@ -496,4 +496,123 @@ class Round16OpsSpec extends AnyFunSuite with SparkSpec {
     // work scales with the slice: the frame passed in is what's scanned
     assert(drift.getAs[Long]("slice_n") == 100L)
   }
+
+  // ---- incremental MinHash signature store -------------------------------
+
+  /** A small corpus with near-dups, an exact dup pair, an empty and a
+    * null text — the gnarly signature cases. */
+  private def sigCorpus(): DataFrame = {
+    val base = (0L until 40L).map { i =>
+      (i, s"alpha beta gamma delta epsilon zeta eta theta doc$i " +
+        s"word${i % 5} word${i % 7} tail tail tail")
+    }
+    val nearDups = (0L until 8L).map { i =>
+      (100L + i, s"alpha beta gamma delta epsilon zeta eta theta doc$i " +
+        s"word${i % 5} CHANGED tail tail tail")
+    }
+    val edge = Seq((200L, ""), (201L, null: String), (202L, "alpha beta"))
+    (base ++ nearDups ++ edge).toDF("doc_id", "text")
+  }
+
+  private def collectSigs(df: DataFrame): Map[Long, Seq[Long]] =
+    df.collect().map(r => r.getLong(0) ->
+      r.getSeq[Long](1).toSeq).toMap
+
+  test("minhashIncremental: churn re-prices to dirty buckets only and the " +
+      "stored signatures equal a fresh minhashSignatures pass — " +
+      "deletions, edits and inserts included") {
+    val stateDir = freshStateDir()
+    val docs = viaParquet(sigCorpus())
+    // prior corpus: doc_id < 10 restated (text differs), %3==0 of those
+    // deleted; doc 300 existed only in the prior (a deletion)
+    val restated = col("doc_id") < 10
+    val prior = docs
+      .withColumn("text", when(restated,
+        concat(coalesce(col("text"), lit("")), lit(" prior")))
+        .otherwise(col("text")))
+      .filter(!(restated && col("doc_id") % 3 === 0))
+      .unionByName(Seq((300L, "only in the prior corpus")).toDF("doc_id", "text"))
+    val (_, seedRep) = graft.ops.Dedup.minhashIncremental(prior, stateDir,
+      nBuckets = 32)
+    assert(seedRep.rebuilt)
+    val priorSigs = collectSigs(
+      graft.ops.Dedup.signaturesFromStore(spark, stateDir))
+    assert(priorSigs == collectSigs(
+      graft.ops.Dedup.minhashSignatures(prior, "doc_id", "text")))
+    // maintain to the CURRENT corpus: only buckets holding churned ids
+    // re-shingle
+    val (_, rep) = graft.ops.Dedup.minhashIncremental(docs, stateDir,
+      nBuckets = 32)
+    assert(!rep.rebuilt, rep.toString)
+    assert(rep.dirtyBuckets > 0 && rep.dirtyBuckets < rep.totalBuckets,
+      rep.toString)
+    val got = collectSigs(graft.ops.Dedup.signaturesFromStore(spark, stateDir))
+    val want = collectSigs(
+      graft.ops.Dedup.minhashSignatures(docs, "doc_id", "text"))
+    assert(got == want)
+    // a third run over the unchanged corpus touches nothing
+    val (_, clean) = graft.ops.Dedup.minhashIncremental(docs, stateDir,
+      nBuckets = 32)
+    assert(!clean.rebuilt && clean.dirtyBuckets == 0, clean.toString)
+    // parameter change = different aggKey -> wholesale rebuild (the safe
+    // direction), never mixed signatures
+    val (_, rekeyed) = graft.ops.Dedup.minhashIncremental(docs, stateDir,
+      shingleLen = 2, nBuckets = 32)
+    assert(rekeyed.rebuilt)
+    assert(collectSigs(graft.ops.Dedup.signaturesFromStore(spark, stateDir))
+      == collectSigs(graft.ops.Dedup.minhashSignatures(docs, "doc_id", "text",
+        shingleLen = 2)))
+  }
+
+  test("minhashAppend: batch folds accumulate to exactly the single-pass " +
+      "signatures; replays are idempotent; compaction preserves the table " +
+      "and fences folded batches") {
+    val stateDir = freshStateDir()
+    val docs = viaParquet(sigCorpus())
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+    val want = collectSigs(
+      graft.ops.Dedup.minhashSignatures(docs, "doc_id", "text"))
+    graft.ops.Dedup.minhashAppend(b0, 0L, stateDir, nBuckets = 32)
+    graft.ops.Dedup.minhashAppend(b1, 1L, stateDir, nBuckets = 32)
+    // at-least-once replay of batch 1: dynamic overwrite replaces its
+    // own partitions — no signature stacking
+    graft.ops.Dedup.minhashAppend(b1, 1L, stateDir, nBuckets = 32)
+    graft.ops.IncrementalAgg.compactAppendStore(spark, stateDir,
+      Seq("id", "h"), "sigv")
+    // post-compaction: the fold is the identity over one-row (id, h)
+    // groups, and a replay of the folded batch is fenced (skipped)
+    graft.ops.Dedup.minhashAppend(b1, 1L, stateDir, nBuckets = 32)
+    graft.ops.Dedup.minhashAppend(b2, 2L, stateDir, nBuckets = 32)
+    val got = collectSigs(
+      graft.ops.Dedup.signaturesFromStore(spark, stateDir))
+    assert(got == want)
+    // the store is servable by the SAME candidate chain as direct sigs
+    val sigs = graft.ops.Dedup.signaturesFromStore(spark, stateDir)
+      .localCheckpoint(true)
+    val fromStore = graft.ops.Dedup.minhashCandidates(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = graft.ops.Dedup.minhashCandidates(
+        graft.ops.Dedup.minhashSignatures(docs, "doc_id", "text")
+          .localCheckpoint(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromStore == direct && fromStore.nonEmpty)
+  }
+
+  test("maintainSignatures: the streaming wrapper folds a document stream " +
+      "into the same store the batch surface reads — wrapper == direct") {
+    val stateDir = freshStateDir()
+    val src = java.nio.file.Files.createTempDirectory("graft_r16mh").toString
+    sigCorpus().write.mode("overwrite").parquet(src)
+    val stream = graft.streaming.StreamingOps.readEvents(spark, src)
+    val q = graft.streaming.StreamingOps.maintainSignatures(
+      stream, stateDir, nBuckets = 32)
+    try q.processAllAvailable() finally q.stop()
+    val got = collectSigs(
+      graft.ops.Dedup.signaturesFromStore(spark, stateDir))
+    val want = collectSigs(graft.ops.Dedup.minhashSignatures(
+      spark.read.parquet(src), "doc_id", "text"))
+    assert(got == want)
+  }
 }
