@@ -1080,6 +1080,38 @@ object SparkEntry {
         .filter(col("est_jaccard") >= 0.5)
         .orderBy("id_a", "id_b")
     }),
+    "t_seen_incremental" -> ((s, dir) => {
+      // PERSISTENT SEEN-SET ingest dedup (Curation.seenAppend): three
+      // deterministic batches of a duplicate-injected corpus fold into
+      // one store; the store accumulates exactly the FIRST occurrence
+      // of each fingerprint (earliest batch, min doc_id within it) —
+      // the +900000 copies land in their original's batch (within-batch
+      // dedup), the +500000 copies in a LATER batch (history dedup).
+      // Compaction interleaves after batch 1 and a replay of batch 0
+      // after its fold is fenced to a no-op. Fresh store per run (the
+      // surface is cumulative). The oracle replays the first-occurrence
+      // rule from the deterministic batch assignment (doc_id % 3)
+      val stateDir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_seen_${System.nanoTime()}"
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val all = d
+        .unionByName(d.filter(col("doc_id") < 25).select(
+          (col("doc_id") + 500000).as("doc_id"), col("text")))
+        .unionByName(d.filter(col("doc_id") < 10).select(
+          (col("doc_id") + 900000).as("doc_id"), col("text")))
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      for (k <- 0L to 2L) {
+        graft.ops.Curation.seenAppend(
+          all.filter(pmod(col("doc_id"), lit(3L)) === k), k, stateDir,
+          "fp", "doc_id")
+        if (k == 1L) graft.ops.Curation.compactSeenStore(s, stateDir)
+      }
+      graft.ops.Curation.seenAppend(
+        all.filter(pmod(col("doc_id"), lit(3L)) === 0L), 0L, stateDir,
+        "fp", "doc_id")
+      graft.ops.Curation.seenRows(s, stateDir)
+        .select("doc_id", "fp").orderBy("doc_id")
+    }),
     "t_minhash_group_sig" -> ((s, dir) => {
       // distributive MinHashAgg: per-source corpus signature from exploded
       // shingles (map-side partial agg; shuffle carries 64 longs per
@@ -4026,6 +4058,28 @@ object SparkEntry {
     // store are both invisible to the oracle
     "t_minhash_incremental" -> minhashPairsSql,
     "s_minhash_pairs" -> minhashPairsSql,
+
+    // persistent seen-set: survivors are the first occurrence of each
+    // md5-of-normalized-text fingerprint — earliest batch (doc_id % 3),
+    // min doc_id within it; the store lifecycle (batch folds, one
+    // compaction, one fenced replay) is invisible to the rule
+    "t_seen_incremental" ->
+      """WITH seen_all AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id < 25
+        |  UNION ALL
+        |  SELECT doc_id + 900000 AS doc_id, text FROM documents WHERE doc_id < 10
+        |), keyed AS (
+        |  SELECT doc_id, doc_id % 3 AS b,
+        |    md5(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM seen_all
+        |), ranked AS (
+        |  SELECT doc_id, fp,
+        |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY b, doc_id) AS rn
+        |  FROM keyed
+        |)
+        |SELECT doc_id, fp FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // exact word-3-gram jaccard over the LSH candidates: shingle-hash SETS
     // of the RAW text (Dedup.ngramJaccard shingles unnormalized input;

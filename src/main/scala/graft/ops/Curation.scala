@@ -196,6 +196,126 @@ object Curation {
     batch.join(spark.table(indexTable), Seq(fpCol), "left_anti")
   }
 
+  // ---- persistent seen-set (first-occurrence ingest dedup) -----------
+
+  /** Exactly-once FIRST-OCCURRENCE ingest dedup against the stream's own
+    * entire history, store-backed: append one micro-batch's NOVEL rows
+    * (first arrival of their `fpCol` fingerprint — across all prior
+    * batches AND within this one) to an [[IncrementalAgg.appendFold]]
+    * store. The store thus holds the continuously-materialized DEDUPED
+    * CORPUS itself ([[seenRows]] reads it at any point), not a sidecar
+    * fingerprint list — ingest dedup and corpus materialization are one
+    * write.
+    *
+    * This closes the gap between the two existing ingest-dedup shapes:
+    * [[incrementalNew]]/[[incrementalNewIndexed]] dedup against a STATIC
+    * corpus (the batch's own survivors never join the reference), and
+    * `StreamingOps.dedupedEvents` keys a streaming state store whose
+    * "seen" set lives (and dies) with the checkpoint and is readable by
+    * nothing else. Here the seen set IS the parquet store: it survives
+    * checkpoint resets (fence ownership detects them loudly), other jobs
+    * can read it mid-stream, and restart recovery is the generic store
+    * discipline (lease, replay fence, renames-only compaction swap).
+    *
+    * Per-batch pricing: the novelty anti-join reads ONLY the store
+    * partitions the batch's fingerprints hash into — `__bucket` is
+    * `pmod(xxhash64(fp), nBuckets)`, a partition column, so a batch
+    * touching k of the nBuckets buckets scans ~k/nBuckets of the store
+    * (one metadata-sized collect of the touched-bucket set drives the
+    * pruning). A trickle batch prices near zero; a batch touching every
+    * bucket pays one store scan — the honest floor for EXACT global
+    * dedup (the Bloom pre-filter of [[incrementalNew]] composes in
+    * front unchanged if that scan dominates).
+    *
+    * Contracts: replays are idempotent — the decision excludes the
+    * batch's own `__batch` partitions, so a replayed batch re-derives
+    * byte-identical survivors and the dynamic overwrite replaces them;
+    * a replay arriving after compaction folded the batch is fenced.
+    * Within a batch, the survivor per fingerprint is the min-`orderCol`
+    * row (deterministic under any partitioning). NULL fingerprints
+    * dedup like any other value (SQL-null-safe equality — one null-fp
+    * row ever survives); fingerprint rows ride the -1 bucket when null.
+    * The survivor row's columns are the batch's columns verbatim. */
+  def seenAppend(batch: DataFrame, batchId: Long, stateDir: String,
+      fpCol: String, orderCol: String, nBuckets: Int = 256): Unit = {
+    val dataCols = batch.columns.toSeq
+    require(dataCols.contains(fpCol) && dataCols.contains(orderCol),
+      s"batch must carry $fpCol and $orderCol")
+    val partial = (slice: DataFrame) => {
+      val spark = slice.sparkSession
+      // first occurrence WITHIN the batch: min-orderCol row per fp
+      // (ties on orderCol broken by the remaining columns' struct so
+      // exact-duplicate rows collapse deterministically)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__bucket"), col(fpCol))
+        .orderBy(col(orderCol),
+          struct(dataCols.filterNot(_ == orderCol).map(col): _*))
+      val firstInBatch = slice
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val novel =
+        if (!IncrementalAgg.appendStoreHasData(spark, stateDir))
+          firstInBatch
+        else {
+          // bucket-pruned history read: only partitions this batch's
+          // fingerprints can collide with, and never the batch's own
+          // replayed partitions (__batch is a partition column too, so
+          // both predicates prune at the directory level)
+          val touched = slice.select(col("__bucket")).distinct()
+            .collect().map(_.getLong(0)) // <= nBuckets rows: metadata
+          val seen = spark.read
+            .parquet(IncrementalAgg.appendStorePath(stateDir))
+            .filter(col("__batch").cast("long") =!= batchId &&
+              col("__bucket").isin(touched: _*))
+            .select(col(fpCol).as("__seen_fp"))
+          firstInBatch.join(seen,
+            col(fpCol) <=> col("__seen_fp"), "left_anti")
+        }
+      // survivors are batch-sized: eagerly materialize so the store
+      // write's plan no longer reads the store path it overwrites
+      novel.select(("__bucket" +: dataCols).map(col): _*)
+        .withColumn("__n", lit(1L))
+        .localCheckpoint(true)
+    }
+    IncrementalAgg.appendFold(batch, batchId, stateDir, partial, fpCol,
+      nBuckets)
+  }
+
+  /** The deduped corpus a [[seenAppend]] store holds — every surviving
+    * row, store-sized work. Serves both layouts (un-compacted batch
+    * partitions and the folded base). */
+  def seenRows(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame =
+    IncrementalAgg.readStore(spark, stateDir).drop("__n")
+
+  /** Fold a [[seenAppend]] store's batch partitions into the base —
+    * bounds read amplification exactly like the other append stores
+    * (novelty guarantees one row per fingerprint globally, so the fold
+    * is an identity over one-row groups). Key columns derive from the
+    * stored schema; safe on an empty store. */
+  def compactSeenStore(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Unit =
+    seenKeyCols(spark, stateDir).foreach(keys =>
+      IncrementalAgg.compactAppendStore(spark, stateDir, keys, "__n"))
+
+  /** [[IncrementalAgg.maybeCompactAppendStore]] for a seen store. */
+  def maybeCompactSeenStore(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, maxBatchParts: Int): Boolean =
+    seenKeyCols(spark, stateDir).exists(keys =>
+      IncrementalAgg.maybeCompactAppendStore(spark, stateDir,
+        maxBatchParts, keys, "__n"))
+
+  /** The stored data columns (compaction group keys): everything except
+    * the `__n` fold column and the partition levels. None when the
+    * store holds no data yet. */
+  private def seenKeyCols(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Option[Seq[String]] =
+    if (!IncrementalAgg.appendStoreHasData(spark, stateDir)) None
+    else Some(spark.read
+      .parquet(IncrementalAgg.appendStorePath(stateDir))
+      .columns.toSeq
+      .filterNot(Set("__n", "__batch", "__bucket")))
+
   /** Token-budget corpus selection — "take the best documents until the
     * training budget is spent": rows ranked by (`rankCol` DESC, `idCol`)
     * are kept while the INCLUSIVE running total of `tokensCol` stays

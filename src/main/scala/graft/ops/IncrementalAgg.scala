@@ -57,6 +57,22 @@ object IncrementalAgg {
   private val STATE_VERSION = 1
 
   private def storePath(stateDir: String) = s"$stateDir/agg"
+
+  /** The append store's data path, for sibling operators whose PARTIAL
+    * must read the store itself (e.g. [[Curation.seenAppend]]'s novelty
+    * anti-join needs the raw `__batch`/`__bucket` partition columns the
+    * public [[readStore]] drops). Layout remains this object's. */
+  private[ops] def appendStorePath(stateDir: String): String =
+    storePath(stateDir)
+
+  /** [[storeHasData]] against the append store — the sibling-operator
+    * twin of [[appendStorePath]]. */
+  private[ops] def appendStoreHasData(spark: SparkSession,
+      stateDir: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    storeHasData(fs, storePath(stateDir))
+  }
   private def digestsPath(stateDir: String) = s"$stateDir/agg_digests"
   private def metaPath(stateDir: String) = s"$stateDir/meta"
   private def watermarkPath(stateDir: String) = s"$stateDir/agg_compact_watermark"

@@ -742,6 +742,35 @@ object StreamingOps {
       }
       .start()
 
+  /** CONTINUOUS first-occurrence ingest dedup with a PERSISTENT seen
+    * set: filter an arriving stream to the first occurrence of each
+    * `fpCol` fingerprint across the stream's ENTIRE history and
+    * materialize the survivors as a parquet store — the deduped corpus
+    * itself ([[graft.ops.Curation.seenRows]] serves it at any point,
+    * mid-stream included). Unlike [[dedupedEvents]], whose seen set
+    * lives in the streaming state store (checkpoint-lifetime, readable
+    * by nothing else), this survives checkpoint resets loudly (fence
+    * ownership), restarts cheaply (the store IS the state), and prices
+    * each batch by the store partitions its fingerprints hash into —
+    * the [[graft.ops.Curation.seenAppend]] contract (idempotent
+    * replays, replay fence, lease, auto-compaction past
+    * `maxBatchParts`). Within-batch ties keep the min-`orderCol` row. */
+  def maintainSeen(rows: DataFrame, stateDir: String, fpCol: String,
+      orderCol: String, nBuckets: Int = 256, maxBatchParts: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$stateDir/checkpoint")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Curation.seenAppend(batch, batchId, stateDir, fpCol,
+          orderCol, nBuckets)
+        if (maxBatchParts > 0)
+          graft.ops.Curation.maybeCompactSeenStore(
+            batch.sparkSession, stateDir, maxBatchParts)
+        ()
+      }
+      .start()
+
   /** CONTINUOUS LOADER FEED: cut fixed-length training sequences from an
     * APPEND-ONLY document stream as it arrives — each micro-batch
     * byte-BPE encodes its documents (with the boundary special — the

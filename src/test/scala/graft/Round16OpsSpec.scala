@@ -600,6 +600,76 @@ class Round16OpsSpec extends AnyFunSuite with SparkSpec {
     assert(fromStore == direct && fromStore.nonEmpty)
   }
 
+  // ---- persistent seen-set ------------------------------------------------
+
+  test("seenAppend: the store accumulates exactly the first occurrence " +
+      "per fingerprint — within-batch min-order ties, cross-batch history " +
+      "wins, null fps dedup null-safely, replays and fenced replays are " +
+      "no-ops, compaction preserves the corpus") {
+    val stateDir = freshStateDir()
+    // (id, fp, payload): fp collisions within batch 0 (ids 1,2), across
+    // batches (fp "a" again in batch 1; fp "b" in batch 2), null fps in
+    // two batches (only the first survives), and a unique row per batch
+    val b0 = viaParquet(Seq(
+      (2L, "a", "x2"), (1L, "a", "x1"), (3L, "b", "x3"),
+      (4L, null: String, "x4")).toDF("id", "fp", "payload"))
+    val b1 = viaParquet(Seq(
+      (5L, "a", "x5"), (6L, "c", "x6"),
+      (7L, null: String, "x7")).toDF("id", "fp", "payload"))
+    val b2 = viaParquet(Seq(
+      (8L, "b", "x8"), (9L, "d", "x9")).toDF("id", "fp", "payload"))
+    def survivors(): Set[(Long, String, String)] =
+      graft.ops.Curation.seenRows(spark, stateDir)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSet
+    val want = Set(
+      (1L, "a", "x1"),              // min id of the batch-0 "a" pair
+      (3L, "b", "x3"),
+      (4L, null: String, "x4"),     // first null-fp arrival
+      (6L, "c", "x6"),
+      (9L, "d", "x9"))
+    graft.ops.Curation.seenAppend(b0, 0L, stateDir, "fp", "id",
+      nBuckets = 8)
+    assert(survivors() == Set((1L, "a", "x1"), (3L, "b", "x3"),
+      (4L, null: String, "x4")))
+    graft.ops.Curation.seenAppend(b1, 1L, stateDir, "fp", "id",
+      nBuckets = 8)
+    // at-least-once replay of batch 1: decision excludes its own
+    // partitions, so it re-derives identical survivors (overwritten in
+    // place) — nothing lost, nothing doubled
+    graft.ops.Curation.seenAppend(b1, 1L, stateDir, "fp", "id",
+      nBuckets = 8)
+    graft.ops.Curation.compactSeenStore(spark, stateDir)
+    // post-fold replay of batch 0 is fenced outright
+    graft.ops.Curation.seenAppend(b0, 0L, stateDir, "fp", "id",
+      nBuckets = 8)
+    graft.ops.Curation.seenAppend(b2, 2L, stateDir, "fp", "id",
+      nBuckets = 8)
+    assert(survivors() == want)
+    // idempotent end state under a second compaction
+    graft.ops.Curation.compactSeenStore(spark, stateDir)
+    assert(survivors() == want)
+  }
+
+  test("maintainSeen: the streaming wrapper filters a duplicate-injected " +
+      "stream to first occurrences — wrapper == the batch rule") {
+    val stateDir = freshStateDir()
+    val src = java.nio.file.Files.createTempDirectory("graft_r16seen").toString
+    val rows = (0L until 50L).map(i => (i, s"fp${i % 17}", s"p$i"))
+    rows.toDF("id", "fp", "payload").write.mode("overwrite").parquet(src)
+    val stream = graft.streaming.StreamingOps.readEvents(spark, src)
+    val q = graft.streaming.StreamingOps.maintainSeen(stream, stateDir,
+      "fp", "id", nBuckets = 8)
+    try q.processAllAvailable() finally q.stop()
+    val got = graft.ops.Curation.seenRows(spark, stateDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    // one survivor per fingerprint: the min id (all files land in one
+    // micro-batch here; across batches the earlier batch would win)
+    val want = rows.groupBy(_._2).values.map(_.minBy(_._1)).toSet
+    assert(got == want && got.size == 17)
+  }
+
   test("maintainSignatures: the streaming wrapper folds a document stream " +
       "into the same store the batch surface reads — wrapper == direct") {
     val stateDir = freshStateDir()
