@@ -2006,6 +2006,37 @@ object SparkEntry {
           col("n_docs"), col("first_doc"), col("last_doc"))
         .orderBy("shard", "seq_id")
     }),
+    "t_curated_feed" -> ((s, dir) => {
+      // CONTINUOUS CURATED LOADER FEED (ops/CuratedFeed.scala): the
+      // full curation chain — word-count quality gate, PII masking,
+      // persistent first-occurrence dedup, boundary-tokened byte-BPE
+      // encode, incremental fixed-length cut — composed PER BATCH over
+      // three deterministic batches (doc_id % 3, in order) of a
+      // duplicate-injected corpus. The sequence store must then hold
+      // exactly what the one-shot composition over the concatenated
+      // curated stream emits; the oracle replays every stage (filter
+      // bounds, redaction regexes, first-occurrence rule, fixture
+      // token counts, HUGEINT xxhash64 shards, batch-prefixed cut)
+      val merges = graft.ops.Tokenize.loadMerges(s.read.parquet(
+        s"$repoRoot/src/test/resources/bpe_bytes_merges.parquet"))
+      val stateDir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_curfeed_${System.nanoTime()}"
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val all = d
+        .unionByName(d.filter(col("doc_id") < 25).select(
+          (col("doc_id") + 500000).as("doc_id"), col("text")))
+        .unionByName(d.filter(col("doc_id") < 10).select(
+          (col("doc_id") + 900000).as("doc_id"), col("text")))
+      for (b <- 0L to 2L)
+        graft.ops.CuratedFeed.curatedAppend(
+          all.filter(pmod(col("doc_id"), lit(3L)) === b), b, stateDir,
+          merges, seqLen = 2048, nShards = 8,
+          minWords = 20, maxWords = 80)
+      graft.ops.CuratedFeed.sequences(s, stateDir)
+        .select(col("shard"), col("seq_id"), col("n_tokens"),
+          col("n_docs"), col("first_doc"), col("last_doc"))
+        .orderBy("shard", "seq_id")
+    }),
     "t_sequences_shuffled" -> ((s, dir) => {
       // GLOBAL SAMPLE SHUFFLE — the step after the cut a loader wants:
       // fixed sequences sit in stream order (consecutive rows are
@@ -3005,6 +3036,78 @@ object SparkEntry {
   private def sequencesIncrementalSql: String =
     s"""WITH ${sequencesCtes("t.doc_id % 3, ")},
        |ck AS (
+       |  SELECT shard, total,
+       |    unnest(generate_series(CAST(0 AS BIGINT),
+       |      CAST(total // 2048 - 1 AS BIGINT))) AS k
+       |  FROM totals WHERE total >= 2048
+       |)
+       |SELECT c.shard, CAST(c.k AS BIGINT) AS seq_id,
+       |  CAST(2048 AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  arg_min(d.doc_id, d.off) AS first_doc,
+       |  arg_max(d.doc_id, d.off) AS last_doc
+       |FROM ck c JOIN d
+       |  ON d.shard = c.shard
+       | AND d.off < (c.k + 1) * 2048 AND d.off + d.n_tokens > c.k * 2048
+       |GROUP BY c.shard, c.k
+       |ORDER BY c.shard, seq_id""".stripMargin
+
+  /** The curated feed replayed end-to-end: the duplicate-injected corpus
+    * filters on normalized word count, masks PII (a no-op on this
+    * corpus, replayed anyway), keeps the first occurrence of each
+    * masked-text fingerprint across (batch = doc_id % 3, doc_id), and
+    * the survivors cut exactly like the incremental feed — token counts
+    * from the pretoken fixture (+1 boundary), xxhash64 shards, offsets
+    * cumulative in (batch, h, doc_id) order, complete rows only. */
+  private def curatedFeedSql: String =
+    s"""WITH seen_all AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id < 25
+       |  UNION ALL
+       |  SELECT doc_id + 900000 AS doc_id, text FROM documents WHERE doc_id < 10
+       |), qual AS (
+       |  SELECT doc_id, text FROM seen_all
+       |  WHERE len(string_split(TRIM(REGEXP_REPLACE(LOWER(text), '$WS', ' ', 'g')), ' '))
+       |    BETWEEN 20 AND 80
+       |), red AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(text, '${graft.ops.Curation.EmailRe}', '<EMAIL>', 'g'),
+       |      '${graft.ops.Curation.Ipv4Re}', '<IP>', 'g') AS text
+       |  FROM qual
+       |), keyed AS (
+       |  SELECT doc_id, doc_id % 3 AS b, text,
+       |    md5(TRIM(REGEXP_REPLACE(LOWER(text), '$WS', ' ', 'g'))) AS fp
+       |  FROM red
+       |), surv AS (
+       |  SELECT doc_id, b, text FROM (
+       |    SELECT doc_id, b, text,
+       |      ROW_NUMBER() OVER (PARTITION BY fp ORDER BY b, doc_id) AS rn
+       |    FROM keyed) WHERE rn = 1
+       |), ${xxhash64Ctes("doc_id", "surv")},
+       |pres AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(text, ' ?[a-z]+')) AS pretoken
+       |  FROM surv
+       |), tok AS (
+       |  SELECT v.doc_id, v.b, COALESCE(s.n_tokens, 0) + 1 AS n_tokens FROM
+       |  surv v LEFT JOIN (
+       |    SELECT doc_id, CAST(SUM(r.n_tokens) AS BIGINT) AS n_tokens
+       |    FROM pres
+       |    JOIN read_parquet('$repoRoot/src/test/resources/bpe_bytes_pretoken_tokens.parquet') r
+       |      USING (pretoken)
+       |    GROUP BY doc_id) s USING (doc_id)
+       |), d AS (
+       |  SELECT t.doc_id, x.h, ((x.h % 8) + 8) % 8 AS shard,
+       |    t.n_tokens,
+       |    SUM(t.n_tokens) OVER (PARTITION BY ((x.h % 8) + 8) % 8
+       |      ORDER BY t.b, x.h, t.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - t.n_tokens AS off
+       |  FROM tok t JOIN xxh x USING (doc_id)
+       |), totals AS (
+       |  SELECT shard, SUM(n_tokens) AS total FROM d GROUP BY shard
+       |), ck AS (
        |  SELECT shard, total,
        |    unnest(generate_series(CAST(0 AS BIGINT),
        |      CAST(total // 2048 - 1 AS BIGINT))) AS k
@@ -5593,6 +5696,7 @@ object SparkEntry {
     // the incremental feed: batch-order-prefixed stream replay,
     // complete rows only (the tail lives in the carry)
     "t_sequences_incremental" -> sequencesIncrementalSql,
+    "t_curated_feed" -> curatedFeedSql,
 
     // decode(encode(text)) identity: the oracle is the original text
     // itself (md5 over UTF-8 bytes; null text encodes as '')

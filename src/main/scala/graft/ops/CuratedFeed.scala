@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CONTINUOUS CURATED LOADER FEED — the streaming twin of the whole
+  * declarative pipeline ([[graft.core.PipelineJob]]): each arriving
+  * batch of raw documents runs the curation chain
+  *
+  *   quality filter → PII redaction → persistent first-occurrence
+  *   dedup → byte-BPE encode (boundary-tokened) → incremental
+  *   fixed-length sequence cut
+  *
+  * so at any point the feed's sequence store holds training-ready
+  * samples of exactly the curated, DEDUPLICATED corpus that has
+  * arrived — ingestion, curation and sequence construction as one
+  * continuous process that training consumes behind
+  * ([[sequences]] / [[SequenceFeed.sequencesFromStore]]), and the
+  * deduped document corpus itself stays queryable mid-stream
+  * ([[corpus]] / [[Curation.seenRows]]). Published-practice stage
+  * order (C4 / Gopher / RefinedWeb-style web curation): filters first,
+  * PII masked before any fingerprint or tokenizer sees the text,
+  * dedup on the masked form.
+  *
+  * Two persistent stores under one `stateDir`:
+  *  - `{stateDir}/seen` — the [[Curation.seenAppend]] append store:
+  *    the first occurrence of every text fingerprint across the
+  *    stream's history (the deduped corpus).
+  *  - `{stateDir}/feed` — the [[SequenceFeed]] store + carry: the cut
+  *    sequences and each shard's in-flight tail.
+  *
+  * Composed-crash discipline (the reason this is an operator, not a
+  * recipe): the two appends of one batch are not atomic, so every
+  * interleaving of a crash must heal on re-delivery —
+  *  - the seen append lands, the feed append doesn't: the replay
+  *    re-derives byte-identical survivors (the seen partial excludes
+  *    its OWN batch partitions from the history read and nothing later
+  *    has run), overwrites its `__batch` partition idempotently and
+  *    completes the feed;
+  *  - both land, the checkpoint commit doesn't: the seen append
+  *    replays idempotently and the feed's own replay machinery
+  *    recomputes from the retained carry — byte-identical rows;
+  *  - seen-store compaction therefore runs ONLY at the head of a batch
+  *    and only when the store holds no partition at or above it
+  *    ([[IncrementalAgg.maxStoredBatch]] guard): folding the current
+  *    batch's own crashed partitions would fence its replay before the
+  *    feed has its rows — the one interleaving that cannot heal. If an
+  *    EXTERNAL compaction manufactures that state anyway, the batch
+  *    fails loudly instead of feeding sequences it cannot re-derive.
+  *
+  * Inherited disciplines: single-writer lease around every store
+  * mutation; batch ids must arrive IN SEQUENCE (checked here BEFORE
+  * the seen store is touched — a gap folded into the seen history
+  * would mis-attribute first occurrences across the gap, so it throws
+  * up front, not at the feed); ownership — the co-located streaming
+  * checkpoint's query uuid is adopted on first append and a mismatch
+  * (reset checkpoint over kept state) throws: like the raw sequence
+  * feed, arrival order IS sample identity, so curated state cannot be
+  * rebased — start a fresh `stateDir`.
+  *
+  * Scale shape (per batch, at any corpus size): the curation stages
+  * are one-scan expression filters over the batch; the novelty check
+  * reads only the seen-store partitions the batch's fingerprints hash
+  * into; the encode is one narrow mapPartitions pass over survivors;
+  * the cut is one shard-keyed exchange of the batch plus a
+  * constant-memory sweep. Nothing re-reads the corpus.
+  */
+object CuratedFeed {
+
+  /** The persistent seen-set (deduped corpus) store. */
+  def seenDir(stateDir: String): String = s"$stateDir/seen"
+
+  /** The sequence feed store + carry. */
+  def feedDir(stateDir: String): String = s"$stateDir/feed"
+
+  private def ownerPath(stateDir: String) = s"$stateDir/curated_owner"
+
+  /** Run one batch of raw documents through the full curation chain
+    * into the two stores. `minWords`/`maxWords` bound the word count of
+    * the normalized text (the Gopher word-count gate's shape — compose
+    * [[TextAnalysis.gopherRules]] upstream for the full rule set);
+    * redaction is [[Curation.redactPii]]; dedup keys on
+    * [[TextAnalysis.fingerprint]] of the MASKED text with within-batch
+    * ties kept at the min id. Survivors encode with `specials` /
+    * `boundary` (the sequences contract requires the boundary) and cut
+    * into `seqLen`-token rows across `nShards` hash shards. */
+  def curatedAppend(docs: DataFrame, batchId: Long, stateDir: String,
+      merges: Seq[(String, String)], seqLen: Int, nShards: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text",
+      minWords: Int = 1, maxWords: Int = Int.MaxValue,
+      specials: Seq[String] = Seq("<|endoftext|>"),
+      boundary: Option[String] = Some("<|endoftext|>"),
+      nBuckets: Int = 256, maxBatchParts: Int = 16): Unit = {
+    require(minWords >= 1 && maxWords >= minWords,
+      "word-count bounds must satisfy 1 <= minWords <= maxWords")
+    require(boundary.nonEmpty,
+      "the sequence cut needs a boundary token to mark document ends " +
+        "(the Chunking.fixedSequences contract)")
+    val spark = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ownership at the COMPOSED level (both stores sit behind it): a
+    // reset checkpoint restarts batch ids, which over curated state is
+    // unrecoverable in place — sample identity is arrival order
+    IncrementalAgg.streamIdentity(fs, stateDir).foreach { sid =>
+      IncrementalAgg.readMarker(fs, ownerPath(stateDir)) match {
+        case Some(owner) if owner != sid =>
+          throw new IllegalStateException(
+            s"curated feed at $stateDir was built by streaming query " +
+              s"$owner but this batch comes from query $sid — the " +
+              "checkpoint was reset while the state was kept. Batch ids " +
+              "are not comparable across query lifetimes and sample " +
+              "identity is arrival order, so the feed cannot be " +
+              "rebased; start a fresh stateDir (both stores remain " +
+              "readable).")
+        case None =>
+          IncrementalAgg.writeMarker(fs, ownerPath(stateDir), sid)
+        case _ => ()
+      }
+    }
+    // in-sequence check BEFORE any mutation: a gap folded into the seen
+    // history would dedup the gap batch's later re-delivery against
+    // rows that arrived "after" it — permanently mis-attributed first
+    // occurrences. The feed has the same rule; enforcing it here keeps
+    // the two stores in lockstep.
+    val last = SequenceFeed.lastBatch(spark, feedDir(stateDir))
+    require(batchId <= last + 1,
+      s"batch $batchId arrived over a curated feed at batch $last — a " +
+        "GAP in an order-dependent feed loses stream content; deliver " +
+        s"batch ${last + 1} first")
+    // quality gate: word-count bounds over the normalized text — a
+    // one-scan expression filter
+    val nWords = size(split(TextAnalysis.normalized(col(textCol)), " "))
+    val qualified = docs.filter(nWords.between(minWords, maxWords))
+    // mask BEFORE the fingerprint or tokenizer touches the text —
+    // nothing downstream (either store included) ever sees raw PII
+    val masked = Curation.redactPii(qualified, textCol)
+      .withColumn(textCol, col("redacted"))
+      .select(col(idCol), col(textCol))
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+    // head-of-batch compaction only, guarded below the current batch
+    // (see the object scaladoc for why mid-batch folding cannot heal)
+    if (maxBatchParts > 0 &&
+        IncrementalAgg.maxStoredBatch(spark, seenDir(stateDir)) < batchId)
+      Curation.maybeCompactSeenStore(spark, seenDir(stateDir), maxBatchParts)
+    val survivors = Curation.seenAppendReturning(masked, batchId,
+        seenDir(stateDir), "__fp", idCol, nBuckets)
+      .getOrElse(throw new IllegalStateException(
+        s"batch $batchId hit the seen store's replay fence before its " +
+          "sequences landed — its survivors were folded into the base " +
+          "and can no longer be re-derived for the feed. This state " +
+          "only arises from an EXTERNAL compaction of the seen store " +
+          "between the two appends (curatedAppend itself folds only " +
+          "below the current batch); recover from a fresh stateDir."))
+    val enc = Tokenize.bpeEncodeIds(survivors, idCol, textCol, merges,
+        specials = specials, boundary = boundary)
+      .select(col("id"), col("token_ids"))
+      .withColumn("h", xxhash64(col("id")))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+    SequenceFeed.sequencesAppend(enc, batchId, feedDir(stateDir),
+      "shard", "h", "id", "token_ids", seqLen)
+    // the feed fold is safe any time AFTER its own append: it only
+    // covers batches whose carry landed (compactFeedStore's guarantee)
+    if (maxBatchParts > 0)
+      SequenceFeed.maybeCompactFeedStore(spark, feedDir(stateDir),
+        maxBatchParts)
+  }
+
+  /** The training-ready sequence rows cut so far (the
+    * [[Chunking.fixedSequences]] shape, complete rows only). */
+  def sequences(spark: SparkSession, stateDir: String): DataFrame =
+    SequenceFeed.sequencesFromStore(spark, feedDir(stateDir))
+
+  /** The curated, deduplicated document corpus so far: (idCol, textCol)
+    * of every survivor, masked text. Store-sized work. */
+  def corpus(spark: SparkSession, stateDir: String): DataFrame =
+    Curation.seenRows(spark, seenDir(stateDir)).drop("__fp")
+}

@@ -238,6 +238,24 @@ object Curation {
     * The survivor row's columns are the batch's columns verbatim. */
   def seenAppend(batch: DataFrame, batchId: Long, stateDir: String,
       fpCol: String, orderCol: String, nBuckets: Int = 256): Unit = {
+    seenAppendReturning(batch, batchId, stateDir, fpCol, orderCol, nBuckets)
+    ()
+  }
+
+  /** [[seenAppend]] that also RETURNS the batch's survivors (the novel
+    * rows it folded, data columns only, executor-disk materialized) —
+    * the hook a composed per-batch pipeline needs: the deduped slice
+    * feeds the next stage of the same invocation
+    * ([[CuratedFeed.curatedAppend]]) without a second store read.
+    * `None` when the replay fence skipped the batch: its rows were
+    * already folded into the base and are no longer attributable to
+    * this batch id. A composed caller prevents that case by compacting
+    * only below the current batch (see [[CuratedFeed]]); a direct
+    * caller re-reading the store gets the cumulative corpus via
+    * [[seenRows]]. */
+  def seenAppendReturning(batch: DataFrame, batchId: Long, stateDir: String,
+      fpCol: String, orderCol: String, nBuckets: Int = 256)
+      : Option[DataFrame] = {
     val dataCols = batch.columns.toSeq
     require(dataCols.contains(fpCol) && dataCols.contains(orderCol),
       s"batch must carry $fpCol and $orderCol")
@@ -277,8 +295,18 @@ object Curation {
         .withColumn("__n", lit(1L))
         .localCheckpoint(true)
     }
-    IncrementalAgg.appendFold(batch, batchId, stateDir, partial, fpCol,
+    // the partial runs eagerly inside appendFold (touched-bucket collect
+    // + localCheckpoint), so the capture is set iff the fence let the
+    // batch through
+    var captured: Option[DataFrame] = None
+    val capturing = (slice: DataFrame) => {
+      val out = partial(slice)
+      captured = Some(out)
+      out
+    }
+    IncrementalAgg.appendFold(batch, batchId, stateDir, capturing, fpCol,
       nBuckets)
+    captured.map(_.select(dataCols.map(col): _*))
   }
 
   /** The deduped corpus a [[seenAppend]] store holds — every surviving

@@ -603,6 +603,21 @@ object IncrementalAgg {
     } finally lease.release()
   }
 
+  /** Highest batch id materialized as its own `__batch=` partition in
+    * an append store (-1 when none — empty store or everything folded
+    * into the base). One driver-side directory listing; the guard a
+    * composed caller uses to compact only BELOW the batch it is about
+    * to process (see [[graft.ops.CuratedFeed]]). */
+  def maxStoredBatch(spark: SparkSession, stateDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(storePath(stateDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(n => n.startsWith("__batch=") && n != "__batch=-1")
+      .map(_.stripPrefix("__batch=").toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
   /** Compact iff the store holds more than `maxBatchParts` batch
     * partitions — the generic [[maybeCompactVocabStore]]. */
   def maybeCompactAppendStore(spark: SparkSession, stateDir: String,

@@ -813,6 +813,41 @@ object StreamingOps {
       }
       .start()
 
+  /** CONTINUOUS CURATED LOADER FEED: the full curation chain — quality
+    * filter → PII redaction → persistent first-occurrence dedup →
+    * boundary-tokened byte-BPE encode → incremental fixed-length
+    * sequence cut — over an arriving raw-document stream, one
+    * [[graft.ops.CuratedFeed.curatedAppend]] per micro-batch. The
+    * streaming twin of the whole declarative pipeline
+    * ([[graft.core.PipelineJob]]): at any point
+    * [[graft.ops.CuratedFeed.sequences]] serves training-ready samples
+    * of exactly the curated, deduplicated corpus that has arrived, and
+    * [[graft.ops.CuratedFeed.corpus]] the deduped documents themselves.
+    * Disciplines are the composed operator's: single-writer lease,
+    * in-sequence batch ids, idempotent replays across every
+    * crash-between-appends interleaving, composed fence ownership (a
+    * reset checkpoint over kept state throws — sample identity is
+    * arrival order, so curated state cannot be rebased; start a fresh
+    * stateDir). Append-only contract: an id arrives at most once. */
+  def maintainCuratedFeed(docs: DataFrame, stateDir: String,
+      merges: Seq[(String, String)], seqLen: Int, nShards: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text",
+      minWords: Int = 1, maxWords: Int = Int.MaxValue,
+      specials: Seq[String] = Seq("<|endoftext|>"),
+      boundary: Option[String] = Some("<|endoftext|>"),
+      nBuckets: Int = 256, maxBatchParts: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$stateDir/checkpoint")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.CuratedFeed.curatedAppend(batch, batchId, stateDir,
+          merges, seqLen, nShards, idCol, textCol, minWords, maxWords,
+          specials, boundary, nBuckets, maxBatchParts)
+        ()
+      }
+      .start()
+
   /** Run a streaming frame to completion against currently-available data
     * (test/driver harness: memory sink, processAllAvailable). */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Append()): DataFrame = {
