@@ -27,9 +27,19 @@ object Main {
     * summary row (also printed). Factored out of [[main]] so tests and
     * embedding callers reuse their session. */
   def run(spark: SparkSession, configPath: String): Row = {
-    // a `pipeline:` root key dispatches to the curation/tokenize/export
-    // lifecycle (PipelineJob); everything else is the classic
-    // validation surface
+    // a `feed:` root key dispatches to the continuous curated loader
+    // feed (FeedJob — one catch-up pass per invocation); `pipeline:` to
+    // the batch curation/tokenize/export lifecycle (PipelineJob);
+    // everything else is the classic validation surface
+    if (ConfigLoader.isFeed(configPath)) {
+      val fcfg = ConfigLoader.feedFromYamlFile(configPath)
+      val summary = graft.core.FeedJob.run(spark, fcfg)
+      val row = summary.collect().head
+      println(s"""{"batches_total":${row.getLong(0)},"corpus_docs":${row.getLong(1)},"sequences":${row.getLong(2)}}""")
+      println(s"curated feed state at ${fcfg.stateDirectory} " +
+        "(seen/ = deduped corpus, feed/ = training sequences)")
+      return row
+    }
     if (ConfigLoader.isPipeline(configPath)) {
       val pcfg = ConfigLoader.pipelineFromYamlFile(configPath)
       val (summary, _) = graft.core.PipelineJob.run(spark, pcfg)

@@ -146,6 +146,77 @@ object ConfigLoader {
     finally in.close()
   }
 
+  /** Does this YAML declare a continuous feed? [[graft.Main]]
+    * dispatches on it. */
+  def isFeed(path: String): Boolean = {
+    val in = new FileInputStream(path)
+    try Option(new Yaml().load[JMap[String, Object]](in))
+      .exists(_.asScala.contains("feed"))
+    finally in.close()
+  }
+
+  def feedFromYamlFile(path: String): FeedConfig = {
+    val in = new FileInputStream(path)
+    try feedFromMap(new Yaml().load[JMap[String, Object]](in)
+      .asScala.toMap)
+    finally in.close()
+  }
+
+  def feedFromYamlString(yaml: String): FeedConfig =
+    feedFromMap(new Yaml().load[JMap[String, Object]](yaml).asScala.toMap)
+
+  def feedFromMap(root: Map[String, Object]): FeedConfig = {
+    val m = sub(root, "feed").getOrElse(throw new
+      IllegalArgumentException("config needs a `feed:` map"))
+    val source = sub(m, "source").map(plainSourceSpec).getOrElse(throw new
+      IllegalArgumentException("feed needs `source:`"))
+    // the streaming reader is file-based: a feed source names a parquet
+    // directory files LAND in (the checkpoint tracks which are consumed)
+    require(source.format == "parquet" && source.path.nonEmpty &&
+        source.query.isEmpty,
+      "a feed `source:` must be a parquet `path:` (files landing in a " +
+        "directory are the stream; JDBC/query sources have no arrival " +
+        "semantics for the checkpoint to track)")
+    val tok = sub(m, "tokenize").getOrElse(throw new
+      IllegalArgumentException("feed needs `tokenize:` (merges_path + " +
+        "specials/boundary)"))
+    val mergesPath = str(tok, "merges_path").getOrElse(throw new
+      IllegalArgumentException("feed tokenize needs `merges_path` — a " +
+        "stream cannot train its own merge table; train one with the " +
+        "batch `pipeline:` surface first"))
+    val specials =
+      strSeq(tok, "specials").getOrElse(Seq("<|endoftext|>"))
+    val boundary = str(tok, "boundary").getOrElse("<|endoftext|>")
+    require(specials.contains(boundary),
+      s"feed tokenize `boundary` ($boundary) must be one of `specials` " +
+        s"(${specials.mkString(", ")})")
+    val q = sub(m, "quality_filter")
+    val cfg = FeedConfig(
+      source = source,
+      stateDirectory = str(m, "state_directory").getOrElse(throw new
+        IllegalArgumentException("feed needs `state_directory`")),
+      mergesPath = mergesPath,
+      idColumn = str(m, "id_column").getOrElse("doc_id"),
+      textColumn = str(m, "text_column").getOrElse("text"),
+      minWords =
+        q.flatMap(str(_, "min_words")).map(_.toLong).getOrElse(1L),
+      maxWords =
+        q.flatMap(str(_, "max_words")).map(_.toLong)
+          .getOrElse(Long.MaxValue),
+      specials = specials,
+      boundary = boundary,
+      sequenceLength =
+        str(m, "sequence_length").map(_.toInt).getOrElse(2048),
+      shards = str(m, "shards").map(_.toInt).getOrElse(8),
+      buckets = str(m, "buckets").map(_.toInt).getOrElse(256),
+      maxBatchParts =
+        str(m, "max_batch_parts").map(_.toInt).getOrElse(16))
+    require(cfg.sequenceLength > 0, "`sequence_length` must be positive")
+    require(cfg.minWords >= 1 && cfg.maxWords >= cfg.minWords,
+      "quality_filter word bounds must satisfy 1 <= min_words <= max_words")
+    cfg
+  }
+
   def pipelineFromYamlFile(path: String): PipelineConfig = {
     val in = new FileInputStream(path)
     try pipelineFromMap(new Yaml().load[JMap[String, Object]](in)

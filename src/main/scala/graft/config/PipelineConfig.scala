@@ -130,6 +130,36 @@ final case class ExportSpec(
   * fingerprints the text, the RefinedWeb ordering; caps and mixture on
   * the final curated set.) The export stage requires tokenize (it
   * packs token counts). */
+/** Typed `feed:` YAML surface — the CONTINUOUS twin of `pipeline:`: a
+  * curated loader feed ([[graft.ops.CuratedFeed]]) declared as
+  * configuration and driven by [[graft.core.FeedJob]]. Each invocation
+  * is one CATCH-UP PASS: the streaming source picks up every file under
+  * `source.path` not yet recorded in the co-located checkpoint (batch
+  * ids continue across invocations), runs the per-batch curation chain
+  * — quality filter → PII masking → persistent first-occurrence dedup
+  * → boundary-tokened byte-BPE encode → incremental fixed-length cut —
+  * into the two stores under `state_directory`, and exits. Cron-style
+  * continuous ingestion without a resident process; the stores stay
+  * queryable between passes. `merges_path` is REQUIRED (a stream
+  * cannot train its own merge table — train one with the batch
+  * `pipeline:` surface or [[graft.ops.Tokenize.bpeTrainBytes]] first);
+  * the boundary special is required by the sequence cut and must be
+  * declared in `specials`. */
+final case class FeedConfig(
+    source: SourceSpec,
+    stateDirectory: String,
+    mergesPath: String,
+    idColumn: String = "doc_id",
+    textColumn: String = "text",
+    minWords: Long = 1L,
+    maxWords: Long = Long.MaxValue,
+    specials: Seq[String] = Seq("<|endoftext|>"),
+    boundary: String = "<|endoftext|>",
+    sequenceLength: Int = 2048,
+    shards: Int = 8,
+    buckets: Int = 256,
+    maxBatchParts: Int = 16)
+
 final case class PipelineConfig(
     source: SourceSpec,
     idColumn: String = "doc_id",
