@@ -2059,6 +2059,51 @@ object SparkEntry {
         .select(col("shard"), col("seq_id"), col("out_shard"), col("pos"))
         .orderBy("shard", "seq_id")
     }),
+    "t_epoch_order" -> ((s, dir) => {
+      // PER-EPOCH SAMPLE ORDER — training consumes the corpus once per
+      // epoch in a fresh global permutation: shuffleSequences(seed =
+      // epoch) shifts the hashed identity by epoch * phi64 (a bijection
+      // per epoch; the avalanche decorrelates orders across epochs)
+      // before the same one-exchange hash/rank. The oracle replays the
+      // shifted key in HUGEINT mod-2^64 arithmetic through the xxhash64
+      // CTE chain and ranks within shards
+      val merges = graft.ops.Tokenize.loadMerges(s.read.parquet(
+        s"$repoRoot/src/test/resources/bpe_bytes_merges.parquet"))
+      val enc = graft.ops.Tokenize.bpeEncodeIds(t(s, dir, "documents"),
+          "doc_id", "text", merges,
+          specials = Seq("<|endoftext|>"), boundary = Some("<|endoftext|>"))
+        .select(col("id").as("doc_id"), col("token_ids"))
+        .withColumn("h", xxhash64(col("doc_id")))
+        .withColumn("shard", pmod(col("h"), lit(8L)))
+      val cut = graft.ops.Chunking.fixedSequences(enc, "shard", "h",
+        "doc_id", "token_ids", 2048)
+      graft.ops.Chunking.shuffleSequences(cut, "shard", "seq_id", 16,
+          seed = 7L)
+        .select(col("shard"), col("seq_id"), col("out_shard"), col("pos"))
+        .orderBy("shard", "seq_id")
+    }),
+    "t_epoch_resume" -> ((s, dir) => {
+      // RESUMABLE EPOCH CURSOR — a loader that died mid-epoch restarts
+      // from its (out_shard, pos) cursor: epochResume keeps the rows at
+      // or after the cursor in consumption order, a pure filter over
+      // the ranked epoch (partition-pruning under an out_shard
+      // partitioned store). Output ordered as the loader consumes it
+      val merges = graft.ops.Tokenize.loadMerges(s.read.parquet(
+        s"$repoRoot/src/test/resources/bpe_bytes_merges.parquet"))
+      val enc = graft.ops.Tokenize.bpeEncodeIds(t(s, dir, "documents"),
+          "doc_id", "text", merges,
+          specials = Seq("<|endoftext|>"), boundary = Some("<|endoftext|>"))
+        .select(col("id").as("doc_id"), col("token_ids"))
+        .withColumn("h", xxhash64(col("doc_id")))
+        .withColumn("shard", pmod(col("h"), lit(8L)))
+      val cut = graft.ops.Chunking.fixedSequences(enc, "shard", "h",
+        "doc_id", "token_ids", 2048)
+      val epoch = graft.ops.Chunking.shuffleSequences(cut, "shard",
+        "seq_id", 16, seed = 7L)
+      graft.ops.Chunking.epochResume(epoch, fromShard = 5L, fromPos = 3L)
+        .select(col("out_shard"), col("pos"), col("shard"), col("seq_id"))
+        .orderBy("out_shard", "pos")
+    }),
     "t_export_packed_eot" -> ((s, dir) => {
       // the packed pretraining export WITH boundary tokens: every
       // document's stream ends in <|endoftext|> and the packer counts
@@ -3027,6 +3072,44 @@ object SparkEntry {
        |    ORDER BY x.h, k2.skey) - 1 AS BIGINT) AS pos
        |FROM sk k2 JOIN sxxh x USING (skey)
        |ORDER BY k2.shard, k2.seq_id""".stripMargin
+
+  /** Epoch-7 permutation replay: the hashed key is the identity SHIFTED
+    * by `7 * GoldenGamma` (unsigned, mod 2^64 — the shift constant is
+    * reduced in exact BigInt arithmetic here, so the SQL carries the
+    * plain residue); rank tiebreak stays on the UNSHIFTED identity,
+    * exactly as the Spark window orders. */
+  private def epochOrderedCtes: String = {
+    val two64 = BigInt(1) << 64
+    val gamma = (BigInt(graft.ops.Chunking.GoldenGamma) + two64) mod two64
+    val c = (BigInt(7) * gamma) mod two64
+    s"""${sequencesCtes()},
+       |sk AS (
+       |  SELECT shard, CAST(k AS BIGINT) AS seq_id,
+       |    CAST(shard * 1099511627776 + k AS BIGINT) AS skey,
+       |    (CAST(shard AS HUGEINT) * 1099511627776 + k + $c)
+       |      % 18446744073709551616 AS ekey
+       |  FROM seqs
+       |),
+       |${xxhash64Ctes("ekey", "sk", "e")},
+       |eord AS (
+       |  SELECT k2.shard, k2.seq_id,
+       |    ((x.h % 16) + 16) % 16 AS out_shard,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY ((x.h % 16) + 16) % 16
+       |      ORDER BY x.h, k2.skey) - 1 AS BIGINT) AS pos
+       |  FROM sk k2 JOIN exxh x USING (ekey)
+       |)""".stripMargin
+  }
+
+  private def epochOrderSql: String =
+    s"""WITH $epochOrderedCtes
+       |SELECT shard, seq_id, out_shard, pos FROM eord
+       |ORDER BY shard, seq_id""".stripMargin
+
+  private def epochResumeSql: String =
+    s"""WITH $epochOrderedCtes
+       |SELECT out_shard, pos, shard, seq_id FROM eord
+       |WHERE out_shard > 5 OR (out_shard = 5 AND pos >= 3)
+       |ORDER BY out_shard, pos""".stripMargin
 
   /** The incremental feed replayed: batches arrive as doc_id % 3 in
     * order, so the per-shard stream is the concatenation ordered by
@@ -5693,6 +5776,10 @@ object SparkEntry {
     "t_sequences_padded" -> sequencesSql(padded = true),
     // the shuffled-sample permutation: identity-hash shard + rank
     "t_sequences_shuffled" -> sequencesShuffledSql,
+    // the epoch-7 permutation (golden-gamma-shifted key) and its
+    // mid-epoch resume cursor
+    "t_epoch_order" -> epochOrderSql,
+    "t_epoch_resume" -> epochResumeSql,
     // the incremental feed: batch-order-prefixed stream replay,
     // complete rows only (the tail lives in the carry)
     "t_sequences_incremental" -> sequencesIncrementalSql,

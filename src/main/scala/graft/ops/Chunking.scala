@@ -211,9 +211,21 @@ object Chunking {
     * Output adds (out_shard, pos); rows leave sorted by (out_shard,
     * pos) with the repartition BEFORE the position window, so the whole
     * shuffle is ONE exchange and a write partitioned by `out_shard`
-    * streams each shard in pos order. */
+    * streams each shard in pos order.
+    *
+    * `seed` selects an EPOCH: training consumes the corpus once per
+    * epoch in a FRESH permutation, so the hashed key is the identity
+    * shifted by `seed * phi64` (the odd golden-ratio constant — a
+    * bijection of the key space per seed, so injectivity is preserved,
+    * and the xxhash avalanche decorrelates the per-epoch orders).
+    * `seed = 0` is the identity shift — the base permutation. Each
+    * epoch read costs the same ONE exchange as the base shuffle (the
+    * permutation is global, data must move); an epoch over a stored
+    * corpus is `shuffleSequences(store, ..., seed = epoch)` and the
+    * loader consumes (out_shard, pos) in lexicographic order —
+    * [[epochResume]] restarts mid-epoch from a (shard, pos) cursor. */
   def shuffleSequences(seqs: DataFrame, shardCol: String,
-      seqIdCol: String, nOut: Int): DataFrame = {
+      seqIdCol: String, nOut: Int, seed: Long = 0L): DataFrame = {
     require(nOut > 0, "nOut must be positive")
     val w = Window.partitionBy(col("out_shard"))
       .orderBy(col("__h"), col("__seq_key"))
@@ -221,11 +233,29 @@ object Chunking {
       .withColumn("__seq_key",
         col(shardCol).cast("long") * lit(1L << 40) +
           col(seqIdCol).cast("long"))
-      .withColumn("__h", xxhash64(col("__seq_key")))
+      // wrapping long add (non-ANSI): unsigned (key + seed*phi) mod 2^64
+      .withColumn("__h",
+        xxhash64(col("__seq_key") + lit(seed * GoldenGamma)))
       .withColumn("out_shard", pmod(col("__h"), lit(nOut.toLong)))
       .repartition(nOut, col("out_shard"))
       .withColumn("pos", row_number().over(w).cast("long") - 1L)
       .sortWithinPartitions(col("out_shard"), col("pos"))
       .drop("__h", "__seq_key")
   }
+
+  /** 2^64 / phi rounded to odd — the Weyl-sequence increment; odd, so
+    * `key + seed * GoldenGamma` is a bijection of Z/2^64 per seed. */
+  private[graft] val GoldenGamma: Long = 0x9E3779B97F4A7C15L
+
+  /** Restart an epoch read mid-way: keep the rows of a
+    * [[shuffleSequences]] order at or after the `(fromShard, fromPos)`
+    * cursor in the (out_shard, pos) lexicographic consumption order. A
+    * loader that died after consuming (s, p) resumes with cursor
+    * (s, p + 1) — pure filter, no shuffle; under a store partitioned by
+    * `out_shard` the `out_shard > fromShard` disjunct prunes whole
+    * partitions at the scan. */
+  def epochResume(ordered: DataFrame, fromShard: Long,
+      fromPos: Long): DataFrame =
+    ordered.filter(col("out_shard") > fromShard ||
+      (col("out_shard") === fromShard && col("pos") >= fromPos))
 }

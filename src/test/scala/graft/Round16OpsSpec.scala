@@ -121,6 +121,58 @@ class Round16OpsSpec extends AnyFunSuite with SparkSpec {
       s"shuffle left $adjacentStreamPairs stream-adjacent pairs adjacent")
   }
 
+  test("epoch seeds: seed 0 is the base permutation, distinct seeds give " +
+      "distinct decorrelated permutations of the same rows, and " +
+      "epochResume is exactly the lexicographic tail from the cursor") {
+    val rows = for (s <- 0L to 3L; k <- 0L until 50L)
+      yield (s, k, s * 1000 + k)
+    val df = rows.toDF("shard", "seq_id", "payload")
+    def run(seed: Long) =
+      Chunking.shuffleSequences(df, "shard", "seq_id", nOut = 8,
+          seed = seed)
+        .select("shard", "seq_id", "payload", "out_shard", "pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
+    val base = run(0L)
+    assert(base == Chunking.shuffleSequences(df, "shard", "seq_id", 8)
+      .select("shard", "seq_id", "payload", "out_shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._2)).toSeq,
+      "seed 0 must be byte-identical to the unseeded base shuffle")
+    val epochs = Seq(1L, 2L, 3L).map(run)
+    for (e <- epochs) {
+      assert(e.length == rows.length, "every epoch is a bijection")
+      val byOut = e.groupBy(_._4)
+      for ((o, g) <- byOut)
+        assert(g.map(_._5).sorted == (0L until g.length).toVector,
+          s"epoch positions in out_shard $o must be dense from 0")
+    }
+    // pairwise decorrelation: two epochs assign the same (out_shard,
+    // pos) to the same identity only about 1/n of the time
+    for (Seq(a, b) <- (base +: epochs).combinations(2)) {
+      val same = a.zip(b).count { case (x, y) => (x._4, x._5) == (y._4, y._5) }
+      assert(same < rows.length / 10,
+        s"epoch orders too correlated: $same/${rows.length} fixed points")
+    }
+    // resume == the (out_shard, pos) >= cursor tail, in any epoch
+    val e1 = Chunking.shuffleSequences(df, "shard", "seq_id", 8, seed = 1L)
+    def collectR(d: DataFrame) = d
+      .select("shard", "seq_id", "out_shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(t => (t._3, t._4)).toSeq
+    val all = collectR(e1)
+    assert(collectR(Chunking.epochResume(e1, 0L, 0L)) == all,
+      "cursor (0,0) resumes the whole epoch")
+    val (cs, cp) = (3L, 7L)
+    val tail = collectR(Chunking.epochResume(e1, cs, cp))
+    assert(tail == all.filter(t => t._3 > cs || (t._3 == cs && t._4 >= cp)))
+    assert(tail.nonEmpty && tail.length < all.length)
+    // consumed ++ resumed partitions the epoch exactly
+    assert(all.filter(t => t._3 < cs || (t._3 == cs && t._4 < cp))
+      ++ tail == all)
+    assert(collectR(Chunking.epochResume(e1, 99L, 0L)).isEmpty)
+  }
+
   // ---- distributed BPE decode -------------------------------------------
 
   test("bpeDecodeIdsDf round-trips the gnarly spec corpus (case, " +
