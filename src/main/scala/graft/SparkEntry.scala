@@ -2104,6 +2104,38 @@ object SparkEntry {
         .select(col("out_shard"), col("pos"), col("shard"), col("seq_id"))
         .orderBy("out_shard", "pos")
     }),
+    "t_epoch_mixture" -> ((s, dir) => {
+      // WEIGHTED EPOCH — per-domain repeat rates over the sequence
+      // store (the GPT-3 mixture practice: scarce domains repeat,
+      // rate > 1; the bulk downsamples, rate < 1): epochRates turns
+      // target shares + an epoch size into rates, epochMixture emits
+      // floor(rate) copies per sequence plus a seeded q20-grid
+      // fractional extra, every copy taking its own (out_shard, pos)
+      // from the copy-packed identity hash. The oracle replays rates in
+      // the same double arithmetic, the Bernoulli and position hashes
+      // through two prefixed xxhash64 chains, and the per-row
+      // generate_series repeat
+      val merges = graft.ops.Tokenize.loadMerges(s.read.parquet(
+        s"$repoRoot/src/test/resources/bpe_bytes_merges.parquet"))
+      val enc = graft.ops.Tokenize.bpeEncodeIds(t(s, dir, "documents"),
+          "doc_id", "text", merges,
+          specials = Seq("<|endoftext|>"), boundary = Some("<|endoftext|>"))
+        .select(col("id").as("doc_id"), col("token_ids"))
+        .withColumn("h", xxhash64(col("doc_id")))
+        .withColumn("shard", pmod(col("h"), lit(8L)))
+      val cut = graft.ops.Chunking.fixedSequences(enc, "shard", "h",
+        "doc_id", "token_ids", 2048)
+      val seqs = cut.withColumn("domain",
+        concat(lit("d"), pmod(col("first_doc"), lit(3L)).cast("string")))
+      val rates = graft.ops.Chunking.epochRates(seqs, "domain",
+        Seq("d0" -> 0.5, "d1" -> 0.3, "d2" -> 0.2),
+        epochSequences = seqs.count())
+      graft.ops.Chunking.epochMixture(seqs, "domain", "shard", "seq_id",
+          rates, nOut = 16, seed = 3L)
+        .select(col("shard"), col("seq_id"), col("copy"), col("domain"),
+          col("out_shard"), col("pos"))
+        .orderBy("out_shard", "pos")
+    }),
     "t_export_packed_eot" -> ((s, dir) => {
       // the packed pretraining export WITH boundary tokens: every
       // document's stream ends in <|endoftext|> and the packer counts
@@ -3078,10 +3110,16 @@ object SparkEntry {
     * reduced in exact BigInt arithmetic here, so the SQL carries the
     * plain residue); rank tiebreak stays on the UNSHIFTED identity,
     * exactly as the Spark window orders. */
-  private def epochOrderedCtes: String = {
+  /** Unsigned residue of `seed * GoldenGamma` mod 2^64 — the epoch key
+    * shift, reduced in exact BigInt arithmetic for the SQL replay. */
+  private def epochShiftConst(seed: Long): BigInt = {
     val two64 = BigInt(1) << 64
     val gamma = (BigInt(graft.ops.Chunking.GoldenGamma) + two64) mod two64
-    val c = (BigInt(7) * gamma) mod two64
+    (BigInt(seed) * gamma) mod two64
+  }
+
+  private def epochOrderedCtes: String = {
+    val c = epochShiftConst(7L)
     s"""${sequencesCtes()},
        |sk AS (
        |  SELECT shard, CAST(k AS BIGINT) AS seq_id,
@@ -3110,6 +3148,72 @@ object SparkEntry {
        |SELECT out_shard, pos, shard, seq_id FROM eord
        |WHERE out_shard > 5 OR (out_shard = 5 AND pos >= 3)
        |ORDER BY out_shard, pos""".stripMargin
+
+  /** The weighted-epoch replay: per-sequence domains and counts → the
+    * same double-arithmetic rates as [[graft.ops.Chunking.epochRates]],
+    * the q20 Bernoulli through one hash chain, per-row
+    * `generate_series` repeats, and positions through a second chain
+    * over the copy-packed identity — all key arithmetic in HUGEINT
+    * mod 2^64. */
+  private def epochMixtureSql: String = {
+    val c = epochShiftConst(3L)
+    s"""WITH ${sequencesCtes()},
+       |sq AS (
+       |  SELECT s.shard, CAST(s.k AS BIGINT) AS seq_id,
+       |    arg_min(d.doc_id, d.off) AS first_doc
+       |  FROM seqs s JOIN d ON d.shard = s.shard
+       |    AND d.off < (s.k + 1) * 2048 AND d.off + d.n_tokens > s.k * 2048
+       |  GROUP BY s.shard, s.k
+       |),
+       |dom AS (
+       |  SELECT shard, seq_id,
+       |    'd' || CAST(first_doc % 3 AS VARCHAR) AS domain,
+       |    CAST(shard * 1099511627776 + seq_id AS BIGINT) AS skey
+       |  FROM sq
+       |),
+       |shr(domain, share) AS (
+       |  VALUES ('d0', CAST(0.5 AS DOUBLE)), ('d1', CAST(0.3 AS DOUBLE)),
+       |         ('d2', CAST(0.2 AS DOUBLE))
+       |),
+       |tot AS (SELECT COUNT(*) AS n FROM dom),
+       |rates AS (
+       |  SELECT a.domain,
+       |    CAST(FLOOR(a.share * t.n / CAST(a.n_seqs AS DOUBLE)
+       |      * 1048576.0 + 0.5) AS BIGINT) AS rate_q20
+       |  FROM (SELECT d2.domain, COUNT(*) AS n_seqs,
+       |          ANY_VALUE(s.share) AS share
+       |        FROM dom d2 JOIN shr s USING (domain) GROUP BY d2.domain) a
+       |  CROSS JOIN tot t
+       |),
+       |sel AS (
+       |  SELECT d2.shard, d2.seq_id, d2.domain, d2.skey, r.rate_q20,
+       |    (CAST(d2.skey AS HUGEINT) + $c) % 18446744073709551616 AS mkey
+       |  FROM dom d2 JOIN rates r USING (domain)
+       |),
+       |${xxhash64Ctes("mkey", "sel", "m")},
+       |cop AS (
+       |  SELECT s2.shard, s2.seq_id, s2.domain, s2.skey,
+       |    unnest(generate_series(CAST(0 AS BIGINT),
+       |      CAST(s2.rate_q20 // 1048576
+       |        + CASE WHEN ((x.h % 1048576) + 1048576) % 1048576
+       |            < s2.rate_q20 % 1048576 THEN 1 ELSE 0 END
+       |        - 1 AS BIGINT))) AS copy
+       |  FROM sel s2 JOIN mxxh x USING (mkey)
+       |),
+       |ck AS (
+       |  SELECT shard, seq_id, domain, copy, skey,
+       |    (CAST(skey AS HUGEINT) * 64 + copy + $c)
+       |      % 18446744073709551616 AS pkey
+       |  FROM cop
+       |),
+       |${xxhash64Ctes("pkey", "ck", "p")}
+       |SELECT k2.shard, k2.seq_id, k2.copy, k2.domain,
+       |  ((x.h % 16) + 16) % 16 AS out_shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY ((x.h % 16) + 16) % 16
+       |    ORDER BY x.h, k2.skey * 64 + k2.copy) - 1 AS BIGINT) AS pos
+       |FROM ck k2 JOIN pxxh x USING (pkey)
+       |ORDER BY out_shard, pos""".stripMargin
+  }
 
   /** The incremental feed replayed: batches arrive as doc_id % 3 in
     * order, so the per-shard stream is the concatenation ordered by
@@ -5780,6 +5884,9 @@ object SparkEntry {
     // mid-epoch resume cursor
     "t_epoch_order" -> epochOrderSql,
     "t_epoch_resume" -> epochResumeSql,
+    // the weighted epoch: upsampling repeat rates + seeded fractional
+    // draw + copy-packed position hash
+    "t_epoch_mixture" -> epochMixtureSql,
     // the incremental feed: batch-order-prefixed stream replay,
     // complete rows only (the tail lives in the carry)
     "t_sequences_incremental" -> sequencesIncrementalSql,

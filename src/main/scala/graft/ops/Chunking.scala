@@ -247,6 +247,101 @@ object Chunking {
     * `key + seed * GoldenGamma` is a bijection of Z/2^64 per seed. */
   private[graft] val GoldenGamma: Long = 0x9E3779B97F4A7C15L
 
+  /** Per-domain repeat rates for a WEIGHTED EPOCH — the upsampling twin
+    * of [[Curation.mixtureWeights]]: training mixtures REPEAT scarce
+    * domains (the GPT-3 practice — high-quality sources see several
+    * epochs while the bulk web crawl sees less than one), so given
+    * target shares and a desired epoch size in sequences, each domain's
+    * rate is `share * epochSequences / n_seqs` — above 1 where the
+    * domain must repeat, below 1 where it downsamples. Output: (domain,
+    * n_seqs, share, rate), one row per target domain present in the
+    * corpus; feed it to [[epochMixture]].
+    *
+    * Scale: one domains-sized aggregate over a single corpus scan; the
+    * share table is broadcast. */
+  def epochRates(seqs: DataFrame, domainCol: String,
+      targetShares: Seq[(String, Double)],
+      epochSequences: Long): DataFrame = {
+    require(targetShares.nonEmpty, "need at least one target share")
+    require(targetShares.forall(_._2 > 0), "shares must be positive")
+    require(math.abs(targetShares.map(_._2).sum - 1.0) < 1e-9,
+      s"shares must sum to 1, got ${targetShares.map(_._2).sum}")
+    require(epochSequences > 0, "epochSequences must be positive")
+    val spark = seqs.sparkSession
+    import spark.implicits._
+    val shares = targetShares.toDF("domain", "share")
+    seqs.select(col(domainCol).as("domain"))
+      .join(broadcast(shares), Seq("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_seqs"), first("share").as("share"))
+      .select(col("domain"), col("n_seqs"), col("share"),
+        (col("share") * lit(epochSequences) / col("n_seqs").cast("double"))
+          .as("rate"))
+  }
+
+  /** WEIGHTED EPOCH over a sequence store — [[shuffleSequences]] with
+    * per-domain repeat rates: each sequence emits `floor(rate)` copies
+    * plus one more iff its selection hash falls under the fractional
+    * part (on the q20 grid — the [[Curation.applyMixture]] draw
+    * discipline, but per-epoch: the selection hash is seeded, so WHICH
+    * rows carry the fractional extra changes every epoch while each
+    * domain's expected share holds). Every copy takes its own
+    * (out_shard, pos) from the hash of the copy-packed identity
+    * `(shard * 2^40 + seq_id) * 64 + copy` — injective while
+    * `shard < 2^17` and rates stay below 64 (both raise_error-guarded:
+    * a violation would silently collide positions). Domains absent from
+    * `weights` are implicitly rate-0 (inner join — the
+    * [[Curation.mixtureWeights]] contract). Output adds (copy,
+    * out_shard, pos); [[epochResume]] applies unchanged.
+    *
+    * Scale: the weights table is domains-sized (broadcast), the draw
+    * and the copy explode are per-row expressions (output volume is the
+    * requested epoch size — the data you asked for, not overhead), and
+    * the position rank is the same ONE exchange as the base shuffle. */
+  def epochMixture(seqs: DataFrame, domainCol: String, shardCol: String,
+      seqIdCol: String, weights: DataFrame, nOut: Int,
+      seed: Long = 0L): DataFrame = {
+    require(nOut > 0, "nOut must be positive")
+    val shift = lit(seed * GoldenGamma)
+    val q20 = lit(1L << 20)
+    val w = weights.select(col("domain").as("__dom"),
+      floor(col("rate").cast("double") * lit(1048576.0) + lit(0.5))
+        .cast("long").as("__rate_q20"))
+    val wv = Window.partitionBy(col("out_shard"))
+      .orderBy(col("__h"), col("__ckey"))
+    seqs
+      .join(broadcast(w), seqs(domainCol) === col("__dom"))
+      .withColumn("__seq_key",
+        when(col(shardCol).cast("long").between(0L, (1L << 17) - 1),
+          col(shardCol).cast("long") * lit(1L << 40) +
+            col(seqIdCol).cast("long"))
+          .otherwise(raise_error(concat(
+            lit("epochMixture: shard out of [0, 2^17): "),
+            col(shardCol).cast("string")))))
+      .withColumn("__q", when(col("__rate_q20") < lit(64L << 20),
+          col("__rate_q20"))
+        .otherwise(raise_error(concat(
+          lit("epochMixture: rate must stay below 64, got q20="),
+          col("__rate_q20").cast("string")))))
+      // the seeded Bernoulli: fractional extra on the q20 grid
+      .withColumn("__n", shiftright(col("__q"), 20) +
+        when(pmod(xxhash64(col("__seq_key") + shift), q20) <
+          col("__q") % q20, 1L).otherwise(0L))
+      // a 0-copy row (downsampled domain, draw missed) leaves the epoch;
+      // Spark's `sequence` refuses an empty range, so filter first
+      .filter(col("__n") > 0L)
+      .withColumn("copy",
+        explode(sequence(lit(0L), col("__n") - 1L, lit(1L))))
+      .withColumn("__ckey", col("__seq_key") * lit(64L) + col("copy"))
+      .withColumn("__h", xxhash64(col("__ckey") + shift))
+      .withColumn("out_shard", pmod(col("__h"), lit(nOut.toLong)))
+      .repartition(nOut, col("out_shard"))
+      .withColumn("pos", row_number().over(wv).cast("long") - 1L)
+      .sortWithinPartitions(col("out_shard"), col("pos"))
+      .drop("__dom", "__rate_q20", "__q", "__n", "__seq_key", "__ckey",
+        "__h")
+  }
+
   /** Restart an epoch read mid-way: keep the rows of a
     * [[shuffleSequences]] order at or after the `(fromShard, fromPos)`
     * cursor in the (out_shard, pos) lexicographic consumption order. A

@@ -173,6 +173,73 @@ class Round16OpsSpec extends AnyFunSuite with SparkSpec {
     assert(collectR(Chunking.epochResume(e1, 99L, 0L)).isEmpty)
   }
 
+  test("epochRates + epochMixture: floor(rate) copies plus a seeded q20 " +
+      "fractional extra per row, dense unique positions, deterministic, " +
+      "absent domains rate-0, guards raise on contract violations") {
+    val rows =
+      (0L until 100L).map(k => (0L, k, "a")) ++
+      (0L until 50L).map(k => (1L, k, "b")) ++
+      (0L until 10L).map(k => (2L, k, "c")) ++
+      (0L until 5L).map(k => (3L, k, "zz")) // not in the target set
+    val df = rows.toDF("shard", "seq_id", "domain")
+    val rates = Chunking.epochRates(df, "domain",
+      Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), epochSequences = 160L)
+    val got = rates.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(got("a") == (100L, 0.5 * 160 / 100))
+    assert(got("b") == (50L, 0.3 * 160 / 50))
+    assert(got("c") == (10L, 0.2 * 160 / 10)) // 3.2: upsampling
+    assert(!got.contains("zz"), "domains outside the target set get no rate")
+    def run(seed: Long, d: DataFrame = df) =
+      Chunking.epochMixture(d, "domain", "shard", "seq_id", rates, 8,
+          seed = seed)
+        .select("shard", "seq_id", "domain", "copy", "out_shard", "pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+        .sortBy(t => (t._1, t._2, t._4)).toSeq
+    val e = run(1L)
+    assert(e.forall(_._3 != "zz"), "absent domains leave the epoch")
+    // per-identity copy counts: floor(rate) or floor(rate)+1, dense 0..n-1
+    val byId = e.groupBy(t => (t._1, t._2))
+    val floorOf = Map("a" -> 0L, "b" -> 0L, "c" -> 3L)
+    for (((s, k), g) <- byId) {
+      val d0 = g.head._3
+      assert(g.map(_._4).sorted == (0L until g.length).toVector)
+      assert(g.length == floorOf(d0) || g.length == floorOf(d0) + 1,
+        s"($s,$k,$d0) emitted ${g.length} copies")
+    }
+    // the fractional extras hit ~frac of each domain (q20 Bernoulli)
+    val aCount = e.count(_._3 == "a")
+    assert(aCount > 20 && aCount < 80, s"a kept $aCount of 100 at rate 0.5")
+    // positions dense and unique within each out_shard
+    for ((o, g) <- e.groupBy(_._5))
+      assert(g.map(_._6).sorted == (0L until g.length).toVector,
+        s"positions in out_shard $o not dense")
+    // deterministic: layout cannot perturb it
+    assert(run(1L, df.repartition(13)) == e)
+    // a different seed moves both the extras and the positions
+    val e2 = run(2L)
+    assert(e2.map(t => (t._1, t._2, t._4)).toSet
+      != e.map(t => (t._1, t._2, t._4)).toSet
+      || e2 != e, "seed must perturb the epoch")
+    // guard: a rate at/above 64 raises before emitting wrong positions
+    val hot = Chunking.epochRates(df, "domain",
+      Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), epochSequences = 4000L)
+    val boom = intercept[Exception] {
+      Chunking.epochMixture(df, "domain", "shard", "seq_id", hot, 8)
+        .count()
+    }
+    assert(boom.getMessage.contains("below 64"))
+    // guard: a shard outside [0, 2^17) raises (the copy packing would
+    // silently collide)
+    val wide = Seq((1L << 17, 0L, "a")).toDF("shard", "seq_id", "domain")
+    val boom2 = intercept[Exception] {
+      Chunking.epochMixture(wide, "domain", "shard", "seq_id", rates, 8)
+        .count()
+    }
+    assert(boom2.getMessage.contains("shard out of"))
+  }
+
   // ---- distributed BPE decode -------------------------------------------
 
   test("bpeDecodeIdsDf round-trips the gnarly spec corpus (case, " +
