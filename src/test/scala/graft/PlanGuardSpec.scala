@@ -123,6 +123,26 @@ class PlanGuardSpec extends AnyFunSuite with SparkSpec {
       s"expected exactly 2 exchanges (cut + permutation):\n$p")
   }
 
+  test("weighted epoch: the domains-sized weights join broadcasts and " +
+      "the mixture moves data exactly once (the out_shard permutation)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val seqs = (0L until 200L)
+      .map(i => (i % 4, i / 4, if (i % 2 == 0) "a" else "b"))
+      .toDF("shard", "seq_id", "domain")
+    val rates = Seq(("a", 1.5), ("b", 0.5)).toDF("domain", "rate")
+    val p = graft.ops.Chunking.epochMixture(seqs, "domain", "shard",
+        "seq_id", rates, 8, seed = 1L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"weights must broadcast, never shuffle the store:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no store-sized join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one data exchange (out_shard):\n$p")
+    assert(p.contains("hashpartitioning(out_shard"),
+      s"the one exchange must be the permutation key:\n$p")
+  }
+
   test("partition pruning: a filter on the partition column prunes files") {
     // at 100 TB the first line of defense is never opening the file: a
     // hive-partitioned layout + partition-column predicate must show up
