@@ -2006,6 +2006,33 @@ object SparkEntry {
           col("n_docs"), col("first_doc"), col("last_doc"))
         .orderBy("shard", "seq_id")
     }),
+    "t_feed_audit" -> ((s, dir) => {
+      // STORE FSCK — the auditor re-derives the feed discipline's
+      // invariants from the stored rows alone (dense per-shard seq_ids,
+      // length == seqLen == |token_ids|, recomputed checksum == stored
+      // ids_sum) so an operator can verify a store without trusting its
+      // writer. Healthy by construction here: the oracle replays the
+      // per-shard row counts from the stream replay and pins every
+      // violation counter at zero
+      val merges = graft.ops.Tokenize.loadMerges(s.read.parquet(
+        s"$repoRoot/src/test/resources/bpe_bytes_merges.parquet"))
+      val stateDir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_feedaudit_${System.nanoTime()}"
+      val docs = t(s, dir, "documents")
+      for (b <- 0L to 2L) {
+        val enc = graft.ops.Tokenize.bpeEncodeIds(
+            docs.filter(pmod(col("doc_id"), lit(3L)) === b),
+            "doc_id", "text", merges,
+            specials = Seq("<|endoftext|>"),
+            boundary = Some("<|endoftext|>"))
+          .select(col("id").as("doc_id"), col("token_ids"))
+          .withColumn("h", xxhash64(col("doc_id")))
+          .withColumn("shard", pmod(col("h"), lit(8L)))
+        graft.ops.SequenceFeed.sequencesAppend(enc, b, stateDir,
+          "shard", "h", "doc_id", "token_ids", 2048)
+      }
+      graft.ops.SequenceFeed.auditStore(s, stateDir, 2048)
+    }),
     "t_curated_feed" -> ((s, dir) => {
       // CONTINUOUS CURATED LOADER FEED (ops/CuratedFeed.scala): the
       // full curation chain — word-count quality gate, PII masking,
@@ -5890,6 +5917,16 @@ object SparkEntry {
     // the incremental feed: batch-order-prefixed stream replay,
     // complete rows only (the tail lives in the carry)
     "t_sequences_incremental" -> sequencesIncrementalSql,
+    // the auditor over the same healthy store: per-shard row counts
+    // from the stream replay, violation counters pinned at zero
+    "t_feed_audit" ->
+      s"""WITH ${sequencesCtes("t.doc_id % 3, ")}
+         |SELECT shard,
+         |  CAST(total // 2048 AS BIGINT) AS n_rows,
+         |  CAST(total // 2048 - 1 AS BIGINT) AS max_seq_id,
+         |  CAST(0 AS BIGINT) AS n_dup, CAST(0 AS BIGINT) AS n_gap,
+         |  CAST(0 AS BIGINT) AS n_len_bad, CAST(0 AS BIGINT) AS n_sum_bad
+         |FROM totals WHERE total >= 2048 ORDER BY shard""".stripMargin,
     "t_curated_feed" -> curatedFeedSql,
 
     // decode(encode(text)) identity: the oracle is the original text

@@ -175,4 +175,9 @@ object CuratedFeed {
     * of every survivor, masked text. Store-sized work. */
   def corpus(spark: SparkSession, stateDir: String): DataFrame =
     Curation.seenRows(spark, seenDir(stateDir)).drop("__fp")
+
+  /** [[SequenceFeed.auditStore]] over this feed's sequence store —
+    * per-shard health counters, all-zero violations when intact. */
+  def audit(spark: SparkSession, stateDir: String, seqLen: Int): DataFrame =
+    SequenceFeed.auditStore(spark, feedDir(stateDir), seqLen)
 }

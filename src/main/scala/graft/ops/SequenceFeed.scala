@@ -385,6 +385,42 @@ object SequenceFeed {
       Seq.empty[FeedSeq].toDF()
   }
 
+  /** FSCK for the sequence store — one aggregation pass verifying every
+    * invariant the feed discipline promises, so an operator can check a
+    * store's health WITHOUT trusting the code that wrote it (after a
+    * crash, a manual surgery, or a suspected replay bug). Per shard:
+    * `n_rows`, `max_seq_id`, and four violation counters that are all
+    * zero on a healthy store — `n_dup` (repeated seq_ids: a replay that
+    * double-appended), `n_gap` (holes in the dense 0..max id range: a
+    * lost batch), `n_len_bad` (a row whose `token_ids` length disagrees
+    * with its `n_tokens`, or whose `n_tokens` is not `seqLen` — the
+    * store holds only complete rows), `n_sum_bad` (a row whose
+    * recomputed token sum disagrees with its stored `ids_sum` checksum:
+    * bit rot or a corrupted write).
+    *
+    * Scale: one store-sized scan, one shard-keyed aggregate (the exact
+    * distinct count is two-phase; everything else map-side combines).
+    * Empty output = empty store. */
+  def auditStore(spark: SparkSession, stateDir: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    sequencesFromStore(spark, stateDir)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        max(col("seq_id")).as("max_seq_id"),
+        (count(lit(1)) - countDistinct(col("seq_id"))).as("n_dup"),
+        (max(col("seq_id")) + lit(1L) - countDistinct(col("seq_id")))
+          .as("n_gap"),
+        sum(when(size(col("token_ids")) =!= col("n_tokens") ||
+            col("n_tokens") =!= lit(seqLen.toLong), 1L).otherwise(0L))
+          .as("n_len_bad"),
+        sum(when(aggregate(col("token_ids"), lit(0L),
+            (acc, x) => acc + x) =!= col("ids_sum"), 1L).otherwise(0L))
+          .as("n_sum_bad"))
+      .orderBy("shard")
+  }
+
   /** The current incomplete per-shard tails (shard, next_seq, ids,
     * docs) — what a final [[Chunking.fixedSequences]]-style flush would
     * emit as `complete = false` rows. */

@@ -240,6 +240,59 @@ class Round16OpsSpec extends AnyFunSuite with SparkSpec {
     assert(boom2.getMessage.contains("shard out of"))
   }
 
+  test("auditStore: a healthy feed audits all-zero; each corruption " +
+      "class — duplicated id, gapped id, wrong length, wrong checksum — " +
+      "fires exactly its own counter") {
+    import graft.ops.SequenceFeed
+    val stateDir = freshStateDir()
+    val enc = (0L until 40L)
+      .map(i => (i % 2, i, i, Array.fill(32)((i % 7).toInt)))
+      .toDF("shard", "ord", "doc", "ids")
+    SequenceFeed.sequencesAppend(enc, 0L, stateDir,
+      "shard", "ord", "doc", "ids", 64)
+    def auditOf(dir: String) =
+      SequenceFeed.auditStore(spark, dir, 64)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val healthy = auditOf(stateDir)
+    assert(healthy.nonEmpty)
+    for ((s, (nRows, maxId, dup, gap, lenBad, sumBad)) <- healthy) {
+      assert(nRows == maxId + 1, s"shard $s: dense ids imply n = max+1")
+      assert((dup, gap, lenBad, sumBad) == (0L, 0L, 0L, 0L),
+        s"shard $s: healthy store must audit clean")
+    }
+    // corrupt a COPY of the store, one violation class per shard
+    val store = SequenceFeed.sequencesFromStore(spark, stateDir)
+    val c0 = store.filter(col("shard") === 0 && col("seq_id") === 0)
+    val corrupted = store
+      // shard 0: duplicate seq_id 0
+      .unionByName(c0)
+      // shard 1: drop seq_id 0 (gap at the bottom of the range)
+      .filter(!(col("shard") === 1 && col("seq_id") === 0))
+      .unionByName(
+        // a third shard with one row of each row-local corruption
+        // length-bad row: checksum kept consistent with the truncated
+        // array so ONLY the length counter fires
+        c0.select(lit(2L).as("shard"), lit(0L).as("seq_id"),
+            col("n_tokens"), col("n_docs"), col("first_doc"),
+            col("last_doc"), slice(col("token_ids"), 1, 10)
+              .as("token_ids"),
+            aggregate(slice(col("token_ids"), 1, 10), lit(0L),
+              (acc, x) => acc + x).as("ids_sum"))
+          .unionByName(c0.select(lit(2L).as("shard"),
+            lit(1L).as("seq_id"), col("n_tokens"), col("n_docs"),
+            col("first_doc"), col("last_doc"), col("token_ids"),
+            (col("ids_sum") + 1L).as("ids_sum"))))
+    val dir2 = freshStateDir()
+    corrupted.write.mode("overwrite").parquet(s"$dir2/seqstore")
+    val bad = auditOf(dir2)
+    assert(bad(0L)._3 == 1L && bad(0L)._4 == 0L, s"dup fires: ${bad(0L)}")
+    assert(bad(1L)._4 == 1L && bad(1L)._3 == 0L, s"gap fires: ${bad(1L)}")
+    val (_, _, d2, g2, len2, sum2) = bad(2L)
+    assert(len2 == 1L && sum2 == 1L && d2 == 0L && g2 == 0L,
+      s"row-local corruptions fire their own counters: ${bad(2L)}")
+  }
+
   // ---- distributed BPE decode -------------------------------------------
 
   test("bpeDecodeIdsDf round-trips the gnarly spec corpus (case, " +
