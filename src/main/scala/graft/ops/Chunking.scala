@@ -290,9 +290,11 @@ object Chunking {
     * `(shard * 2^40 + seq_id) * 64 + copy` — injective while
     * `shard < 2^17` and rates stay below 64 (both raise_error-guarded:
     * a violation would silently collide positions). Domains absent from
-    * `weights` are implicitly rate-0 (inner join — the
-    * [[Curation.mixtureWeights]] contract). Output adds (copy,
-    * out_shard, pos); [[epochResume]] applies unchanged.
+    * `weights` are implicitly rate-0, and `weights` must hold ONE row
+    * per domain (inner join — the [[Curation.mixtureWeights]] /
+    * [[epochRates]] output contract; a duplicated domain row would fan
+    * the join out). Output adds (copy, out_shard, pos);
+    * [[epochResume]] applies unchanged.
     *
     * Scale: the weights table is domains-sized (broadcast), the draw
     * and the copy explode are per-row expressions (output volume is the
