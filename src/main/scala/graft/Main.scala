@@ -28,9 +28,10 @@ object Main {
     * embedding callers reuse their session. */
   def run(spark: SparkSession, configPath: String): Row = {
     // a `feed:` root key dispatches to the continuous curated loader
-    // feed (FeedJob — one catch-up pass per invocation); `pipeline:` to
-    // the batch curation/tokenize/export lifecycle (PipelineJob);
-    // everything else is the classic validation surface
+    // feed (FeedJob — one catch-up pass per invocation); `epoch:` to
+    // the snapshot epoch export (EpochJob); `pipeline:` to the batch
+    // curation/tokenize/export lifecycle (PipelineJob); everything else
+    // is the classic validation surface
     if (ConfigLoader.isFeed(configPath)) {
       val fcfg = ConfigLoader.feedFromYamlFile(configPath)
       val summary = graft.core.FeedJob.run(spark, fcfg)
@@ -38,6 +39,18 @@ object Main {
       println(s"""{"batches_total":${row.getLong(0)},"corpus_docs":${row.getLong(1)},"sequences":${row.getLong(2)}}""")
       println(s"curated feed state at ${fcfg.stateDirectory} " +
         "(seen/ = deduped corpus, feed/ = training sequences)")
+      return row
+    }
+    // an `epoch:` root key exports one training epoch from a published
+    // feed snapshot (EpochJob)
+    if (ConfigLoader.isEpoch(configPath)) {
+      val ecfg = ConfigLoader.epochFromYamlFile(configPath)
+      val summary = graft.core.EpochJob.run(spark, ecfg)
+      val row = summary.collect().head
+      println(s"""{"snapshot":${row.getLong(0)},"seed":${row.getLong(1)},"sequences":${row.getLong(2)},"n_out":${row.getInt(3)}}""")
+      println(s"epoch ${ecfg.seed} written to " +
+        s"${ecfg.output}/epoch=${ecfg.seed} (partitioned by out_shard, " +
+        "pos order within each shard)")
       return row
     }
     if (ConfigLoader.isPipeline(configPath)) {

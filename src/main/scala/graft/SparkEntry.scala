@@ -2033,6 +2033,42 @@ object SparkEntry {
       }
       graft.ops.SequenceFeed.auditStore(s, stateDir, 2048)
     }),
+    "t_feed_snapshot" -> ((s, dir) => {
+      // PUBLISHED TRAINING SNAPSHOT — a frozen row set over the live
+      // feed: per-shard seq_id high-water marks taken from the carry
+      // (metadata-priced publish; the row set is identity-keyed, so it
+      // survives appends AND compaction). The feed gets three batches;
+      // the snapshot publishes after batch 1; batch 2 lands and the
+      // store compacts (batch partitions fold into the base) — the
+      // snapshot read must still return EXACTLY the complete sequences
+      // cut from batches 0-1, which the oracle replays from the
+      // doc_id % 3 <= 1 slice in batch-prefixed stream order
+      val merges = graft.ops.Tokenize.loadMerges(s.read.parquet(
+        s"$repoRoot/src/test/resources/bpe_bytes_merges.parquet"))
+      val stateDir = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_feedsnap_${System.nanoTime()}"
+      val docs = t(s, dir, "documents")
+      var snap = -1L
+      for (b <- 0L to 2L) {
+        val enc = graft.ops.Tokenize.bpeEncodeIds(
+            docs.filter(pmod(col("doc_id"), lit(3L)) === b),
+            "doc_id", "text", merges,
+            specials = Seq("<|endoftext|>"),
+            boundary = Some("<|endoftext|>"))
+          .select(col("id").as("doc_id"), col("token_ids"))
+          .withColumn("h", xxhash64(col("doc_id")))
+          .withColumn("shard", pmod(col("h"), lit(8L)))
+        graft.ops.SequenceFeed.sequencesAppend(enc, b, stateDir,
+          "shard", "h", "doc_id", "token_ids", 2048)
+        if (b == 1L)
+          snap = graft.ops.SequenceFeed.publishSnapshot(s, stateDir)
+      }
+      graft.ops.SequenceFeed.compactFeedStore(s, stateDir)
+      graft.ops.SequenceFeed.readSnapshot(s, stateDir, snap)
+        .select(col("shard"), col("seq_id"), col("n_tokens"),
+          col("n_docs"), col("first_doc"), col("last_doc"))
+        .orderBy("shard", "seq_id")
+    }),
     "t_curated_feed" -> ((s, dir) => {
       // CONTINUOUS CURATED LOADER FEED (ops/CuratedFeed.scala): the
       // full curation chain — word-count quality gate, PII masking,
@@ -3057,15 +3093,16 @@ object SparkEntry {
     * incremental-feed replay. `orderExtra` prepends columns to the
     * stream order (the feed concatenates batches in arrival order, so
     * its replay orders by the batch key first). */
-  private def sequencesCtes(orderExtra: String = ""): String =
-    s"""${xxhash64Ctes("doc_id", "documents")},
+  private def sequencesCtes(orderExtra: String = "",
+      from: String = "documents"): String =
+    s"""${xxhash64Ctes("doc_id", from)},
        |pres AS (
        |  SELECT doc_id,
        |    unnest(regexp_extract_all(text, ' ?[a-z]+')) AS pretoken
-       |  FROM documents
+       |  FROM $from
        |), tok AS (
        |  SELECT d.doc_id, COALESCE(s.n_tokens, 0) + 1 AS n_tokens FROM
-       |  documents d LEFT JOIN (
+       |  $from d LEFT JOIN (
        |    SELECT doc_id, CAST(SUM(r.n_tokens) AS BIGINT) AS n_tokens
        |    FROM pres
        |    JOIN read_parquet('$repoRoot/src/test/resources/bpe_bytes_pretoken_tokens.parquet') r
@@ -3249,6 +3286,34 @@ object SparkEntry {
     * multiples of 2048. */
   private def sequencesIncrementalSql: String =
     s"""WITH ${sequencesCtes("t.doc_id % 3, ")},
+       |ck AS (
+       |  SELECT shard, total,
+       |    unnest(generate_series(CAST(0 AS BIGINT),
+       |      CAST(total // 2048 - 1 AS BIGINT))) AS k
+       |  FROM totals WHERE total >= 2048
+       |)
+       |SELECT c.shard, CAST(c.k AS BIGINT) AS seq_id,
+       |  CAST(2048 AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  arg_min(d.doc_id, d.off) AS first_doc,
+       |  arg_max(d.doc_id, d.off) AS last_doc
+       |FROM ck c JOIN d
+       |  ON d.shard = c.shard
+       | AND d.off < (c.k + 1) * 2048 AND d.off + d.n_tokens > c.k * 2048
+       |GROUP BY c.shard, c.k
+       |ORDER BY c.shard, seq_id""".stripMargin
+
+  /** The snapshot replayed: high-water marks published after batch 1
+    * freeze exactly the complete sequences the first two batches cut —
+    * the same batch-prefixed stream replay as
+    * [[sequencesIncrementalSql]] restricted to the doc_id % 3 <= 1
+    * slice (batch 2's arrivals and the compaction that followed are
+    * invisible to the snapshot by construction). */
+  private def feedSnapshotSql: String =
+    s"""WITH docs01 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <= 1
+       |),
+       |${sequencesCtes("t.doc_id % 3, ", from = "docs01")},
        |ck AS (
        |  SELECT shard, total,
        |    unnest(generate_series(CAST(0 AS BIGINT),
@@ -5927,6 +5992,8 @@ object SparkEntry {
          |  CAST(0 AS BIGINT) AS n_dup, CAST(0 AS BIGINT) AS n_gap,
          |  CAST(0 AS BIGINT) AS n_len_bad, CAST(0 AS BIGINT) AS n_sum_bad
          |FROM totals WHERE total >= 2048 ORDER BY shard""".stripMargin,
+    // the snapshot over the same feed: batches 0-1 frozen at publish
+    "t_feed_snapshot" -> feedSnapshotSql,
     "t_curated_feed" -> curatedFeedSql,
 
     // decode(encode(text)) identity: the oracle is the original text

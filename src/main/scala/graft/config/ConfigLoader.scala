@@ -155,6 +155,50 @@ object ConfigLoader {
     finally in.close()
   }
 
+  /** Does this YAML declare an epoch export? [[graft.Main]]
+    * dispatches on it. */
+  def isEpoch(path: String): Boolean = {
+    val in = new FileInputStream(path)
+    try Option(new Yaml().load[JMap[String, Object]](in))
+      .exists(_.asScala.contains("epoch"))
+    finally in.close()
+  }
+
+  def epochFromYamlFile(path: String): EpochConfig = {
+    val in = new FileInputStream(path)
+    try epochFromMap(new Yaml().load[JMap[String, Object]](in)
+      .asScala.toMap)
+    finally in.close()
+  }
+
+  def epochFromYamlString(yaml: String): EpochConfig =
+    epochFromMap(new Yaml().load[JMap[String, Object]](yaml).asScala.toMap)
+
+  def epochFromMap(root: Map[String, Object]): EpochConfig = {
+    val m = sub(root, "epoch").getOrElse(throw new
+      IllegalArgumentException("config needs an `epoch:` map"))
+    val cfg = EpochConfig(
+      stateDirectory = str(m, "state_directory").getOrElse(throw new
+        IllegalArgumentException("epoch needs `state_directory` (a " +
+          "sequence-feed state with a published snapshot)")),
+      output = str(m, "output").getOrElse(throw new
+        IllegalArgumentException("epoch needs `output`")),
+      nOut = str(m, "n_out").map(_.toInt).getOrElse(throw new
+        IllegalArgumentException("epoch needs `n_out` (output shards)")),
+      seed = str(m, "seed").map(_.toLong).getOrElse(0L),
+      // `snapshot: latest` (or omitted) = the newest published id
+      snapshot = str(m, "snapshot").filter(_ != "latest").map(_.toLong),
+      cursor = sub(m, "cursor").map { c =>
+        (str(c, "shard").map(_.toLong).getOrElse(throw new
+          IllegalArgumentException("cursor needs `shard`")),
+          str(c, "pos").map(_.toLong).getOrElse(throw new
+            IllegalArgumentException("cursor needs `pos`")))
+      })
+    require(cfg.nOut > 0, "`n_out` must be positive")
+    require(cfg.seed >= 0, "`seed` (the epoch number) must be >= 0")
+    cfg
+  }
+
   def feedFromYamlFile(path: String): FeedConfig = {
     val in = new FileInputStream(path)
     try feedFromMap(new Yaml().load[JMap[String, Object]](in)
@@ -210,7 +254,18 @@ object ConfigLoader {
       shards = str(m, "shards").map(_.toInt).getOrElse(8),
       buckets = str(m, "buckets").map(_.toInt).getOrElse(256),
       maxBatchParts =
-        str(m, "max_batch_parts").map(_.toInt).getOrElse(16))
+        str(m, "max_batch_parts").map(_.toInt).getOrElse(16),
+      // same shape as the pipeline stage: a static benchmark source +
+      // shingle width. The benchmark must stay CONTENT-IDENTICAL for
+      // the feed's lifetime (the recipe pin enforces it) — replays
+      // re-derive survivors from it.
+      decontaminate = sub(m, "decontaminate").map { d =>
+        DecontaminateSpec(
+          source = sub(d, "source").map(plainSourceSpec).getOrElse(
+            throw new IllegalArgumentException(
+              "decontaminate needs `source:`")),
+          ngram = str(d, "ngram").map(_.toInt).getOrElse(8))
+      })
     require(cfg.sequenceLength > 0, "`sequence_length` must be positive")
     require(cfg.minWords >= 1 && cfg.maxWords >= cfg.minWords,
       "quality_filter word bounds must satisfy 1 <= min_words <= max_words")

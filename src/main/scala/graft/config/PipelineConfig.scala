@@ -158,7 +158,25 @@ final case class FeedConfig(
     sequenceLength: Int = 2048,
     shards: Int = 8,
     buckets: Int = 256,
-    maxBatchParts: Int = 16)
+    maxBatchParts: Int = 16,
+    decontaminate: Option[DecontaminateSpec] = None)
+
+/** The declarative `epoch:` surface ([[graft.core.EpochJob]]): export
+  * one training epoch — a fresh deterministic global permutation — from
+  * a PUBLISHED SNAPSHOT of a sequence feed. `snapshot` is a published
+  * id or None = the latest one; epochs are refused over the live store
+  * (arrivals shift `row_number` positions, so resume cursors and
+  * re-reads would silently drift — publish first). `cursor` resumes a
+  * died loader mid-epoch from its (shard, pos). The output lands under
+  * `{output}/epoch=<seed>`, partitioned by `out_shard` so a loader
+  * streams each shard in permuted `pos` order. */
+final case class EpochConfig(
+    stateDirectory: String,
+    output: String,
+    nOut: Int,
+    seed: Long = 0L,
+    snapshot: Option[Long] = None,
+    cursor: Option[(Long, Long)] = None)
 
 final case class PipelineConfig(
     source: SourceSpec,

@@ -33,12 +33,17 @@ object FeedJob {
     import spark.implicits._
     val merges = Tokenize.loadMerges(spark.read.parquet(cfg.mergesPath))
     val stream = StreamingOps.readEvents(spark, cfg.source.path.get)
+    // the benchmark is a STATIC side input to the stream (content
+    // pinned by the feed's recipe marker across passes)
+    val bench = cfg.decontaminate.map(d =>
+      graft.sources.SourceReader.read(spark, d.source))
     val q = StreamingOps.maintainCuratedFeed(stream, cfg.stateDirectory,
       merges, cfg.sequenceLength, cfg.shards, cfg.idColumn,
       cfg.textColumn,
       cfg.minWords.min(Int.MaxValue.toLong).toInt,
       cfg.maxWords.min(Int.MaxValue.toLong).toInt,
-      cfg.specials, Some(cfg.boundary), cfg.buckets, cfg.maxBatchParts)
+      cfg.specials, Some(cfg.boundary), cfg.buckets, cfg.maxBatchParts,
+      bench, cfg.decontaminate.map(_.ngram).getOrElse(8))
     try q.processAllAvailable() finally q.stop()
     val batches = SequenceFeed.lastBatch(spark,
       CuratedFeed.feedDir(cfg.stateDirectory)) + 1

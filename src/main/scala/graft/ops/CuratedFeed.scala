@@ -74,6 +74,50 @@ object CuratedFeed {
   def feedDir(stateDir: String): String = s"$stateDir/feed"
 
   private def ownerPath(stateDir: String) = s"$stateDir/curated_owner"
+  private def recipePath(stateDir: String) = s"$stateDir/curated_recipe"
+
+  /** Injective digest of a string list (length-prefixed UTF-8 — no
+    * separator collisions). */
+  private def md5Of(parts: Seq[String]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach { s =>
+      val b = s.getBytes("UTF-8")
+      d.update(java.nio.ByteBuffer.allocate(4).putInt(b.length).array())
+      d.update(b)
+    }
+    d.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Order-independent content digest of the benchmark frame's text —
+    * one benchmark-sized scan (benchmark sets are metadata-sized by
+    * nature). */
+  private def benchDigest(bench: DataFrame, textCol: String): String = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    bench.agg(coalesce(
+      sum(xxhash64(col(textCol)).cast(dec)), lit(0).cast(dec))
+      .cast("string")).head().getString(0)
+  }
+
+  /** The feed's CURATION RECIPE, one readable line: every parameter a
+    * replay re-derives survivors and cuts from. Two batches of one feed
+    * must agree on all of it or healing-by-redelivery silently produces
+    * DIFFERENT rows (a changed merge table mixes vocabularies in one
+    * sequence store; changed word bounds or a changed benchmark
+    * re-attribute first occurrences on replay; a changed bucket count
+    * breaks the seen store's novelty lookups). */
+  private def recipeLine(merges: Seq[(String, String)], seqLen: Int,
+      nShards: Int, minWords: Int, maxWords: Int, specials: Seq[String],
+      boundary: Option[String], nBuckets: Int,
+      bench: Option[(String, Int)]): String = {
+    val mergesSig = md5Of(merges.flatMap(p => Seq(p._1, p._2)))
+    val tokSig = md5Of(specials ++ Seq(boundary.getOrElse("")))
+    val benchPart = bench
+      .map { case (digest, n) => s"digest=$digest,ngram=$n" }
+      .getOrElse("none")
+    s"v1;seqLen=$seqLen;shards=$nShards;minWords=$minWords;" +
+      s"maxWords=$maxWords;buckets=$nBuckets;merges=$mergesSig;" +
+      s"tok=$tokSig;bench=$benchPart"
+  }
 
   /** Run one batch of raw documents through the full curation chain
     * into the two stores. `minWords`/`maxWords` bound the word count of
@@ -81,24 +125,59 @@ object CuratedFeed {
     * [[TextAnalysis.gopherRules]] upstream for the full rule set);
     * redaction is [[Curation.redactPii]]; dedup keys on
     * [[TextAnalysis.fingerprint]] of the MASKED text with within-batch
-    * ties kept at the min id. Survivors encode with `specials` /
-    * `boundary` (the sequences contract requires the boundary) and cut
-    * into `seqLen`-token rows across `nShards` hash shards. */
+    * ties kept at the min id. `benchmark` (with the same idCol/textCol)
+    * turns on n-gram decontamination ([[Curation.contamination]],
+    * `decontaminateNgram`-shingles) BEFORE the persistent dedup — the
+    * seen store doubles as the corpus, so contaminated documents never
+    * persist; the two stages commute exactly (contamination is a pure
+    * function of the masked text, and fingerprint-equal docs are
+    * contamination-equal), so the final corpus matches the
+    * dedup-then-decontaminate order too. Survivors encode with
+    * `specials` / `boundary` (the sequences contract requires the
+    * boundary) and cut into `seqLen`-token rows across `nShards` hash
+    * shards.
+    *
+    * The full CURATION RECIPE (word bounds, merge table, specials,
+    * boundary, benchmark content, shard/bucket geometry, seqLen) is
+    * pinned on first append: replays heal by re-deriving byte-identical
+    * survivors, which only holds if every delivery of one feed runs the
+    * same recipe, so a drifted parameter throws instead of silently
+    * corrupting the stores. Recipe evolution = a fresh stateDir. */
   def curatedAppend(docs: DataFrame, batchId: Long, stateDir: String,
       merges: Seq[(String, String)], seqLen: Int, nShards: Int = 8,
       idCol: String = "doc_id", textCol: String = "text",
       minWords: Int = 1, maxWords: Int = Int.MaxValue,
       specials: Seq[String] = Seq("<|endoftext|>"),
       boundary: Option[String] = Some("<|endoftext|>"),
-      nBuckets: Int = 256, maxBatchParts: Int = 16): Unit = {
+      nBuckets: Int = 256, maxBatchParts: Int = 16,
+      benchmark: Option[DataFrame] = None,
+      decontaminateNgram: Int = 8): Unit = {
     require(minWords >= 1 && maxWords >= minWords,
       "word-count bounds must satisfy 1 <= minWords <= maxWords")
     require(boundary.nonEmpty,
       "the sequence cut needs a boundary token to mark document ends " +
         "(the Chunking.fixedSequences contract)")
+    require(decontaminateNgram >= 1, "decontaminateNgram must be >= 1")
     val spark = docs.sparkSession
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recipe pin: every delivery of one feed must run the same curation
+    // recipe or replay healing silently diverges (see recipeLine)
+    val recipe = recipeLine(merges, seqLen, nShards, minWords, maxWords,
+      specials, boundary, nBuckets,
+      benchmark.map(b => (benchDigest(b, textCol), decontaminateNgram)))
+    IncrementalAgg.readMarker(fs, recipePath(stateDir)) match {
+      case Some(prev) if prev != recipe =>
+        throw new IllegalArgumentException(
+          s"curated feed at $stateDir was built with recipe\n  $prev\n" +
+            s"but this batch declares\n  $recipe\n— a feed's curation " +
+            "recipe is immutable for its lifetime (replays re-derive " +
+            "survivors from it). Restore the original parameters or " +
+            "start a fresh stateDir.")
+      case None =>
+        IncrementalAgg.writeMarker(fs, recipePath(stateDir), recipe)
+      case _ => ()
+    }
     // ownership at the COMPOSED level (both stores sit behind it): a
     // reset checkpoint restarts batch ids, which over curated state is
     // unrecoverable in place — sample identity is arrival order
@@ -138,12 +217,25 @@ object CuratedFeed {
       .withColumn(textCol, col("redacted"))
       .select(col(idCol), col(textCol))
       .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+    // decontaminate on the MASKED text, before anything persists: the
+    // benchmark shingle set is deduped + broadcast inside contamination,
+    // so the stage is one batch-sized pass (see the scaladoc for why
+    // this commutes with the first-occurrence dedup below)
+    val cleared = benchmark match {
+      case Some(bench) =>
+        val hits = Curation.contamination(masked, bench, idCol, textCol,
+            decontaminateNgram)
+          .filter(col("contaminated") === 1L)
+          .select(col("id").as(idCol))
+        masked.join(hits, Seq(idCol), "left_anti")
+      case None => masked
+    }
     // head-of-batch compaction only, guarded below the current batch
     // (see the object scaladoc for why mid-batch folding cannot heal)
     if (maxBatchParts > 0 &&
         IncrementalAgg.maxStoredBatch(spark, seenDir(stateDir)) < batchId)
       Curation.maybeCompactSeenStore(spark, seenDir(stateDir), maxBatchParts)
-    val survivors = Curation.seenAppendReturning(masked, batchId,
+    val survivors = Curation.seenAppendReturning(cleared, batchId,
         seenDir(stateDir), "__fp", idCol, nBuckets)
       .getOrElse(throw new IllegalStateException(
         s"batch $batchId hit the seen store's replay fence before its " +
@@ -180,4 +272,18 @@ object CuratedFeed {
     * per-shard health counters, all-zero violations when intact. */
   def audit(spark: SparkSession, stateDir: String, seqLen: Int): DataFrame =
     SequenceFeed.auditStore(spark, feedDir(stateDir), seqLen)
+
+  /** [[SequenceFeed.publishSnapshot]] over this feed: freeze the
+    * training row set as of the last delivered batch. */
+  def publishSnapshot(spark: SparkSession, stateDir: String): Long =
+    SequenceFeed.publishSnapshot(spark, feedDir(stateDir))
+
+  /** [[SequenceFeed.readSnapshot]] over this feed. */
+  def readSnapshot(spark: SparkSession, stateDir: String,
+      snapId: Long): DataFrame =
+    SequenceFeed.readSnapshot(spark, feedDir(stateDir), snapId)
+
+  /** [[SequenceFeed.listSnapshots]] over this feed. */
+  def listSnapshots(spark: SparkSession, stateDir: String): Seq[Long] =
+    SequenceFeed.listSnapshots(spark, feedDir(stateDir))
 }

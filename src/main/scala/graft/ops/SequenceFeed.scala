@@ -59,6 +59,10 @@ object SequenceFeed {
   private def ownerPath(stateDir: String) = s"$stateDir/feed_owner"
   private def watermarkPath(stateDir: String) =
     s"$stateDir/feed_compact_watermark"
+  private def seqLenPath(stateDir: String) = s"$stateDir/feed_seqlen"
+  private def snapshotsDir(stateDir: String) = s"$stateDir/snapshots"
+  private def snapshotPath(stateDir: String, snapId: Long) =
+    s"${snapshotsDir(stateDir)}/snap=$snapId"
 
   /** One stored carry row / one shard's in-flight tail. */
   private final case class Carry(shard: Long, next_seq: Long,
@@ -127,6 +131,23 @@ object SequenceFeed {
             IncrementalAgg.writeMarker(fs, ownerPath(stateDir), sid)
           case _ => ()
         }
+      }
+      // sequence-length guard: the store's rows are seqLen-token facts
+      // and the carry's buffer is mid-cut at that length, so a changed
+      // seqLen mid-feed would silently mix row lengths in one store and
+      // mis-cut every shard at the carry boundary. The first append
+      // pins it; a mismatch is a config error, never a skip.
+      IncrementalAgg.readMarker(fs, seqLenPath(stateDir)) match {
+        case Some(v) if v.toInt != seqLen =>
+          throw new IllegalArgumentException(
+            s"sequence feed at $stateDir was built with seqLen $v but " +
+              s"this batch declares $seqLen — a feed cuts ONE length " +
+              "for its whole lifetime. Fix the caller's seqLen or " +
+              "start a fresh stateDir.")
+        case None =>
+          IncrementalAgg.writeMarker(fs, seqLenPath(stateDir),
+            seqLen.toString)
+        case _ => ()
       }
       val last = lastBatch(spark, stateDir)
       require(batchId <= last + 1,
@@ -429,5 +450,82 @@ object SequenceFeed {
     val last = lastBatch(spark, stateDir)
     if (last < 0) Seq.empty[Carry].toDF()
     else spark.read.parquet(carryPath(stateDir, last))
+  }
+
+  /** PUBLISH A TRAINING SNAPSHOT — a frozen, named row set over the
+    * live feed, so training reads a fixed corpus while ingestion and
+    * compaction keep running. The snapshot is NOT a file list (the
+    * Iceberg/Delta manifest idea doesn't survive [[compactFeedStore]]'s
+    * wholesale rewrite); it is per-shard `seq_id` HIGH-WATER MARKS —
+    * the store's own identity keys. They come straight from the last
+    * retained carry (`next_seq` = the count of complete rows cut per
+    * shard, exact by the sweep's construction), so publishing is
+    * METADATA-priced: one nShards-row read, one nShards-row write, no
+    * corpus scan. Rows below a mark are immutable (appends only add
+    * ids at or above it; compaction moves files, never rows), so the
+    * snapshot's row set is frozen forever:
+    *  - [[Chunking.shuffleSequences]] over a snapshot gives the same
+    *    epoch permutation on every read — [[Chunking.epochResume]]
+    *    cursors stay meaningful across loader restarts (over the LIVE
+    *    store they do not: new arrivals shift `row_number` positions);
+    *  - the snapshot id IS the batch id it covers (publishing twice
+    *    after the same batch is a no-op), so "train on everything
+    *    through Tuesday" is `publishSnapshot` in Tuesday's last pass.
+    *
+    * Returns the snapshot id. Requires at least one delivered batch. */
+  def publishSnapshot(spark: SparkSession, stateDir: String): Long = {
+    val lease = IncrementalValidation.acquireLease(spark, stateDir)
+    try {
+      val last = lastBatch(spark, stateDir)
+      require(last >= 0,
+        s"nothing to publish at $stateDir — the feed has no batches")
+      val fin = new org.apache.hadoop.fs.Path(snapshotPath(stateDir, last))
+      val fs = fin.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(fin)) return last // idempotent republication
+      val tmp = new org.apache.hadoop.fs.Path(
+        fin.getParent, fin.getName + "__staging")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      spark.read.parquet(carryPath(stateDir, last))
+        .select(col("shard"), col("next_seq").as("hwm"))
+        .coalesce(1)
+        .write.parquet(tmp.toString)
+      lease.check()
+      // readers probe for the final directory: the rename is the commit,
+      // so a crashed publish leaves only ignorable staging garbage
+      IncrementalAgg.mustRename(fs, tmp, fin)
+      last
+    } finally lease.release()
+  }
+
+  /** Published snapshot ids, ascending. One directory listing. */
+  def listSnapshots(spark: SparkSession, stateDir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(snapshotsDir(stateDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(n => n.startsWith("snap=") && !n.endsWith("__staging"))
+      .map(_.stripPrefix("snap=").toLong).sorted.toSeq
+  }
+
+  /** Exactly the complete sequences the feed held when snapshot
+    * `snapId` was published — [[sequencesFromStore]] filtered to the
+    * marks, byte-identical on every read regardless of appends or
+    * compactions since. One store-sized scan + a broadcast of the
+    * nShards-row mark table; shards first touched after the publish
+    * drop at the join. */
+  def readSnapshot(spark: SparkSession, stateDir: String,
+      snapId: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(snapshotPath(stateDir, snapId))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), {
+      val avail = listSnapshots(spark, stateDir)
+      s"no snapshot $snapId at $stateDir — published: " +
+        (if (avail.isEmpty) "none" else avail.mkString(", "))
+    })
+    val hwm = spark.read.parquet(p.toString)
+    sequencesFromStore(spark, stateDir)
+      .join(broadcast(hwm), Seq("shard"))
+      .filter(col("seq_id") < col("hwm"))
+      .drop("hwm")
   }
 }

@@ -835,7 +835,8 @@ object StreamingOps {
       minWords: Int = 1, maxWords: Int = Int.MaxValue,
       specials: Seq[String] = Seq("<|endoftext|>"),
       boundary: Option[String] = Some("<|endoftext|>"),
-      nBuckets: Int = 256, maxBatchParts: Int = 16)
+      nBuckets: Int = 256, maxBatchParts: Int = 16,
+      benchmark: Option[DataFrame] = None, decontaminateNgram: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
@@ -843,7 +844,8 @@ object StreamingOps {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.ops.CuratedFeed.curatedAppend(batch, batchId, stateDir,
           merges, seqLen, nShards, idCol, textCol, minWords, maxWords,
-          specials, boundary, nBuckets, maxBatchParts)
+          specials, boundary, nBuckets, maxBatchParts,
+          benchmark, decontaminateNgram)
         ()
       }
       .start()

@@ -90,6 +90,42 @@ class FeedJobSpec extends AnyFunSuite with SparkSpec {
     assert(row.getLong(1) > 0L)
   }
 
+  test("a declared decontaminate: stage parses and drives the curated " +
+      "benchmark filter (declared pass == direct composition)") {
+    val src = Files.createTempDirectory("feeddsrc").toString
+    val benchDir = Files.createTempDirectory("feedbench").toString
+    val declared = Files.createTempDirectory("feeddst").toString
+    val direct = Files.createTempDirectory("feeddst2").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    docs.write.mode("overwrite").parquet(src)
+    // benchmark = a slice of the corpus itself: guaranteed overlap
+    val bench = docs.filter(col("doc_id") % 11 === 0)
+    bench.write.mode("overwrite").parquet(benchDir)
+    val yaml = feedYaml(src, declared) +
+      s"""  decontaminate:
+         |    source:
+         |      format: parquet
+         |      path: $benchDir
+         |    ngram: 5
+         |""".stripMargin
+    val cfg = ConfigLoader.feedFromYamlString(yaml)
+    assert(cfg.decontaminate.exists(_.ngram == 5))
+    FeedJob.run(spark, cfg)
+    CuratedFeed.curatedAppend(docs, 0L, direct, merges,
+      seqLen = 512, nShards = 4, minWords = 20, maxWords = 80,
+      benchmark = Some(spark.read.parquet(benchDir)),
+      decontaminateNgram = 5)
+    assert(snap(declared) == snap(direct))
+    // the benchmark slice really was dropped on both sides
+    val ids = CuratedFeed.corpus(spark, declared)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val benchIds = bench.collect().map(_.getLong(0))
+      .filter(ids.contains).toSeq
+    assert(benchIds.isEmpty,
+      s"benchmark docs persisted: ${benchIds.take(5)}")
+  }
+
   test("the loader refuses configs the operators cannot honor") {
     def load(y: String) = ConfigLoader.feedFromYamlString(y)
     val ok = feedYaml("/tmp/x", "/tmp/y")
