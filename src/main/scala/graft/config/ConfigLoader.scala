@@ -265,7 +265,10 @@ object ConfigLoader {
             throw new IllegalArgumentException(
               "decontaminate needs `source:`")),
           ngram = str(d, "ngram").map(_.toInt).getOrElse(8))
-      })
+      },
+      // the per-batch curation-funnel accounting; costs batch-sized
+      // recounts, so it is declinable
+      ledger = str(m, "ledger").forall(_.toBoolean))
     require(cfg.sequenceLength > 0, "`sequence_length` must be positive")
     require(cfg.minWords >= 1 && cfg.maxWords >= cfg.minWords,
       "quality_filter word bounds must satisfy 1 <= min_words <= max_words")

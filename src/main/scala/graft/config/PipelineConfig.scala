@@ -159,7 +159,8 @@ final case class FeedConfig(
     shards: Int = 8,
     buckets: Int = 256,
     maxBatchParts: Int = 16,
-    decontaminate: Option[DecontaminateSpec] = None)
+    decontaminate: Option[DecontaminateSpec] = None,
+    ledger: Boolean = true)
 
 /** The declarative `epoch:` surface ([[graft.core.EpochJob]]): export
   * one training epoch — a fresh deterministic global permutation — from

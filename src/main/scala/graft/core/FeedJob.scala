@@ -43,7 +43,7 @@ object FeedJob {
       cfg.minWords.min(Int.MaxValue.toLong).toInt,
       cfg.maxWords.min(Int.MaxValue.toLong).toInt,
       cfg.specials, Some(cfg.boundary), cfg.buckets, cfg.maxBatchParts,
-      bench, cfg.decontaminate.map(_.ngram).getOrElse(8))
+      bench, cfg.decontaminate.map(_.ngram).getOrElse(8), cfg.ledger)
     try q.processAllAvailable() finally q.stop()
     val batches = SequenceFeed.lastBatch(spark,
       CuratedFeed.feedDir(cfg.stateDirectory)) + 1

@@ -75,6 +75,10 @@ object CuratedFeed {
 
   private def ownerPath(stateDir: String) = s"$stateDir/curated_owner"
   private def recipePath(stateDir: String) = s"$stateDir/curated_recipe"
+  // no '=' in the dir name: the reader lists these as plain subdirs,
+  // not partition discovery (batch rides as a data column)
+  private def ledgerPath(stateDir: String, batchId: Long) =
+    s"$stateDir/ledger/b$batchId"
 
   /** Injective digest of a string list (length-prefixed UTF-8 — no
     * separator collisions). */
@@ -151,7 +155,8 @@ object CuratedFeed {
       boundary: Option[String] = Some("<|endoftext|>"),
       nBuckets: Int = 256, maxBatchParts: Int = 16,
       benchmark: Option[DataFrame] = None,
-      decontaminateNgram: Int = 8): Unit = {
+      decontaminateNgram: Int = 8,
+      writeLedger: Boolean = true): Unit = {
     require(minWords >= 1 && maxWords >= minWords,
       "word-count bounds must satisfy 1 <= minWords <= maxWords")
     require(boundary.nonEmpty,
@@ -251,6 +256,33 @@ object CuratedFeed {
       .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
     SequenceFeed.sequencesAppend(enc, batchId, feedDir(stateDir),
       "shard", "h", "id", "token_ids", seqLen)
+    // the ingestion LEDGER: one row per batch accounting the curation
+    // funnel — rows in, past the quality gate, past decontamination,
+    // novel (first occurrences), sequences cut. First delivery wins
+    // (counts are deterministic, and a replay of a batch whose store
+    // partition was since folded would see 0 cut rows); written AFTER
+    // both stores so a crash re-derives it with the batch. Costs up to
+    // three extra batch-sized passes (rows_in / quality / cleared are
+    // recounted; novel is already materialized and the cut total is
+    // carry-diffed, metadata-priced) — `writeLedger = false` opts out.
+    if (writeLedger) {
+      val lp = new org.apache.hadoop.fs.Path(ledgerPath(stateDir, batchId))
+      if (!fs.exists(lp)) {
+        import spark.implicits._
+        val rowsIn = docs.count()
+        val qualityKept = qualified.count()
+        val clearedKept =
+          if (benchmark.isDefined) cleared.count() else qualityKept
+        val novel = survivors.count()
+        val fd = feedDir(stateDir)
+        val cut = SequenceFeed.carrySeqTotal(spark, fd, batchId) -
+          SequenceFeed.carrySeqTotal(spark, fd, batchId - 1)
+        Seq((batchId, rowsIn, qualityKept, clearedKept, novel, cut))
+          .toDF("batch", "rows_in", "quality_kept", "decontaminated_kept",
+            "novel_docs", "sequences_cut")
+          .coalesce(1).write.parquet(lp.toString)
+      }
+    }
     // the feed fold is safe any time AFTER its own append: it only
     // covers batches whose carry landed (compactFeedStore's guarantee)
     if (maxBatchParts > 0)
@@ -272,6 +304,39 @@ object CuratedFeed {
     * per-shard health counters, all-zero violations when intact. */
   def audit(spark: SparkSession, stateDir: String, seqLen: Int): DataFrame =
     SequenceFeed.auditStore(spark, feedDir(stateDir), seqLen)
+
+  /** The INGESTION LEDGER: one row per delivered batch accounting the
+    * curation funnel — (batch, rows_in, quality_kept,
+    * decontaminated_kept, novel_docs, sequences_cut). What an operator
+    * trends to see the corpus's intake health ("why did Tuesday's crawl
+    * yield nothing?"); batches-sized, never corpus-sized. Empty before
+    * the first delivery (or when appends ran `writeLedger = false`). */
+  def ledger(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/ledger")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      Seq.empty[(Long, Long, Long, Long, Long, Long)]
+        .toDF("batch", "rows_in", "quality_kept", "decontaminated_kept",
+          "novel_docs", "sequences_cut")
+    else
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(p.toString).orderBy("batch")
+  }
+
+  /** [[SequenceFeed.describe]] over this feed's sequence store, plus
+    * the curated surface's own markers: recipe (the pinned parameter
+    * line; null before the first append) and seen_batches (the seen
+    * store's highest batch id, -1 when empty). */
+  def describe(spark: SparkSession, stateDir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SequenceFeed.describe(spark, feedDir(stateDir))
+      .withColumn("recipe",
+        lit(IncrementalAgg.readMarker(fs, recipePath(stateDir)).orNull))
+      .withColumn("seen_batches",
+        lit(IncrementalAgg.maxStoredBatch(spark, seenDir(stateDir))))
+  }
 
   /** [[SequenceFeed.publishSnapshot]] over this feed: freeze the
     * training row set as of the last delivered batch. */

@@ -507,6 +507,57 @@ object SequenceFeed {
       .map(_.stripPrefix("snap=").toLong).sorted.toSeq
   }
 
+  /** Total complete rows cut through batch `batchId` — the sum of the
+    * carry's `next_seq` marks (exact by the sweep's construction).
+    * Metadata-priced; 0 when the carry is absent (batchId < 0, or
+    * pruned below the compaction fence). Two consecutive totals
+    * difference to one batch's contribution — how the ledger prices a
+    * batch without scanning the store. */
+  private[ops] def carrySeqTotal(spark: SparkSession, stateDir: String,
+      batchId: Long): Long = {
+    if (batchId < 0) return 0L
+    val p = new org.apache.hadoop.fs.Path(carryPath(stateDir, batchId))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else spark.read.parquet(p.toString)
+      .agg(coalesce(sum(col("next_seq")), lit(0L))).head().getLong(0)
+  }
+
+  /** One-row state summary, METADATA-priced (marker reads + one
+    * nShards-row carry read — no store scan): last_batch, seq_len (the
+    * pinned cut length; null before the first append), owner (the
+    * streaming query uuid; null for direct batch callers),
+    * compact_fence (highest folded batch; -1 when never compacted),
+    * shards_touched and total_sequences (from the last carry — the
+    * exact complete-row count, the same marks a snapshot publishes),
+    * n_snapshots and latest_snapshot (-1 when none). */
+  def describe(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val last = lastBatch(spark, stateDir)
+    val (shards, total) =
+      if (last < 0) (0L, 0L)
+      else {
+        val c = spark.read.parquet(carryPath(stateDir, last))
+          .agg(count(lit(1)), coalesce(sum(col("next_seq")), lit(0L)))
+          .head()
+        (c.getLong(0), c.getLong(1))
+      }
+    val snaps = listSnapshots(spark, stateDir)
+    Seq((last,
+        IncrementalAgg.readMarker(fs, seqLenPath(stateDir))
+          .map(_.toInt).getOrElse(-1),
+        IncrementalAgg.readMarker(fs, ownerPath(stateDir)).orNull,
+        IncrementalAgg.readMarker(fs, watermarkPath(stateDir))
+          .map(_.toLong).getOrElse(-1L),
+        shards, total, snaps.size.toLong,
+        if (snaps.isEmpty) -1L else snaps.last))
+      .toDF("last_batch", "seq_len", "owner", "compact_fence",
+        "shards_touched", "total_sequences", "n_snapshots",
+        "latest_snapshot")
+  }
+
   /** Exactly the complete sequences the feed held when snapshot
     * `snapId` was published — [[sequencesFromStore]] filtered to the
     * marks, byte-identical on every read regardless of appends or

@@ -836,7 +836,8 @@ object StreamingOps {
       specials: Seq[String] = Seq("<|endoftext|>"),
       boundary: Option[String] = Some("<|endoftext|>"),
       nBuckets: Int = 256, maxBatchParts: Int = 16,
-      benchmark: Option[DataFrame] = None, decontaminateNgram: Int = 8)
+      benchmark: Option[DataFrame] = None, decontaminateNgram: Int = 8,
+      writeLedger: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
@@ -845,7 +846,7 @@ object StreamingOps {
         graft.ops.CuratedFeed.curatedAppend(batch, batchId, stateDir,
           merges, seqLen, nShards, idCol, textCol, minWords, maxWords,
           specials, boundary, nBuckets, maxBatchParts,
-          benchmark, decontaminateNgram)
+          benchmark, decontaminateNgram, writeLedger)
         ()
       }
       .start()

@@ -73,6 +73,17 @@ class FeedJobSpec extends AnyFunSuite with SparkSpec {
     // a third pass with NOTHING new is a no-op reporting the same totals
     val s3 = FeedJob.run(spark, cfg).collect().head
     assert(s3 == s2)
+    // the ledger is on by default: one funnel row per delivered batch
+    val led = CuratedFeed.ledger(spark, declared).collect()
+    assert(led.length == 2 &&
+      led.map(_.getAs[Long]("batch")).toSeq == Seq(0L, 1L))
+    // and declinable: `ledger: false` parses and suppresses it
+    val offCfg = ConfigLoader.feedFromYamlString(
+      feedYaml(src, Files.createTempDirectory("feedoff").toString) +
+        "  ledger: false\n")
+    assert(!offCfg.ledger)
+    FeedJob.run(spark, offCfg)
+    assert(CuratedFeed.ledger(spark, offCfg.stateDirectory).count() == 0L)
   }
 
   test("graft.Main dispatches a feed: yaml to FeedJob") {

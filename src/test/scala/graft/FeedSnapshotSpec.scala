@@ -119,9 +119,12 @@ class FeedSnapshotSpec extends AnyFunSuite with SparkSpec {
   private def docCorpus(): Seq[(Long, String)] = {
     val words = Seq("scan", "merge", "window", "join", "filter", "sort",
       "group", "limit", "union", "range")
+    // the trailing id word keeps every text unique (the cyclic word
+    // pattern alone repeats with period 10)
     (0L until 30L).map { i =>
       val n = 4 + (i % 5).toInt
-      (i, (0 until n).map(k => words(((i + k) % 10).toInt)).mkString(" "))
+      (i, (0 until n).map(k => words(((i + k) % 10).toInt))
+        .mkString(" ") + s" doc$i")
     }
   }
 
@@ -194,6 +197,71 @@ class FeedSnapshotSpec extends AnyFunSuite with SparkSpec {
         benchmark = Some(otherBench), decontaminateNgram = 3)
     }
     assert(ex.getMessage.contains("recipe"))
+  }
+
+  test("the ingestion ledger accounts the curation funnel per batch; " +
+      "replays never double-book; writeLedger = false opts out") {
+    val stateDir = freshStateDir()
+    val silent = freshStateDir()
+    // 12 docs, batch = id % 3: id 9 fails quality (1 word), id 10
+    // duplicates id 1, id 11 duplicates id 2 — everything else unique
+    val base = docCorpus().take(9).toMap
+    val rows = (0L until 9L).map(i => (i, base(i))) ++ Seq(
+      (9L, "scan"), (10L, base(1L)), (11L, base(2L)))
+    val all = viaParquet(rows.toDF("doc_id", "text"))
+    def deliver(d: String, withLedger: Boolean): Unit =
+      for (b <- 0L to 2L)
+        CuratedFeed.curatedAppend(
+          all.filter(pmod(col("doc_id"), lit(3L)) === b), b, d,
+          merges, seqLen = 16, nShards = 4, minWords = 3, maxWords = 10,
+          writeLedger = withLedger)
+    deliver(stateDir, withLedger = true)
+    deliver(silent, withLedger = false)
+    val got = CuratedFeed.ledger(spark, stateDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // (batch, rows_in, quality_kept, decontaminated_kept, novel, cut)
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5)) == Seq(
+      (0L, 4L, 3L, 3L, 3L),   // id 9 quality-dropped
+      (1L, 4L, 4L, 4L, 3L),   // id 10 dups id 1 within the batch
+      (2L, 4L, 4L, 4L, 3L))) // id 11 dups id 2 within the batch
+    assert(got.map(_._6).sum ==
+      CuratedFeed.sequences(spark, stateDir).count(),
+      "per-batch cut counts sum to the store")
+    assert(got.forall(_._6 >= 0L))
+    // a replay of the last batch must not re-book it
+    CuratedFeed.curatedAppend(
+      all.filter(pmod(col("doc_id"), lit(3L)) === 2L), 2L, stateDir,
+      merges, seqLen = 16, nShards = 4, minWords = 3, maxWords = 10)
+    assert(CuratedFeed.ledger(spark, stateDir).count() == 3L)
+    assert(CuratedFeed.ledger(spark, silent).count() == 0L,
+      "writeLedger = false leaves no ledger")
+  }
+
+  test("describe summarizes feed state metadata-priced: batches, pinned " +
+      "seqLen, fence, carry totals, snapshots, recipe, seen batches") {
+    val stateDir = freshStateDir()
+    val all = viaParquet(docCorpus().toDF("doc_id", "text"))
+    for (b <- 0L to 2L)
+      CuratedFeed.curatedAppend(
+        all.filter(pmod(col("doc_id"), lit(3L)) === b), b, stateDir,
+        merges, seqLen = 16, nShards = 4, minWords = 3, maxWords = 10)
+    CuratedFeed.publishSnapshot(spark, stateDir)
+    val d = CuratedFeed.describe(spark, stateDir).collect().head
+    assert(d.getAs[Long]("last_batch") == 2L)
+    assert(d.getAs[Int]("seq_len") == 16)
+    assert(d.getAs[String]("owner") == null,
+      "direct batch callers have no streaming owner")
+    assert(d.getAs[Long]("compact_fence") == -1L)
+    assert(d.getAs[Long]("shards_touched") > 0L)
+    assert(d.getAs[Long]("total_sequences") ==
+      CuratedFeed.sequences(spark, stateDir).count(),
+      "carry marks count exactly the complete rows")
+    assert(d.getAs[Long]("n_snapshots") == 1L &&
+      d.getAs[Long]("latest_snapshot") == 2L)
+    assert(d.getAs[String]("recipe") != null &&
+      d.getAs[String]("recipe").contains("seqLen=16"))
+    assert(d.getAs[Long]("seen_batches") == 2L)
   }
 
   test("curated snapshot passthroughs publish and read over the feed " +
