@@ -277,13 +277,18 @@ object Curation {
         else {
           // bucket-pruned history read: only partitions this batch's
           // fingerprints can collide with, and never the batch's own
-          // replayed partitions (__batch is a partition column too, so
-          // both predicates prune at the directory level)
+          // replayed partitions. `__batch` and the bucket GROUP prune at
+          // the directory level; the exact bucket filter prunes at the
+          // row-group level (the store's files are sorted by `__bucket`
+          // — see IncrementalAgg.APPEND_PHYS_PARTS)
           val touched = slice.select(col("__bucket")).distinct()
             .collect().map(_.getLong(0)) // <= nBuckets rows: metadata
+          val touchedGroups =
+            touched.map(IncrementalAgg.appendGroupOf).distinct
           val seen = spark.read
             .parquet(IncrementalAgg.appendStorePath(stateDir))
             .filter(col("__batch").cast("long") =!= batchId &&
+              col("__bgroup").cast("long").isin(touchedGroups: _*) &&
               col("__bucket").isin(touched: _*))
             .select(col(fpCol).as("__seen_fp"))
           firstInBatch.join(seen,
@@ -342,7 +347,7 @@ object Curation {
     else Some(spark.read
       .parquet(IncrementalAgg.appendStorePath(stateDir))
       .columns.toSeq
-      .filterNot(Set("__n", "__batch", "__bucket")))
+      .filterNot(Set("__n", "__batch", "__bucket", "__bgroup")))
 
   /** Token-budget corpus selection — "take the best documents until the
     * training budget is spent": rows ranked by (`rankCol` DESC, `idCol`)

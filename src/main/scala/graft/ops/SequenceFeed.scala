@@ -64,13 +64,20 @@ object SequenceFeed {
   private def snapshotPath(stateDir: String, snapId: Long) =
     s"${snapshotsDir(stateDir)}/snap=$snapId"
 
+  // These encoder case classes must NOT be plain `private`: that compiles
+  // to private bytecode, and the Janino-generated encoder projections
+  // (a different package) then throw CompileException on every accessor
+  // and fall back to interpreted row conversion for the whole feed path.
+  // `private[graft]` is public in bytecode (same pattern as
+  // Chunking.FixedSeq) while keeping the source-level encapsulation.
+
   /** One stored carry row / one shard's in-flight tail. */
-  private final case class Carry(shard: Long, next_seq: Long,
+  private[graft] final case class Carry(shard: Long, next_seq: Long,
       ids: Array[Int], docs: Array[Long])
 
   /** One emitted complete sequence (the fixedSequences shape; always
     * complete here, pads never apply mid-stream). */
-  private final case class FeedSeq(shard: Long, seq_id: Long,
+  private[graft] final case class FeedSeq(shard: Long, seq_id: Long,
       n_tokens: Long, n_docs: Long, first_doc: Long, last_doc: Long,
       token_ids: Array[Int], ids_sum: Long)
 
@@ -78,7 +85,7 @@ object SequenceFeed {
     * docs empty) or a shard's new tail (is_carry = true, docs = the
     * buffer's contributing doc ids — the carry needs the full list so
     * n_docs/first_doc stay exact across the batch boundary). */
-  private final case class SweepRow(is_carry: Boolean, shard: Long,
+  private[graft] final case class SweepRow(is_carry: Boolean, shard: Long,
       seq_id: Long, n_tokens: Long, n_docs: Long, first_doc: Long,
       last_doc: Long, token_ids: Array[Int], ids_sum: Long,
       docs: Array[Long])

@@ -449,4 +449,83 @@ class IncrementalAggSpec extends AnyFunSuite with SparkSpec {
     assert(v.columns.toSeq == Seq("term", "n"))
     assert(v.count() == 0 && r.totalBuckets == 0)
   }
+
+  // ---- grouped append-store physical layout ---------------------------
+
+  test("append store lays out by bucket GROUP with __bucket a sorted " +
+      "data column: bounded directory count, row-group-prunable files") {
+    val stateDir = freshStateDir()
+    val b0 = viaParquet(randomDocs(400, 200))
+    IncrementalAgg.vocabAppend(b0, 0L, stateDir, nBuckets = 256)
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDir = new org.apache.hadoop.fs.Path(s"$stateDir/agg/__batch=0")
+    val dirs = fs.listStatus(batchDir).map(_.getPath.getName)
+      .filter(_.startsWith("__bgroup=")).toSeq
+    assert(dirs.nonEmpty &&
+      dirs.size <= IncrementalAgg.APPEND_PHYS_PARTS,
+      s"expected <= ${IncrementalAgg.APPEND_PHYS_PARTS} group dirs, " +
+        s"got ${dirs.size}")
+    // no per-bucket directories anywhere under the store
+    assert(!fs.listStatus(batchDir)
+      .exists(_.getPath.getName.startsWith("__bucket=")))
+    // __bucket rides in the files, sorted, and groups honor the layout fn
+    for (d <- dirs) {
+      val g = d.stripPrefix("__bgroup=").toLong
+      for (f <- fs.listStatus(new org.apache.hadoop.fs.Path(batchDir, d))
+          if f.getPath.getName.endsWith(".parquet")) {
+        val bs = spark.read.parquet(f.getPath.toString)
+          .select("__bucket").collect().map(_.getLong(0))
+        assert(bs.nonEmpty && bs.sameElements(bs.sorted),
+          "files must be bucket-sorted for row-group pruning")
+        assert(bs.forall(b => IncrementalAgg.appendGroupOf(b) == g),
+          s"bucket in wrong group dir: $d")
+      }
+    }
+    // compaction preserves the grouped layout
+    IncrementalAgg.compactVocabStore(spark, stateDir)
+    val baseDirs = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$stateDir/agg/__batch=-1"))
+      .map(_.getPath.getName).filter(_.startsWith("__bgroup="))
+    assert(baseDirs.nonEmpty &&
+      baseDirs.length <= IncrementalAgg.APPEND_PHYS_PARTS)
+  }
+
+  test("legacy per-bucket append store migrates in place on the next " +
+      "append: counts preserved, grouped layout, marker written") {
+    val stateDir = freshStateDir()
+    val b0 = viaParquet(randomDocs(300, 150))
+    val b1 = viaParquet(randomDocs(300, 150))
+    // hand-build the LEGACY layout (one dir per __bucket) exactly as the
+    // pre-grouping appendFold wrote it
+    val legacy = b0.withColumn("__bucket",
+        when(col("doc_id").isNull, lit(-1L)).otherwise(
+          pmod(xxhash64(col("doc_id").cast("string")), lit(256L))))
+      .select(col("__bucket"),
+        explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("__bucket", "term").agg(count(lit(1)).as("n"))
+      .withColumn("__batch", lit(0L))
+    legacy.write.mode("overwrite").partitionBy("__batch", "__bucket")
+      .parquet(s"$stateDir/agg")
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$stateDir/agg/__batch=0"))
+      .exists(_.getPath.getName.startsWith("__bucket=")), "legacy built")
+    // next append migrates, then lands batch 1 in the grouped layout
+    IncrementalAgg.vocabAppend(b1, 1L, stateDir, nBuckets = 256)
+    assert(asMap(IncrementalAgg.vocabFromStore(spark, stateDir))
+      == fullVocab(b0.unionByName(b1)),
+      "migration must preserve the folded history")
+    for (b <- Seq(0, 1)) {
+      val st = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$stateDir/agg/__batch=$b")).map(_.getPath.getName)
+      assert(st.exists(_.startsWith("__bgroup=")) &&
+        !st.exists(_.startsWith("__bucket=")),
+        s"batch $b not migrated: ${st.mkString(",")}")
+    }
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$stateDir/agg_layout")), "layout marker written")
+  }
 }
