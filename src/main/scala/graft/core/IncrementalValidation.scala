@@ -75,13 +75,68 @@ object IncrementalValidation {
 
   // v2: second digest sum independently salted (was derived from the
   // first — a single-row xxhash64 collision used to fool both sums);
-  // a v1 state mismatches on version and rebuilds, the safe direction
-  private val STATE_VERSION = 2
+  // a v1 state mismatches on version and rebuilds, the safe direction.
+  // v3: marker-file meta (no Spark job to check state identity) +
+  // bucket-GROUP physical layout for the report stores (see
+  // reportGroupCount); a v2 state reads as no-state and rebuilds.
+  private val STATE_VERSION = 3
+
+  // report-store physical layout: one directory per logical bucket costs
+  // a fixed per-directory price on every surgery write and every read
+  // (the IncrementalAgg.runGroupCount rationale, verbatim) — physical
+  // dirs are bucket GROUPS of ~16, the bucket rides as a data column
+  private def reportGroupCount(nBuckets: Int): Int =
+    math.min(nBuckets, math.max(16, nBuckets / 16))
+  private def reportGroupOf(bucket: Long, groups: Int): Long =
+    ((bucket % groups) + groups) % groups
 
   private def modeKey(mode: CompareMode): String = mode match {
     case CompareMode.Numeric  => "numeric"
     case CompareMode.Date     => "date"
     case CompareMode.Fuzzy(t) => s"fuzzy:$t"
+  }
+
+  /** The grouped physical layout for report rows: one file per group
+    * directory, rows sorted by (group, bucket) so per-bucket reads prune
+    * on parquet row-group min/max stats. */
+  private def reportLaidOut(rows: DataFrame, groups: Int): DataFrame =
+    rows.withColumn("__bgroup", pmod(col("bucket"), lit(groups.toLong)))
+      .repartition(col("__bgroup"))
+      .sortWithinPartitions("__bgroup", "bucket")
+
+  /** Group-granular report surgery: the dirty buckets' GROUPS rewrite as
+    * (recomputed dirty rows) ∪ (the same groups' carried clean rows),
+    * staged fully and swapped in by renames. Caller has already deleted
+    * the digest witness, so any crash mid-swap rebuilds wholesale. */
+  private def reportSurgery(rowsPath: String, recomputed: DataFrame,
+      dirty: Seq[Long], groups: Int): Unit = {
+    val spark = recomputed.sparkSession
+    val p = new org.apache.hadoop.fs.Path(rowsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirtyGroups = dirty.map(b => reportGroupOf(b, groups)).distinct
+    // an all-clean prior report can be an EMPTY store (no schema to
+    // infer) — carried is then empty by construction
+    val carried =
+      try spark.read.parquet(rowsPath)
+        .filter(col("__bgroup").isin(dirtyGroups: _*) &&
+          !col("bucket").isin(dirty: _*))
+        .drop("__bgroup")
+        .select(recomputed.columns.map(col): _*)
+      catch { case scala.util.control.NonFatal(_) => recomputed.limit(0) }
+    val staging = new org.apache.hadoop.fs.Path(rowsPath + "__swap")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    reportLaidOut(recomputed.unionByName(carried), groups)
+      .write.mode(SaveMode.Overwrite).partitionBy("__bgroup")
+      .parquet(staging.toString)
+    fs.mkdirs(p)
+    for (g <- dirtyGroups) {
+      val dst = new org.apache.hadoop.fs.Path(s"$rowsPath/__bgroup=$g")
+      if (fs.exists(dst)) fs.delete(dst, true)
+      val src = new org.apache.hadoop.fs.Path(s"$staging/__bgroup=$g")
+      // a group with no staged dir drained entirely — the delete IS the swap
+      if (fs.exists(src)) graft.ops.IncrementalAgg.mustRename(fs, src, dst)
+    }
+    fs.delete(staging, true)
   }
 
   /** Null ids live in their own sidecar bucket (-1): they never join, so
@@ -286,20 +341,38 @@ object IncrementalValidation {
       sum(when(col("tot1") > 0L, col("tot2")).otherwise(0L)).as("n_matched"))
   }
 
+  /** State-identity meta as a MARKER FILE (version, bucket count, mode
+    * key): checking it is a driver-side read, never a Spark job — every
+    * incremental run pays this check. A legacy parquet meta DIRECTORY
+    * fails the marker read and reads as no-state — the rebuild
+    * direction. */
   private def metaMatches(spark: SparkSession, stateDir: String,
       nBuckets: Int, modeStr: String): Boolean =
     try {
-      // existence pre-check: a first run has no state, and probing it
-      // through spark.read would log a scary (harmless) WARN per call
       val p = new org.apache.hadoop.fs.Path(metaPath(stateDir))
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(p) && {
-        val m = spark.read.parquet(metaPath(stateDir)).head()
-        m.getAs[Int]("version") == STATE_VERSION &&
-          m.getAs[Int]("n_buckets") == nBuckets &&
-          m.getAs[String]("mode") == modeStr
-      }
+      fs.exists(p) && !fs.getFileStatus(p).isDirectory &&
+        graft.ops.IncrementalAgg.readMarker(fs, metaPath(stateDir))
+          .exists { s =>
+            s.split("\n", 3) match {
+              case Array(v, n, k) =>
+                v == STATE_VERSION.toString && n == nBuckets.toString &&
+                  k == modeStr
+              case _ => false
+            }
+          }
     } catch { case scala.util.control.NonFatal(_) => false }
+
+  private def writeMeta(spark: SparkSession, stateDir: String,
+      nBuckets: Int, modeStr: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(stateDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a legacy parquet meta is a non-empty directory: clear it first
+    // (writeMarker's own delete is non-recursive)
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory) fs.delete(p, true)
+    graft.ops.IncrementalAgg.writeMarker(fs, metaPath(stateDir),
+      s"$STATE_VERSION\n$nBuckets\n$modeStr")
+  }
 
   /** Swap-write `df` as the new state: stage to a sibling directory,
     * then delete + rename — the staged write fully materializes before
@@ -424,27 +497,45 @@ object IncrementalValidation {
       bucketCol: Option[String], valueExpr: Column, stateDir: String,
       modeStr: String, digestPath: String): PruneResult = {
     val spark = first.sparkSession
-    import spark.implicits._
-    val cdDf = digests(first, second, nBuckets, bucketCol, valueExpr)
-      .localCheckpoint()
-    val total = cdDf.count()
+    // digests are <= nBuckets+1 rows BY CONTRACT (metadata-sized at any
+    // scale): collect and compare on the driver — one job for the scan
+    // instead of localCheckpoint + count + a join job, and the witness
+    // rewrite becomes a single local partition (one file)
+    val cdSrc = digests(first, second, nBuckets, bucketCol, valueExpr)
+    val cdSchema = cdSrc.schema
+    val cdRows = cdSrc.collect()
+    val total = cdRows.length.toLong
     val haveState = metaMatches(spark, stateDir, nBuckets, modeStr)
-    val old: Option[DataFrame] =
+    val old: Option[Array[org.apache.spark.sql.Row]] =
       if (haveState)
-        try Some(spark.read.parquet(digestPath))
+        try Some(spark.read.parquet(digestPath).collect())
         catch { case scala.util.control.NonFatal(_) => None }
       else None
-    val dirtyRows = old.map { st =>
-      val sd = st.select(col("bucket") +:
-        digestFields.map(f => col(f).as(s"__s_$f")): _*)
-      cdDf.join(sd, Seq("bucket"), "full_outer")
-        .filter(digestFields
-          .map(f => !(col(f) <=> col(s"__s_$f")))
-          .reduce(_ || _))
-        .select(col("bucket"), col("n1").isNotNull.as("in_current"))
-        .as[(Long, Boolean)].collect().toSeq
+    def sig(rows: Array[org.apache.spark.sql.Row])
+        : Map[Long, Seq[Any]] =
+      rows.map { r =>
+        r.getLong(r.fieldIndex("bucket")) ->
+          digestFields.map(f => r.get(r.fieldIndex(f)): Any)
+      }.toMap
+    def fieldEq(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+        x.compareTo(y) == 0
+      case _ => a == b
     }
-    PruneResult(cdDf, total, haveState && old.isDefined, dirtyRows)
+    val dirtyRows = old.map { st =>
+      val cur = sig(cdRows)
+      val prev = sig(st)
+      (cur.keySet ++ prev.keySet).toSeq.flatMap { b =>
+        (cur.get(b), prev.get(b)) match {
+          case (Some(c), Some(p))
+              if c.zip(p).forall { case (x, y) => fieldEq(x, y) } => None
+          case (c, _) => Some(b -> c.isDefined)
+        }
+      }
+    }
+    val cdLocal = spark.createDataFrame(
+      spark.sparkContext.parallelize(cdRows.toSeq, 1), cdSchema)
+    PruneResult(cdLocal, total, haveState && old.isDefined, dirtyRows)
   }
 
   /** The dirty-bucket row predicate FOR ONE SIDE: a plain attribute
@@ -581,12 +672,12 @@ object IncrementalValidation {
     val noChange = !rebuild && dirtyBuckets.exists(_.isEmpty)
     beforeMutationHook()
     lease.check()
-    if (!noChange) swapWrite(spark, newState, statePath(stateDir))
-    if (!pr.haveState)
-      swapWrite(spark,
-        Seq((STATE_VERSION, nBuckets, modeKey(mode)))
-          .toDF("version", "n_buckets", "mode"),
-        metaPath(stateDir))
+    // the state is nBuckets-sized (metadata) — one output file, not one
+    // per shuffle partition (repartition, not coalesce: coalesce(1)
+    // would collapse the upstream terms computation into one task)
+    if (!noChange)
+      swapWrite(spark, newState.repartition(1), statePath(stateDir))
+    if (!pr.haveState) writeMeta(spark, stateDir, nBuckets, modeKey(mode))
 
     // phase 3: the global summary is the column-sum over the stored
     // per-bucket terms — read back from the swapped-in state so the
@@ -704,9 +795,11 @@ object IncrementalValidation {
         val carried =
           if (dirty.isEmpty) carried0
           else carried0.filter(!col("bucket").isin(dirty: _*))
-        // membership tracks the current digests: drained buckets drop
+        // membership tracks the current digests: drained buckets drop.
+        // cdDf is a local nBuckets-row frame with no stats — hint the
+        // broadcast explicitly or the planner sort-merges this semi-join
         carried.unionByName(recomputed).unionByName(nullTerms)
-          .join(cdDf.select("bucket"), Seq("bucket"), "left_semi")
+          .join(broadcast(cdDf.select("bucket")), Seq("bucket"), "left_semi")
       }
     }
 
@@ -718,14 +811,10 @@ object IncrementalValidation {
       // NEW terms with the OLD digests, which over-marks buckets dirty
       // on the next run (safe direction); the reverse order could mark
       // stale terms clean
-      swapWrite(spark, newTerms, termsPath(stateDir))
+      swapWrite(spark, newTerms.repartition(1), termsPath(stateDir))
       swapWrite(spark, cdDf, statePath(stateDir))
     }
-    if (!pr.haveState)
-      swapWrite(spark,
-        Seq((STATE_VERSION, nBuckets, modeStr))
-          .toDF("version", "n_buckets", "mode"),
-        metaPath(stateDir))
+    if (!pr.haveState) writeMeta(spark, stateDir, nBuckets, modeStr)
 
     val names = array(checks.map { case (c, _) => lit(c) }: _*)
     val perCol = spark.read.parquet(termsPath(stateDir))
@@ -842,37 +931,28 @@ object IncrementalValidation {
     beforeMutationHook()
     lease.check()
 
+    val groups = reportGroupCount(nBuckets)
     if (rebuild) {
       // invalidate the witness first: torn output must never read clean
       if (fs.exists(new org.apache.hadoop.fs.Path(digPath)))
         fs.delete(new org.apache.hadoop.fs.Path(digPath), true)
-      reportRows(first, second)
-        .repartition(col("bucket"))
-        .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      reportLaidOut(reportRows(first, second), groups)
+        .write.mode(SaveMode.Overwrite).partitionBy("__bgroup")
         .parquet(rowsPath)
       swapWrite(spark, pr.cd, digPath)
       if (!pr.haveState)
-        swapWrite(spark,
-          Seq((STATE_VERSION, nBuckets, s"report:${modeKey(mode)}"))
-            .toDF("version", "n_buckets", "mode"),
-          metaPath(stateDir))
+        writeMeta(spark, stateDir, nBuckets, s"report:${modeKey(mode)}")
     } else if (dirty.get.nonEmpty) {
       val d = dirty.get
       fs.delete(new org.apache.hadoop.fs.Path(digPath), true)
-      for (b <- d)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$rowsPath/bucket=$b"), true)
       // persist the CHURN-SIZED slices: the report is three joins (two
       // anti, one inner) and each would otherwise rescan + re-filter
       // both inputs — six passes for data that is, by definition of the
       // dirty set, a small fraction of the table
       val fD = first.filter(dirtyPred(first, bucketCol, nBuckets, d)).persist()
       val sD = second.filter(dirtyPred(second, bucketCol, nBuckets, d)).persist()
-      try {
-        reportRows(fD, sD)
-          .repartition(col("bucket"))
-          .write.mode(SaveMode.Append).partitionBy("bucket")
-          .parquet(rowsPath)
-      } finally { fD.unpersist(); sD.unpersist() }
+      try reportSurgery(rowsPath, reportRows(fD, sD), d, groups)
+      finally { fD.unpersist(); sD.unpersist() }
       swapWrite(spark, pr.cd, digPath)
     } // zero dirty: report and witness both stand untouched
 
@@ -1074,37 +1154,28 @@ object IncrementalValidation {
     beforeMutationHook()
     lease.check()
 
+    val groups = reportGroupCount(nBuckets)
     if (rebuild) {
       // invalidate the witness first: torn output must never read clean
       if (fs.exists(new org.apache.hadoop.fs.Path(digPath)))
         fs.delete(new org.apache.hadoop.fs.Path(digPath), true)
-      reportRows(first, second)
-        .repartition(col("bucket"))
-        .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      reportLaidOut(reportRows(first, second), groups)
+        .write.mode(SaveMode.Overwrite).partitionBy("__bgroup")
         .parquet(rowsPath)
       swapWrite(spark, pr.cd, digPath)
       if (!pr.haveState)
-        swapWrite(spark,
-          Seq((STATE_VERSION, nBuckets, modeStr))
-            .toDF("version", "n_buckets", "mode"),
-          metaPath(stateDir))
+        writeMeta(spark, stateDir, nBuckets, modeStr)
     } else if (dirty.get.nonEmpty) {
       val d = dirty.get
       fs.delete(new org.apache.hadoop.fs.Path(digPath), true)
-      for (b <- d)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$rowsPath/bucket=$b"), true)
       // churn-sized slices persisted: two anti-joins + the k-column diff
       // join would otherwise rescan + re-filter both inputs per frame
       val fD = first.filter(dirtyPred(first, bucketCol, nBuckets, d))
         .persist()
       val sD = second.filter(dirtyPred(second, bucketCol, nBuckets, d))
         .persist()
-      try {
-        reportRows(fD, sD)
-          .repartition(col("bucket"))
-          .write.mode(SaveMode.Append).partitionBy("bucket")
-          .parquet(rowsPath)
-      } finally { fD.unpersist(); sD.unpersist() }
+      try reportSurgery(rowsPath, reportRows(fD, sD), d, groups)
+      finally { fD.unpersist(); sD.unpersist() }
       swapWrite(spark, pr.cd, digPath)
     } // zero dirty: report and witness both stand untouched
 

@@ -269,8 +269,13 @@ object CuratedFeed {
       val lp = new org.apache.hadoop.fs.Path(ledgerPath(stateDir, batchId))
       if (!fs.exists(lp)) {
         import spark.implicits._
-        val rowsIn = docs.count()
-        val qualityKept = qualified.count()
+        // rows_in and quality_kept from ONE batch scan (count + the
+        // gate predicate as a conditional sum), not one scan each
+        val inQ = docs.agg(count(lit(1)).as("n"),
+          coalesce(sum(when(nWords.between(minWords, maxWords), 1L)
+            .otherwise(0L)), lit(0L)).as("q")).head()
+        val rowsIn = inQ.getLong(0)
+        val qualityKept = inQ.getLong(1)
         val clearedKept =
           if (benchmark.isDefined) cleared.count() else qualityKept
         val novel = survivors.count()

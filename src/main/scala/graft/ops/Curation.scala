@@ -285,10 +285,23 @@ object Curation {
             .collect().map(_.getLong(0)) // <= nBuckets rows: metadata
           val touchedGroups =
             touched.map(IncrementalAgg.appendGroupOf).distinct
-          val seen = spark.read
+          val store = spark.read
             .parquet(IncrementalAgg.appendStorePath(stateDir))
-            .filter(col("__batch").cast("long") =!= batchId &&
-              col("__bgroup").cast("long").isin(touchedGroups: _*) &&
+          // partition-pruning filters must compare the RAW partition
+          // attribute — a cast wrapping the column defeats directory
+          // pruning unless the optimizer's unwrap-cast rule fires. Type
+          // the LITERALS to the inferred partition type instead.
+          def partLits(c: String, vs: Seq[Long]): Seq[Any] =
+            store.schema(c).dataType match {
+              case org.apache.spark.sql.types.IntegerType => vs.map(_.toInt)
+              case org.apache.spark.sql.types.StringType => vs.map(_.toString)
+              case _ => vs
+            }
+          val seen = store
+            .filter(!col("__batch").isin(
+                partLits("__batch", Seq(batchId)): _*) &&
+              col("__bgroup").isin(
+                partLits("__bgroup", touchedGroups.toSeq): _*) &&
               col("__bucket").isin(touched: _*))
             .select(col(fpCol).as("__seen_fp"))
           firstInBatch.join(seen,

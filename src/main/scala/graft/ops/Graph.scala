@@ -139,7 +139,17 @@ object Graph {
     var cur = und.select(
         least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct().localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    // peeling only ever REMOVES edges, so an unchanged edge count is the
+    // fixpoint: every node kept its degree, the next peel keeps them all,
+    // and each remaining round is the identity. Exiting early therefore
+    // changes nothing in the output (the fixed `rounds` contract holds
+    // bit-exactly) while skipping the dead rounds' jobs — on power-law
+    // graphs the peel converges in a handful of rounds and callers size
+    // `rounds` generously. The count reads the just-checkpointed blocks.
+    var nEdges = cur.count()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
       val deg = cur.select(col("u").as("node"))
         .union(cur.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -148,6 +158,10 @@ object Graph {
         .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
         .select("u", "v").localCheckpoint(true)
+      val m = cur.count()
+      converged = m == nEdges
+      nEdges = m
+      r += 1
     }
     cur.select(col("u").as("node"))
       .union(cur.select(col("v").as("node")))

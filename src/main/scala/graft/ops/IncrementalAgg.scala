@@ -54,7 +54,11 @@ object IncrementalAgg {
 
   /** One run's execution record (same shape as validation's). */
   type IncrementalReport = IncrementalValidation.IncrementalReport
-  private val STATE_VERSION = 1
+  // v2: marker-file meta + bucket-GROUP physical layout for the [[run]]
+  // store (see runGroupCount). A v1 state mismatches the meta check and
+  // rebuilds wholesale — the safe direction; run() stores are always
+  // rebuildable from the table.
+  private val STATE_VERSION = 2
 
   private def storePath(stateDir: String) = s"$stateDir/agg"
 
@@ -84,7 +88,7 @@ object IncrementalAgg {
     * `__staging` subtree that corrupts partition discovery. Every swap
     * rename goes through this: a false ABORTS the swap, leaving the
     * recoverable tmp/old layout for [[recoverStore]]. */
-  private[ops] def mustRename(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def mustRename(fs: org.apache.hadoop.fs.FileSystem,
       from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
     if (!fs.rename(from, to))
       throw new java.io.IOException(
@@ -92,7 +96,7 @@ object IncrementalAgg {
           "store left in its recoverable pre-swap layout")
 
   /** Small marker file, read fully; None when absent. */
-  private[ops] def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def readMarker(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(p)) None
@@ -109,7 +113,7 @@ object IncrementalAgg {
   }
 
   /** Atomic (write-tmp + rename) small marker write. */
-  private[ops] def writeMarker(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def writeMarker(fs: org.apache.hadoop.fs.FileSystem,
       path: String, value: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
@@ -165,6 +169,28 @@ object IncrementalAgg {
     pmod(bucket, lit(APPEND_PHYS_PARTS))
   private[graft] def appendGroupOf(bucket: Long): Long =
     ((bucket % APPEND_PHYS_PARTS) + APPEND_PHYS_PARTS) % APPEND_PHYS_PARTS
+
+  // ---- churn-priced (run) store physical layout -----------------------
+  // The same disease and cure for the [[run]] store: one directory per
+  // logical `__bucket` makes every dirty-bucket surgery pay a fixed
+  // per-directory commit price (delete + writer open/close + footer +
+  // commit rename, ~14 ms/dir locally) and every store READ pay a
+  // per-directory listing/footer price — costs that scale with the
+  // BUCKET COUNT, not the data. Physical directories are bucket GROUPS
+  // (`__bgroup = __bucket mod groups`) with `__bucket` a SORTED data
+  // column, so the dirty-input pruning (which filters the INPUT table by
+  // bucket, not the store) and the digest granularity are untouched; a
+  // surgery rewrites the dirty buckets' GROUPS (recomputed dirty rows +
+  // carried clean rows of the same groups, staged then swapped by
+  // renames). The group count grows with nBuckets — ~16 buckets per
+  // group, floor 16 — so the clean-row copy a surgery pays is bounded at
+  // ~16x the dirty buckets' store rows at EVERY scale, while the
+  // directory count drops 16x (a 4096-bucket production state keeps 256
+  // physical partitions; a 256-bucket state keeps 16).
+  private[graft] def runGroupCount(nBuckets: Int): Int =
+    math.min(nBuckets, math.max(16, nBuckets / 16))
+  private[graft] def runGroupOf(bucket: Long, groups: Int): Long =
+    ((bucket % groups) + groups) % groups
   private def layoutPath(stateDir: String) = s"$stateDir/agg_layout"
   private val APPEND_LAYOUT_VERSION = "2"
 
@@ -175,8 +201,8 @@ object IncrementalAgg {
     * marker is written only after the swap lands — a crash before it
     * re-runs the migration, which is idempotent (recomputing `__bgroup`
     * of an already-grouped store is a no-op rewrite). */
-  private def ensureAppendLayout(spark: SparkSession,
-      stateDir: String): Unit = {
+  private def ensureAppendLayout(spark: SparkSession, stateDir: String,
+      lease: IncrementalValidation.Lease): Unit = {
     val p = new org.apache.hadoop.fs.Path(storePath(stateDir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (readMarker(fs, layoutPath(stateDir)).contains(APPEND_LAYOUT_VERSION))
@@ -189,6 +215,11 @@ object IncrementalAgg {
     val old = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__old")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(old)) fs.delete(old, true)
+    // the migration is a store mutation like any other: re-verify the
+    // caller's lease before staging and again immediately before the
+    // commit-point renames — a broken lease must never swap over a
+    // successor writer's store
+    lease.check()
     val store = spark.read.parquet(storePath(stateDir))
     store
       .withColumn("__bucket", col("__bucket").cast("long"))
@@ -198,6 +229,7 @@ object IncrementalAgg {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("__batch", "__bgroup")
       .parquet(tmp.toString)
+    lease.check()
     mustRename(fs, p, old)
     mustRename(fs, tmp, p)
     fs.delete(old, true)
@@ -281,18 +313,36 @@ object IncrementalAgg {
         sum(col("h2").cast(dec)).as("hb"))
   }
 
+  /** State-identity meta as a MARKER FILE (version, bucket count, agg
+    * key), not a parquet table: checking it is a driver-side read, never
+    * a Spark job — every maintenance run pays this check, and at 100 TB
+    * as at sf0.001 it is three fields. A legacy (v1) parquet meta
+    * DIRECTORY fails the marker read and reads as no-state — the rebuild
+    * direction. aggKey may contain any character but a newline. */
   private def metaMatches(spark: SparkSession, stateDir: String,
       nBuckets: Int, aggKey: String): Boolean =
     try {
       val p = new org.apache.hadoop.fs.Path(metaPath(stateDir))
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(p) && {
-        val m = spark.read.parquet(metaPath(stateDir)).head()
-        m.getAs[Int]("version") == STATE_VERSION &&
-          m.getAs[Int]("n_buckets") == nBuckets &&
-          m.getAs[String]("agg_key") == aggKey
-      }
+      fs.exists(p) && !fs.getFileStatus(p).isDirectory &&
+        readMarker(fs, metaPath(stateDir)).exists { s =>
+          s.split("\n", 3) match {
+            case Array(v, n, k) =>
+              v == STATE_VERSION.toString && n == nBuckets.toString &&
+                k == aggKey
+            case _ => false
+          }
+        }
     } catch { case scala.util.control.NonFatal(_) => false }
+
+  private def writeMeta(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String, nBuckets: Int, aggKey: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(stateDir))
+    // a legacy parquet meta is a non-empty directory: clear it first
+    // (writeMarker's own delete is non-recursive)
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory) fs.delete(p, true)
+    writeMarker(fs, metaPath(stateDir), s"$STATE_VERSION\n$nBuckets\n$aggKey")
+  }
 
   /** Maintain the partial store for `table` and return (a read of the
     * current store with `__bucket` dropped, the prune record). Run the
@@ -327,33 +377,54 @@ object IncrementalAgg {
     require(nBuckets > 0, "nBuckets must be positive")
     require(dependsOn.nonEmpty, "dependsOn must name the columns read")
     val spark = table.sparkSession
-    import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lease = IncrementalValidation.acquireLease(spark, stateDir)
     try {
-      val cd = digests(table, idCol, dependsOn, nBuckets, bucketCol)
-        .localCheckpoint()
-      val total = cd.count()
+      // digests are <= nBuckets+1 rows BY CONTRACT (metadata-sized at
+      // every scale) — collect them and compare on the driver: one job
+      // for the scan instead of localCheckpoint + count + a join job,
+      // and the rewritten witness is one file instead of one per
+      // shuffle partition
+      val cdDf = digests(table, idCol, dependsOn, nBuckets, bucketCol)
+      val cdSchema = cdDf.schema
+      val cdRows = cdDf.collect()
+      val total = cdRows.length.toLong
       val haveState = metaMatches(spark, stateDir, nBuckets, aggKey)
-      val old: Option[DataFrame] =
+      val old: Option[Array[org.apache.spark.sql.Row]] =
         if (haveState)
-          try Some(spark.read.parquet(digestsPath(stateDir)))
+          try Some(spark.read.parquet(digestsPath(stateDir)).collect())
           catch { case scala.util.control.NonFatal(_) => None }
         else None
-      val digestFields = Seq("n", "ha", "hb")
+      def triples(rows: Array[org.apache.spark.sql.Row])
+          : Map[Long, (Long, java.math.BigDecimal, java.math.BigDecimal)] =
+        rows.map { r =>
+          r.getLong(r.fieldIndex("bucket")) ->
+            ((r.getLong(r.fieldIndex("n")),
+              r.getDecimal(r.fieldIndex("ha")),
+              r.getDecimal(r.fieldIndex("hb"))))
+        }.toMap
+      def decEq(a: java.math.BigDecimal, b: java.math.BigDecimal): Boolean =
+        (a eq b) || (a != null && b != null && a.compareTo(b) == 0)
       // (bucket, present-in-current): a bucket can go dirty by VANISHING
       // (every row deleted) — its store partition must still be dropped
       val dirtyRows: Option[Seq[(Long, Boolean)]] = old.map { st =>
-        val sd = st.select(col("bucket") +:
-          digestFields.map(f => col(f).as(s"__s_$f")): _*)
-        cd.join(sd, Seq("bucket"), "full_outer")
-          .filter(digestFields.map(f => !(col(f) <=> col(s"__s_$f")))
-            .reduce(_ || _))
-          .select(col("bucket"), col("n").isNotNull.as("in_current"))
-          .as[(Long, Boolean)].collect().toSeq
+        val cur = triples(cdRows)
+        val prev = triples(st)
+        (cur.keySet ++ prev.keySet).toSeq.flatMap { b =>
+          (cur.get(b), prev.get(b)) match {
+            case (Some(c), Some(p))
+                if c._1 == p._1 && decEq(c._2, p._2) && decEq(c._3, p._3) =>
+              None
+            case (c, _) => Some(b -> c.isDefined)
+          }
+        }
       }
       val dirty: Option[Seq[Long]] = dirtyRows.map(_.map(_._1))
+      // the witness rewrite source: the collected digest rows as one
+      // local partition (one output file)
+      def cdLocal: DataFrame = spark.createDataFrame(
+        spark.sparkContext.parallelize(cdRows.toSeq, 1), cdSchema)
 
       def bucketOf(df: DataFrame): Column =
         bucketCol.map(c => col(c).cast("long")).getOrElse(
@@ -375,36 +446,62 @@ object IncrementalAgg {
       beforeMutationHook()
       lease.check()
 
-      def laidOut(df: DataFrame): DataFrame = {
-        val rep = df.repartition(col("__bucket"))
-        if (storeSortCols.isEmpty) rep
-        else rep.sortWithinPartitions(
-          (col("__bucket") +: storeSortCols.map(col)): _*)
-      }
+      val groups = runGroupCount(nBuckets)
+      // grouped physical layout (see runGroupCount): repartition on the
+      // GROUP so each group directory holds one file per write; within a
+      // file rows sort by (__bucket, storeSortCols) so per-bucket reads
+      // and any storeSortCols filter prune on parquet row-group min/max
+      def laidOut(df: DataFrame): DataFrame =
+        df.withColumn("__bgroup", pmod(col("__bucket"), lit(groups.toLong)))
+          .repartition(col("__bgroup"))
+          .sortWithinPartitions((col("__bgroup") +: col("__bucket") +:
+            storeSortCols.map(col)): _*)
 
       if (rebuild) {
         // witness first: torn store must never read clean
         if (fs.exists(new org.apache.hadoop.fs.Path(digestsPath(stateDir))))
           fs.delete(new org.apache.hadoop.fs.Path(digestsPath(stateDir)), true)
         laidOut(partial(withBucketCol(table)))
-          .write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+          .write.mode(SaveMode.Overwrite).partitionBy("__bgroup")
           .parquet(storePath(stateDir))
-        IncrementalValidation.swapWrite(spark, cd, digestsPath(stateDir))
-        if (!haveState)
-          IncrementalValidation.swapWrite(spark,
-            Seq((STATE_VERSION, nBuckets, aggKey))
-              .toDF("version", "n_buckets", "agg_key"),
-            metaPath(stateDir))
+        IncrementalValidation.swapWrite(spark, cdLocal, digestsPath(stateDir))
+        if (!haveState) writeMeta(fs, stateDir, nBuckets, aggKey)
       } else if (dirty.get.nonEmpty) {
         val d = dirty.get
+        val dirtyGroups = d.map(b => runGroupOf(b, groups)).distinct
         fs.delete(new org.apache.hadoop.fs.Path(digestsPath(stateDir)), true)
-        for (b <- d)
-          fs.delete(new org.apache.hadoop.fs.Path(
-            s"${storePath(stateDir)}/__bucket=$b"), true)
-        laidOut(partial(withBucketCol(dirtySlice(d))))
-          .write.mode(SaveMode.Append).partitionBy("__bucket")
-          .parquet(storePath(stateDir))
-        IncrementalValidation.swapWrite(spark, cd, digestsPath(stateDir))
+        // the dirty buckets' GROUPS rewrite: recomputed dirty partials
+        // plus the same groups' carried clean rows (group-dir-pruned
+        // read), staged fully and swapped in by renames — a crash at any
+        // point leaves no witness, so the next run rebuilds wholesale
+        val recomputed = partial(withBucketCol(dirtySlice(d)))
+        val carried =
+          if (storeHasData(fs, storePath(stateDir)))
+            spark.read.parquet(storePath(stateDir))
+              .filter(col("__bgroup").isin(dirtyGroups: _*) &&
+                !col("__bucket").isin(d: _*))
+              .drop("__bgroup")
+              .select(recomputed.columns.map(col): _*)
+          else recomputed.limit(0)
+        val staging = new org.apache.hadoop.fs.Path(
+          storePath(stateDir) + "__swap")
+        if (fs.exists(staging)) fs.delete(staging, true)
+        laidOut(recomputed.unionByName(carried))
+          .write.mode(SaveMode.Overwrite).partitionBy("__bgroup")
+          .parquet(staging.toString)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(storePath(stateDir)))
+        for (g <- dirtyGroups) {
+          val dst = new org.apache.hadoop.fs.Path(
+            s"${storePath(stateDir)}/__bgroup=$g")
+          if (fs.exists(dst)) fs.delete(dst, true)
+          val src = new org.apache.hadoop.fs.Path(
+            s"$staging/__bgroup=$g")
+          // a group with no staged dir drained entirely (every bucket in
+          // it vanished): the delete above IS the whole swap
+          if (fs.exists(src)) mustRename(fs, src, dst)
+        }
+        fs.delete(staging, true)
+        IncrementalValidation.swapWrite(spark, cdLocal, digestsPath(stateDir))
       } // zero dirty: store and witness both stand untouched
 
       // empty-table passes leave a data-less store dir (schema
@@ -412,7 +509,8 @@ object IncrementalAgg {
       // failures propagate
       val current =
         if (storeHasData(fs, storePath(stateDir)))
-          spark.read.parquet(storePath(stateDir)).drop("__bucket")
+          spark.read.parquet(storePath(stateDir))
+            .drop("__bucket", "__bgroup")
         else partial(withBucketCol(table.limit(0))).drop("__bucket")
       val dirtyInCurrent =
         dirtyRows.map(_.count(_._2).toLong).getOrElse(0L)
@@ -521,7 +619,7 @@ object IncrementalAgg {
       stateDir)
     try {
       recoverStore(batch.sparkSession, stateDir)
-      ensureAppendLayout(batch.sparkSession, stateDir)
+      ensureAppendLayout(batch.sparkSession, stateDir, lease)
       val wmFs = new org.apache.hadoop.fs.Path(stateDir)
         .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
       // fence OWNERSHIP before the fence: batch ids are only comparable
@@ -714,7 +812,7 @@ object IncrementalAgg {
     val lease = IncrementalValidation.acquireLease(spark, stateDir)
     try {
       recoverStore(spark, stateDir) // a prior crash's stranded swap
-      ensureAppendLayout(spark, stateDir)
+      ensureAppendLayout(spark, stateDir, lease)
       val p = new org.apache.hadoop.fs.Path(storePath(stateDir))
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val tmp = new org.apache.hadoop.fs.Path(

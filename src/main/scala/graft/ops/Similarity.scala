@@ -681,6 +681,25 @@ object Similarity {
   // ---- churn-priced incremental PQ index ------------------------------
 
   private def booksPath(stateDir: String) = s"$stateDir/books"
+  private def booksSigPath(stateDir: String) = s"$stateDir/books_sig"
+
+  /** The stored books' [[booksSignature]] as a MARKER next to the books:
+    * the signature is a pure function of the (frozen) codebook content,
+    * so computing it once at fit time and reading the marker thereafter
+    * saves one Spark job on EVERY maintenance run. Books written by an
+    * older build have no marker — computed once from the stored books
+    * and written back (deterministic, idempotent). A re-fit rewrites the
+    * marker together with the books ([[pqBooksWrite]]). */
+  private def booksSigOf(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IncrementalAgg.readMarker(fs, booksSigPath(stateDir)).getOrElse {
+      val sig = booksSignature(spark.read.parquet(booksPath(stateDir)))
+      IncrementalAgg.writeMarker(fs, booksSigPath(stateDir), sig)
+      sig
+    }
+  }
 
   /** Deterministic content signature of a stored codebook — folded into
     * the code store's `aggKey`, so codes encoded under one codebook can
@@ -730,10 +749,16 @@ object Similarity {
       : (DataFrame, IncrementalAgg.IncrementalReport) = {
     val spark = corpus.sparkSession
     pqBooksWrite(corpus, stateDir, m, ksub, idCol, vecCol)
-    val (bBooks, subDim) = loadBooks(spark, stateDir)
-    val sig = booksSignature(bBooks)
+    val sig = booksSigOf(spark, stateDir)
+    // books load (read + collect) deferred into the partial: a zero-dirty
+    // maintenance run never encodes, so it never needs the books at all
+    lazy val loaded = loadBooks(spark, stateDir)
+    val partial = (sl: DataFrame) => {
+      val (bBooks, subDim) = loaded
+      encodePartial(bBooks, m, subDim, idCol, vecCol)(sl)
+    }
     val (codes, report) = IncrementalAgg.run(corpus, idCol, Seq(vecCol),
-      encodePartial(bBooks, m, subDim, idCol, vecCol),
+      partial,
       aggKey = s"pqcodes:m=$m,ksub=$ksub,vec=$vecCol,books=$sig",
       stateDir, nBuckets, dirtyFractionLimit, bucketCol)
     // surface the frozen books' re-fit baseline in the run record: the
@@ -778,6 +803,9 @@ object Similarity {
         lease.check()
         graft.core.IncrementalValidation.swapWrite(spark, b,
           booksPath(stateDir))
+        // signature marker rides with the books (see booksSigOf)
+        IncrementalAgg.writeMarker(fs, booksSigPath(stateDir),
+          booksSignature(b))
         // record the seed quantization error NEXT to the books — the
         // fit-time baseline [[pqDrift]]'s re-fit signal compares churn
         // slices against. One extra corpus pass, paid exactly when the

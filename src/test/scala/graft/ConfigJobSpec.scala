@@ -277,7 +277,7 @@ class ConfigJobSpec extends AnyFunSuite with SparkSpec {
       import scala.jdk.CollectionConverters._
       val st = java.nio.file.Files.list(java.nio.file.Paths.get(reportStore))
       try st.iterator().asScala
-        .filter(_.getFileName.toString.startsWith("bucket="))
+        .filter(_.getFileName.toString.startsWith("__bgroup="))
         .map(p => p.getFileName.toString ->
           java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
       finally st.close()

@@ -88,7 +88,7 @@ class IncrementalAggSpec extends AnyFunSuite with SparkSpec {
     assert(fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/agg_digests"),
       true), "witness must exist after a run")
     val parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$stateDir/agg"))
-      .map(_.getPath).filter(_.getName.startsWith("__bucket="))
+      .map(_.getPath).filter(_.getName.startsWith("__bgroup="))
     assert(parts.nonEmpty)
     fs.delete(parts.head, true)
     // zero churn — but with no witness the run must NOT trust the torn
@@ -129,9 +129,10 @@ class IncrementalAggSpec extends AnyFunSuite with SparkSpec {
     IncrementalAgg.vocab(d0, stateDir, nBuckets = 32)
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // physical layout is bucket GROUPS: clean GROUPS stay mtime-pinned
     def mtimes(): Map[String, Long] =
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$stateDir/agg"))
-        .filter(_.getPath.getName.startsWith("__bucket="))
+        .filter(_.getPath.getName.startsWith("__bgroup="))
         .flatMap(d => fs.listStatus(d.getPath)
           .map(f => f.getPath.toString -> f.getModificationTime)).toMap
     val before = mtimes()

@@ -21,6 +21,20 @@ object PhaseProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // per-job timing: which Spark jobs a phase actually pays for
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    s.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobStart.put(e.jobId, System.nanoTime())
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t0 = jobStart.remove(e.jobId)
+          if (t0 != 0L && sys.env.contains("PHASE_JOBS"))
+            System.err.println(f"  JOB ${e.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+        }
+      })
     def phase[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
@@ -40,6 +54,7 @@ object PhaseProfile {
     val warmName = which match {
       case "annpq" => "t_ann_pq_incremental"
       case "vinc" => "v_incremental_diff"
+      case "vincm" => "v_multi_incremental"
       case "minhash" => "t_minhash_incremental"
       case "idx" => "t_index_search_incremental"
       case other => other
@@ -176,6 +191,34 @@ object PhaseProfile {
           phase("searchIndexIncremental (noop)") {
             noop(graft.ops.Indexing.searchIndexIncremental(s, stateDir,
               terms = Seq("scan", "merge", "window"), k = 20))
+          }
+        case "vincm" =>
+          import graft.core.{IncrementalValidation, CompareMode}
+          val o = s.read.parquet(s"$sfDir/orders.parquet")
+          val db1 = o.selectExpr("CAST(o_orderkey AS STRING) AS id",
+            "o_totalprice", "o_orderdate", "o_orderpriority")
+          val db2 = o.selectExpr("CAST(o_orderkey AS STRING) AS id",
+            "o_totalprice", "o_orderdate", "o_orderpriority")
+          val checks = Seq(
+            ("o_totalprice", CompareMode.Numeric),
+            ("o_orderdate", CompareMode.Date),
+            ("o_orderpriority", CompareMode.Fuzzy(0.9)))
+          val stateDir = s"$tmp/graft_incvalm_${tag(sfDir)}"
+          val restated = col("id").cast("long") < 600
+          val prior2 = db2
+            .withColumn("o_totalprice",
+              when(restated, col("o_totalprice") + 7)
+                .otherwise(col("o_totalprice")))
+            .filter(!(restated && col("id").cast("long") % 3 === 0))
+          phase("summaryMultiIncremental prior") {
+            IncrementalValidation.summaryMultiIncremental(
+              db1, prior2, checks, stateDir, nBuckets = 4096)
+              .collect()
+          }
+          phase("summaryMultiIncremental current") {
+            noop(IncrementalValidation.summaryMultiIncremental(
+              db1, db2, checks, stateDir, nBuckets = 4096)
+              .orderBy("column_name"))
           }
         case other =>
           System.err.println(s"unknown target $other")

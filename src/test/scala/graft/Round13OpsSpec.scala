@@ -209,7 +209,7 @@ class Round13OpsSpec extends AnyFunSuite with SparkSpec {
         val st = java.nio.file.Files.list(base)
         try {
           import scala.jdk.CollectionConverters._
-          st.iterator().asScala.filter(_.getFileName.toString.startsWith("bucket="))
+          st.iterator().asScala.filter(_.getFileName.toString.startsWith("__bgroup="))
             .map(p => p.getFileName.toString ->
               java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
         } finally st.close()
@@ -228,7 +228,7 @@ class Round13OpsSpec extends AnyFunSuite with SparkSpec {
           java.nio.file.Paths.get(s"$stateDir/report"))
         try {
           import scala.jdk.CollectionConverters._
-          st.iterator().asScala.filter(_.getFileName.toString.startsWith("bucket="))
+          st.iterator().asScala.filter(_.getFileName.toString.startsWith("__bgroup="))
             .map(p => p.getFileName.toString ->
               java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
         } finally st.close()

@@ -67,7 +67,7 @@ class Round14OpsSpec extends AnyFunSuite with SparkSpec {
     try {
       import scala.jdk.CollectionConverters._
       st.iterator().asScala
-        .filter(_.getFileName.toString.startsWith("bucket="))
+        .filter(_.getFileName.toString.startsWith("__bgroup="))
         .map(p => p.getFileName.toString ->
           java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
     } finally st.close()

@@ -46,10 +46,12 @@ class Round15OpsSpec extends AnyFunSuite with SparkSpec {
       (i.toLong, Array.fill(8)(r.nextFloat() * 2f - 1f))
     }.toDF("vec_id", "embedding")
 
+  // physical layout is bucket GROUPS (IncrementalAgg.runGroupCount):
+  // the mtime pin now holds per clean GROUP, not per clean bucket
   private def mtimes(fs: org.apache.hadoop.fs.FileSystem,
       stateDir: String): Map[String, Long] =
     fs.listStatus(new org.apache.hadoop.fs.Path(s"$stateDir/agg"))
-      .filter(_.getPath.getName.startsWith("__bucket="))
+      .filter(_.getPath.getName.startsWith("__bgroup="))
       .flatMap(d => fs.listStatus(d.getPath)
         .map(f => f.getPath.toString -> f.getModificationTime)).toMap
 
@@ -107,7 +109,7 @@ class Round15OpsSpec extends AnyFunSuite with SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bucketDirs = fs.listStatus(
         new org.apache.hadoop.fs.Path(s"$stateDir/agg"))
-      .filter(_.getPath.getName.startsWith("__bucket="))
+      .filter(_.getPath.getName.startsWith("__bgroup="))
     assert(bucketDirs.nonEmpty)
     var checked = 0
     for (bd <- bucketDirs; f <- fs.listStatus(bd.getPath)
