@@ -254,8 +254,8 @@ object CuratedFeed {
       .select(col("id"), col("token_ids"))
       .withColumn("h", xxhash64(col("id")))
       .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
-    SequenceFeed.sequencesAppend(enc, batchId, feedDir(stateDir),
-      "shard", "h", "id", "token_ids", seqLen)
+    val carryTotals = SequenceFeed.sequencesAppend(enc, batchId,
+      feedDir(stateDir), "shard", "h", "id", "token_ids", seqLen)
     // the ingestion LEDGER: one row per batch accounting the curation
     // funnel — rows in, past the quality gate, past decontamination,
     // novel (first occurrences), sequences cut. First delivery wins
@@ -280,8 +280,12 @@ object CuratedFeed {
           if (benchmark.isDefined) cleared.count() else qualityKept
         val novel = survivors.count()
         val fd = feedDir(stateDir)
-        val cut = SequenceFeed.carrySeqTotal(spark, fd, batchId) -
-          SequenceFeed.carrySeqTotal(spark, fd, batchId - 1)
+        // the append already returned both carry totals (driver-side);
+        // only a fenced replay (None) re-reads the two carry files
+        val cut = carryTotals
+          .map { case (prevTotal, newTotal) => newTotal - prevTotal }
+          .getOrElse(SequenceFeed.carrySeqTotal(spark, fd, batchId) -
+            SequenceFeed.carrySeqTotal(spark, fd, batchId - 1))
         Seq((batchId, rowsIn, qualityKept, clearedKept, novel, cut))
           .toDF("batch", "rows_in", "quality_kept", "decontaminated_kept",
             "novel_docs", "sequences_cut")

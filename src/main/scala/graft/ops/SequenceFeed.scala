@@ -110,7 +110,7 @@ object SequenceFeed {
     * the previous tail forward untouched. */
   def sequencesAppend(enc: DataFrame, batchId: Long, stateDir: String,
       shardCol: String, orderCol: String, idCol: String, idsCol: String,
-      seqLen: Int): Unit = {
+      seqLen: Int): Option[(Long, Long)] = {
     require(seqLen > 0, "seqLen must be positive")
     require(batchId >= 0, "batch ids are non-negative")
     val spark = enc.sparkSession
@@ -169,7 +169,7 @@ object SequenceFeed {
       // full append. Skip.
       val wm = IncrementalAgg.readMarker(fs, watermarkPath(stateDir))
         .map(_.toLong).getOrElse(-1L)
-      if (batchId <= wm) return
+      if (batchId <= wm) return None
       // replay or first delivery: either way the cut derives from the
       // carry BEFORE this batch, which is always retained
       val prev: Map[Long, Carry] =
@@ -275,6 +275,11 @@ object SequenceFeed {
         spark.createDataset(rows).coalesce(1)
           .write.mode(SaveMode.Overwrite)
           .parquet(carryPath(stateDir, batchId))
+        // both carry totals are already on the driver — return them so a
+        // composed caller (the curated feed's ledger) can price the
+        // batch's cut without re-reading two carry files
+        Some((prev.values.map(_.next_seq).sum,
+          rows.map(_.next_seq).sum))
       } finally cut.unpersist()
     } finally lease.release()
   }

@@ -22,17 +22,21 @@ object PhaseProfile {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     // per-job timing: which Spark jobs a phase actually pays for
-    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     s.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
-            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          jobStart.put(e.jobId, System.nanoTime())
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val site = e.stageInfos.lastOption.map(si =>
+            s"${si.name} [${e.stageInfos.size} stages, " +
+              s"${e.stageInfos.map(_.numTasks).sum} tasks]").getOrElse("?")
+          jobStart.put(e.jobId, (System.nanoTime(), site))
+        }
         override def onJobEnd(
             e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-          val t0 = jobStart.remove(e.jobId)
-          if (t0 != 0L && sys.env.contains("PHASE_JOBS"))
-            System.err.println(f"  JOB ${e.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+          val st = jobStart.remove(e.jobId)
+          if (st != null && sys.env.contains("PHASE_JOBS"))
+            System.err.println(f"  JOB ${e.jobId}%4d ${(System.nanoTime() - st._1) / 1e9}%7.3f s  ${st._2}")
         }
       })
     def phase[T](name: String)(f: => T): T = {
@@ -219,6 +223,30 @@ object PhaseProfile {
             noop(IncrementalValidation.summaryMultiIncremental(
               db1, db2, checks, stateDir, nBuckets = 4096)
               .orderBy("column_name"))
+          }
+        case "feed" =>
+          val merges = graft.ops.Tokenize.loadMerges(s.read.parquet(
+            "/root/repo/src/test/resources/bpe_bytes_merges.parquet"))
+          val stateDir = s"$tmp/graft_curfeed_prof_${System.nanoTime()}"
+          val d = s.read.parquet(s"$sfDir/documents.parquet")
+            .select("doc_id", "text")
+          val all = d
+            .unionByName(d.filter(col("doc_id") < 25).select(
+              (col("doc_id") + 500000).as("doc_id"), col("text")))
+            .unionByName(d.filter(col("doc_id") < 10).select(
+              (col("doc_id") + 900000).as("doc_id"), col("text")))
+          for (b <- 0L to 2L)
+            phase(s"curatedAppend batch $b") {
+              graft.ops.CuratedFeed.curatedAppend(
+                all.filter(pmod(col("doc_id"), lit(3L)) === b), b, stateDir,
+                merges, seqLen = 2048, nShards = 8,
+                minWords = 20, maxWords = 80)
+            }
+          phase("sequences read + orderBy + noop") {
+            noop(graft.ops.CuratedFeed.sequences(s, stateDir)
+              .select(col("shard"), col("seq_id"), col("n_tokens"),
+                col("n_docs"), col("first_doc"), col("last_doc"))
+              .orderBy("shard", "seq_id"))
           }
         case other =>
           System.err.println(s"unknown target $other")
