@@ -271,6 +271,20 @@ object IncrementalValidation {
   private val termCols = Seq("n_first", "n_second", "missing_in_first",
     "missing_in_second", "n_differing", "n_matched")
 
+  // written-state schemas, stated explicitly so state reads skip parquet
+  // schema inference (one Spark job per read otherwise)
+  private def fullStateSchema(pr: PruneResult) =
+    org.apache.spark.sql.types.StructType(pr.cd.schema.fields ++
+      termCols.map(c => org.apache.spark.sql.types.StructField(
+        c, org.apache.spark.sql.types.LongType)))
+  private val multiTermsSchema = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType)) ++
+      termCols.map(c => org.apache.spark.sql.types.StructField(
+        c, org.apache.spark.sql.types.LongType)))
+
   /** The null-id sidecar bucket's terms, derived from its digest counts:
     * n1 null-id rows on the first side count toward (n_first,
     * missing_in_second), n2 toward (n_second, missing_in_first) — exactly
@@ -506,9 +520,12 @@ object IncrementalValidation {
     val cdRows = cdSrc.collect()
     val total = cdRows.length.toLong
     val haveState = metaMatches(spark, stateDir, nBuckets, modeStr)
+    // explicit schema: every witness/state read below is of rows this
+    // module wrote with a known schema — skipping parquet inference
+    // skips one Spark job per read
     val old: Option[Array[org.apache.spark.sql.Row]] =
       if (haveState)
-        try Some(spark.read.parquet(digestPath).collect())
+        try Some(spark.read.schema(cdSchema).parquet(digestPath).collect())
         catch { case scala.util.control.NonFatal(_) => None }
       else None
     def sig(rows: Array[org.apache.spark.sql.Row])
@@ -624,7 +641,8 @@ object IncrementalValidation {
     val cdDf = pr.cd
     val total = pr.total
     val oldState: Option[DataFrame] =
-      if (pr.haveState) Some(spark.read.parquet(statePath(stateDir)))
+      if (pr.haveState) Some(spark.read.schema(fullStateSchema(pr))
+        .parquet(statePath(stateDir)))
       else None
     val dirtyBuckets: Option[Seq[Long]] = pr.dirty
 
@@ -682,7 +700,8 @@ object IncrementalValidation {
     // phase 3: the global summary is the column-sum over the stored
     // per-bucket terms — read back from the swapped-in state so the
     // returned frame is self-contained and re-executable
-    val summary = spark.read.parquet(statePath(stateDir))
+    val summary = spark.read.schema(fullStateSchema(pr))
+      .parquet(statePath(stateDir))
       .agg(
         sum("n_first").as("n_first"),
         sum("n_second").as("n_second"),
@@ -755,7 +774,8 @@ object IncrementalValidation {
     val total = pr.total
     val oldTerms: Option[DataFrame] =
       if (pr.haveState)
-        try Some(spark.read.parquet(termsPath(stateDir)))
+        try Some(spark.read.schema(multiTermsSchema)
+          .parquet(termsPath(stateDir)))
         catch { case scala.util.control.NonFatal(_) => None } // torn state
       else None
     val dirtyBuckets: Option[Seq[Long]] =
@@ -817,7 +837,8 @@ object IncrementalValidation {
     if (!pr.haveState) writeMeta(spark, stateDir, nBuckets, modeStr)
 
     val names = array(checks.map { case (c, _) => lit(c) }: _*)
-    val perCol = spark.read.parquet(termsPath(stateDir))
+    val perCol = spark.read.schema(multiTermsSchema)
+      .parquet(termsPath(stateDir))
       .groupBy("pos").agg(
         sum("n_first").as("n_first"),
         sum("n_second").as("n_second"),

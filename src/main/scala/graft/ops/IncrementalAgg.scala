@@ -391,9 +391,12 @@ object IncrementalAgg {
       val cdRows = cdDf.collect()
       val total = cdRows.length.toLong
       val haveState = metaMatches(spark, stateDir, nBuckets, aggKey)
+      // explicit schema: the witness is written from cdSchema, and
+      // skipping parquet schema inference skips its per-read Spark job
       val old: Option[Array[org.apache.spark.sql.Row]] =
         if (haveState)
-          try Some(spark.read.parquet(digestsPath(stateDir)).collect())
+          try Some(spark.read.schema(cdSchema)
+            .parquet(digestsPath(stateDir)).collect())
           catch { case scala.util.control.NonFatal(_) => None }
         else None
       def triples(rows: Array[org.apache.spark.sql.Row])
@@ -475,9 +478,17 @@ object IncrementalAgg {
         // read), staged fully and swapped in by renames — a crash at any
         // point leaves no witness, so the next run rebuilds wholesale
         val recomputed = partial(withBucketCol(dirtySlice(d)))
+        // explicit schema (store files carry the partial's columns, the
+        // directory level is __bgroup): no inference job, and the long-
+        // typed partition column makes the group IN-list prune without
+        // a cast
+        val storeSchema = org.apache.spark.sql.types.StructType(
+          recomputed.schema.fields :+
+            org.apache.spark.sql.types.StructField("__bgroup",
+              org.apache.spark.sql.types.LongType))
         val carried =
           if (storeHasData(fs, storePath(stateDir)))
-            spark.read.parquet(storePath(stateDir))
+            spark.read.schema(storeSchema).parquet(storePath(stateDir))
               .filter(col("__bgroup").isin(dirtyGroups: _*) &&
                 !col("__bucket").isin(d: _*))
               .drop("__bgroup")

@@ -850,7 +850,13 @@ object Similarity {
     if (!fs.exists(new org.apache.hadoop.fs.Path(booksErrPath(stateDir))))
       None
     else {
-      val r = spark.read.parquet(booksErrPath(stateDir)).head()
+      // explicit schema: skip the per-read inference job
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("err_sum",
+          org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))))
+      val r = spark.read.schema(schema).parquet(booksErrPath(stateDir)).head()
       Some((r.getAs[Long]("n"),
         BigDecimal(r.getAs[java.math.BigDecimal]("err_sum"))))
     }
